@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared operator key from SURVEY.md §2C is registered here via the
+  * module registries; `oracleSql` carries the DuckDB-equivalent SQL for the
+  * driver's correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private lazy val all: Seq[Op] = {
+    val ops = operators.Relational.ops
+    require(ops.map(_.key).distinct.size == ops.size, "duplicate operator keys")
+    ops
+  }
+
+  /** Flagship query (TPC-H-Q1-shaped pricing summary, SURVEY.md §7.3) on
+    * sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    operators.Relational.aggHashGroup.fn(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2C. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(o => o.key -> o.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(o => o.oracle.map(sql => o.key -> sql)).toMap
 }

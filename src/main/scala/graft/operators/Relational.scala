@@ -1,0 +1,540 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operators (SURVEY.md §2C: sources, predicates, joins,
+  * aggregations, windows, sorts/limits/set ops).
+  *
+  * Determinism protocol (SURVEY.md §7.6): every oracle-checked query ends in a
+  * total-order ORDER BY; money math runs in DECIMAL (exact, order-independent)
+  * and is cast to DOUBLE only at the output boundary; timestamps are emitted
+  * only at ms precision or coarser. Provenance of each capability is the
+  * reference ETL framework (`framework.py`, see SURVEY.md §2A/§2B) — the
+  * operators here are the Spark-native query surface those pipelines delegate
+  * to, expressed so Catalyst can push filters/prune columns/pick joins freely.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  /** Money column → exact decimal at its native 2dp scale. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- sources
+  private val scanParquet = Op(
+    "scan_parquet",
+    (s, d) => t(s, d, "region").select("r_regionkey", "r_name")
+      .orderBy("r_regionkey"),
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  // Column pruning: only 2 of 11 lineitem columns reach the scan (ReadSchema).
+  private val scanPruned = Op(
+    "scan_pruned",
+    (s, d) => t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+      .orderBy("l_orderkey", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_extendedprice FROM lineitem
+            ORDER BY l_orderkey, l_extendedprice"""))
+
+  // ---------------------------------------------------- projection / filter
+  private val projectExpr = Op(
+    "project_expr",
+    (s, d) => t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("net_price"),
+      (dec(col("l_extendedprice")) * dec(col("l_tax"))).cast("double").as("tax_amt"))
+      // (l_orderkey, l_linenumber) is NOT unique in this data — order by
+      // every output column so equal-key rows are interchangeable (§7.6.1).
+      .orderBy("l_orderkey", "l_linenumber", "net_price", "tax_amt"),
+    Some("""SELECT l_orderkey, l_linenumber,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax_amt
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price, tax_amt"""))
+
+  // Pushdown-eligible conjunctive/disjunctive predicate with a date range.
+  private val filterPred = Op(
+    "filter_pred",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        (col("l_discount") > 0.05 || col("l_quantity") < 10.0))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND (l_discount > 0.05 OR l_quantity < 10.0)
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount"""))
+
+  // 3-valued logic: IS NULL + null-safe equality (<=> / IS NOT DISTINCT FROM).
+  private val filterNullSemantics = Op(
+    "filter_null_semantics",
+    (s, d) => t(s, d, "customer")
+      .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+      .filter(col("seg").isNull || col("seg") <=> lit("AUTOMOBILE"))
+      .select("c_custkey", "seg")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer
+            WHERE NULLIF(c_mktsegment, 'BUILDING') IS NULL
+               OR NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'AUTOMOBILE'
+            ORDER BY c_custkey"""))
+
+  private val filterInLike = Op(
+    "filter_in_like",
+    (s, d) => t(s, d, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_name").like("%a%"))
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, p_name, p_brand FROM part
+            WHERE p_brand IN ('Brand#1','Brand#2','Brand#3') AND p_name LIKE '%a%'
+            ORDER BY p_partkey"""))
+
+  // ------------------------------------------------------------------ joins
+  // Small dim broadcast: nation is tiny -> explicit broadcast hash join, no
+  // shuffle of the big side. At 100 TB the dim side stays broadcast-able.
+  private val joinInnerBroadcast = Op(
+    "join_inner_broadcast",
+    (s, d) => t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"), "inner")
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, n_name FROM customer
+            JOIN nation ON c_nationkey = n_nationkey ORDER BY c_custkey"""))
+
+  // Large-large: leave strategy to Catalyst/AQE (sort-merge at scale).
+  private val joinInnerShuffle = Op(
+    "join_inner_shuffle",
+    (s, d) => t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+      .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey ORDER BY l_orderkey, l_linenumber"""))
+
+  // Left outer keeps unmatched orders (dim filtered to force misses).
+  private val joinLeftOuter = Op(
+    "join_left_outer",
+    (s, d) => {
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 5000.0)
+      t(s, d, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, c_name FROM orders
+            LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+              ON o_custkey = c_custkey
+            ORDER BY o_orderkey"""))
+
+  private val joinFullOuter = Op(
+    "join_full_outer",
+    (s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+      val oagg = t(s, d, "orders").filter(col("o_custkey") % 3 === 0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_spent"))
+      cust.join(oagg, col("c_custkey") === col("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+          col("c_name"), col("n_orders"), col("total_spent"))
+        .orderBy("key")
+    },
+    Some("""SELECT COALESCE(c.c_custkey, o.o_custkey) AS key, c.c_name, o.n_orders, o.total_spent
+            FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+            FULL OUTER JOIN (
+              SELECT o_custkey, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+              FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY key"""))
+
+  // EXISTS — semi join ships only the key column of the probe side.
+  private val joinLeftSemi = Op(
+    "join_left_semi",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  private val joinLeftAnti = Op(
+    "join_left_anti",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  private val joinCross = Op(
+    "join_cross",
+    (s, d) => t(s, d, "region").select("r_name")
+      .crossJoin(t(s, d, "nation").select("n_name"))
+      .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+            ORDER BY r_name, n_name"""))
+
+  // Non-equi band join; small side filtered + broadcast so the theta
+  // predicate runs as a broadcast nested-loop, never a full cartesian.
+  private val joinThetaRange = Op(
+    "join_theta_range",
+    (s, d) => {
+      val bands = t(s, d, "part").filter(col("p_size") === 25)
+        .select("p_partkey", "p_retailprice")
+      t(s, d, "events").select("event_id", "value")
+        .join(broadcast(bands),
+          col("value").between(col("p_retailprice") - 1.0, col("p_retailprice") + 1.0))
+        .select("event_id", "p_partkey")
+        .orderBy("event_id", "p_partkey")
+    },
+    Some("""SELECT event_id, p_partkey
+            FROM events JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size = 25) p
+              ON value BETWEEN p_retailprice - 1.0 AND p_retailprice + 1.0
+            ORDER BY event_id, p_partkey"""))
+
+  // As-of join via the union+running-last rewrite: one shuffle on user_id,
+  // no nested loop — the scalable pattern for temporal joins at 100 TB.
+  // For each click, the latest purchase by the same user at-or-before it.
+  private val joinAsof = Op(
+    "join_asof",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+        col("event_id").as("p_id"), col("value").as("p_value"), lit(0).as("side"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value"),
+        lit(1).as("side"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("asof_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("p_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select("click_id", "user_id", "asof_id", "asof_value")
+        .orderBy("click_id")
+    },
+    Some("""WITH u AS (
+              SELECT user_id, ts, NULL::BIGINT AS click_id, event_id AS p_id,
+                     value AS p_value, 0 AS side
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, event_id, NULL::BIGINT, NULL::DOUBLE, 1
+              FROM events WHERE event_type = 'click'),
+            w AS (
+              SELECT *,
+                last_value(p_id IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
+                last_value(p_value IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+              FROM u)
+            SELECT click_id, user_id, asof_id, asof_value FROM w WHERE side = 1
+            ORDER BY click_id"""))
+
+  // ----------------------------------------------------------- aggregations
+  // TPC-H-Q1-shaped pricing summary (flagship; partial+final HashAggregate).
+  private[graft] val aggHashGroup = Op(
+    "agg_hash_group",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              COUNT(*) AS n
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  private val aggMultiStats = Op(
+    "agg_multi_stats",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+              MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+              COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  private val aggDistinct = Op(
+    "agg_distinct",
+    (s, d) => t(s, d, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus", "l_quantity"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+            ORDER BY l_returnflag, l_linestatus, l_quantity"""))
+
+  private val aggRollup = Op(
+    "agg_rollup",
+    (s, d) => t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  private val aggCube = Op(
+    "agg_cube",
+    (s, d) => t(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  // GROUPING SETS is SQL-only surface in Spark — exercised via spark.sql.
+  private val aggGroupingSets = Op(
+    "agg_grouping_sets",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                 CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 COUNT(*) AS n
+               FROM lineitem_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                       (l_returnflag, l_linestatus), ())
+               ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) AS INT) AS g_rf,
+              CAST(grouping(l_linestatus) AS INT) AS g_ls,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                    (l_returnflag, l_linestatus), ())
+            ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  // Deterministic per-group list: collect_set then sort_array (§7.6.5).
+  private val aggCollectSorted = Op(
+    "agg_collect_sorted",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sort_array(collect_set(col("l_quantity"))).as("quantities"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              list_sort(list(DISTINCT l_quantity)) AS quantities
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  // HLL sketch — approximate, no oracle; bounded-rel-error asserted in tests.
+  private val aggApproxDistinct = Op(
+    "agg_approx_distinct",
+    (s, d) => t(s, d, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type"),
+    None)
+
+  // ---------------------------------------------------------------- windows
+  private val windowRank = Op(
+    "window_rank",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("int").as("rnk"),
+          dense_rank().over(w).cast("int").as("drnk"),
+          row_number().over(w).cast("int").as("rn"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+              CAST(rank() OVER w AS INT) AS rnk,
+              CAST(dense_rank() OVER w AS INT) AS drnk,
+              CAST(row_number() OVER w AS INT) AS rn
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // Running sum in DECIMAL: exact under any accumulation association, so
+  // Spark's sequential scan and DuckDB's segment tree agree bit-for-bit.
+  private val windowRunning = Op(
+    "window_running",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"),
+          count(lit(1)).over(w).as("running_n"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+              COUNT(*) OVER w AS running_n
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // Range frame over epoch seconds (numeric range = portable across engines).
+  private val windowRangeFrame = Op(
+    "window_range_frame",
+    (s, d) => {
+      // o_orderdate arrives as TIMESTAMP_NTZ; with a UTC session the
+      // TIMESTAMP hop is value-preserving and makes the epoch cast legal.
+      val base = t(s, d, "orders")
+        .withColumn("epoch_s", col("o_orderdate").cast("timestamp").cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+        .rangeBetween(-30L * 86400, 0)
+      base.select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("sum_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              COUNT(*) OVER w AS n_30d,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d
+            FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+                         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  private val windowLagLead = Op(
+    "window_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, value,
+              lag(value, 1) OVER w AS prev_value,
+              lead(value, 1) OVER w AS next_value,
+              value - lag(value, 1) OVER w AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id"""))
+
+  private val topkPerGroup = Op(
+    "topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, d, "part")
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).cast("int").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    },
+    Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                CAST(row_number() OVER (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rn
+              FROM part) WHERE rn <= 3
+            ORDER BY p_brand, rn"""))
+
+  // --------------------------------------------- sorts / limits / set ops
+  private val sortMulti = Op(
+    "sort_multi",
+    (s, d) => t(s, d, "customer")
+      .withColumn("seg", nullif(col("c_mktsegment"), lit("MACHINERY")))
+      .select("c_custkey", "seg", "c_acctbal")
+      .orderBy(asc_nulls_first("seg"), desc("c_acctbal"), asc("c_custkey")),
+    Some("""SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg, c_acctbal
+            FROM customer
+            ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey"""))
+
+  // Global top-k: Spark runs this as TakeOrderedAndProject — no full sort.
+  private val limitTopk = Op(
+    "limit_topk",
+    (s, d) => t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  private val setUnionAll = Op(
+    "set_union_all",
+    (s, d) => {
+      val c = t(s, d, "customer")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("key"), lit("even").as("src"))
+        .unionByName(c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("key"), lit("third").as("src")))
+        .orderBy("key", "src")
+    },
+    Some("""SELECT c_custkey AS key, 'even' AS src FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT c_custkey AS key, 'third' AS src FROM customer WHERE c_custkey % 3 = 0
+            ORDER BY key, src"""))
+
+  private val setIntersect = Op(
+    "set_intersect",
+    (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key"))
+      .intersect(t(s, d, "orders").select(col("o_custkey").as("key")))
+      .orderBy("key"),
+    Some("""SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS key FROM orders
+            ORDER BY key"""))
+
+  private val setExcept = Op(
+    "set_except",
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey").as("key"))
+      .except(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("key")))
+      .orderBy("key"),
+    Some("""SELECT c_custkey AS key FROM customer
+            EXCEPT
+            SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY key"""))
+
+  val ops: Seq[Op] = Seq(
+    scanParquet, scanPruned,
+    projectExpr, filterPred, filterNullSemantics, filterInLike,
+    joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinFullOuter,
+    joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,
+    aggHashGroup, aggMultiStats, aggDistinct, aggRollup, aggCube,
+    aggGroupingSets, aggCollectSorted, aggApproxDistinct,
+    windowRank, windowRunning, windowRangeFrame, windowLagLead, topkPerGroup,
+    sortMulti, limitTopk, setUnionAll, setIntersect, setExcept)
+}
