@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private lazy val all: Seq[Op] = {
-    val ops = operators.Relational.ops
+    val ops = operators.Relational.ops ++ operators.EtlOps.ops ++
+      functions.FnFamilies.ops ++ functions.UdfOps.ops
     require(ops.map(_.key).distinct.size == ops.size, "duplicate operator keys")
     ops
   }

@@ -1,0 +1,144 @@
+package graft.functions
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2C) — one composite query per family,
+  * all built from `org.apache.spark.sql.functions` so every expression stays
+  * inside whole-stage codegen. Cross-engine typing notes: DuckDB `length`/
+  * `year`/`ceil` return BIGINT/DOUBLE where Spark returns INT/LONG — both
+  * sides cast explicitly so the driver's schema+hash compare is stable.
+  */
+object FnFamilies {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val fnString = Op(
+    "fn_string",
+    (s, d) => t(s, d, "customer").select(
+      col("c_custkey"),
+      upper(col("c_name")).as("uname"),
+      lower(col("c_mktsegment")).as("lseg"),
+      substring(col("c_name"), 1, 8).as("prefix"),
+      concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cat"),
+      length(col("c_name")).as("len"),
+      regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("repl"),
+      trim(col("c_name")).as("trimmed"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+              substring(c_name, 1, 8) AS prefix,
+              concat(c_name, '-', c_mktsegment) AS cat,
+              CAST(length(c_name) AS INT) AS len,
+              replace(c_name, 'Customer', 'Cust') AS repl,
+              trim(c_name) AS trimmed
+            FROM customer ORDER BY c_custkey"""))
+
+  private val fnRegex = Op(
+    "fn_regex",
+    (s, d) => t(s, d, "part").select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+      col("p_name").rlike("a.*e").as("has_ae"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+              regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+              regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+              regexp_matches(p_name, 'a.*e') AS has_ae
+            FROM part ORDER BY p_partkey"""))
+
+  private val fnDate = Op(
+    "fn_date",
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).cast("timestamp").as("month_start"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .as("days_since"),
+      // emit as TIMESTAMP: DATE crosses the oracle's arrow/pandas bridge as
+      // datetime.date vs datetime64 and the value-compare flaps (see fn_date
+      // note above on cross-engine typing)
+      add_months(col("o_orderdate").cast("date"), 3).cast("timestamp").as("plus3m"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+              CAST(year(o_orderdate) AS INT) AS y,
+              CAST(month(o_orderdate) AS INT) AS m,
+              CAST(day(o_orderdate) AS INT) AS dom,
+              CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+              CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m
+            FROM orders ORDER BY o_orderkey"""))
+
+  // round() on raw doubles is engine-divergent (Spark rounds the shortest
+  // decimal repr, DuckDB the binary value) — round in DECIMAL instead, which
+  // is exact and HALF_UP on both engines.
+  private val fnMath = Op(
+    "fn_math",
+    (s, d) => t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double").as("price_r1"),
+      abs(col("l_extendedprice").cast("decimal(18,2)") - lit(100).cast("decimal(18,2)"))
+        .cast("double").as("abs_diff"),
+      ceil(col("l_quantity") / 7.0).cast("long").as("q_ceil"),
+      floor(col("l_quantity") / 7.0).cast("long").as("q_floor"),
+      (col("l_orderkey") % 7).as("k_mod"),
+      pow(lit(2.0), col("l_linenumber")).as("p2"))
+      .orderBy("l_orderkey", "l_linenumber", "price_r1", "q_ceil"),
+    Some("""SELECT l_orderkey, l_linenumber,
+              CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+              CAST(abs(CAST(l_extendedprice AS DECIMAL(18,2)) - 100) AS DOUBLE) AS abs_diff,
+              CAST(ceil(l_quantity / 7.0) AS BIGINT) AS q_ceil,
+              CAST(floor(l_quantity / 7.0) AS BIGINT) AS q_floor,
+              l_orderkey % 7 AS k_mod,
+              pow(2.0, l_linenumber) AS p2
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, price_r1, q_ceil"""))
+
+  private val fnConditional = Op(
+    "fn_conditional",
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 200000.0, "big")
+        .when(col("o_totalprice") > 100000.0, "mid")
+        .otherwise("small").as("bucket"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+      greatest(col("o_totalprice"), lit(150000.0)).as("at_least"),
+      least(col("o_totalprice"), lit(150000.0)).as("at_most"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CASE WHEN o_totalprice > 200000.0 THEN 'big'
+                   WHEN o_totalprice > 100000.0 THEN 'mid'
+                   ELSE 'small' END AS bucket,
+              COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+              greatest(o_totalprice, 150000.0) AS at_least,
+              least(o_totalprice, 150000.0) AS at_most
+            FROM orders ORDER BY o_orderkey"""))
+
+  private val fnArray = Op(
+    "fn_array",
+    (s, d) => t(s, d, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first_elem"),
+      slice(col("embedding"), 1, 3).as("head3"))
+      .orderBy("vec_id"),
+    Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+              embedding[1] AS first_elem, embedding[1:3] AS head3
+            FROM embeddings ORDER BY vec_id"""))
+
+  private val fnJson = Op(
+    "fn_json",
+    (s, d) => t(s, d, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+      get_json_object(col("props"), "$.missing").as("missing_val"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+              json_extract_string(props, '$.missing') AS missing_val
+            FROM events ORDER BY event_id"""))
+
+  val ops: Seq[Op] = Seq(
+    fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson)
+}

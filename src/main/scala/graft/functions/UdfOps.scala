@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** UDF / UDAF / UDTF surface (SURVEY.md §2C, §4.3).
+  *
+  * `udaf_typed` is the one place the engine needs custom Catalyst code: a
+  * typed `Aggregator[IN, BUF, OUT]` (public stable API). It accumulates in
+  * integer cents so the result is exact and independent of partition merge
+  * order — the same reason the relational operators aggregate in DECIMAL.
+  */
+object UdfOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Slugify: lowercase, collapse non-alphanumerics to '-', strip edges.
+    * SQL-replicable so the oracle can run the same logic. */
+  private val slugifyFn: String => String = s =>
+    if (s == null) null
+    else s.toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", "")
+
+  private val udfScalar = Op(
+    "udf_scalar",
+    (s, d) => {
+      val slugify = udf(slugifyFn)
+      t(s, d, "customer")
+        .select(col("c_custkey"), slugify(col("c_name")).as("slug"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey,
+              regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'),
+                             '^-|-$', '', 'g') AS slug
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Weighted-average input row: (priceCents, weight). */
+  final case class WIn(cents: Long, w: Long)
+  final case class WBuf(num: Long, den: Long)
+
+  /** Weighted average in integer cents: exact, merge-order-independent. */
+  object WeightedAvg extends Aggregator[WIn, WBuf, Double] {
+    override def zero: WBuf = WBuf(0L, 0L)
+    override def reduce(b: WBuf, in: WIn): WBuf =
+      WBuf(b.num + in.cents * in.w, b.den + in.w)
+    override def merge(a: WBuf, b: WBuf): WBuf =
+      WBuf(a.num + b.num, a.den + b.den)
+    override def finish(b: WBuf): Double =
+      if (b.den == 0L) Double.NaN
+      else b.num.toDouble / (b.den * 100L).toDouble
+    override def bufferEncoder: Encoder[WBuf] = Encoders.product[WBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private val udafTyped = Op(
+    "udaf_typed",
+    (s, d) => {
+      val wavg = udaf(WeightedAvg)
+      t(s, d, "part")
+        .withColumn("cents", expr("CAST(round(p_retailprice * 100) AS BIGINT)"))
+        .withColumn("w", col("p_size").cast("long"))
+        .groupBy("p_brand")
+        .agg(wavg(col("cents"), col("w")).as("weighted_avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand,
+              CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT) * p_size) AS DOUBLE)
+                / CAST(SUM(CAST(p_size AS BIGINT)) * 100 AS DOUBLE) AS weighted_avg_price,
+              COUNT(*) AS n
+            FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  // Generator (UDTF shape): one order row -> per-line rows with ordinality.
+  private val udtfGenerate = Op(
+    "udtf_generate",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+      .select(col("l_orderkey"), posexplode(col("lns")).as(Seq("pos0", "ln")))
+      .select(col("l_orderkey"), (col("pos0") + 1).cast("int").as("pos"), col("ln"))
+      .orderBy("l_orderkey", "pos"),
+    Some("""SELECT l_orderkey,
+              CAST(unnest(range(1, len(lns) + 1)) AS INT) AS pos,
+              unnest(lns) AS ln
+            FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+                  FROM lineitem GROUP BY l_orderkey)
+            ORDER BY l_orderkey, pos"""))
+
+  val ops: Seq[Op] = Seq(udfScalar, udafTyped, udtfGenerate)
+}

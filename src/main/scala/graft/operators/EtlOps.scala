@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import java.nio.file.Files
+
+/** ETL-pattern operators from the reference framework (SURVEY.md §2A):
+  * batch ingest roundtrip (A4+A5), join-based MERGE without Delta (A7),
+  * latest-arrival selection (A17), partitioned layout + Z-order emulation
+  * (A5/A11), and the oracle-checkable batch analogs of the streaming
+  * semantics (tumbling buckets, sessionization).
+  */
+object EtlOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // A4+A5: read parquet -> write parquet -> read back. The re-read result is
+  // what downstream consumers see, so that is what gets oracle-checked.
+  private val ingestRoundtrip = Op(
+    "ingest_roundtrip",
+    (s, d) => {
+      val out = tmp("graft_rt_")
+      t(s, d, "region").write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("r_regionkey")
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  // A7 MERGE semantics over parquet, no Delta jar in this environment
+  // (SURVEY.md §7.4): matched rows take the source version, unmatched target
+  // rows survive. source ∪ (target ⟕anti source) = one shuffle on the merge
+  // key; at scale the anti join broadcasts when the source batch is small.
+  private val mergeUpsert = Op(
+    "merge_upsert",
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val target = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select(cols.map(col): _*)
+      val source = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(cols.map(col): _*)
+        .withColumn("o_orderstatus", lit("U"))
+      source.unionByName(
+        target.join(source.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                         FROM orders WHERE o_orderkey % 2 = 0),
+                 src AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+                         FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            ORDER BY o_orderkey"""))
+
+  // A17 generalized: latest event per user (argmax by timestamp) — a single
+  // shuffle on user_id; never a collect-and-scan like the reference's client.
+  private val topkLatest = Op(
+    "topk_latest",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          expr("unix_micros(ts) div 1000").as("ts_ms"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id"""))
+
+  // A5 partitioned write + partition-pruned read-back. Test-only: the pruning
+  // itself is asserted from the physical plan in ScalaTest.
+  private val partitionedWrite = Op(
+    "partitioned_write",
+    (s, d) => {
+      val out = tmp("graft_pw_")
+      t(s, d, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    },
+    None)
+
+  // A11 OPTIMIZE/ZORDER emulation: range-repartition + sort-within-partitions
+  // on the cluster keys gives per-file min/max locality for data skipping.
+  // Returns the layout summary (files, disjoint key ranges verified in tests).
+  private val layoutCluster = Op(
+    "layout_cluster",
+    (s, d) => {
+      val out = tmp("graft_lc_")
+      t(s, d, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("rows"),
+          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
+        .agg(count(lit(1)).as("n_files"), sum("rows").as("total_rows"))
+    },
+    None)
+
+  // ---------------- batch analogs of the streaming semantics (oracle-checked)
+  private val bucketAggTumbling = Op(
+    "bucket_agg_tumbling",
+    (s, d) => t(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy("day"),
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1 ORDER BY day"""))
+
+  // Gap-based sessionization: lag > 30 min starts a new session; running sum
+  // of boundaries numbers the sessions. One shuffle on user_id.
+  private val sessionizeBatch = Op(
+    "sessionize_batch",
+    (s, d) => {
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("ms", expr("unix_micros(ts) div 1000"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(order))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_sess")).over(run).cast("int"))
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+            FROM (SELECT *,
+                    CASE WHEN lag(epoch_ms(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                         THEN 1 ELSE 0 END AS new_sess
+                  FROM events)
+            ORDER BY event_id"""))
+
+  val ops: Seq[Op] = Seq(
+    ingestRoundtrip, mergeUpsert, topkLatest, partitionedWrite, layoutCluster,
+    bucketAggTumbling, sessionizeBatch)
+}
