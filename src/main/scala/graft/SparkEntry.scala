@@ -12,6 +12,8 @@ object SparkEntry {
 
   private lazy val all: Seq[Op] = {
     val ops = operators.Relational.ops ++ operators.EtlOps.ops ++
+      operators.LlmOps.ops ++ operators.Multimodal.ops ++
+      streaming.StreamOps.ops ++
       functions.FnFamilies.ops ++ functions.UdfOps.ops
     require(ops.map(_.key).distinct.size == ops.size, "duplicate operator keys")
     ops

@@ -1,0 +1,427 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-training-data pipeline operators (SURVEY.md §2C "LLM-data-pipeline
+  * extensions" plus the scale-path variants mandated by BASELINE.json):
+  * deduplication (exact, MinHash/LSH, SimHash, n-gram Jaccard, embedding
+  * near-dup), similarity search (brute-force top-k + sign-LSH ANN), and text
+  * analysis (stats, top terms, language-ID, quality score, fingerprints).
+  *
+  * Scale posture (100 TB): every operator is a pure DataFrame pipeline —
+  * shuffles only on group/join keys, no driver-side collection. The
+  * oracle-checked ops use only engine-portable deterministic arithmetic;
+  * the seeded-hash ops (`dedup_minhash`, `dedup_simhash`, `sim_ann_lsh`,
+  * `text_fingerprint`) have no DuckDB analog and are property-tested in
+  * ScalaTest instead (SURVEY.md §7.5.4).
+  *
+  * Candidate-pair generation is always blocked (LSH bands / sign buckets /
+  * shared shingles) — never an unblocked O(n²) cross join. The exact
+  * `dedup_ngram_jaccard` self-join on shingles is the oracle-checkable
+  * verifier for the MinHash path; at 100 TB its skew guard is the upstream
+  * exact-dedup pass plus the band-join path of `dedup_minhash`.
+  */
+object LlmOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Whitespace-normalized lowercase text — the dedup key. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  private def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** doc_id → exploded distinct 3-token shingles (guarded for short docs). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
+        .as("s"))
+
+  /** Embeddings with float64 vector + 4-bit leading-sign bucket (sign-LSH
+    * blocking key: shuffle partitions by bucket, never all-pairs). */
+  private def signBucketed(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bk", expr(
+        """8 * IF(v[0] >= 0D, 1, 0) + 4 * IF(v[1] >= 0D, 1, 0) +
+          |2 * IF(v[2] >= 0D, 1, 0) + IF(v[3] >= 0D, 1, 0)""".stripMargin))
+
+  private val cosExpr =
+    """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)
+      | / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))
+      |    * sqrt(aggregate(vb, 0D, (a, x) -> a + x * x)))""".stripMargin
+
+  // ----------------------------------------------------------- deduplication
+  // Exact dedup: one hash-shuffle on the normalized text; survivor = min id.
+  private val dedupExact = Op(
+    "dedup_exact",
+    (s, d) => t(s, d, "documents")
+      .groupBy(normText(col("text")).as("norm_text"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+      .select("survivor_id", "n_copies")
+      .orderBy("survivor_id"),
+    Some("""SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+            FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+            ORDER BY survivor_id"""))
+
+  // Exact n-gram Jaccard over shared-shingle candidates: numerator from a
+  // shingle-key self-join (only docs sharing a shingle ever meet), sizes from
+  // a per-doc count. Oracle-checkable verifier for the MinHash path.
+  private val dedupNgramJaccard = Op(
+    "dedup_ngram_jaccard",
+    (s, d) => {
+      val sh = shingles(s, d).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i").cast("double") /
+            (col("na.ns") + col("nb.ns") - col("i")), 4).as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(len(tk) - 2),
+                       i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+              FROM toks WHERE len(tk) >= 3),
+            sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i * 1.0 / (na.ns + nb.ns - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE round(i * 1.0 / (na.ns + nb.ns - i), 4) >= 0.8
+            ORDER BY doc_a, doc_b"""))
+
+  // MinHash + banded LSH: 64 seeded xxhash64 min-signatures per doc, 16 bands
+  // of 4 rows; candidates = band-hash collisions (shuffle on band key only),
+  // then exact-Jaccard verification of candidates. Seeded hashing has no
+  // DuckDB analog → property-tested (planted near-dups must surface).
+  private val dedupMinhash = Op(
+    "dedup_minhash",
+    (s, d) => {
+      val H = 64; val bands = 16; val rows = 4
+      val sh = shingles(s, d)
+      val hashed = sh.select(
+        col("doc_id") +: (0 until H).map(i => xxhash64(lit(i), col("s")).as(s"h$i")): _*)
+      val sig = hashed.groupBy("doc_id")
+        .agg(min(col("h0")).as("m0"), (1 until H).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      val banded = sig.select(col("doc_id"), explode(array(
+        (0 until bands).map(b => struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))): _*))
+        .as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // verify candidates exactly (candidate set is tiny post-LSH)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val inter = cand
+        .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(sh.as("y"), col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i").cast("double") /
+            (col("na.ns") + col("nb.ns") - col("i")), 4).as("jaccard"))
+        .where(col("jaccard") >= 0.7)
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  // SimHash: 64-bit per-doc signature from per-token hashes (bit b set iff
+  // the majority of token hashes have bit b set), computed entirely inside
+  // whole-stage codegen HOFs — no shuffle until the 16-bit-chunk band join
+  // (pigeonhole: hamming ≤ 6 pairs must collide on ≥1 of 4 chunks).
+  private val dedupSimhash = Op(
+    "dedup_simhash",
+    (s, d) => {
+      val sig = t(s, d, "documents")
+        .withColumn("hs", expr("transform(array_distinct(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')), t -> xxhash64(t))"))
+        .withColumn("sim", expr(
+          """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+            |  acc + IF(size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(hs),
+            |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
+        .select("doc_id", "sim")
+      val chunked = sig.select(col("doc_id"), col("sim"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("j"),
+          expr(s"shiftright(sim, ${16 * j}) & 65535").as("c"))): _*)).as("ch"))
+        .select(col("doc_id"), col("sim"), col("ch.j"), col("ch.c"))
+      chunked.as("a")
+        .join(chunked.as("b"),
+          col("a.j") === col("b.j") && col("a.c") === col("b.c") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.sim ^ b.sim)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    },
+    None)
+
+  // Embedding near-dup: sign-LSH blocking (4 leading-sign bits) then exact
+  // cosine ≥ 0.4 inside each bucket. Both blocking and cosine are plain
+  // deterministic arithmetic → oracle-checkable, unlike the seeded ops.
+  private val dedupEmbedding = Op(
+    "dedup_embedding",
+    (s, d) => {
+      val e = signBucketed(s, d)
+      e.as("a").join(e.as("b"),
+          col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .withColumn("cos_sim", round(expr(cosExpr), 6))
+        .where(col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    },
+    Some("""WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                   + 4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                   + 2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+                   +     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
+              FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+            ORDER BY vec_a, vec_b"""))
+
+  // ------------------------------------------------------- similarity search
+  // Brute-force cosine top-k against one probe vector: the probe broadcasts,
+  // the corpus is scanned once map-side, TakeOrderedAndProject picks top-k —
+  // the exact-baseline every ANN variant is measured against.
+  private val simCosineTopk = Op(
+    "sim_cosine_topk",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
+      val probe = broadcast(e.where(col("vec_id") === 0).select(col("va").as("vb")))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"), round(expr(cosExpr), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    },
+    Some("""SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+                     AS cos_sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+
+  /** 8 deterministic random hyperplanes (fixed LCG — never wall-clock or
+    * Math.random), 64 dims each, in [-1, 1). */
+  private lazy val hyperplanes: Seq[Seq[Double]] = {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    (0 until 8).map(j =>
+      lcg(j + 42L).take(64).map(h => ((h >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1).toSeq)
+  }
+
+  // ANN scale path: sign-LSH over 8 fixed hyperplanes buckets the corpus
+  // (256 buckets); search touches only the probe's bucket. Seeded planes →
+  // test-only; recall vs the brute-force baseline asserted in ScalaTest.
+  private val simAnnLsh = Op(
+    "sim_ann_lsh",
+    (s, d) => {
+      val bucketExpr =
+        """aggregate(sequence(0, 7), 0, (acc, j) ->
+          |  acc * 2 + IF(aggregate(zip_with(v, element_at(w, j + 1), (x, y) -> x * y),
+          |                         0D, (a, x) -> a + x) >= 0D, 1, 0))""".stripMargin
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("w", typedLit(hyperplanes))
+        .withColumn("bucket", expr(bucketExpr))
+        .drop("w")
+      val probe = broadcast(e.where(col("vec_id") === 0)
+        .select(col("v").as("vb"), col("bucket").as("pbucket")))
+      e.where(col("vec_id") =!= 0)
+        .join(probe, col("bucket") === col("pbucket"))
+        .select(col("vec_id"), col("v").as("va"), col("vb"))
+        .withColumn("cos_sim", round(expr(cosExpr), 6))
+        .select("vec_id", "cos_sim")
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    },
+    None)
+
+  // ----------------------------------------------------------- text analysis
+  private val textStats = Op(
+    "text_stats",
+    (s, d) => t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_uniq"),
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          size(col("tk")), 4).as("avg_token_len"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang,
+              CAST(length(text) AS INT) AS n_chars,
+              CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS INT) AS n_uniq,
+              round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 /
+                len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), 4) AS avg_token_len
+            FROM documents ORDER BY doc_id"""))
+
+  // Explode tokens → count per (lang, term) → top-5 per lang (UDTF shape).
+  private val textTopterms = Op(
+    "text_topterms",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy(desc("cnt"), asc("term"))
+      t(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .where(col("rn") <= 5)
+        .orderBy("lang", "rn")
+    },
+    Some("""WITH toks AS (
+              SELECT lang,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            counts AS (
+              SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2)
+            SELECT lang, term, cnt, rn FROM (
+              SELECT lang, term, cnt,
+                CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS INT) AS rn
+              FROM counts)
+            WHERE rn <= 5 ORDER BY lang, rn"""))
+
+  /** Marker-token lists per candidate language. Placeholder profiles sized to
+    * the synthetic corpus vocabulary — swap for real n-gram profiles in
+    * production; the argmax-over-candidates plumbing is the operator. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("的", "了", "是"))
+
+  // Language-ID: score each candidate lang by marker-token occurrences
+  // (map-side cross join with a 5-row broadcast dim), argmax per doc.
+  private val textLangid = Op(
+    "text_langid",
+    (s, d) => {
+      import s.implicits._
+      val cand = broadcast(langMarkers.toDF("cand_lang", "markers"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand_lang"))
+      t(s, d, "documents")
+        .withColumn("tk", tokens(col("text")))
+        .crossJoin(cand)
+        .withColumn("score",
+          expr("size(filter(tk, t -> array_contains(markers, t)))"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"),
+          when(col("score") === 0, "und").otherwise(col("cand_lang")).as("pred_lang"),
+          col("score").cast("int").as("score"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            cand(cand_lang, markers) AS (VALUES
+              ('de', ['der','die','und']), ('en', ['the','a','of']),
+              ('es', ['el','la','de']), ('fr', ['le','la','et']),
+              ('zh', ['的','了','是'])),
+            scored AS (
+              SELECT doc_id, cand_lang,
+                     len(list_filter(tk, t -> list_contains(markers, t))) AS score
+              FROM toks CROSS JOIN cand),
+            r AS (SELECT doc_id, cand_lang, score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cand_lang) AS rn
+                  FROM scored)
+            SELECT doc_id,
+                   CASE WHEN score = 0 THEN 'und' ELSE cand_lang END AS pred_lang,
+                   CAST(score AS INT) AS score
+            FROM r WHERE rn = 1 ORDER BY doc_id"""))
+
+  // Quality score: length/stopword/word-shape heuristics combined into one
+  // bounded score — pure rational double arithmetic, rounded at the boundary.
+  private val textQuality = Op(
+    "text_quality",
+    (s, d) => t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n_tokens", size(col("tk")).cast("double"))
+      .withColumn("stop_ratio", expr(
+        "size(filter(tk, t -> t IN ('the', 'a', 'of', 'and'))) / CAST(size(tk) AS DOUBLE)"))
+      .withColumn("mean_tok_len",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") / col("n_tokens"))
+      .select(col("doc_id"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("mean_tok_len"), 4).as("mean_tok_len"),
+        // floor(x*1e4 + 0.5)/1e4 instead of round(): both engines agree on
+        // IEEE double ops, but their round() implementations break .xxxx5
+        // ties differently (SURVEY.md §7.6.2).
+        (floor((least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("mean_tok_len") / 10.0, lit(1.0)) * 0.2) * 10000.0 + 0.5) / 10000.0)
+          .as("quality"))
+      .orderBy("doc_id"),
+    Some("""WITH q AS (
+              SELECT doc_id,
+                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE) AS n_tokens,
+                len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+                CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS n_nonws
+              FROM documents)
+            SELECT doc_id,
+              round(n_stop / n_tokens, 4) AS stop_ratio,
+              round(n_nonws / n_tokens, 4) AS mean_tok_len,
+              floor((least(n_tokens / 100.0, 1.0) * 0.5 +
+                     (1.0 - n_stop / n_tokens) * 0.3 +
+                     least(n_nonws / n_tokens / 10.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality
+            FROM q ORDER BY doc_id"""))
+
+  // Winnowing fingerprints: char-8-gram rolling xxhash64, min per 4-window —
+  // per-row HOFs only (no shuffle); seeded hashing → test-only.
+  private val textFingerprint = Op(
+    "text_fingerprint",
+    (s, d) => t(s, d, "documents")
+      .where(length(col("text")) >= 11)
+      .withColumn("hs", expr(
+        "transform(sequence(1, length(text) - 7), i -> xxhash64(substring(text, i, 8)))"))
+      .withColumn("fps", expr(
+        "transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))"))
+      .select(col("doc_id"),
+        size(array_distinct(col("fps"))).as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+      .orderBy("doc_id"),
+    None)
+
+  val ops: Seq[Op] = Seq(
+    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    simCosineTopk, simAnnLsh,
+    textStats, textTopterms, textLangid, textQuality, textFingerprint)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: an opaque binary payload plus typed metadata —
+  * the column model for images/audio/video at 100 TB (BASELINE.json north
+  * star). Payloads stay opaque `binary`; all engine-side work is metadata
+  * extraction, slicing, and batched feature extraction. */
+final case class MMRecord(doc_id: Long, payload: Array[Byte])
+final case class MMFeature(doc_id: Long, n_bytes: Int, features: Array[Float])
+
+/** Multimodal-column operators.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (`StubDecoder`) — but everything Spark
+  * cares about is real and tested: the `binary` column model, the
+  * partition-parallel `mapPartitions` batch shape (the Scala analog of a
+  * vectorized `mapInPandas` decode), the fixed-width `Array[Float]` feature
+  * schema that feeds the §2C similarity operators, and the pushdown-friendly
+  * metadata projection.
+  *
+  * Scale posture: payload bytes never shuffle unless the operator needs them
+  * (`mm_meta` projects metadata only; `mm_feature_extract` maps partitions in
+  * place with zero shuffle); a production swap-in replaces `StubDecoder.decode`
+  * with a real codec and nothing else changes.
+  */
+object Multimodal {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** STUB — stands in for a real image/audio decoder (none in this container).
+    * Deterministic byte-histogram "embedding": 16 buckets of byte frequencies,
+    * L1-normalized. Replace `decode` with a codec call in production; the
+    * signature (bytes in, fixed-width floats out) is the real contract. */
+  object StubDecoder {
+    val dims = 16
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val hist = new Array[Float](dims)
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xff) % dims) += 1f; i += 1 }
+      val n = math.max(payload.length, 1).toFloat
+      var j = 0
+      while (j < dims) { hist(j) /= n; j += 1 }
+      hist
+    }
+  }
+
+  /** documents.text encoded as the opaque payload column (the testdata has no
+    * binary table; the bytes are treated as an opaque blob from here on). */
+  private def payloads(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  // Typed metadata over opaque blobs: size, content hash, leading-bytes
+  // "magic" — the projection a catalog/filter stage runs WITHOUT decoding.
+  private val mmMeta = Op(
+    "mm_meta",
+    (s, d) => payloads(s, d)
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        hex(expr("substring(payload, 1, 4)")).as("magic_hex"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              octet_length(encode(text)) AS n_bytes,
+              md5(text) AS checksum,
+              upper(substr(hex(encode(text)), 1, 8)) AS magic_hex
+            FROM documents ORDER BY doc_id"""))
+
+  // Frame sampling: split the payload into fixed 64-byte "frames" (stand-in
+  // for video frames / audio windows), keep every 4th, return per-doc counts
+  // and a checksum of the sampled frames. Pure HOF arithmetic, no shuffle.
+  private val mmFrameSample = Op(
+    "mm_frame_sample",
+    (s, d) => payloads(s, d)
+      .withColumn("n_frames", ceil(octet_length(col("payload")) / lit(64.0)).cast("int"))
+      .withColumn("sampled", expr(
+        "transform(sequence(0, n_frames - 1, 4), i -> substring(payload, i * 64 + 1, 64))"))
+      .select(col("doc_id"), col("n_frames"),
+        size(col("sampled")).as("n_sampled"),
+        md5(expr("upper(concat_ws('', transform(sampled, f -> hex(f))))"))
+          .as("sample_sig"))
+      .orderBy("doc_id"),
+    Some("""WITH f AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+              FROM documents)
+            SELECT doc_id, n_frames,
+              CAST(len(range(0, n_frames, 4)) AS INT) AS n_sampled,
+              md5(upper(array_to_string(list_transform(range(0, n_frames, 4),
+                i -> substr(h, i * 128 + 1, 128)), ''))) AS sample_sig
+            FROM f ORDER BY doc_id"""))
+
+  // Batched feature extraction: Dataset[MMRecord] → mapPartitions →
+  // Dataset[MMFeature]. Partition-parallel, zero-shuffle, fixed-width output —
+  // the Scala analog of a vectorized mapInPandas decode stage. The stubbed
+  // decode keeps it test-only (no DuckDB analog for the batch shape).
+  private val mmFeatureExtract = Op(
+    "mm_feature_extract",
+    (s, d) => {
+      import s.implicits._
+      val ds: Dataset[MMRecord] = payloads(s, d).as[MMRecord]
+      ds.mapPartitions { it =>
+        it.map { r =>
+          MMFeature(r.doc_id, r.payload.length, StubDecoder.decode(r.payload))
+        }
+      }.toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          expr("transform(features, x -> round(cast(x as double), 6))").as("features"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract)
+}

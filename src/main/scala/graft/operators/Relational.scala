@@ -192,13 +192,15 @@ object Relational {
         .select("p_partkey", "p_retailprice")
       t(s, d, "events").select("event_id", "value")
         .join(broadcast(bands),
-          col("value").between(col("p_retailprice") - 1.0, col("p_retailprice") + 1.0))
+          // prices sit in [900, 1000) while event values sit in [0, ~560):
+          // the band compares value against the price's offset above 900
+          col("value").between(col("p_retailprice") - 902.0, col("p_retailprice") - 898.0))
         .select("event_id", "p_partkey")
         .orderBy("event_id", "p_partkey")
     },
     Some("""SELECT event_id, p_partkey
             FROM events JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size = 25) p
-              ON value BETWEEN p_retailprice - 1.0 AND p_retailprice + 1.0
+              ON value BETWEEN p_retailprice - 902.0 AND p_retailprice - 898.0
             ORDER BY event_id, p_partkey"""))
 
   // As-of join via the union+running-last rewrite: one shuffle on user_id,

@@ -1,0 +1,194 @@
+package graft.streaming
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** Structured Streaming operators — the open equivalent of the reference's
+  * Auto Loader ingestion (framework.py:177-209: `readStream` over a landing
+  * dir, append output, checkpointed, drained with `processAllAvailable()`).
+  *
+  * Each op here is a BOUNDED streaming run: the testdata events table is
+  * landed into a temp input dir (the "cloud landing zone"), streamed with an
+  * explicit schema (mirrors framework.py:32's advice — streaming file sources
+  * require one), and drained with `Trigger.AvailableNow` + `awaitTermination`
+  * (the open analog of framework.py:202's `processAllAvailable`).
+  *
+  * Scale posture: sinks are file sinks or `foreachBatch` parquet writes —
+  * never a driver-side memory sink — so the same pipelines run unchanged on a
+  * multi-executor cluster against a real landing bucket. State (dedup,
+  * session) shuffles on its key; watermarks bound state size at 100 TB.
+  *
+  * Determinism: input is landed as a single file → a single micro-batch →
+  * update/append emissions equal the final state, so four of the five ops are
+  * DuckDB-oracle-checked (stronger than SURVEY.md §2C's rows-only plan).
+  * Checkpoint-resume and late-data semantics are asserted in ScalaTest
+  * (StreamingSpec), where a second landing batch exists.
+  */
+object StreamOps {
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Land events (µs-truncated ts, FIXTURES.md §A) as ONE parquet file and
+    * open an explicit-schema stream over the landing dir. */
+  private def landAndStream(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val in = tmp("graft_land_")
+    ev.coalesce(1).write.mode("overwrite").parquet(in)
+    s.readStream.schema(ev.schema).parquet(in)
+  }
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+  }
+
+  private def msCol(c: String) = expr(s"unix_micros($c) div 1000")
+
+  // A6 open equivalent: watch dir → append new files to a parquet sink with a
+  // checkpoint; resume-without-reprocessing asserted in StreamingSpec.
+  private val streamFileAppend = Op(
+    "stream_file_append",
+    (s, d) => {
+      val out = tmp("graft_sfa_out_"); val ck = tmp("graft_sfa_ck_")
+      val q = landAndStream(s, d).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          msCol("ts").as("ts_ms"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+            FROM events ORDER BY event_id"""))
+
+  // Tumbling 5-minute windows with a watermark; complete-mode agg is written
+  // per-batch via foreachBatch (scalable sink; the last batch holds the full
+  // result of the bounded run).
+  private val streamTumblingAgg = Op(
+    "stream_tumbling_agg",
+    (s, d) => {
+      val out = tmp("graft_sta_out_"); val ck = tmp("graft_sta_ck_")
+      val q = landAndStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(expr("unix_micros(window.start) div 1000").as("ws_ms"),
+          col("n"), col("sum_value"))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("ws_ms")
+    },
+    Some("""SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1 ORDER BY ws_ms"""))
+
+  // Sliding 10-minute windows every 5 minutes: each event lands in 2 windows.
+  private val streamSlidingAgg = Op(
+    "stream_sliding_agg",
+    (s, d) => {
+      val out = tmp("graft_ssa_out_"); val ck = tmp("graft_ssa_ck_")
+      val q = landAndStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("unix_micros(window.start) div 1000").as("ws_ms"), col("n"))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("ws_ms")
+    },
+    Some("""WITH b AS (
+              SELECT (epoch_ms(ts) // 300000) * 300000 AS b0 FROM events),
+            w AS (
+              SELECT unnest([b0, b0 - 300000]) AS ws_ms FROM b)
+            SELECT ws_ms, COUNT(*) AS n FROM w GROUP BY 1 ORDER BY ws_ms"""))
+
+  // Session windows (30-minute gap) per user, append mode (the only output
+  // mode Spark supports for streaming session aggregation). Emission rule:
+  // a session is appended once the watermark (max ts − 10 min, advanced by
+  // the trailing no-data micro-batch of the AvailableNow run) passes its end.
+  // Spark's session semantics — end = last ts + gap; an event at exactly
+  // `gap` after the previous one starts a NEW session — are mirrored in the
+  // oracle's `>= 1800000` split and its watermark filter.
+  private val streamSessionWindow = Op(
+    "stream_session_window",
+    (s, d) => {
+      val out = tmp("graft_ssw_out_"); val ck = tmp("graft_ssw_ck_")
+      val q = landAndStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start) div 1000").as("ss_ms"),
+          expr("unix_micros(session_window.end) div 1000").as("se_ms"),
+          col("n"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("user_id", "ss_ms")
+    },
+    Some("""WITH g AS (
+              SELECT user_id, epoch_ms(ts) AS ms,
+                CASE WHEN lag(epoch_ms(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            sess AS (
+              SELECT user_id, ms,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g),
+            agg AS (
+              SELECT user_id, MIN(ms) AS ss_ms, MAX(ms) + 1800000 AS se_ms,
+                     COUNT(*) AS n
+              FROM sess GROUP BY user_id, sid)
+            SELECT user_id, ss_ms, se_ms, n FROM agg
+            WHERE se_ms < (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
+            ORDER BY user_id, ss_ms"""))
+
+  // Stateful dedup within the watermark: the landing dir gets the events file
+  // TWICE (two files → duplicate arrivals); `dropDuplicates` keyed state emits
+  // each event_id once. Output = the distinct event set.
+  private val streamDedupState = Op(
+    "stream_dedup_state",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val in = tmp("graft_sds_in_")
+      val out = tmp("graft_sds_out_"); val ck = tmp("graft_sds_ck_")
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      ev.coalesce(1).write.mode("append").parquet(in)
+      val q = s.readStream.schema(ev.schema).parquet(in)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          msCol("ts").as("ts_ms"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("event_id")
+    },
+    Some("""SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+            FROM events ORDER BY event_id"""))
+
+  val ops: Seq[Op] = Seq(
+    streamFileAppend, streamTumblingAgg, streamSlidingAgg,
+    streamSessionWindow, streamDedupState)
+}

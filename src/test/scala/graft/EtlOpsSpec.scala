@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ETL/layout semantics the oracle can't see: merge idempotence, partition
+  * pruning reaching the scan, clustered-layout file locality. */
+class EtlOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("merge_upsert is idempotent and keeps the key-set union") {
+    val merged = SparkEntry.queries("merge_upsert")(spark, sfDir).cache()
+    val orders = Tables.load(spark, sfDir, "orders")
+    val expectKeys = orders
+      .filter(col("o_orderkey") % 2 === 0 || col("o_orderkey") % 3 === 0)
+      .select("o_orderkey").distinct().count()
+    assert(merged.count() === expectKeys)
+    // matched rows took the source version
+    assert(merged.filter(col("o_orderkey") % 3 === 0 &&
+      col("o_orderstatus") =!= "U").count() === 0)
+    // applying the same source again changes nothing (idempotence)
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_orderstatus", lit("U"))
+    val again = source.unionByName(
+      merged.join(source.select("o_orderkey"), Seq("o_orderkey"), "left_anti"))
+    assert(again.exceptAll(merged).count() === 0)
+    assert(merged.exceptAll(again).count() === 0)
+  }
+
+  test("partitioned_write read-back prunes partitions at the scan") {
+    val df = SparkEntry.queries("partitioned_write")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters"), physical.take(500))
+    assert(physical.contains("event_type"), "pruning column missing from scan")
+    val all = Tables.load(spark, sfDir, "events")
+    assert(df.count() ===
+      all.filter(col("event_type") === "purchase").count())
+  }
+
+  test("layout_cluster produces near-disjoint per-file key ranges") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("g_lc_test_").toString
+    Tables.load(spark, sfDir, "lineitem")
+      .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+      .sortWithinPartitions("l_shipdate", "l_orderkey")
+      .write.mode("overwrite").parquet(out)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(unix_micros(col("l_shipdate").cast("timestamp"))).as("lo"),
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file ranges overlap: $hi > $lo2")
+    }
+  }
+
+  test("scan_pruned reads only the projected columns") {
+    val df = SparkEntry.queries("scan_pruned")(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    val m = "ReadSchema: [^\\n]+".r.findFirstIn(scan).getOrElse("")
+    assert(m.contains("l_orderkey") || m.contains("l_extendedprice"), scan.take(800))
+    assert(!m.contains("l_comment") && !m.contains("l_shipdate"),
+      s"scan reads unprojected columns: $m")
+  }
+}

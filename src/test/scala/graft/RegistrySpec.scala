@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide smoke: every declared §2C key builds and yields rows, keys
+  * are unique, and every oracle belongs to a registered query. */
+class RegistrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("all keys unique and oracle keys registered") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // The streaming + write-path ops run real bounded streams / temp-dir writes;
+  // they are exercised in their own specs. Here: every pure query key.
+  private val slowKeys = Set(
+    "stream_file_append", "stream_tumbling_agg", "stream_sliding_agg",
+    "stream_session_window", "stream_dedup_state",
+    "ingest_roundtrip", "partitioned_write", "layout_cluster")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !slowKeys(name)) {
+    test(s"$name returns rows at sf0.001") {
+      assert(fn(spark, sfDir).count() > 0, s"$name returned 0 rows")
+    }
+  }
+}

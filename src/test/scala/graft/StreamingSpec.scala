@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming semantics the DuckDB oracle can't see (SURVEY.md §5.2.4):
+  * batch parity, checkpoint resume without reprocessing, late-data drop. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("ts", TimestampType), StructField("value", DoubleType)))
+
+  private def mkEvents(rows: Seq[(Long, Long, Long, Double)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (e, u, ms, v) =>
+        Row(e, u, new Timestamp(ms), v)
+      }),
+      schema)
+
+  private def runAppend(in: String, out: String, ck: String,
+                        dedup: Boolean = false): Unit = {
+    var st = spark.readStream.schema(schema).parquet(in)
+      .withWatermark("ts", "10 minutes")
+    if (dedup) st = st.dropDuplicates("event_id")
+    val q = st.writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("stream/batch parity: file append sees exactly the batch rows") {
+    val result = SparkEntry.queries("stream_file_append")(spark, sfDir)
+    val batch = Tables.load(spark, sfDir, "events")
+    assert(result.count() === batch.count())
+    assert(result.select(sum("event_id")).first().getLong(0) ===
+      batch.select(sum("event_id")).first().getLong(0))
+  }
+
+  test("checkpoint resume processes only newly-arrived files") {
+    val in = tmp("g_ck_in_"); val out = tmp("g_ck_out_"); val ck = tmp("g_ck_ck_")
+    val t0 = 1700000000000L
+    mkEvents(Seq((1L, 1L, t0, 1.0), (2L, 1L, t0 + 1000, 2.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+    runAppend(in, out, ck)
+    assert(spark.read.parquet(out).count() === 2)
+
+    // second landing batch
+    mkEvents(Seq((3L, 2L, t0 + 2000, 3.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+    runAppend(in, out, ck)
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L), "resume must add only the new file")
+
+    // third run with nothing new: no duplicates
+    runAppend(in, out, ck)
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
+  test("watermark drops a late duplicate-keyed arrival") {
+    val in = tmp("g_wm_in_"); val out = tmp("g_wm_out_"); val ck = tmp("g_wm_ck_")
+    val t0 = 1700000000000L
+    mkEvents(Seq((1L, 1L, t0, 1.0), (2L, 1L, t0 + 3600_000L, 2.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+    runAppend(in, out, ck, dedup = true)
+    assert(spark.read.parquet(out).count() === 2)
+
+    // watermark is now max ts - 10 min = t0 + 50 min; land an event a full
+    // hour older than that — must be discarded even though its id is new.
+    mkEvents(Seq((99L, 1L, t0 - 3600_000L, 9.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+    runAppend(in, out, ck, dedup = true)
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(!ids.contains(99L), "late row must be dropped by the watermark")
+  }
+
+  test("stateful dedup emits each key once across batches") {
+    val result = SparkEntry.queries("stream_dedup_state")(spark, sfDir)
+    val batch = Tables.load(spark, sfDir, "events")
+    assert(result.count() === batch.select("event_id").distinct().count())
+  }
+}
