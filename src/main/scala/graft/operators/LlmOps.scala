@@ -154,19 +154,29 @@ object LlmOps {
     None)
 
   // SimHash: 64-bit per-doc signature from per-token hashes (bit b set iff
-  // the majority of token hashes have bit b set), computed entirely inside
-  // whole-stage codegen HOFs — no shuffle until the 16-bit-chunk band join
-  // (pigeonhole: hamming ≤ 6 pairs must collide on ≥1 of 4 chunks).
+  // the majority of token hashes have bit b set). Bit counting runs as an
+  // explode + 64-column codegen'd hash aggregate (partial map-side combine,
+  // one shuffle on doc_id) — an order of magnitude faster than per-bit
+  // interpreted HOF passes over the token array. Then the 16-bit-chunk band
+  // join (pigeonhole: hamming ≤ 6 pairs must collide on ≥1 of 4 chunks).
   private val dedupSimhash = Op(
     "dedup_simhash",
     (s, d) => {
+      val bitSums = (0 until 64).map(b =>
+        sum(expr(s"int(shiftright(h, $b) & 1)")).as(s"c$b"))
+      val simExpr = (0 until 64).map(b =>
+        when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
       val sig = t(s, d, "documents")
-        .withColumn("hs", expr("transform(array_distinct(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')), t -> xxhash64(t))"))
-        .withColumn("sim", expr(
-          """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
-            |  acc + IF(size(filter(hs, h -> (shiftright(h, b) & 1) = 1)) * 2 > size(hs),
-            |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin))
-        .select("doc_id", "sim")
+        .select(col("doc_id"),
+          explode(expr("array_distinct(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))")).as("t"))
+        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), bitSums: _*)
+        .select(col("doc_id"), simExpr.as("sim"))
+        // one signature row (doc_id, int64) per doc — persist so both sides
+        // of the band self-join read it instead of re-running the token agg
+        .cache()
       val chunked = sig.select(col("doc_id"), col("sim"), explode(array(
         (0 until 4).map(j => struct(lit(j).as("j"),
           expr(s"shiftright(sim, ${16 * j}) & 65535").as("c"))): _*)).as("ch"))
@@ -186,15 +196,21 @@ object LlmOps {
   // Embedding near-dup: sign-LSH blocking (4 leading-sign bits) then exact
   // cosine ≥ 0.4 inside each bucket. Both blocking and cosine are plain
   // deterministic arithmetic → oracle-checkable, unlike the seeded ops.
+  // Norms are precomputed once per vector BEFORE the self-join (the oracle's
+  // dot/(|a||b|) shape is kept so 6-dp rounding agrees) — per-pair work is a
+  // single dot product.
   private val dedupEmbedding = Op(
     "dedup_embedding",
     (s, d) => {
       val e = signBucketed(s, d)
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
       e.as("a").join(e.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.v").as("va"), col("b.v").as("vb"))
-        .withColumn("cos_sim", round(expr(cosExpr), 6))
+          col("a.v").as("va"), col("b.v").as("vb"),
+          (col("a.nrm") * col("b.nrm")).as("nn"))
+        .withColumn("cos_sim", round(
+          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)") / col("nn"), 6))
         .where(col("cos_sim") >= 0.4)
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
@@ -325,24 +341,27 @@ object LlmOps {
     "fr" -> Seq("le", "la", "et"),
     "zh" -> Seq("的", "了", "是"))
 
-  // Language-ID: score each candidate lang by marker-token occurrences
-  // (map-side cross join with a 5-row broadcast dim), argmax per doc.
+  // Language-ID: score every candidate lang as its own map-side column and
+  // pick the argmax with a case chain (alphabetical = the deterministic
+  // tie-break). Zero shuffles, zero joins — each task scores its rows alone,
+  // which is the only shape that survives 100 TB of documents.
   private val textLangid = Op(
     "text_langid",
     (s, d) => {
-      import s.implicits._
-      val cand = broadcast(langMarkers.toDF("cand_lang", "markers"))
-      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand_lang"))
-      t(s, d, "documents")
-        .withColumn("tk", tokens(col("text")))
-        .crossJoin(cand)
-        .withColumn("score",
-          expr("size(filter(tk, t -> array_contains(markers, t)))"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
+      val scored = langMarkers.foldLeft(
+        t(s, d, "documents").withColumn("tk", tokens(col("text")))) {
+        case (df, (lang, marks)) =>
+          df.withColumn(s"s_$lang", expr(
+            s"size(filter(tk, t -> t IN (${marks.map(m => s"'$m'").mkString(",")})))"))
+      }
+      val mx = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val pick = langMarkers.foldRight(lit("und")) { case ((l, _), els) =>
+        when(col(s"s_$l") === col("mx"), lit(l)).otherwise(els)
+      }
+      scored.withColumn("mx", mx)
         .select(col("doc_id"),
-          when(col("score") === 0, "und").otherwise(col("cand_lang")).as("pred_lang"),
-          col("score").cast("int").as("score"))
+          when(col("mx") === 0, "und").otherwise(pick).as("pred_lang"),
+          col("mx").cast("int").as("score"))
         .orderBy("doc_id")
     },
     Some("""WITH toks AS (

@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   val sfDir = "/root/testdata/sf0.001"
   lazy val spark: SparkSession = {
+    val cpus = sys.env.getOrElse("GRAFT_TEST_CPUS", "8")
     val s = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
