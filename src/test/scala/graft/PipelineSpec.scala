@@ -1,0 +1,113 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Config-driven pipeline runner (reference A1-A14 semantics, SURVEY.md §2A):
+  * validation, dry-run, factory dispatch, batch/merge/stream execution. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private val srcDir: String = {
+    // the default in-memory catalog forgets tables between JVMs while their
+    // managed locations survive — clear stale test-db dirs so saveAsTable
+    // does not hit LOCATION_ALREADY_EXISTS
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("graft_it.db", "graft_dry.db").foreach { db =>
+      val dir = new java.io.File(wh, db)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val d = tmp("g_pipe_src_")
+    Tables.load(spark, sfDir, "region").write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("validation rejects bad configs (A1)") {
+    val base = IngestionConfig("db", "t", srcDir)
+    assert(base.validate().isRight)
+    assert(IngestionConfig("", "t", srcDir).validate().isLeft)
+    assert(base.copy(writeMode = WriteMode.Merge(Nil)).validate().isLeft)
+    assert(base.copy(ingestMode = IngestMode.Stream("")).validate().isLeft)
+    assert(base.copy(ingestMode = IngestMode.Stream("/tmp/ck")).validate()
+      .isLeft, "stream without explicit schema must be rejected")
+    assert(base.copy(sourceFormat = "avro").validate().isLeft)
+  }
+
+  test("factory dispatches on uri scheme (A13) and validates it (A12)") {
+    assert(SourceKind.forUri("s3://b/k") === SourceKind.S3)
+    assert(SourceKind.forUri("abfss://c@a/p") === SourceKind.Azure)
+    assert(SourceKind.forUri("/local/path") === SourceKind.Local)
+    assert(SourceKind.S3.validateUri("abfss://x").isLeft)
+    assert(SourceKind.Azure.validateUri("abfss://c@a/p").isRight)
+  }
+
+  test("dry run renders the plan and writes nothing (A2)") {
+    val cfg = IngestionConfig("graft_dry", "t1", srcDir, dryRun = true)
+    assert(new IngestionRunner(spark, cfg).run() === Right(0L))
+    assert(cfg.plan.contains("batch") && cfg.plan.contains("append"))
+    assert(!spark.catalog.databaseExists("graft_dry"))
+  }
+
+  test("batch overwrite ingests into a managed table (A3-A5)") {
+    val cfg = IngestionConfig("graft_it", "region_m", srcDir,
+      writeMode = WriteMode.Overwrite, comment = Some("it's a 'test'"))
+    val n = new IngestionRunner(spark, cfg).run()
+    assert(n === Right(Tables.load(spark, sfDir, "region").count()))
+    assert(spark.table("graft_it.region_m").columns.contains("r_name"))
+  }
+
+  test("merge upserts matched keys and keeps unmatched target rows (A7)") {
+    val db = "graft_it"; val tbl = s"$db.region_merge"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // bootstrap from empty (framework.py:218 path), then merge twice
+    val src1 = tmp("g_merge1_")
+    Tables.load(spark, sfDir, "region").write.mode("overwrite").parquet(src1)
+    val cfg = IngestionConfig(db, "region_merge", src1,
+      writeMode = WriteMode.Merge(Seq("r_regionkey")))
+    assert(new IngestionRunner(spark, cfg).run() === Right(5L))
+    // second source: one updated row, one new row
+    val src2 = tmp("g_merge2_")
+    Tables.load(spark, sfDir, "region")
+      .filter(col("r_regionkey") === 0)
+      .withColumn("r_name", lit("UPDATED"))
+      .unionByName(spark.sql("SELECT 99 AS r_regionkey, 'NEW' AS r_name"))
+      .write.mode("overwrite").parquet(src2)
+    assert(new IngestionRunner(spark, cfg.copy(sourcePath = src2)).run() === Right(6L))
+    val rows = spark.table(tbl).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows(0) === "UPDATED" && rows(99) === "NEW" && rows.size === 6)
+    // idempotence: merging the same source again changes nothing
+    assert(new IngestionRunner(spark, cfg.copy(sourcePath = src2)).run() === Right(6L))
+  }
+
+  test("stream mode drains the landing dir through a checkpoint (A6)") {
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.region_s")
+    val ev = Tables.load(spark, sfDir, "region")
+    val cfg = IngestionConfig(db, "region_s", srcDir,
+      ingestMode = IngestMode.Stream(tmp("g_pipe_ck_")),
+      targetPath = Some(tmp("g_pipe_tgt_")),
+      schema = Some(ev.schema))
+    assert(new IngestionRunner(spark, cfg).run() === Right(ev.count()))
+  }
+
+  test("clusterBy rewrites the table into sorted layout (A11)") {
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.region_c")
+    val cfg = IngestionConfig(db, "region_c", srcDir,
+      writeMode = WriteMode.Overwrite, clusterBy = Seq("r_regionkey"))
+    assert(new IngestionRunner(spark, cfg).run() === Right(5L))
+    val vals = spark.table(s"$db.region_c").collect().map(_.getInt(0))
+    assert(vals.toSet === Set(0, 1, 2, 3, 4))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the shapes that matter at 100 TB (broadcast
+  * choice, scan pushdown, limit pushdown, no accidental cartesians) must not
+  * regress silently. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sfDir).queryExecution.sparkPlan.toString
+
+  test("join_inner_broadcast broadcasts the dimension side") {
+    assert(plan("join_inner_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_inner_shuffle falls back to a shuffle join for large sides") {
+    // at sf0.001 both sides fit the broadcast threshold (and broadcasting is
+    // the RIGHT plan); disabling it simulates the 100 TB shape
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("join_inner_shuffle")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p.take(400))
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("filter_pred predicates reach the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters: ["), p.take(600))
+    assert(!p.replaceAll("(?s)PushedFilters: \\[\\],.*", "X").equals("X"),
+      "PushedFilters list is empty")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("limit_topk").contains("TakeOrderedAndProject"))
+    assert(plan("sim_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("theta-range join is a broadcast nested loop, never a cartesian") {
+    val p = plan("join_theta_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH dedup ops never plan an unblocked cross join") {
+    for (k <- Seq("dedup_minhash", "dedup_simhash", "dedup_embedding",
+                  "dedup_ngram_jaccard")) {
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested loop")
+    }
+  }
+
+  test("whole-stage codegen covers the flagship aggregate") {
+    val df = SparkEntry.entry(spark)
+    df.collect() // run THIS plan so AQE finalizes it (count() plans separately)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd spans print as "*(n) Operator" in the finalized AQE plan
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p.take(600))
+  }
+}

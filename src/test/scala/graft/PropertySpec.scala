@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic properties over generated inputs (SURVEY.md §5.2.3). ScalaCheck
+  * generators are driven directly with fixed seeds (the scalatest bridge
+  * artifact is not in the offline cache); each sample is a full Spark job, so
+  * the sample count stays small. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(30), Seed(42L + i)))
+
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    samples(g).foreach(body)
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(body: (A, B) => Unit): Unit =
+    samples(g1).zip(samples(g2)).foreach { case (a, b) => body(a, b) }
+
+  private val kv: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 1000L)))
+
+  private def merge(target: DataFrame, source: DataFrame): DataFrame =
+    source.unionByName(
+      target.join(source.select("k").distinct(), Seq("k"), "left_anti"))
+
+  test("merge is idempotent and keys are the union") {
+    forAll(kv, kv) { (t, s) =>
+      val target = t.toDF("k", "v")
+      val source = s.toDF("k", "v")
+      val once = merge(target, source)
+      val twice = merge(once, source)
+      assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+      assert(once.select("k").distinct().count() ===
+        (t.map(_._1) ++ s.map(_._1)).distinct.size)
+    }
+  }
+
+  test("union-all row count is additive") {
+    forAll(kv, kv) { (a, b) =>
+      assert(a.toDF("k", "v").unionByName(b.toDF("k", "v")).count() ===
+        (a.size + b.size).toLong)
+    }
+  }
+
+  test("exact dedup is a fixpoint") {
+    forAll(kv) { rows =>
+      val df = rows.toDF("k", "v")
+      val once = df.dropDuplicates("k")
+      assert(once.dropDuplicates("k").count() === once.count())
+      assert(once.count() === rows.map(_._1).distinct.size.toLong)
+    }
+  }
+
+  test("session count depends only on the gap sequence, not row order") {
+    val gaps: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.oneOf(Gen.chooseNum(1L, 100L), Gen.chooseNum(2000L, 5000L)))
+    forAll(gaps) { gs =>
+      val ts = gs.scanLeft(0L)(_ + _)
+      def sessions(order: List[Long]): Long = {
+        val w = Window.partitionBy(lit(1)).orderBy("ts")
+        order.map(Tuple1(_)).toDF("ts")
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev").isNull || col("ts") - col("prev") > 1000L, 1).otherwise(0))
+          .agg(sum("new_sess")).first().getLong(0)
+      }
+      assert(sessions(ts) === sessions(scala.util.Random.shuffle(ts)))
+    }
+  }
+
+  test("minhash jaccard estimate grows with real overlap (planted docs)") {
+    import java.nio.file.Files
+    // three docs sharing 90% / 50% / 0% of shingles with doc 1
+    def doc(share: Int, salt: String) =
+      ((1 to share).map(i => s"tok$i") ++
+        (share + 1 to 60).map(i => s"$salt$i")).mkString(" ")
+    val dir = Files.createTempDirectory("g_prop_mh_").toString
+    Seq((1L, "en", doc(60, "x")), (2L, "en", doc(54, "y")),
+        (3L, "en", doc(30, "z")), (4L, "en", doc(0, "w")))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)), "90%-overlap pair must surface")
+    assert(!pairs.contains((1L, 4L)), "disjoint pair must not surface")
+    pairs.get((1L, 3L)).foreach(j13 => assert(j13 < pairs((1L, 2L))))
+  }
+}
