@@ -50,10 +50,12 @@ object LlmOps {
         """8 * IF(v[0] >= 0D, 1, 0) + 4 * IF(v[1] >= 0D, 1, 0) +
           |2 * IF(v[2] >= 0D, 1, 0) + IF(v[3] >= 0D, 1, 0)""".stripMargin))
 
-  private val cosExpr =
-    """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)
-      | / (sqrt(aggregate(va, 0D, (a, x) -> a + x * x))
-      |    * sqrt(aggregate(vb, 0D, (a, x) -> a + x * x)))""".stripMargin
+  /** Codegen'd native cosine (graft.functions.CosineSimilarity) — same term
+    * order as DuckDB's list_cosine_similarity, compiled into the join stage. */
+  private def cosine(s: SparkSession): Column = {
+    graft.functions.CosineSimilarity.register(s)
+    expr("graft_cosine(va, vb)")
+  }
 
   // ----------------------------------------------------------- deduplication
   // Exact dedup: one hash-shuffle on the normalized text; survivor = min id.
@@ -203,14 +205,11 @@ object LlmOps {
     "dedup_embedding",
     (s, d) => {
       val e = signBucketed(s, d)
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
       e.as("a").join(e.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.v").as("va"), col("b.v").as("vb"),
-          (col("a.nrm") * col("b.nrm")).as("nn"))
-        .withColumn("cos_sim", round(
-          expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)") / col("nn"), 6))
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .withColumn("cos_sim", round(cosine(s), 6))
         .where(col("cos_sim") >= 0.4)
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
@@ -240,7 +239,7 @@ object LlmOps {
       val probe = broadcast(e.where(col("vec_id") === 0).select(col("va").as("vb")))
       e.where(col("vec_id") =!= 0)
         .crossJoin(probe)
-        .select(col("vec_id"), round(expr(cosExpr), 6).as("cos_sim"))
+        .select(col("vec_id"), round(cosine(s), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     },
@@ -280,7 +279,7 @@ object LlmOps {
       e.where(col("vec_id") =!= 0)
         .join(probe, col("bucket") === col("pbucket"))
         .select(col("vec_id"), col("v").as("va"), col("vb"))
-        .withColumn("cos_sim", round(expr(cosExpr), 6))
+        .withColumn("cos_sim", round(cosine(s), 6))
         .select("vec_id", "cos_sim")
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
