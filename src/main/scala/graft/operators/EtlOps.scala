@@ -55,6 +55,39 @@ object EtlOps {
             SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
             ORDER BY o_orderkey"""))
 
+  // A4 csv path (framework.py:49 "csv|json|parquet"): write-read roundtrip
+  // with header + schema inference; the re-read result is oracle-checked
+  // against the parquet source of truth.
+  private val scanCsvInfer = Op(
+    "scan_csv_infer",
+    (s, d) => {
+      val out = tmp("graft_csv_")
+      t(s, d, "region").write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true").option("inferSchema", "true").csv(out)
+        .select(col("r_regionkey").cast("int"), col("r_name"))
+        .orderBy("r_regionkey")
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  // A4 json path incl. the reference's multiLine nod (framework.py:313):
+  // numbers round-trip as long/double, strings as strings; timestamps are
+  // deliberately excluded (JSON inference returns strings for them).
+  private val scanJsonInfer = Op(
+    "scan_json_infer",
+    (s, d) => {
+      val out = tmp("graft_json_")
+      t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").json(out)
+      s.read.option("multiLine", "false").json(out)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+            FROM customer ORDER BY c_custkey"""))
+
   // A17 generalized: latest event per user (argmax by timestamp) — a single
   // shuffle on user_id; never a collect-and-scan like the reference's client.
   private val topkLatest = Op(
@@ -151,6 +184,7 @@ object EtlOps {
             ORDER BY event_id"""))
 
   val ops: Seq[Op] = Seq(
-    ingestRoundtrip, mergeUpsert, topkLatest, partitionedWrite, layoutCluster,
+    ingestRoundtrip, scanCsvInfer, scanJsonInfer,
+    mergeUpsert, topkLatest, partitionedWrite, layoutCluster,
     bucketAggTumbling, sessionizeBatch)
 }

@@ -421,6 +421,23 @@ object LlmOps {
                      least(n_nonws / n_tokens / 10.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality
             FROM q ORDER BY doc_id"""))
 
+  // BPE-ish tokenization: letter runs, digit runs, and single punctuation
+  // marks as separate tokens (the pre-tokenizer split most BPE vocabularies
+  // assume) — pure per-row regexp work, no shuffle.
+  private val textTokenBpe = Op(
+    "text_token_bpe",
+    (s, d) => t(s, d, "documents")
+      .withColumn("tk", expr(
+        """regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_uniq"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens,
+              CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS n_uniq
+            FROM documents ORDER BY doc_id"""))
+
   // Winnowing fingerprints: char-8-gram rolling xxhash64, min per 4-window —
   // per-row HOFs only (no shuffle); seeded hashing → test-only.
   private val textFingerprint = Op(
@@ -441,5 +458,6 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     simCosineTopk, simAnnLsh,
-    textStats, textTopterms, textLangid, textQuality, textFingerprint)
+    textStats, textTopterms, textLangid, textQuality, textTokenBpe,
+    textFingerprint)
 }

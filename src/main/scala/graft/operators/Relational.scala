@@ -434,6 +434,38 @@ object Relational {
                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
             ORDER BY o_custkey, o_orderkey"""))
 
+  // Equal-depth bucketing per customer (total order incl. tiebreak so both
+  // engines assign identical bucket ids).
+  private val windowNtile = Op(
+    "window_ntile",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CAST(ntile(4) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+            FROM orders ORDER BY o_orderkey"""))
+
+  // Exact linear-interpolation percentiles per group; rounded at the
+  // boundary (§7.6.2) since interpolation arithmetic is float.
+  private val aggPercentile = Op(
+    "agg_percentile",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9D)"), 4).as("p90_price"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val windowLagLead = Op(
     "window_lag_lead",
     (s, d) => {
@@ -537,6 +569,7 @@ object Relational {
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,
     aggHashGroup, aggMultiStats, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggCollectSorted, aggApproxDistinct,
-    windowRank, windowRunning, windowRangeFrame, windowLagLead, topkPerGroup,
+    windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile,
+    aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept)
 }
