@@ -286,6 +286,43 @@ object LlmOps {
     },
     None)
 
+  // IVF-style ANN: vectors 1..8 serve as deterministic coarse "centroids"
+  // (leaders); every vector is assigned map-side to its nearest leader
+  // (8-row broadcast, codegen'd cosine, window argmax), forming inverted
+  // lists partitioned by leader. The probe searches its own list plus the
+  // runner-up (nprobe=2). At 100 TB the lists shard by leader id and only
+  // ~2/8 of the corpus is scanned per query. Deterministic but too much
+  // machinery for a SQL oracle → recall asserted vs brute force in ScalaTest.
+  private val simAnnIvf = Op(
+    "sim_ann_ivf",
+    (s, d) => {
+      val cos = { graft.functions.CosineSimilarity.register(s)
+        (a: String, b: String) => expr(s"graft_cosine($a, $b)") }
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val leaders = broadcast(
+        e.where(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("lid"), col("v").as("lv")))
+      val byLeader = Window.partitionBy("vec_id").orderBy(desc("lsim"), asc("lid"))
+      val assigned = e.crossJoin(leaders)
+        .withColumn("lsim", cos("v", "lv"))
+        .withColumn("rn", row_number().over(byLeader))
+      val lists = assigned.where(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("lid"))
+      val probeLids = broadcast(assigned
+        .where(col("vec_id") === 0 && col("rn") <= 2)
+        .select(col("lid").as("plid")))
+      val probe = broadcast(e.where(col("vec_id") === 0).select(col("v").as("vb")))
+      lists.join(probeLids, col("lid") === col("plid"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          round(expr("graft_cosine(v, vb)"), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    },
+    None)
+
   // ----------------------------------------------------------- text analysis
   private val textStats = Op(
     "text_stats",
@@ -457,7 +494,7 @@ object LlmOps {
 
   val ops: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    simCosineTopk, simAnnLsh,
+    simCosineTopk, simAnnLsh, simAnnIvf,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
     textFingerprint)
 }

@@ -188,7 +188,45 @@ object StreamOps {
     Some("""SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
             FROM events ORDER BY event_id"""))
 
+  // Arbitrary stateful processing via mapGroupsWithState — the API a custom
+  // per-key accumulator (enrichment caches, anomaly state machines) uses when
+  // windows/dedup can't express it. State is (count, cents-sum) per user;
+  // cents are computed with SQL round BEFORE the lambda so the sum is an
+  // order-independent integer and matches the oracle exactly. Update-mode
+  // emissions of the single landing batch equal the final state.
+  private val streamCustomState = Op(
+    "stream_custom_state",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val out = tmp("graft_scs_out_"); val ck = tmp("graft_scs_ck_")
+      val q = landAndStream(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select("user_id", "cents").as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          (uid, n, c)
+        }
+        .toDF("user_id", "n", "sum_cents")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) AS n,
+              SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
-    streamSessionWindow, streamDedupState)
+    streamSessionWindow, streamDedupState, streamCustomState)
 }

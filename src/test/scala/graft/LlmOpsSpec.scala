@@ -58,6 +58,18 @@ class LlmOpsSpec extends AnyFunSuite {
       brute.get(id).foreach(b => assert(math.abs(b - sim) < 1e-9)) }
   }
 
+  test("sim_ann_ivf recalls most of the exact top-10 with nprobe=2") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, sim) =>
+      brute.get(id).foreach(b => assert(math.abs(b - sim) < 1e-9)) }
+    val recall = ivf.count(p => brute.contains(p._1)).toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
+  }
+
   test("text_fingerprint is deterministic across runs") {
     val a = SparkEntry.queries("text_fingerprint")(spark, sfDir).collect()
     val b = SparkEntry.queries("text_fingerprint")(spark, sfDir).collect()
