@@ -122,7 +122,9 @@ object LlmOps {
     "dedup_minhash",
     (s, d) => {
       val H = 64; val bands = 16; val rows = 4
-      val sh = shingles(s, d)
+      // the shingle set feeds the signature AND both sides of the exact
+      // verification join — persist it once
+      val sh = shingles(s, d).cache()
       val hashed = sh.select(
         col("doc_id") +: (0 until H).map(i => xxhash64(lit(i), col("s")).as(s"h$i")): _*)
       val sig = hashed.groupBy("doc_id")
@@ -132,6 +134,7 @@ object LlmOps {
           xxhash64((b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*).as("bh"))): _*))
         .as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        .cache() // tiny (docs × 16 rows); read by both sides of the band join
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -358,6 +358,25 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  // Two-phase salted aggregation — THE skew pattern at 100 TB: phase 1
+  // aggregates on (key, salt) so a hot key spreads over 16 reducers, phase 2
+  // merges the partials on the key alone. Decimal partials are
+  // merge-order-independent, so the result equals the direct group-by oracle.
+  private val aggSaltedTwophase = Op(
+    "agg_salted_twophase",
+    (s, d) => t(s, d, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,2)")).as("psum"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"),
+        sum(col("psum")).cast("double").as("sum_value"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // HLL sketch — approximate, no oracle; bounded-rel-error asserted in tests.
   private val aggApproxDistinct = Op(
     "agg_approx_distinct",
@@ -568,7 +587,7 @@ object Relational {
     joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,
     aggHashGroup, aggMultiStats, aggDistinct, aggRollup, aggCube,
-    aggGroupingSets, aggCollectSorted, aggApproxDistinct,
+    aggGroupingSets, aggCollectSorted, aggSaltedTwophase, aggApproxDistinct,
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept)

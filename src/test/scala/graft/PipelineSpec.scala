@@ -101,6 +101,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(new IngestionRunner(spark, cfg).run() === Right(ev.count()))
   }
 
+  test("csv source ingests with header + inference (A4 csv path)") {
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.region_csv")
+    val csvDir = tmp("g_pipe_csv_")
+    Tables.load(spark, sfDir, "region").write.mode("overwrite")
+      .option("header", "true").csv(csvDir)
+    val cfg = IngestionConfig(db, "region_csv", csvDir,
+      sourceFormat = "csv", options = Map("header" -> "true"),
+      writeMode = WriteMode.Overwrite)
+    assert(new IngestionRunner(spark, cfg).run() === Right(5L))
+    assert(spark.table(s"$db.region_csv").columns.toSet ===
+      Set("r_regionkey", "r_name"))
+  }
+
   test("clusterBy rewrites the table into sorted layout (A11)") {
     val db = "graft_it"
     spark.sql(s"DROP TABLE IF EXISTS $db.region_c")
