@@ -4,6 +4,7 @@ import graft.{Op, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+
 /** Scalar function families (SURVEY.md §2C) — one composite query per family,
   * all built from `org.apache.spark.sql.functions` so every expression stays
   * inside whole-stage codegen. Cross-engine typing notes: DuckDB `length`/
@@ -139,6 +140,48 @@ object FnFamilies {
               json_extract_string(props, '$.missing') AS missing_val
             FROM events ORDER BY event_id"""))
 
+  // Cryptographic digests — content-addressing / dedup keys at scale.
+  // (sha1 exists in Spark but not DuckDB, so the family sticks to the
+  // engine-portable md5 + sha256.)
+  private val fnHash = Op(
+    "fn_hash",
+    (s, d) => t(s, d, "customer").select(
+      col("c_custkey"),
+      md5(col("c_name").cast("binary")).as("name_md5"),
+      sha2(col("c_name").cast("binary"), 256).as("name_sha256"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, md5(c_name) AS name_md5,
+              sha256(c_name) AS name_sha256
+            FROM customer ORDER BY c_custkey"""))
+
+  // Ordered string aggregation per group (LISTAGG shape).
+  private val aggStringConcat = Op(
+    "agg_string_concat",
+    (s, d) => t(s, d, "nation")
+      .groupBy("n_regionkey")
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+      .orderBy("n_regionkey"),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  // Pivot with a fixed value list — compiles to one pass of conditional
+  // aggregates (the only pivot shape that scales: no second pass to discover
+  // columns). Oracle states the same conditional aggregates explicitly.
+  private val aggPivot = Op(
+    "agg_pivot",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+              COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+              COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+              COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val ops: Seq[Op] = Seq(
-    fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson)
+    fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
+    fnHash, aggStringConcat, aggPivot)
 }
