@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point — the supported way to ship the engine's
+  * native expressions into ANY SparkSession (cluster deployments pass
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`; embedded
+  * users call `.withExtensions(new GraftExtensions)`):
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   spark.sql("SELECT graft_cosine(a, b) FROM t")
+  * }}}
+  *
+  * `CosineSimilarity.register` remains for per-session registration when the
+  * builder is not under the caller's control (the operator registry uses it).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_cosine(a, b) takes two arrays")
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
+  }
+}

@@ -39,6 +39,19 @@ class CosineSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("graft_cosine resolves through SQL in an isolated session") {
+    // the builder-time GraftExtensions path needs a fresh SparkContext (not
+    // possible mid-suite); exercise its injection lambda and the SQL surface
+    new graft.functions.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    val s2 = spark.newSession()
+    graft.functions.CosineSimilarity.register(s2)
+    val r = s2.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .first().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
   test("nulls propagate") {
     CosineSimilarity.register(spark)
     val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))

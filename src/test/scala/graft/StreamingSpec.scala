@@ -84,6 +84,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(!ids.contains(99L), "late row must be dropped by the watermark")
   }
 
+  test("mapGroupsWithState accumulates across restarted bounded runs") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val in = tmp("g_mgs_in_"); val out = tmp("g_mgs_out_"); val ck = tmp("g_mgs_ck_")
+    val t0 = 1700000000000L
+    val sparkStable = spark
+    import sparkStable.implicits._
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .select("user_id", "event_id")
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            (uid, n)
+        }
+        .toDF("user_id", "n")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    mkEvents(Seq((1L, 7L, t0, 1.0), (2L, 7L, t0 + 1000, 2.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+    run()
+    mkEvents(Seq((3L, 7L, t0 + 2000, 3.0)))
+      .coalesce(1).write.mode("append").parquet(in)
+    run() // state must resume from the checkpoint: 2 old + 1 new = 3
+    val n = spark.read.parquet(out)
+      .where(col("user_id") === 7L).select("n").first().getLong(0)
+    assert(n === 3L, "state lost across checkpointed restart")
+  }
+
   test("stateful dedup emits each key once across batches") {
     val result = SparkEntry.queries("stream_dedup_state")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
