@@ -127,6 +127,21 @@ object Relational {
               ON o_custkey = c_custkey
             ORDER BY o_orderkey"""))
 
+  // Right outer: all customers survive, orders filtered to force misses.
+  private val joinRightOuter = Op(
+    "join_right_outer",
+    (s, d) => {
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      urgent
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey
+            FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+            RIGHT JOIN customer ON o_custkey = c_custkey
+            ORDER BY c_custkey, o_orderkey"""))
+
   private val joinFullOuter = Op(
     "join_full_outer",
     (s, d) => {
@@ -358,6 +373,21 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  // Boolean aggregates per group (every/any shape).
+  private val aggBool = Op(
+    "agg_bool",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_f"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+              bool_and(o_totalprice > 1000.0) AS all_over_1k,
+              bool_or(o_orderstatus = 'F') AS any_f,
+              COUNT(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   // Two-phase salted aggregation — THE skew pattern at 100 TB: phase 1
   // aggregates on (key, salt) so a hot key spreads over 16 reducers, phase 2
   // merges the partials on the key alone. Decimal partials are
@@ -452,6 +482,27 @@ object Relational {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
             ORDER BY o_custkey, o_orderkey"""))
+
+  // Relative-position window functions; exact rational doubles, rounded at
+  // the boundary per §7.6.2.
+  private val windowPercentRank = Op(
+    "window_percent_rank",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey"""))
 
   // Equal-depth bucketing per customer (total order incl. tiebreak so both
   // engines assign identical bucket ids).
@@ -584,11 +635,11 @@ object Relational {
   val ops: Seq[Op] = Seq(
     scanParquet, scanPruned,
     projectExpr, filterPred, filterNullSemantics, filterInLike,
-    joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinFullOuter,
+    joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinRightOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,
     aggHashGroup, aggMultiStats, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggCollectSorted, aggSaltedTwophase, aggApproxDistinct,
-    windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile,
+    windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, aggBool,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept)
 }
