@@ -181,7 +181,36 @@ object FnFamilies {
               COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // Edit distance — the fuzzy-match primitive for near-dup text keys.
+  private val fnLevenshtein = Op(
+    "fn_levenshtein",
+    (s, d) => t(s, d, "part").select(
+      col("p_partkey"),
+      levenshtein(col("p_brand"), col("p_type")).as("brand_type_dist"),
+      levenshtein(lower(col("p_name")), col("p_name")).as("case_dist"))
+      .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+              CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist,
+              CAST(levenshtein(lower(p_name), p_name) AS INT) AS case_dist
+            FROM part ORDER BY p_partkey"""))
+
+  // Argmax/argmin aggregates — deterministic because the ordering key
+  // (event_id) is unique within every group.
+  private val aggMinMaxBy = Op(
+    "agg_min_max_by",
+    (s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .agg(max_by(col("event_type"), col("event_id")).as("latest_type"),
+        min_by(col("value"), col("event_id")).as("first_value"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id,
+              max_by(event_type, event_id) AS latest_type,
+              min_by(value, event_id) AS first_value,
+              COUNT(*) AS n
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
-    fnHash, aggStringConcat, aggPivot)
+    fnHash, fnLevenshtein, aggStringConcat, aggPivot, aggMinMaxBy)
 }
