@@ -142,6 +142,48 @@ object EtlOps {
     },
     None)
 
+  // Bucketed co-located join — the technique that removes the shuffle from
+  // REPEATED large-large joins at 100 TB: both fact tables are written
+  // bucketed+sorted on the join key (a one-time layout cost), after which
+  // every join on that key reads bucket-aligned files with NO exchange on
+  // either side (asserted from the plan in EtlOpsSpec). The query itself is
+  // engine-portable, so the oracle runs it on the flat tables.
+  private val joinBucketed = Op(
+    "join_bucketed",
+    (s, d) => {
+      val db = "graft_buckets"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      // the default in-memory catalog forgets tables between JVMs while
+      // their managed locations survive — clear orphaned locations or
+      // saveAsTable fails with LOCATION_ALREADY_EXISTS (persistent
+      // metastores don't hit this)
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq("orders_b", "lineitem_b").foreach { tb =>
+        if (!s.catalog.tableExists(s"$db.$tb")) {
+          def rm(f: java.io.File): Unit = if (f.exists()) {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(s"$wh/$db.db/$tb"))
+        }
+      }
+      t(s, d, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      t(s, d, "lineitem").write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      s.table(s"$db.lineitem_b")
+        .join(s.table(s"$db.orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   // ---------------- batch analogs of the streaming semantics (oracle-checked)
   private val bucketAggTumbling = Op(
     "bucket_agg_tumbling",
@@ -185,6 +227,6 @@ object EtlOps {
 
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer,
-    mergeUpsert, topkLatest, partitionedWrite, layoutCluster,
+    mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch)
 }

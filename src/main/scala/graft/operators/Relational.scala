@@ -373,6 +373,23 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  // Statistical aggregates; both engines use numerically-stable one-pass
+  // algorithms — 4-dp rounding absorbs the accumulation-order difference
+  // (validated at sf0.001/0.01/0.1).
+  private val aggStats = Op(
+    "agg_stats_corr",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+        round(stddev_samp(col("l_quantity")), 4).as("std_q"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+              round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+              round(stddev_samp(l_quantity), 4) AS std_q
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // Boolean aggregates per group (every/any shape).
   private val aggBool = Op(
     "agg_bool",

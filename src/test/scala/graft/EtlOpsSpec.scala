@@ -57,6 +57,22 @@ class EtlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join without an exchange on either side") {
+    // run the op once so the bucketed tables exist
+    assert(SparkEntry.queries("join_bucketed")(spark, sfDir).count() > 0)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_buckets.lineitem_b")
+        .join(spark.table("graft_buckets.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.sparkPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(300))
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n${p.take(800)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("scan_pruned reads only the projected columns") {
     val df = SparkEntry.queries("scan_pruned")(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
