@@ -500,6 +500,31 @@ object Relational {
                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
             ORDER BY o_custkey, o_orderkey"""))
 
+  // Frame-edge window values; the full-partition frame + unique ordering key
+  // makes first/last/nth deterministic in both engines.
+  private val windowFirstLast = Op(
+    "window_first_last",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("cheapest_order"),
+          last(col("o_orderkey")).over(w).as("priciest_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              first_value(o_orderkey) OVER w AS cheapest_order,
+              last_value(o_orderkey) OVER w AS priciest_order,
+              nth_value(o_orderkey, 2) OVER w AS second_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_orderkey"""))
+
   // Relative-position window functions; exact rational doubles, rounded at
   // the boundary per §7.6.2.
   private val windowPercentRank = Op(
@@ -656,7 +681,7 @@ object Relational {
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,
     aggHashGroup, aggMultiStats, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggCollectSorted, aggSaltedTwophase, aggApproxDistinct,
-    windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, aggBool,
+    windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept)
 }
