@@ -31,12 +31,20 @@ object StreamOps {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** One landing dir per (session, data dir) — the ops watching a single
+    * arrival share it instead of re-writing the events table five times. */
+  private val landed =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   /** Land events (µs-truncated ts, FIXTURES.md §A) as ONE parquet file and
     * open an explicit-schema stream over the landing dir. */
   private def landAndStream(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.load(s, d, "events")
-    val in = tmp("graft_land_")
-    ev.coalesce(1).write.mode("overwrite").parquet(in)
+    val in = landed.computeIfAbsent((s, d), { _ =>
+      val dir = tmp("graft_land_")
+      ev.coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    })
     s.readStream.schema(ev.schema).parquet(in)
   }
 
