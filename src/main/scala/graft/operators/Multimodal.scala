@@ -112,5 +112,34 @@ object Multimodal {
     },
     None)
 
-  val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract)
+  // "Resize" in the byte domain: deterministic stride resampling of the
+  // payload to a fixed 256-byte thumbnail (stub for image resize — swap the
+  // stride sampler for a codec resize; schema and zero-shuffle partition
+  // shape are the contract). Oracle-checkable because the stride arithmetic
+  // is plain integer math on hex characters in both engines.
+  private val mmResize = Op(
+    "mm_resize",
+    (s, d) => payloads(s, d)
+      .withColumn("n", octet_length(col("payload")))
+      .where(col("n") >= 256)
+      // integer division (div / //) on BOTH sides: DuckDB's float→int CAST
+      // rounds half-up while Spark's truncates
+      .withColumn("thumb", expr(
+        """transform(sequence(0, 255),
+          |  i -> substring(payload, CAST((i * n) div 256 AS INT) + 1, 1))""".stripMargin))
+      .select(col("doc_id"), col("n").as("orig_bytes"),
+        md5(expr("upper(concat_ws('', transform(thumb, b -> hex(b))))"))
+          .as("thumb_sig"))
+      .orderBy("doc_id"),
+    Some("""WITH f AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS n
+              FROM documents WHERE octet_length(encode(text)) >= 256)
+            SELECT doc_id, n AS orig_bytes,
+              md5(upper(array_to_string(list_transform(range(0, 256),
+                i -> substr(h, CAST((i * n) // 256 AS INT) * 2 + 1, 2)), '')))
+                AS thumb_sig
+            FROM f ORDER BY doc_id"""))
+
+  val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract, mmResize)
 }
