@@ -181,6 +181,25 @@ object FnFamilies {
               COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // Bitwise operators — partition routing, bloom-filter, and flag-word math.
+  private val fnBitwise = Op(
+    "fn_bitwise",
+    (s, d) => t(s, d, "events").select(
+      col("event_id"),
+      expr("event_id & 255").as("low_byte"),
+      expr("event_id | 4096").as("with_flag"),
+      expr("event_id ^ user_id").as("xored"),
+      expr("shiftleft(event_id, 2)").as("shl2"),
+      expr("shiftright(event_id, 3)").as("shr3"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              event_id & 255 AS low_byte,
+              event_id | 4096 AS with_flag,
+              xor(event_id, user_id) AS xored,
+              event_id << 2 AS shl2,
+              event_id >> 3 AS shr3
+            FROM events ORDER BY event_id"""))
+
   // Edit distance — the fuzzy-match primitive for near-dup text keys.
   private val fnLevenshtein = Op(
     "fn_levenshtein",
@@ -212,5 +231,5 @@ object FnFamilies {
 
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
-    fnHash, fnLevenshtein, aggStringConcat, aggPivot, aggMinMaxBy)
+    fnHash, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot, aggMinMaxBy)
 }

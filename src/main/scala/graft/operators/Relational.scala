@@ -218,6 +218,27 @@ object Relational {
               ON value BETWEEN p_retailprice - 902.0 AND p_retailprice - 898.0
             ORDER BY event_id, p_partkey"""))
 
+  // Salted skew join — the manual fallback when AQE's skew splitting isn't
+  // enough: the big side salts its key across 8 partitions, the small side
+  // replicates 8×, and the join runs on (key, salt) so one hot customer
+  // spreads over 8 reducers. Result is exactly the plain join (the oracle).
+  private val joinSkewSalted = Op(
+    "join_skew_salted",
+    (s, d) => {
+      val salted = t(s, d, "orders")
+        .withColumn("salt", pmod(col("o_orderkey"), lit(8)).cast("int"))
+      val replicated = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("salt", explode(expr("sequence(0, 7)")))
+      salted.join(replicated,
+          col("o_custkey") === col("c_custkey") && salted("salt") === replicated("salt"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey"""))
+
   // As-of join via the union+running-last rewrite: one shuffle on user_id,
   // no nested loop — the scalable pattern for temporal joins at 100 TB.
   // For each click, the latest purchase by the same user at-or-before it.
@@ -677,7 +698,7 @@ object Relational {
   val ops: Seq[Op] = Seq(
     scanParquet, scanPruned,
     projectExpr, filterPred, filterNullSemantics, filterInLike,
-    joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinRightOuter, joinFullOuter,
+    joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinRightOuter, joinFullOuter, joinSkewSalted,
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,
     aggHashGroup, aggMultiStats, aggDistinct, aggRollup, aggCube,
     aggGroupingSets, aggCollectSorted, aggSaltedTwophase, aggApproxDistinct,
