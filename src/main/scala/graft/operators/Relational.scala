@@ -21,6 +21,40 @@ object Relational {
   /** Money column → exact decimal at its native 2dp scale. */
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  // SQL entry point: the same engine drives ANSI SQL via spark.sql — a
+  // TPC-H-Q3-shaped 3-table join + group + top-k, planned by the identical
+  // Catalyst pipeline as the DataFrame keys (temp views over the scans).
+  private val sqlEntryQ3 = Op(
+    "sql_entry_q3",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM customer_v
+        JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10""")
+    },
+    Some("""SELECT o_orderkey,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n_lines
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10"""))
+
   // ---------------------------------------------------------------- sources
   private val scanParquet = Op(
     "scan_parquet",
@@ -696,7 +730,7 @@ object Relational {
             ORDER BY key"""))
 
   val ops: Seq[Op] = Seq(
-    scanParquet, scanPruned,
+    scanParquet, scanPruned, sqlEntryQ3,
     projectExpr, filterPred, filterNullSemantics, filterInLike,
     joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinRightOuter, joinFullOuter, joinSkewSalted,
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,
