@@ -717,6 +717,46 @@ object Relational {
             SELECT o_custkey AS key FROM orders
             ORDER BY key"""))
 
+  // Multiset (ALL) set semantics: duplicates survive by min-count /
+  // count-difference — distinct from the set variants above.
+  private val setIntersectAll = Op(
+    "set_intersect_all",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_custkey").as("key"))
+      .intersectAll(t(s, d, "lineitem").select((col("l_orderkey") % 1000).as("key")))
+      .orderBy("key"),
+    Some("""SELECT o_custkey AS key FROM orders
+            INTERSECT ALL
+            SELECT l_orderkey % 1000 AS key FROM lineitem
+            ORDER BY key"""))
+
+  private val setExceptAll = Op(
+    "set_except_all",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_custkey").as("key"))
+      .exceptAll(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("key")))
+      .orderBy("key"),
+    Some("""SELECT o_custkey AS key FROM orders
+            EXCEPT ALL
+            SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY key"""))
+
+  // Conditional counting per group (FILTER / count_if shape).
+  private val aggCountIf = Op(
+    "agg_count_if",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count_if(col("l_discount") > 0.05).as("n_discounted"),
+        count_if(col("l_quantity") >= 25.0).as("n_bulk"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              COUNT(*) FILTER (l_discount > 0.05) AS n_discounted,
+              COUNT(*) FILTER (l_quantity >= 25.0) AS n_bulk,
+              COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val setExcept = Op(
     "set_except",
     (s, d) => t(s, d, "customer")
@@ -738,5 +778,5 @@ object Relational {
     aggGroupingSets, aggCollectSorted, aggSaltedTwophase, aggApproxDistinct,
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
-    sortMulti, limitTopk, setUnionAll, setIntersect, setExcept)
+    sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf)
 }
