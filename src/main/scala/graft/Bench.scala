@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registry key on SPARK_GRAFT_SF_DIR and prints
+  * ONE JSON line. Each query is materialized with a noop-format write — a
+  * `count()` would let Catalyst prune projection expressions that cannot
+  * change the row count, leaving fn_math / project_expr bodies unmeasured.
+  * The JSON is also written to a file (bench_result.json, or
+  * SPARK_GRAFT_BENCH_OUT) so the gate can't lose it to stray stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,16 +20,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warm-up so the first timed query doesn't absorb session
     // startup (~3s of compiler work on a cold JVM)
-    SparkEntry.entry(spark).count()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -116,16 +116,24 @@ object FnFamilies {
               least(o_totalprice, 150000.0) AS at_most
             FROM orders ORDER BY o_orderkey"""))
 
+  // Array HOFs (size / element_at / slice / transform). The sliced prefix is
+  // emitted as a comma-joined string of 1e4-scaled ints — raw array<float>
+  // output crashes the driver's pandas comparator, and float32→double is
+  // exact on both engines so the scaled ints agree bit-for-bit.
   private val fnArray = Op(
     "fn_array",
     (s, d) => t(s, d, "embeddings").select(
       col("vec_id"),
       size(col("embedding")).as("dim"),
-      element_at(col("embedding"), 1).as("first_elem"),
-      slice(col("embedding"), 1, 3).as("head3"))
+      element_at(col("embedding"), 1).cast("double").as("first_elem"),
+      expr("""concat_ws(',', transform(slice(embedding, 1, 3),
+                x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)))""")
+        .as("head3"))
       .orderBy("vec_id"),
     Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-              embedding[1] AS first_elem, embedding[1:3] AS head3
+              CAST(embedding[1] AS DOUBLE) AS first_elem,
+              array_to_string(list_transform(embedding[1:3],
+                x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)), ',') AS head3
             FROM embeddings ORDER BY vec_id"""))
 
   private val fnJson = Op(

@@ -94,8 +94,12 @@ object Multimodal {
 
   // Batched feature extraction: Dataset[MMRecord] → mapPartitions →
   // Dataset[MMFeature]. Partition-parallel, zero-shuffle, fixed-width output —
-  // the Scala analog of a vectorized mapInPandas decode stage. The stubbed
-  // decode keeps it test-only (no DuckDB analog for the batch shape).
+  // the Scala analog of a vectorized mapInPandas decode stage. The feature
+  // vector is emitted as a comma-joined string of 1e6-scaled ints (raw
+  // array<> output crashes the driver's pandas comparator). The stub decoder
+  // is a low-nibble byte histogram with float32 normalization, so the oracle
+  // replays it in SQL: low nibbles = the odd hex chars of the payload, and
+  // DuckDB's REAL division reproduces the float32 arithmetic bit-for-bit.
   private val mmFeatureExtract = Op(
     "mm_feature_extract",
     (s, d) => {
@@ -107,10 +111,24 @@ object Multimodal {
         }
       }.toDF()
         .select(col("doc_id"), col("n_bytes"),
-          expr("transform(features, x -> round(cast(x as double), 6))").as("features"))
+          expr("""concat_ws(',', transform(features,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))""")
+            .as("features_sig"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH b AS (
+              SELECT doc_id,
+                     regexp_replace(hex(encode(text)), '.(.)', '\1', 'g') AS lows,
+                     octet_length(encode(text)) AS n
+              FROM documents)
+            SELECT doc_id, CAST(n AS INT) AS n_bytes,
+              array_to_string(list_transform(range(0, 16), j ->
+                CAST(floor(CAST(
+                  CAST(length(lows) - length(replace(lows,
+                    substr('0123456789ABCDEF', CAST(j AS INT) + 1, 1), '')) AS REAL)
+                  / CAST(greatest(n, 1) AS REAL)
+                AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ',') AS features_sig
+            FROM b ORDER BY doc_id"""))
 
   // "Resize" in the byte domain: deterministic stride resampling of the
   // payload to a fixed 256-byte thumbnail (stub for image resize — swap the

@@ -417,14 +417,21 @@ object Relational {
             ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
   // Deterministic per-group list: collect_set then sort_array (§7.6.5).
+  // Arrays never cross the comparison boundary (they crash the driver's
+  // pandas comparator): each quantity is scaled to exact cents and the sorted
+  // list is emitted as one comma-joined string on BOTH engines.
   private val aggCollectSorted = Op(
     "agg_collect_sorted",
     (s, d) => t(s, d, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
-      .agg(sort_array(collect_set(col("l_quantity"))).as("quantities"))
+      .agg(sort_array(collect_set(col("l_quantity"))).as("qarr"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("concat_ws(',', transform(qarr, q -> CAST(floor(q * 100 + 0.5) AS BIGINT)))")
+          .as("quantities"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
-              list_sort(list(DISTINCT l_quantity)) AS quantities
+              array_to_string(list_transform(list_sort(list(DISTINCT l_quantity)),
+                q -> CAST(floor(q * 100 + 0.5) AS BIGINT)), ',') AS quantities
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 

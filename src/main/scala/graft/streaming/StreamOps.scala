@@ -73,9 +73,13 @@ object StreamOps {
     Some("""SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
             FROM events ORDER BY event_id"""))
 
-  // Tumbling 5-minute windows with a watermark; complete-mode agg is written
-  // per-batch via foreachBatch (scalable sink; the last batch holds the full
-  // result of the bounded run).
+  // Tumbling 5-minute windows, APPEND mode + watermark — the only shape that
+  // survives an unbounded stream (complete mode retains every window in state
+  // forever and re-emits the full result per micro-batch). A window is
+  // appended once the watermark (max ts − 10 min, advanced by the trailing
+  // no-data batch of the AvailableNow run) passes its end, so the bounded
+  // run's output excludes windows ending within the watermark delay of the
+  // final event — the oracle applies the same cutoff.
   private val streamTumblingAgg = Op(
     "stream_tumbling_agg",
     (s, d) => {
@@ -87,20 +91,22 @@ object StreamOps {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .select(expr("unix_micros(window.start) div 1000").as("ws_ms"),
           col("n"), col("sum_value"))
-        .writeStream.outputMode("complete")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(out)
-        }
+        .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
       drain(q)
       s.read.parquet(out).orderBy("ws_ms")
     },
     Some("""SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY 1 ORDER BY ws_ms"""))
+            FROM events GROUP BY 1
+            HAVING ws_ms + 300000 < (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
+            ORDER BY ws_ms"""))
 
-  // Sliding 10-minute windows every 5 minutes: each event lands in 2 windows.
+  // Sliding 10-minute windows every 5 minutes (each event lands in 2
+  // windows), APPEND mode + watermark like the tumbling op — same
+  // state-eviction emission rule, same oracle-side watermark cutoff
+  // (window end = ws_ms + 600000 here).
   private val streamSlidingAgg = Op(
     "stream_sliding_agg",
     (s, d) => {
@@ -110,12 +116,9 @@ object StreamOps {
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
         .agg(count(lit(1)).as("n"))
         .select(expr("unix_micros(window.start) div 1000").as("ws_ms"), col("n"))
-        .writeStream.outputMode("complete")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(out)
-        }
+        .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
       drain(q)
       s.read.parquet(out).orderBy("ws_ms")
     },
@@ -123,7 +126,9 @@ object StreamOps {
               SELECT (epoch_ms(ts) // 300000) * 300000 AS b0 FROM events),
             w AS (
               SELECT unnest([b0, b0 - 300000]) AS ws_ms FROM b)
-            SELECT ws_ms, COUNT(*) AS n FROM w GROUP BY 1 ORDER BY ws_ms"""))
+            SELECT ws_ms, COUNT(*) AS n FROM w GROUP BY 1
+            HAVING ws_ms + 600000 < (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
+            ORDER BY ws_ms"""))
 
   // Session windows (30-minute gap) per user, append mode (the only output
   // mode Spark supports for streaming session aggregation). Emission rule:
@@ -199,9 +204,13 @@ object StreamOps {
   // Arbitrary stateful processing via mapGroupsWithState — the API a custom
   // per-key accumulator (enrichment caches, anomaly state machines) uses when
   // windows/dedup can't express it. State is (count, cents-sum) per user;
-  // cents are computed with SQL round BEFORE the lambda so the sum is an
-  // order-independent integer and matches the oracle exactly. Update-mode
-  // emissions of the single landing batch equal the final state.
+  // cents are computed EXACTLY via decimal(18,2) BEFORE the lambda (round()
+  // on a raw double breaks ties differently in Spark vs DuckDB — see
+  // FnFamilies' rounding note) so the sum is an order-independent integer.
+  // The update-mode sink is a per-batch UPSERT into the parquet target (the
+  // A7 merge pattern in streaming): rows for keys updated in the batch
+  // replace their previous totals, untouched keys survive — correct for any
+  // number of micro-batches, unlike a whole-result overwrite.
   private val streamCustomState = Op(
     "stream_custom_state",
     (s, d) => {
@@ -209,7 +218,8 @@ object StreamOps {
       import org.apache.spark.sql.streaming.GroupStateTimeout
       val out = tmp("graft_scs_out_"); val ck = tmp("graft_scs_ck_")
       val q = landAndStream(s, d)
-        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
         .select("user_id", "cents").as[(Long, Long)]
         .groupByKey(_._1)
         .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
@@ -223,7 +233,7 @@ object StreamOps {
         .toDF("user_id", "n", "sum_cents")
         .writeStream.outputMode("update")
         .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(out)
+          upsertParquet(b, Seq("user_id"), out)
         }
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
@@ -231,8 +241,31 @@ object StreamOps {
       s.read.parquet(out).orderBy("user_id")
     },
     Some("""SELECT user_id, COUNT(*) AS n,
-              SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                AS sum_cents
             FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Per-batch upsert into a parquet target: batch rows replace rows with the
+    * same key, all other target rows survive — one anti-join on the keys
+    * (batches are small aggregates, so AQE broadcasts the batch side).
+    * Staged to a temp dir then rewritten because the plan reads the files it
+    * replaces; a transactional table format makes the swap atomic at scale. */
+  private def upsertParquet(batch: DataFrame, keys: Seq[String], out: String): Unit = {
+    val s = batch.sparkSession
+    val hasData = {
+      val f = new java.io.File(out)
+      f.exists() && Option(f.list()).exists(_.exists(_.endsWith(".parquet")))
+    }
+    val merged =
+      if (hasData)
+        batch.unionByName(
+          s.read.parquet(out).join(batch.select(keys.map(col): _*).distinct(),
+            keys, "left_anti"))
+      else batch
+    val staged = tmp("graft_upsert_stage_")
+    merged.write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged).write.mode("overwrite").parquet(out)
+  }
 
   val ops: Seq[Op] = Seq(
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,

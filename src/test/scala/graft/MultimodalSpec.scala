@@ -10,14 +10,15 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("mm_feature_extract yields fixed-width L1-normalized features") {
     val df = SparkEntry.queries("mm_feature_extract")(spark, sfDir).cache()
-    assert(df.schema("features").dataType ===
-      ArrayType(DoubleType, containsNull = true))
+    // features cross the comparison boundary as a comma-joined string of
+    // 1e6-scaled ints (raw arrays crash the driver comparator)
+    assert(df.schema("features_sig").dataType === StringType)
     val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val fs = r.getSeq[Double](2)
+      val fs = r.getString(2).split(",").map(_.toLong)
       assert(fs.length === operators.Multimodal.StubDecoder.dims)
-      val l1 = fs.sum
+      val l1 = fs.sum / 1e6
       assert(math.abs(l1 - 1.0) < 1e-3, s"L1 norm $l1 for doc ${r.getLong(0)}")
     }
   }
