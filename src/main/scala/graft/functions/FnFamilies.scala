@@ -237,7 +237,45 @@ object FnFamilies {
               COUNT(*) AS n
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // Struct build + field access. Structs never cross the comparison boundary
+  // raw (same pandas-comparator limit as arrays): the struct is emitted as
+  // compact JSON — Spark's to_json and DuckDB's to_json(struct_pack(…)) both
+  // print {"k":v,…} with no whitespace. Integer/string members only; a
+  // double member's shortest-decimal text could diverge between engines.
+  private val fnStruct = Op(
+    "fn_struct",
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      to_json(struct(
+        col("o_custkey").as("cust"),
+        col("o_orderstatus").as("status"))).as("order_js"),
+      struct(col("o_orderpriority").as("p"), col("o_orderkey").as("k"))
+        .getField("p").as("prio"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CAST(to_json(struct_pack(cust := o_custkey,
+                status := o_orderstatus)) AS VARCHAR) AS order_js,
+              o_orderpriority AS prio
+            FROM orders ORDER BY o_orderkey"""))
+
+  // Map build + lookup, JSON at the boundary like fn_struct.
+  private val fnMap = Op(
+    "fn_map",
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      to_json(map(
+        lit("status"), col("o_orderstatus"),
+        lit("priority"), col("o_orderpriority"))).as("meta_js"),
+      map(lit("status"), col("o_orderstatus"))(lit("status")).as("status_val"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              CAST(json_object('status', o_orderstatus,
+                'priority', o_orderpriority) AS VARCHAR) AS meta_js,
+              o_orderstatus AS status_val
+            FROM orders ORDER BY o_orderkey"""))
+
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
-    fnHash, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot, aggMinMaxBy)
+    fnHash, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot, aggMinMaxBy,
+    fnStruct, fnMap)
 }

@@ -88,6 +88,35 @@ object EtlOps {
     Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
             FROM customer ORDER BY c_custkey"""))
 
+  // A4 json multiLine path (framework.py:313 sets {"multiLine":"true"}): a
+  // single top-level JSON ARRAY of NESTED objects, parsed with
+  // multiLine=true. The fixture is built distributively — rows fold into one
+  // sorted JSON array via collect_list inside an aggregate (never a driver
+  // collect) — then read back and the nested fields are projected out.
+  // multiLine fixtures are inherently one-parser-per-file; at scale the
+  // landing zone holds many such files, one task each.
+  private val scanJsonMultiline = Op(
+    "scan_json_multiline",
+    (s, d) => {
+      val out = tmp("graft_jsonml_")
+      t(s, d, "customer")
+        .select(struct(
+          col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_mktsegment").as("segment"))
+            .as("profile"),
+          col("c_acctbal")).as("rec"))
+        .agg(to_json(array_sort(collect_list(col("rec")))).as("j"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      s.read.option("multiLine", "true").json(out)
+        .select(col("c_custkey"),
+          col("profile.name").as("c_name"),
+          col("profile.segment").as("c_mktsegment"),
+          col("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            FROM customer ORDER BY c_custkey"""))
+
   // A17 generalized: latest event per user (argmax by timestamp) — a single
   // shuffle on user_id; never a collect-and-scan like the reference's client.
   private val topkLatest = Op(
@@ -226,7 +255,7 @@ object EtlOps {
             ORDER BY event_id"""))
 
   val ops: Seq[Op] = Seq(
-    ingestRoundtrip, scanCsvInfer, scanJsonInfer,
+    ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch)
 }

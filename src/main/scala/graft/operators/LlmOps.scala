@@ -74,6 +74,11 @@ object LlmOps {
   // Exact n-gram Jaccard over shared-shingle candidates: numerator from a
   // shingle-key self-join (only docs sharing a shingle ever meet), sizes from
   // a per-doc count. Oracle-checkable verifier for the MinHash path.
+  // 100 TB note: stop-word shingles ("of the and"…) are hot join keys; the
+  // production guard is a document-frequency cap on shingles before the
+  // self-join (drop shingles appearing in > K docs — they contribute ~0 to
+  // any pair's Jaccard but quadratic candidates). Left uncapped here so the
+  // op stays exactly equal to its DuckDB oracle at test scale.
   private val dedupNgramJaccard = Op(
     "dedup_ngram_jaccard",
     (s, d) => {
@@ -158,12 +163,46 @@ object LlmOps {
     },
     None)
 
+  /** SimHash band self-join over precomputed signatures (doc_id, sim),
+    * guarded for skew — the shape that survives 100 TB:
+    *   - each (chunk-index, chunk-value) bucket larger than `maxBucket` docs
+    *     is dropped from candidate generation (a 16-bit pattern shared by
+    *     thousands of docs is boilerplate collapse; one hot bucket otherwise
+    *     makes the self-join quadratic). Identical texts are the upstream
+    *     `dedup_exact` pass's job; genuinely similar pairs almost always
+    *     co-collide on a second, colder chunk (asserted in LlmOpsSpec).
+    *   - the hamming predicate sits INSIDE the join condition, so
+    *     non-matching collision pairs are discarded during the probe and
+    *     never reach the distinct's exchange.
+    */
+  private[graft] def simhashCandidatePairs(
+      sig: DataFrame, maxBucket: Int): DataFrame = {
+    val chunked = sig.select(col("doc_id"), col("sim"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("j"),
+        expr(s"shiftright(sim, ${16 * j}) & 65535").as("c"))): _*)).as("ch"))
+      .select(col("doc_id"), col("sim"), col("ch.j"), col("ch.c"))
+    val coldBuckets = chunked.groupBy("j", "c")
+      .agg(count(lit(1)).as("cf"))
+      .where(col("cf") <= maxBucket)
+      .select("j", "c")
+    val capped = chunked.join(coldBuckets, Seq("j", "c"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.j") === col("b.j") && col("a.c") === col("b.c") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.sim ^ b.sim) <= 6"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sim ^ b.sim)").as("hamming"))
+      .distinct()
+  }
+
   // SimHash: 64-bit per-doc signature from per-token hashes (bit b set iff
   // the majority of token hashes have bit b set). Bit counting runs as an
   // explode + 64-column codegen'd hash aggregate (partial map-side combine,
   // one shuffle on doc_id) — an order of magnitude faster than per-bit
   // interpreted HOF passes over the token array. Then the 16-bit-chunk band
-  // join (pigeonhole: hamming ≤ 6 pairs must collide on ≥1 of 4 chunks).
+  // join (pigeonhole: hamming ≤ 6 pairs must collide on ≥1 of 4 chunks),
+  // frequency-capped via simhashCandidatePairs.
   private val dedupSimhash = Op(
     "dedup_simhash",
     (s, d) => {
@@ -182,18 +221,7 @@ object LlmOps {
         // one signature row (doc_id, int64) per doc — persist so both sides
         // of the band self-join read it instead of re-running the token agg
         .cache()
-      val chunked = sig.select(col("doc_id"), col("sim"), explode(array(
-        (0 until 4).map(j => struct(lit(j).as("j"),
-          expr(s"shiftright(sim, ${16 * j}) & 65535").as("c"))): _*)).as("ch"))
-        .select(col("doc_id"), col("sim"), col("ch.j"), col("ch.c"))
-      chunked.as("a")
-        .join(chunked.as("b"),
-          col("a.j") === col("b.j") && col("a.c") === col("b.c") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.sim ^ b.sim)").as("hamming"))
-        .distinct()
-        .where(col("hamming") <= 6)
+      simhashCandidatePairs(sig, maxBucket = 256)
         .orderBy("doc_a", "doc_b")
     },
     None)

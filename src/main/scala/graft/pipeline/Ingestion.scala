@@ -51,6 +51,7 @@ final case class IngestionConfig(
     targetPath: Option[String] = None,
     schema: Option[org.apache.spark.sql.types.StructType] = None,
     comment: Option[String] = None,
+    tableProperties: Map[String, String] = Map.empty,
     dryRun: Boolean = false) {
 
   def fullTableName: String = s"$database.$table"
@@ -68,8 +69,8 @@ final case class IngestionConfig(
       ingestMode match {
         case IngestMode.Stream(cp) if cp.isEmpty =>
           Some("stream mode requires a checkpoint path")
-        case IngestMode.Stream(_) if schema.isEmpty =>
-          Some("stream mode requires an explicit schema (no inference on streams)")
+        // schema-less streams are allowed: the runner tracks an inferred
+        // schema next to the checkpoint and evolves it (Auto Loader analog)
         case _ => None
       },
       Option.when(!Set("parquet", "json", "csv").contains(sourceFormat))(
@@ -171,7 +172,7 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     c.targetPath match {
       case Some(p) =>
         w.save(p)
-        registerExternal(c, p, df)
+        registerExternal(c, p, Some(df.schema))
       case None => w.saveAsTable(c.fullTableName)
     }
     applyMetadata(c)
@@ -179,17 +180,36 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     spark.table(c.fullTableName).count()
   }
 
-  /** A9 (framework.py:240-246): external registration over parquet. */
-  private def registerExternal(c: IngestionConfig, path: String, df: DataFrame): Unit =
+  /** A9 (framework.py:240-246): external registration over parquet. When an
+    * explicit schema is known it goes into the DDL (a parquet table otherwise
+    * takes its schema from one file footer — wrong once the layout has
+    * evolved); a registration whose column set drifted from the given schema
+    * is dropped and recreated so evolution is visible to catalog readers. */
+  private def registerExternal(c: IngestionConfig, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    val drifted = schema.exists(sch =>
+      spark.catalog.tableExists(c.fullTableName) &&
+        spark.table(c.fullTableName).columns.toSeq != sch.fieldNames.toSeq)
+    if (drifted) spark.sql(s"DROP TABLE IF EXISTS ${c.fullTableName}")
+    val cols = schema.map(sch => s" (${sch.toDDL})").getOrElse("")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS ${c.fullTableName} USING PARQUET LOCATION '$path'")
+      s"CREATE TABLE IF NOT EXISTS ${c.fullTableName}$cols USING PARQUET LOCATION '$path'")
+  }
 
-  /** A10 (framework.py:248-254): comment + properties (quote-escaped). */
-  private def applyMetadata(c: IngestionConfig): Unit =
+  /** A10 (framework.py:248-255): comment + table properties (quote-escaped),
+    * applied after every write like the reference. */
+  private def applyMetadata(c: IngestionConfig): Unit = {
     c.comment.foreach { m =>
       spark.sql(
         s"COMMENT ON TABLE ${c.fullTableName} IS '${m.replace("'", "''")}'")
     }
+    if (c.tableProperties.nonEmpty) {
+      val kvs = c.tableProperties.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+      }.mkString(", ")
+      spark.sql(s"ALTER TABLE ${c.fullTableName} SET TBLPROPERTIES ($kvs)")
+    }
+  }
 
   /** A7 (framework.py:211-231) without Delta: matched rows take the source
     * version, unmatched target rows survive — source ∪ (target anti source),
@@ -212,20 +232,52 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     spark.table(c.fullTableName).count()
   }
 
-  /** A6 (framework.py:177-209) open analog: explicit-schema file stream →
-    * checkpointed parquet append, drained bounded via AvailableNow. */
+  /** A6 (framework.py:177-209) open analog: file stream → checkpointed
+    * parquet append, drained bounded via AvailableNow. With no explicit
+    * schema, the schema is tracked and evolved next to the checkpoint
+    * (framework.py:15, 184-187 `cloudFiles.schemaLocation` /
+    * `inferColumnTypes` analog). */
   private def writeStream(c: IngestionConfig, checkpoint: String): Long = {
     val target = c.targetPath.getOrElse(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
         s"/${c.database}.db/${c.table}")
-    val q = spark.readStream.options(c.options).schema(c.schema.get)
+    val schema = c.schema.getOrElse(trackedSchema(c, checkpoint))
+    val q = spark.readStream.options(c.options).schema(schema)
       .format(c.sourceFormat).load(c.sourcePath)
       .writeStream.format("parquet").option("path", target)
       .option("checkpointLocation", checkpoint)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    registerExternal(c, target, null)
+    registerExternal(c, target, Some(schema))
+    applyMetadata(c)
     spark.table(c.fullTableName).count()
+  }
+
+  /** Streaming schema tracking: infer the landing dir's current schema with
+    * a batch read, merge it with the schema persisted by the previous run
+    * (existing columns keep their position and type; NEW columns append —
+    * older files read them as null), persist the merged schema next to the
+    * checkpoint, and stream with it. Production note: at 100 TB the
+    * inference read should be bounded to the newest landing files; the
+    * persisted-merge logic is unchanged. */
+  private def trackedSchema(c: IngestionConfig,
+      checkpoint: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val f = new java.io.File(checkpoint, "graft_schema.json")
+    var r = spark.read.options(c.options)
+    if (c.sourceFormat == "csv") r = r.option("inferSchema", "true")
+    val inferred = r.format(c.sourceFormat).load(c.sourcePath).schema
+    val merged =
+      if (f.exists()) {
+        val prev = DataType.fromJson(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          .asInstanceOf[StructType]
+        StructType(prev.fields ++
+          inferred.fields.filterNot(x => prev.fieldNames.contains(x.name)))
+      } else inferred
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, merged.json.getBytes("UTF-8"))
+    merged
   }
 
   /** A11 (framework.py:256-266) OPTIMIZE/ZORDER emulation, failure-tolerant:

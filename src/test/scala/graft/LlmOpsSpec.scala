@@ -36,6 +36,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!rows.contains((1L, 3L)) && !rows.contains((2L, 3L)))
   }
 
+  // Property with a PLANTED HOT BUCKET: several hundred unrelated docs share
+  // one 16-bit chunk value (the boilerplate-collapse pathology that makes the
+  // band self-join quadratic). The frequency cap must drop that bucket from
+  // candidate generation, while a planted near-dup pair — which also sits in
+  // the hot bucket but co-collides on a cold chunk — must still surface.
+  test("simhash frequency cap skips hot buckets but keeps near-dups (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(300, Gen.long)
+    (0 until 3).foreach { i =>
+      val rnd = gen(Gen.Parameters.default, Seed(1234L + i)).get
+      // every doc shares chunk0 = 0x1234 (hot, 302 docs >> cap); upper 48
+      // bits random, so non-planted pairs sit at hamming ~24
+      val crowd = rnd.zipWithIndex.map { case (r, idx) =>
+        (idx.toLong, (r & ~0xFFFFL) | 0x1234L)
+      }
+      // constant base (independent of the crowd) so no crowd doc lands
+      // within hamming 6 by sharing generated upper bits
+      val base = 0xD00DFACEBEEF1234L
+      val planted = Seq((9001L, base), (9002L, base ^ (1L << 63)))
+      val sig = (crowd ++ planted).toDF("doc_id", "sim")
+      val pairs = operators.LlmOps.simhashCandidatePairs(sig, maxBucket = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(pairs.toSeq === Seq((9001L, 9002L, 1)),
+        s"seed ${1234L + i}: expected only the planted pair, got ${pairs.toSeq}")
+    }
+  }
+
   test("dedup_exact keeps one survivor per duplicated text") {
     import spark.implicits._
     val dir = Files.createTempDirectory("g_exact_").toString
@@ -66,8 +95,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
     ivf.foreach { case (id, sim) =>
       brute.get(id).foreach(b => assert(math.abs(b - sim) < 1e-9)) }
+    // measured 0.7 at sf0.001 (the suite's SF) — pinned just below so a
+    // regression in leader assignment or probing trips it. Context: the
+    // synthetic embeddings are isotropic (intra-label avg cosine ≈
+    // inter-label ≈ 0), so at larger SFs ANY inverted-file scheme's recall
+    // converges to the scan fraction (nprobe/nlist = 0.25); higher recall
+    // here reflects the small-corpus regime, not index quality.
     val recall = ivf.count(p => brute.contains(p._1)).toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
+    assert(recall >= 0.65, s"IVF recall@10 too low: $recall (measured 0.7)")
   }
 
   test("text_fingerprint is deterministic across runs") {

@@ -38,7 +38,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(base.copy(writeMode = WriteMode.Merge(Nil)).validate().isLeft)
     assert(base.copy(ingestMode = IngestMode.Stream("")).validate().isLeft)
     assert(base.copy(ingestMode = IngestMode.Stream("/tmp/ck")).validate()
-      .isLeft, "stream without explicit schema must be rejected")
+      .isRight, "schema-less stream is valid (schema tracking kicks in)")
     assert(base.copy(sourceFormat = "avro").validate().isLeft)
   }
 
@@ -99,6 +99,44 @@ class PipelineSpec extends AnyFunSuite {
       targetPath = Some(tmp("g_pipe_tgt_")),
       schema = Some(ev.schema))
     assert(new IngestionRunner(spark, cfg).run() === Right(ev.count()))
+  }
+
+  test("table properties are applied and visible (A10)") {
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.region_p")
+    val cfg = IngestionConfig(db, "region_p", srcDir,
+      writeMode = WriteMode.Overwrite,
+      comment = Some("props demo"),
+      tableProperties = Map("quality" -> "gold", "team" -> "data'team"))
+    assert(new IngestionRunner(spark, cfg).run().isRight)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $db.region_p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("quality") === Some("gold"))
+    assert(props.get("team") === Some("data'team"))
+  }
+
+  test("schema-less stream tracks and evolves the schema (Auto Loader analog)") {
+    import spark.implicits._
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.evolving_s")
+    val land = tmp("g_evo_land_"); val ck = tmp("g_evo_ck_")
+    val tgt = tmp("g_evo_tgt_")
+    Seq(("r1", 1L), ("r2", 2L)).toDF("name", "v")
+      .coalesce(1).write.mode("append").json(land)
+    val cfg = IngestionConfig(db, "evolving_s", land, sourceFormat = "json",
+      ingestMode = IngestMode.Stream(ck), targetPath = Some(tgt))
+    assert(new IngestionRunner(spark, cfg).run() === Right(2L))
+    assert(spark.table(s"$db.evolving_s").columns.toSet === Set("name", "v"))
+    // second landing batch carries a NEW column; same checkpoint
+    Seq(("r3", 3L, "extra")).toDF("name", "v", "tag")
+      .coalesce(1).write.mode("append").json(land)
+    assert(new IngestionRunner(spark, cfg).run() === Right(3L))
+    val evolved = spark.table(s"$db.evolving_s")
+    assert(evolved.columns.toSet === Set("name", "v", "tag"))
+    val byName = evolved.collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("tag")).toMap
+    assert(byName("r3") === "extra")
+    assert(byName("r1") === null, "pre-evolution rows read the new column as null")
   }
 
   test("csv source ingests with header + inference (A4 csv path)") {
