@@ -71,9 +71,53 @@ object LlmOps {
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
             ORDER BY survivor_id"""))
 
-  // Exact n-gram Jaccard over shared-shingle candidates: numerator from a
-  // shingle-key self-join (only docs sharing a shingle ever meet), sizes from
-  // a per-doc count. Oracle-checkable verifier for the MinHash path.
+  /** Near-dup pairs with exact n-gram Jaccard ≥ 0.8: numerator from a
+    * shingle-key self-join (only docs sharing a shingle ever meet), sizes
+    * from a per-doc count. Feeds both the pair listing and the
+    * connected-components clustering. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("na.ns") + col("nb.ns") - col("i")), 4).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+  }
+
+  /** Shared DuckDB CTE body for the Jaccard pair set (kept in lockstep with
+    * [[jaccardPairs]]). */
+  private val jaccardCtes =
+    """toks AS (
+         SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(len(tk) - 2),
+                  i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+         FROM toks WHERE len(tk) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       jp AS (
+         SELECT doc_a, doc_b,
+                round(i * 1.0 / (na.ns + nb.ns - i), 4) AS jaccard
+         FROM inter
+         JOIN sizes na ON na.doc_id = doc_a
+         JOIN sizes nb ON nb.doc_id = doc_b
+         WHERE round(i * 1.0 / (na.ns + nb.ns - i), 4) >= 0.8)"""
+
+  // Exact n-gram Jaccard over shared-shingle candidates. Oracle-checkable
+  // verifier for the MinHash path.
   // 100 TB note: stop-word shingles ("of the and"…) are hot join keys; the
   // production guard is a document-frequency cap on shingles before the
   // self-join (drop shingles appearing in > K docs — they contribute ~0 to
@@ -81,43 +125,76 @@ object LlmOps {
   // op stays exactly equal to its DuckDB oracle at test scale.
   private val dedupNgramJaccard = Op(
     "dedup_ngram_jaccard",
+    (s, d) => jaccardPairs(s, d).orderBy("doc_a", "doc_b"),
+    Some(s"""WITH $jaccardCtes
+            SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"""))
+
+  /** Iterative min-label propagation over an undirected edge set (u, v):
+    * every node takes the min label among itself and its neighbors until a
+    * fixpoint. Converges in O(graph diameter) rounds — near-dup clusters are
+    * small and dense, so diameter is tiny; production-scale variants
+    * alternate large-star/small-star for O(log n) rounds. Each round is one
+    * shuffle (neighbor-min aggregate + label join); lineage is truncated
+    * with a localCheckpoint per round so plans stay flat (a cluster job
+    * would use reliable checkpointing instead). */
+  private[graft] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .cache()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym.as("e")
+        .join(labels.as("lv"), col("e.v") === col("lv.node"))
+        .groupBy(col("e.u").as("node")).agg(min(col("lv.lab")).as("nmin"))
+      val next = labels.as("old")
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("old.lab"), coalesce(col("nmin"), col("old.lab"))).as("lab"),
+          col("old.lab").as("prev"))
+        .localCheckpoint(true)
+      changed = next.where(col("lab") =!= col("prev")).count()
+      labels = next.select("node", "lab")
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  // Dedup CLUSTERS — the shape that actually scales: pair listing is
+  // quadratic inside a near-dup cluster, so the 100 TB dedup path assigns
+  // every document to a connected component of the similarity graph and
+  // keeps one representative (min doc_id) per component. Components come
+  // from min-label propagation; the oracle replays them with a recursive
+  // transitive-closure CTE (fine at test scale, not the cluster algorithm).
+  private val dedupClusters = Op(
+    "dedup_clusters",
     (s, d) => {
-      val sh = shingles(s, d).cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          round(col("i").cast("double") /
-            (col("na.ns") + col("nb.ns") - col("i")), 4).as("jaccard"))
-        .where(col("jaccard") >= 0.8)
-        .orderBy("doc_a", "doc_b")
+      val labels = connectedComponents(
+        jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      val size = Window.partitionBy("cluster_rep")
+      labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
+        .withColumn("cluster_size", count(lit(1)).over(size))
+        .withColumn("is_survivor", (col("doc_id") === col("cluster_rep")).cast("boolean"))
+        .orderBy("doc_id")
     },
-    Some("""WITH toks AS (
-              SELECT doc_id,
-                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
-              FROM documents),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     unnest(list_transform(range(len(tk) - 2),
-                       i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
-              FROM toks WHERE len(tk) >= 3),
-            sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   round(i * 1.0 / (na.ns + nb.ns - i), 4) AS jaccard
-            FROM inter
-            JOIN sizes na ON na.doc_id = doc_a
-            JOIN sizes nb ON nb.doc_id = doc_b
-            WHERE round(i * 1.0 / (na.ns + nb.ns - i), 4) >= 0.8
-            ORDER BY doc_a, doc_b"""))
+    Some(s"""WITH RECURSIVE $jaccardCtes,
+            e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+            lab AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+              FROM reach GROUP BY u)
+            SELECT doc_id, cluster_rep,
+                   count(*) OVER (PARTITION BY cluster_rep) AS cluster_size,
+                   doc_id = cluster_rep AS is_survivor
+            FROM lab ORDER BY doc_id"""))
 
   // MinHash + banded LSH: 64 seeded xxhash64 min-signatures per doc, 16 bands
   // of 4 rows; candidates = band-hash collisions (shuffle on band key only),
@@ -507,24 +584,27 @@ object LlmOps {
             FROM documents ORDER BY doc_id"""))
 
   // Winnowing fingerprints: char-8-gram rolling xxhash64, min per 4-window —
-  // per-row HOFs only (no shuffle); seeded hashing → test-only.
+  // zero shuffle; seeded hashing → test-only. The hot loop is the native
+  // codegen'd TextWinnow expression (one primitive pass per row; the
+  // equivalent HOF chain re-walks the string per gram and pays an
+  // interpreted lambda frame per element — equivalence asserted in
+  // TextWinnowSpec).
   private val textFingerprint = Op(
     "text_fingerprint",
-    (s, d) => t(s, d, "documents")
-      .where(length(col("text")) >= 11)
-      .withColumn("hs", expr(
-        "transform(sequence(1, length(text) - 7), i -> xxhash64(substring(text, i, 8)))"))
-      .withColumn("fps", expr(
-        "transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))"))
-      .select(col("doc_id"),
-        size(array_distinct(col("fps"))).as("n_fp"),
-        array_min(col("fps")).as("fp_min"),
-        array_max(col("fps")).as("fp_max"))
-      .orderBy("doc_id"),
+    (s, d) => {
+      graft.functions.TextWinnow.register(s)
+      t(s, d, "documents")
+        .where(length(col("text")) >= 11)
+        .select(col("doc_id"), expr("graft_winnow(text)").as("w"))
+        .select(col("doc_id"), col("w.n_fp").as("n_fp"),
+          col("w.fp_min").as("fp_min"), col("w.fp_max").as("fp_max"))
+        .orderBy("doc_id")
+    },
     None)
 
   val ops: Seq[Op] = Seq(
-    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhash, dedupSimhash,
+    dedupEmbedding,
     simCosineTopk, simAnnLsh, simAnnIvf,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
     textFingerprint)

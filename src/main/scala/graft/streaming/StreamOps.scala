@@ -176,6 +176,31 @@ object StreamOps {
             WHERE se_ms < (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
             ORDER BY user_id, ss_ms"""))
 
+  // Stream–static enrichment join: each micro-batch of events joins the
+  // static customer dimension (stateless — no watermark or state store
+  // needed; Spark re-plans the static side per batch, and a dimension this
+  // small broadcasts, so the stream side never shuffles). The per-row
+  // enrichment pattern every streaming ETL pipeline runs.
+  private val streamJoinStatic = Op(
+    "stream_join_static",
+    (s, d) => {
+      val out = tmp("graft_sjs_out_"); val ck = tmp("graft_sjs_ck_")
+      val dim = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val q = landAndStream(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_name"),
+          col("c_mktsegment"), col("value"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, c_name, c_mktsegment, value
+            FROM events JOIN customer ON user_id = c_custkey
+            ORDER BY event_id"""))
+
   // Stateful dedup within the watermark: the landing dir gets the events file
   // TWICE (two files → duplicate arrivals); `dropDuplicates` keyed state emits
   // each event_id once. Output = the distinct event set.
@@ -269,5 +294,5 @@ object StreamOps {
 
   val ops: Seq[Op] = Seq(
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
-    streamSessionWindow, streamDedupState, streamCustomState)
+    streamSessionWindow, streamJoinStatic, streamDedupState, streamCustomState)
 }

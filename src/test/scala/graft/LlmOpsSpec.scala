@@ -65,6 +65,25 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents finds planted components (chain, triangle, pair)") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter > 1 exercises iteration), triangle 10-11-12,
+    // isolated edge 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("u", "v")
+    val labels = operators.LlmOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L).forall(labels(_) == 20L))
+  }
+
+  test("dedup_clusters groups the planted near-dup pair under one rep") {
+    val rows = SparkEntry.queries("dedup_clusters")(spark, plantedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSeq === Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false)))
+  }
+
   test("dedup_exact keeps one survivor per duplicated text") {
     import spark.implicits._
     val dir = Files.createTempDirectory("g_exact_").toString
