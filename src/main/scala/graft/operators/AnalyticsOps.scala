@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytics extensions beyond the §2C core: long/wide reshaping, null-safe
+  * joins, fixed-width histograms, distribution window functions, and
+  * DETERMINISTIC sampling (hash-based, not `rand()` — reproducible across
+  * retries, engines, and cluster sizes, which is what a 100 TB pipeline
+  * needs: a re-run of a failed stage must sample the same rows).
+  *
+  * Determinism protocol as in [[Relational]]: total-order ORDER BY at the
+  * output boundary, exact arithmetic where engines could diverge.
+  */
+object AnalyticsOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // Wide → long reshaping (the inverse of agg_pivot): lineitem's three
+  // measure columns unpivoted to (measure, value) rows via the native
+  // unpivot operator — plans as a single Expand node (3 output rows per
+  // input row in one pass), no shuffle, no join. The oracle replays it as
+  // UNION ALL, the portable formulation.
+  private val unpivotLong = Op(
+    "unpivot_long",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_orderkey") % 10 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure", "value"),
+    Some("""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0)
+            SELECT * FROM (
+              SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                     l_quantity AS value FROM src
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src)
+            ORDER BY l_orderkey, l_linenumber, measure, value"""))
+
+  // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+  // each other instead of vanishing — the semantics MERGE-style pipelines
+  // need when the join key is nullable. Keys made nullable with nullif so
+  // the NULL branch is actually exercised. Still a plain equi-join to the
+  // planner (hashable condition → broadcast/shuffle hash join, never a
+  // nested loop).
+  private val joinNullSafe = Op(
+    "join_null_safe",
+    (s, d) => {
+      val n = t(s, d, "nation")
+        .select(col("n_name"), expr("nullif(n_regionkey, 2)").as("nk"))
+      val r = t(s, d, "region")
+        .select(col("r_name"), expr("nullif(r_regionkey, 2)").as("rk"))
+      n.join(r, col("nk") <=> col("rk"))
+        .select(col("n_name"), col("r_name"), col("nk").isNull.as("via_null"))
+        .orderBy("n_name", "r_name")
+    },
+    Some("""SELECT n_name, r_name, nullif(n_regionkey, 2) IS NULL AS via_null
+            FROM nation JOIN region
+              ON nullif(n_regionkey, 2) IS NOT DISTINCT FROM nullif(r_regionkey, 2)
+            ORDER BY n_name, r_name"""))
+
+  // Fixed-width histogram: bucket = floor(x / width), one partial→final
+  // aggregation, no second pass for bounds (literal width; a data-dependent
+  // width would cost an extra scan at 100 TB — precompute or use an
+  // approx-quantile sketch instead). Money math in DECIMAL per protocol.
+  private val aggHistogram = Op(
+    "agg_histogram",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("bucket"),
+    Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM lineitem GROUP BY 1 ORDER BY bucket"""))
+
+  // Distribution window functions: cumulative distribution + a positional
+  // nth_value over the default running frame. Ordering inside the partition
+  // is total (totalprice, orderkey) so RANGE-frame peer groups are
+  // single-row and both engines agree exactly.
+  private val windowCumeDist = Op(
+    "window_cume_dist",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_totalprice"), 3).over(w).as("third_lowest"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   cume_dist() OVER w AS cd,
+                   nth_value(o_totalprice, 3) OVER w AS third_lowest
+            FROM orders WHERE o_orderkey % 7 = 0
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderpriority, o_orderkey"""))
+
+  // Deterministic Bernoulli sampling by key hash: keep rows whose md5 hex
+  // prefix falls under the rate threshold ('28' ≈ 15.6%). Unlike
+  // `sample(rand())`, the same rows survive on every engine, retry, and
+  // partitioning — and the filter is a pure per-row predicate (no shuffle,
+  // no state, trivially parallel at 100 TB).
+  private val sampleHash = Op(
+    "sample_hash",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .where(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))) < "28")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE md5(concat_ws('-', l_orderkey, l_linenumber)) < '28'
+            ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  // Deterministic stratified sampling: exactly k=100 rows per stratum,
+  // chosen by hash order (stable across runs/engines). One shuffle on the
+  // stratum key; per-stratum sort is bounded by stratum size. At 100 TB
+  // prefer a two-phase variant for mega-strata (hash-filter to ~2k
+  // candidates map-side, then exact top-k) — same semantics, bounded sort.
+  private val sampleStratified = Op(
+    "sample_stratified",
+    (s, d) => {
+      val h = md5(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(h, col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 100)
+        .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_returnflag", "rn")
+    },
+    Some("""SELECT l_returnflag, rn, l_orderkey, l_linenumber FROM (
+              SELECT l_returnflag, l_orderkey, l_linenumber,
+                     row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY md5(concat_ws('-', l_orderkey, l_linenumber)),
+                                l_orderkey, l_linenumber) AS rn
+              FROM lineitem)
+            WHERE rn <= 100 ORDER BY l_returnflag, rn"""))
+
+  val ops: Seq[Op] = Seq(
+    unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
+    sampleHash, sampleStratified)
+}

@@ -602,9 +602,119 @@ object LlmOps {
     },
     None)
 
+  // Composed quality gate (C4/Gopher-style): every document gets a verdict
+  // and the FIRST failing rule as its drop reason — short docs, stopword-
+  // free docs (boilerplate/code), low lexical diversity (repetition). Pure
+  // per-row metric math over one scan, no shuffle; the keep/drop decision
+  // is the filter a 100 TB ingest applies before any dedup pass so the
+  // expensive stages never see dropped rows. Ratios cross the comparison
+  // boundary under the floor(x*1e4+0.5)/1e4 protocol (SURVEY.md §7.6.2);
+  // rule thresholds compare raw IEEE doubles, identical on both engines.
+  private val qualityGate = Op(
+    "quality_gate",
+    (s, d) => t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("nt", size(col("tk")).cast("double"))
+      .withColumn("stop_ratio", expr(
+        "size(filter(tk, t -> t IN ('the', 'a', 'of', 'and'))) / CAST(size(tk) AS DOUBLE)"))
+      .withColumn("uniq_ratio", size(array_distinct(col("tk"))) / col("nt"))
+      .withColumn("reason",
+        when(col("n_chars") < 100, "too_short")
+          .when(col("stop_ratio") < 0.02, "low_stopword")
+          .when(col("uniq_ratio") < 0.40, "repetitive")
+          .otherwise("keep"))
+      .select(col("doc_id"),
+        (col("reason") === "keep").as("kept"),
+        col("reason"),
+        (floor(col("stop_ratio") * 10000.0 + 0.5) / 10000.0).as("stop_ratio"),
+        (floor(col("uniq_ratio") * 10000.0 + 0.5) / 10000.0).as("uniq_ratio"))
+      .orderBy("doc_id"),
+    Some("""WITH m AS (
+              SELECT doc_id, n_chars,
+                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE) AS nt,
+                len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    t -> t IN ('the', 'a', 'of', 'and'))) AS ns,
+                len(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS nu
+              FROM documents),
+            v AS (
+              SELECT doc_id, ns / nt AS stop_ratio, nu / nt AS uniq_ratio,
+                CASE WHEN n_chars < 100 THEN 'too_short'
+                     WHEN ns / nt < 0.02 THEN 'low_stopword'
+                     WHEN nu / nt < 0.40 THEN 'repetitive'
+                     ELSE 'keep' END AS reason
+              FROM m)
+            SELECT doc_id, reason = 'keep' AS kept, reason,
+                   floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                   floor(uniq_ratio * 10000.0 + 0.5) / 10000.0 AS uniq_ratio
+            FROM v ORDER BY doc_id"""))
+
+  // PII masking: the redaction pass a training-data pipeline runs before
+  // anything else. The synthetic corpus carries no real PII, so a contact
+  // string is derived deterministically from the customer table (a query,
+  // not synthesized data) and the masking regexes do real work over it.
+  // Patterns avoid lookaround so Java regex (Spark) and RE2 (DuckDB) agree.
+  // Pure per-row regexp_replace/regexp_count — zero shuffle at any scale.
+  private val textPiiMask = Op(
+    "text_pii_mask",
+    (s, d) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val phonePat = "\\+?[0-9][0-9-]{6,}[0-9]"
+      t(s, d, "customer")
+        .withColumn("contact", concat(
+          lit("Contact user"), col("c_custkey"),
+          lit(" at user"), col("c_custkey"), lit("@example.com or +1-"),
+          lpad((col("c_custkey") * 7919 % 10000000).cast("string"), 7, "0")))
+        .select(col("c_custkey"),
+          (regexp_count(col("contact"), lit(emailPat)) +
+            regexp_count(col("contact"), lit(phonePat))).cast("long").as("n_pii"),
+          regexp_replace(regexp_replace(col("contact"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("masked"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey,
+                'Contact user' || c_custkey || ' at user' || c_custkey ||
+                '@example.com or +1-' ||
+                lpad(CAST(c_custkey * 7919 % 10000000 AS VARCHAR), 7, '0') AS contact
+              FROM customer)
+            SELECT c_custkey,
+              CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) +
+                   len(regexp_extract_all(contact, '\+?[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_pii,
+              regexp_replace(
+                regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS masked
+            FROM c ORDER BY c_custkey"""))
+
+  // Embedding normalization + int8 quantization: the prep step before any
+  // ANN index build (unit vectors make cosine = dot; int8 cuts the index
+  // 4×). All per-row HOF math — the fold over the array is sequential on
+  // both engines, so the double accumulation is bit-identical; quantized
+  // ints cross the boundary as a joined string (arrays never reach the
+  // comparator). Zero shuffle at any scale.
+  private val embNormalize = Op(
+    "emb_normalize",
+    (s, d) => t(s, d, "embeddings")
+      .withColumn("ss", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .where(col("ss") > 0)
+      .select(col("vec_id"),
+        expr("concat_ws(',', transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sqrt(ss) + 0.5) AS BIGINT)))")
+          .as("q8"))
+      .orderBy("vec_id"),
+    Some("""WITH e AS (
+              SELECT vec_id, embedding,
+                list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS ss
+              FROM embeddings)
+            SELECT vec_id,
+              array_to_string(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sqrt(ss) + 0.5) AS BIGINT)), ',') AS q8
+            FROM e WHERE ss > 0 ORDER BY vec_id"""))
+
   val ops: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhash, dedupSimhash,
-    dedupEmbedding,
+    dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simAnnLsh, simAnnIvf,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
     textFingerprint)

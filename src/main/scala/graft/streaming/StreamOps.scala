@@ -201,6 +201,47 @@ object StreamOps {
             FROM events JOIN customer ON user_id = c_custkey
             ORDER BY event_id"""))
 
+  // Stream–stream interval join: purchases matched to same-user clicks in
+  // the preceding hour. Both sides carry watermarks and the join condition
+  // bounds event time on both (c_ts ∈ [p_ts − 1h, p_ts]), so each side's
+  // buffered state is evicted once the other side's watermark passes the
+  // bound — bounded state on unbounded streams, the shape Spark requires
+  // for unbounded stream–stream inner joins. One shuffle per side on
+  // user_id; emission is append as matches form.
+  private val streamStreamJoin = Op(
+    "stream_stream_join",
+    (s, d) => {
+      val out = tmp("graft_ssj_out_"); val ck = tmp("graft_ssj_ck_")
+      val purchases = landAndStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = landAndStream(s, d)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"), col("user_id"),
+          expr("unix_micros(p_ts) div 1000").as("p_ms"),
+          expr("unix_micros(c_ts) div 1000").as("c_ms"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("p_id", "c_id")
+    },
+    Some("""SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+                   epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            ORDER BY p_id, c_id"""))
+
   // Stateful dedup within the watermark: the landing dir gets the events file
   // TWICE (two files → duplicate arrivals); `dropDuplicates` keyed state emits
   // each event_id once. Output = the distinct event set.
@@ -294,5 +335,6 @@ object StreamOps {
 
   val ops: Seq[Op] = Seq(
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
-    streamSessionWindow, streamJoinStatic, streamDedupState, streamCustomState)
+    streamSessionWindow, streamJoinStatic, streamStreamJoin,
+    streamDedupState, streamCustomState)
 }

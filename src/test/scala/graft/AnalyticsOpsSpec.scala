@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the analytics extensions (the DuckDB oracle pins
+  * exact values; these pin the properties that must survive refactors). */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("unpivot_long emits one row per (input row, measure)") {
+    val base = Tables.load(spark, sfDir, "lineitem")
+      .where(col("l_orderkey") % 10 === 0).count()
+    val long = SparkEntry.queries("unpivot_long")(spark, sfDir)
+    assert(long.count() === base * 3)
+    assert(long.select("measure").distinct().count() === 3)
+  }
+
+  test("join_null_safe matches NULL keys to each other (region 2 via NULL)") {
+    val rows = SparkEntry.queries("join_null_safe")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    // nations of region 2 pair with region 2 through NULL <=> NULL
+    assert(rows.filter(_._3).nonEmpty)
+    assert(rows.filter(_._3).forall { case (_, r, _) => r == rows.filter(_._3).head._2 })
+    // non-null keys still join normally
+    assert(rows.filter(!_._3).nonEmpty)
+  }
+
+  test("agg_histogram buckets partition the table (counts sum to total)") {
+    val total = Tables.load(spark, sfDir, "lineitem").count()
+    val hist = SparkEntry.queries("agg_histogram")(spark, sfDir).collect()
+    assert(hist.map(_.getLong(1)).sum === total)
+    assert(hist.map(_.getLong(0)).distinct.length === hist.length)
+  }
+
+  test("window_cume_dist is monotone within a partition and ends at 1.0") {
+    val rows = SparkEntry.queries("window_cume_dist")(spark, sfDir)
+      .select("o_orderpriority", "cd").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.groupBy(_._1).values.foreach { grp =>
+      val cds = grp.map(_._2)
+      assert(math.abs(cds.max - 1.0) < 1e-12)
+      assert(cds.forall(c => c > 0.0 && c <= 1.0))
+    }
+  }
+
+  test("sample_hash is deterministic and near the 40/256 target rate") {
+    val total = Tables.load(spark, sfDir, "lineitem").count().toDouble
+    val a = SparkEntry.queries("sample_hash")(spark, sfDir).count()
+    val b = SparkEntry.queries("sample_hash")(spark, sfDir).count()
+    assert(a === b)
+    val rate = a / total
+    assert(rate > 0.10 && rate < 0.22, s"rate $rate far from 40/256")
+  }
+
+  test("sample_stratified returns exactly k rows per stratum, rn dense") {
+    val df = SparkEntry.queries("sample_stratified")(spark, sfDir)
+    val per = df.groupBy("l_returnflag").count().collect()
+    assert(per.forall(_.getLong(1) === 100L))
+    val rns = df.where(col("l_returnflag") === per.head.getString(0))
+      .select("rn").collect().map(_.getInt(0)).sorted
+    assert(rns.toSeq === (1 to 100))
+  }
+
+  test("quality_gate verdict agrees with its reason and ratios are in range") {
+    val rows = SparkEntry.queries("quality_gate")(spark, sfDir).collect()
+    assert(rows.forall(r => r.getBoolean(1) === (r.getString(2) == "keep")))
+    assert(rows.map(_.getString(2)).distinct.length >= 2, "rules never fired")
+    assert(rows.forall { r =>
+      val u = r.getDouble(4); u >= 0.0 && u <= 1.0
+    })
+  }
+
+  test("text_pii_mask leaves no email or long digit run and counts 2 PII each") {
+    val rows = SparkEntry.queries("text_pii_mask")(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(1) === 2L))
+    assert(rows.forall { r =>
+      val m = r.getString(2)
+      !m.contains("@") && !m.matches(".*[0-9]{7,}.*") &&
+        m.contains("<EMAIL>") && m.contains("<PHONE>")
+    })
+  }
+
+  test("emb_normalize quantized components stay within int8 range") {
+    val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1).split(",").map(_.toLong)
+      .forall(v => v >= -127 && v <= 127)))
+  }
+}

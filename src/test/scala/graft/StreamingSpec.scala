@@ -126,4 +126,17 @@ class StreamingSpec extends AnyFunSuite {
     val batch = Tables.load(spark, sfDir, "events")
     assert(result.count() === batch.select("event_id").distinct().count())
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = SparkEntry.queries("stream_stream_join")(spark, sfDir)
+    val ev = Tables.load(spark, sfDir, "events")
+    val batch = ev.as("p").where(col("p.event_type") === "purchase")
+      .join(ev.as("c").where(col("c.event_type") === "click"),
+        col("p.user_id") === col("c.user_id") &&
+          col("c.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR") &&
+          col("c.ts") <= col("p.ts"))
+      .select(col("p.event_id").as("p_id"), col("c.event_id").as("c_id"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.select("p_id", "c_id").exceptAll(batch).count() === 0)
+  }
 }
