@@ -21,7 +21,14 @@ object Bench {
     // JIT/codegen warm-up so the first timed query doesn't absorb session
     // startup (~3s of compiler work on a cold JVM)
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated key filter for iterating on hotspots
+    val only = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
+      case None     => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }

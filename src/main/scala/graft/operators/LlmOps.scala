@@ -138,11 +138,15 @@ object LlmOps {
     * with a localCheckpoint per round so plans stay flat (a cluster job
     * would use reliable checkpointing instead). */
   private[graft] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
-      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      .cache()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("lab", col("node"))
+    // materialize the (possibly expensive) edge plan ONCE before the
+    // symmetrizing union — both union branches would otherwise re-run it
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).cache()
+    // round 0 for free: every node starts at min(self, direct neighbors) —
+    // one aggregate instead of an identity init + a full propagation round
+    var labels = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("lab"))
+      .select(col("u").as("node"), col("lab"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0

@@ -61,4 +61,29 @@ class PlanSpec extends AnyFunSuite {
     // codegen'd spans print as "*(n) Operator" in the finalized AQE plan
     assert(p.contains("*(") || p.contains("WholeStageCodegen"), p.take(600))
   }
+
+  test("unpivot plans one Expand pass, not a join or union of scans") {
+    val p = plan("unpivot_long")
+    assert(p.contains("Expand"), p.take(400))
+    assert(!p.contains("Join"), "unpivot should not plan a join")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 1,
+      "unpivot should read the table once")
+  }
+
+  test("null-safe join stays a hash join (hashable condition)") {
+    val p = plan("join_null_safe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("per-row pipeline ops shuffle only for their output sort") {
+    // hash-sample, PII mask, embedding quantization: map-side work; the only
+    // Exchange allowed is the final presentation ORDER BY.
+    for (k <- Seq("sample_hash", "text_pii_mask", "emb_normalize")) {
+      val p = plan(k)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$k plans $exchanges exchanges:\n${p.take(600)}")
+    }
+  }
 }
