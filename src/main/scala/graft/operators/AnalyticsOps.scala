@@ -149,7 +149,34 @@ object AnalyticsOps {
               FROM lineitem)
             WHERE rn <= 100 ORDER BY l_returnflag, rn"""))
 
+  // Correlated LATERAL join: per-order top-2 lineitems by quantity, written
+  // the way an analyst writes it (a correlated subquery with ORDER BY +
+  // LIMIT). Catalyst decorrelates it into a window/top-k over a single join
+  // — same physical shape as topk_per_group, different (SQL-standard) entry
+  // point.
+  private val joinLateralTopk = Op(
+    "join_lateral_topk",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority, l.l_linenumber, l.l_quantity
+        FROM orders_v,
+        LATERAL (SELECT l_linenumber, l_quantity FROM lineitem_v
+                 WHERE l_orderkey = o_orderkey
+                 ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+        WHERE o_orderkey % 50 = 0
+        ORDER BY o_orderkey, l_linenumber""")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, l.l_linenumber, l.l_quantity
+            FROM orders,
+            LATERAL (SELECT l_linenumber, l_quantity FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                     ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+            WHERE o_orderkey % 50 = 0
+            ORDER BY o_orderkey, l_linenumber"""))
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
-    sampleHash, sampleStratified)
+    sampleHash, sampleStratified, joinLateralTopk)
 }

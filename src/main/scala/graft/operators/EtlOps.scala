@@ -254,8 +254,115 @@ object EtlOps {
                   FROM events)
             ORDER BY event_id"""))
 
+  // CDC apply: collapse a changelog to current state — last writer per key
+  // wins (total order: ts, then event_id), a trailing 'error' event acts as
+  // a tombstone (key deleted). One window pass over one shuffle on the key;
+  // the canonical "apply the day's changes to the snapshot" pattern.
+  private val cdcApplyChangelog = Op(
+    "cdc_apply_changelog",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("user_id")))
+        .where(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("n_changes"),
+          expr("unix_micros(ts) div 1000").as("last_ms"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (
+              SELECT user_id, event_type, value, ts,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n_changes
+              FROM events)
+            SELECT user_id, event_type AS last_type, value AS last_value,
+                   n_changes, epoch_ms(ts) AS last_ms
+            FROM c WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id"""))
+
+  // SCD type-2: turn the changelog into validity intervals — each change
+  // opens a version at its ts and closes the previous one (lead() per key).
+  // The open-ended current version has NULL valid_to. Same single window
+  // pass / single shuffle as cdc_apply; together they are the warehouse
+  // history-tracking pattern.
+  private val scd2History = Op(
+    "scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .where(col("event_type").isin("signup", "purchase"))
+        .withColumn("ms", expr("unix_micros(ts) div 1000"))
+        .select(col("user_id"), col("event_id"), col("ms").as("valid_from_ms"),
+          lead(col("ms"), 1).over(w).as("valid_to_ms"),
+          col("value"),
+          lead(col("ms"), 1).over(w).isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_ms", "event_id")
+    },
+    Some("""WITH f AS (
+              SELECT user_id, event_id, value, epoch_ms(ts) AS ms
+              FROM events WHERE event_type IN ('signup', 'purchase'))
+            SELECT user_id, event_id, ms AS valid_from_ms,
+                   lead(ms, 1) OVER w AS valid_to_ms, value,
+                   lead(ms, 1) OVER w IS NULL AS is_current
+            FROM f
+            WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+            ORDER BY user_id, valid_from_ms, event_id"""))
+
+  // Calendar zero-fill resample: a (day × event_type) grid from the data's
+  // own bounds (one tiny agg, broadcast), left-joined to daily aggregates so
+  // gap days surface as explicit zeros — what every dashboard/training-mix
+  // rollup needs. Aggregates chosen order-independent (count, max) so the
+  // result is bit-stable on any engine/partitioning; a double SUM would not
+  // be (SURVEY.md §7.6).
+  private val resampleZerofill = Op(
+    "resample_zerofill",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val days = ev.agg(date_trunc("day", min("ts")).as("d0"),
+          date_trunc("day", max("ts")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = ev.select("event_type").distinct()
+      val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+      days.crossJoin(types)
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(expr("unix_micros(day) div 1000").as("day_ms"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("max_value"))
+        .orderBy("day_ms", "event_type")
+    },
+    Some("""WITH b AS (SELECT date_trunc('day', min(ts)) AS d0,
+                              date_trunc('day', max(ts)) AS d1 FROM events),
+            days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+            types AS (SELECT DISTINCT event_type FROM events),
+            daily AS (
+              SELECT date_trunc('day', ts) AS day, event_type,
+                     count(*) AS n, max(value) AS max_value
+              FROM events GROUP BY 1, 2)
+            SELECT epoch_ms(days.day) AS day_ms, types.event_type AS event_type,
+                   coalesce(daily.n, 0) AS n, daily.max_value
+            FROM days CROSS JOIN types
+            LEFT JOIN daily ON daily.day = days.day
+                           AND daily.event_type = types.event_type
+            ORDER BY day_ms, types.event_type"""))
+
+  // ORC source/sink roundtrip (Spark's second columnar format, in-box): the
+  // oracle reads the same rows from parquet, so the check proves the ORC
+  // write+read preserved values exactly.
+  private val scanOrcRoundtrip = Op(
+    "scan_orc_roundtrip",
+    (s, d) => {
+      val out = tmp("graft_orc_")
+      t(s, d, "nation").write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
-    bucketAggTumbling, sessionizeBatch)
+    bucketAggTumbling, sessionizeBatch,
+    cdcApplyChangelog, scd2History, resampleZerofill, scanOrcRoundtrip)
 }
