@@ -176,7 +176,50 @@ object AnalyticsOps {
             WHERE o_orderkey % 50 = 0
             ORDER BY o_orderkey, l_linenumber"""))
 
+  // Time-based range frame: trailing 7-day revenue per customer — the
+  // moving-window metric shape (RANGE over event-time millis, not ROWS, so
+  // same-day peers aggregate together and gaps matter). Money in DECIMAL
+  // per protocol; one shuffle on the partition key.
+  private val windowTimeRange = Op(
+    "window_time_range",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("ms"))
+        .rangeBetween(-7L * 86400000L, 0L)
+      t(s, d, "orders")
+        .where(col("o_custkey") % 20 === 0)
+        .withColumn("ms", expr("unix_micros(cast(o_orderdate as timestamp)) div 1000"))
+        .select(col("o_custkey"), col("o_orderkey"), col("ms"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("trailing_7d"))
+        .orderBy("o_custkey", "ms", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, ms,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey ORDER BY ms
+                     RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS trailing_7d
+            FROM (SELECT *, epoch_ms(o_orderdate) AS ms FROM orders
+                  WHERE o_custkey % 20 = 0)
+            ORDER BY o_custkey, ms, o_orderkey"""))
+
+  // Approximate quantiles (t-digest style sketch behind approx_percentile):
+  // the single-pass, mergeable, bounded-memory way to get percentiles at
+  // 100 TB — an exact percentile needs a full sort or per-group collection.
+  // Approximation is engine-specific → test-only; AnalyticsOpsSpec pins the
+  // error against the exact quantiles.
+  private val aggApproxQuantile = Op(
+    "agg_approx_quantile",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",",
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            .cast("array<string>")).as("q_approx"))
+        .orderBy("l_returnflag"),
+    None)
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
-    sampleHash, sampleStratified, joinLateralTopk)
+    sampleHash, sampleStratified, joinLateralTopk,
+    windowTimeRange, aggApproxQuantile)
 }

@@ -360,9 +360,92 @@ object EtlOps {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  /** Portable 32-bit value of the first 8 hex chars of md5(expr) — hex→int
+    * arithmetic spelled out digit by digit because neither engine's native
+    * conversion exists in the other (Spark `conv` / DuckDB `from_hex`).
+    * The SAME generated SQL text runs on both engines. */
+  private def md5Prefix32(inner: String): String = {
+    val digit = (i: Int) =>
+      s"(ascii(substr(md5($inner), $i, 1)) - " +
+        s"(CASE WHEN substr(md5($inner), $i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END))"
+    (1 to 8).map(i => s"CAST(${digit(i)} AS BIGINT) * ${1L << (4 * (8 - i))}")
+      .mkString("(", " + ", ")")
+  }
+
+  // Table checksum: order-independent row-level fingerprint (bit_xor + sum
+  // of a per-row hash over the canonical row string) — the migration /
+  // replication integrity check: run on source and target, compare three
+  // numbers instead of 100 TB of rows. XOR and SUM commute, so the result
+  // is identical under any partitioning/ordering. Columns restricted to
+  // int/string (float→string formatting is engine-specific).
+  private val checksumTable = Op(
+    "checksum_table",
+    (s, d) => {
+      val rowStr = "concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus)"
+      val h = md5Prefix32(rowStr)
+      t(s, d, "lineitem")
+        .selectExpr(s"$h AS h")
+        .selectExpr("count(*) AS n_rows", "bit_xor(h) AS xor_sig", "sum(h) AS sum_sig")
+    },
+    Some {
+      val rowStr = "concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus)"
+      val h = md5Prefix32(rowStr)
+      s"""SELECT count(*) AS n_rows, bit_xor(h) AS xor_sig, CAST(sum(h) AS BIGINT) AS sum_sig
+          FROM (SELECT $h AS h FROM lineitem)"""
+    })
+
+  // One-pass column profiler: null count / exact distinct / min / max for
+  // each profiled column computed in a SINGLE scan + aggregate, then
+  // reshaped to one row per column. The ingest-validation step that decides
+  // whether a 100 TB load looks sane before anything downstream runs.
+  private val profileStats = Op(
+    "profile_stats",
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c).cast("string")).as(s"${c}__mn"),
+        max(col(c).cast("string")).as(s"${c}__mx"))
+      }
+      val one = t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+      one.selectExpr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n_null, n_distinct, min_s, max_s)")
+        .orderBy("column_name")
+    },
+    Some("""WITH a AS (
+              SELECT
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nn,
+                count(DISTINCT o_orderkey) AS k_nd,
+                min(CAST(o_orderkey AS VARCHAR)) AS k_mn,
+                max(CAST(o_orderkey AS VARCHAR)) AS k_mx,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nn,
+                count(DISTINCT o_custkey) AS c_nd,
+                min(CAST(o_custkey AS VARCHAR)) AS c_mn,
+                max(CAST(o_custkey AS VARCHAR)) AS c_mx,
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nn,
+                count(DISTINCT o_orderstatus) AS s_nd,
+                min(CAST(o_orderstatus AS VARCHAR)) AS s_mn,
+                max(CAST(o_orderstatus AS VARCHAR)) AS s_mx,
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nn,
+                count(DISTINCT o_orderpriority) AS p_nd,
+                min(CAST(o_orderpriority AS VARCHAR)) AS p_mn,
+                max(CAST(o_orderpriority AS VARCHAR)) AS p_mx
+              FROM orders)
+            SELECT c.* FROM a, LATERAL (VALUES
+              ('o_custkey', c_nn, c_nd, c_mn, c_mx),
+              ('o_orderkey', k_nn, k_nd, k_mn, k_mx),
+              ('o_orderpriority', p_nn, p_nd, p_mn, p_mx),
+              ('o_orderstatus', s_nn, s_nd, s_mn, s_mx))
+              c(column_name, n_null, n_distinct, min_s, max_s)
+            ORDER BY column_name"""))
+
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
-    cdcApplyChangelog, scd2History, resampleZerofill, scanOrcRoundtrip)
+    cdcApplyChangelog, scd2History, resampleZerofill, scanOrcRoundtrip,
+    checksumTable, profileStats)
 }

