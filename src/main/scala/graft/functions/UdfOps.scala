@@ -86,5 +86,44 @@ object UdfOps {
                   FROM lineitem GROUP BY l_orderkey)
             ORDER BY l_orderkey, pos"""))
 
-  val ops: Seq[Op] = Seq(udfScalar, udafTyped, udtfGenerate)
+  // Typed Dataset[T] surface: case-class Encoders + groupByKey/mapGroups —
+  // the type-safe entry point for per-group imperative logic (the escape
+  // hatch when aggregation logic won't express as SQL aggregates). The
+  // group reduction here uses only order-independent math (count, max) so
+  // results are partition-stable. Costs one shuffle on the key like any
+  // agg, but mapGroups is opaque to Catalyst (no partial aggregation, no
+  // codegen) — for SQL-expressible reductions the untyped agg is the
+  // performant path; this key exists to pin the typed surface.
+  private val dsTypedOps = Op(
+    "ds_typed_ops",
+    (s, d) => {
+      implicit val ordEnc: Encoder[UdfOps.OrderRow] = Encoders.product[UdfOps.OrderRow]
+      implicit val outEnc: Encoder[UdfOps.CustSpend] = Encoders.product[UdfOps.CustSpend]
+      implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .as[UdfOps.OrderRow]
+        .filter((r: UdfOps.OrderRow) => r.o_orderstatus != "F")
+        .groupByKey((r: UdfOps.OrderRow) => r.o_custkey)
+        .mapGroups { (k: Long, it: Iterator[UdfOps.OrderRow]) =>
+          var n = 0L
+          var mx = Double.MinValue
+          it.foreach { r => n += 1; if (r.o_totalprice > mx) mx = r.o_totalprice }
+          UdfOps.CustSpend(k, n, mx)
+        }
+        .toDF()
+        .where(col("o_custkey") % 25 === 0)
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, count(*) AS n_orders, max(o_totalprice) AS max_price
+            FROM orders WHERE o_orderstatus <> 'F'
+            GROUP BY o_custkey HAVING o_custkey % 25 = 0
+            ORDER BY o_custkey"""))
+
+  val ops: Seq[Op] = Seq(udfScalar, udafTyped, udtfGenerate, dsTypedOps)
+
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+    o_orderstatus: String, o_totalprice: Double)
+  final case class CustSpend(o_custkey: Long, n_orders: Long, max_price: Double)
 }
