@@ -26,5 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_cosine(a, b) takes two arrays")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[TextWinnow].getName, "graft_winnow"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_winnow(text) takes one string")
+        TextWinnow(exprs.head)
+      }))
+    // curated-dimension auto-broadcast (graft.plans.BroadcastDimensionsRule)
+    ext.injectOptimizerRule(_ => graft.plans.BroadcastDimensionsRule())
   }
 }

@@ -77,6 +77,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("BroadcastDimensionsRule broadcasts a registered dim with stats disabled") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val na = Tables.load(spark, sfDir, "nation")
+      def joined = li.join(na, li("l_suppkey") % 25 === na("n_nationkey"))
+        .select(col("l_orderkey"), col("n_name"))
+      // without the rule: size-based broadcast is off -> shuffle join
+      assert(!joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      plans.BroadcastDimensions.install(spark)
+      try
+        assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      finally
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations
+            .filterNot(_.isInstanceOf[plans.BroadcastDimensionsRule])
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("per-row pipeline ops shuffle only for their output sort") {
     // hash-sample, PII mask, embedding quantization: map-side work; the only
     // Exchange allowed is the final presentation ORDER BY.
