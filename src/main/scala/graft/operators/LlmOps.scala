@@ -362,6 +362,46 @@ object LlmOps {
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
+  // Batched retrieval: top-3 neighbors for EVERY probe in a probe set in
+  // one pass (the production shape — queries arrive in batches, not one at
+  // a time). The 5-row probe side broadcasts, candidates stream map-side
+  // through the codegen'd cosine, and the per-probe rank is one window over
+  // the probe key. At 100 TB the same plan holds with thousands of probes:
+  // broadcast stays small, candidate scan stays a single pass.
+  private val simTopkBatch = Op(
+    "sim_topk_batch",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = broadcast(e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("p_id"), col("v").as("pv")))
+      val w = Window.partitionBy("p_id").orderBy(desc("cos_sim"), asc("vec_id"))
+      e.where(col("vec_id") >= 5)
+        .crossJoin(probes)
+        .select(col("p_id"), col("vec_id"),
+          round(expr("graft_cosine(v, pv)"), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("p_id"), col("rank"), col("vec_id"), col("cos_sim"))
+        .orderBy("p_id", "rank")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            p AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 5),
+            c AS (SELECT * FROM e WHERE vec_id >= 5),
+            scored AS (
+              SELECT p_id, c.vec_id,
+                     round(list_cosine_similarity(c.v, pv), 6) AS cos_sim
+              FROM c CROSS JOIN p),
+            ranked AS (
+              SELECT p_id, vec_id, cos_sim,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY cos_sim DESC, vec_id) AS rn
+              FROM scored)
+            SELECT p_id, CAST(rn AS INT) AS rank, vec_id, cos_sim
+            FROM ranked WHERE rn <= 3 ORDER BY p_id, rank"""))
+
   /** 8 deterministic random hyperplanes (fixed LCG — never wall-clock or
     * Math.random), 64 dims each, in [-1, 1). */
   private lazy val hyperplanes: Seq[Seq[Double]] = {
@@ -719,7 +759,7 @@ object LlmOps {
   val ops: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhash, dedupSimhash,
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
-    simCosineTopk, simAnnLsh, simAnnIvf,
+    simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
     textFingerprint)
 }
