@@ -442,10 +442,41 @@ object EtlOps {
               c(column_name, n_null, n_distinct, min_s, max_s)
             ORDER BY column_name"""))
 
+  // Dynamic partition pruning: the fact table is laid out partitioned by
+  // event_type; the dimension's filter (on an AGGREGATED column, so it
+  // cannot be statically inferred onto the fact side) reaches the fact scan
+  // only at RUNTIME, via the broadcast result — Spark prunes whole
+  // partitions before reading them. At 100 TB this is the difference
+  // between scanning 2 of 5 partitions and scanning everything; PlanSpec
+  // asserts the dynamicpruning subquery is in the fact scan.
+  private val joinDpp = Op(
+    "join_dpp",
+    (s, d) => {
+      val out = tmp("graft_dpp_")
+      t(s, d, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      val facts = s.read.parquet(out)
+      // dim rows survive on a computed measure — not inferable statically
+      val dim = t(s, d, "events")
+        .groupBy("event_type").agg(avg(col("value")).as("avg_v"))
+        .where(col("avg_v") > 50.0)
+        .select("event_type")
+      facts.join(broadcast(dim), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n, max(value) AS max_value
+            FROM events
+            WHERE event_type IN (
+              SELECT event_type FROM events
+              GROUP BY event_type HAVING avg(value) > 50.0)
+            GROUP BY event_type ORDER BY event_type"""))
+
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, scd2History, resampleZerofill, scanOrcRoundtrip,
-    checksumTable, profileStats)
+    checksumTable, profileStats, joinDpp)
 }

@@ -128,6 +128,10 @@ object SourceKind {
 /** A14 (framework.py:93-108): validate → plan/dry-run → DDL → read → write. */
 final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
 
+  // every pipeline session gets the curated-dimension auto-broadcast rule
+  // (graft.plans.BroadcastDimensionsRule) — idempotent, hint-respecting
+  graft.plans.BroadcastDimensions.install(spark)
+
   /** Runs the pipeline; returns the plan string (dry-run) or the row count
     * written. */
   def run(): Either[String, Long] =

@@ -82,6 +82,11 @@ class PlanSpec extends AnyFunSuite {
     val conf = spark.conf
     val old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // other suites (PipelineSpec via IngestionRunner) may have installed the
+    // rule on the shared session — reset to prove the negative first
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[plans.BroadcastDimensionsRule])
     try {
       val li = Tables.load(spark, sfDir, "lineitem")
       val na = Tables.load(spark, sfDir, "nation")
@@ -97,6 +102,11 @@ class PlanSpec extends AnyFunSuite {
           spark.experimental.extraOptimizations
             .filterNot(_.isInstanceOf[plans.BroadcastDimensionsRule])
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("join_dpp prunes fact partitions at runtime (dynamicpruning subquery)") {
+    val p = plan("join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
   }
 
   test("per-row pipeline ops shuffle only for their output sort") {

@@ -127,6 +127,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.count() === batch.select("event_id").distinct().count())
   }
 
+  test("stateful dedup runs identically on the RocksDB state store") {
+    // HDFS-backed state keeps every key on the JVM heap; RocksDB spills to
+    // native storage — the provider a 100 TB keyspace needs. Same query,
+    // same result, one conf switch.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val result = SparkEntry.queries("stream_dedup_state")(s2, sfDir)
+    val expected = Tables.load(s2, sfDir, "events")
+      .select("event_id").distinct().count()
+    assert(result.count() === expected)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = SparkEntry.queries("stream_stream_join")(spark, sfDir)
     val ev = Tables.load(spark, sfDir, "events")
