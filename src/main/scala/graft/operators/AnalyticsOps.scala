@@ -218,8 +218,26 @@ object AnalyticsOps {
         .orderBy("l_returnflag"),
     None)
 
+  // Mergeable-sketch pattern: per-day HLL partials union into a monthly
+  // distinct-user estimate WITHOUT re-touching raw data — the incremental
+  // rollup shape at 100 TB (store a sketch per partition/day; any window's
+  // distinct count is a union of sketches, never a rescan). DataSketches
+  // binary images are engine-specific → test-only; AnalyticsOpsSpec pins
+  // the estimate against the exact distinct and checks merge consistency.
+  private val aggHllPartialMerge = Op(
+    "agg_hll_partial_merge",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      daily.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_users"),
+        count(lit(1)).as("n_days"))
+    },
+    None)
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
-    windowTimeRange, aggApproxQuantile)
+    windowTimeRange, aggApproxQuantile, aggHllPartialMerge)
 }
