@@ -364,7 +364,7 @@ object EtlOps {
     * arithmetic spelled out digit by digit because neither engine's native
     * conversion exists in the other (Spark `conv` / DuckDB `from_hex`).
     * The SAME generated SQL text runs on both engines. */
-  private def md5Prefix32(inner: String): String = {
+  private[graft] def md5Prefix32(inner: String): String = {
     val digit = (i: Int) =>
       s"(ascii(substr(md5($inner), $i, 1)) - " +
         s"(CASE WHEN substr(md5($inner), $i, 1) BETWEEN '0' AND '9' THEN 48 ELSE 87 END))"
@@ -473,10 +473,34 @@ object EtlOps {
               GROUP BY event_type HAVING avg(value) > 50.0)
             GROUP BY event_type ORDER BY event_type"""))
 
+  // Batch schema drift: two parquet batches land with different column
+  // sets (an upstream producer added a column); mergeSchema=true reads the
+  // union schema with NULLs where a batch lacks the column — the batch
+  // counterpart of the streaming schema-evolution path in Ingestion.
+  private val scanMergeSchema = Op(
+    "scan_merge_schema",
+    (s, d) => {
+      val out = tmp("graft_ms_")
+      val c = t(s, d, "customer")
+      c.where(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name")
+        .write.mode("overwrite").parquet(s"$out/b=1")
+      c.where(col("c_custkey") % 2 =!= 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$out/b=2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b=1", s"$out/b=2")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END
+                     AS c_mktsegment
+            FROM customer ORDER BY c_custkey"""))
+
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, scd2History, resampleZerofill, scanOrcRoundtrip,
-    checksumTable, profileStats, joinDpp)
+    checksumTable, profileStats, joinDpp, scanMergeSchema)
 }

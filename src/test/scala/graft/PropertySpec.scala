@@ -76,6 +76,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("checksum_table signature is invariant under repartitioning") {
+    import org.apache.spark.sql.functions.col
+    val h = operators.EtlOps.md5Prefix32(
+      "concat_ws('|', l_orderkey, l_linenumber, l_returnflag, l_linestatus)")
+    def sig(parts: Int) =
+      Tables.load(spark, sfDir, "lineitem").repartition(parts)
+        .selectExpr(s"$h AS h")
+        .selectExpr("count(*) AS n", "bit_xor(h) AS x", "sum(h) AS s")
+        .first()
+    val (a, b) = (sig(1), sig(13))
+    assert(a === b, "xor/sum fingerprint must not depend on partitioning")
+  }
+
   test("minhash jaccard estimate grows with real overlap (planted docs)") {
     import java.nio.file.Files
     // three docs sharing 90% / 50% / 0% of shingles with doc 1
