@@ -627,6 +627,66 @@ object LlmOps {
               CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS n_uniq
             FROM documents ORDER BY doc_id"""))
 
+  // Benchmark decontamination: flag corpus documents sharing ANY shingle
+  // with the eval set (here: docs 0-4 stand in for a held-out benchmark).
+  // The eval shingle set is tiny at any corpus scale → broadcast; the
+  // corpus streams through a broadcast hash join map-side, so decontam
+  // costs one scan regardless of corpus size. The training-data hygiene
+  // step every pipeline runs before a model ever sees the data.
+  private val decontamCheck = Op(
+    "decontam_check",
+    (s, d) => {
+      val sh = shingles(s, d)
+      val evalSet = broadcast(
+        sh.where(col("doc_id") < 5).select(col("s").as("es")).distinct())
+      sh.where(col("doc_id") >= 5)
+        .join(evalSet, col("s") === col("es"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("s")).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $jaccardCtes
+            SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+            FROM sh c
+            JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 5) e ON c.s = e.s
+            WHERE c.doc_id >= 5
+            GROUP BY c.doc_id ORDER BY c.doc_id"""))
+
+  // Sequence packing: assign documents to fixed token-budget training
+  // windows (budget 1024) by running token cumsum per SOURCE shard —
+  // bin = floor(previous cumsum / budget). Exact greedy packing is
+  // inherently sequential; the shard-local cumsum formulation is the
+  // scalable equivalent (each shard packs independently — one window
+  // shuffle on the shard key, no global order). Emits per-bin occupancy.
+  private val packSequences = Op(
+    "pack_sequences",
+    (s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        .withColumn("prev", coalesce(sum(col("nt")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("prev") / 1024).cast("long"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "bin")
+    },
+    Some("""WITH t AS (
+              SELECT source, doc_id,
+                len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS nt
+              FROM documents),
+            c AS (
+              SELECT source, doc_id, nt,
+                coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+              FROM t)
+            SELECT source, CAST(floor(prev / 1024) AS BIGINT) AS bin,
+                   count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY 1, 2 ORDER BY source, bin"""))
+
   // Winnowing fingerprints: char-8-gram rolling xxhash64, min per 4-window —
   // zero shuffle; seeded hashing → test-only. The hot loop is the native
   // codegen'd TextWinnow expression (one primitive pass per row; the
@@ -761,5 +821,5 @@ object LlmOps {
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
-    textFingerprint)
+    textFingerprint, decontamCheck, packSequences)
 }
