@@ -200,6 +200,45 @@ object LlmOps {
                    doc_id = cluster_rep AS is_survivor
             FROM lab ORDER BY doc_id"""))
 
+  // Survivor selection — the step that turns clusters into a deliverable
+  // corpus: every document gets its near-dup cluster (singletons are their
+  // own cluster) and ONE survivor is kept per cluster by policy (here:
+  // longest document, ties to the smallest id — "keep the fullest
+  // version"). Composition of dedup_clusters + a window argmax; the
+  // downstream training set is `WHERE is_survivor`.
+  private val dedupSurvivor = Op(
+    "dedup_survivor",
+    (s, d) => {
+      val labels = connectedComponents(
+        jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("cluster_rep")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      docs.join(labels, docs("doc_id") === labels("node"), "left")
+        .withColumn("cluster_rep", coalesce(col("lab"), col("doc_id")))
+        .withColumn("is_survivor", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_rep"), col("n_chars"), col("is_survivor"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $jaccardCtes,
+            e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+            lab AS (
+              SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+              FROM reach GROUP BY u),
+            alldocs AS (
+              SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS cluster_rep,
+                     d.n_chars
+              FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+            SELECT doc_id, cluster_rep, n_chars,
+                   row_number() OVER (PARTITION BY cluster_rep
+                     ORDER BY n_chars DESC, doc_id) = 1 AS is_survivor
+            FROM alldocs ORDER BY doc_id"""))
+
   // MinHash + banded LSH: 64 seeded xxhash64 min-signatures per doc, 16 bands
   // of 4 rows; candidates = band-hash collisions (shuffle on band key only),
   // then exact-Jaccard verification of candidates. Seeded hashing has no
@@ -817,7 +856,8 @@ object LlmOps {
             FROM e WHERE ss > 0 ORDER BY vec_id"""))
 
   val ops: Seq[Op] = Seq(
-    dedupExact, dedupNgramJaccard, dedupClusters, dedupMinhash, dedupSimhash,
+    dedupExact, dedupNgramJaccard, dedupClusters, dedupSurvivor, dedupMinhash,
+    dedupSimhash,
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,

@@ -104,6 +104,12 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("decontam_check joins the corpus against a broadcast eval set") {
+    val p = plan("decontam_check")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for decontam")
+  }
+
   test("join_dpp prunes fact partitions at runtime (dynamicpruning subquery)") {
     val p = plan("join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
