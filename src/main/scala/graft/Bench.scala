@@ -24,25 +24,37 @@ object Bench {
     // optional comma-separated key filter for iterating on hotspots
     val only = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    // sorted, not Map order: per-key timings stay comparable across rounds
+    // and the codegen-warm-up absorber is always the same (first) key
+    val selected = (only match {
       case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
       case None     => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
+    var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= name
+          false
+        }
+      // a crashed key records -1, never its time-to-exception — the gate
+      // must be able to tell a broken key from a fast one
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

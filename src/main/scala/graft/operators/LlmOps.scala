@@ -19,10 +19,10 @@ import org.apache.spark.sql.expressions.Window
   * ScalaTest instead (SURVEY.md §7.5.4).
   *
   * Candidate-pair generation is always blocked (LSH bands / sign buckets /
-  * shared shingles) — never an unblocked O(n²) cross join. The exact
-  * `dedup_ngram_jaccard` self-join on shingles is the oracle-checkable
-  * verifier for the MinHash path; at 100 TB its skew guard is the upstream
-  * exact-dedup pass plus the band-join path of `dedup_minhash`.
+  * shared shingles) — never an unblocked O(n²) cross join — and every
+  * blocking key carries a document-frequency skew guard: `MaxShingleDf`
+  * caps hot shingles in the exact-Jaccard path, `maxBucket` caps hot band
+  * buckets in the SimHash path.
   */
 object LlmOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
@@ -33,13 +33,27 @@ object LlmOps {
   private def tokens(c: Column): Column = split(normText(c), " ")
 
   /** doc_id → exploded distinct 3-token shingles (guarded for short docs). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+  private def shinglesFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tk", tokens(col("text")))
       .where(size(col("tk")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))")))
         .as("s"))
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesFrom(t(s, d, "documents"))
+
+  /** Document-frequency cap for the exact-Jaccard shingle self-join: a
+    * shingle shared by more than this many documents ("of the and"-style
+    * boilerplate) is dropped before candidate generation, the same skew
+    * guard [[simhashCandidatePairs]] applies per band bucket. A hot shingle
+    * contributes ~0 to any pair's Jaccard but quadratic candidate pairs, so
+    * the cap is what lets the self-join survive 100 TB. 64 is comfortably
+    * above the max observed df at sf0.1 (25), so test-scale results are
+    * byte-identical with or without the cap — and the DuckDB oracle CTE
+    * applies the same cap so both engines stay in lockstep at any scale. */
+  private[graft] val MaxShingleDf = 64
 
   /** Embeddings with float64 vector + 4-bit leading-sign bucket (sign-LSH
     * blocking key: shuffle partitions by bucket, never all-pairs). */
@@ -75,8 +89,16 @@ object LlmOps {
     * shingle-key self-join (only docs sharing a shingle ever meet), sizes
     * from a per-doc count. Feeds both the pair listing and the
     * connected-components clustering. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsFrom(t(s, d, "documents"))
+
+  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+    val all = shinglesFrom(docs)
+    // df-cap: one extra aggregate on the shingle key, then only cold
+    // shingles reach the self-join (see MaxShingleDf)
+    val cold = all.groupBy("s").agg(count(lit(1)).as("dfc"))
+      .where(col("dfc") <= MaxShingleDf).select("s")
+    val sh = all.join(cold, Seq("s")).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -94,15 +116,17 @@ object LlmOps {
   /** Shared DuckDB CTE body for the Jaccard pair set (kept in lockstep with
     * [[jaccardPairs]]). */
   private val jaccardCtes =
-    """toks AS (
+    raw"""toks AS (
          SELECT doc_id,
                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
          FROM documents),
-       sh AS (
+       sh0 AS (
          SELECT DISTINCT doc_id,
                 unnest(list_transform(range(len(tk) - 2),
                   i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
          FROM toks WHERE len(tk) >= 3),
+       cold AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN cold USING (s)),
        sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
        inter AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -117,12 +141,10 @@ object LlmOps {
          WHERE round(i * 1.0 / (na.ns + nb.ns - i), 4) >= 0.8)"""
 
   // Exact n-gram Jaccard over shared-shingle candidates. Oracle-checkable
-  // verifier for the MinHash path.
-  // 100 TB note: stop-word shingles ("of the and"…) are hot join keys; the
-  // production guard is a document-frequency cap on shingles before the
-  // self-join (drop shingles appearing in > K docs — they contribute ~0 to
-  // any pair's Jaccard but quadratic candidates). Left uncapped here so the
-  // op stays exactly equal to its DuckDB oracle at test scale.
+  // verifier for the MinHash path. Hot stop-word shingles are dropped by the
+  // MaxShingleDf document-frequency cap — applied identically in the Spark
+  // plan and the DuckDB CTE, so the two engines agree at every scale while
+  // the self-join stays non-quadratic at 100 TB.
   private val dedupNgramJaccard = Op(
     "dedup_ngram_jaccard",
     (s, d) => jaccardPairs(s, d).orderBy("doc_a", "doc_b"),

@@ -65,6 +65,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  // PLANTED HOT SHINGLE: 70 docs (> MaxShingleDf = 64) share one identical
+  // 3-token text, i.e. one shingle with df=70. Uncapped, that single hot key
+  // would generate 70·69/2 = 2415 candidate pairs (all Jaccard 1.0 — visible
+  // in the output, not just the candidate set). The df-cap must drop the hot
+  // shingle so NONE of them surface, while a 60-token near-dup pair whose
+  // shared shingles are all rare (df=2) must still come through with its
+  // exact Jaccard. Identical texts are upstream dedup_exact's job.
+  test("jaccard df-cap drops hot-shingle crowds but keeps rare near-dups") {
+    import spark.implicits._
+    val crowd = (1 to 70).map(i => (100L + i, "en", "common alpha beta"))
+    val base = (1 to 60).map(i => s"r$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"r$i").mkString(" ")
+    val docs = (crowd ++ Seq((9001L, "en", base), (9002L, "en", near)))
+      .toDF("doc_id", "lang", "text")
+    val pairs = operators.LlmOps.jaccardPairsFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 58 shingles/doc, 55 shared → 55/61 ≈ 0.9016
+    assert(pairs.toSeq === Seq((9001L, 9002L, 0.9016)),
+      s"expected only the rare near-dup pair, got ${pairs.length} pairs")
+  }
+
   test("connectedComponents finds planted components (chain, triangle, pair)") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter > 1 exercises iteration), triangle 10-11-12,
