@@ -151,51 +151,83 @@ object LlmOps {
     Some(s"""WITH $jaccardCtes
             SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"""))
 
-  /** Iterative min-label propagation over an undirected edge set (u, v):
-    * every node takes the min label among itself and its neighbors until a
-    * fixpoint. Converges in O(graph diameter) rounds — near-dup clusters are
-    * small and dense, so diameter is tiny; production-scale variants
-    * alternate large-star/small-star for O(log n) rounds. Each round is one
-    * shuffle (neighbor-min aggregate + label join); lineage is truncated
-    * with a localCheckpoint per round so plans stay flat (a cluster job
-    * would use reliable checkpointing instead). */
+  /** Connected components via alternating large-star / small-star rounds
+    * (the MapReduce-era two-phase star-contraction algorithm): the edge set
+    * converges to one star per component — every node pointing straight at
+    * its component min — in O(log² n) rounds regardless of graph diameter,
+    * vs O(diameter) for naive min-label propagation. A billion-node chain
+    * needs ~30 rounds here and a billion with propagation, which is the
+    * difference that matters at 100 TB.
+    *
+    * Edges are held canonically as (a, b) with b < a. Large-star connects
+    * every neighbor larger than a node to the min of its neighborhood;
+    * small-star connects the node and its smaller neighbors to that min.
+    * Both are one aggregate + one join (shuffles bounded per round);
+    * lineage is truncated with a localCheckpoint per round so plans stay
+    * flat (a cluster job would use reliable checkpointing instead).
+    *
+    * Returns (node, lab) for every node appearing in the edge set. Throws
+    * rather than returning non-converged labels — a silent split cluster
+    * would keep multiple "survivors" of the same near-dup group, i.e.
+    * leak duplicates into a training corpus with no error anywhere. */
   private[graft] def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the (possibly expensive) edge plan ONCE before the
-    // symmetrizing union — both union branches would otherwise re-run it
-    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
-    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).cache()
-    // round 0 for free: every node starts at min(self, direct neighbors) —
-    // one aggregate instead of an identity init + a full propagation round
-    var labels = sym.groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("lab"))
-      .select(col("u").as("node"), col("lab"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = sym.as("e")
-        .join(labels.as("lv"), col("e.v") === col("lv.node"))
-        .groupBy(col("e.u").as("node")).agg(min(col("lv.lab")).as("nmin"))
-      val next = labels.as("old")
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("old.lab"), coalesce(col("nmin"), col("old.lab"))).as("lab"),
-          col("old.lab").as("prev"))
-        .localCheckpoint(true)
-      changed = next.where(col("lab") =!= col("prev")).count()
-      labels = next.select("node", "lab")
-      it += 1
+    var e = edges
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).cast("long").as("a"),
+        least(col("u"), col("v")).cast("long").as("b"))
+      .distinct().localCheckpoint(true)
+
+    // fixpoint signature: count + order-independent hash-xor of the edge
+    // set (xor, not sum — sum overflows long under ANSI mode; a 64-bit
+    // collision on a convergence check is not a realistic failure mode,
+    // and the final star set itself is what callers consume)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("a"), col("b")).as("h"))
+        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
     }
-    sym.unpersist()
-    labels
+    // for each node x: m = min(neighborhood ∪ {x}); re-point every LARGER
+    // neighbor y > x at m
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(in.select(col("b").as("x"), col("a").as("y")))
+      val m = sym.groupBy("x").agg(least(min(col("y")), col("x")).as("m"))
+      sym.join(m, "x").where(col("y") > col("x"))
+        .select(col("y").as("a"), col("m").as("b")).distinct()
+    }
+    // for each node a over its SMALLER neighbors b: m = min(b); re-point a
+    // and every other smaller neighbor at m
+    def smallStar(in: DataFrame): DataFrame = {
+      val m = in.groupBy("a").agg(min(col("b")).as("m"))
+      in.join(m, "a").where(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(m.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+    var s = sig(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val ns = sig(next)
+      converged = ns == s
+      e = next; s = ns; it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not reach the star fixpoint in $maxIter rounds")
+    e.select(col("a").as("node"), col("b").as("lab"))
+      .unionByName(e.select(col("b").as("node"), col("b").as("lab")))
+      .distinct()
   }
 
   // Dedup CLUSTERS — the shape that actually scales: pair listing is
   // quadratic inside a near-dup cluster, so the 100 TB dedup path assigns
   // every document to a connected component of the similarity graph and
   // keeps one representative (min doc_id) per component. Components come
-  // from min-label propagation; the oracle replays them with a recursive
-  // transitive-closure CTE (fine at test scale, not the cluster algorithm).
+  // from large-star/small-star contraction; the oracle replays them with a
+  // recursive transitive-closure CTE (fine at test scale, not the cluster
+  // algorithm).
   private val dedupClusters = Op(
     "dedup_clusters",
     (s, d) => {

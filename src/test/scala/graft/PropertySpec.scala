@@ -89,6 +89,35 @@ class PropertySpec extends AnyFunSuite {
     assert(a === b, "xor/sum fingerprint must not depend on partitioning")
   }
 
+  // Large-star/small-star must agree with a plain union-find on random
+  // graphs PLUS a planted path of length ≥ 8 (long chains are exactly where
+  // a depth-limited propagation would split a component; star contraction
+  // has to collapse them in O(log² n) rounds regardless).
+  test("connectedComponents equals union-find on random graphs with a long path") {
+    val edgeGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L)))
+    var checked = 0
+    forAll(edgeGen) { raw =>
+      val chain = (100L until 112L).sliding(2).map(p => (p(0), p(1))).toList
+      val edges = raw.filter { case (u, v) => u != v } ++ chain
+      // driver-side union-find oracle (test scale only)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      val got = operators.LlmOps.connectedComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+      checked += 1
+    }
+    assert(checked >= 3, s"generator produced too few graphs ($checked)")
+  }
+
   test("minhash jaccard estimate grows with real overlap (planted docs)") {
     import java.nio.file.Files
     // three docs sharing 90% / 50% / 0% of shingles with doc 1
