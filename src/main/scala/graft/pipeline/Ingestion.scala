@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
@@ -167,21 +168,66 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     }
   }
 
+  /** Hadoop FS handle for a path — checkpoints and targets are HDFS/S3
+    * URIs in production; java.io.File would silently resolve them against
+    * the local filesystem root. */
+  private def fsFor(p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Rows written by the write(s) executed inside `body`, summed from the
+    * tasks' output metrics (`recordsWritten` — what the UI's "output"
+    * column shows). The previous implementation ended every ingest with
+    * `spark.table(target).count()` — a full rescan of the just-written (and
+    * ever-growing) target per append, which at 100 TB doubles the read cost
+    * of each ingest just to return a Long.
+    *
+    * Task metrics, not the SQL `numOutputRows` metric: under AQE a V1 file
+    * write's executed plan roots at AdaptiveSparkPlanExec, a leaf node whose
+    * stages (and their metrics) are invisible to plan traversal — task-level
+    * output metrics count the same rows for every plan shape. Delivery is
+    * async, so after `body` we wait for the counter to go quiet. Retried
+    * tasks could in principle double-count; file-committer output metrics
+    * are only reported for committed task attempts. */
+  private def withWrittenRowCount(body: => Unit): Long = {
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) rows.addAndGet(m.outputMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      var last = -1L
+      var stableSince = System.nanoTime()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+        (rows.get != last || System.nanoTime() - stableSince < 500L * 1000 * 1000)) {
+        if (rows.get != last) { last = rows.get; stableSince = System.nanoTime() }
+        Thread.sleep(20)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    rows.get
+  }
+
   /** A5 (framework.py:154-175): append/overwrite, partitioned, managed
     * (saveAsTable) or external (save + register). */
   private def writeBatch(c: IngestionConfig, df: DataFrame, m: WriteMode): Long = {
     val mode = if (m == WriteMode.Overwrite) "overwrite" else "append"
     var w = df.write.format("parquet").mode(mode)
     if (c.partitionBy.nonEmpty) w = w.partitionBy(c.partitionBy: _*)
-    c.targetPath match {
-      case Some(p) =>
-        w.save(p)
-        registerExternal(c, p, Some(df.schema))
-      case None => w.saveAsTable(c.fullTableName)
+    val n = withWrittenRowCount {
+      c.targetPath match {
+        case Some(p) =>
+          w.save(p)
+          registerExternal(c, p, Some(df.schema))
+        case None => w.saveAsTable(c.fullTableName)
+      }
     }
     applyMetadata(c)
     optimizePostWrite(c)
-    spark.table(c.fullTableName).count()
+    n
   }
 
   /** A9 (framework.py:240-246): external registration over parquet. When an
@@ -215,25 +261,78 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     }
   }
 
+  // -------------------------------------------------- versioned full rewrite
+  // Emulates the Delta-log guarantee the reference gets for free
+  // (framework.py:227-231): a full-table rewrite (merge, optimize) writes a
+  // FRESH version directory that no reader can see, then commits by
+  // repointing the catalog table — a metadata-only, effectively atomic
+  // operation. A crash at ANY point before the commit leaves the previous
+  // version complete and readable; there is no moment where the table's
+  // location holds a partial rewrite (the window SURVEY §7.5.3 documented).
+
+  /** Version dirs live in a sibling of the external target path (or under
+    * the warehouse for managed tables). The catalog location is the source
+    * of truth after the first versioned rewrite; the original flat path is
+    * not rewritten in place — that in-place overwrite was exactly the
+    * non-atomic window being closed. */
+  private[graft] def versionsRoot(c: IngestionConfig): Path =
+    c.targetPath match {
+      case Some(p) => new Path(p.stripSuffix("/") + "__graft_versions")
+      case None =>
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        new Path(s"$wh/${c.database}.db/${c.table}__graft_versions")
+    }
+
+  /** Stage: write the new table contents into a fresh version dir. Readers
+    * are unaffected — the catalog still points at the previous version. */
+  private[graft] def stageVersion(c: IngestionConfig, df: DataFrame): Path = {
+    val dir = new Path(versionsRoot(c), s"v_${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(dir.toString)
+    dir
+  }
+
+  /** Commit: repoint the catalog (the commit point for every catalog
+    * reader), then rename a `_current` manifest into place for path-based
+    * readers (FileContext rename with OVERWRITE — the atomic posix-style
+    * rename; plain FileSystem.rename would need a delete first, leaving a
+    * no-pointer window). Older version dirs are deleted best-effort only
+    * AFTER both pointers move. */
+  private[graft] def commitVersion(c: IngestionConfig, dir: Path): Unit = {
+    spark.sql(s"ALTER TABLE ${c.fullTableName} SET LOCATION '${dir.toString}'")
+    spark.catalog.refreshTable(c.fullTableName)
+    val root = versionsRoot(c)
+    val fs = fsFor(root)
+    val tmp = new Path(root, "_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dir.getName.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, new Path(root, "_current"), Options.Rename.OVERWRITE)
+    try fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName != dir.getName)
+      .foreach(s => fs.delete(s.getPath, true))
+    catch { case _: Exception => () } // GC is advisory; next commit retries
+  }
+
   /** A7 (framework.py:211-231) without Delta: matched rows take the source
     * version, unmatched target rows survive — source ∪ (target anti source),
     * one shuffle on the keys; bootstraps an empty target like
-    * framework.py:218's limit(0) write. Rewrite is staged to a temp path then
-    * swapped in (non-transactional window documented in SURVEY.md §7.5.3). */
+    * framework.py:218's limit(0) write. The rewrite goes through
+    * stage/commit above, so the swap is atomic and the plan never reads the
+    * files it is replacing. */
   private def mergeInto(c: IngestionConfig, source: DataFrame, keys: Seq[String]): Long = {
     if (!spark.catalog.tableExists(c.fullTableName)) {
-      source.limit(0).write.format("parquet").saveAsTable(c.fullTableName)
+      val dir = stageVersion(c, source.limit(0))
+      registerExternal(c, dir.toString, Some(source.schema))
     }
     val target = spark.table(c.fullTableName)
     val merged = source.unionByName(
       target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti"))
-    val staged = java.nio.file.Files.createTempDirectory("graft_merge_").toString
-    merged.write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged).write.mode("overwrite")
-      .format("parquet").saveAsTable(c.fullTableName)
+    var staged: Path = null
+    val n = withWrittenRowCount { staged = stageVersion(c, merged) }
+    commitVersion(c, staged)
     applyMetadata(c)
     optimizePostWrite(c)
-    spark.table(c.fullTableName).count()
+    n
   }
 
   /** A6 (framework.py:177-209) open analog: file stream → checkpointed
@@ -252,49 +351,82 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       .option("checkpointLocation", checkpoint)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // rows appended by THIS drain, summed from the run's progress events —
+    // not a rescan of the whole target. recentProgress retains the last
+    // ~100 micro-batches; a long-running production stream would accumulate
+    // through a StreamingQueryListener instead of a bounded drain.
+    val appended = q.recentProgress.map(_.numInputRows).sum
     registerExternal(c, target, Some(schema))
     applyMetadata(c)
-    spark.table(c.fullTableName).count()
+    appended
   }
 
-  /** Streaming schema tracking: infer the landing dir's current schema with
-    * a batch read, merge it with the schema persisted by the previous run
-    * (existing columns keep their position and type; NEW columns append —
-    * older files read them as null), persist the merged schema next to the
-    * checkpoint, and stream with it. Production note: at 100 TB the
-    * inference read should be bounded to the newest landing files; the
-    * persisted-merge logic is unchanged. */
+  /** Streaming schema tracking (Auto Loader `schemaLocation` analog): infer
+    * a schema from landing files NEWER than the last schema commit, merge
+    * it with the persisted schema (existing columns keep their position and
+    * type; NEW columns append — older files read them as null), persist the
+    * merged schema next to the checkpoint, and stream with it.
+    *
+    * Bounding inference to new files is what survives a million-file
+    * landing dir (framework.py:180-187's file-notification concern): each
+    * run reads footers/samples only for files that arrived since the
+    * previous commit, and a pre-existing malformed or schema-drifted file
+    * can never poison later schema commits. All IO goes through the Hadoop
+    * FileSystem API — checkpoints are HDFS/S3 URIs in production, where
+    * java.io.File would silently resolve against the local filesystem. */
   private def trackedSchema(c: IngestionConfig,
       checkpoint: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{DataType, StructType}
-    val f = new java.io.File(checkpoint, "graft_schema.json")
-    var r = spark.read.options(c.options)
-    if (c.sourceFormat == "csv") r = r.option("inferSchema", "true")
-    val inferred = r.format(c.sourceFormat).load(c.sourcePath).schema
-    val merged =
-      if (f.exists()) {
-        val prev = DataType.fromJson(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-          .asInstanceOf[StructType]
-        StructType(prev.fields ++
-          inferred.fields.filterNot(x => prev.fieldNames.contains(x.name)))
-      } else inferred
-    f.getParentFile.mkdirs()
-    java.nio.file.Files.write(f.toPath, merged.json.getBytes("UTF-8"))
+    val schemaPath = new Path(checkpoint, "graft_schema.json")
+    val fs = fsFor(schemaPath)
+    val prev: Option[StructType] =
+      if (fs.exists(schemaPath)) {
+        val in = fs.open(schemaPath)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        Some(DataType.fromJson(txt).asInstanceOf[StructType])
+      } else None
+    val since = prev.map(_ => fs.getFileStatus(schemaPath).getModificationTime)
+      .getOrElse(Long.MinValue)
+    val landing = new Path(c.sourcePath)
+    val lfs = fsFor(landing)
+    val fresh: Seq[String] =
+      if (lfs.exists(landing))
+        lfs.listStatus(landing).toSeq
+          .filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+          .filter(_.getModificationTime > since)
+          .map(_.getPath.toString)
+      else Nil
+    val inferred: Option[StructType] =
+      if (fresh.isEmpty) None
+      else {
+        var r = spark.read.options(c.options)
+        if (c.sourceFormat == "csv") r = r.option("inferSchema", "true")
+        Some(r.format(c.sourceFormat).load(fresh: _*).schema)
+      }
+    val merged = (prev, inferred) match {
+      case (Some(p), Some(i)) => StructType(p.fields ++
+        i.fields.filterNot(x => p.fieldNames.contains(x.name)))
+      case (Some(p), None) => p
+      case (None, Some(i)) => i
+      case (None, None) => throw new IllegalArgumentException(
+        s"stream ${c.fullTableName}: no schema given and no files in ${c.sourcePath} to infer one")
+    }
+    val out = fs.create(schemaPath, true)
+    try out.write(merged.json.getBytes("UTF-8")) finally out.close()
     merged
   }
 
   /** A11 (framework.py:256-266) OPTIMIZE/ZORDER emulation, failure-tolerant:
-    * range-repartition + sort-within-partitions on the cluster keys. */
+    * range-repartition + sort-within-partitions on the cluster keys, as an
+    * atomic versioned rewrite (stage/commit — a crash mid-optimize leaves
+    * the pre-optimize table fully readable). */
   private def optimizePostWrite(c: IngestionConfig): Unit =
     if (c.clusterBy.nonEmpty) try {
-      val t = spark.table(c.fullTableName)
-      val staged = java.nio.file.Files.createTempDirectory("graft_opt_").toString
-      t.repartitionByRange(c.clusterBy.map(col): _*)
+      val clustered = spark.table(c.fullTableName)
+        .repartitionByRange(c.clusterBy.map(col): _*)
         .sortWithinPartitions(c.clusterBy.map(col): _*)
-        .write.mode("overwrite").parquet(staged)
-      spark.read.parquet(staged).write.mode("overwrite")
-        .format("parquet").saveAsTable(c.fullTableName)
+      commitVersion(c, stageVersion(c, clustered))
     } catch { case e: Exception =>
       System.err.println(s"[ingest] optimize skipped: ${e.getMessage}")
     }

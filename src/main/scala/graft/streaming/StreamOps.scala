@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{Op, Tables}
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -304,33 +305,58 @@ object StreamOps {
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
       drain(q)
-      s.read.parquet(out).orderBy("user_id")
+      s.read.parquet(currentVersionDir(s, out).get).orderBy("user_id")
     },
     Some("""SELECT user_id, COUNT(*) AS n,
               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
                 AS sum_cents
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Resolves the committed version dir under a versioned upsert target by
+    * reading its `_current` manifest (Hadoop FS — the target may be
+    * HDFS/S3, where java.io.File listings silently miss). */
+  private[graft] def currentVersionDir(s: SparkSession, out: String): Option[String] = {
+    val cur = new Path(out, "_current")
+    val fs = cur.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      val name = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      Some(new Path(out, name).toString)
+    }
+  }
+
   /** Per-batch upsert into a parquet target: batch rows replace rows with the
     * same key, all other target rows survive — one anti-join on the keys
-    * (batches are small aggregates, so AQE broadcasts the batch side).
-    * Staged to a temp dir then rewritten because the plan reads the files it
-    * replaces; a transactional table format makes the swap atomic at scale. */
+    * (batches are small aggregates, so AQE broadcasts the batch side). Each
+    * batch writes a FRESH version dir, then commits by renaming a `_current`
+    * manifest over the old one (FileContext OVERWRITE rename — atomic on
+    * local FS and HDFS): a crash mid-batch leaves the previous version
+    * complete and pointed-to, never a half-rewritten target. Superseded
+    * version dirs are deleted best-effort after the commit. */
   private def upsertParquet(batch: DataFrame, keys: Seq[String], out: String): Unit = {
     val s = batch.sparkSession
-    val hasData = {
-      val f = new java.io.File(out)
-      f.exists() && Option(f.list()).exists(_.exists(_.endsWith(".parquet")))
-    }
-    val merged =
-      if (hasData)
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(out)
+    val fs = root.getFileSystem(conf)
+    val merged = currentVersionDir(s, out) match {
+      case Some(cur) =>
         batch.unionByName(
-          s.read.parquet(out).join(batch.select(keys.map(col): _*).distinct(),
+          s.read.parquet(cur).join(batch.select(keys.map(col): _*).distinct(),
             keys, "left_anti"))
-      else batch
-    val staged = tmp("graft_upsert_stage_")
-    merged.write.mode("overwrite").parquet(staged)
-    s.read.parquet(staged).write.mode("overwrite").parquet(out)
+      case None => batch
+    }
+    val next = new Path(root, s"v_${System.nanoTime()}")
+    merged.write.mode("overwrite").parquet(next.toString)
+    val tmpP = new Path(root, "_current.tmp")
+    val o = fs.create(tmpP, true)
+    try o.write(next.getName.getBytes("UTF-8")) finally o.close()
+    FileContext.getFileContext(root.toUri, conf)
+      .rename(tmpP, new Path(root, "_current"), Options.Rename.OVERWRITE)
+    try fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName != next.getName)
+      .foreach(st => fs.delete(st.getPath, true))
+    catch { case _: Exception => () } // GC is advisory; next commit retries
   }
 
   val ops: Seq[Op] = Seq(

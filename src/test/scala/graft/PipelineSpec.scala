@@ -127,16 +127,103 @@ class PipelineSpec extends AnyFunSuite {
       ingestMode = IngestMode.Stream(ck), targetPath = Some(tgt))
     assert(new IngestionRunner(spark, cfg).run() === Right(2L))
     assert(spark.table(s"$db.evolving_s").columns.toSet === Set("name", "v"))
-    // second landing batch carries a NEW column; same checkpoint
+    // second landing batch carries a NEW column; same checkpoint. Sleep so
+    // the new file's mtime is strictly newer than the schema commit (schema
+    // inference is bounded to files newer than the last commit).
+    Thread.sleep(1200)
     Seq(("r3", 3L, "extra")).toDF("name", "v", "tag")
       .coalesce(1).write.mode("append").json(land)
-    assert(new IngestionRunner(spark, cfg).run() === Right(3L))
+    // run() returns rows appended by THIS drain (1), not the target total
+    assert(new IngestionRunner(spark, cfg).run() === Right(1L))
     val evolved = spark.table(s"$db.evolving_s")
     assert(evolved.columns.toSet === Set("name", "v", "tag"))
     val byName = evolved.collect()
       .map(r => r.getAs[String]("name") -> r.getAs[String]("tag")).toMap
     assert(byName("r3") === "extra")
     assert(byName("r1") === null, "pre-evolution rows read the new column as null")
+  }
+
+  test("append returns the batch's row count without rescanning the target") {
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.region_a")
+    val cfg = IngestionConfig(db, "region_a", srcDir)
+    // two appends of 5 rows: the old implementation counted the whole
+    // target after writing (5 then 10); the write-metric path returns the
+    // batch size both times — and a listener proves no execution in the
+    // second run scans the target's files at all
+    assert(new IngestionRunner(spark, cfg).run() === Right(5L))
+    val scannedTarget = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        val plan = qe.executedPlan match {
+          case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
+          case p => p
+        }
+        plan.foreach {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("region_a")) =>
+            scannedTarget.set(true)
+          case _ => ()
+        }
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      assert(new IngestionRunner(spark, cfg).run() === Right(5L))
+      Thread.sleep(500) // listener delivery is async
+    } finally spark.listenerManager.unregister(l)
+    assert(!scannedTarget.get, "append must not read the target table")
+    assert(spark.table(s"$db.region_a").count() === 10L)
+  }
+
+  test("a crash between stage and commit leaves the old version readable (A7 atomicity)") {
+    import spark.implicits._
+    val db = "graft_it"; val tbl = s"$db.atomic_m"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val src = tmp("g_atomic_src_")
+    Seq((1, "a"), (2, "b")).toDF("k", "s").write.mode("overwrite").parquet(src)
+    val cfg = IngestionConfig(db, "atomic_m", src,
+      writeMode = WriteMode.Merge(Seq("k")))
+    val runner = new IngestionRunner(spark, cfg)
+    assert(runner.run() === Right(2L))
+    val before = spark.table(tbl).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // "crash" after staging a rewrite but before the commit: the staged
+    // version dir exists on disk, but neither pointer has moved — the
+    // table must still read exactly the previous contents
+    val staged = runner.stageVersion(cfg,
+      Seq((1, "CHANGED"), (9, "NEW")).toDF("k", "s"))
+    assert(spark.table(tbl).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      === before, "uncommitted stage must be invisible")
+    // completing the commit makes the staged version the table, atomically
+    runner.commitVersion(cfg, staged)
+    val after = spark.table(tbl).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(after === Map(1 -> "CHANGED", 9 -> "NEW"))
+  }
+
+  test("schema inference ignores landing files older than the last commit") {
+    import spark.implicits._
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.bounded_s")
+    val land = tmp("g_bound_land_"); val ck = tmp("g_bound_ck_")
+    Seq(("r1", 1L)).toDF("name", "v").coalesce(1).write.mode("append").json(land)
+    val cfg = IngestionConfig(db, "bounded_s", land, sourceFormat = "json",
+      ingestMode = IngestMode.Stream(ck), targetPath = Some(tmp("g_bound_tgt_")))
+    assert(new IngestionRunner(spark, cfg).run() === Right(1L))
+    // drop a schema-drifting file BACKDATED to before the schema commit:
+    // bounded inference must never look at it, so the tracked schema keeps
+    // exactly {name, v} (unbounded inference would have added "sneaky")
+    val old = new java.io.File(land, "zz_old.json")
+    java.nio.file.Files.write(old.toPath,
+      """{"name":"stale","v":9,"sneaky":"x"}""".getBytes("UTF-8"))
+    old.setLastModified(System.currentTimeMillis() - 3600 * 1000)
+    assert(new IngestionRunner(spark, cfg).run() === Right(1L),
+      "the backdated file still streams in (discovery is the checkpoint's job)")
+    assert(spark.table(s"$db.bounded_s").columns.toSet === Set("name", "v"),
+      "schema must not evolve from a file older than the last commit")
   }
 
   test("csv source ingests with header + inference (A4 csv path)") {
