@@ -55,27 +55,54 @@ case class BroadcastDimensionsRule() extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** True iff every leaf of the subplan is a file scan over a registered
-    * dimension table (joins/filters/projects above dim scans still count). */
+  /** True iff every leaf of the subplan is a scan over a registered
+    * dimension (joins/filters/projects above dim scans still count) AND the
+    * subplan's estimated size fits the broadcast cap. The cap is the guard
+    * against a registration accident: an unlucky name collision (a large
+    * fact table whose directory or table name matches a registered dim)
+    * must degrade to a shuffle join, never force a driver-OOM broadcast. */
   private def isDim(p: LogicalPlan): Boolean = {
     val leaves = p.collectLeaves()
-    leaves.nonEmpty && leaves.forall {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.nonEmpty && fs.location.rootPaths.forall { rp =>
-            BroadcastDimensions.registered.exists(t =>
-              rp.getName == s"$t.parquet" || rp.getName == t)
-          }
-        case _ => false
-      }
+    val allDims = leaves.nonEmpty && leaves.forall {
+      case lr: LogicalRelation =>
+        // catalog identity first: saveAsTable'd / registered-external dims
+        // carry a CatalogTable regardless of where their files live
+        // accept bare, db-qualified, and catalog-qualified spellings — the
+        // identifier renders 3-part (spark_catalog.db.t) on Spark 4
+        val byCatalog = lr.catalogTable.exists { ct =>
+          val id = ct.identifier
+          val spellings = Set(id.table, id.unquotedString) ++
+            id.database.map(d => s"$d.${id.table}")
+          spellings.intersect(BroadcastDimensions.registered).nonEmpty
+        }
+        val byPath = lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.nonEmpty && fs.location.rootPaths.forall { rp =>
+              BroadcastDimensions.registered.exists(t =>
+                // full registered path, or the curated-name convention
+                rp.toString == t || rp.toString.stripSuffix("/") == t.stripSuffix("/") ||
+                  rp.getName == s"$t.parquet" || rp.getName == t)
+            }
+          case _ => false
+        }
+        byCatalog || byPath
       case _ => false
     }
+    allDims && p.stats.sizeInBytes <= BroadcastDimensions.maxBroadcastBytes
   }
 }
 
 object BroadcastDimensions {
-  /** Curated dimension-table names (file name without extension). */
+  /** Curated dimension identities: a catalog table name (`nation` or
+    * `db.nation`), a full source path, or the bare-name file convention
+    * (`<name>.parquet` / dir named `<name>`). */
   @volatile private[graft] var registered: Set[String] = Set("region", "nation")
+
+  /** Size cap for rule-injected broadcasts. File relations report real file
+    * sizes, unknown-size relations report Long.MaxValue — both do the right
+    * thing here (a registered-by-mistake 100 GB "dimension" degrades to a
+    * shuffle join instead of flattening the driver). */
+  @volatile var maxBroadcastBytes: Long = 256L << 20
 
   def register(tables: String*): Unit = { registered ++= tables }
 

@@ -104,6 +104,55 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("BroadcastDimensionsRule matches catalog tables and respects the size cap") {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[plans.BroadcastDimensionsRule])
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_dims")
+    spark.sql("DROP TABLE IF EXISTS graft_dims.nation_cat")
+    // the in-memory catalog forgets tables between JVMs but their managed
+    // dirs survive — clear the stale location or saveAsTable refuses
+    locally {
+      val wh = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "graft_dims.db/nation_cat")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      if (wh.exists()) rm(wh)
+    }
+    try {
+      // a MANAGED (saveAsTable'd) dimension: no path-name convention applies,
+      // the rule must recognize it by catalog identity
+      Tables.load(spark, sfDir, "nation").write.saveAsTable("graft_dims.nation_cat")
+      plans.BroadcastDimensions.register("graft_dims.nation_cat")
+      val li = Tables.load(spark, sfDir, "lineitem")
+      def joined = li.join(spark.table("graft_dims.nation_cat"),
+        li("l_suppkey") % 25 === col("n_nationkey"))
+        .select(col("l_orderkey"), col("n_name"))
+      assert(!joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      plans.BroadcastDimensions.install(spark)
+      try {
+        assert(joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+          "registered catalog table must broadcast")
+        // size guard: with the cap below the dim's size the rule must NOT
+        // inject the hint — a mis-registered big table degrades to shuffle
+        val oldCap = plans.BroadcastDimensions.maxBroadcastBytes
+        plans.BroadcastDimensions.maxBroadcastBytes = 16L
+        try assert(!joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+          "size cap must veto the broadcast")
+        finally plans.BroadcastDimensions.maxBroadcastBytes = oldCap
+      } finally
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations
+            .filterNot(_.isInstanceOf[plans.BroadcastDimensionsRule])
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("decontam_check joins the corpus against a broadcast eval set") {
     val p = plan("decontam_check")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
