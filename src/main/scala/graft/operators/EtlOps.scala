@@ -510,10 +510,57 @@ object EtlOps {
                      AS c_mktsegment
             FROM customer ORDER BY c_custkey"""))
 
+  // Change-data-feed production (the analog of framework.py:345's
+  // delta.enableChangeDataFeed): diff the incoming source snapshot against
+  // the current target and EMIT the per-row change feed a downstream
+  // incremental consumer subscribes to — op ∈ insert/update/delete with
+  // before/after values. One full-outer join on the merge key (same single
+  // shuffle as the merge itself; at scale AQE broadcasts a small source).
+  // Matched-and-unchanged rows emit nothing — the property that keeps a
+  // change feed small when a snapshot is mostly unchanged.
+  private val cdcEmitChanges = Op(
+    "cdc_emit_changes",
+    (s, d) => {
+      val target = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      // source snapshot: every 3rd order, with a price change on every 5th
+      val source = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      target.as("t").join(source.as("s"), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("t.o_totalprice").isNull, "insert")
+            .when(col("s.o_totalprice").isNull, "delete")
+            .when(col("t.o_totalprice") =!= col("s.o_totalprice"), "update")
+            .as("op"),
+          col("t.o_totalprice").as("before_price"),
+          col("s.o_totalprice").as("after_price"))
+        .where(col("op").isNotNull)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH tgt AS (SELECT o_orderkey, o_totalprice FROM orders
+                         WHERE o_orderkey % 2 = 0),
+                 src AS (SELECT o_orderkey,
+                           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10
+                                ELSE o_totalprice END AS o_totalprice
+                         FROM orders WHERE o_orderkey % 3 = 0),
+                 feed AS (
+                   SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                          CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                               WHEN s.o_orderkey IS NULL THEN 'delete'
+                               WHEN t.o_totalprice <> s.o_totalprice THEN 'update'
+                          END AS op,
+                          t.o_totalprice AS before_price,
+                          s.o_totalprice AS after_price
+                   FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+            SELECT o_orderkey, op, before_price, after_price
+            FROM feed WHERE op IS NOT NULL ORDER BY o_orderkey"""))
+
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
-    cdcApplyChangelog, scd2History, resampleZerofill, scanOrcRoundtrip,
-    checksumTable, profileStats, joinDpp, scanMergeSchema)
+    cdcApplyChangelog, cdcEmitChanges, scd2History, resampleZerofill,
+    scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema)
 }

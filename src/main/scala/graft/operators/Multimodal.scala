@@ -159,5 +159,49 @@ object Multimodal {
                 AS thumb_sig
             FROM f ORDER BY doc_id"""))
 
-  val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract, mmResize)
+  // Audio-style windowing: fixed 64-byte windows at stride 32 (50% overlap —
+  // the shape every STFT/energy-profile stage uses) over the opaque payload,
+  // with per-window energy stats (sum + peak of the unsigned byte values).
+  // The byte→int decode runs over the hex spelling with instr arithmetic so
+  // the identical math runs on both engines (the mm_resize trick); per-doc
+  // values decode ONCE, each window then aggregates a slice — no per-window
+  // re-decode. One explode, no shuffle except the presentation sort.
+  private val mmAudioWindow = Op(
+    "mm_audio_window",
+    (s, d) => payloads(s, d)
+      .withColumn("n", octet_length(col("payload")))
+      .where(col("n") >= 64)
+      .withColumn("h", hex(col("payload")))
+      .withColumn("vals", expr(
+        """transform(sequence(1, CAST(n AS INT)),
+          |  i -> CAST(instr('0123456789ABCDEF', substr(h, i*2 - 1, 1)) - 1 AS BIGINT) * 16 +
+          |       CAST(instr('0123456789ABCDEF', substr(h, i*2, 1)) - 1 AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST((n - 64) div 32 AS INT)),
+          |  w -> named_struct(
+          |    'win_id', CAST(w AS BIGINT),
+          |    'win_sum', aggregate(slice(vals, w*32 + 1, 64), CAST(0 AS BIGINT), (a, x) -> a + x),
+          |    'win_max', array_max(slice(vals, w*32 + 1, 64))))""".stripMargin)).as("wn"))
+      .select(col("doc_id"), col("wn.win_id"), col("wn.win_sum"), col("wn.win_max"))
+      .orderBy("doc_id", "win_id"),
+    Some("""WITH f AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS n
+              FROM documents WHERE octet_length(encode(text)) >= 64),
+            v AS (
+              SELECT doc_id, n,
+                     list_transform(range(1, CAST(n AS BIGINT) + 1),
+                       i -> CAST(instr('0123456789ABCDEF', substr(h, CAST(i*2 - 1 AS INT), 1)) - 1 AS BIGINT) * 16 +
+                            CAST(instr('0123456789ABCDEF', substr(h, CAST(i*2 AS INT), 1)) - 1 AS BIGINT)) AS vals
+              FROM f),
+            w AS (
+              SELECT doc_id, unnest(range(0, (n - 64) // 32 + 1)) AS win_id, vals
+              FROM v)
+            SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+                   CAST(list_sum(vals[CAST(win_id*32 + 1 AS INT) : CAST(win_id*32 + 64 AS INT)]) AS BIGINT) AS win_sum,
+                   CAST(list_max(vals[CAST(win_id*32 + 1 AS INT) : CAST(win_id*32 + 64 AS INT)]) AS BIGINT) AS win_max
+            FROM w ORDER BY doc_id, win_id"""))
+
+  val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract, mmResize,
+    mmAudioWindow)
 }

@@ -78,9 +78,10 @@ object StreamOps {
   // survives an unbounded stream (complete mode retains every window in state
   // forever and re-emits the full result per micro-batch). A window is
   // appended once the watermark (max ts − 10 min, advanced by the trailing
-  // no-data batch of the AvailableNow run) passes its end, so the bounded
-  // run's output excludes windows ending within the watermark delay of the
-  // final event — the oracle applies the same cutoff.
+  // no-data batch of the AvailableNow run) reaches its end — eviction fires
+  // at window_end <= watermark, INCLUSIVE (verified empirically with a
+  // boundary-aligned max ts) — so the oracle cutoff must be <= too, or a
+  // fixture whose max ts lands exactly on a window boundary flips the hash.
   private val streamTumblingAgg = Op(
     "stream_tumbling_agg",
     (s, d) => {
@@ -101,7 +102,7 @@ object StreamOps {
     Some("""SELECT (epoch_ms(ts) // 300000) * 300000 AS ws_ms, COUNT(*) AS n,
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1
-            HAVING ws_ms + 300000 < (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
+            HAVING ws_ms + 300000 <= (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
             ORDER BY ws_ms"""))
 
   // Sliding 10-minute windows every 5 minutes (each event lands in 2
@@ -128,7 +129,7 @@ object StreamOps {
             w AS (
               SELECT unnest([b0, b0 - 300000]) AS ws_ms FROM b)
             SELECT ws_ms, COUNT(*) AS n FROM w GROUP BY 1
-            HAVING ws_ms + 600000 < (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
+            HAVING ws_ms + 600000 <= (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
             ORDER BY ws_ms"""))
 
   // Session windows (30-minute gap) per user, append mode (the only output
@@ -174,7 +175,7 @@ object StreamOps {
                      COUNT(*) AS n
               FROM sess GROUP BY user_id, sid)
             SELECT user_id, ss_ms, se_ms, n FROM agg
-            WHERE se_ms < (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
+            WHERE se_ms <= (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
             ORDER BY user_id, ss_ms"""))
 
   // Stream–static enrichment join: each micro-batch of events joins the
