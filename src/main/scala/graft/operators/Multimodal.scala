@@ -162,28 +162,22 @@ object Multimodal {
   // Audio-style windowing: fixed 64-byte windows at stride 32 (50% overlap —
   // the shape every STFT/energy-profile stage uses) over the opaque payload,
   // with per-window energy stats (sum + peak of the unsigned byte values).
-  // The byte→int decode runs over the hex spelling with instr arithmetic so
-  // the identical math runs on both engines (the mm_resize trick); per-doc
-  // values decode ONCE, each window then aggregates a slice — no per-window
-  // re-decode. One explode, no shuffle except the presentation sort.
+  // The hot loop is the native codegen'd ByteWindows expression (one
+  // primitive pass per row, called from the compiled projection); the
+  // DuckDB oracle independently replays the math over the hex spelling with
+  // instr arithmetic (the mm_resize trick). One explode, no shuffle except
+  // the presentation sort.
   private val mmAudioWindow = Op(
     "mm_audio_window",
-    (s, d) => payloads(s, d)
-      .withColumn("n", octet_length(col("payload")))
-      .where(col("n") >= 64)
-      .withColumn("h", hex(col("payload")))
-      .withColumn("vals", expr(
-        """transform(sequence(1, CAST(n AS INT)),
-          |  i -> CAST(instr('0123456789ABCDEF', substr(h, i*2 - 1, 1)) - 1 AS BIGINT) * 16 +
-          |       CAST(instr('0123456789ABCDEF', substr(h, i*2, 1)) - 1 AS BIGINT))""".stripMargin))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, CAST((n - 64) div 32 AS INT)),
-          |  w -> named_struct(
-          |    'win_id', CAST(w AS BIGINT),
-          |    'win_sum', aggregate(slice(vals, w*32 + 1, 64), CAST(0 AS BIGINT), (a, x) -> a + x),
-          |    'win_max', array_max(slice(vals, w*32 + 1, 64))))""".stripMargin)).as("wn"))
-      .select(col("doc_id"), col("wn.win_id"), col("wn.win_sum"), col("wn.win_max"))
-      .orderBy("doc_id", "win_id"),
+    (s, d) => {
+      graft.functions.ByteWindows.register(s)
+      payloads(s, d)
+        .where(octet_length(col("payload")) >= 64)
+        .select(col("doc_id"),
+          explode(expr("graft_byte_windows(payload, 64, 32)")).as("wn"))
+        .select(col("doc_id"), col("wn.win_id"), col("wn.win_sum"), col("wn.win_max"))
+        .orderBy("doc_id", "win_id")
+    },
     Some("""WITH f AS (
               SELECT doc_id, hex(encode(text)) AS h,
                      octet_length(encode(text)) AS n

@@ -29,6 +29,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  // The native ByteWindows expression must agree element-for-element with
+  // the interpreted HOF spelling it replaced (hex the payload, decode each
+  // byte with instr arithmetic, aggregate slices per window) — the same
+  // equivalence contract TextWinnowSpec pins for text_fingerprint.
+  test("ByteWindows equals the HOF hex-decode formulation on real payloads") {
+    import org.apache.spark.sql.functions._
+    graft.functions.ByteWindows.register(spark)
+    val p = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n", octet_length(col("payload")))
+      .where(col("n") >= 64)
+    val native = p.select(col("doc_id"),
+        explode(expr("graft_byte_windows(payload, 64, 32)")).as("wn"))
+      .select(col("doc_id"), col("wn.win_id"), col("wn.win_sum"), col("wn.win_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hof = p.withColumn("h", hex(col("payload")))
+      .withColumn("vals", expr(
+        """transform(sequence(1, CAST(n AS INT)),
+          |  i -> CAST(instr('0123456789ABCDEF', substr(h, i*2 - 1, 1)) - 1 AS BIGINT) * 16 +
+          |       CAST(instr('0123456789ABCDEF', substr(h, i*2, 1)) - 1 AS BIGINT))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST((n - 64) div 32 AS INT)),
+          |  w -> named_struct(
+          |    'win_id', CAST(w AS BIGINT),
+          |    'win_sum', aggregate(slice(vals, w*32 + 1, 64), CAST(0 AS BIGINT), (a, x) -> a + x),
+          |    'win_max', array_max(slice(vals, w*32 + 1, 64))))""".stripMargin)).as("wn"))
+      .select(col("doc_id"), col("wn.win_id"), col("wn.win_sum"), col("wn.win_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(native.nonEmpty)
+    assert(native.sorted.toSeq === hof.sorted.toSeq)
+  }
+
   test("StubDecoder contract: empty payload is safe, output width fixed") {
     val z = operators.Multimodal.StubDecoder.decode(Array.emptyByteArray)
     assert(z.length === operators.Multimodal.StubDecoder.dims)
