@@ -86,6 +86,30 @@ class LlmOpsSpec extends AnyFunSuite {
       s"expected only the rare near-dup pair, got ${pairs.length} pairs")
   }
 
+  // The native ShingleSet expression must agree (as a set per doc) with the
+  // HOF spelling it replaced — split, transform over positions, concat_ws,
+  // array_distinct — including short-doc and repeated-shingle edge cases.
+  test("ShingleSet equals the HOF shingle formulation on real documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, expr, size => asize}
+    graft.functions.ShingleSet.register(spark)
+    val extra = Seq((9101L, "en", "one two"), (9102L, "en", "a  a a  a"),
+      (9103L, "en", "  x y z  "), (9104L, "en", "")).toDF("doc_id", "lang", "text")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").unionByName(extra)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val native = pairs(docs.select(col("doc_id"), explode(expr(
+      "graft_shingles(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 3)")).as("s")))
+    val hof = pairs(docs
+      .withColumn("tk", expr("split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"))
+      .where(asize(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))")).as("s")))
+    assert(native.nonEmpty)
+    assert(native === hof)
+  }
+
   test("connectedComponents finds planted components (chain, triangle, pair)") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter > 1 exercises iteration), triangle 10-11-12,
