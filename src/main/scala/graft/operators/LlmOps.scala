@@ -749,10 +749,13 @@ object LlmOps {
         .agg(countDistinct(col("s")).as("n_shared"))
         .orderBy("doc_id")
     },
+    // sh0, not sh: decontamination must see EVERY shingle — the df-cap is a
+    // dedup-candidate-generation guard and would let contamination through
+    // boilerplate-heavy eval rows (the Spark side is uncapped too)
     Some(s"""WITH $jaccardCtes
             SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
-            FROM sh c
-            JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 5) e ON c.s = e.s
+            FROM sh0 c
+            JOIN (SELECT DISTINCT s FROM sh0 WHERE doc_id < 5) e ON c.s = e.s
             WHERE c.doc_id >= 5
             GROUP BY c.doc_id ORDER BY c.doc_id"""))
 
@@ -920,11 +923,105 @@ object LlmOps {
                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sqrt(ss) + 0.5) AS BIGINT)), ',') AS q8
             FROM e WHERE ss > 0 ORDER BY vec_id"""))
 
+  // Corpus mixing — the training-data recipe step after cleaning/dedup:
+  // rebalance the language (or domain) mixture by DETERMINISTIC per-group
+  // downsampling. Each document's keep decision is a pure function of its
+  // id (md5-prefix uniform, the sample_hash pattern — reproducible across
+  // engines, retries, and partitionings; no rand()), with the rate chosen
+  // per group: here the dominant language keeps 25%, zh 75%, the rest ~100%.
+  // Map-side filter — no shuffle except the presentation sort; at 100 TB
+  // the rates come from a broadcast recipe table instead of a CASE.
+  private val corpusMix = Op(
+    "corpus_mix",
+    (s, d) => t(s, d, "documents")
+      .where(md5(concat_ws("-", col("doc_id"))) <
+        when(col("lang") === "en", "40")
+          .when(col("lang") === "zh", "c0")
+          .otherwise("ff"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE md5(concat_ws('-', doc_id)) <
+              CASE WHEN lang = 'en' THEN '40'
+                   WHEN lang = 'zh' THEN 'c0'
+                   ELSE 'ff' END
+            ORDER BY doc_id"""))
+
+  // Overlapping token chunking — the pretraining/RAG windowing step: each
+  // document splits into 32-token chunks at stride 24 (8-token overlap so
+  // no boundary context is lost), including the partial tail chunk. Chunks
+  // cross the comparison boundary as md5 digests (raw chunk text would
+  // dominate the output). Map-side explode, no shuffle except the sort;
+  // chunk count per doc is ceil(nt/stride) so output scales linearly.
+  private val textChunkOverlap = Op(
+    "text_chunk_overlap",
+    (s, d) => t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("nt", size(col("tk")))
+      .where(col("nt") >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST((nt - 1) div 24 AS INT)),
+          |  c -> named_struct(
+          |    'chunk_id', CAST(c AS BIGINT),
+          |    'n_tok', CAST(least(32, nt - c*24) AS BIGINT),
+          |    'chunk_sig', md5(array_join(slice(tk, c*24 + 1, 32), ' '))))""".stripMargin))
+        .as("ch"))
+      .select(col("doc_id"), col("ch.chunk_id"), col("ch.n_tok"), col("ch.chunk_sig"))
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            f AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) >= 3),
+            c AS (SELECT doc_id, nt, tk,
+                         unnest(range(0, (nt - 1) // 24 + 1)) AS chunk_id
+                  FROM f)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(least(32, nt - chunk_id*24) AS BIGINT) AS n_tok,
+                   md5(array_to_string(tk[CAST(chunk_id*24 + 1 AS INT) :
+                                          CAST(chunk_id*24 + 32 AS INT)], ' ')) AS chunk_sig
+            FROM c ORDER BY doc_id, chunk_id"""))
+
+  // Prefix dedup — catches TRUNCATION duplicates (same article cut at
+  // different lengths), which full-text hashing misses and shingle Jaccard
+  // only catches when the shared prefix dominates both docs. Group on the
+  // md5 of the first 20 normalized tokens; emit only groups with >1 doc,
+  // with the survivor (min id), the group size, and whether lengths differ
+  // (the truncation signature). One hash shuffle, same scale shape as
+  // dedup_exact.
+  private val dedupPrefix = Op(
+    "dedup_prefix",
+    (s, d) => t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .where(size(col("tk")) >= 20)
+      .select(col("doc_id"), col("n_chars"),
+        md5(expr("array_join(slice(tk, 1, 20), ' ')")).as("pfx"))
+      .groupBy("pfx")
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_docs"),
+        (countDistinct(col("n_chars")) > 1).as("lengths_differ"))
+      .where(col("n_docs") > 1)
+      .select("pfx", "survivor_id", "n_docs", "lengths_differ")
+      .orderBy("pfx"),
+    Some("""WITH t AS (
+              SELECT doc_id, n_chars,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            p AS (SELECT doc_id, n_chars,
+                         md5(array_to_string(tk[1:20], ' ')) AS pfx
+                  FROM t WHERE len(tk) >= 20)
+            SELECT pfx, min(doc_id) AS survivor_id,
+                   count(*) AS n_docs,
+                   count(DISTINCT n_chars) > 1 AS lengths_differ
+            FROM p GROUP BY pfx HAVING count(*) > 1
+            ORDER BY pfx"""))
+
   val ops: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupSurvivor, dedupMinhash,
-    dedupSimhash,
+    dedupSimhash, dedupPrefix,
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
-    textFingerprint, decontamCheck, packSequences)
+    textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap)
 }
