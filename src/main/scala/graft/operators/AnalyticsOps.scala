@@ -236,8 +236,42 @@ object AnalyticsOps {
     },
     None)
 
+  // Ordered event funnel: users who progressed view → click → purchase in
+  // strict timestamp order, with each step's first qualifying time. Each
+  // step is a conditional min AFTER the previous step's time — the product
+  // analytics conversion query. Three aggregates joined on the user key
+  // (same-key shuffles collapse into one partitioning at scale); strict >
+  // between steps so a same-instant event never satisfies two stages.
+  private val eventFunnel = Op(
+    "event_funnel",
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ms")).as("v_ms"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("ms") > col("v_ms"))
+        .groupBy("user_id", "v_ms").agg(min(col("ms")).as("c_ms"))
+      ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("ms") > col("c_ms"))
+        .groupBy("user_id", "v_ms", "c_ms").agg(min(col("ms")).as("p_ms"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+                 v AS (SELECT user_id, min(ms) AS v_ms FROM ev
+                       WHERE event_type = 'view' GROUP BY user_id),
+                 c AS (SELECT e.user_id, v.v_ms, min(e.ms) AS c_ms
+                       FROM ev e JOIN v ON e.user_id = v.user_id
+                       WHERE e.event_type = 'click' AND e.ms > v.v_ms
+                       GROUP BY e.user_id, v.v_ms)
+            SELECT e.user_id, c.v_ms, c.c_ms, min(e.ms) AS p_ms
+            FROM ev e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ms > c.c_ms
+            GROUP BY e.user_id, c.v_ms, c.c_ms
+            ORDER BY e.user_id"""))
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
-    windowTimeRange, aggApproxQuantile, aggHllPartialMerge)
+    windowTimeRange, aggApproxQuantile, aggHllPartialMerge, eventFunnel)
 }

@@ -923,6 +923,42 @@ object LlmOps {
                 x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sqrt(ss) + 0.5) AS BIGINT)), ',') AS q8
             FROM e WHERE ss > 0 ORDER BY vec_id"""))
 
+  // Centroid assignment — the building block under IVF indexing and k-means
+  // corpus clustering, as a fully deterministic oracle-checked key (the
+  // sim_ann_ivf key exercises the same shape but is recall-tested only):
+  // the first 8 vectors are the centroids, every other vector goes to its
+  // max-cosine centroid (ties to the smallest centroid id on the ROUNDED
+  // similarity, so both engines pick identically). Centroids broadcast;
+  // the corpus scans once map-side; one window on vec_id for the argmax.
+  private val embCentroidAssign = Op(
+    "emb_centroid_assign",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cen = broadcast(e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("vb")))
+      val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
+      e.where(col("vec_id") >= 8).select(col("vec_id"), col("v").as("va"))
+        .crossJoin(cen)
+        .select(col("vec_id"), col("cid"), round(cosine(s), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("centroid_id"), col("sim"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 c AS (SELECT vec_id AS cid, v AS vb FROM v WHERE vec_id < 8),
+                 sc AS (SELECT a.vec_id, c.cid,
+                              round(list_cosine_similarity(a.v, c.vb), 6) AS sim
+                        FROM v a CROSS JOIN c WHERE a.vec_id >= 8),
+                 r AS (SELECT vec_id, cid, sim,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS rn
+                       FROM sc)
+            SELECT vec_id, cid AS centroid_id, sim
+            FROM r WHERE rn = 1 ORDER BY vec_id"""))
+
   // Corpus mixing — the training-data recipe step after cleaning/dedup:
   // rebalance the language (or domain) mixture by DETERMINISTIC per-group
   // downsampling. Each document's keep decision is a pure function of its
@@ -1021,7 +1057,7 @@ object LlmOps {
     dedupExact, dedupNgramJaccard, dedupClusters, dedupSurvivor, dedupMinhash,
     dedupSimhash, dedupPrefix,
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
-    simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf,
+    simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, embCentroidAssign,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
     textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap)
 }
