@@ -313,6 +313,98 @@ object StreamOps {
                 AS sum_cents
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // Streaming change-data-feed PRODUCTION (the streaming face of
+  // cdc_emit_changes, delta.enableChangeDataFeed analog): each micro-batch
+  // diffs its per-user delta against the running totals target and APPENDS
+  // the change rows — op ∈ insert/update with before/after values — to a
+  // feed a downstream incremental consumer tails, then upserts the new
+  // totals. Two deterministic micro-batches (even event_ids land first,
+  // odd second, forced by file mtimes + maxFilesPerTrigger=1) so the
+  // update path is actually exercised: users seen in batch 1 emit insert
+  // then update. Cents math in DECIMAL before summing (cross-engine
+  // protocol); the oracle replays both batches as conditional aggregates.
+  private val streamCdcFeed = Op(
+    "stream_cdc_feed",
+    (s, d) => {
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      val land = tmp("graft_scf_land_"); val feed = tmp("graft_scf_feed_")
+      val out = tmp("graft_scf_tgt_"); val ck = tmp("graft_scf_ck_")
+      val ev = Tables.load(s, d, "events")
+      def landHalf(parity: Int, name: String, mtime: Long): Unit = {
+        val stage = tmp(s"graft_scf_b$parity")
+        ev.where(col("event_id") % 2 === parity).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(land, name)
+        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      landHalf(0, "b0.parquet", t0)
+      landHalf(1, "b1.parquet", t0 + 10000)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(land)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val delta = b
+            .withColumn("cents",
+              (col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("dn"), sum(col("cents")).as("dc"))
+          val before = currentVersionDir(s, out) match {
+            case Some(cur) => s.read.parquet(cur)
+            case None => s.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("user_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("n",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("c",
+                  org.apache.spark.sql.types.LongType))))
+          }
+          val changes = delta.as("d")
+            .join(before.as("t"), Seq("user_id"), "left_outer")
+            .select(col("user_id"),
+              when(col("t.n").isNull, "insert").otherwise("update").as("op"),
+              col("t.n").as("before_n"),
+              (coalesce(col("t.n"), lit(0L)) + col("dn")).as("after_n"),
+              col("t.c").as("before_cents"),
+              (coalesce(col("t.c"), lit(0L)) + col("dc")).as("after_cents"))
+          changes.write.mode("append").parquet(feed)
+          upsertParquet(
+            changes.select(col("user_id"), col("after_n").as("n"),
+              col("after_cents").as("c")),
+            Seq("user_id"), out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(feed).orderBy("user_id", "op")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+                 b1 AS (SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+                        FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+                 b2 AS (SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+                        FROM e WHERE event_id % 2 = 1 GROUP BY user_id),
+                 ins1 AS (SELECT user_id, 'insert' AS op,
+                                 CAST(NULL AS BIGINT) AS before_n, n AS after_n,
+                                 CAST(NULL AS BIGINT) AS before_cents, c AS after_cents
+                          FROM b1),
+                 ch2 AS (SELECT b2.user_id,
+                                CASE WHEN b1.user_id IS NULL THEN 'insert'
+                                     ELSE 'update' END AS op,
+                                b1.n AS before_n,
+                                coalesce(b1.n, 0) + b2.n AS after_n,
+                                b1.c AS before_cents,
+                                coalesce(b1.c, 0) + b2.c AS after_cents
+                         FROM b2 LEFT JOIN b1 ON b2.user_id = b1.user_id)
+            SELECT * FROM ins1 UNION ALL SELECT * FROM ch2
+            ORDER BY user_id, op"""))
+
   /** Resolves the committed version dir under a versioned upsert target by
     * reading its `_current` manifest (Hadoop FS — the target may be
     * HDFS/S3, where java.io.File listings silently miss). */
@@ -363,5 +455,5 @@ object StreamOps {
   val ops: Seq[Op] = Seq(
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
-    streamDedupState, streamCustomState)
+    streamDedupState, streamCustomState, streamCdcFeed)
 }
