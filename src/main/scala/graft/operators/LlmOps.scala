@@ -959,6 +959,49 @@ object LlmOps {
             SELECT vec_id, cid AS centroid_id, sim
             FROM r WHERE rn = 1 ORDER BY vec_id"""))
 
+  // Within-document repetition ratio — the Gopher-style repetition filter
+  // signal at n-gram granularity: fraction of a document's 3-gram
+  // OCCURRENCES that are repeats of an earlier 3-gram
+  // (1 − distinct/total). Machine-generated or template-stuffed text
+  // scores high; flagged at ≥ 0.2. Map-side only: the distinct count
+  // comes from the native ShingleSet expression, the total from the token
+  // count — no explode, no shuffle except the presentation sort.
+  private val textRepetition = Op(
+    "text_repetition",
+    (s, d) => {
+      graft.functions.ShingleSet.register(s)
+      t(s, d, "documents")
+        .withColumn("nt", size(tokens(col("text"))))
+        .where(col("nt") >= 3)
+        .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+          expr("size(graft_shingles(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 3))")
+            .cast("long").as("n_distinct"),
+          (col("nt") - 2).cast("long").as("n_total"))
+        .withColumn("rep_ratio", expr(
+          "floor((1.0 - CAST(n_distinct AS DOUBLE) / n_total) * 1e4 + 0.5) / 1e4"))
+        .withColumn("flagged", col("rep_ratio") >= 0.2)
+        .select("doc_id", "n_tokens", "n_distinct", "n_total", "rep_ratio", "flagged")
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            f AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) >= 3),
+            g AS (
+              SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(list_transform(range(len(tk) - 2),
+                       i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS BIGINT)
+                       AS n_distinct,
+                     CAST(nt - 2 AS BIGINT) AS n_total
+              FROM f)
+            SELECT doc_id, n_tokens, n_distinct, n_total,
+                   floor((1.0 - CAST(n_distinct AS DOUBLE) / n_total) * 1e4 + 0.5) / 1e4
+                     AS rep_ratio,
+                   floor((1.0 - CAST(n_distinct AS DOUBLE) / n_total) * 1e4 + 0.5) / 1e4
+                     >= 0.2 AS flagged
+            FROM g ORDER BY doc_id"""))
+
   // Corpus mixing — the training-data recipe step after cleaning/dedup:
   // rebalance the language (or domain) mixture by DETERMINISTIC per-group
   // downsampling. Each document's keep decision is a pure function of its
@@ -1059,5 +1102,6 @@ object LlmOps {
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, embCentroidAssign,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
-    textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap)
+    textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap,
+    textRepetition)
 }

@@ -346,7 +346,7 @@ object StreamOps {
       val q = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(land)
         .writeStream.outputMode("update")
-        .foreachBatch { (b: DataFrame, _: Long) =>
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
           val delta = b
             .withColumn("cents",
               (col("value").cast("decimal(18,2)") * 100).cast("long"))
@@ -372,7 +372,11 @@ object StreamOps {
               (coalesce(col("t.n"), lit(0L)) + col("dn")).as("after_n"),
               col("t.c").as("before_cents"),
               (coalesce(col("t.c"), lit(0L)) + col("dc")).as("after_cents"))
-          changes.write.mode("append").parquet(feed)
+          // one OVERWRITTEN dir per micro-batch id: foreachBatch is
+          // at-least-once, so a retried batch must replace its own feed
+          // slice, never append a duplicate (idempotent sink — the same
+          // trick Spark documents for exactly-once foreachBatch output)
+          changes.write.mode("overwrite").parquet(s"$feed/batch=$batchId")
           upsertParquet(
             changes.select(col("user_id"), col("after_n").as("n"),
               col("after_cents").as("c")),
@@ -381,7 +385,12 @@ object StreamOps {
         .option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
       drain(q)
-      s.read.parquet(feed).orderBy("user_id", "op")
+      // partition discovery adds the batch column; the feed rows themselves
+      // are the contract
+      s.read.parquet(feed)
+        .select("user_id", "op", "before_n", "after_n",
+          "before_cents", "after_cents")
+        .orderBy("user_id", "op")
     },
     Some("""WITH e AS (SELECT user_id, event_id,
                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
