@@ -343,48 +343,7 @@ object StreamOps {
       val t0 = System.currentTimeMillis() - 60000
       landHalf(0, "b0.parquet", t0)
       landHalf(1, "b1.parquet", t0 + 10000)
-      val q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(land)
-        .writeStream.outputMode("update")
-        .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val delta = b
-            .withColumn("cents",
-              (col("value").cast("decimal(18,2)") * 100).cast("long"))
-            .groupBy("user_id")
-            .agg(count(lit(1)).as("dn"), sum(col("cents")).as("dc"))
-          val before = currentVersionDir(s, out) match {
-            case Some(cur) => s.read.parquet(cur)
-            case None => s.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("user_id",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("n",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("c",
-                  org.apache.spark.sql.types.LongType))))
-          }
-          val changes = delta.as("d")
-            .join(before.as("t"), Seq("user_id"), "left_outer")
-            .select(col("user_id"),
-              when(col("t.n").isNull, "insert").otherwise("update").as("op"),
-              col("t.n").as("before_n"),
-              (coalesce(col("t.n"), lit(0L)) + col("dn")).as("after_n"),
-              col("t.c").as("before_cents"),
-              (coalesce(col("t.c"), lit(0L)) + col("dc")).as("after_cents"))
-          // one OVERWRITTEN dir per micro-batch id: foreachBatch is
-          // at-least-once, so a retried batch must replace its own feed
-          // slice, never append a duplicate (idempotent sink — the same
-          // trick Spark documents for exactly-once foreachBatch output)
-          changes.write.mode("overwrite").parquet(s"$feed/batch=$batchId")
-          upsertParquet(
-            changes.select(col("user_id"), col("after_n").as("n"),
-              col("after_cents").as("c")),
-            Seq("user_id"), out)
-        }
-        .option("checkpointLocation", ck)
-        .trigger(Trigger.AvailableNow()).start()
-      drain(q)
+      cdcFeedDrain(s, ev.schema, land, feed, out, ck)
       // partition discovery adds the batch column; the feed rows themselves
       // are the contract
       s.read.parquet(feed)
@@ -413,6 +372,59 @@ object StreamOps {
                          FROM b2 LEFT JOIN b1 ON b2.user_id = b1.user_id)
             SELECT * FROM ins1 UNION ALL SELECT * FROM ch2
             ORDER BY user_id, op"""))
+
+  /** One AvailableNow drain of the change-feed pipeline over `land`:
+    * per micro-batch, diff the batch's per-user delta against the running
+    * totals, write the change rows to an idempotent per-batchId feed
+    * slice, upsert the totals. Shared by the `stream_cdc_feed` op and the
+    * StreamingSpec checkpoint-resume test (resuming on the same checkpoint
+    * must process only newly-landed files and never re-emit feed rows). */
+  private[graft] def cdcFeedDrain(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      land: String, feed: String, out: String, ck: String): Unit = {
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(land)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val delta = b
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("dn"), sum(col("cents")).as("dc"))
+        val before = currentVersionDir(s, out) match {
+          case Some(cur) => s.read.parquet(cur)
+          case None => s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("user_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("c",
+                org.apache.spark.sql.types.LongType))))
+        }
+        val changes = delta.as("d")
+          .join(before.as("t"), Seq("user_id"), "left_outer")
+          .select(col("user_id"),
+            when(col("t.n").isNull, "insert").otherwise("update").as("op"),
+            col("t.n").as("before_n"),
+            (coalesce(col("t.n"), lit(0L)) + col("dn")).as("after_n"),
+            col("t.c").as("before_cents"),
+            (coalesce(col("t.c"), lit(0L)) + col("dc")).as("after_cents"))
+        // one OVERWRITTEN dir per micro-batch id: foreachBatch is
+        // at-least-once, so a retried batch must replace its own feed
+        // slice, never append a duplicate (idempotent sink — the same
+        // trick Spark documents for exactly-once foreachBatch output)
+        changes.write.mode("overwrite").parquet(s"$feed/batch=$batchId")
+        upsertParquet(
+          changes.select(col("user_id"), col("after_n").as("n"),
+            col("after_cents").as("c")),
+          Seq("user_id"), out)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+  }
 
   /** Resolves the committed version dir under a versioned upsert target by
     * reading its `_current` manifest (Hadoop FS — the target may be

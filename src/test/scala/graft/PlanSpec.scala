@@ -165,9 +165,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("per-row pipeline ops shuffle only for their output sort") {
-    // hash-sample, PII mask, embedding quantization: map-side work; the only
+    // hash-sample, PII mask, embedding quantization, mixture sampling,
+    // repetition scoring, chunking, audio windows: map-side work; the only
     // Exchange allowed is the final presentation ORDER BY.
-    for (k <- Seq("sample_hash", "text_pii_mask", "emb_normalize")) {
+    for (k <- Seq("sample_hash", "text_pii_mask", "emb_normalize",
+        "corpus_mix", "text_repetition", "text_chunk_overlap",
+        "mm_audio_window")) {
       val p = plan(k)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$k plans $exchanges exchanges:\n${p.take(600)}")

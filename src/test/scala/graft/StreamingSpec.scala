@@ -121,6 +121,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 3L, "state lost across checkpointed restart")
   }
 
+  // Change-feed lifecycle across a RESTART (separate drains on one
+  // checkpoint): the first drain emits inserts only; after new files land,
+  // the second drain emits exactly one update per returning user and
+  // nothing else; a third drain with no new data emits nothing. Totals in
+  // the versioned target always equal the full batch aggregate.
+  test("cdc feed resumes on its checkpoint: inserts, then updates, then silence") {
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    def mk(rows: Seq[(Long, Long, Double)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (e, u, v) =>
+          Row(e, u, "view", v, new Timestamp(1700000000000L + e))
+        }), evSchema)
+    val land = tmp("g_cdc_land_"); val feed = tmp("g_cdc_feed_")
+    val out = tmp("g_cdc_tgt_"); val ck = tmp("g_cdc_ck_")
+    def feedRows() = spark.read.parquet(feed)
+      .select("user_id", "op", "after_n", "after_cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // drain 1: users 1 and 2
+    mk(Seq((1L, 1L, 1.50), (2L, 2L, 2.25))).coalesce(1)
+      .write.mode("append").parquet(land)
+    streaming.StreamOps.cdcFeedDrain(spark, evSchema, land, feed, out, ck)
+    assert(feedRows().toSeq === Seq((1L, "insert", 1L, 150L), (2L, "insert", 1L, 225L)))
+    // drain 2 (same checkpoint): user 1 returns, user 3 is new
+    mk(Seq((3L, 1L, 0.50), (4L, 3L, 4.00))).coalesce(1)
+      .write.mode("append").parquet(land)
+    streaming.StreamOps.cdcFeedDrain(spark, evSchema, land, feed, out, ck)
+    assert(feedRows().toSeq === Seq(
+      (1L, "insert", 1L, 150L), (1L, "update", 2L, 200L),
+      (2L, "insert", 1L, 225L), (3L, "insert", 1L, 400L)))
+    // drain 3: nothing new landed -> no new feed rows
+    streaming.StreamOps.cdcFeedDrain(spark, evSchema, land, feed, out, ck)
+    assert(feedRows().length === 4, "an empty resume must not re-emit")
+    // target totals equal the full aggregate at every point
+    val totals = spark.read.parquet(
+      streaming.StreamOps.currentVersionDir(spark, out).get)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(totals === Map(1L -> (2L, 200L), 2L -> (1L, 225L), 3L -> (1L, 400L)))
+  }
+
   test("stateful dedup emits each key once across batches") {
     val result = SparkEntry.queries("stream_dedup_state")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
