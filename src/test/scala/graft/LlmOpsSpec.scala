@@ -169,6 +169,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.65, s"IVF recall@10 too low: $recall (measured 0.7)")
   }
 
+  // The mixture op's whole purpose is hitting target rates: with the en
+  // threshold at 0x40/0x100 the kept-fraction must concentrate near 25%
+  // (md5 prefixes are uniform), and the op must be idempotent — rerunning
+  // the filter on its own output keeps everything (pure function of ids).
+  test("corpus_mix keeps ~25% of en docs and is idempotent") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val out = SparkEntry.queries("corpus_mix")(spark, "/root/testdata/sf0.01").cache()
+    val enAll = docs.where(col("lang") === "en").count().toDouble
+    val enKept = out.collect().count(_.getString(1) == "en")
+    val rate = enKept / enAll
+    assert(rate > 0.15 && rate < 0.35, s"en keep-rate $rate far from 0.25")
+    val again = SparkEntry.queries("corpus_mix")(spark, "/root/testdata/sf0.01")
+    assert(again.collect().toSeq === out.collect().toSeq, "must be deterministic")
+  }
+
   test("text_fingerprint is deterministic across runs") {
     val a = SparkEntry.queries("text_fingerprint")(spark, sfDir).collect()
     val b = SparkEntry.queries("text_fingerprint")(spark, sfDir).collect()
