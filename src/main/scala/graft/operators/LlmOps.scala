@@ -94,14 +94,14 @@ object LlmOps {
     jaccardPairsFrom(t(s, d, "documents"))
 
   private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
-    // cached: the exploded shingle set feeds BOTH the df-cap aggregate and
-    // the capped join below — uncached, the explode would run twice
-    val all = shinglesFrom(docs).cache()
-    // df-cap: one extra aggregate on the shingle key, then only cold
-    // shingles reach the self-join (see MaxShingleDf)
-    val cold = all.groupBy("s").agg(count(lit(1)).as("dfc"))
-      .where(col("dfc") <= MaxShingleDf).select("s")
-    val sh = all.join(cold, Seq("s")).cache()
+    // df-cap as a WINDOW over the shingle key: one shuffle, one pass, one
+    // cached result (a groupBy + join spelling would either scan the
+    // explode twice or pin two near-identical shingle sets in cache)
+    val sh = shinglesFrom(docs)
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy("s")))
+      .where(col("dfc") <= MaxShingleDf)
+      .drop("dfc")
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
@@ -184,19 +184,32 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     * Task metrics, not the SQL `numOutputRows` metric: under AQE a V1 file
     * write's executed plan roots at AdaptiveSparkPlanExec, a leaf node whose
     * stages (and their metrics) are invisible to plan traversal — task-level
-    * output metrics count the same rows for every plan shape. Delivery is
-    * async, so after `body` we wait for the counter to go quiet. Retried
-    * tasks could in principle double-count; file-committer output metrics
-    * are only reported for committed task attempts. */
+    * output metrics count the same rows for every plan shape. The count is
+    * scoped to THIS call's jobs via a unique job group (a shared session may
+    * be running other writes concurrently; an unfiltered listener would sum
+    * theirs too). Delivery is async, so after `body` we wait for the counter
+    * to go quiet. Retried tasks could in principle double-count;
+    * file-committer output metrics are only reported for committed
+    * attempts. */
   private def withWrittenRowCount(body: => Unit): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    val sc = spark.sparkContext
+    val group = s"graft-ingest-${java.util.UUID.randomUUID()}"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val rows = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = e.taskMetrics
-        if (m != null) rows.addAndGet(m.outputMetrics.recordsWritten)
-      }
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageInfos.foreach(si => stages.add(si.stageId))
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (stages.contains(e.stageId)) {
+          val m = e.taskMetrics
+          if (m != null) rows.addAndGet(m.outputMetrics.recordsWritten)
+        }
     }
-    spark.sparkContext.addSparkListener(listener)
+    sc.addSparkListener(listener)
+    sc.setJobGroup(group, "graft ingest write", interruptOnCancel = false)
     try {
       body
       var last = -1L
@@ -207,7 +220,10 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
         if (rows.get != last) { last = rows.get; stableSince = System.nanoTime() }
         Thread.sleep(20)
       }
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
     rows.get
   }
 
@@ -292,25 +308,31 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
   }
 
   /** Commit: repoint the catalog (the commit point for every catalog
-    * reader), then rename a `_current` manifest into place for path-based
-    * readers (FileContext rename with OVERWRITE — the atomic posix-style
-    * rename; plain FileSystem.rename would need a delete first, leaving a
-    * no-pointer window). Older version dirs are deleted best-effort only
-    * AFTER both pointers move. */
+    * reader), then move the `_current` manifest for path-based readers and
+    * GC older versions ([[Versioned.commit]]). */
   private[graft] def commitVersion(c: IngestionConfig, dir: Path): Unit = {
     spark.sql(s"ALTER TABLE ${c.fullTableName} SET LOCATION '${dir.toString}'")
     spark.catalog.refreshTable(c.fullTableName)
-    val root = versionsRoot(c)
-    val fs = fsFor(root)
-    val tmp = new Path(root, "_current.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(dir.getName.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(root.toUri, spark.sessionState.newHadoopConf())
-      .rename(tmp, new Path(root, "_current"), Options.Rename.OVERWRITE)
-    try fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName != dir.getName)
-      .foreach(s => fs.delete(s.getPath, true))
-    catch { case _: Exception => () } // GC is advisory; next commit retries
+    Versioned.commit(versionsRoot(c), dir, spark.sessionState.newHadoopConf())
+  }
+
+  /** SET LOCATION repoints only the table root — a PARTITIONED table's
+    * catalog-tracked partition entries keep their absolute old paths, so a
+    * versioned commit would leave catalog readers on pre-rewrite data.
+    * Partitioned targets take the legacy full-redefine rewrite instead
+    * (stage out, then saveAsTable overwrite recreating the definition —
+    * the documented non-atomic window applies only to this layout). */
+  private def isPartitionedTable(c: IngestionConfig): Boolean =
+    spark.catalog.tableExists(c.fullTableName) && {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(c.fullTableName)
+      spark.sessionState.catalog.getTableMetadata(id).partitionColumnNames.nonEmpty
+    }
+
+  private def legacyRewriteFromStage(c: IngestionConfig, staged: Path): Unit = {
+    var w = spark.read.parquet(staged.toString).write.mode("overwrite").format("parquet")
+    if (c.partitionBy.nonEmpty) w = w.partitionBy(c.partitionBy: _*)
+    w.saveAsTable(c.fullTableName)
+    try fsFor(staged).delete(staged, true) catch { case _: Exception => () }
   }
 
   /** A7 (framework.py:211-231) without Delta: matched rows take the source
@@ -327,9 +349,13 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     val target = spark.table(c.fullTableName)
     val merged = source.unionByName(
       target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    val partitioned = isPartitionedTable(c)
     var staged: Path = null
+    // only the stage write is counted — the legacy path's saveAsTable
+    // re-write of the staged rows is the commit, not more written rows
     val n = withWrittenRowCount { staged = stageVersion(c, merged) }
-    commitVersion(c, staged)
+    if (partitioned) legacyRewriteFromStage(c, staged)
+    else commitVersion(c, staged)
     applyMetadata(c)
     optimizePostWrite(c)
     n
@@ -385,24 +411,47 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
         val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         Some(DataType.fromJson(txt).asInstanceOf[StructType])
       } else None
-    val since = prev.map(_ => fs.getFileStatus(schemaPath).getModificationTime)
-      .getOrElse(Long.MinValue)
+    // "new since last commit" is judged against a persisted HIGH-WATER MARK
+    // of file mtimes actually seen by inference, compared INCLUSIVELY — not
+    // against the schema file's own mtime with a strict >, which would
+    // permanently skip a file landing in the same clock tick as (or, with
+    // cross-store clock skew, just before) the schema write. Boundary files
+    // re-infer on the next run; the merge is idempotent so that is free.
+    val wmPath = new Path(checkpoint, "graft_schema_mtime")
+    val since: Long =
+      if (fs.exists(wmPath)) {
+        val in = fs.open(wmPath)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+      } else Long.MinValue
     val landing = new Path(c.sourcePath)
     val lfs = fsFor(landing)
-    val fresh: Seq[String] =
-      if (lfs.exists(landing))
-        lfs.listStatus(landing).toSeq
-          .filter(st => st.isFile &&
-            !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-          .filter(_.getModificationTime > since)
-          .map(_.getPath.toString)
-      else Nil
+    // recursive: landing dirs are often nested (date=.../part-*.json) —
+    // the stream source itself reads them, so inference must see them too.
+    // Files under hidden (_ or .) path segments are metadata, not data.
+    def hiddenUnder(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toString != landing.toString) {
+        if (cur.getName.startsWith("_") || cur.getName.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    if (lfs.exists(landing)) {
+      val it = lfs.listFiles(landing, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !hiddenUnder(st.getPath))
+          all += ((st.getPath.toString, st.getModificationTime))
+      }
+    }
+    val fresh = all.filter(_._2 >= since)
     val inferred: Option[StructType] =
       if (fresh.isEmpty) None
       else {
         var r = spark.read.options(c.options)
         if (c.sourceFormat == "csv") r = r.option("inferSchema", "true")
-        Some(r.format(c.sourceFormat).load(fresh: _*).schema)
+        Some(r.format(c.sourceFormat).load(fresh.map(_._1).toSeq: _*).schema)
       }
     val merged = (prev, inferred) match {
       case (Some(p), Some(i)) => StructType(p.fields ++
@@ -414,6 +463,10 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     }
     val out = fs.create(schemaPath, true)
     try out.write(merged.json.getBytes("UTF-8")) finally out.close()
+    if (fresh.nonEmpty) {
+      val wm = fs.create(wmPath, true)
+      try wm.write(fresh.map(_._2).max.toString.getBytes("UTF-8")) finally wm.close()
+    }
     merged
   }
 
@@ -426,7 +479,9 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       val clustered = spark.table(c.fullTableName)
         .repartitionByRange(c.clusterBy.map(col): _*)
         .sortWithinPartitions(c.clusterBy.map(col): _*)
-      commitVersion(c, stageVersion(c, clustered))
+      val staged = stageVersion(c, clustered)
+      if (isPartitionedTable(c)) legacyRewriteFromStage(c, staged)
+      else commitVersion(c, staged)
     } catch { case e: Exception =>
       System.err.println(s"[ingest] optimize skipped: ${e.getMessage}")
     }

@@ -88,7 +88,13 @@ case class BroadcastDimensionsRule() extends Rule[LogicalPlan] {
         byCatalog || byPath
       case _ => false
     }
-    allDims && p.stats.sizeInBytes <= BroadcastDimensions.maxBroadcastBytes
+    // cap the SUM OF LEAF sizes, not the subplan estimate: without CBO a
+    // Join's sizeInBytes is the product of its children, so a join of two
+    // genuinely small dims would blow past any cap and silently lose its
+    // broadcast — the exact case "joins above dim scans still count" exists
+    // for. Leaf-sum is the right proxy for what the broadcast would carry.
+    allDims &&
+      leaves.map(_.stats.sizeInBytes).sum <= BroadcastDimensions.maxBroadcastBytes
   }
 }
 

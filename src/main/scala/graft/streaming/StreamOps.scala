@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Op, Tables}
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -386,6 +386,18 @@ object StreamOps {
       .option("maxFilesPerTrigger", "1").parquet(land)
       .writeStream.outputMode("update")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // replay guard: foreachBatch is at-least-once. The totals upsert
+        // stages into the DETERMINISTIC dir v_b<batchId> — if that dir is
+        // already the committed version, this batch fully applied before
+        // the crash (the feed slice is written before the upsert, so it is
+        // in place too) and re-diffing against the already-updated totals
+        // would double-count. Skip; the checkpoint commit then catches up.
+        val conf = s.sessionState.newHadoopConf()
+        val root = new Path(out)
+        val vName = s"v_b$batchId"
+        if (graft.pipeline.Versioned.isCommitted(
+            root, new Path(root, vName), conf)) ()
+        else {
         val delta = b
           .withColumn("cents",
             (col("value").cast("decimal(18,2)") * 100).cast("long"))
@@ -411,48 +423,41 @@ object StreamOps {
             (coalesce(col("t.n"), lit(0L)) + col("dn")).as("after_n"),
             col("t.c").as("before_cents"),
             (coalesce(col("t.c"), lit(0L)) + col("dc")).as("after_cents"))
-        // one OVERWRITTEN dir per micro-batch id: foreachBatch is
-        // at-least-once, so a retried batch must replace its own feed
-        // slice, never append a duplicate (idempotent sink — the same
-        // trick Spark documents for exactly-once foreachBatch output)
+        // one OVERWRITTEN dir per micro-batch id: a retried batch replaces
+        // its own feed slice, never appends a duplicate (idempotent sink —
+        // the trick Spark documents for exactly-once foreachBatch output)
         changes.write.mode("overwrite").parquet(s"$feed/batch=$batchId")
         upsertParquet(
           changes.select(col("user_id"), col("after_n").as("n"),
             col("after_cents").as("c")),
-          Seq("user_id"), out)
+          Seq("user_id"), out, version = Some(vName))
+        }
       }
       .option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).start()
     drain(q)
   }
 
-  /** Resolves the committed version dir under a versioned upsert target by
-    * reading its `_current` manifest (Hadoop FS — the target may be
-    * HDFS/S3, where java.io.File listings silently miss). */
-  private[graft] def currentVersionDir(s: SparkSession, out: String): Option[String] = {
-    val cur = new Path(out, "_current")
-    val fs = cur.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(cur)) None
-    else {
-      val in = fs.open(cur)
-      val name = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      Some(new Path(out, name).toString)
-    }
-  }
+  /** Resolves the committed version dir under a versioned upsert target
+    * ([[graft.pipeline.Versioned]] manifest protocol). */
+  private[graft] def currentVersionDir(s: SparkSession, out: String): Option[String] =
+    graft.pipeline.Versioned
+      .current(new Path(out), s.sessionState.newHadoopConf())
+      .map(_.toString)
 
   /** Per-batch upsert into a parquet target: batch rows replace rows with the
     * same key, all other target rows survive — one anti-join on the keys
     * (batches are small aggregates, so AQE broadcasts the batch side). Each
-    * batch writes a FRESH version dir, then commits by renaming a `_current`
-    * manifest over the old one (FileContext OVERWRITE rename — atomic on
-    * local FS and HDFS): a crash mid-batch leaves the previous version
-    * complete and pointed-to, never a half-rewritten target. Superseded
-    * version dirs are deleted best-effort after the commit. */
-  private def upsertParquet(batch: DataFrame, keys: Seq[String], out: String): Unit = {
+    * batch writes a FRESH version dir and commits through the shared
+    * [[graft.pipeline.Versioned]] manifest rename: a crash mid-batch leaves
+    * the previous version complete and pointed-to, never a half-rewritten
+    * target. Pass `version` (e.g. a batchId) to make a replayed batch
+    * overwrite its own staged dir instead of minting a new one. */
+  private def upsertParquet(batch: DataFrame, keys: Seq[String], out: String,
+      version: Option[String] = None): Unit = {
     val s = batch.sparkSession
     val conf = s.sessionState.newHadoopConf()
     val root = new Path(out)
-    val fs = root.getFileSystem(conf)
     val merged = currentVersionDir(s, out) match {
       case Some(cur) =>
         batch.unionByName(
@@ -460,17 +465,9 @@ object StreamOps {
             keys, "left_anti"))
       case None => batch
     }
-    val next = new Path(root, s"v_${System.nanoTime()}")
+    val next = graft.pipeline.Versioned.stagePath(root, version)
     merged.write.mode("overwrite").parquet(next.toString)
-    val tmpP = new Path(root, "_current.tmp")
-    val o = fs.create(tmpP, true)
-    try o.write(next.getName.getBytes("UTF-8")) finally o.close()
-    FileContext.getFileContext(root.toUri, conf)
-      .rename(tmpP, new Path(root, "_current"), Options.Rename.OVERWRITE)
-    try fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName != next.getName)
-      .foreach(st => fs.delete(st.getPath, true))
-    catch { case _: Exception => () } // GC is advisory; next commit retries
+    graft.pipeline.Versioned.commit(root, next, conf)
   }
 
   val ops: Seq[Op] = Seq(

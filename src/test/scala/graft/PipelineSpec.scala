@@ -204,6 +204,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(after === Map(1 -> "CHANGED", 9 -> "NEW"))
   }
 
+  // SET LOCATION repoints only the table root; a partitioned table's
+  // catalog partition entries keep absolute paths, so the versioned commit
+  // cannot serve it — merges against partitioned targets must take the
+  // full-redefine rewrite and still read back correctly.
+  test("merge into a partitioned table rewrites through the table definition") {
+    import spark.implicits._
+    val db = "graft_it"; val tbl = s"$db.part_m"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val src1 = tmp("g_pm1_")
+    Seq((1, "a", "x"), (2, "b", "y")).toDF("k", "s", "p")
+      .write.mode("overwrite").parquet(src1)
+    val base = IngestionConfig(db, "part_m", src1, partitionBy = Seq("p"))
+    assert(new IngestionRunner(spark, base.copy(
+      writeMode = WriteMode.Overwrite)).run() === Right(2L))
+    val src2 = tmp("g_pm2_")
+    Seq((2, "UPDATED", "y"), (3, "c", "z")).toDF("k", "s", "p")
+      .write.mode("overwrite").parquet(src2)
+    assert(new IngestionRunner(spark, base.copy(sourcePath = src2,
+      writeMode = WriteMode.Merge(Seq("k")))).run() === Right(3L))
+    val rows = spark.table(tbl).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[String]("s")).toMap
+    assert(rows === Map(1 -> "a", 2 -> "UPDATED", 3 -> "c"))
+  }
+
   test("schema inference ignores landing files older than the last commit") {
     import spark.implicits._
     val db = "graft_it"
