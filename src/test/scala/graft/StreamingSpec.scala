@@ -164,6 +164,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(totals === Map(1L -> (2L, 200L), 2L -> (1L, 225L), 3L -> (1L, 400L)))
   }
 
+  // Replay guard: if a batch's deterministic version dir (v_b<id>) is
+  // already the committed target version, the whole foreachBatch body must
+  // skip — re-diffing against the already-updated totals would double-count
+  // (the at-least-once window between the upsert commit and the stream's
+  // checkpoint commit).
+  test("cdc feed skips a replayed batch whose upsert already committed") {
+    import org.apache.hadoop.fs.Path
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    val land = tmp("g_rp_land_"); val feed = tmp("g_rp_feed_")
+    val out = tmp("g_rp_tgt_"); val ck = tmp("g_rp_ck_")
+    // pre-seed the target as if batch 0's upsert committed just before a
+    // crash: totals for user 1 already include the batch
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(out)
+    val v0 = pipeline.Versioned.stagePath(root, Some("v_b0"))
+    Seq((1L, 1L, 150L)).toDF("user_id", "n", "c")
+      .write.mode("overwrite").parquet(v0.toString)
+    pipeline.Versioned.commit(root, v0, conf)
+    // now the stream replays batch 0 (fresh checkpoint → first batch id 0)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 1L, "view", 1.50, new Timestamp(1700000000000L)))), evSchema)
+      .coalesce(1).write.mode("append").parquet(land)
+    streaming.StreamOps.cdcFeedDrain(spark, evSchema, land, feed, out, ck)
+    // guard fired: no feed slice written, totals untouched
+    assert(!new java.io.File(feed).exists() ||
+      new java.io.File(feed).listFiles().forall(_.getName.startsWith(".")),
+      "replayed batch must not write a feed slice")
+    val totals = spark.read.parquet(
+      streaming.StreamOps.currentVersionDir(spark, out).get)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(totals.toSeq === Seq((1L, 1L, 150L)), "totals must not double-count")
+  }
+
   test("stateful dedup emits each key once across batches") {
     val result = SparkEntry.queries("stream_dedup_state")(spark, sfDir)
     val batch = Tables.load(spark, sfDir, "events")
