@@ -33,6 +33,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_winnow(text) takes one string")
         TextWinnow(exprs.head)
       }))
+    def litInt(e: Expression, what: String): Int = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval().asInstanceOf[Number].intValue()
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "graft_shingles(norm_text, k) takes two arguments")
+        ShingleSet(exprs.head, litInt(exprs(1), "shingle width"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_byte_windows"),
+      new ExpressionInfo(classOf[ByteWindows].getName, "graft_byte_windows"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3,
+          "graft_byte_windows(payload, width, stride) takes three arguments")
+        ByteWindows(exprs.head, litInt(exprs(1), "width"), litInt(exprs(2), "stride"))
+      }))
     // curated-dimension auto-broadcast (graft.plans.BroadcastDimensionsRule)
     ext.injectOptimizerRule(_ => graft.plans.BroadcastDimensionsRule())
   }
