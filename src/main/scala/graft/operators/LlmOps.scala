@@ -928,8 +928,11 @@ object LlmOps {
   // sim_ann_ivf key exercises the same shape but is recall-tested only):
   // the first 8 vectors are the centroids, every other vector goes to its
   // max-cosine centroid (ties to the smallest centroid id on the ROUNDED
-  // similarity, so both engines pick identically). Centroids broadcast;
-  // the corpus scans once map-side; one window on vec_id for the argmax.
+  // similarity, so both engines pick identically). Centroids broadcast and
+  // the corpus scans once map-side; the argmax is max(struct(sim, -cid))
+  // with partial (map-side) aggregation, so the one shuffle carries one
+  // pre-reduced row per vector — a window argmax would shuffle all
+  // k×N scored rows just to rank them.
   private val embCentroidAssign = Op(
     "emb_centroid_assign",
     (s, d) => {
@@ -937,13 +940,12 @@ object LlmOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val cen = broadcast(e.where(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("v").as("vb")))
-      val w = Window.partitionBy("vec_id").orderBy(desc("sim"), asc("cid"))
       e.where(col("vec_id") >= 8).select(col("vec_id"), col("v").as("va"))
         .crossJoin(cen)
         .select(col("vec_id"), col("cid"), round(cosine(s), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("centroid_id"), col("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cid")).as("neg_cid"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("centroid_id"), col("m.sim").as("sim"))
         .orderBy("vec_id")
     },
     Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
