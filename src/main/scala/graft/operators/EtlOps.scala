@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import java.nio.file.Files
+import org.apache.hadoop.fs.{Path => HPath}
+import graft.pipeline.Versioned
 
 /** ETL-pattern operators from the reference framework (SURVEY.md §2A):
   * batch ingest roundtrip (A4+A5), join-based MERGE without Delta (A7),
@@ -557,10 +559,72 @@ object EtlOps {
             SELECT o_orderkey, op, before_price, after_price
             FROM feed WHERE op IS NOT NULL ORDER BY o_orderkey"""))
 
+  // Delta time-travel analog (`VERSION AS OF n`, the history surface the
+  // reference gets from the Delta log next to framework.py:345's change
+  // feed): two committed rewrites of an orders snapshot through the
+  // [[graft.pipeline.Versioned]] protocol with retention, then a read of
+  // version 0 resolved via the `_history` log. The oracle recomputes
+  // version 0 from the source table — if the time-travel read resolved to
+  // the CURRENT version (statuses flipped to 'U') the hash check would
+  // fail, so the key proves the history actually works. At scale the
+  // version dirs are full column-pruned parquet scans like any other;
+  // retention cost is bounded by keepVersions.
+  private val scanTimeTravel = Op(
+    "scan_time_travel",
+    (s, d) => {
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new HPath(tmp("graft_tt_"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val v0 = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select(cols.map(col): _*)
+      val d0 = Versioned.stagePath(root, Some("v0"))
+      v0.write.mode("overwrite").parquet(d0.toString)
+      Versioned.commit(root, d0, conf, keepVersions = 4)
+      val v1 = v0.withColumn("o_orderstatus",
+        when(col("o_orderkey") % 3 === 0, lit("U")).otherwise(col("o_orderstatus")))
+      val d1 = Versioned.stagePath(root, Some("v1"))
+      v1.write.mode("overwrite").parquet(d1.toString)
+      Versioned.commit(root, d1, conf, keepVersions = 4)
+      val asOf0 = Versioned.versionDir(root, 0, conf)
+        .getOrElse(sys.error("version 0 unexpectedly vacuumed"))
+      s.read.parquet(asOf0.toString)
+        .select(cols.map(col): _*)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+            ORDER BY o_orderkey"""))
+
+  // Delta VACUUM analog over the same protocol: three commits at
+  // keepVersions=2 must leave exactly the newest two version dirs on disk
+  // while the `_history` audit log keeps all three entries and `_current`
+  // tracks the newest. Test-only (filesystem layout, not SQL-expressible);
+  // EtlOpsSpec asserts the on_disk/is_current flags row by row.
+  private val maintenanceVacuum = Op(
+    "maintenance_vacuum",
+    (s, d) => {
+      import s.implicits._
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new HPath(tmp("graft_vac_"))
+      val base = t(s, d, "region").select("r_regionkey", "r_name")
+      for (i <- 0 to 2) {
+        val dir = Versioned.stagePath(root, Some(s"v$i"))
+        base.withColumn("ver", lit(i)).write.mode("overwrite").parquet(dir.toString)
+        Versioned.commit(root, dir, conf, keepVersions = 2)
+      }
+      val f = root.getFileSystem(conf)
+      val cur = Versioned.current(root, conf).map(_.getName)
+      Versioned.history(root, conf).zipWithIndex.map { case (n, i) =>
+        (i.toLong, n, f.exists(new HPath(root, n)), cur.contains(n))
+      }.toDF("version", "name", "on_disk", "is_current").orderBy("version")
+    },
+    None)
+
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, resampleZerofill,
-    scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema)
+    scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema,
+    scanTimeTravel, maintenanceVacuum)
 }

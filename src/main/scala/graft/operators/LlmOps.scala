@@ -1098,9 +1098,111 @@ object LlmOps {
             FROM p GROUP BY pfx HAVING count(*) > 1
             ORDER BY pfx"""))
 
+  // The capstone composition — the steps above chained into the single
+  // query a corpus builder actually ships: length + repetition quality
+  // gates, exact-dup survivors, truncation-prefix survivors, benchmark
+  // decontamination against the (broadcast) eval set, then deterministic
+  // language-mixture downsampling. Every stage is one of this file's
+  // oracle-checked primitives, so the whole pipeline is itself
+  // oracle-checked end-to-end; at 100 TB the same plan runs with three
+  // key shuffles (norm-text, prefix, shingle) and map-side everything else.
+  private val corpusBuild = Op(
+    "corpus_build",
+    (s, d) => {
+      graft.functions.ShingleSet.register(s)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      // quality: long enough, not repetition-collapsed
+      val quality = docs
+        .withColumn("nt", size(tokens(col("text"))))
+        .where(col("n_chars") >= 100 && col("nt") >= 3)
+        .withColumn("n_distinct", expr(
+          "size(graft_shingles(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 3))"))
+        .where(expr(
+          "floor((1.0 - CAST(n_distinct AS DOUBLE) / (nt - 2)) * 1e4 + 0.5) / 1e4 < 0.2"))
+      // exact-dup survivors (min id per normalized text); the window keys
+      // on the md5 digest so the shuffle/sort comparator sees a fixed
+      // 32-char key, not whole documents
+      val w1 = Window.partitionBy(md5(normText(col("text"))))
+      val exact = quality
+        .withColumn("keep1", col("doc_id") === min(col("doc_id")).over(w1))
+        .where(col("keep1"))
+      // truncation-prefix survivors (min id per 20-token prefix; short docs pass)
+      val w2 = Window.partitionBy(col("pfx"))
+      val prefix = exact
+        .withColumn("pfx", when(col("nt") >= 20,
+          md5(expr("array_join(slice(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '), 1, 20), ' ')")))
+          .otherwise(concat(lit("solo-"), col("doc_id"))))
+        .withColumn("keep2", col("doc_id") === min(col("doc_id")).over(w2))
+        .where(col("keep2"))
+      // decontamination: no shingle shared with the eval set (doc_id < 5),
+      // and the eval docs themselves stay out of the corpus
+      val sh = shinglesFrom(docs)
+      val evalSet = broadcast(
+        sh.where(col("doc_id") < 5).select(col("s").as("es")).distinct())
+      val contaminated = sh.join(evalSet, col("s") === col("es"))
+        .select("doc_id").distinct()
+      val clean = prefix.where(col("doc_id") >= 5)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      // mixture: deterministic per-language downsampling
+      clean
+        .where(md5(concat_ws("-", col("doc_id"))) <
+          when(col("lang") === "en", "40")
+            .when(col("lang") === "zh", "c0")
+            .otherwise("ff"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(raw"""WITH d AS (
+              SELECT doc_id, lang, n_chars, text,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            q AS (
+              SELECT *, len(tk) AS nt,
+                     len(list_distinct(list_transform(range(len(tk) - 2),
+                       i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))) AS n_distinct
+              FROM d WHERE n_chars >= 100 AND len(tk) >= 3),
+            quality AS (
+              SELECT * FROM q
+              WHERE floor((1.0 - CAST(n_distinct AS DOUBLE) / (nt - 2)) * 1e4 + 0.5) / 1e4 < 0.2),
+            exact AS (
+              SELECT * FROM (
+                SELECT *, min(doc_id) OVER (
+                  PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS m1
+                FROM quality) WHERE doc_id = m1),
+            pfxd AS (
+              SELECT *, CASE WHEN nt >= 20
+                             THEN md5(array_to_string(tk[1:20], ' '))
+                             ELSE 'solo-' || doc_id END AS pfx
+              FROM exact),
+            pref AS (
+              SELECT * FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY pfx) AS m2 FROM pfxd)
+              WHERE doc_id = m2),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(len(tk) - 2),
+                       i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS s
+              FROM d WHERE len(tk) >= 3),
+            contaminated AS (
+              SELECT DISTINCT c.doc_id
+              FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < 5) e
+                ON c.s = e.s),
+            clean AS (
+              SELECT p.* FROM pref p
+              WHERE p.doc_id >= 5
+                AND p.doc_id NOT IN (SELECT doc_id FROM contaminated))
+            SELECT doc_id, lang, n_chars
+            FROM clean
+            WHERE md5(concat_ws('-', doc_id)) <
+              CASE WHEN lang = 'en' THEN '40'
+                   WHEN lang = 'zh' THEN 'c0'
+                   ELSE 'ff' END
+            ORDER BY doc_id"""))
+
   val ops: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupClusters, dedupSurvivor, dedupMinhash,
-    dedupSimhash, dedupPrefix,
+    dedupSimhash, dedupPrefix, corpusBuild,
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, embCentroidAssign,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,

@@ -53,7 +53,11 @@ final case class IngestionConfig(
     schema: Option[org.apache.spark.sql.types.StructType] = None,
     comment: Option[String] = None,
     tableProperties: Map[String, String] = Map.empty,
-    dryRun: Boolean = false) {
+    dryRun: Boolean = false,
+    // how many committed versions each full rewrite retains on disk
+    // (`delta.logRetention`/time-travel analog): 1 = space-frugal default,
+    // >1 keeps history readable via Versioned.versionDir / scan_time_travel
+    retainVersions: Int = 1) {
 
   def fullTableName: String = s"$database.$table"
 
@@ -75,7 +79,8 @@ final case class IngestionConfig(
         case _ => None
       },
       Option.when(!Set("parquet", "json", "csv").contains(sourceFormat))(
-        s"unsupported format: $sourceFormat")
+        s"unsupported format: $sourceFormat"),
+      Option.when(retainVersions < 1)("retainVersions must be >= 1")
     ).flatten
     if (errs.isEmpty) Right(this) else Left(errs.mkString("; "))
   }
@@ -313,7 +318,8 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
   private[graft] def commitVersion(c: IngestionConfig, dir: Path): Unit = {
     spark.sql(s"ALTER TABLE ${c.fullTableName} SET LOCATION '${dir.toString}'")
     spark.catalog.refreshTable(c.fullTableName)
-    Versioned.commit(versionsRoot(c), dir, spark.sessionState.newHadoopConf())
+    Versioned.commit(versionsRoot(c), dir, spark.sessionState.newHadoopConf(),
+      keepVersions = c.retainVersions)
   }
 
   /** SET LOCATION repoints only the table root — a PARTITIONED table's

@@ -43,17 +43,64 @@ object Versioned {
   def isCommitted(root: Path, dir: Path, conf: Configuration): Boolean =
     current(root, conf).exists(_.getName == dir.getName)
 
-  /** Atomically repoint `root`'s manifest at `dir`, then GC older versions
-    * (best-effort — a failed delete is retried by the next commit). */
-  def commit(root: Path, dir: Path, conf: Configuration): Unit = {
+  /** Ordered names of every committed version (oldest first), from the
+    * `_history` log. Entries whose dirs were since vacuumed remain listed —
+    * the log is the audit trail; [[versionDir]] reports readability. */
+  def history(root: Path, conf: Configuration): Seq[String] = {
+    val h = new Path(root, "_history")
+    val f = fs(h, conf)
+    if (!f.exists(h)) Seq.empty
+    else {
+      val in = f.open(h)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** The dir of the nth commit (0 = oldest), if it is still on disk — the
+    * time-travel read path (`VERSION AS OF n` over the Delta log,
+    * reference framework.py:345's change-feed/history surface). */
+  def versionDir(root: Path, n: Int, conf: Configuration): Option[Path] =
+    history(root, conf).lift(n).map(new Path(root, _))
+      .filter(p => fs(p, conf).exists(p))
+
+  /** Atomically repoint `root`'s manifest at `dir`, append it to the
+    * `_history` log, then GC all version dirs except the newest
+    * `keepVersions` committed ones (best-effort — a failed delete is
+    * retried by the next commit). `keepVersions = 1` is the default
+    * space-frugal mode; pass more to retain time-travel-readable history,
+    * and call [[vacuum]] later to trim it. Stale staged dirs that never
+    * committed are GC'd on every commit regardless. */
+  def commit(root: Path, dir: Path, conf: Configuration,
+             keepVersions: Int = 1): Unit = {
     val f = fs(root, conf)
     val tmp = new Path(root, "_current.tmp")
     val out = f.create(tmp, true)
     try out.write(dir.getName.getBytes("UTF-8")) finally out.close()
     FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, new Path(root, "_current"), Options.Rename.OVERWRITE)
+    val hist = (history(root, conf).filterNot(_ == dir.getName) :+ dir.getName)
+    val htmp = new Path(root, "_history.tmp")
+    val hout = f.create(htmp, true)
+    try hout.write(hist.mkString("\n").getBytes("UTF-8")) finally hout.close()
+    FileContext.getFileContext(root.toUri, conf)
+      .rename(htmp, new Path(root, "_history"), Options.Rename.OVERWRITE)
+    vacuum(root, conf, keepVersions)
+  }
+
+  /** Delete every version dir under `root` except the newest `keepVersions`
+    * committed ones (and the current pointer's target, whatever happens).
+    * Also sweeps never-committed stale staged dirs. Best-effort: a failed
+    * delete is retried by the next commit/vacuum. The Delta `VACUUM
+    * RETAIN` analog, keyed by version count rather than wall-clock age so
+    * it stays deterministic for tests and replayable pipelines. */
+  def vacuum(root: Path, conf: Configuration, keepVersions: Int): Unit = {
+    val f = fs(root, conf)
+    val keep: Set[String] =
+      history(root, conf).takeRight(math.max(1, keepVersions)).toSet ++
+        current(root, conf).map(_.getName)
     try f.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName != dir.getName)
+      .filter(s => s.isDirectory && !keep.contains(s.getPath.getName))
       .foreach(s => f.delete(s.getPath, true))
     catch { case _: Exception => () }
   }

@@ -81,4 +81,26 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(!m.contains("l_comment") && !m.contains("l_shipdate"),
       s"scan reads unprojected columns: $m")
   }
+
+  test("scan_time_travel reads version 0, not the current version") {
+    val v0 = SparkEntry.queries("scan_time_travel")(spark, sfDir).cache()
+    assert(v0.count() > 0)
+    // version 0 predates the status flip, so no 'U' rows appear — reading
+    // the current version instead would surface them
+    assert(v0.filter(col("o_orderstatus") === "U").count() === 0)
+    val expect = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0).count()
+    assert(v0.count() === expect)
+  }
+
+  test("maintenance_vacuum keeps exactly the newest two versions on disk") {
+    val st = SparkEntry.queries("maintenance_vacuum")(spark, sfDir)
+      .orderBy("version").collect()
+    assert(st.length === 3, "history log must keep all three commits")
+    assert(st.map(_.getAs[String]("name")).toSeq === Seq("v0", "v1", "v2"))
+    assert(st.map(_.getAs[Boolean]("on_disk")).toSeq ===
+      Seq(false, true, true), "vacuum must drop only versions beyond keep=2")
+    assert(st.map(_.getAs[Boolean]("is_current")).toSeq ===
+      Seq(false, false, true))
+  }
 }

@@ -90,6 +90,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(new IngestionRunner(spark, cfg.copy(sourcePath = src2)).run() === Right(6L))
   }
 
+  test("retainVersions keeps merge history readable (time travel)") {
+    val db = "graft_it"; val tbl = s"$db.region_tt"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val src1 = tmp("g_tt1_")
+    Tables.load(spark, sfDir, "region").write.mode("overwrite").parquet(src1)
+    val cfg = IngestionConfig(db, "region_tt", src1,
+      writeMode = WriteMode.Merge(Seq("r_regionkey")), retainVersions = 3)
+    assert(cfg.validate().isRight)
+    assert(cfg.copy(retainVersions = 0).validate().isLeft)
+    assert(new IngestionRunner(spark, cfg).run() === Right(5L))
+    val src2 = tmp("g_tt2_")
+    Tables.load(spark, sfDir, "region")
+      .withColumn("r_name", lit("V2"))
+      .write.mode("overwrite").parquet(src2)
+    val runner = new IngestionRunner(spark, cfg.copy(sourcePath = src2))
+    assert(runner.run() === Right(5L))
+    // current reads V2; version 0 (the bootstrap) must still be readable
+    assert(spark.table(tbl).filter(col("r_name") =!= "V2").count() === 0)
+    val root = runner.versionsRoot(cfg)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(pipeline.Versioned.history(root, conf).size === 2)
+    val v0 = pipeline.Versioned.versionDir(root, 0, conf)
+    assert(v0.isDefined, "bootstrap version vacuumed despite retainVersions=3")
+    val old = spark.read.parquet(v0.get.toString)
+    assert(old.count() === 5 && old.filter(col("r_name") === "V2").count() === 0)
+  }
+
   test("stream mode drains the landing dir through a checkpoint (A6)") {
     val db = "graft_it"
     spark.sql(s"DROP TABLE IF EXISTS $db.region_s")
