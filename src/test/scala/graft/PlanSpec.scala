@@ -159,6 +159,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for decontam")
   }
 
+  test("corpus_build broadcasts its eval set and never plans a cartesian") {
+    val p = plan("corpus_build")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "capstone plans an unblocked join")
+  }
+
   test("join_dpp prunes fact partitions at runtime (dynamicpruning subquery)") {
     val p = plan("join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
