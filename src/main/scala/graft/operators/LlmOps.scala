@@ -417,6 +417,48 @@ object LlmOps {
   // Norms are precomputed once per vector BEFORE the self-join (the oracle's
   // dot/(|a||b|) shape is kept so 6-dp rounding agrees) — per-pair work is a
   // single dot product.
+  // k-NN graph over the whole embedding table — the batch self-join
+  // retrieval shape (vs the probe-driven sim_* keys, which broadcast a
+  // handful of probes): sign-LSH blocking, then per-node top-3 by cosine
+  // with a total tie-break. The clustering/graph-dedup building block; at
+  // 100 TB the bucket equi-join is the blocking step and the top-k is one
+  // window per node — never all-pairs.
+  private val embKnnGraph = Op(
+    "emb_knn_graph",
+    (s, d) => {
+      val e = signBucketed(s, d)
+      val w = Window.partitionBy(col("vec_a"))
+        .orderBy(desc("cos_sim"), asc("vec_b"))
+      e.as("a").join(e.as("b"),
+          col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .withColumn("cos_sim", round(cosine(s), 6))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select("vec_a", "rnk", "vec_b", "cos_sim")
+        .orderBy("vec_a", "rnk")
+    },
+    Some("""WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                   + 4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                   + 2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+                   +     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
+              FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+              FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
+            r AS (
+              SELECT vec_a, vec_b, cos_sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b) AS INT) AS rnk
+              FROM p)
+            SELECT vec_a, rnk, vec_b, cos_sim
+            FROM r WHERE rnk <= 3
+            ORDER BY vec_a, rnk"""))
+
   private val dedupEmbedding = Op(
     "dedup_embedding",
     (s, d) => {
@@ -1205,6 +1247,7 @@ object LlmOps {
     dedupSimhash, dedupPrefix, corpusBuild,
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, embCentroidAssign,
+    embKnnGraph,
     textStats, textTopterms, textLangid, textQuality, textTokenBpe,
     textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap,
     textRepetition)
