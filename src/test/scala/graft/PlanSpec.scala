@@ -47,7 +47,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("LSH dedup ops never plan an unblocked cross join") {
     for (k <- Seq("dedup_minhash", "dedup_simhash", "dedup_embedding",
-                  "dedup_ngram_jaccard")) {
+                  "dedup_ngram_jaccard", "emb_knn_graph", "join_fuzzy")) {
       val p = plan(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested loop")
