@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Versioned
+
+/** Edge cases of the versioned-commit protocol that the op-level tests
+  * (scan_time_travel / maintenance_vacuum / PipelineSpec retention) don't
+  * reach: empty roots, out-of-range history lookups, replayed commits, and
+  * the keep-everything retention bound. Pure filesystem — no Spark jobs. */
+class VersionedSpec extends AnyFunSuite {
+
+  private val conf = new Configuration()
+
+  private def freshRoot(): Path =
+    new Path(Files.createTempDirectory("graft_vspec_").toString)
+
+  private def mkVersion(root: Path, name: String): Path = {
+    val dir = Versioned.stagePath(root, Some(name))
+    val f = dir.getFileSystem(conf)
+    f.mkdirs(dir)
+    val out = f.create(new Path(dir, "part-0"), true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    dir
+  }
+
+  test("empty root: no current, empty history, no versionDir") {
+    val root = freshRoot()
+    assert(Versioned.current(root, conf).isEmpty)
+    assert(Versioned.history(root, conf).isEmpty)
+    assert(Versioned.versionDir(root, 0, conf).isEmpty)
+  }
+
+  test("history records commit order; out-of-range lookup is None") {
+    val root = freshRoot()
+    for (n <- Seq("a", "b", "c"))
+      Versioned.commit(root, mkVersion(root, n), conf, keepVersions = 3)
+    assert(Versioned.history(root, conf) === Seq("a", "b", "c"))
+    assert(Versioned.current(root, conf).map(_.getName) === Some("c"))
+    assert(Versioned.versionDir(root, 1, conf).map(_.getName) === Some("b"))
+    assert(Versioned.versionDir(root, 3, conf).isEmpty)
+    assert(Versioned.versionDir(root, -1, conf).isEmpty)
+  }
+
+  test("replaying a commit of the same name does not duplicate history") {
+    val root = freshRoot()
+    val dir = mkVersion(root, "b0")
+    Versioned.commit(root, dir, conf, keepVersions = 4)
+    Versioned.commit(root, dir, conf, keepVersions = 4) // at-least-once replay
+    assert(Versioned.history(root, conf) === Seq("b0"))
+  }
+
+  test("keepVersions larger than history keeps everything; 1 keeps current only") {
+    val root = freshRoot()
+    for (n <- Seq("a", "b"))
+      Versioned.commit(root, mkVersion(root, n), conf, keepVersions = 10)
+    val f = root.getFileSystem(conf)
+    assert(f.exists(new Path(root, "a")) && f.exists(new Path(root, "b")))
+    Versioned.commit(root, mkVersion(root, "c"), conf) // default keep = 1
+    assert(!f.exists(new Path(root, "a")) && !f.exists(new Path(root, "b")))
+    assert(f.exists(new Path(root, "c")))
+    // audit log survives the GC even though the dirs are gone
+    assert(Versioned.history(root, conf) === Seq("a", "b", "c"))
+    assert(Versioned.versionDir(root, 0, conf).isEmpty, "GC'd dir must not resolve")
+    assert(Versioned.versionDir(root, 2, conf).map(_.getName) === Some("c"))
+  }
+
+  test("vacuum sweeps never-committed staged dirs but keeps current") {
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "v1"), conf, keepVersions = 2)
+    mkVersion(root, "stale_stage") // crashed stage, never committed
+    Versioned.vacuum(root, conf, keepVersions = 2)
+    val f = root.getFileSystem(conf)
+    assert(!f.exists(new Path(root, "stale_stage")))
+    assert(f.exists(new Path(root, "v1")))
+    assert(Versioned.isCommitted(root, new Path(root, "v1"), conf))
+  }
+}
