@@ -332,9 +332,26 @@ object AnalyticsOps {
              AND levenshtein(a.p_name, b.p_name) <= 2
             ORDER BY name_a, name_b"""))
 
+  // Misra–Gries heavy hitters (graft.functions.MisraGries): fixed-k
+  // frequency summary, O(k) state per partition however large the scan.
+  // Test-only like the other sketches — counts depend on merge order; the
+  // coverage (> n/k items always present) and n/k error-bound guarantees
+  // are pinned in PropertySpec on planted skew.
+  private val aggHeavyHitters = Op(
+    "agg_heavy_hitters",
+    (s, d) => {
+      val mg = udaf(new graft.functions.MisraGries(16))
+      t(s, d, "orders")
+        .select(col("o_custkey").cast("string").as("k"))
+        .agg(mg(col("k")).as("sketch"))
+        .select(explode(col("sketch.items")).as(Seq("item", "est_count")))
+        .orderBy("item")
+    },
+    None)
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
     windowTimeRange, aggApproxQuantile, aggHllPartialMerge, eventFunnel,
-    aggRetentionCohort, joinFuzzy)
+    aggRetentionCohort, joinFuzzy, aggHeavyHitters)
 }

@@ -135,4 +135,30 @@ class PropertySpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)), "disjoint pair must not surface")
     pairs.get((1L, 3L)).foreach(j13 => assert(j13 < pairs((1L, 2L))))
   }
+
+  test("Misra-Gries keeps every >n/k item within the n/k error bound") {
+    val k = 8
+    // planted skew: "hot" is 40% of rows, "warm" 20%, the rest spread over
+    // 200 distinct cold keys so the sketch cannot track everything exactly
+    val n = 2000
+    val rows: Seq[String] =
+      Seq.fill(n * 2 / 5)("hot") ++ Seq.fill(n / 5)("warm") ++
+        (0 until (n - n * 2 / 5 - n / 5)).map(i => s"cold_${i % 200}")
+    val trueCounts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 8)) {
+      val mg = udaf(new functions.MisraGries(k))
+      val est = spark.createDataset(rows).repartition(parts).toDF("k")
+        .agg(mg(col("k")).as("s"))
+        .select(explode(col("s.items")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.size <= k, s"summary exceeded capacity at parts=$parts")
+      val bound = n.toDouble / k
+      for (item <- Seq("hot", "warm")) { // both have freq > n/k = 250
+        assert(est.contains(item), s"$item missing at parts=$parts")
+        assert(est(item) <= trueCounts(item), s"$item overcounted")
+        assert(trueCounts(item) - est(item) <= bound,
+          s"$item undercount ${trueCounts(item) - est(item)} > n/k=$bound")
+      }
+    }
+  }
 }
