@@ -282,8 +282,13 @@ object AnalyticsOps {
       val wkly = t(s, d, "events")
         .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
         .distinct()
-      val cohort = wkly.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
-      wkly.join(cohort, Seq("user_id"))
+      // cohort via a user-partitioned window instead of groupBy + join
+      // back: one fewer shuffle and no join — the distinct already
+      // shuffled, the window re-clusters by user, the final aggregate is
+      // O(weeks²) rows
+      wkly
+        .withColumn("cohort_wk",
+          min(col("wk")).over(Window.partitionBy(col("user_id"))))
         .groupBy(col("cohort_wk"),
           (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("week_offset"))
         .agg(countDistinct(col("user_id")).as("active_users"))

@@ -427,12 +427,17 @@ object LlmOps {
     "emb_knn_graph",
     (s, d) => {
       val e = signBucketed(s, d)
-      val w = Window.partitionBy(col("vec_a"))
+      // window on (bk, vec_a): vec_a determines its bucket, so the groups
+      // are identical to per-vec_a groups — but the join output is already
+      // hash-partitioned by bk, which satisfies the clustered distribution
+      // for (bk, vec_a), so the scored pair set (the big intermediate) is
+      // NOT re-shuffled for the window; only a partition-local sort runs
+      val w = Window.partitionBy(col("bk"), col("vec_a"))
         .orderBy(desc("cos_sim"), asc("vec_b"))
       e.as("a").join(e.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.v").as("va"), col("b.v").as("vb"))
+        .select(col("a.bk").as("bk"), col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"), col("a.v").as("va"), col("b.v").as("vb"))
         .withColumn("cos_sim", round(cosine(s), 6))
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)

@@ -159,6 +159,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "corpus side must not shuffle for decontam")
   }
 
+  test("emb_knn_graph window reuses the join's bucket partitioning") {
+    // the top-k window keys on (bk, vec_a); hash(bk) from the self-join
+    // already satisfies that clustering, so the scored pair set — the big
+    // intermediate — must not be re-shuffled: expected exchanges are the
+    // two join inputs plus the presentation sort only
+    val p = plan("emb_knn_graph")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"pair set re-shuffled ($exchanges exchanges):\n${p.take(800)}")
+    assert(p.contains("Window"), p.take(400))
+  }
+
   test("corpus_build broadcasts its eval set and never plans a cartesian") {
     val p = plan("corpus_build")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
