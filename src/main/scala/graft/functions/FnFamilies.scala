@@ -190,6 +190,23 @@ object FnFamilies {
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   // Bitwise operators — partition routing, bloom-filter, and flag-word math.
+  // Binary/text encodings (base64, hex, and the decode roundtrip) — the
+  // transport-encoding family next to fn_hash's digests. All map-side.
+  private val fnEncode = Op(
+    "fn_encode",
+    (s, d) => t(s, d, "customer").select(
+      col("c_custkey"),
+      base64(col("c_name").cast("binary")).as("name_b64"),
+      hex(col("c_name").cast("binary")).as("name_hex"),
+      decode(unbase64(base64(col("c_name").cast("binary"))), "UTF-8")
+        .as("roundtrip"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+                   to_base64(encode(c_name)) AS name_b64,
+                   hex(c_name) AS name_hex,
+                   decode(from_base64(to_base64(encode(c_name)))) AS roundtrip
+            FROM customer ORDER BY c_custkey"""))
+
   private val fnBitwise = Op(
     "fn_bitwise",
     (s, d) => t(s, d, "events").select(
@@ -276,6 +293,6 @@ object FnFamilies {
 
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
-    fnHash, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot, aggMinMaxBy,
-    fnStruct, fnMap)
+    fnHash, fnEncode, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot,
+    aggMinMaxBy, fnStruct, fnMap)
 }

@@ -354,9 +354,48 @@ object AnalyticsOps {
     },
     None)
 
+  // Gaps-and-islands: maximal runs of equal event_type per user in event
+  // order. The lag-then-running-sum formulation keeps BOTH window passes on
+  // the same user_id partitioning (one shuffle, one sort) — the textbook
+  // double-row_number spelling would partition the second window by
+  // (user, type) and shuffle the whole table again.
+  private val windowGapIslands = Op(
+    "window_gap_islands",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+               lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("grp", sum(col("chg")).over(run))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(min(col("event_id")).as("start_id"),
+          max(col("event_id")).as("end_id"),
+          count(lit(1)).as("run_len"))
+        .select("user_id", "event_type", "start_id", "end_id", "run_len")
+        .orderBy("user_id", "start_id")
+    },
+    Some("""WITH o AS (
+              SELECT user_id, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY event_id)
+                          IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+              FROM events),
+            g AS (
+              SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS grp
+              FROM o)
+            SELECT user_id, event_type, min(event_id) AS start_id,
+                   max(event_id) AS end_id, count(*) AS run_len
+            FROM g GROUP BY user_id, event_type, grp
+            ORDER BY user_id, start_id"""))
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
     windowTimeRange, aggApproxQuantile, aggHllPartialMerge, eventFunnel,
-    aggRetentionCohort, joinFuzzy, aggHeavyHitters)
+    aggRetentionCohort, joinFuzzy, aggHeavyHitters, windowGapIslands)
 }
