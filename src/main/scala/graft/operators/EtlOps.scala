@@ -559,6 +559,43 @@ object EtlOps {
             SELECT o_orderkey, op, before_price, after_price
             FROM feed WHERE op IS NOT NULL ORDER BY o_orderkey"""))
 
+  // Materialized-view maintenance: a pre-aggregated target and a new delta
+  // batch each contribute PARTIAL aggregates, and merging the partials must
+  // equal a full recompute — the mergeable-aggregate discipline (counts and
+  // sums merge by sum, min/max by min/max, avg derived at read time from
+  // the merged sums) that lets a 100 TB rollup absorb a batch without
+  // rescanning history. The oracle is the direct full aggregate, so the
+  // hash check proves the partial-merge algebra exactly.
+  private val aggIncrementalMerge = Op(
+    "agg_incremental_merge",
+    (s, d) => {
+      val ev = t(s, d, "events").select(
+        date_trunc("day", col("ts")).as("day"), col("event_type"),
+        col("event_id"), col("value"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("day", "event_type").agg(
+          count(lit(1)).as("n"), sum(dec(col("value"))).as("sum_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      // arbitrary deterministic split: the standing target vs the new batch
+      val target = partial(ev.where(col("event_id") % 10 < 8))
+      val delta = partial(ev.where(col("event_id") % 10 >= 8))
+      target.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("s"),
+          min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+        .select(col("day"), col("event_type"), col("n"),
+          col("s").cast("double").as("sum_value"), col("min_v"), col("max_v"),
+          (col("s").cast("double") / col("n")).as("avg_value"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   min(value) AS min_v, max(value) AS max_v,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                     AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
   // Delta time-travel analog (`VERSION AS OF n`, the history surface the
   // reference gets from the Delta log next to framework.py:345's change
   // feed): two committed rewrites of an orders snapshot through the
@@ -626,5 +663,5 @@ object EtlOps {
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, resampleZerofill,
     scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema,
-    scanTimeTravel, maintenanceVacuum)
+    scanTimeTravel, maintenanceVacuum, aggIncrementalMerge)
 }
