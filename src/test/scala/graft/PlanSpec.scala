@@ -170,6 +170,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(400))
   }
 
+  test("window_gap_islands runs both window passes on one user_id shuffle") {
+    // lag + running-sum share the user_id partitioning, and the island
+    // aggregate's (user, type, grp) clustering is satisfied by hash(user):
+    // expected exchanges are the user shuffle and the presentation sort
+    val p = plan("window_gap_islands")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"extra shuffle ($exchanges exchanges):\n${p.take(800)}")
+  }
+
   test("corpus_build broadcasts its eval set and never plans a cartesian") {
     val p = plan("corpus_build")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
