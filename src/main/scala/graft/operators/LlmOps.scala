@@ -726,6 +726,52 @@ object LlmOps {
 
   // Quality score: length/stopword/word-shape heuristics combined into one
   // bounded score — pure rational double arithmetic, rounded at the boundary.
+  // CCNet-style unigram LM quality score: build corpus token frequencies
+  // (the "language model" — one vocabulary-sized aggregate), broadcast them
+  // back, and score each document by its summed token log-probability.
+  // Scale shape: vocab aggregate is tiny however large the corpus; scoring
+  // is a broadcast join + per-doc fold, all map-side after one explode
+  // shuffle. Float determinism (SURVEY §7.6): each log term is rounded to
+  // 8 dp so both engines hold identical doubles (ln may differ by 1 ulp
+  // across libms), the per-doc terms are SORTED before a left fold so the
+  // summation order is identical, and the final score rounds to 4 dp.
+  private val textLmScore = Op(
+    "text_lm_score",
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      val terms = broadcast(freq.crossJoin(broadcast(total))
+        .select(col("tok"), round(
+          log(col("cnt").cast("double") / col("total").cast("double")), 8)
+          .as("lp")))
+      toks.join(terms, Seq("tok"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("lp"))).as("lps"))
+        .select(col("doc_id"), size(col("lps")).as("n_tokens"),
+          round(expr("aggregate(lps, 0D, (acc, x) -> acc + x)"), 4)
+            .as("lm_score"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""WITH d AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+            freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+            term AS (
+              SELECT tok, round(ln(CAST(cnt AS DOUBLE) / total), 8) AS lp
+              FROM freq, tot),
+            scored AS (
+              SELECT t.doc_id, list_sort(list(lp)) AS lps
+              FROM toks t JOIN term USING (tok) GROUP BY t.doc_id)
+            SELECT doc_id, CAST(len(lps) AS INT) AS n_tokens,
+                   round(list_reduce(list_prepend(0.0::DOUBLE, lps),
+                                     (acc, x) -> acc + x), 4) AS lm_score
+            FROM scored ORDER BY doc_id"""))
+
   private val textQuality = Op(
     "text_quality",
     (s, d) => t(s, d, "documents")
@@ -1253,7 +1299,7 @@ object LlmOps {
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, embCentroidAssign,
     embKnnGraph,
-    textStats, textTopterms, textLangid, textQuality, textTokenBpe,
+    textStats, textTopterms, textLangid, textQuality, textLmScore, textTokenBpe,
     textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap,
     textRepetition)
 }

@@ -15,7 +15,13 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * the pointer moves.
   *
   * All IO goes through the Hadoop FileSystem API — roots are HDFS/S3 URIs
-  * in production, where java.io.File would silently resolve locally. */
+  * in production, where java.io.File would silently resolve locally.
+  *
+  * The protocol assumes a SINGLE writer per root (one pipeline owns its
+  * table, as in the reference's job-per-table layout) — readers are always
+  * safe, but two concurrent committers could interleave `_history`
+  * updates. Delta's optimistic multi-writer log is the documented
+  * divergence (SURVEY §7.4). */
 object Versioned {
 
   private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
