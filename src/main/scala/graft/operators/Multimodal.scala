@@ -196,6 +196,36 @@ object Multimodal {
                    CAST(list_max(vals[CAST(win_id*32 + 1 AS INT) : CAST(win_id*32 + 64 AS INT)]) AS BIGINT) AS win_max
             FROM w ORDER BY doc_id, win_id"""))
 
+  // The blob ingestion path: Spark's `binaryFile` source reads raw files as
+  // (path, modificationTime, length, content) — how image/audio/video lands
+  // in the binary column model in the first place (one task per file, no
+  // parsing, predicate pushdown on path/length). The op materializes a
+  // deterministic landing dir from the region table, reads it back through
+  // binaryFile, and projects filename + md5(content) + length; the oracle
+  // recomputes all three from the source rows, so the roundtrip through
+  // raw files is hash-checked.
+  private val scanBinaryFiles = Op(
+    "scan_binary_files",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bin_")
+      t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        .collect() // 5 rows: fixture construction, not a data-path collect
+        .foreach { r =>
+          java.nio.file.Files.write(
+            dir.resolve(s"r_${r.getInt(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      s.read.format("binaryFile").load(dir.toString)
+        .select(
+          regexp_extract(col("path"), "([^/]+)\\.bin$", 1).as("file_id"),
+          md5(col("content")).as("content_md5"),
+          col("length"))
+        .orderBy("file_id")
+    },
+    Some("""SELECT 'r_' || r_regionkey AS file_id, md5(r_name) AS content_md5,
+                   CAST(strlen(r_name) AS BIGINT) AS length
+            FROM region ORDER BY file_id"""))
+
   val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract, mmResize,
-    mmAudioWindow)
+    mmAudioWindow, scanBinaryFiles)
 }
