@@ -38,6 +38,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.eval().asInstanceOf[Number].intValue()
     }
     ext.injectFunction((
+      FunctionIdentifier("graft_block_mean_hash"),
+      new ExpressionInfo(classOf[BlockMeanHash].getName, "graft_block_mean_hash"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_block_mean_hash(payload) takes one binary")
+        BlockMeanHash(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_char_entropy(text) takes one string")
+        CharEntropy(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
       { exprs: Seq[Expression] =>

@@ -393,9 +393,95 @@ object AnalyticsOps {
             FROM g GROUP BY user_id, event_type, grp
             ORDER BY user_id, start_id"""))
 
+  // Exact distinct count by bitmap partial aggregation — the scalable EXACT
+  // alternative to count(DISTINCT) when the key domain is dense integers:
+  // phase 1 ORs each group's presence bits into 64-bit chunks (map-side
+  // combinable — the shuffle carries at most |domain|/64 longs per group, not
+  // one row per distinct value), phase 2 sums popcounts. The same two-phase
+  // shape Spark uses for count(distinct) rewrites, but with a constant-size
+  // state per chunk; at 100 TB it is also the mergeable-bitmap sketch layout
+  // (roaring-style) a warehouse stores per segment.
+  private val aggBitmapDistinct = Op(
+    "agg_bitmap_distinct",
+    (s, d) => t(s, d, "events")
+      .select(col("event_type"),
+        expr("user_id div 64").as("chunk"),
+        expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("bit"))
+      .groupBy("event_type", "chunk")
+      .agg(expr("bit_or(bit)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(bit_count(col("bm"))).as("nd"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS nd
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // Statistical mode per group (deterministic tie-break): modal language per
+  // source over documents — grouped counts then one rank window over the
+  // (small) group×value aggregate, never a shuffle of raw rows beyond the
+  // first count. The corpus-curation question "what is each source mostly
+  // written in" as an operator.
+  private val aggMode = Op(
+    "agg_mode",
+    (s, d) => {
+      val c = t(s, d, "documents").groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("source").orderBy(col("n").desc, col("lang"))
+      c.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang").as("modal_lang"), col("n"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY source, lang)
+            SELECT source, lang AS modal_lang, n FROM (
+              SELECT source, lang, n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n DESC, lang) AS rn
+              FROM c) WHERE rn = 1 ORDER BY source"""))
+
+  // Exponentially time-decayed running sum (decayed counter / EWMA): the
+  // engagement-score shape "recent events count more, with half-life ~τ".
+  // The naive definition Σᵢ vᵢ·exp(-(tₜ-tᵢ)/τ) re-sums the whole history per
+  // row (O(n²) per user); factoring exp(-(tₜ-t₀)/τ)·Σ exp((tᵢ-t₀)/τ)·vᵢ turns
+  // it into ONE ordered running sum — O(n), one shuffle, the only shape that
+  // survives a 100 TB event log. t₀ (per-user min) keeps exp() arguments
+  // small; both engines run the identical ordered float recurrence, and the
+  // output is rounded to 3dp (floats cross engines; exact-decimal protocol
+  // does not apply to exp()).
+  private val windowTimeDecay = Op(
+    "window_time_decay",
+    (s, d) => {
+      val tau = 10.0 // half-life scale, days
+      val wAll = Window.partitionBy("user_id")
+      val run = Window.partitionBy("user_id").orderBy("dd", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .where(col("user_id") % 10 === 0)
+        .withColumn("dd", unix_millis(col("ts")).cast("double") / lit(86400000.0))
+        .withColumn("d0", min(col("dd")).over(wAll))
+        .withColumn("decayed", round(
+          exp((col("d0") - col("dd")) / tau) *
+            sum(exp((col("dd") - col("d0")) / tau) * col("value")).over(run), 3))
+        .select("user_id", "event_id", "decayed")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, value,
+                     epoch_ms(ts) / 86400000.0 AS dd,
+                     min(epoch_ms(ts) / 86400000.0)
+                       OVER (PARTITION BY user_id) AS d0
+              FROM events WHERE user_id % 10 = 0)
+            SELECT user_id, event_id,
+                   round(exp((d0 - dd) / 10.0) *
+                         sum(exp((dd - d0) / 10.0) * value)
+                           OVER (PARTITION BY user_id ORDER BY dd, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         3) AS decayed
+            FROM e ORDER BY user_id, event_id"""))
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
     windowTimeRange, aggApproxQuantile, aggHllPartialMerge, eventFunnel,
-    aggRetentionCohort, joinFuzzy, aggHeavyHitters, windowGapIslands)
+    aggRetentionCohort, joinFuzzy, aggHeavyHitters, windowGapIslands,
+    aggBitmapDistinct, aggMode, windowTimeDecay)
 }

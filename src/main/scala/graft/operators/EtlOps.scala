@@ -657,11 +657,54 @@ object EtlOps {
     },
     None)
 
+  // File-level data skipping over per-file min/max stats — the zone-map /
+  // stats-pruning pattern (Delta/Iceberg data skipping) for predicates on
+  // UNPARTITIONED columns, where Hive-style partition pruning can't help:
+  // cluster the table on the skip column once (layout_cluster's write),
+  // derive the per-file [min,max] index in one scan, then answer a range
+  // predicate by reading ONLY the overlapping files plus the exact residual
+  // filter. The zone map itself is #files rows of planning-time METADATA —
+  // the one deliberate driver-side collect in the engine, the same O(#files)
+  // step a Delta log replay or Iceberg manifest scan performs before task
+  // planning; row data never reaches the driver. At 100 TB with ~1 GB files
+  // that is ~100k tiny rows against skipping ~85% of the scan. EtlOpsSpec
+  // asserts the final query reads strictly fewer files than the layout has.
+  private val scanZoneMap = Op(
+    "scan_zone_map",
+    (s, d) => {
+      val out = tmp("graft_zm_")
+      t(s, d, "lineitem")
+        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
+        .sortWithinPartitions("l_shipdate", "l_orderkey")
+        .write.mode("overwrite").parquet(out)
+      val lo = "TIMESTAMP_NTZ '1997-01-01'"
+      val hi = "TIMESTAMP_NTZ '1998-01-01'"
+      val zoneFiles = s.read.parquet(out)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+        .where(expr(s"mx >= $lo") && expr(s"mn < $hi"))
+        .select("file").collect().map(_.getString(0))
+      // a predicate missing every zone still answers correctly off the
+      // full layout (the residual filter owns correctness; zones only skip)
+      val src = if (zoneFiles.isEmpty) s.read.parquet(out)
+                else s.read.parquet(zoneFiles.toIndexedSeq: _*)
+      src.where(expr(s"l_shipdate >= $lo") && expr(s"l_shipdate < $hi"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'"""))
+
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, resampleZerofill,
     scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema,
-    scanTimeTravel, maintenanceVacuum, aggIncrementalMerge)
+    scanTimeTravel, maintenanceVacuum, aggIncrementalMerge, scanZoneMap)
 }

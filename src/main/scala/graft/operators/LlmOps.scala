@@ -93,15 +93,19 @@ object LlmOps {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsFrom(t(s, d, "documents"))
 
-  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
-    // df-cap as a WINDOW over the shingle key: one shuffle, one pass, one
-    // cached result (a groupBy + join spelling would either scan the
-    // explode twice or pin two near-identical shingle sets in cache)
-    val sh = shinglesFrom(docs)
+  /** df-capped shingle set, shared by the Jaccard and containment keys: the
+    * cap is a WINDOW over the shingle key (one shuffle, one pass) and the
+    * result is cached — Spark's plan-keyed cache manager hands every caller
+    * building this same plan the one materialization per session. */
+  private def cappedShingles(docs: DataFrame): DataFrame =
+    shinglesFrom(docs)
       .withColumn("dfc", count(lit(1)).over(Window.partitionBy("s")))
       .where(col("dfc") <= MaxShingleDf)
       .drop("dfc")
       .cache()
+
+  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+    val sh = cappedShingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -157,6 +161,39 @@ object LlmOps {
     (s, d) => jaccardPairs(s, d).orderBy("doc_a", "doc_b"),
     Some(s"""WITH $jaccardCtes
             SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"""))
+
+  // Shingle CONTAINMENT (|A∩B| / min(|A|,|B|) ≥ 0.9): catches the near-dup
+  // Jaccard misses — a short document wholly embedded in a longer one
+  // (boilerplate page + article, quote + source) has low Jaccard but
+  // containment ≈ 1. Same capped-shingle candidate join as the Jaccard key,
+  // so the two keys share one cached shingle materialization per session and
+  // the same 100 TB skew guard; only the scoring denominator differs.
+  private val dedupContainment = Op(
+    "dedup_containment",
+    (s, d) => {
+      val sh = cappedShingles(t(s, d, "documents"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("i").cast("double") /
+            least(col("na.ns"), col("nb.ns")), 4).as("containment"))
+        .where(col("containment") >= 0.9)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""WITH $jaccardCtes,
+            cn AS (SELECT doc_a, doc_b,
+                          round(i * 1.0 / least(na.ns, nb.ns), 4) AS containment
+                   FROM inter
+                   JOIN sizes na ON na.doc_id = doc_a
+                   JOIN sizes nb ON nb.doc_id = doc_b
+                   WHERE round(i * 1.0 / least(na.ns, nb.ns), 4) >= 0.9)
+            SELECT doc_a, doc_b, containment FROM cn ORDER BY doc_a, doc_b"""))
 
   /** Connected components via alternating large-star / small-star rounds
     * (the MapReduce-era two-phase star-contraction algorithm): the edge set
@@ -1293,13 +1330,40 @@ object LlmOps {
                    ELSE 'ff' END
             ORDER BY doc_id"""))
 
+  // Character-level Shannon entropy as a quality signal (gibberish ≈
+  // log2(alphabet), repeated filler ≈ 0 — the C4/Gopher-family "natural
+  // text" check the ratio rules can't express). The per-document histogram +
+  // entropy is ONE pass inside codegen via the native
+  // [[graft.functions.CharEntropy]] expression; the declarative alternative
+  // (explode every character, groupBy doc) would shuffle |text| rows per
+  // document. Oracle: DuckDB's entropy() aggregate over the exploded
+  // characters — the LEFT JOIN keeps empty documents (entropy 0) in lockstep
+  // with the engine's non-null 0.0.
+  private val textEntropy = Op(
+    "text_entropy",
+    (s, d) => {
+      graft.functions.CharEntropy.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(expr("graft_char_entropy(text)"), 4).as("char_entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, round(entropy(c), 4) AS char_entropy
+              FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents)
+              GROUP BY doc_id) e ON d.doc_id = e.doc_id
+            ORDER BY d.doc_id"""))
+
   val ops: Seq[Op] = Seq(
-    dedupExact, dedupNgramJaccard, dedupClusters, dedupSurvivor, dedupMinhash,
+    dedupExact, dedupNgramJaccard, dedupContainment, dedupClusters,
+    dedupSurvivor, dedupMinhash,
     dedupSimhash, dedupPrefix, corpusBuild,
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, embCentroidAssign,
     embKnnGraph,
     textStats, textTopterms, textLangid, textQuality, textLmScore, textTokenBpe,
     textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap,
-    textRepetition)
+    textRepetition, textEntropy)
 }

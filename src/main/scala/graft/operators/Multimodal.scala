@@ -226,6 +226,51 @@ object Multimodal {
                    CAST(strlen(r_name) AS BIGINT) AS length
             FROM region ORDER BY file_id"""))
 
+  /** Banded near-dup pairs over the 64-bit block-mean perceptual hash
+    * ([[graft.functions.BlockMeanHash]]): 4×16-bit band buckets generate
+    * candidates (only payloads agreeing on SOME band ever meet — an
+    * equi-join, never all-pairs), a per-bucket frequency cap (256) guards
+    * against degenerate buckets exactly like the simhash path, and the
+    * Hamming predicate rides INSIDE the join condition. Any pair with
+    * Hamming ≤ 3 is guaranteed to share a band (pigeonhole); up to the
+    * emitted threshold 12 is best-effort — the standard banded-LSH recall
+    * tradeoff, test-asserted in MultimodalSpec. */
+  private[graft] def phashPairsFrom(payloadDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.BlockMeanHash.register(payloadDf.sparkSession)
+    val h = payloadDf
+      .select(col("doc_id"), expr("graft_block_mean_hash(payload)").as("ph"))
+    val bands = h
+      .select(col("doc_id"), col("ph"), explode(expr(
+        """transform(array(0, 1, 2, 3),
+          |  c -> named_struct('band', c,
+          |                    'chunk', shiftright(ph, 16 * c) & 65535L))"""
+          .stripMargin)).as("bc"))
+      .select(col("doc_id"), col("ph"), col("bc.band"), col("bc.chunk"))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "chunk")))
+      .where(col("bn") <= 256)
+      .drop("bn")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.ph ^ b.ph)") <= 12)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.ph ^ b.ph)").as("hamming"))
+      .distinct()
+  }
+
+  // Perceptual-hash near-dup detection for the multimodal column model: the
+  // image-dedup analog of dedup_simhash (visually-near-identical payloads →
+  // low-Hamming block-mean hashes → banded candidate join). Declared
+  // test-only like the other seeded-hash dedup keys: the hash depends on
+  // engine-side byte layout, so correctness is pinned by MultimodalSpec's
+  // planted near-duplicates rather than a SQL oracle.
+  private val mmDedupPhash = Op(
+    "mm_dedup_phash",
+    (s, d) => phashPairsFrom(payloads(s, d)).orderBy("doc_a", "doc_b"),
+    None)
+
   val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract, mmResize,
-    mmAudioWindow, scanBinaryFiles)
+    mmAudioWindow, scanBinaryFiles, mmDedupPhash)
 }

@@ -764,6 +764,115 @@ object Relational {
               COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // TPC-H-Q5-shaped 6-table star join: region-filtered dims broadcast onto
+  // the customer→orders→lineitem→supplier fact chain (the "is the join
+  // broadcast-able, and did I broadcast it?" case in the flesh — region and
+  // nation are O(10) rows at any scale factor and are hinted explicitly;
+  // customer/orders/lineitem shuffle on their join keys). Revenue in exact
+  // DECIMAL, cast to DOUBLE only at the output boundary. The c_nationkey =
+  // s_nationkey condition is Q5's "local supplier" constraint.
+  private val sqlTpchQ5 = Op(
+    "sql_tpch_q5",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= expr("TIMESTAMP '1996-01-01'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name")),
+    Some("""SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name"""))
+
+  // Binned interval join — the RANGE-join shape that survives 100 TB when
+  // NEITHER side fits in a broadcast (join_theta_range's complement: that key
+  // broadcasts its band side; this one shuffles both). Each interval
+  // [o_orderdate, o_orderdate + 1 day) is replicated to the ≤2 fixed 2-day
+  // bins it can overlap, points land in exactly 1 bin, and the join becomes a
+  // plain shuffled EQUI-join on the bin key plus a residual predicate — no
+  // BroadcastNestedLoop, no cartesian, partition-parallel on both sides. A
+  // point's bin is unique, so no pair dedup is needed. The oracle states the
+  // same join declaratively (DuckDB plans its own IEJoin).
+  private val joinRangeBinned = Op(
+    "join_range_binned",
+    (s, d) => {
+      val binMs = 2L * 86400000L // bin width: interval length + 1 day slack
+      val o = t(s, d, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          // NTZ parquet timestamps: bin on the UTC-session instant
+          expr("unix_millis(CAST(o_orderdate AS TIMESTAMP))").as("oms"))
+        .withColumn("bin", explode(array_distinct(array(
+          expr(s"oms div ${binMs}L"),
+          expr(s"(oms + 86400000L) div ${binMs}L")))))
+        .drop("oms")
+      val l = t(s, d, "lineitem")
+        .select(col("l_shipdate"),
+          expr(s"unix_millis(CAST(l_shipdate AS TIMESTAMP)) div ${binMs}L").as("bin"))
+      o.join(l, "bin")
+        .where(col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 1 DAY"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ship"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, count(*) AS n_ship
+            FROM orders JOIN lineitem
+              ON l_shipdate >= o_orderdate
+             AND l_shipdate < o_orderdate + INTERVAL 1 DAY
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
+  // Runtime bloom-filter join: Spark's InjectRuntimeFilter builds a bloom
+  // filter from the SELECTIVE side's join keys at runtime and semi-filters
+  // the big side's shuffle input — at 100 TB this is the difference between
+  // shuffling all of lineitem and shuffling the ~20% that can actually match
+  // an urgent order. The thresholds are forced on a CLONED session
+  // (newSession shares the SparkContext; its SQLConf is private to this op)
+  // so the injection never leaks into other keys' plans; broadcast is
+  // disabled because a broadcast join already prunes at the hash table and
+  // would suppress the filter. PlanSpec pins might_contain in the plan.
+  private val joinRuntimeBloom = Op(
+    "join_runtime_bloom",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "128MB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+      t(s, d, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   private val setExcept = Op(
     "set_except",
     (s, d) => t(s, d, "customer")
@@ -785,5 +894,6 @@ object Relational {
     aggGroupingSets, aggCollectSorted, aggSaltedTwophase, aggApproxDistinct,
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
-    sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf)
+    sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
+    sqlTpchQ5, joinRangeBinned, joinRuntimeBloom)
 }

@@ -103,4 +103,13 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(st.map(_.getAs[Boolean]("is_current")).toSeq ===
       Seq(false, false, true))
   }
+
+  test("scan_zone_map reads strictly fewer files than the clustered layout") {
+    val df = SparkEntry.queries("scan_zone_map")(spark, sfDir)
+    // the returned aggregate's only scan is the zone-pruned read: its file
+    // list must be a strict subset of the 8-file range-clustered layout
+    val read = df.inputFiles.length
+    assert(read >= 1 && read < 8, s"zone map pruned nothing: $read files")
+    assert(df.collect().head.getAs[Long]("n_rows") > 0)
+  }
 }

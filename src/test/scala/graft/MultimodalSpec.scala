@@ -66,4 +66,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(z.length === operators.Multimodal.StubDecoder.dims)
     assert(z.forall(_ == 0f))
   }
+
+  test("BlockMeanHash: small edits stay within a small Hamming distance") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](4096)((rnd.nextInt(256) - 128).toByte)
+    val edited = base.clone()
+    // a handful of local byte edits — "same image, tiny change"
+    for (i <- Seq(10, 11, 2000, 2001, 4000)) edited(i) = (edited(i) ^ 0x5f).toByte
+    val h0 = functions.BlockMeanHash.compute(base)
+    val h1 = functions.BlockMeanHash.compute(edited)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 6,
+      s"edit moved ${java.lang.Long.bitCount(h0 ^ h1)} bits")
+    // empty payload is total
+    assert(functions.BlockMeanHash.compute(Array.emptyByteArray) === 0L)
+  }
+
+  test("mm_dedup_phash finds planted near-identical payloads, banded join only") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    def blob(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      Array.fill[Byte](2048)((r.nextInt(256) - 128).toByte)
+    }
+    val a = blob(1)
+    val b = a.clone(); b(100) = (b(100) ^ 0x11).toByte // near-dup of a
+    val others = (3L to 12L).map(i => (i, blob(i.toInt * 97)))
+    val df = ((1L, a) +: (2L, b) +: others).toDF("doc_id", "payload")
+    val pairs = operators.Multimodal.phashPairsFrom(df).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"planted pair missing from ${pairs.mkString(",")}")
+    // every reported pair honors the Hamming bound
+    pairs.foreach(r => assert(r.getAs[Number](2).intValue <= 12))
+    // and the plan is a banded equi-join, never a cross product
+    val p = operators.Multimodal.phashPairsFrom(df).queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+  }
 }

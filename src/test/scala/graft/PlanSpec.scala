@@ -186,6 +186,35 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), "capstone plans an unblocked join")
   }
 
+  test("join_runtime_bloom injects a bloom runtime filter on the fact side") {
+    // the op builds on its own cloned session with the injection thresholds
+    // forced; the filter shows up as might_contain(...) over the fact scan
+    val p = plan("join_runtime_bloom")
+    assert(p.toLowerCase.contains("might_contain"), p.take(1000))
+  }
+
+  test("join_range_binned is a hash equi-join on the bin key, never a loop") {
+    val p = plan("join_range_binned")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sql_tpch_q5 broadcasts both dimension tables") {
+    val p = plan("sql_tpch_q5")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("agg_bitmap_distinct stays a two-phase hash aggregate (no expand)") {
+    // the point of the bitmap layout: no count-distinct Expand rewrite, just
+    // partial/final hash aggregates over constant-size chunk state
+    val p = plan("agg_bitmap_distinct")
+    assert(!p.contains("Expand"), p.take(500))
+    assert(p.contains("HashAggregate"), p.take(500))
+  }
+
   test("join_dpp prunes fact partitions at runtime (dynamicpruning subquery)") {
     val p = plan("join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
