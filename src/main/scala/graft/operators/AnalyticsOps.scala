@@ -478,10 +478,81 @@ object AnalyticsOps {
                          3) AS decayed
             FROM e ORDER BY user_id, event_id"""))
 
+  // Iterative graph centrality (weighted PageRank) over a graph DERIVED from
+  // relational data — the "source authority" signal corpus pipelines use for
+  // host-level quality weighting (CommonCrawl-style). Edges = nation→nation
+  // trade flows (customer's nation → supplier's nation, weighted by line
+  // count); ranks evolve by the standard damped recurrence, but in INTEGER
+  // fixed-point (scale 1e6, floor division) so every engine at every
+  // parallelism computes bit-identical ranks — float PageRank cannot be
+  // hash-compared because groupBy sum order is nondeterministic. Each of the
+  // 3 unrolled iterations is one join + one aggregate on the edge list
+  // (O(E) shuffle per round, rank side broadcastable while small, same plan
+  // shuffles on the key at 1e9 nodes); the oracle replays the identical
+  // integer recurrence as chained CTEs.
+  private val graphPagerank = Op(
+    "graph_pagerank",
+    (s, d) => {
+      val edges = t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val e = edges
+        .join(edges.groupBy(col("src").as("osrc"))
+          .agg(sum("w").as("tw")), col("src") === col("osrc"))
+        .select("src", "dst", "w", "tw")
+        .cache() // reused by all three iterations — one edge build, not three
+      val nodes = t(s, d, "nation").select(col("n_nationkey").as("v"))
+      var r = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val c = e.join(r, col("src") === col("v"))
+          .select(col("dst"), expr("(r * w) div tw").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("c"))
+        r = nodes.join(c, col("v") === col("dst"), "left")
+          .select(col("v"),
+            (lit(150000L) + expr("(17 * coalesce(c, 0L)) div 20")).as("r"))
+      }
+      r.join(broadcast(t(s, d, "nation")), col("v") === col("n_nationkey"))
+        .select(col("n_name"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("n_name"))
+    },
+    Some("""WITH edges AS (
+              SELECT c_nationkey AS src, s_nationkey AS dst,
+                     count(*) AS w
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY 1, 2),
+            outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw
+                     FROM edges GROUP BY src),
+            nodes AS (SELECT n_nationkey AS v FROM nation),
+            r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            i1 AS (SELECT e.dst AS v, CAST(sum((r0.r * e.w) // o.tw) AS BIGINT) AS c
+                   FROM edges e JOIN outw o ON e.src = o.src
+                   JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+            r1 AS (SELECT n.v, CAST(150000 + (17 * coalesce(i1.c, 0)) // 20 AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN i1 ON i1.v = n.v),
+            i2 AS (SELECT e.dst AS v, CAST(sum((r1.r * e.w) // o.tw) AS BIGINT) AS c
+                   FROM edges e JOIN outw o ON e.src = o.src
+                   JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+            r2 AS (SELECT n.v, CAST(150000 + (17 * coalesce(i2.c, 0)) // 20 AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN i2 ON i2.v = n.v),
+            i3 AS (SELECT e.dst AS v, CAST(sum((r2.r * e.w) // o.tw) AS BIGINT) AS c
+                   FROM edges e JOIN outw o ON e.src = o.src
+                   JOIN r2 ON r2.v = e.src GROUP BY e.dst),
+            r3 AS (SELECT n.v, CAST(150000 + (17 * coalesce(i3.c, 0)) // 20 AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN i3 ON i3.v = n.v)
+            SELECT n_name, r3.r AS rank
+            FROM r3 JOIN nation ON v = n_nationkey
+            ORDER BY rank DESC, n_name"""))
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
     windowTimeRange, aggApproxQuantile, aggHllPartialMerge, eventFunnel,
     aggRetentionCohort, joinFuzzy, aggHeavyHitters, windowGapIslands,
-    aggBitmapDistinct, aggMode, windowTimeDecay)
+    aggBitmapDistinct, aggMode, windowTimeDecay, graphPagerank)
 }

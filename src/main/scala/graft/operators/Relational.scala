@@ -315,6 +315,77 @@ object Relational {
             SELECT click_id, user_id, asof_id, asof_value FROM w WHERE side = 1
             ORDER BY click_id"""))
 
+  // NEAREST-neighbor time join (join_asof's bidirectional sibling: backward
+  // OR forward, whichever click is closer in time; ties go backward). Same
+  // single-shuffle union-window trick — NOT a per-row range join: both
+  // event streams union into one user-partitioned sort, a backward window
+  // carries the last click and a forward window the next click, and each
+  // purchase picks the closer of the two. O(n log n) per user partition at
+  // any scale; the naive formulation is a per-purchase scan of all clicks.
+  private val joinAsofNearest = Op(
+    "join_asof_nearest",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("c_id"), lit(0).as("side"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("c_id"), lit(1).as("side"))
+      val back = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("side"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      purchases.unionByName(clicks)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("c_us", when(col("side") === 1, col("us")))
+        .withColumn("prev_id", last(col("c_id"), ignoreNulls = true).over(back))
+        .withColumn("prev_us", last(col("c_us"), ignoreNulls = true).over(back))
+        .withColumn("next_id", first(col("c_id"), ignoreNulls = true).over(fwd))
+        .withColumn("next_us", first(col("c_us"), ignoreNulls = true).over(fwd))
+        .filter(col("side") === 0)
+        .withColumn("take_prev", col("next_us").isNull ||
+          (col("prev_us").isNotNull &&
+            col("us") - col("prev_us") <= col("next_us") - col("us")))
+        .select(col("event_id").as("p_id"), col("user_id"),
+          when(col("take_prev"), col("prev_id")).otherwise(col("next_id"))
+            .as("click_id"),
+          (when(col("take_prev"), col("prev_us")).otherwise(col("next_us")) -
+            col("us")).as("dt_us"))
+        .orderBy("p_id")
+    },
+    Some("""WITH u AS (
+              SELECT user_id, ts, event_id, NULL::BIGINT AS c_id, 0 AS side
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, event_id, event_id, 1
+              FROM events WHERE event_type = 'click'),
+            w AS (
+              SELECT user_id, event_id, side, epoch_us(ts) AS us,
+                last_value(c_id IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+                last_value(CASE WHEN side = 1 THEN epoch_us(ts) END IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+                first_value(c_id IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), side, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id,
+                first_value(CASE WHEN side = 1 THEN epoch_us(ts) END IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), side, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+              FROM u),
+            p AS (
+              SELECT *, (next_us IS NULL OR (prev_us IS NOT NULL AND
+                         us - prev_us <= next_us - us)) AS take_prev
+              FROM w WHERE side = 0)
+            SELECT event_id AS p_id, user_id,
+                   CASE WHEN take_prev THEN prev_id ELSE next_id END AS click_id,
+                   CASE WHEN take_prev THEN prev_us ELSE next_us END - us AS dt_us
+            FROM p ORDER BY p_id"""))
+
   // ----------------------------------------------------------- aggregations
   // TPC-H-Q1-shaped pricing summary (flagship; partial+final HashAggregate).
   private[graft] val aggHashGroup = Op(
@@ -895,5 +966,5 @@ object Relational {
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
-    sqlTpchQ5, joinRangeBinned, joinRuntimeBloom)
+    sqlTpchQ5, joinRangeBinned, joinRuntimeBloom, joinAsofNearest)
 }

@@ -215,6 +215,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(500))
   }
 
+  test("join_asof_nearest runs both direction windows on one user shuffle") {
+    // the union-window trick: backward and forward click windows share the
+    // user_id partitioning, so the whole op costs ONE exchange (plus the
+    // output sort) — never a per-purchase range join
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 2, s"expected window shuffle + output sort only:\n${p.take(900)}")
+  }
+
+  test("graph_pagerank iterations never plan a cartesian") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("join_dpp prunes fact partitions at runtime (dynamicpruning subquery)") {
     val p = plan("join_dpp")
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(800))
