@@ -152,7 +152,10 @@ object EtlOps {
         .select("event_id", "user_id", "value")
         .orderBy("event_id")
     },
-    None)
+    // the read-back IS oracle-checkable (the roundtrip must preserve rows
+    // exactly); the partition-PRUNING behavior is separately plan-asserted
+    Some("""SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'purchase' ORDER BY event_id"""))
 
   // A11 OPTIMIZE/ZORDER emulation: range-repartition + sort-within-partitions
   // on the cluster keys gives per-file min/max locality for data skipping.

@@ -104,25 +104,35 @@ object LlmOps {
       .drop("dfc")
       .cache()
 
-  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame = {
+  /** (doc_a, doc_b, i, ns_a, ns_b): shared-shingle intersection counts +
+    * set sizes over the df-capped shingle set. The self-join + three
+    * aggregates here are the expensive 90% of BOTH similarity scorers —
+    * Jaccard and containment differ only in the denominator — so this is
+    * the cached cut point (plan-keyed: one materialization per session no
+    * matter which scorer runs first). */
+  private def shingleIntersectionsFrom(docs: DataFrame): DataFrame = {
     val sh = cappedShingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val inter = sh.as("a")
+    sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
-    inter
       .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("i").cast("double") /
-          (col("na.ns") + col("nb.ns") - col("i")), 4).as("jaccard"))
-      .where(col("jaccard") >= 0.8)
-      // the pair set is tiny but its pipeline is the expensive part of
-      // three keys (pairs/clusters/survivor) — Spark's plan-keyed cache
-      // lets all three share one materialization per session
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        col("na.ns").as("ns_a"), col("nb.ns").as("ns_b"))
       .cache()
   }
+
+  private[graft] def jaccardPairsFrom(docs: DataFrame): DataFrame =
+    shingleIntersectionsFrom(docs)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("ns_a") + col("ns_b") - col("i")), 4).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+      // the pair set is tiny but feeds three keys (pairs/clusters/survivor)
+      // — cached so all three share one materialization per session
+      .cache()
 
   /** Shared DuckDB CTE body for the Jaccard pair set (kept in lockstep with
     * [[jaccardPairs]]). */
@@ -170,22 +180,12 @@ object LlmOps {
   // the same 100 TB skew guard; only the scoring denominator differs.
   private val dedupContainment = Op(
     "dedup_containment",
-    (s, d) => {
-      val sh = cappedShingles(t(s, d, "documents"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          round(col("i").cast("double") /
-            least(col("na.ns"), col("nb.ns")), 4).as("containment"))
-        .where(col("containment") >= 0.9)
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => shingleIntersectionsFrom(t(s, d, "documents"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          least(col("ns_a"), col("ns_b")), 4).as("containment"))
+      .where(col("containment") >= 0.9)
+      .orderBy("doc_a", "doc_b"),
     Some(s"""WITH $jaccardCtes,
             cn AS (SELECT doc_a, doc_b,
                           round(i * 1.0 / least(na.ns, nb.ns), 4) AS containment
