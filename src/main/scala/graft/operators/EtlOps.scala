@@ -660,6 +660,45 @@ object EtlOps {
     },
     None)
 
+  // Corrupt-record quarantine — the OSS analog of a managed badRecordsPath:
+  // PERMISSIVE JSON parsing routes malformed lines into _corrupt_record
+  // (raw line preserved for replay/debugging) instead of failing the job or
+  // silently dropping them — the ingestion hygiene a 100 TB landing zone
+  // needs, since some producer always emits garbage. The fixture is written
+  // deterministically by the op; the oracle is the expected relation as a
+  // VALUES literal (both engines order NULLS FIRST explicitly — their
+  // defaults differ).
+  private val scanCorruptQuarantine = Op(
+    "scan_corrupt_quarantine",
+    (s, d) => {
+      val dir = tmp("graft_cq_")
+      val lines = java.util.Arrays.asList(
+        """{"id": 1, "v": "a"}""",
+        """{"id": 2, "v": "b"}""",
+        """not json at all""",
+        """{"id": 3, "v": "c"}""",
+        """{"id": 4, "v": }""",
+        """{"id": 5, "v": "e"}""")
+      Files.write(java.nio.file.Paths.get(dir, "data.json"), lines)
+      s.read
+        .schema("id BIGINT, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+        .select(col("id"), col("v"),
+          col("_corrupt_record").isNotNull.as("quarantined"))
+        .orderBy(col("quarantined"), col("id").asc_nulls_first)
+    },
+    Some("""SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'a', false),
+              (CAST(2 AS BIGINT), 'b', false),
+              (CAST(3 AS BIGINT), 'c', false),
+              (CAST(5 AS BIGINT), 'e', false),
+              (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), true),
+              (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), true))
+              AS t(id, v, quarantined)
+            ORDER BY quarantined, id NULLS FIRST"""))
+
   // File-level data skipping over per-file min/max stats — the zone-map /
   // stats-pruning pattern (Delta/Iceberg data skipping) for predicates on
   // UNPARTITIONED columns, where Hive-style partition pruning can't help:
@@ -709,5 +748,6 @@ object EtlOps {
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, resampleZerofill,
     scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema,
-    scanTimeTravel, maintenanceVacuum, aggIncrementalMerge, scanZoneMap)
+    scanTimeTravel, maintenanceVacuum, aggIncrementalMerge, scanZoneMap,
+    scanCorruptQuarantine)
 }

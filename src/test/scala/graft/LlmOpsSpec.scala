@@ -201,4 +201,29 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(math.abs(approx(k).toDouble - e) / e < 0.05,
         s"$k: approx=${approx(k)} exact=$e") }
   }
+
+  // The native one-pass CharEntropy expression must agree with the
+  // declarative formulation it replaces (explode every character, groupBy,
+  // aggregate the entropy formula) — the same equivalence contract
+  // TextWinnowSpec and MultimodalSpec pin for the other native expressions.
+  test("CharEntropy equals the exploded groupBy formulation") {
+    graft.functions.CharEntropy.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") % 7 === 0)
+    val native = docs
+      .select(col("doc_id"), expr("graft_char_entropy(text)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val declarative = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .where(col("c") =!= "")
+      .groupBy("doc_id", "c").count()
+      .groupBy("doc_id")
+      .agg(expr("log2(sum(count)) - sum(count * log2(count)) / sum(count)").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native.keySet === declarative.keySet)
+    assert(native.nonEmpty)
+    native.foreach { case (k, h) =>
+      assert(math.abs(h - declarative(k)) < 1e-9, s"doc $k: $h vs ${declarative(k)}")
+    }
+  }
 }
