@@ -660,6 +660,38 @@ object EtlOps {
     },
     None)
 
+  // In-flight pipeline metrics via Dataset.observe — data-quality counters
+  // (row count, control total, negative-value count) accumulate ON the
+  // ingest pass itself instead of a second scan: at 100 TB the difference
+  // between "metrics for free" and doubling the read cost of every load
+  // (the same discipline IngestionRunner applies with task write metrics).
+  // The op drives one noop-write pass, blocks on Observation.get, and
+  // returns the metrics row; the oracle recomputes the same aggregates
+  // declaratively.
+  private val scanObserveMetrics = Op(
+    "scan_observe_metrics",
+    (s, d) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      t(s, d, "events")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("sum_cents"),
+          count_if(col("value") < 0).as("n_negative"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_cents").asInstanceOf[Long],
+        m("n_negative").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_cents", "n_negative")
+    },
+    Some("""SELECT count(*) AS n_rows,
+              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                AS sum_cents,
+              count(*) FILTER (value < 0) AS n_negative
+            FROM events"""))
+
   // Corrupt-record quarantine — the OSS analog of a managed badRecordsPath:
   // PERMISSIVE JSON parsing routes malformed lines into _corrupt_record
   // (raw line preserved for replay/debugging) instead of failing the job or
@@ -749,5 +781,5 @@ object EtlOps {
     cdcApplyChangelog, cdcEmitChanges, scd2History, resampleZerofill,
     scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema,
     scanTimeTravel, maintenanceVacuum, aggIncrementalMerge, scanZoneMap,
-    scanCorruptQuarantine)
+    scanCorruptQuarantine, scanObserveMetrics)
 }
