@@ -215,6 +215,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(500))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime complement of join_skew_salted's MANUAL salting: AQE
+    // detects the oversized post-shuffle partition and splits it without
+    // any query rewrite — the knob a 100 TB deployment leans on first
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(conf.get(k)).toOption).toMap
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // planted skew: half of the left side lands on key 0
+      val left = spark.range(300000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 100, "x").as("pad"))
+      val right = spark.range(2000).select(col("id").as("k"), lit(1).as("tag"))
+      // aggregate ON the joined frame and run THAT plan: AQE finalizes the
+      // join inside this QueryExecution (a write/count would plan separately);
+      // summing pad lengths keeps the wide column from being pruned so the
+      // skewed partition actually carries its bytes through the shuffle
+      val agg = left.join(right, "k").groupBy().agg(sum(length(col("pad"))))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("join_asof_nearest runs both direction windows on one user shuffle") {
     // the union-window trick: backward and forward click windows share the
     // user_id partitioning, so the whole op costs ONE exchange (plus the
