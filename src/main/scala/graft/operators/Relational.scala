@@ -874,6 +874,45 @@ object Relational {
             GROUP BY n_name
             ORDER BY revenue DESC, n_name"""))
 
+  // TPC-H-Q18-shaped "large orders" query: the HAVING-subquery membership
+  // test (`o_orderkey IN (SELECT ... HAVING sum(qty) > K)`) — Catalyst
+  // rewrites the IN to a LEFT SEMI join against the pre-aggregated key set,
+  // so the filter costs one aggregate + one semi join, never a per-row
+  // subquery. Global top-100 by total price plans as TakeOrderedAndProject
+  // (per-partition heaps, k-row driver merge).
+  private val sqlTpchQ18 = Op(
+    "sql_tpch_q18",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT c_name, o_orderkey, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM customer_v
+        JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem_v
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        GROUP BY c_name, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")
+    },
+    Some("""SELECT c_name, o_orderkey, o_totalprice,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+            GROUP BY c_name, o_orderkey, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100"""))
+
   // Binned interval join — the RANGE-join shape that survives 100 TB when
   // NEITHER side fits in a broadcast (join_theta_range's complement: that key
   // broadcasts its band side; this one needs no broadcast on either side).
@@ -972,5 +1011,5 @@ object Relational {
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
-    sqlTpchQ5, joinRangeBinned, joinRuntimeBloom, joinAsofNearest)
+    sqlTpchQ5, sqlTpchQ18, joinRangeBinned, joinRuntimeBloom, joinAsofNearest)
 }

@@ -200,6 +200,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("sql_tpch_q18's IN-subquery plans as a semi join + top-k, no per-row subquery") {
+    val p = plan("sql_tpch_q18")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("sql_tpch_q5 broadcasts both dimension tables") {
     val p = plan("sql_tpch_q5")
     assert(p.sliding("BroadcastHashJoin".length)
