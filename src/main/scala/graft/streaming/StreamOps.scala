@@ -470,8 +470,66 @@ object StreamOps {
     graft.pipeline.Versioned.commit(root, next, conf)
   }
 
+  // Streaming observability: Dataset.observe on an UNBOUNDED stream surfaces
+  // per-micro-batch data-quality metrics (row count, exact control total in
+  // cents) through StreamingQueryProgress.observedMetrics — counters ride
+  // the batch's own pass, no second scan, and a monitoring loop reads them
+  // from progress events without touching the data path. Two forced
+  // micro-batches (even event_ids land first, odd second, mtime +
+  // maxFilesPerTrigger=1 — the stream_cdc_feed protocol) make the per-batch
+  // rows deterministic; the oracle replays both batches as conditional
+  // aggregates.
+  private val streamObserveMetrics = Op(
+    "stream_observe_metrics",
+    (s, d) => {
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      val land = tmp("graft_som_land_"); val ck = tmp("graft_som_ck_")
+      val sink = tmp("graft_som_sink_")
+      val ev = Tables.load(s, d, "events")
+      def landHalf(parity: Int, name: String, mtime: Long): Unit = {
+        val stage = tmp(s"graft_som_b$parity")
+        ev.where(col("event_id") % 2 === parity).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(land, name)
+        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      landHalf(0, "b0.parquet", t0)
+      landHalf(1, "b1.parquet", t0 + 10000)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(land)
+        .observe("batch_metrics",
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("sum_cents"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      import s.implicits._
+      q.recentProgress.toSeq
+        .filter(_.numInputRows > 0) // a trailing no-data commit batch has no totals
+        .flatMap(p => Option(p.observedMetrics.get("batch_metrics"))
+          .map(m => (p.batchId, m.getLong(0), m.getLong(1))))
+        .toDF("batch_id", "n_rows", "sum_cents")
+        .orderBy("batch_id")
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS batch_id, count(*) AS n_rows,
+              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+                AS sum_cents
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), count(*),
+              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+            FROM events WHERE event_id % 2 = 1
+            ORDER BY batch_id"""))
+
   val ops: Seq[Op] = Seq(
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
-    streamDedupState, streamCustomState, streamCdcFeed)
+    streamDedupState, streamCustomState, streamCdcFeed,
+    streamObserveMetrics)
 }
