@@ -56,7 +56,11 @@ object BlockMeanHash {
     while (i < n) { total += (bytes(i) & 0xff); i += 1 }
     // global mean compared in cross-multiplied integer space: block b (span
     // [b·n/64, (b+1)·n/64)) sets its bit iff blockSum·n > total·span — no
-    // float division, no rounding ambiguity
+    // float division, no rounding ambiguity. Both products fit a long while
+    // 4n² < 2^63 (n ≤ 1e9); beyond that (Spark binary can reach 2 GB) the
+    // comparison promotes to BigInt — 64 promotions per huge payload, never
+    // a silently wrapped sign
+    val exact = n <= 1000000000
     var hash = 0L
     var b = 0
     while (b < Bits) {
@@ -65,7 +69,10 @@ object BlockMeanHash {
       var s = 0L
       var j = lo
       while (j < hi) { s += (bytes(j) & 0xff); j += 1 }
-      if (s * n > total * (hi - lo)) hash |= (1L << b)
+      val above =
+        if (exact) s * n > total * (hi - lo)
+        else BigInt(s) * n > BigInt(total) * (hi - lo)
+      if (above) hash |= (1L << b)
       b += 1
     }
     hash

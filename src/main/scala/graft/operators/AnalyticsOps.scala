@@ -404,9 +404,12 @@ object AnalyticsOps {
   private val aggBitmapDistinct = Op(
     "agg_bitmap_distinct",
     (s, d) => t(s, d, "events")
+      // pmod keeps the bit index in [0,64) and the chunk floor-divided for
+      // NEGATIVE keys too (truncating div + % would alias -1 onto key 63's
+      // bit); exact integer arithmetic at any long key
       .select(col("event_type"),
-        expr("user_id div 64").as("chunk"),
-        expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("bit"))
+        expr("(user_id - pmod(user_id, 64)) div 64").as("chunk"),
+        expr("shiftleft(1L, CAST(pmod(user_id, 64) AS INT))").as("bit"))
       .groupBy("event_type", "chunk")
       .agg(expr("bit_or(bit)").as("bm"))
       .groupBy("event_type")
@@ -424,7 +427,11 @@ object AnalyticsOps {
     "agg_mode",
     (s, d) => {
       val c = t(s, d, "documents").groupBy("source", "lang").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("source").orderBy(col("n").desc, col("lang"))
+      // asc_nulls_last: DuckDB's ORDER BY default is NULLS LAST, Spark's is
+      // NULLS FIRST — a NULL-valued group tied for the max would otherwise
+      // win on one engine and lose on the other
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("lang").asc_nulls_last)
       c.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("source"), col("lang").as("modal_lang"), col("n"))

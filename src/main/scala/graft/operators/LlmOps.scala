@@ -1345,7 +1345,11 @@ object LlmOps {
       graft.functions.CharEntropy.register(s)
       t(s, d, "documents")
         .select(col("doc_id"),
-          round(expr("graft_char_entropy(text)"), 4).as("char_entropy"))
+          // NULL text → 0.0, matching the oracle's LEFT JOIN + coalesce
+          // (the expression itself is null-intolerant like any Catalyst
+          // UnaryExpression)
+          coalesce(round(expr("graft_char_entropy(text)"), 4), lit(0.0))
+            .as("char_entropy"))
         .orderBy("doc_id")
     },
     Some("""SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy

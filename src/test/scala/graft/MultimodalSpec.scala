@@ -84,7 +84,6 @@ class MultimodalSpec extends AnyFunSuite {
   test("mm_dedup_phash finds planted near-identical payloads, banded join only") {
     val s = spark
     import s.implicits._
-    val rnd = new scala.util.Random(11)
     def blob(seed: Int): Array[Byte] = {
       val r = new scala.util.Random(seed)
       Array.fill[Byte](2048)((r.nextInt(256) - 128).toByte)
