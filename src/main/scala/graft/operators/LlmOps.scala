@@ -1330,6 +1330,40 @@ object LlmOps {
                    ELSE 'ff' END
             ORDER BY doc_id"""))
 
+  // INCREMENTAL dedup — the production shape at 100 TB: a new batch dedupes
+  // against the already-deduped corpus (and against itself, min-id-wins)
+  // WITHOUT re-processing the corpus; only batch×corpus and batch×batch
+  // candidates are scored, never corpus×corpus again. Here the even
+  // doc_ids stand in for the existing store and the odd ids for the
+  // arriving batch; a corpus near-dup always blocks, an earlier batch doc
+  // blocks its later near-dups. Shares the session-cached Jaccard pair set
+  // with the other dedup keys, so the marginal cost is two filters and an
+  // anti-join-shaped left join.
+  private val dedupIncremental = Op(
+    "dedup_incremental",
+    (s, d) => {
+      val pairs = jaccardPairs(s, d) // (doc_a < doc_b, jaccard ≥ 0.8), cached
+      val blocked = pairs.where(col("doc_b") % 2 === 1)
+        .select(col("doc_b").as("doc_id")) // lower-id partner (corpus or earlier batch)
+        .unionByName(pairs
+          .where(col("doc_a") % 2 === 1 && col("doc_b") % 2 === 0)
+          .select(col("doc_a").as("doc_id"))) // higher-id corpus partner
+        .distinct()
+      t(s, d, "documents").where(col("doc_id") % 2 === 1).select("doc_id")
+        .join(blocked.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("hit").isNotNull.as("dropped"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $jaccardCtes,
+            blocked AS (
+              SELECT doc_b AS doc_id FROM jp WHERE doc_b % 2 = 1
+              UNION
+              SELECT doc_a FROM jp WHERE doc_a % 2 = 1 AND doc_b % 2 = 0),
+            batch AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+            SELECT b.doc_id, (bl.doc_id IS NOT NULL) AS dropped
+            FROM batch b LEFT JOIN blocked bl ON b.doc_id = bl.doc_id
+            ORDER BY b.doc_id"""))
+
   // Character-level Shannon entropy as a quality signal (gibberish ≈
   // log2(alphabet), repeated filler ≈ 0 — the C4/Gopher-family "natural
   // text" check the ratio rules can't express). The per-document histogram +
@@ -1369,5 +1403,5 @@ object LlmOps {
     embKnnGraph,
     textStats, textTopterms, textLangid, textQuality, textLmScore, textTokenBpe,
     textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap,
-    textRepetition, textEntropy)
+    textRepetition, textEntropy, dedupIncremental)
 }
