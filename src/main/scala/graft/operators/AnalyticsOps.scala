@@ -556,10 +556,46 @@ object AnalyticsOps {
             FROM r3 JOIN nation ON v = n_nationkey
             ORDER BY rank DESC, n_name"""))
 
+  // Rolling-window distinct (trailing 7-day active users per day — the
+  // WAU/DAU shape): COUNT(DISTINCT) over a sliding range frame has no
+  // native window form, and the naive per-day self-join rescans the event
+  // log once per day. The scalable rewrite: dedupe to (user, day) first
+  // (one shuffle, cardinality = active user-days), then each user-day
+  // CONTRIBUTES to the 7 window-days it falls in (a map-side explode of a
+  // 7-element sequence), and one exact distinct count per window-day
+  // finishes it. Work is O(7 · user-days), independent of raw event volume
+  // beyond the first dedupe.
+  private val windowRollingDistinct = Op(
+    "window_rolling_distinct",
+    (s, d) => {
+      val ud = t(s, d, "events")
+        // day boundaries as TIMESTAMPs on both engines (§7.6: DuckDB's
+        // date_trunc yields DATE, which the comparator reads differently)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      ud.withColumn("wday",
+          explode(expr("sequence(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)")))
+        .groupBy("wday")
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("wday")
+    },
+    Some("""WITH ud AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+              FROM events),
+            c AS (
+              SELECT user_id,
+                     unnest(generate_series(day, day + INTERVAL 6 DAY,
+                       INTERVAL 1 DAY)) AS wday
+              FROM ud)
+            SELECT wday, count(DISTINCT user_id) AS wau
+            FROM c GROUP BY wday ORDER BY wday"""))
+
   val ops: Seq[Op] = Seq(
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
     windowTimeRange, aggApproxQuantile, aggHllPartialMerge, eventFunnel,
     aggRetentionCohort, joinFuzzy, aggHeavyHitters, windowGapIslands,
-    aggBitmapDistinct, aggMode, windowTimeDecay, graphPagerank)
+    aggBitmapDistinct, aggMode, windowTimeDecay, graphPagerank,
+    windowRollingDistinct)
 }
