@@ -88,11 +88,8 @@ object ByteWindows {
       { exprs: Seq[Expression] =>
         require(exprs.length == 3,
           "graft_byte_windows(payload, width, stride) takes three arguments")
-        def lit(e: Expression): Int = {
-          require(e.foldable, "width/stride must be literals")
-          e.eval().asInstanceOf[Number].intValue()
-        }
-        ByteWindows(exprs.head, lit(exprs(1)), lit(exprs(2)))
+        ByteWindows(exprs.head, GraftExtensions.litInt(exprs(1), "width"),
+          GraftExtensions.litInt(exprs(2), "stride"))
       },
       "built-in")
 }

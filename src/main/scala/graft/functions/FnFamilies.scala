@@ -189,7 +189,6 @@ object FnFamilies {
               COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  // Bitwise operators — partition routing, bloom-filter, and flag-word math.
   // Binary/text encodings (base64, hex, and the decode roundtrip) — the
   // transport-encoding family next to fn_hash's digests. All map-side.
   private val fnEncode = Op(
@@ -207,6 +206,7 @@ object FnFamilies {
                    decode(from_base64(to_base64(encode(c_name)))) AS roundtrip
             FROM customer ORDER BY c_custkey"""))
 
+  // Bitwise operators — partition routing, bloom-filter, and flag-word math.
   private val fnBitwise = Op(
     "fn_bitwise",
     (s, d) => t(s, d, "events").select(

@@ -33,10 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_winnow(text) takes one string")
         TextWinnow(exprs.head)
       }))
-    def litInt(e: Expression, what: String): Int = {
-      require(e.foldable, s"$what must be a literal")
-      e.eval().asInstanceOf[Number].intValue()
-    }
+    import GraftExtensions.litInt
     ext.injectFunction((
       FunctionIdentifier("graft_block_mean_hash"),
       new ExpressionInfo(classOf[BlockMeanHash].getName, "graft_block_mean_hash"),
@@ -68,5 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // curated-dimension auto-broadcast (graft.plans.BroadcastDimensionsRule)
     ext.injectOptimizerRule(_ => graft.plans.BroadcastDimensionsRule())
+  }
+}
+
+object GraftExtensions {
+  /** Foldable-literal int parameter extraction, shared by the extension
+    * injector and the per-session `register` paths of the parameterized
+    * native expressions. */
+  private[functions] def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
   }
 }

@@ -90,8 +90,7 @@ object ShingleSet {
       "graft_shingles",
       { exprs: Seq[Expression] =>
         require(exprs.length == 2, "graft_shingles(norm_text, k) takes two arguments")
-        require(exprs(1).foldable, "shingle width must be a literal")
-        ShingleSet(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+        ShingleSet(exprs.head, GraftExtensions.litInt(exprs(1), "shingle width"))
       },
       "built-in")
 }

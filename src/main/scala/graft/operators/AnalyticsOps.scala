@@ -366,9 +366,12 @@ object AnalyticsOps {
       val run = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events").select(col("user_id"), col("event_id"), col("event_type"))
+        // !(a <=> b) is exactly IS DISTINCT FROM (the oracle's spelling):
+        // the isNull || =!= formulation diverges on NULL event_type runs —
+        // Spark would start a new island per NULL row while DuckDB keeps
+        // NULL-vs-NULL as one island
         .withColumn("chg",
-          when(lag(col("event_type"), 1).over(w).isNull ||
-               lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+          when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1)
             .otherwise(0))
         .withColumn("grp", sum(col("chg")).over(run))
         .groupBy("user_id", "event_type", "grp")

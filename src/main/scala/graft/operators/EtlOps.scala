@@ -533,10 +533,15 @@ object EtlOps {
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 10)
             .otherwise(col("o_totalprice")).as("o_totalprice"))
-      target.as("t").join(source.as("s"), Seq("o_orderkey"), "full_outer")
-        .select(col("o_orderkey"),
-          when(col("t.o_totalprice").isNull, "insert")
-            .when(col("s.o_totalprice").isNull, "delete")
+      // classify by the JOIN KEY's side-nullness (the oracle's spelling),
+      // not a value column's — a row whose price is legitimately NULL must
+      // still classify as matched, so the explicit join keeps both key
+      // columns alive for the CASE
+      target.as("t").join(source.as("s"),
+          col("t.o_orderkey") === col("s.o_orderkey"), "full_outer")
+        .select(coalesce(col("t.o_orderkey"), col("s.o_orderkey")).as("o_orderkey"),
+          when(col("t.o_orderkey").isNull, "insert")
+            .when(col("s.o_orderkey").isNull, "delete")
             .when(col("t.o_totalprice") =!= col("s.o_totalprice"), "update")
             .as("op"),
           col("t.o_totalprice").as("before_price"),

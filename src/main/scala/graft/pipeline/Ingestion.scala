@@ -192,21 +192,31 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     * output metrics count the same rows for every plan shape. The count is
     * scoped to THIS call's jobs via a unique job group (a shared session may
     * be running other writes concurrently; an unfiltered listener would sum
-    * theirs too). Delivery is async, so after `body` we wait for the counter
-    * to go quiet. Retried tasks could in principle double-count;
-    * file-committer output metrics are only reported for committed
-    * attempts. */
+    * theirs too). Delivery is async, but the listener bus is FIFO: a job's
+    * TaskEnd events always precede its JobEnd, so once every started group
+    * job has its end event the task counts are complete — the wait exits on
+    * that signal (plus a short stability window against a start/end pair
+    * still queued together), not on a long fixed counter-quiesce that both
+    * stalled every write ~500 ms and could undercount under bus lag.
+    * Retried tasks could in principle double-count; file-committer output
+    * metrics are only reported for committed attempts. */
   private def withWrittenRowCount(body: => Unit): Long = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
     val sc = spark.sparkContext
     val group = s"graft-ingest-${java.util.UUID.randomUUID()}"
     val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val jobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val ended = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val rows = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         if (j.properties != null &&
-            group == j.properties.getProperty("spark.jobGroup.id"))
+            group == j.properties.getProperty("spark.jobGroup.id")) {
+          jobs.add(j.jobId)
           j.stageInfos.foreach(si => stages.add(si.stageId))
+        }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (jobs.contains(j.jobId)) ended.add(j.jobId)
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (stages.contains(e.stageId)) {
           val m = e.taskMetrics
@@ -217,14 +227,15 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     sc.setJobGroup(group, "graft ingest write", interruptOnCancel = false)
     try {
       body
-      var last = -1L
       var stableSince = System.nanoTime()
+      var lastSeen = (-1, -1)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline &&
-        (rows.get != last || System.nanoTime() - stableSince < 500L * 1000 * 1000)) {
-        if (rows.get != last) { last = rows.get; stableSince = System.nanoTime() }
-        Thread.sleep(20)
-      }
+      while (System.nanoTime() < deadline && {
+        val seen = (jobs.size, ended.size)
+        if (seen != lastSeen) { lastSeen = seen; stableSince = System.nanoTime() }
+        jobs.size != ended.size ||
+          System.nanoTime() - stableSince < 100L * 1000 * 1000
+      }) Thread.sleep(10)
     } finally {
       sc.clearJobGroup()
       sc.removeSparkListener(listener)
@@ -434,9 +445,15 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     // recursive: landing dirs are often nested (date=.../part-*.json) —
     // the stream source itself reads them, so inference must see them too.
     // Files under hidden (_ or .) path segments are metadata, not data.
+    // The walk stops at the QUALIFIED landing root: listFiles returns
+    // fully-qualified paths (file:/... / hdfs://...), so comparing against
+    // the raw sourcePath string would never match — the walk would climb
+    // into ancestors and a landing dir with a _/. segment anywhere above
+    // it would mark EVERY file hidden.
+    val landingQ = lfs.makeQualified(landing)
     def hiddenUnder(p: Path): Boolean = {
       var cur = p
-      while (cur != null && cur.toString != landing.toString) {
+      while (cur != null && cur != landingQ) {
         if (cur.getName.startsWith("_") || cur.getName.startsWith(".")) return true
         cur = cur.getParent
       }

@@ -80,17 +80,25 @@ object Versioned {
   def commit(root: Path, dir: Path, conf: Configuration,
              keepVersions: Int = 1): Unit = {
     val f = fs(root, conf)
-    val tmp = new Path(root, "_current.tmp")
-    val out = f.create(tmp, true)
-    try out.write(dir.getName.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(root.toUri, conf)
-      .rename(tmp, new Path(root, "_current"), Options.Rename.OVERWRITE)
+    // _history is the WRITE-AHEAD record: append it BEFORE the _current
+    // swap. A crash between the two renames then leaves a version that is
+    // logged but not yet current — `isCommitted` says false, the replayer
+    // re-runs the deterministic batch, and the `filterNot` below dedups the
+    // log entry. The previous ordering (pointer first) could crash into a
+    // state where the CURRENT version was missing from _history forever:
+    // the replay guard saw it committed and never re-ran the commit, so
+    // time-travel numbering skipped it and vacuum could GC it while live.
     val hist = (history(root, conf).filterNot(_ == dir.getName) :+ dir.getName)
     val htmp = new Path(root, "_history.tmp")
     val hout = f.create(htmp, true)
     try hout.write(hist.mkString("\n").getBytes("UTF-8")) finally hout.close()
     FileContext.getFileContext(root.toUri, conf)
       .rename(htmp, new Path(root, "_history"), Options.Rename.OVERWRITE)
+    val tmp = new Path(root, "_current.tmp")
+    val out = f.create(tmp, true)
+    try out.write(dir.getName.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, new Path(root, "_current"), Options.Rename.OVERWRITE)
     vacuum(root, conf, keepVersions)
   }
 

@@ -415,6 +415,9 @@ object StreamOps {
               org.apache.spark.sql.types.StructField("c",
                 org.apache.spark.sql.types.LongType))))
         }
+        // localCheckpoint: the change set feeds TWO sinks (feed slice +
+        // totals upsert); without it the diff join — including a full read
+        // of the current totals version — would execute once per sink
         val changes = delta.as("d")
           .join(before.as("t"), Seq("user_id"), "left_outer")
           .select(col("user_id"),
@@ -423,6 +426,7 @@ object StreamOps {
             (coalesce(col("t.n"), lit(0L)) + col("dn")).as("after_n"),
             col("t.c").as("before_cents"),
             (coalesce(col("t.c"), lit(0L)) + col("dc")).as("after_cents"))
+          .localCheckpoint()
         // one OVERWRITTEN dir per micro-batch id: a retried batch replaces
         // its own feed slice, never appends a duplicate (idempotent sink —
         // the trick Spark documents for exactly-once foreachBatch output)
