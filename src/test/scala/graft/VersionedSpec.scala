@@ -78,4 +78,26 @@ class VersionedSpec extends AnyFunSuite {
     assert(f.exists(new Path(root, "v1")))
     assert(Versioned.isCommitted(root, new Path(root, "v1"), conf))
   }
+
+  test("crash between history append and pointer swap recovers on replay") {
+    // _history is the write-ahead record: simulate a crash where v2 made it
+    // into the log but _current still points at v1. The replay guard must
+    // say NOT committed (so the deterministic batch re-runs), and the
+    // re-commit must dedup the log entry rather than double-append.
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "v1"), conf, keepVersions = 3)
+    val v2 = mkVersion(root, "v2")
+    val f = root.getFileSystem(conf)
+    val hout = f.create(new Path(root, "_history"), true)
+    try hout.write("v1\nv2".getBytes("UTF-8")) finally hout.close()
+    // crash state: logged but not current
+    assert(Versioned.history(root, conf) === Seq("v1", "v2"))
+    assert(!Versioned.isCommitted(root, v2, conf))
+    assert(Versioned.current(root, conf).map(_.getName) === Some("v1"))
+    // replay re-stages the same name and commits again
+    Versioned.commit(root, v2, conf, keepVersions = 3)
+    assert(Versioned.history(root, conf) === Seq("v1", "v2"))
+    assert(Versioned.isCommitted(root, v2, conf))
+    assert(Versioned.versionDir(root, 1, conf).map(_.getName) === Some("v2"))
+  }
 }
