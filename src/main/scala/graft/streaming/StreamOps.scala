@@ -531,9 +531,67 @@ object StreamOps {
             FROM events WHERE event_id % 2 = 1
             ORDER BY batch_id"""))
 
+  // Watermark AUDIT: watermarks silently drop late rows — at 100 TB
+  // "silently" is unacceptable, so a production stream publishes its
+  // watermark progression (from StreamingQueryProgress.eventTime) next to
+  // its per-batch input counts; any input behind the in-effect watermark is
+  // dropped, and that is exactly auditable from these two columns. (The
+  // engine's own numRowsDroppedByWatermark stays 0 for aggregations — the
+  // late filter runs before the state operator — which is precisely why the
+  // progression itself is the reliable audit surface.) Two forced batches
+  // make it deterministic: the RECENT half arrives first and raises the
+  // watermark to (max ts − 10 min, ms-truncated); the OLD half then arrives
+  // entirely behind it. The oracle recomputes the watermark declaratively.
+  private val streamWatermarkAudit = Op(
+    "stream_watermark_audit",
+    (s, d) => {
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      val land = tmp("graft_sld_land_"); val ck = tmp("graft_sld_ck_")
+      val sink = tmp("graft_sld_sink_")
+      val ev = Tables.load(s, d, "events")
+      val cutoff = "TIMESTAMP '2024-01-15 00:00:00'"
+      def landPart(pred: org.apache.spark.sql.Column, name: String, mtime: Long): Unit = {
+        val stage = tmp("graft_sld_b")
+        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(land, name)
+        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      landPart(expr(s"ts >= $cutoff"), "b0.parquet", t0)      // recent half first
+      landPart(expr(s"ts < $cutoff"), "b1.parquet", t0 + 10000) // old half = late
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(land)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      import s.implicits._
+      q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => (p.batchId, p.numInputRows,
+          java.time.Instant.parse(p.eventTime.get("watermark")).toEpochMilli))
+        .toDF("batch_id", "input_rows", "wm_ms")
+        .orderBy("batch_id")
+    },
+    Some("""SELECT CAST(0 AS BIGINT) AS batch_id, count(*) AS input_rows,
+              CAST(0 AS BIGINT) AS wm_ms
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), count(*),
+              (SELECT epoch_ms(max(ts)) - 600000 FROM events
+               WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+            FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+            ORDER BY batch_id"""))
+
   val ops: Seq[Op] = Seq(
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
     streamDedupState, streamCustomState, streamCdcFeed,
-    streamObserveMetrics)
+    streamObserveMetrics, streamWatermarkAudit)
 }
