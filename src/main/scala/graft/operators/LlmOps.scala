@@ -1159,6 +1159,33 @@ object LlmOps {
                    ELSE 'ff' END
             ORDER BY doc_id"""))
 
+  // Deterministic WEIGHTED (importance) sampling: keep each document with
+  // probability proportional to its length — sampling documents ∝ tokens is
+  // how you sample TOKENS uniformly, the corpus-subsetting step between
+  // "uniform over docs" (sample_hash) and "fixed per-class rates"
+  // (corpus_mix). The acceptance test is pure hash arithmetic: an md5-prefix
+  // uniform compared against the row's weight formatted as an 8-digit hex
+  // threshold — reproducible across engines, retries, and cluster sizes,
+  // and map-side except the broadcast of the global max (one tiny
+  // aggregate).
+  private val sampleWeighted = Op(
+    "sample_weighted",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val mx = docs.agg(max("n_chars").as("mx"))
+      docs.crossJoin(broadcast(mx))
+        .where(substring(md5(concat_ws("-", col("doc_id"))), 1, 8) <
+          expr("lpad(lower(hex(CAST(n_chars * 4294967296 div mx AS BIGINT))), 8, '0')"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars
+            FROM documents
+            WHERE substr(md5(concat_ws('-', doc_id)), 1, 8) <
+              lpad(lower(hex(CAST(n_chars * 4294967296 //
+                (SELECT max(n_chars) FROM documents) AS BIGINT))), 8, '0')
+            ORDER BY doc_id"""))
+
   // Overlapping token chunking — the pretraining/RAG windowing step: each
   // document splits into 32-token chunks at stride 24 (8-token overlap so
   // no boundary context is lost), including the partial tail chunk. Chunks
@@ -1403,5 +1430,5 @@ object LlmOps {
     embKnnGraph,
     textStats, textTopterms, textLangid, textQuality, textLmScore, textTokenBpe,
     textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap,
-    textRepetition, textEntropy, dedupIncremental)
+    textRepetition, textEntropy, dedupIncremental, sampleWeighted)
 }
