@@ -93,16 +93,25 @@ object LlmOps {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsFrom(t(s, d, "documents"))
 
-  /** df-capped shingle set, shared by the Jaccard and containment keys: the
-    * cap is a WINDOW over the shingle key (one shuffle, one pass) and the
+  /** df-capped shingle set, shared by the Jaccard and containment keys.
+    * The cap is applied skew-safely: a partial (map-side-combined) hash
+    * aggregate counts each shingle's df — hot shingles collapse to one row
+    * per map task BEFORE any exchange — then the tiny hot set (df >
+    * MaxShingleDf; boilerplate only, by construction bounded) is broadcast
+    * and removed with a map-side anti-join. The shingle stream itself is
+    * never shuffled on `s` here, so a planet-scale hot shingle costs one
+    * counter per map task, not a single-reducer pile-up (the old
+    * `count().over(Window.partitionBy("s"))` spelling shipped every
+    * occurrence of the hottest key to one reducer just to drop it). The
     * result is cached — Spark's plan-keyed cache manager hands every caller
     * building this same plan the one materialization per session. */
-  private def cappedShingles(docs: DataFrame): DataFrame =
-    shinglesFrom(docs)
-      .withColumn("dfc", count(lit(1)).over(Window.partitionBy("s")))
-      .where(col("dfc") <= MaxShingleDf)
-      .drop("dfc")
-      .cache()
+  private def cappedShingles(docs: DataFrame): DataFrame = {
+    val sh = shinglesFrom(docs)
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
+      .where(col("dfc") > MaxShingleDf)
+      .select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti").cache()
+  }
 
   /** (doc_a, doc_b, i, ns_a, ns_b): shared-shingle intersection counts +
     * set sizes over the df-capped shingle set. The self-join + three
