@@ -96,21 +96,39 @@ object LlmOps {
   /** df-capped shingle set, shared by the Jaccard and containment keys.
     * The cap is applied skew-safely: a partial (map-side-combined) hash
     * aggregate counts each shingle's df — hot shingles collapse to one row
-    * per map task BEFORE any exchange — then the tiny hot set (df >
-    * MaxShingleDf; boilerplate only, by construction bounded) is broadcast
-    * and removed with a map-side anti-join. The shingle stream itself is
-    * never shuffled on `s` here, so a planet-scale hot shingle costs one
-    * counter per map task, not a single-reducer pile-up (the old
+    * per map task BEFORE any exchange — then the hot set (df > MaxShingleDf)
+    * is removed with an anti-join. The shingle stream itself is never
+    * shuffled on `s` here, so a planet-scale hot shingle costs one counter
+    * per map task, not a single-reducer pile-up (the old
     * `count().over(Window.partitionBy("s"))` spelling shipped every
-    * occurrence of the hottest key to one reducer just to drop it). The
-    * result is cached — Spark's plan-keyed cache manager hands every caller
-    * building this same plan the one materialization per session. */
-  private def cappedShingles(docs: DataFrame): DataFrame = {
-    val sh = shinglesFrom(docs)
+    * occurrence of the hottest key to one reducer just to drop it).
+    * PlanSpec pins the shape: partial HashAggregate on `s`, no Window.
+    *
+    * Two deliberate choices for 100 TB:
+    *   - the hot set carries NO broadcast hint: its cardinality grows with
+    *     corpus size (every common trigram crosses the cap eventually), so
+    *     an unconditional hint would bypass autoBroadcastJoinThreshold and
+    *     OOM the driver. AQE upgrades the anti-join to a broadcast join at
+    *     runtime whenever the measured hot set is small; above the
+    *     threshold the shuffled anti-join is the safe fallback.
+    *   - the shingle stream is cached before fanning into the df aggregate
+    *     and the anti-join probe, so the ShingleSet explode — the expensive
+    *     part — runs once per materialization, not twice. */
+  private def cappedShingles(docs: DataFrame): DataFrame =
+    cappedShinglesFrom(docs)
+
+  /** [[cappedShingles]] with persistence switchable off so PlanSpec can
+    * assert the uncached physical plan (a cached DF plans as an
+    * InMemoryTableScan, hiding the aggregate shape). */
+  private[graft] def cappedShinglesFrom(
+      docs: DataFrame, persist: Boolean = true): DataFrame = {
+    val sh0 = shinglesFrom(docs)
+    val sh = if (persist) sh0.cache() else sh0
     val hot = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
       .where(col("dfc") > MaxShingleDf)
       .select("s")
-    sh.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    val capped = sh.join(hot, Seq("s"), "left_anti")
+    if (persist) capped.cache() else capped
   }
 
   /** (doc_a, doc_b, i, ns_a, ns_b): shared-shingle intersection counts +
@@ -350,9 +368,39 @@ object LlmOps {
                      ORDER BY n_chars DESC, doc_id) = 1 AS is_survivor
             FROM alldocs ORDER BY doc_id"""))
 
+  /** Per-(band, band-hash) bucket frequency cap for the MinHash band join —
+    * the same skew guard [[simhashCandidatePairs]] applies per chunk bucket
+    * and [[MaxShingleDf]] applies per shingle. A bucket with more than this
+    * many docs means 64+ documents share an IDENTICAL 4-minhash band:
+    * either byte-identical texts (upstream `dedup_exact`'s job) or
+    * boilerplate collapse — and either way one such bucket makes candidate
+    * generation quadratic at 100 TB. Genuinely-similar non-identical pairs
+    * co-collide on a second, colder band w.h.p. (16 independent bands);
+    * LlmOpsSpec plants both cases. */
+  private[graft] val MaxBandBucket = 64
+
+  /** Banded-signature self-join with the [[MaxBandBucket]] frequency guard:
+    * bucket df from a partial (map-side-combined) aggregate, hot buckets
+    * dropped from BOTH sides before the equi-join on (band, bh). Input
+    * schema: (doc_id, band, bh). */
+  private[graft] def minhashCandidatePairs(
+      banded: DataFrame, maxBucket: Int): DataFrame = {
+    val cold = banded.groupBy("band", "bh").agg(count(lit(1)).as("bf"))
+      .where(col("bf") <= maxBucket)
+      .select("band", "bh")
+    val capped = banded.join(cold, Seq("band", "bh"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   // MinHash + banded LSH: 64 seeded xxhash64 min-signatures per doc, 16 bands
-  // of 4 rows; candidates = band-hash collisions (shuffle on band key only),
-  // then exact-Jaccard verification of candidates. Seeded hashing has no
+  // of 4 rows; candidates = band-hash collisions (shuffle on band key only,
+  // hot buckets frequency-capped via minhashCandidatePairs), then
+  // exact-Jaccard verification of candidates. Seeded hashing has no
   // DuckDB analog → property-tested (planted near-dups must surface).
   private val dedupMinhash = Op(
     "dedup_minhash",
@@ -371,12 +419,7 @@ object LlmOps {
         .as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bh"))
         .cache() // tiny (docs × 16 rows); read by both sides of the band join
-      val cand = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = minhashCandidatePairs(banded, MaxBandBucket)
       // verify candidates exactly (candidate set is tiny post-LSH)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
       val inter = cand
@@ -1176,7 +1219,11 @@ object LlmOps {
   // uniform compared against the row's weight formatted as an 8-digit hex
   // threshold — reproducible across engines, retries, and cluster sizes,
   // and map-side except the broadcast of the global max (one tiny
-  // aggregate).
+  // aggregate). The threshold is clamped to 2^32−1 ('ffffffff') BEFORE hex:
+  // for n_chars == mx the unclamped value is exactly 2^32, whose 9-digit
+  // hex '100000000' an 8-char lpad would TRUNCATE to '10000000' — keeping
+  // the longest documents (the ones importance sampling most wants) at
+  // p≈1/16 instead of ≈1. Both engines apply the identical clamp.
   private val sampleWeighted = Op(
     "sample_weighted",
     (s, d) => {
@@ -1184,15 +1231,16 @@ object LlmOps {
       val mx = docs.agg(max("n_chars").as("mx"))
       docs.crossJoin(broadcast(mx))
         .where(substring(md5(concat_ws("-", col("doc_id"))), 1, 8) <
-          expr("lpad(lower(hex(CAST(n_chars * 4294967296 div mx AS BIGINT))), 8, '0')"))
+          expr("""lpad(lower(hex(CAST(least(n_chars * 4294967296 div mx,
+                 4294967295) AS BIGINT))), 8, '0')"""))
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id, n_chars
             FROM documents
             WHERE substr(md5(concat_ws('-', doc_id)), 1, 8) <
-              lpad(lower(hex(CAST(n_chars * 4294967296 //
-                (SELECT max(n_chars) FROM documents) AS BIGINT))), 8, '0')
+              lpad(lower(hex(CAST(least(n_chars * 4294967296 //
+                (SELECT max(n_chars) FROM documents), 4294967295) AS BIGINT))), 8, '0')
             ORDER BY doc_id"""))
 
   // Overlapping token chunking — the pretraining/RAG windowing step: each

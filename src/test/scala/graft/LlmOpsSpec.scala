@@ -65,6 +65,64 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  // PLANTED HOT BAND BUCKET for the MinHash guard: 300 docs collide on one
+  // (band, bh) bucket (identical-text / boilerplate collapse — quadratic
+  // candidates if uncapped), while a planted pair sits in the hot bucket AND
+  // co-collides on a second, cold band. The cap must drop the hot bucket
+  // entirely (no crowd pairs) yet keep the pair via its cold collision.
+  test("minhash frequency cap skips hot band buckets but keeps co-collisions") {
+    import spark.implicits._
+    val crowd = (1 to 300).map(i => (i.toLong, 0, 42L))
+    val planted = Seq((9001L, 0, 42L), (9002L, 0, 42L), // also in the hot bucket
+      (9001L, 1, 777L), (9002L, 1, 777L)) // cold co-collision
+    val banded = (crowd ++ planted).toDF("doc_id", "band", "bh")
+    val pairs = operators.LlmOps.minhashCandidatePairs(banded, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq.sorted === Seq((9001L, 9002L)),
+      s"expected only the planted cold-band pair, got ${pairs.length} pairs")
+  }
+
+  // End-to-end: a 70-doc crowd of byte-identical texts collides on ALL 16
+  // bands (every bucket df=70 > 64), so the cap must suppress the crowd
+  // completely — identical texts are dedup_exact's job — while the planted
+  // near-dup pair (distinct signatures, rare bands) still surfaces.
+  test("dedup_minhash drops identical-text crowds but keeps near-dups") {
+    import spark.implicits._
+    val crowd = (1 to 70).map(i => (100L + i, "en",
+      (1 to 60).map(j => s"c$j").mkString(" ")))
+    val base = (1 to 60).map(i => s"m$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i == 30) "CHANGED" else s"m$i").mkString(" ")
+    val dir = Files.createTempDirectory("g_mh_crowd_").toString
+    (crowd ++ Seq((9001L, "en", base), (9002L, "en", near)))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((9001L, 9002L)),
+      s"expected only the near-dup pair, got ${pairs.toSeq}")
+  }
+
+  // The lpad-truncation pin: every doc at the global max length has
+  // (unclamped) threshold exactly 2^32 = '100000000' (9 hex digits), which
+  // an 8-char lpad would truncate to '10000000' and keep only ~1/16 of the
+  // longest docs. With the clamp to 'ffffffff' ALL max-length docs pass
+  // (md5 prefix ≥ 'ffffffff' has probability 2^-32). Shorter docs keep
+  // their proportional rate.
+  test("sample_weighted keeps every max-length doc and ~1/4 of quarter-length") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g_sw_").toString
+    val longs = (1L to 200L).map(i => (i, "en", "x", 4000))
+    val shorts = (1001L to 1400L).map(i => (i, "en", "x", 1000))
+    (longs ++ shorts).toDF("doc_id", "lang", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = SparkEntry.queries("sample_weighted")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(kept.count(_._2 == 4000) === 200, "every max-length doc must be kept")
+    val shortRate = kept.count(_._2 == 1000).toDouble / 400
+    assert(shortRate > 0.15 && shortRate < 0.35,
+      s"quarter-length keep rate $shortRate far from 0.25")
+  }
+
   // PLANTED HOT SHINGLE: 70 docs (> MaxShingleDf = 64) share one identical
   // 3-token text, i.e. one shingle with df=70. Uncapped, that single hot key
   // would generate 70·69/2 = 2415 candidate pairs (all Jaccard 1.0 — visible

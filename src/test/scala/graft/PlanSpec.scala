@@ -153,6 +153,30 @@ class PlanSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("shingle df-cap plans a partial hash aggregate on s, never a window") {
+    // the skew guard's whole point: hot-shingle df comes from a map-side-
+    // combined partial aggregate (one counter per map task), NOT a
+    // Window.partitionBy(s) that ships every occurrence of the hottest
+    // shingle to one reducer. Pinned uncached — a cached DF plans as an
+    // InMemoryTableScan and would hide the aggregate.
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b c d e"), (2L, "en", "b c d e f"))
+      .toDF("doc_id", "lang", "text")
+    val p = operators.LlmOps.cappedShinglesFrom(docs, persist = false)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("partial_count"), p.take(800))
+    assert(!p.contains("Window"), s"df-cap must not plan a window:\n${p.take(800)}")
+  }
+
+  test("minhash band join never plans a cartesian and caps via aggregate") {
+    import spark.implicits._
+    val banded = Seq((1L, 0, 42L), (2L, 0, 42L)).toDF("doc_id", "band", "bh")
+    val p = operators.LlmOps.minhashCandidatePairs(banded, maxBucket = 64)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("partial_count"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))
+  }
+
   test("decontam_check joins the corpus against a broadcast eval set") {
     val p = plan("decontam_check")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
