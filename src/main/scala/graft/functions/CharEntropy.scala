@@ -22,6 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Empty/blank input yields 0.0 (the entropy of an empty multiset, as a
   * non-null float so the column stays aggregation-friendly).
+  *
+  * Counting unit: UNICODE CODE POINTS (codePointAt/charCount walk), chosen
+  * because it matches DuckDB's `string_split(text, '')` unit — so the
+  * oracle agrees on non-BMP text too (LlmOpsSpec pins a surrogate-pair
+  * case). Spark's declarative `split(text, '')` splits into UTF-16 code
+  * UNITS instead, breaking a surrogate pair in half: the
+  * declarative-equivalence test therefore only holds for BMP input, which
+  * is documented there. Grapheme clusters (user-perceived characters,
+  * e.g. e + combining accent as one unit) would need ICU segmentation; for
+  * an entropy-based quality signal the code-point distribution is the
+  * standard choice and the cross-engine-stable one.
   */
 case class CharEntropy(child: Expression) extends UnaryExpression {
 

@@ -57,6 +57,67 @@ object EtlOps {
             SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
             ORDER BY o_orderkey"""))
 
+  // framework.py:15's schema-evolution promise on the MERGE path (Delta
+  // autoMerge analog): the source batch gained a column the target lacks;
+  // matched rows take the source version, unmatched target rows survive
+  // with NULL backfill for the new column. unionByName(allowMissingColumns)
+  // IS the evolution mechanism — same single shuffle as merge_upsert. The
+  // config-driven runner applies the identical rule on its merge path
+  // (IngestionRunner.mergeInto), asserted through PipelineSpec.
+  private val mergeUpsertEvolve = Op(
+    "merge_upsert_evolve",
+    (s, d) => {
+      val target = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val source = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 10).as("o_totalprice"),
+          concat(lit("ch-"), (col("o_orderkey") % 4).cast("string")).as("o_channel"))
+      source.unionByName(
+        target.join(source.select("o_orderkey"), Seq("o_orderkey"), "left_anti"),
+        allowMissingColumns = true)
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH tgt AS (SELECT o_orderkey, o_custkey, o_totalprice
+                         FROM orders WHERE o_orderkey % 2 = 0),
+                 src AS (SELECT o_orderkey, o_custkey,
+                           o_totalprice + 10 AS o_totalprice,
+                           'ch-' || CAST(o_orderkey % 4 AS VARCHAR) AS o_channel
+                         FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT o_orderkey, o_custkey, o_totalprice, o_channel FROM src
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR)
+            FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+            ORDER BY o_orderkey"""))
+
+  // Dynamic partition overwrite (framework.py:162-163's overwrite+partitionBy
+  // composition done right for a daily pipeline): with
+  // partitionOverwriteMode=dynamic the incoming batch replaces ONLY the
+  // partitions it contains rows for — untouched partitions survive
+  // byte-identical, instead of the static mode's whole-table truncate. The
+  // op rewrites the 'purchase' partition with rescaled values and reads the
+  // whole layout back; the oracle proves purchases changed and every other
+  // partition did not.
+  private val partitionOverwriteDynamic = Op(
+    "partition_overwrite_dynamic",
+    (s, d) => {
+      val out = tmp("graft_pod_")
+      val ev = t(s, d, "events")
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val batch = ev.where(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try batch.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+              CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END AS value
+            FROM events ORDER BY event_id"""))
+
   // A4 csv path (framework.py:49 "csv|json|parquet"): write-read roundtrip
   // with header + schema inference; the re-read result is oracle-checked
   // against the parquet source of truth.
@@ -157,22 +218,50 @@ object EtlOps {
     Some("""SELECT event_id, user_id, value FROM events
             WHERE event_type = 'purchase' ORDER BY event_id"""))
 
-  // A11 OPTIMIZE/ZORDER emulation: range-repartition + sort-within-partitions
-  // on the cluster keys gives per-file min/max locality for data skipping.
-  // Returns the layout summary (files, disjoint key ranges verified in tests).
-  private val layoutCluster = Op(
-    "layout_cluster",
-    (s, d) => {
-      val out = tmp("graft_lc_")
+  /** Deterministic per-source-dir root for the shared clustered layout and
+    * its committed zone-map side table (build-once-serve-many). */
+  private def zoneRoot(d: String): HPath =
+    new HPath(System.getProperty("java.io.tmpdir"),
+      "graft_zl1_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+
+  /** A11 OPTIMIZE/ZORDER layout with its zone map PERSISTED AT COMMIT TIME:
+    * cluster lineitem on (l_shipdate, l_orderkey), derive the per-file
+    * (rows, min, max) index in ONE scan of the newly-written files, and
+    * commit data + zone map together through the Versioned protocol. Every
+    * later query consumes the committed side table — the Delta-log /
+    * Iceberg-manifest shape — instead of re-deriving the index with a full
+    * table scan per query (the round-3/4 gap). Returns
+    * (dataDir, zoneMapDir) of the current committed version. */
+  private[graft] def zoneMappedLayout(s: SparkSession, d: String): (String, String) = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = zoneRoot(d)
+    if (Versioned.current(root, conf).isEmpty) {
+      val dir = Versioned.stagePath(root, Some("v_layout"))
       t(s, d, "lineitem")
         .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
         .sortWithinPartitions("l_shipdate", "l_orderkey")
-        .write.mode("overwrite").parquet(out)
-      s.read.parquet(out)
+        .write.mode("overwrite").parquet(s"$dir/data")
+      s.read.parquet(s"$dir/data")
         .groupBy(input_file_name().as("file"))
-        .agg(count(lit(1)).as("rows"),
-          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
-        .agg(count(lit(1)).as("n_files"), sum("rows").as("total_rows"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/zonemap")
+      Versioned.commit(root, dir, conf, keepVersions = 2)
+    }
+    val cur = Versioned.current(root, conf).get.toString
+    (s"$cur/data", s"$cur/zonemap")
+  }
+
+  // A11 OPTIMIZE/ZORDER emulation: range-repartition + sort-within-partitions
+  // on the cluster keys gives per-file min/max locality for data skipping.
+  // The layout summary now reads from the COMMITTED zone map (planning
+  // metadata, #files rows) rather than re-scanning the table.
+  private val layoutCluster = Op(
+    "layout_cluster",
+    (s, d) => {
+      val (_, zmDir) = zoneMappedLayout(s, d)
+      s.read.parquet(zmDir)
+        .agg(count(lit(1)).as("n_files"), sum("n_rows").as("total_rows"))
     },
     None)
 
@@ -665,6 +754,59 @@ object EtlOps {
     },
     None)
 
+  // Small-file compaction (framework.py:325's autoOptimize/autoCompact
+  // analog): streaming ingest leaves a table as a spray of tiny files whose
+  // per-file open/footer cost dominates a 100 TB scan; bin-pack them to a
+  // target file size with coalesce — a shuffle-free rewrite where each
+  // output file packs whole input partitions — through the same Versioned
+  // stage/commit protocol every other rewrite uses, so readers flip
+  // atomically and `_history` logs the maintenance commit. Returns the
+  // audit row; EtlOpsSpec asserts file count = ceil(bytes/target), content
+  // checksum unchanged, and the history log. Test-only (filesystem layout).
+  private val maintenanceCompact = Op(
+    "maintenance_compact",
+    (s, d) => {
+      import s.implicits._
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new HPath(tmp("graft_cmp_"))
+      val fsys = root.getFileSystem(conf)
+      // simulate the small-file problem: the table lands as 64 tiny files
+      val small = Versioned.stagePath(root, Some("v_small"))
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(64)
+        .write.mode("overwrite").parquet(small.toString)
+      Versioned.commit(root, small, conf, keepVersions = 4)
+      def dataFiles(p: HPath) = fsys.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      // order-independent content signature (count + sum/xor of a row
+      // hash; the sum runs in decimal so ANSI mode can't overflow)
+      def sig(p: HPath): (Long, java.math.BigDecimal, Long) = {
+        val r = s.read.parquet(p.toString)
+          .select(xxhash64(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")).as("h"))
+          .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)")),
+            expr("bit_xor(h)")).collect().head
+        (r.getLong(0), r.getDecimal(1), r.getLong(2))
+      }
+      val before = dataFiles(small)
+      val beforeBytes = before.map(_.getLen).sum
+      val targetBytes = 1L << 20 // 1 MiB target; production: ~1 GB
+      val nTarget = math.max(1L, (beforeBytes + targetBytes - 1) / targetBytes)
+      val compacted = Versioned.stagePath(root, Some("v_compact"))
+      s.read.parquet(small.toString).coalesce(nTarget.toInt)
+        .write.mode("overwrite").parquet(compacted.toString)
+      Versioned.commit(root, compacted, conf, keepVersions = 4)
+      val (nb, sb, xb) = sig(small)
+      val (na, sa, xa) = sig(compacted)
+      Seq((before.length.toLong, dataFiles(compacted).length.toLong, nTarget,
+        nb == na && sb == sa && xb == xa,
+        Versioned.history(root, conf),
+        Versioned.current(root, conf).map(_.getName).getOrElse("")))
+        .toDF("n_files_before", "n_files_after", "n_files_target",
+          "content_unchanged", "history", "current")
+    },
+    None)
+
   // In-flight pipeline metrics via Dataset.observe — data-quality counters
   // (row count, control total, negative-value count) accumulate ON the
   // ingest pass itself instead of a second scan: at 100 TB the difference
@@ -738,29 +880,24 @@ object EtlOps {
 
   // File-level data skipping over per-file min/max stats — the zone-map /
   // stats-pruning pattern (Delta/Iceberg data skipping) for predicates on
-  // UNPARTITIONED columns, where Hive-style partition pruning can't help:
-  // cluster the table on the skip column once (layout_cluster's write),
-  // derive the per-file [min,max] index in one scan, then answer a range
-  // predicate by reading ONLY the overlapping files plus the exact residual
-  // filter. The zone map itself is #files rows of planning-time METADATA —
-  // the one deliberate driver-side collect in the engine, the same O(#files)
-  // step a Delta log replay or Iceberg manifest scan performs before task
-  // planning; row data never reaches the driver. At 100 TB with ~1 GB files
-  // that is ~100k tiny rows against skipping ~85% of the scan. EtlOpsSpec
-  // asserts the final query reads strictly fewer files than the layout has.
+  // UNPARTITIONED columns, where Hive-style partition pruning can't help.
+  // The [min,max] index is built ONCE at layout-commit time
+  // ([[zoneMappedLayout]]) and PERSISTED as a side table next to the data;
+  // query time reads the committed zone map (#files tiny rows of
+  // planning-time METADATA — the same O(#files) step a Delta log replay or
+  // Iceberg manifest scan performs before task planning; row data never
+  // reaches the driver), selects the overlapping files, and scans only
+  // those plus the exact residual filter. At 100 TB with ~1 GB files that
+  // is ~100k planning rows against skipping ~85% of the scan. EtlOpsSpec
+  // asserts the final query reads strictly fewer files than the layout has
+  // AND that repeat queries never re-derive the index with a table scan.
   private val scanZoneMap = Op(
     "scan_zone_map",
     (s, d) => {
-      val out = tmp("graft_zm_")
-      t(s, d, "lineitem")
-        .repartitionByRange(8, col("l_shipdate"), col("l_orderkey"))
-        .sortWithinPartitions("l_shipdate", "l_orderkey")
-        .write.mode("overwrite").parquet(out)
+      val (out, zmDir) = zoneMappedLayout(s, d)
       val lo = "TIMESTAMP_NTZ '1997-01-01'"
       val hi = "TIMESTAMP_NTZ '1998-01-01'"
-      val zoneFiles = s.read.parquet(out)
-        .groupBy(input_file_name().as("file"))
-        .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+      val zoneFiles = s.read.parquet(zmDir)
         .where(expr(s"mx >= $lo") && expr(s"mn < $hi"))
         .select("file").collect().map(_.getString(0))
       // a predicate missing every zone still answers correctly off the
@@ -781,10 +918,12 @@ object EtlOps {
 
   val ops: Seq[Op] = Seq(
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
-    mergeUpsert, topkLatest, partitionedWrite, layoutCluster, joinBucketed,
+    mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,
+    topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, resampleZerofill,
     scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema,
-    scanTimeTravel, maintenanceVacuum, aggIncrementalMerge, scanZoneMap,
+    scanTimeTravel, maintenanceVacuum, maintenanceCompact,
+    aggIncrementalMerge, scanZoneMap,
     scanCorruptQuarantine, scanObserveMetrics)
 }

@@ -230,10 +230,15 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       var stableSince = System.nanoTime()
       var lastSeen = (-1, -1)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      // `jobs.isEmpty` guards the zero-jobs exit: every write body launches
+      // at least one job, so an empty set means the listener bus has not
+      // delivered the JobStart yet — exiting on the stability window alone
+      // would report rows=0 on a lagging bus. The 30 s deadline remains the
+      // escape hatch if a body ever legitimately runs no job.
       while (System.nanoTime() < deadline && {
         val seen = (jobs.size, ended.size)
         if (seen != lastSeen) { lastSeen = seen; stableSince = System.nanoTime() }
-        jobs.size != ended.size ||
+        jobs.isEmpty || jobs.size != ended.size ||
           System.nanoTime() - stableSince < 100L * 1000 * 1000
       }) Thread.sleep(10)
     } finally {
@@ -357,7 +362,15 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     * one shuffle on the keys; bootstraps an empty target like
     * framework.py:218's limit(0) write. The rewrite goes through
     * stage/commit above, so the swap is atomic and the plan never reads the
-    * files it is replacing. */
+    * files it is replacing.
+    *
+    * Schema evolution on the merge path (framework.py:15's promise, Delta
+    * `autoMerge` analog): a source batch that GAINED a column merges via
+    * `unionByName(allowMissingColumns = true)` — surviving target rows read
+    * the new column as NULL backfill (and a column the source dropped
+    * likewise backfills on the source side). When the merged column set
+    * differs from the catalog's, the registration is recreated at the new
+    * version dir so catalog readers see the evolved schema. */
   private def mergeInto(c: IngestionConfig, source: DataFrame, keys: Seq[String]): Long = {
     if (!spark.catalog.tableExists(c.fullTableName)) {
       val dir = stageVersion(c, source.limit(0))
@@ -365,14 +378,23 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     }
     val target = spark.table(c.fullTableName)
     val merged = source.unionByName(
-      target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+      target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti"),
+      allowMissingColumns = true)
     val partitioned = isPartitionedTable(c)
     var staged: Path = null
     // only the stage write is counted — the legacy path's saveAsTable
     // re-write of the staged rows is the commit, not more written rows
     val n = withWrittenRowCount { staged = stageVersion(c, merged) }
     if (partitioned) legacyRewriteFromStage(c, staged)
-    else commitVersion(c, staged)
+    else if (target.columns.toSeq != merged.columns.toSeq) {
+      // evolved: SET LOCATION would keep the old column set — drop and
+      // recreate the registration (registerExternal's drift path) at the
+      // staged dir, then move the version pointer as usual
+      registerExternal(c, staged.toString, Some(merged.schema))
+      spark.catalog.refreshTable(c.fullTableName)
+      Versioned.commit(versionsRoot(c), staged,
+        spark.sessionState.newHadoopConf(), keepVersions = c.retainVersions)
+    } else commitVersion(c, staged)
     applyMetadata(c)
     optimizePostWrite(c)
     n

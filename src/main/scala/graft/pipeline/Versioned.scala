@@ -49,9 +49,14 @@ object Versioned {
   def isCommitted(root: Path, dir: Path, conf: Configuration): Boolean =
     current(root, conf).exists(_.getName == dir.getName)
 
-  /** Ordered names of every committed version (oldest first), from the
-    * `_history` log. Entries whose dirs were since vacuumed remain listed —
-    * the log is the audit trail; [[versionDir]] reports readability. */
+  /** Ordered names of every version whose commit at least BEGAN (oldest
+    * first), from the `_history` log. `_history` is written ahead of the
+    * `_current` swap (see [[commit]]), so a crash between the two renames
+    * leaves a tail entry that is logged but never became current — a
+    * replayer sees [[isCommitted]] false for it, re-runs the deterministic
+    * batch, and the re-commit dedups the entry. Entries whose dirs were
+    * since vacuumed also remain listed — the log is the audit trail;
+    * [[versionDir]] reports readability. */
   def history(root: Path, conf: Configuration): Seq[String] = {
     val h = new Path(root, "_history")
     val f = fs(h, conf)

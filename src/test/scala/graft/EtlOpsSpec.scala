@@ -104,6 +104,45 @@ class EtlOpsSpec extends AnyFunSuite {
       Seq(false, false, true))
   }
 
+  test("maintenance_compact bin-packs small files without changing content") {
+    val row = SparkEntry.queries("maintenance_compact")(spark, sfDir).collect().head
+    val before = row.getAs[Long]("n_files_before")
+    val after = row.getAs[Long]("n_files_after")
+    assert(before === 64L, "fixture must land as 64 small files")
+    assert(after === row.getAs[Long]("n_files_target"),
+      "compaction must hit exactly ceil(bytes/target) files")
+    assert(after < before, "compaction must reduce the file count")
+    assert(row.getAs[Boolean]("content_unchanged"),
+      "compaction changed the table's contents")
+    assert(row.getAs[Seq[String]]("history") === Seq("v_small", "v_compact"),
+      "_history must log both the ingest and the maintenance commit")
+    assert(row.getAs[String]("current") === "v_compact")
+  }
+
+  test("zone map is persisted at commit: repeat queries never re-derive it") {
+    // first call builds + commits the layout and its zone-map side table
+    SparkEntry.queries("scan_zone_map")(spark, sfDir).collect()
+    // any later query must consume the committed side table — no query-time
+    // input_file_name aggregate over the data files (the re-derive shape)
+    val sawDerive = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        if (qe.executedPlan.toString.contains("input_file_name"))
+          sawDerive.set(true)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val out = SparkEntry.queries("scan_zone_map")(spark, sfDir).collect()
+      assert(out.head.getAs[Long]("n_rows") > 0)
+      Thread.sleep(500) // listener delivery is async
+    } finally spark.listenerManager.unregister(l)
+    assert(!sawDerive.get,
+      "query-time execution re-derived the zone map with a full scan")
+  }
+
   test("scan_zone_map reads strictly fewer files than the clustered layout") {
     val df = SparkEntry.queries("scan_zone_map")(spark, sfDir)
     // the returned aggregate's only scan is the zone-pruned read: its file

@@ -260,10 +260,25 @@ class LlmOpsSpec extends AnyFunSuite {
         s"$k: approx=${approx(k)} exact=$e") }
   }
 
+  // The counting unit is CODE POINTS — the unit DuckDB's string_split('')
+  // uses — not UTF-16 units. 𝄞 (U+1D11E) is a surrogate PAIR in UTF-16:
+  // code-point frequencies of "a𝄞𝄞b" are a:1, 𝄞:2, b:1 (n=4) →
+  // H = log2(4) − (2·log2 2)/4 = 1.5 exactly (DuckDB agrees); a UTF-16-unit
+  // walk would see 6 units and report ~1.918.
+  test("CharEntropy counts code points, not UTF-16 units (non-BMP)") {
+    import spark.implicits._
+    graft.functions.CharEntropy.register(spark)
+    val h = Seq("a𝄞𝄞b").toDF("text")
+      .selectExpr("graft_char_entropy(text) AS h").collect().head.getDouble(0)
+    assert(math.abs(h - 1.5) < 1e-12, s"got $h")
+  }
+
   // The native one-pass CharEntropy expression must agree with the
   // declarative formulation it replaces (explode every character, groupBy,
   // aggregate the entropy formula) — the same equivalence contract
   // TextWinnowSpec and MultimodalSpec pin for the other native expressions.
+  // (Holds on BMP text only: split(text, '') yields UTF-16 units, the
+  // native expression counts code points — see CharEntropy's scaladoc.)
   test("CharEntropy equals the exploded groupBy formulation") {
     graft.functions.CharEntropy.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")

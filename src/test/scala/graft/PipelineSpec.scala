@@ -90,6 +90,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(new IngestionRunner(spark, cfg.copy(sourcePath = src2)).run() === Right(6L))
   }
 
+  test("merge evolves the schema when the source gains a column (A7 + evolution)") {
+    import spark.implicits._
+    val db = "graft_it"; val tbl = s"$db.evolve_m"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val src1 = tmp("g_evm1_")
+    Seq((1, "a"), (2, "b")).toDF("k", "s").write.mode("overwrite").parquet(src1)
+    val cfg = IngestionConfig(db, "evolve_m", src1,
+      writeMode = WriteMode.Merge(Seq("k")))
+    assert(new IngestionRunner(spark, cfg).run() === Right(2L))
+    // the next batch gained a column: matched row takes the source version,
+    // the surviving target row reads the new column as NULL backfill, and
+    // catalog readers see the evolved schema
+    val src2 = tmp("g_evm2_")
+    Seq((2, "UPDATED", "t2"), (3, "c", "t3")).toDF("k", "s", "tag")
+      .write.mode("overwrite").parquet(src2)
+    assert(new IngestionRunner(spark, cfg.copy(sourcePath = src2)).run() === Right(3L))
+    val evolved = spark.table(tbl)
+    assert(evolved.columns.toSeq === Seq("k", "s", "tag"))
+    val rows = evolved.collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("s"), r.getAs[String]("tag"))).toSet
+    assert(rows === Set((1, "a", null), (2, "UPDATED", "t2"), (3, "c", "t3")))
+  }
+
   test("retainVersions keeps merge history readable (time travel)") {
     val db = "graft_it"; val tbl = s"$db.region_tt"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -177,6 +177,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p.take(800))
   }
 
+  test("sim_ann_persisted probes the committed index, never the raw table") {
+    // build-once-serve-many: the query-time plan must scan only the
+    // committed index parquet — no signature recompute, no read of the raw
+    // embeddings table (even the probe's bucket comes from the index)
+    val p = plan("sim_ann_persisted")
+    assert(p.contains("graft_ann1_"), p.take(800))
+    assert(!p.contains("embeddings.parquet"),
+      s"probe re-reads the raw embeddings table:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("decontam_check joins the corpus against a broadcast eval set") {
     val p = plan("decontam_check")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
