@@ -409,8 +409,14 @@ object LlmOps {
       // the shingle set feeds the signature AND both sides of the exact
       // verification join — persist it once
       val sh = shingles(s, d).cache()
-      val hashed = sh.select(
-        col("doc_id") +: (0 until H).map(i => xxhash64(lit(i), col("s")).as(s"h$i")): _*)
+      // hash the variable-length shingle STRING once, then derive the 64
+      // seeded hashes from the fixed-width long — 64 string hashes per
+      // shingle row (~20 bytes each) cost ~3x more than 1 string hash + 64
+      // long hashes, with identical minhash semantics (any family of
+      // independent uniform hashes works)
+      val hashed = sh.select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .select(col("doc_id") +:
+          (0 until H).map(i => xxhash64(lit(i), col("h")).as(s"h$i")): _*)
       val sig = hashed.groupBy("doc_id")
         .agg(min(col("h0")).as("m0"), (1 until H).map(i => min(col(s"h$i")).as(s"m$i")): _*)
       val banded = sig.select(col("doc_id"), explode(array(
