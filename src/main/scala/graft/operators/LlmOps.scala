@@ -26,6 +26,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object LlmOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** Whitespace-normalized lowercase text — the dedup key. */
   private def normText(c: Column): Column =
@@ -1537,11 +1539,213 @@ object LlmOps {
               GROUP BY doc_id) e ON d.doc_id = e.doc_id
             ORDER BY d.doc_id"""))
 
+  // Semantic dedup clusters (the SemDeDup shape): near-dup EDGES come from
+  // the sign-bucketed cosine join (same blocking + threshold discipline as
+  // `dedup_embedding`), then large-star/small-star contraction turns pairs
+  // into components and one representative survives per cluster — the
+  // embedding-space twin of `dedup_clusters`. At 100 TB the bucket equi-join
+  // is the only candidate generator (never all-pairs) and the fixpoint is
+  // the same O(log² n)-round contraction the text path uses; the oracle
+  // replays components with a recursive transitive-closure CTE.
+  private val dedupEmbeddingClusters = Op(
+    "dedup_embedding_clusters",
+    (s, d) => {
+      val e = signBucketed(s, d)
+      val edges = e.as("a").join(e.as("b"),
+          col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .where(round(cosine(s), 6) >= 0.4)
+        .select("u", "v")
+      val labels = connectedComponents(edges)
+      val vecs = t(s, d, "embeddings").select(col("vec_id"))
+      val w = Window.partitionBy("cluster_rep")
+      vecs.join(labels, vecs("vec_id") === labels("node"), "left")
+        .select(col("vec_id"),
+          coalesce(col("lab"), col("vec_id")).as("cluster_rep"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_survivor",
+          (col("vec_id") === col("cluster_rep")).cast("boolean"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE vv AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                   + 4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                   + 2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+                   +     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
+              FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS pu, b.vec_id AS pv
+              FROM vv a JOIN vv b ON a.bk = b.bk AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+            e AS (SELECT pu AS u, pv AS v FROM p
+                  UNION ALL SELECT pv, pu FROM p),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+            lab AS (
+              SELECT u AS vec_id, least(u, min(v)) AS cluster_rep
+              FROM reach GROUP BY u),
+            allv AS (
+              SELECT em.vec_id, coalesce(l.cluster_rep, em.vec_id) AS cluster_rep
+              FROM embeddings em LEFT JOIN lab l ON em.vec_id = l.vec_id)
+            SELECT vec_id, cluster_rep,
+                   count(*) OVER (PARTITION BY cluster_rep) AS cluster_size,
+                   vec_id = cluster_rep AS is_survivor
+            FROM allv ORDER BY vec_id"""))
+
+  // PMI-ranked bigram collocations — corpus statistics for tokenizer and
+  // quality work: which adjacent word pairs co-occur far more than chance
+  // ("new york" vs "the the"). Unigram and bigram counts are map-side
+  // combinable aggregates (two shuffles on word keys, both partial-agg
+  // friendly); the two scalar totals ride a 1-row cross join that AQE
+  // broadcasts; the min-count filter runs BEFORE the unigram joins so the
+  // joined relation is the rare-pair set, not the full bigram stream. PMI
+  // uses identical double-arithmetic shape on both engines so 4-dp rounding
+  // agrees.
+  private val textCollocations = Op(
+    "text_collocations",
+    (s, d) => {
+      val tk = t(s, d, "documents")
+        .select(tokens(col("text")).as("tk")).where(size(col("tk")) >= 2)
+        .cache()
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val bi = tk.select(explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))"))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val totals = tk.agg(
+        sum(size(col("tk"))).cast("double").as("n_uni"),
+        sum(size(col("tk")) - 1).cast("double").as("n_bi"))
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+        .where(col("n_pair") >= 5)
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .crossJoin(totals)
+        .select(col("w1"), col("w2"), col("n_pair"),
+          round(log(
+            (col("n_pair").cast("double") * col("n_uni") * col("n_uni")) /
+              (col("n_bi") * col("c1").cast("double") * col("c2").cast("double"))), 4)
+            .as("pmi"))
+        .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+        .limit(50)
+    },
+    Some("""WITH toks AS (
+              SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            t2 AS (SELECT tk FROM toks WHERE len(tk) >= 2),
+            uni AS (
+              SELECT w, count(*) AS cw
+              FROM (SELECT unnest(tk) AS w FROM t2) GROUP BY w),
+            bi AS (
+              SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                     count(*) AS n_pair
+              FROM (SELECT unnest(list_transform(range(len(tk) - 1),
+                       i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+                    FROM t2)
+              GROUP BY 1, 2 HAVING count(*) >= 5),
+            totals AS (
+              SELECT CAST(sum(len(tk)) AS DOUBLE) AS n_uni,
+                     CAST(sum(len(tk) - 1) AS DOUBLE) AS n_bi
+              FROM t2)
+            SELECT w1, w2, n_pair,
+                   round(ln((CAST(n_pair AS DOUBLE) * n_uni * n_uni) /
+                            (n_bi * CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE))), 4)
+                     AS pmi
+            FROM bi
+            JOIN uni u1 ON bi.w1 = u1.w
+            JOIN uni u2 ON bi.w2 = u2.w
+            CROSS JOIN totals
+            ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
+
+  // Deterministic training-shard write — the last step of a corpus pipeline:
+  // assign every document a stable shard by content-independent hash (first
+  // md5 hex digit of the id → 16 shards, uniform and reproducible across
+  // engines and runs), WRITE the corpus partitioned by shard, and return the
+  // per-shard manifest (doc count, char total, lang spread, id range) read
+  // back from the written files — the manifest a training loader consumes.
+  // One partitioned write, one map-side-combinable aggregate; at 100 TB the
+  // same plan writes each shard from its own tasks with no skew (hash digit
+  // is uniform by construction).
+  private val corpusShardWrite = Op(
+    "corpus_shard_write",
+    (s, d) => {
+      val out = tmp("graft_csw_")
+      t(s, d, "documents")
+        .withColumn("shard", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      s.read.parquet(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("shard")
+    },
+    Some("""SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents GROUP BY 1 ORDER BY shard"""))
+
+  /** Deterministic ±1 sign for the random-projection matrix: +1 when the
+    * first hex digit of md5("i_j") is 0–7, −1 otherwise — reproducible from
+    * public md5 on any engine (the DuckDB oracle derives the same sign in
+    * SQL), no seeded RNG anywhere. */
+  private def jlSign(i: Int, j: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_${j}".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 0xf) <= 7) 1.0 else -1.0
+  }
+
+  // Random-projection dimensionality reduction (Johnson–Lindenstrauss with a
+  // ±1 sign matrix): 64-dim embeddings → 4 projected coordinates, the cheap
+  // preprocessing step before banding/clustering when the raw dimension is
+  // large. The sign matrix is DERIVED (md5 of the coordinate pair), so the
+  // projection is a pure map-side expression — zero shuffles, zero state,
+  // trivially parallel at 100 TB — and the oracle recomputes the identical
+  // matrix in SQL. Each output coordinate is a zip_with product + ordered
+  // fold inside codegen.
+  private val embDimReduce = Op(
+    "emb_dim_reduce",
+    (s, d) => {
+      val inDim = 64; val outDim = 4
+      val mat = array((0 until outDim).map(j =>
+        array((0 until inDim).map(i => lit(jlSign(i, j))): _*)): _*)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("m", mat)
+        .select(col("vec_id") +: (0 until outDim).map(j =>
+          round(expr(
+            s"aggregate(zip_with(v, m[$j], (x, s) -> x * s), 0D, (acc, x) -> acc + x)"),
+            4).as(s"r$j")): _*)
+        .orderBy("vec_id")
+    },
+    Some("""WITH x AS (
+              SELECT vec_id, i, CAST(embedding AS DOUBLE[])[i + 1] AS xv
+              FROM embeddings, (SELECT unnest(range(64)) AS i))
+            SELECT vec_id,
+                   round(sum(xv * CASE WHEN substr(md5(i || '_0'), 1, 1) <= '7'
+                                       THEN 1.0 ELSE -1.0 END), 4) AS r0,
+                   round(sum(xv * CASE WHEN substr(md5(i || '_1'), 1, 1) <= '7'
+                                       THEN 1.0 ELSE -1.0 END), 4) AS r1,
+                   round(sum(xv * CASE WHEN substr(md5(i || '_2'), 1, 1) <= '7'
+                                       THEN 1.0 ELSE -1.0 END), 4) AS r2,
+                   round(sum(xv * CASE WHEN substr(md5(i || '_3'), 1, 1) <= '7'
+                                       THEN 1.0 ELSE -1.0 END), 4) AS r3
+            FROM x GROUP BY vec_id ORDER BY vec_id"""))
+
   val ops: Seq[Op] = Seq(
     dedupExact, dedupNgramJaccard, dedupContainment, dedupClusters,
     dedupSurvivor, dedupMinhash,
     dedupSimhash, dedupPrefix, corpusBuild,
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
+    dedupEmbeddingClusters, textCollocations, corpusShardWrite, embDimReduce,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, simAnnPersisted,
     embCentroidAssign,
     embKnnGraph,

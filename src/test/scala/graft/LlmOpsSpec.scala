@@ -299,4 +299,60 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(math.abs(h - declarative(k)) < 1e-9, s"doc $k: $h vs ${declarative(k)}")
     }
   }
+
+  // Semantic-dedup clusters: a partition of all vec_ids where every
+  // dedup_embedding pair (same blocking + threshold) lands in one cluster
+  // and the representative is the cluster minimum.
+  test("dedup_embedding_clusters partitions vecs and co-clusters every near-dup pair") {
+    val rows = SparkEntry.queries("dedup_embedding_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.size === nVecs)                       // every vector labelled once
+    rows.foreach { case (v, rep) => assert(rep <= v) } // rep = cluster min
+    val pairs = SparkEntry.queries("dedup_embedding")(spark, sfDir)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rows(a) === rows(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("text_collocations ranks by PMI descending with min pair count") {
+    val rows = SparkEntry.queries("text_collocations")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b }, "not sorted by pmi desc")
+    assert(rows.forall(_.getLong(2) >= 5), "pair below min count")
+  }
+
+  test("corpus_shard_write manifest covers every document exactly once") {
+    val m = SparkEntry.queries("corpus_shard_write")(spark, sfDir).collect()
+    assert(m.forall(r => "0123456789abcdef".contains(r.getString(0))))
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(m.map(_.getLong(1)).sum === docs.count())
+    assert(m.map(_.getLong(2)).sum ===
+      docs.agg(sum("n_chars")).collect()(0).getLong(0))
+  }
+
+  // The md5-derived sign matrix is public arithmetic: recompute one row's
+  // projection in the driver and compare against the operator's output.
+  test("emb_dim_reduce matches a driver-side recomputation of the JL projection") {
+    def sign(i: Int, j: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) <= 7) 1.0 else -1.0
+    }
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") === 7).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble)
+    val expected = (0 until 4).map(j =>
+      BigDecimal(v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * sign(i, j)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val got = SparkEntry.queries("emb_dim_reduce")(spark, sfDir)
+      .where(col("vec_id") === 7).collect()(0)
+    (0 until 4).foreach { j =>
+      assert(math.abs(got.getDouble(j + 1) - expected(j)) < 1e-9,
+        s"r$j: ${got.getDouble(j + 1)} vs ${expected(j)}")
+    }
+  }
 }

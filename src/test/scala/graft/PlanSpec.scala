@@ -323,10 +323,16 @@ class PlanSpec extends AnyFunSuite {
     // Exchange allowed is the final presentation ORDER BY.
     for (k <- Seq("sample_hash", "text_pii_mask", "emb_normalize",
         "corpus_mix", "text_repetition", "text_chunk_overlap",
-        "mm_audio_window")) {
+        "mm_audio_window", "emb_dim_reduce")) {
       val p = plan(k)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$k plans $exchanges exchanges:\n${p.take(600)}")
     }
+  }
+
+  test("dedup_embedding_clusters edge generation is a bucketed equi-join, no cartesian") {
+    val p = plan("dedup_embedding_clusters")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 }
