@@ -594,7 +594,56 @@ object AnalyticsOps {
             SELECT wday, count(DISTINCT user_id) AS wau
             FROM c GROUP BY wday ORDER BY wday"""))
 
+  // Behavioral path mining: sessionize (30-min gap, the sessionize_batch
+  // protocol), concatenate each session's ordered event types into a path
+  // string, count the top paths. The per-session collect is bounded by
+  // session length (never by corpus size), path counting is a
+  // map-side-combinable aggregate, and the top-20 is TakeOrderedAndProject
+  // — the plan a 100 TB clickstream needs. Ordering inside a session is
+  // total ((ts, event_id)), so the path strings are deterministic on both
+  // engines: Spark sorts the collected (ms, event_id, type) structs
+  // lexicographically, DuckDB orders the string_agg the same way.
+  private val eventPathAnalysis = Op(
+    "event_path_analysis",
+    (s, d) => {
+      val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .withColumn("ms", expr("unix_micros(ts) div 1000"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(order))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_sess")).over(run).cast("int"))
+        .groupBy("user_id", "session_seq")
+        .agg(expr(
+          """array_join(transform(array_sort(collect_list(struct(ms, event_id, event_type))),
+            |  x -> x.event_type), '>')""".stripMargin).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(20)
+    },
+    Some("""WITH sess AS (
+              SELECT *,
+                CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq
+              FROM (SELECT *,
+                      CASE WHEN lag(epoch_ms(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+                    FROM events)),
+            paths AS (
+              SELECT user_id, session_seq,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM sess GROUP BY user_id, session_seq)
+            SELECT path, count(*) AS n_sessions
+            FROM paths GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 20"""))
+
   val ops: Seq[Op] = Seq(
+    eventPathAnalysis,
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
     windowTimeRange, aggApproxQuantile, aggHllPartialMerge, eventFunnel,

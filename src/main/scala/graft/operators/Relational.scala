@@ -1001,8 +1001,57 @@ object Relational {
             SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
             ORDER BY key"""))
 
+  // Linear-regression aggregates per group (SQL-standard regr_* family —
+  // the fit-a-trend step of any metrics pipeline): slope/intercept/R² of
+  // extendedprice on quantity per return flag. Like corr/covar these are
+  // one-pass sum-of-products aggregates — partial→final, map-side
+  // combinable, one shuffle carrying one row per group per task at any
+  // scale. 4-dp rounding absorbs sum-order float jitter (the protocol
+  // agg_stats_corr established).
+  private val aggRegression = Op(
+    "agg_regression",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+              round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+              round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+              regr_count(l_extendedprice, l_quantity) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // Exact MEDIAN over a trailing value-range window (30 days of a
+  // customer's orders): a holistic window aggregate, deliberately on a
+  // RANGE frame — the frame is defined by epoch values, so tied timestamps
+  // produce identical frame multisets on every engine and run (a ROWS
+  // frame over non-unique ordering would not be deterministic). Per-key
+  // frames stay bounded by a customer's 30-day order volume, so the
+  // holistic evaluation is O(frame) per row regardless of corpus size.
+  private val windowMedian = Op(
+    "window_median",
+    (s, d) => {
+      val base = t(s, d, "orders")
+        .withColumn("epoch_s", col("o_orderdate").cast("timestamp").cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+        .rangeBetween(-30L * 86400, 0)
+      base.select(col("o_custkey"), col("o_orderkey"),
+        round(percentile(col("o_totalprice"), lit(0.5)).over(w), 4).as("med_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              round(quantile_cont(o_totalprice, 0.5) OVER w, 4) AS med_30d
+            FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+                         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, o_orderkey"""))
+
   val ops: Seq[Op] = Seq(
-    scanParquet, scanPruned, sqlEntryQ3,
+    scanParquet, scanPruned, sqlEntryQ3, aggRegression, windowMedian,
     projectExpr, filterPred, filterNullSemantics, filterInLike,
     joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinRightOuter, joinFullOuter, joinSkewSalted,
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,

@@ -335,4 +335,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(600))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
+
+  test("agg_regression is a two-phase hash aggregate (partial map-side combine)") {
+    val p = plan("agg_regression")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(600))
+  }
+
+  test("event_path_analysis top-20 plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("event_path_analysis").contains("TakeOrderedAndProject"))
+  }
 }
