@@ -642,8 +642,36 @@ object AnalyticsOps {
             FROM paths GROUP BY path
             ORDER BY n_sessions DESC, path LIMIT 20"""))
 
+  // Per-group z-score outlier flagging — the data-profiling cousin of the
+  // quality gates: group mean/stddev as window aggregates over ONE shuffle
+  // on the group key, outliers = |z| ≥ 2.5 on the 4-dp-ROUNDED score (the
+  // jaccard protocol: compare the rounded value, so the threshold test is
+  // bit-identical on both engines). Map-side work after the single window
+  // pass; no second aggregation join.
+  private val aggZscoreOutliers = Op(
+    "agg_zscore_outliers",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+      t(s, d, "orders")
+        .withColumn("z", round(
+          (col("o_totalprice") - avg(col("o_totalprice")).over(w)) /
+            stddev_samp(col("o_totalprice")).over(w), 4))
+        .where(abs(col("z")) >= 2.5)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), col("z"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, z
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                    round((o_totalprice - avg(o_totalprice) OVER w) /
+                          stddev_samp(o_totalprice) OVER w, 4) AS z
+                  FROM orders
+                  WINDOW w AS (PARTITION BY o_orderpriority))
+            WHERE abs(z) >= 2.5
+            ORDER BY o_orderpriority, o_orderkey"""))
+
   val ops: Seq[Op] = Seq(
-    eventPathAnalysis,
+    eventPathAnalysis, aggZscoreOutliers,
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,
     windowTimeRange, aggApproxQuantile, aggHllPartialMerge, eventFunnel,

@@ -404,6 +404,59 @@ object EtlOps {
             WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
             ORDER BY user_id, valid_from_ms, event_id"""))
 
+  // Point-in-time (temporal) dimension join — the lookup side of SCD2:
+  // every fact row (click/view) joins the dimension VERSION that was valid
+  // at the fact's timestamp (valid_from ≤ ts < valid_to, open-ended current
+  // row matches everything after its start), LEFT so facts before any dim
+  // version survive with NULLs. The join is an equi-join on the dimension
+  // key with the validity range as a residual condition — one shuffle on
+  // user_id, and per-key work bounded by that key's version count, which is
+  // the shape that holds when the fact table is 100 TB and the dim history
+  // is millions of versions.
+  private val joinTemporalDim = Op(
+    "join_temporal_dim",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dim = t(s, d, "events")
+        .where(col("event_type").isin("signup", "purchase"))
+        .withColumn("ms", expr("unix_micros(ts) div 1000"))
+        .select(col("user_id").as("dim_user"), col("event_id").as("dim_event_id"),
+          col("ms").as("valid_from_ms"),
+          lead(col("ms"), 1).over(
+            Window.partitionBy("user_id").orderBy("ms", "event_id")).as("valid_to_ms"),
+          col("value").as("dim_value"))
+      val facts = t(s, d, "events")
+        .where(col("event_type").isin("click", "view"))
+        .withColumn("fact_ms", expr("unix_micros(ts) div 1000"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("fact_ms"))
+      facts.join(dim,
+          facts("user_id") === dim("dim_user") &&
+            dim("valid_from_ms") <= facts("fact_ms") &&
+            (dim("valid_to_ms").isNull || facts("fact_ms") < dim("valid_to_ms")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("fact_ms"), col("dim_event_id"), col("dim_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH dim AS (
+              SELECT user_id AS dim_user, event_id AS dim_event_id,
+                     epoch_ms(ts) AS valid_from_ms,
+                     lead(epoch_ms(ts), 1) OVER
+                       (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                       AS valid_to_ms,
+                     value AS dim_value
+              FROM events WHERE event_type IN ('signup', 'purchase')),
+            facts AS (
+              SELECT event_id, user_id, event_type, epoch_ms(ts) AS fact_ms
+              FROM events WHERE event_type IN ('click', 'view'))
+            SELECT f.event_id, f.user_id, f.event_type, f.fact_ms,
+                   d.dim_event_id, d.dim_value
+            FROM facts f LEFT JOIN dim d
+              ON f.user_id = d.dim_user
+             AND d.valid_from_ms <= f.fact_ms
+             AND (d.valid_to_ms IS NULL OR f.fact_ms < d.valid_to_ms)
+            ORDER BY f.event_id"""))
+
   // Calendar zero-fill resample: a (day × event_type) grid from the data's
   // own bounds (one tiny agg, broadcast), left-joined to daily aggregates so
   // gap days surface as explicit zeros — what every dashboard/training-mix
@@ -921,7 +974,7 @@ object EtlOps {
     mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,
     topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
-    cdcApplyChangelog, cdcEmitChanges, scd2History, resampleZerofill,
+    cdcApplyChangelog, cdcEmitChanges, scd2History, joinTemporalDim, resampleZerofill,
     scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema,
     scanTimeTravel, maintenanceVacuum, maintenanceCompact,
     aggIncrementalMerge, scanZoneMap,

@@ -344,4 +344,12 @@ class PlanSpec extends AnyFunSuite {
   test("event_path_analysis top-20 plans as TakeOrderedAndProject, not a full sort") {
     assert(plan("event_path_analysis").contains("TakeOrderedAndProject"))
   }
+
+  test("join_temporal_dim is an equi-join on the dim key with a residual range") {
+    // the validity-range predicate must ride an equi-join on user_id, never
+    // degrade the whole join to a nested-loop over facts × versions
+    val p = plan("join_temporal_dim")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
 }
