@@ -651,24 +651,26 @@ object AnalyticsOps {
   private val aggZscoreOutliers = Op(
     "agg_zscore_outliers",
     (s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
-      t(s, d, "orders")
+      // events.value is the one heavy-tailed column in the fixture (the
+      // TPC-H money columns are bounded-uniform: max |z| ≈ √3 < any useful
+      // threshold, so they can never produce an outlier)
+      val w = Window.partitionBy("event_type")
+      t(s, d, "events")
         .withColumn("z", round(
-          (col("o_totalprice") - avg(col("o_totalprice")).over(w)) /
-            stddev_samp(col("o_totalprice")).over(w), 4))
+          (col("value") - avg(col("value")).over(w)) /
+            stddev_samp(col("value")).over(w), 4))
         .where(abs(col("z")) >= 2.5)
-        .select(col("o_orderpriority"), col("o_orderkey"),
-          col("o_totalprice"), col("z"))
-        .orderBy("o_orderpriority", "o_orderkey")
+        .select(col("event_type"), col("event_id"), col("value"), col("z"))
+        .orderBy("event_type", "event_id")
     },
-    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, z
-            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
-                    round((o_totalprice - avg(o_totalprice) OVER w) /
-                          stddev_samp(o_totalprice) OVER w, 4) AS z
-                  FROM orders
-                  WINDOW w AS (PARTITION BY o_orderpriority))
+    Some("""SELECT event_type, event_id, value, z
+            FROM (SELECT event_type, event_id, value,
+                    round((value - avg(value) OVER w) /
+                          stddev_samp(value) OVER w, 4) AS z
+                  FROM events
+                  WINDOW w AS (PARTITION BY event_type))
             WHERE abs(z) >= 2.5
-            ORDER BY o_orderpriority, o_orderkey"""))
+            ORDER BY event_type, event_id"""))
 
   val ops: Seq[Op] = Seq(
     eventPathAnalysis, aggZscoreOutliers,

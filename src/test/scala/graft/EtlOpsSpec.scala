@@ -157,4 +157,38 @@ class EtlOpsSpec extends AnyFunSuite {
       s"zone map pruned nothing: ${read.length} of $layoutFiles files")
     assert(df.collect().head.getAs[Long]("n_rows") > 0)
   }
+
+  // Point-in-time boundary semantics on a planted fixture: a fact AT a
+  // version's start belongs to that version (inclusive from), a fact AT the
+  // next version's start belongs to the NEXT one (exclusive to), a fact
+  // before any version survives with NULLs, a fact after the last start
+  // matches the open current row.
+  test("join_temporal_dim boundary semantics on a planted timeline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_tdim_").toString
+    // Tables.load reads events.ts as NANOSECOND longs (the driver fixture's
+    // parquet shape) and truncates to µs — plant the same shape
+    def ts(ms: Long): Long = ms * 1000000L
+    // dim versions for user 1 start at t=1000 (signup, value 10) and
+    // t=2000 (purchase, value 20); facts probe 500/1000/1500/2000/3000
+    Seq(
+      (101L, 1L, "signup", 10.0, ts(1000)),
+      (102L, 1L, "purchase", 20.0, ts(2000)),
+      (201L, 1L, "click", 0.0, ts(500)),
+      (202L, 1L, "click", 0.0, ts(1000)),
+      (203L, 1L, "view", 0.0, ts(1500)),
+      (204L, 1L, "click", 0.0, ts(2000)),
+      (205L, 1L, "view", 0.0, ts(3000)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("join_temporal_dim")(spark, dir)
+      .select("event_id", "dim_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(
+      201L -> -1L,   // before any version: NULL dim
+      202L -> 101L,  // at v1 start: inclusive
+      203L -> 101L,  // inside v1
+      204L -> 102L,  // at v2 start: v1's 'to' is exclusive
+      205L -> 102L)) // open current row
+  }
 }
