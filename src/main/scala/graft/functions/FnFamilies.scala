@@ -291,8 +291,52 @@ object FnFamilies {
               o_orderstatus AS status_val
             FROM orders ORDER BY o_orderkey"""))
 
+  // URL parse + canonicalization — the web-corpus curation primitive (strip
+  // tracking params and fragments, lower the host, keep scheme+host+path as
+  // the dedup key). The URL column is DERIVED deterministically from the
+  // documents table so both engines parse identical strings; the engine
+  // side uses Spark's native parse_url (codegen'd), the oracle replays the
+  // same fields with anchored regexes — equivalent on these well-formed
+  // inputs by construction. Pure map-side at any scale.
+  private val fnUrl = Op(
+    "fn_url",
+    (s, d) => t(s, d, "documents")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/doc-"), col("doc_id"),
+        lit("?utm_source=feed&id="), col("doc_id"), lit("#sec1")))
+      .select(
+        col("doc_id"),
+        expr("parse_url(url, 'PROTOCOL')").as("scheme"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'id')").as("id_param"),
+        expr("parse_url(url, 'REF')").as("fragment"),
+        concat(expr("parse_url(url, 'PROTOCOL')"), lit("://"),
+          lower(expr("parse_url(url, 'HOST')")),
+          expr("parse_url(url, 'PATH')")).as("canonical"))
+      .orderBy("doc_id"),
+    Some("""WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.com/' || lang ||
+                     '/doc-' || doc_id || '?utm_source=feed&id=' || doc_id ||
+                     '#sec1' AS url
+              FROM documents)
+            SELECT doc_id,
+                   regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+                   regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                   regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                   regexp_extract(url, '\?([^#]*)', 1) AS query,
+                   regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param,
+                   regexp_extract(url, '#(.*)$', 1) AS fragment,
+                   regexp_extract(url, '^([a-z]+)://', 1) || '://' ||
+                     lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)) ||
+                     regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                     AS canonical
+            FROM u ORDER BY doc_id"""))
+
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
     fnHash, fnEncode, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot,
-    aggMinMaxBy, fnStruct, fnMap)
+    aggMinMaxBy, fnStruct, fnMap, fnUrl)
 }

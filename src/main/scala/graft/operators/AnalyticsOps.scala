@@ -672,7 +672,153 @@ object AnalyticsOps {
             WHERE abs(z) >= 2.5
             ORDER BY event_type, event_id"""))
 
+  // Triangle counting with degree-ordered edge orientation — the classic
+  // trick that makes distributed triangle enumeration tractable (wedges are
+  // generated only at each edge's LOWER-degree endpoint, capping per-node
+  // wedge fan-out at O(sqrt(m)) instead of O(max-degree²)). The graph is
+  // the part co-purchase graph with the market-basket support filter
+  // (pairs co-ordered ≥ 2 times): raw co-occurrence pairs are quadratic
+  // noise at scale, and support-filtering FIRST — a map-side-combinable
+  // count on the pair key — is what bounds every downstream join. All
+  // three stages (distinct per-order parts self-join, support filter,
+  // wedge + closure equi-joins) shuffle on plain keys; nothing is ever
+  // all-pairs on the node set.
+  private val graphTriangles = Op(
+    "graph_triangles",
+    (s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = items.as("a")
+        .join(items.as("b"), col("a.ok") === col("b.ok") &&
+          col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .select("u", "v")
+        .cache()
+      val deg = edges.select(col("u").as("n")) // undirected degree per node
+        .unionAll(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      // orient each edge from its (deg, id)-smaller endpoint: lo -> hi,
+      // carrying hi's (deg, id) rank so wedges can be generated in RANK
+      // order — then a triangle's closing edge is always oriented x -> y
+      // and closure is a pure equi-join (an id-ordered wedge would need an
+      // either-direction OR condition, which cannot hash-partition and
+      // degrades the closure to a nested loop at scale)
+      val or = edges
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+            struct(col("u").as("lo"), col("v").as("hi"), col("dv").as("dhi")))
+            .otherwise(
+              struct(col("v").as("lo"), col("u").as("hi"), col("du").as("dhi")))
+            .as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.dhi").as("dhi"))
+        .cache()
+      val wedges = or.as("e1").join(or.as("e2"),
+          col("e1.lo") === col("e2.lo") &&
+            struct(col("e1.dhi"), col("e1.hi")) <
+              struct(col("e2.dhi"), col("e2.hi")))
+        .select(col("e1.hi").as("x"), col("e2.hi").as("y"))
+      val tri = wedges.join(or.as("c"),
+        col("x") === col("c.lo") && col("y") === col("c.hi"))
+      deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+          edges.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    },
+    Some("""WITH items AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            edges AS (
+              SELECT a.pk AS u, b.pk AS v
+              FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            deg AS (
+              SELECT n, count(*) AS deg FROM (
+                SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+              GROUP BY n),
+            ordered AS (
+              SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS lo,
+                     CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS hi,
+                     CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS dhi
+              FROM edges e
+              JOIN deg du ON du.n = e.u
+              JOIN deg dv ON dv.n = e.v),
+            wedges AS (
+              SELECT e1.hi AS x, e2.hi AS y
+              FROM ordered e1 JOIN ordered e2
+                ON e1.lo = e2.lo AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
+            tri AS (
+              SELECT count(*) AS n_triangles
+              FROM wedges w JOIN ordered c
+                ON w.x = c.lo AND w.y = c.hi)
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM edges) AS n_edges,
+                   n_triangles
+            FROM tri"""))
+
+  // Mergeable fixed-grid histogram quantile — the sketch shape under every
+  // distributed approximate-median: one order-independent (exactly
+  // deterministic) global min/max pass fixes a 128-bin grid, per-group bin
+  // counts are a map-side-combinable aggregate (the histogram SKETCH —
+  // two histograms merge by adding counts, unlike an exact quantile), and
+  // the median readout walks the cumulative counts to the first bin
+  // crossing n/2. Unlike percentile_approx's KLL sketch this replays
+  // exactly in SQL, so the key is oracle-checked; agg_approx_quantile
+  // covers the built-in. Bin edges are a single multiply from integer bin
+  // indices — no sum-order dependence anywhere.
+  private val aggHistogramQuantile = Op(
+    "agg_histogram_quantile",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val bounds = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      val binned = o.crossJoin(broadcast(bounds))
+        .select(col("o_orderpriority").as("prio"),
+          least(floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / 128.0)), lit(127L)).as("bin"),
+          col("mn"), col("mx"))
+        .groupBy("prio", "bin")
+        .agg(count(lit(1)).as("cnt"), first(col("mn")).as("mn"),
+          first(col("mx")).as("mx"))
+      val w = Window.partitionBy("prio").orderBy("bin")
+      val wn = Window.partitionBy("prio")
+      binned
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wn))
+        .where(col("cum") * 2 >= col("n"))
+        .withColumn("rn", row_number().over(Window.partitionBy("prio")
+          .orderBy("bin")))
+        .where(col("rn") === 1)
+        .select(col("prio"), col("n"), col("bin").cast("long").as("median_bin"),
+          round(col("mn") + col("bin") * ((col("mx") - col("mn")) / 128.0), 4)
+            .as("median_lo"))
+        .orderBy("prio")
+    },
+    Some("""WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                       FROM orders),
+            binned AS (
+              SELECT o_orderpriority AS prio,
+                     least(floor((o_totalprice - mn) / ((mx - mn) / 128.0)),
+                           127) AS bin,
+                     count(*) AS cnt, first(mn) AS mn, first(mx) AS mx
+              FROM orders CROSS JOIN b GROUP BY 1, 2),
+            c AS (
+              SELECT prio, bin, mn, mx,
+                     sum(cnt) OVER (PARTITION BY prio ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY prio) AS n
+              FROM binned),
+            r AS (
+              SELECT prio, n, bin, mn, mx,
+                     row_number() OVER (PARTITION BY prio ORDER BY bin) AS rn
+              FROM c WHERE cum * 2 >= n)
+            SELECT prio, n, CAST(bin AS BIGINT) AS median_bin,
+                   round(mn + bin * ((mx - mn) / 128.0), 4) AS median_lo
+            FROM r WHERE rn = 1 ORDER BY prio"""))
+
   val ops: Seq[Op] = Seq(
+    graphTriangles, aggHistogramQuantile,
     eventPathAnalysis, aggZscoreOutliers,
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,
     sampleHash, sampleStratified, joinLateralTopk,

@@ -1740,7 +1740,240 @@ object LlmOps {
                                        THEN 1.0 ELSE -1.0 END), 4) AS r3
             FROM x GROUP BY vec_id ORDER BY vec_id"""))
 
+  // Per-document TF-IDF keywords — the standard per-doc salience signal a
+  // corpus curation pipeline uses for topic tagging and near-topic
+  // filtering. One cached (doc_id, term, tf) relation feeds BOTH the term
+  // document-frequency aggregate and the scoring join, so the tokenize +
+  // explode pass runs once. Shapes at 100 TB: the tf aggregate is
+  // map-side-combinable on (doc_id, term); df is a two-phase count over the
+  // same relation keyed by term (vocab-sized, shuffles fine, AQE
+  // broadcasts it when small); the per-doc top-3 is one window shuffle on
+  // doc_id. The score's single multiply (tf * ln(N/df)) has no sum-order
+  // dependence, so 4-dp rounding agrees bit-for-bit across engines.
+  private val textTfidf = Op(
+    "text_tfidf",
+    (s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .cache()
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+            .as("tfidf"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .where(col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(CAST(tf AS DOUBLE) *
+                           ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT doc_id, term, tfidf,
+                         CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term) AS INT) AS rn
+                  FROM scored)
+            SELECT doc_id, term, tfidf, rn FROM r
+            WHERE rn <= 3 ORDER BY doc_id, rn"""))
+
+  /** Sliding-window span length for [[dedupSubstring]] (tokens per hashed
+    * span). 8 is small enough to catch partial template reuse the
+    * whole-doc keys miss, large enough that chance collisions are ~0. */
+  private[graft] val SubstringSpanTokens = 8
+
+  // Cross-document duplicated-span detection — the scalable analog of
+  // suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+  // Makes Language Models Better"): hash every sliding 8-token span, find
+  // spans present in ≥ 2 distinct documents, and score each document by
+  // the fraction of its spans that are cross-doc duplicates. Strictly
+  // LINEAR at every step — explode is O(tokens), the span-df aggregate is
+  // a two-phase distinct on the span hash (map-side partials), and the
+  // flag joins back on the same equi-key — no pair generation anywhere, so
+  // a boilerplate span shared by a billion docs costs one counter, not a
+  // quadratic candidate set. Complements dedup_ngram_jaccard (whole-doc
+  // similarity) and text_repetition (within-doc repeats).
+  private val dedupSubstring = Op(
+    "dedup_substring",
+    (s, d) => {
+      val spans = t(s, d, "documents")
+        .withColumn("tk", tokens(col("text")))
+        .where(size(col("tk")) >= SubstringSpanTokens)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, size(tk) - $SubstringSpanTokens),
+             |  i -> md5(array_join(slice(tk, i + 1, $SubstringSpanTokens), ' ')))""".stripMargin))
+          .as("h"))
+        .cache()
+      val dupSpans = spans.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("span_df"))
+        .where(col("span_df") >= 2)
+      spans.join(dupSpans, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          count(col("span_df")).as("n_dup_spans"))
+        .withColumn("dup_ratio", expr(
+          "floor(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e4 + 0.5) / 1e4"))
+        .withColumn("flagged", col("dup_ratio") >= 0.5)
+        .select("doc_id", "n_spans", "n_dup_spans", "dup_ratio", "flagged")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            spans AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(len(tk) - ${SubstringSpanTokens - 1}),
+                       i -> md5(array_to_string(tk[i+1:i+$SubstringSpanTokens], ' ')))) AS h
+              FROM t WHERE len(tk) >= $SubstringSpanTokens),
+            dup AS (
+              SELECT h FROM spans GROUP BY h
+              HAVING count(DISTINCT doc_id) >= 2),
+            g AS (
+              SELECT s.doc_id, count(*) AS n_spans,
+                     count(dup.h) AS n_dup_spans
+              FROM spans s LEFT JOIN dup ON s.h = dup.h
+              GROUP BY s.doc_id)
+            SELECT doc_id, n_spans, n_dup_spans,
+                   floor(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e4 + 0.5) / 1e4
+                     AS dup_ratio,
+                   (floor(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e4 + 0.5) / 1e4)
+                     >= 0.5 AS flagged
+            FROM g ORDER BY doc_id"""))
+
+  /** Squared-L2 distance between the probe vector `va` and a centroid
+    * `vb`, as a strictly ordered fold (bit-identical on both engines). */
+  private def sqDist: Column = expr(
+    "aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+
+  // Two Lloyd iterations of k-means (k = 8) over the embedding corpus —
+  // the clustering step under cluster-balanced sampling and SemDeDup-style
+  // pruning, made fully deterministic so DuckDB can replay it: centroids
+  // initialize from the first 8 vectors, assignment is argmin of squared
+  // L2 ROUNDED to 6 dp (ties to the smaller centroid id), and the updated
+  // centroid means are ROUNDED to 4 dp before the second assignment — the
+  // coarse grid makes the probability that engine-specific summation order
+  // lands a mean on a rounding boundary ~1e-9 per coordinate (a fine grid
+  // is MORE fragile: boundary-hit odds scale with 1/step). Scale shape:
+  // centroids broadcast to every assignment (k×dim doubles), the mean
+  // update is a partial→final aggregate on (cid, dim), and the only
+  // shuffles carry one row per (cid, dim) — the corpus itself never
+  // shuffles. More rounds = the same plan repeated; two suffice to
+  // exercise assign → update → reassign.
+  private val embKmeans = Op(
+    "emb_kmeans",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
+        .cache()
+      def assign(cen: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cen))
+          .select(col("vec_id"), col("cid"), round(sqDist, 6).as("dist"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+      val cen0 = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("va").as("vb"))
+      val cen1 = assign(cen0)
+        .join(e, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("va")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("i"), round(col("m"), 4).as("m"))))
+          .as("sm"))
+        .select(col("cid"), expr("transform(sm, s -> s.m)").as("vb"))
+      assign(cen1)
+        .select(col("vec_id"), col("cid").as("cluster_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+                       FROM embeddings),
+                 c0 AS (SELECT vec_id AS cid, va AS vb FROM v WHERE vec_id < 8),
+                 s1 AS (SELECT v.vec_id, c0.cid,
+                               round(list_sum(list_transform(range(64),
+                                 i -> (va[i+1] - vb[i+1]) * (va[i+1] - vb[i+1]))), 6) AS dist
+                        FROM v CROSS JOIN c0),
+                 a1 AS (SELECT vec_id, cid FROM (
+                          SELECT vec_id, cid,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+                          FROM s1) WHERE rn = 1),
+                 m1 AS (SELECT a1.cid, i, round(avg(va[i+1]), 4) AS m
+                        FROM a1 JOIN v USING (vec_id),
+                             (SELECT unnest(range(64)) AS i)
+                        GROUP BY a1.cid, i),
+                 c1 AS (SELECT cid, list(m ORDER BY i) AS vb FROM m1 GROUP BY cid),
+                 s2 AS (SELECT v.vec_id, c1.cid,
+                               round(list_sum(list_transform(range(64),
+                                 i -> (va[i+1] - vb[i+1]) * (va[i+1] - vb[i+1]))), 6) AS dist
+                        FROM v CROSS JOIN c1),
+                 a2 AS (SELECT vec_id, cid, dist FROM (
+                          SELECT vec_id, cid, dist,
+                                 row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+                          FROM s2) WHERE rn = 1)
+            SELECT vec_id, cid AS cluster_id, round(dist, 4) AS dist
+            FROM a2 ORDER BY vec_id"""))
+
+  // Global per-dimension affine int8 quantization — the other standard
+  // embedding compression (emb_normalize covers per-VECTOR norm scaling):
+  // each dimension's corpus-wide [min, max] maps linearly onto [-127, 127].
+  // The stats pass is an order-independent (exactly deterministic) min/max
+  // aggregate per dimension — 64 rows total, collapsed into two lookup
+  // arrays and broadcast back via a 1-row cross join — and the quantization
+  // itself is a pure zip_with inside codegen: zero shuffles touch the
+  // corpus, so the plan is two linear scans at any scale.
+  private val embQuantize = Op(
+    "emb_quantize",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx"))))
+          .as("sm"))
+        .select(expr("transform(sm, s -> s.mn)").as("mns"),
+          expr("transform(sm, s -> s.mx)").as("mxs"))
+      e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(
+          """concat_ws(',', zip_with(v, sequence(0, size(v) - 1), (x, i) ->
+            |  CASE WHEN mxs[i] = mns[i] THEN 0L
+            |       ELSE CAST(floor((x - mns[i]) / (mxs[i] - mns[i]) * 254.0 + 0.5)
+            |              AS BIGINT) - 127L END))""".stripMargin).as("q8"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 st AS (SELECT i, min(v[i+1]) AS mn, max(v[i+1]) AS mx
+                        FROM v, (SELECT unnest(range(64)) AS i)
+                        GROUP BY i),
+                 lk AS (SELECT list(mn ORDER BY i) AS mns,
+                               list(mx ORDER BY i) AS mxs
+                        FROM st)
+            SELECT vec_id,
+                   array_to_string(list_transform(range(64), i ->
+                     CASE WHEN mxs[i+1] = mns[i+1] THEN 0
+                          ELSE CAST(floor((v[i+1] - mns[i+1]) /
+                                 (mxs[i+1] - mns[i+1]) * 254.0 + 0.5) AS BIGINT) - 127
+                     END), ',') AS q8
+            FROM v CROSS JOIN lk ORDER BY vec_id"""))
+
   val ops: Seq[Op] = Seq(
+    textTfidf, dedupSubstring, embKmeans, embQuantize,
     dedupExact, dedupNgramJaccard, dedupContainment, dedupClusters,
     dedupSurvivor, dedupMinhash,
     dedupSimhash, dedupPrefix, corpusBuild,

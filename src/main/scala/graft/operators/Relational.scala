@@ -1050,7 +1050,67 @@ object Relational {
                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
             ORDER BY o_custkey, o_orderkey"""))
 
+  // Star-schema fact scan with EVERY dimension broadcast — the canonical
+  // warehouse plan shape: lineitem (the fact, 100 TB at scale) joins part,
+  // supplier, and nation purely map-side, so the ONLY exchange in the whole
+  // query is the final partial→final aggregate. sql_tpch_q5 exercises the
+  // mixed shuffle/broadcast shape; this key pins the all-broadcast one —
+  // dims scale sublinearly with the fact, and a star query that shuffles
+  // the fact once per dim join is the classic 100 TB performance bug.
+  // PlanSpec asserts 3 BroadcastHashJoins and exactly one shuffle Exchange.
+  private[graft] val joinMultiwayStar = Op(
+    "join_multiway_star",
+    (s, d) => t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name", "p_brand"),
+    Some("""SELECT n_name, p_brand,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, p_brand
+            ORDER BY n_name, p_brand"""))
+
+  // Correlated scalar subquery, decorrelated by the optimizer: "orders more
+  // than 1.5× their customer's average". Written as the correlated form a
+  // user writes; Catalyst rewrites it to ONE aggregate over orders plus an
+  // equi-join on o_custkey — per-row subquery re-execution (the naive
+  // interpretation, O(n) scans) never appears in the physical plan
+  // (PlanSpec pins: an Aggregate and a join, no nested-loop). DuckDB
+  // performs the same decorrelation, so both engines run the identical
+  // declarative text. The 1.5× threshold comparison is a single multiply
+  // of the joined average — no sum-order-sensitive boundary risk beyond
+  // the last-ulp of avg, far from any stored 2-dp price.
+  private[graft] val subqueryDecorrelate = Op(
+    "subquery_decorrelate",
+    (s, d) => {
+      Seq("orders").foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql("""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+               FROM orders o
+               WHERE o.o_totalprice > 1.5 * (
+                 SELECT avg(o2.o_totalprice) FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
+               ORDER BY o.o_orderkey""")
+    },
+    Some("""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+            FROM orders o
+            WHERE o.o_totalprice > 1.5 * (
+              SELECT avg(o2.o_totalprice) FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey)
+            ORDER BY o.o_orderkey"""))
+
   val ops: Seq[Op] = Seq(
+    joinMultiwayStar, subqueryDecorrelate,
     scanParquet, scanPruned, sqlEntryQ3, aggRegression, windowMedian,
     projectExpr, filterPred, filterNullSemantics, filterInLike,
     joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinRightOuter, joinFullOuter, joinSkewSalted,

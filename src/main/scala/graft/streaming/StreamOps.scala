@@ -589,7 +589,46 @@ object StreamOps {
             FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
             ORDER BY batch_id"""))
 
+  /** Body of [[streamThrottledBackfill]], exposed so StreamingSpec can
+    * assert the multi-batch behavior: returns the backfilled result plus
+    * the number of non-empty micro-batches the run committed. */
+  private[graft] def throttledBackfillRun(
+      s: SparkSession, d: String): (DataFrame, Long) = {
+    val ev = Tables.load(s, d, "events")
+    val in = tmp("graft_stb_in_")
+    ev.repartition(4).write.mode("overwrite").parquet(in)
+    val out = tmp("graft_stb_out_"); val ck = tmp("graft_stb_ck_")
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+    val res = s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        msCol("ts").as("ts_ms"))
+      .orderBy("event_id")
+    (res, batches)
+  }
+
+  // Throttled backfill — the intake-rate knob a 100 TB catch-up run needs:
+  // maxFilesPerTrigger bounds every micro-batch (here 1 file per trigger
+  // over a 4-file landing), and Trigger.AvailableNow drains the backlog
+  // through MULTIPLE bounded batches before stopping — unlike the
+  // deprecated Trigger.Once, which ignores rate limits and loads the whole
+  // backlog into one batch (the classic executor-OOM on a month of landed
+  // files). Output equals batch semantics, so the key is oracle-checked;
+  // StreamingSpec asserts the run really committed ≥ 4 bounded batches.
+  private val streamThrottledBackfill = Op(
+    "stream_throttled_backfill",
+    (s, d) => throttledBackfillRun(s, d)._1,
+    Some("""SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+            FROM events ORDER BY event_id"""))
+
   val ops: Seq[Op] = Seq(
+    streamThrottledBackfill,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
     streamDedupState, streamCustomState, streamCdcFeed,

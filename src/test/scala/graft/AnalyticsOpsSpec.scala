@@ -117,4 +117,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(1).split(",").map(_.toLong)
       .forall(v => v >= -127 && v <= 127)))
   }
+
+  // Planted co-purchase graph: parts 1-2-3 pairwise co-ordered twice (one
+  // triangle), part 4 tied to part 1 with support 2 but closing nothing,
+  // and a 1-5 pair seen only ONCE — the support filter must drop it.
+  test("graph_triangles counts the planted triangle and applies the support filter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_tri_").toString
+    Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), // order 10: {1,2,3}
+      (11L, 1L), (11L, 2L), (11L, 3L), // order 11: {1,2,3} → all pairs support 2
+      (12L, 1L), (12L, 4L),            // orders 12/13: edge 1-4, support 2
+      (13L, 1L), (13L, 4L),
+      (14L, 1L), (14L, 5L))            // pair 1-5 support 1 → filtered out
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("graph_triangles")(spark, dir).collect()(0)
+    assert(r.getLong(0) === 4L, s"n_nodes = ${r.getLong(0)}") // part 5 dropped
+    assert(r.getLong(1) === 4L, s"n_edges = ${r.getLong(1)}")
+    assert(r.getLong(2) === 1L, s"n_triangles = ${r.getLong(2)}")
+  }
+
+  // Planted distribution on a [0, 128] range → unit-width bins: eleven
+  // values land in bins 0..9 and 127, and the first bin whose cumulative
+  // count reaches n/2 = 5.5 is bin 5.
+  test("agg_histogram_quantile picks the first bin crossing the median") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_hq_").toString
+    ((0 to 9).map(v => (v.toLong, "P1", v.toDouble)) :+ ((10L, "P1", 128.0)))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("agg_histogram_quantile")(spark, dir).collect()(0)
+    assert(r.getLong(1) === 11L, s"n = ${r.getLong(1)}")
+    assert(r.getLong(2) === 5L, s"median_bin = ${r.getLong(2)}")
+    assert(r.getDouble(3) === 5.0, s"median_lo = ${r.getDouble(3)}")
+  }
 }

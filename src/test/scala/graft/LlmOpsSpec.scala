@@ -355,4 +355,54 @@ class LlmOpsSpec extends AnyFunSuite {
         s"r$j: ${got.getDouble(j + 1)} vs ${expected(j)}")
     }
   }
+
+  // Planted fixture: docs 1/2 differ at token 30 of 60, doc 3 is unrelated.
+  // Doc 2's only term with df=1 is its edit, so TF-IDF must surface it.
+  test("text_tfidf ranks the df=1 edit token first for the edited doc") {
+    val top = SparkEntry.queries("text_tfidf")(spark, plantedDir)
+      .where(col("doc_id") === 2 && col("rn") === 1).collect()(0)
+    assert(top.getString(1) === "changed", top.toString)
+  }
+
+  // Same fixture through the span lens: 60-token docs sharing all but one
+  // token share exactly the 8-token windows that avoid position 30 —
+  // 22 spans from the prefix + 23 from the suffix of 53 total — while the
+  // unrelated doc shares none.
+  test("dedup_substring counts exactly the planted shared spans") {
+    val rows = SparkEntry.queries("dedup_substring")(spark, plantedDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(rows(1L) === ((53L, 45L, true)), s"doc1: ${rows(1L)}")
+    assert(rows(2L) === ((53L, 45L, true)), s"doc2: ${rows(2L)}")
+    assert(rows(3L) === ((53L, 0L, false)), s"doc3: ${rows(3L)}")
+  }
+
+  test("emb_kmeans assigns every vector to one of k=8 clusters, deterministically") {
+    val a = SparkEntry.queries("emb_kmeans")(spark, sfDir).collect()
+    val b = SparkEntry.queries("emb_kmeans")(spark, sfDir).collect()
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(a.length.toLong === n)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "two runs disagree — the centroid rounding protocol is broken")
+    // each vector's distance to its own cluster is a true squared L2 (>= 0)
+    assert(a.forall(_.getDouble(2) >= 0.0))
+  }
+
+  // Affine int8 quantization endpoints: a coordinate equal to the global
+  // per-dim minimum must map to -127, the maximum to +127 — recomputed
+  // driver-side from the raw vectors.
+  test("emb_quantize maps per-dimension min/max to the int8 endpoints") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val dim0 = vecs.map(_._2(0))
+    val loId = vecs.minBy(_._2(0))._1; val hiId = vecs.maxBy(_._2(0))._1
+    val q = SparkEntry.queries("emb_quantize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(',')(0).toLong)
+      .toMap
+    assert(dim0.min < dim0.max) // fixture sanity: dimension 0 is not constant
+    assert(q(loId) === -127L, s"min of dim0 (vec $loId) → ${q(loId)}")
+    assert(q(hiId) === 127L, s"max of dim0 (vec $hiId) → ${q(hiId)}")
+  }
 }

@@ -352,4 +352,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(600))
   }
+
+  test("join_multiway_star broadcasts every dim; the fact shuffles exactly once") {
+    // executedPlan, not sparkPlan: exchanges are only inserted by
+    // EnsureRequirements, which runs after physical planning
+    val p = SparkEntry.queries("join_multiway_star")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 3, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(800))
+    // the only hash-partitioned exchange is the final aggregate's
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(800))
+  }
+
+  test("subquery_decorrelate plans as aggregate + equi-join, no per-row subquery") {
+    val p = plan("subquery_decorrelate")
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
+  test("graph_triangles wedge and closure joins stay equi — no nested loop") {
+    // rank-ordered wedges keep the closing edge oriented, so closure is an
+    // equi-join on (lo, hi); an id-ordered spelling would need an OR of both
+    // directions and degrade to a nested loop. The only nested-loop joins
+    // allowed are the two 1-row metric cross-joins that assemble the final
+    // (n_nodes, n_edges, n_triangles) summary row.
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p.take(800))
+  }
+
+  test("dedup_substring span accounting is linear — no pair join anywhere") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
 }

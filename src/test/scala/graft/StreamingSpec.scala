@@ -233,4 +233,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() === batch.count())
     assert(streamed.select("p_id", "c_id").exceptAll(batch).count() === 0)
   }
+
+  test("stream_throttled_backfill drains through multiple bounded micro-batches") {
+    val (res, batches) = streaming.StreamOps.throttledBackfillRun(spark, sfDir)
+    // 4 landed files × maxFilesPerTrigger=1 → exactly 4 non-empty batches
+    assert(batches === 4L, s"expected 4 bounded batches, got $batches")
+    val expected = Tables.load(spark, sfDir, "events").count()
+    assert(res.count() === expected, "throttling must not lose or duplicate rows")
+  }
 }
