@@ -686,13 +686,21 @@ object AnalyticsOps {
   private val graphTriangles = Op(
     "graph_triangles",
     (s, d) => {
-      val items = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = items.as("a")
-        .join(items.as("b"), col("a.ok") === col("b.ok") &&
-          col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation per basket, not via a distinct + self-join: one
+      // shuffle collects each order's (bounded) distinct part set, pairs
+      // expand map-side inside the sorted array. Basket size is capped at
+      // 256 (orders here have ≤ ~7 parts; the cap is the skew guard that
+      // keeps a pathological giant basket from exploding quadratically —
+      // the same cap is applied in the oracle so both engines agree).
+      val edges = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .where(size(col("ps")).between(2, 256))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= 2)
         .select("u", "v")
@@ -730,9 +738,13 @@ object AnalyticsOps {
     },
     Some("""WITH items AS (
               SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            baskets AS (
+              SELECT ok FROM items GROUP BY ok
+              HAVING count(*) BETWEEN 2 AND 256),
             edges AS (
               SELECT a.pk AS u, b.pk AS v
               FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+              JOIN baskets bk ON bk.ok = a.ok
               GROUP BY 1, 2 HAVING count(*) >= 2),
             deg AS (
               SELECT n, count(*) AS deg FROM (

@@ -1816,9 +1816,13 @@ object LlmOps {
              |  i -> md5(array_join(slice(tk, i + 1, $SubstringSpanTokens), ' ')))""".stripMargin))
           .as("h"))
         .cache()
+      // "seen in ≥ 2 distinct docs" ⟺ min(doc_id) < max(doc_id): plain
+      // min/max partials are map-side-combinable single-pass aggregates,
+      // where a count-distinct would pay a second Expand/shuffle phase
       val dupSpans = spans.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("span_df"))
-        .where(col("span_df") >= 2)
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .where(col("mn") < col("mx"))
+        .select(col("h"), lit(1L).as("span_df"))
       spans.join(dupSpans, Seq("h"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
@@ -1840,7 +1844,7 @@ object LlmOps {
               FROM t WHERE len(tk) >= $SubstringSpanTokens),
             dup AS (
               SELECT h FROM spans GROUP BY h
-              HAVING count(DISTINCT doc_id) >= 2),
+              HAVING min(doc_id) < max(doc_id)),
             g AS (
               SELECT s.doc_id, count(*) AS n_spans,
                      count(dup.h) AS n_dup_spans
