@@ -335,8 +335,36 @@ object FnFamilies {
                      AS canonical
             FROM u ORDER BY doc_id"""))
 
+  // CSV parse (from_csv schema-on-read — the sibling of fn_json's
+  // from_json): a delimited line derived from table columns round-trips
+  // through a typed parse. Each engine renders AND parses its own line, so
+  // the comparison tests parse-render identity (parse(render(x)) = x), not
+  // cross-engine string formats. Pure map-side.
+  private val fnCsv = Op(
+    "fn_csv",
+    (s, d) => t(s, d, "lineitem")
+      .withColumn("line", concat_ws(";", col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag")))
+      .withColumn("p", from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "a BIGINT, b INT, c DOUBLE, d STRING"),
+        Map("sep" -> ";")))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.c").as("c"),
+        col("p.d").as("d"))
+      .orderBy("a", "b", "c", "d"),
+    Some("""WITH lines AS (
+              SELECT CAST(l_orderkey AS VARCHAR) || ';' ||
+                     CAST(l_linenumber AS VARCHAR) || ';' ||
+                     CAST(l_quantity AS VARCHAR) || ';' ||
+                     l_returnflag AS line
+              FROM lineitem),
+            p AS (SELECT string_split(line, ';') AS f FROM lines)
+            SELECT CAST(f[1] AS BIGINT) AS a, CAST(f[2] AS INT) AS b,
+                   CAST(f[3] AS DOUBLE) AS c, f[4] AS d
+            FROM p ORDER BY a, b, c, d"""))
+
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
     fnHash, fnEncode, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot,
-    aggMinMaxBy, fnStruct, fnMap, fnUrl)
+    aggMinMaxBy, fnStruct, fnMap, fnUrl, fnCsv)
 }

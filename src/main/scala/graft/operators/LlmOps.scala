@@ -1976,8 +1976,86 @@ object LlmOps {
                      END), ',') AS q8
             FROM v CROSS JOIN lk ORDER BY vec_id"""))
 
+  // Deterministic curriculum ordering — the training-manifest step that
+  // orders a corpus easy→hard (here: length stages) with a stable shuffle
+  // inside each stage. The 100 TB-critical part is HOW the global position
+  // is computed: a partition-less row_number would funnel the entire corpus
+  // through ONE task (Exchange SinglePartition), so instead each stage
+  // ranks independently (one shuffle on the stage key) and a tiny
+  // cumulative-offset table — #stages rows, broadcast back — lifts the
+  // per-stage ranks to global positions. Two-phase global ranking: same
+  // answer, no single-task bottleneck (PlanSpec pins no SinglePartition).
+  private val corpusCurriculum = Op(
+    "corpus_curriculum",
+    (s, d) => {
+      val staged = t(s, d, "documents")
+        .select(col("doc_id"), expr("n_chars div 100").as("stage"),
+          md5(col("doc_id").cast("string")).as("h"))
+      val ranked = staged.withColumn("rn",
+        row_number().over(Window.partitionBy("stage").orderBy("h", "doc_id")))
+      // cumulative offsets over the tiny per-stage count table via a
+      // theta-join aggregate, NOT a partition-less running-sum window — the
+      // whole plan stays free of Exchange SinglePartition (PlanSpec pins
+      // it), so nothing anywhere funnels through one task
+      val counts = staged.groupBy("stage").agg(count(lit(1)).as("n"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.stage") < col("a.stage"), "left")
+        .groupBy(col("a.stage").as("stage"))
+        .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+      ranked.join(broadcast(offsets), Seq("stage"))
+        .select(col("doc_id"), col("stage"),
+          (col("off") + col("rn")).as("global_pos"))
+        .orderBy("global_pos")
+    },
+    Some("""SELECT doc_id, n_chars // 100 AS stage,
+                   row_number() OVER (ORDER BY n_chars // 100,
+                     md5(CAST(doc_id AS VARCHAR)), doc_id) AS global_pos
+            FROM documents ORDER BY global_pos"""))
+
+  // Feature hashing (the "hashing trick") — fixed-width token features
+  // without a vocabulary table: each token maps to one of 256 buckets via
+  // its md5 prefix (a plain hex-string bucket, portable to any engine), so
+  // the vectorizer needs NO global state, no dictionary broadcast, and no
+  // fit pass — the property that makes it the default featurizer at
+  // 100 TB. Per-doc bucket counts are one map-side-combinable aggregate;
+  // the fixed-width signature keeps arrays off the comparator boundary.
+  private val textHashFeatures = Op(
+    "text_hash_features",
+    (s, d) => {
+      val bc = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .select(col("doc_id"), substring(md5(col("term")), 1, 2).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      bc.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_buckets"),
+          min(struct((-col("cnt")).as("neg"), col("bucket"))).as("m"),
+          md5(concat_ws("|",
+            sort_array(collect_list(concat_ws(":", col("bucket"), col("cnt"))))))
+            .as("sig"))
+        .select(col("doc_id"), col("n_buckets"),
+          col("m.bucket").as("top_bucket"), (-col("m.neg")).as("top_cnt"),
+          col("sig"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            bc AS (
+              SELECT doc_id, substr(md5(term), 1, 2) AS bucket,
+                     count(*) AS cnt
+              FROM toks GROUP BY 1, 2)
+            SELECT doc_id, count(*) AS n_buckets,
+                   (min({'neg': -cnt, 'b': bucket})).b AS top_bucket,
+                   -(min({'neg': -cnt, 'b': bucket})).neg AS top_cnt,
+                   md5(array_to_string(
+                     list(bucket || ':' || cnt ORDER BY bucket || ':' || cnt),
+                     '|')) AS sig
+            FROM bc GROUP BY doc_id ORDER BY doc_id"""))
+
   val ops: Seq[Op] = Seq(
     textTfidf, dedupSubstring, embKmeans, embQuantize,
+    corpusCurriculum, textHashFeatures,
     dedupExact, dedupNgramJaccard, dedupContainment, dedupClusters,
     dedupSurvivor, dedupMinhash,
     dedupSimhash, dedupPrefix, corpusBuild,

@@ -271,6 +271,45 @@ object Multimodal {
     (s, d) => phashPairsFrom(payloads(s, d)).orderBy("doc_a", "doc_b"),
     None)
 
+  // Scene-change detection over the frame stream (stub for a video shot
+  // detector): per-frame "intensity" is an md5-derived integer (the stand-in
+  // for a decoded luminance histogram — a codec swap touches ONLY that
+  // expression), and a scene boundary is an intensity jump > 20000 between
+  // consecutive frames. The whole per-video computation — frame slicing,
+  // feature extraction, the consecutive-frame delta, and the boundary count
+  // — runs inside array HOFs in ONE map-side pass: no explode, no window,
+  // no shuffle, so 100 TB of video streams through scan-shaped tasks.
+  private val mmVideoScene = Op(
+    "mm_video_scene",
+    (s, d) => payloads(s, d)
+      .withColumn("n_frames", ceil(octet_length(col("payload")) / lit(64.0)).cast("int"))
+      .withColumn("ints", expr(
+        """transform(sequence(0, n_frames - 1), i ->
+          |  conv(substr(md5(upper(hex(substring(payload, i * 64 + 1, 64)))), 1, 4),
+          |       16, 10))""".stripMargin))
+      .select(col("doc_id"), col("n_frames"),
+        // the n_frames < 2 guard matters: Spark's sequence(1, 0) counts
+        // DOWN ([1, 0]), which would index past a 1-frame intensity array
+        expr(
+          """1 + IF(n_frames < 2, 0, size(filter(sequence(1, n_frames - 1),
+            |  i -> abs(CAST(ints[i] AS BIGINT) - CAST(ints[i-1] AS BIGINT)) > 20000)))"""
+            .stripMargin).as("n_scenes"))
+      .orderBy("doc_id"),
+    Some("""WITH f AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+              FROM documents),
+            ints AS (
+              SELECT doc_id, n_frames,
+                     list_transform(range(0, n_frames), i ->
+                       CAST(('0x' || substr(md5(upper(substr(h, i * 128 + 1, 128))), 1, 4))
+                            AS BIGINT)) AS v
+              FROM f)
+            SELECT doc_id, n_frames,
+                   CAST(len(list_filter(range(1, n_frames),
+                     i -> abs(v[i + 1] - v[i]) > 20000)) + 1 AS INT) AS n_scenes
+            FROM ints ORDER BY doc_id"""))
+
   val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract, mmResize,
-    mmAudioWindow, scanBinaryFiles, mmDedupPhash)
+    mmAudioWindow, scanBinaryFiles, mmDedupPhash, mmVideoScene)
 }

@@ -627,8 +627,72 @@ object StreamOps {
     Some("""SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
             FROM events ORDER BY event_id"""))
 
+  // Streaming upsert sink via foreachBatch — the CDC-merge pattern every
+  // warehouse streaming ingest runs (the Delta `MERGE` in foreachBatch
+  // analog): each micro-batch reduces to one row per key map-side, then
+  // merges into the current target state by key, and commits a new target
+  // version (versioned dirs stand in for a table format's transaction log;
+  // the previous version is never read and written in the same job). The
+  // merge is associative and commutative — max-by-event_id and summed
+  // counts — so the final state is independent of how the backlog happened
+  // to split into micro-batches, which is exactly the property that makes
+  // the result oracle-checkable against one batch query over all events.
+  // At scale each merge is a key-partitioned join of target × batch
+  // partials; raw events never accumulate in state.
+  private[graft] def upsertSinkRun(s: SparkSession, d: String): (DataFrame, Long) = {
+    val ev = Tables.load(s, d, "events")
+    val in = tmp("graft_sus_in_")
+    ev.repartition(4).write.mode("overwrite").parquet(in)
+    val tgtRoot = tmp("graft_sus_tgt_")
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val committed = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reduceBatch(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("event_id"), col("event_type"), col("value"))).as("m"))
+        .select(col("user_id"), col("n_events"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(in)
+      .writeStream.option("checkpointLocation", tmp("graft_sus_ck_"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = reduceBatch(batch)
+        val merged = Option(latest.get()) match {
+          case None => b
+          case Some(prev) =>
+            s.read.parquet(prev).unionByName(b)
+              .groupBy("user_id")
+              .agg(sum(col("n_events")).as("n_events"),
+                max(struct(col("last_event_id"), col("last_type"),
+                  col("last_value"))).as("m"))
+              .select(col("user_id"), col("n_events"),
+                col("m.last_event_id").as("last_event_id"),
+                col("m.last_type").as("last_type"),
+                col("m.last_value").as("last_value"))
+        }
+        val v = s"$tgtRoot/v$id"
+        merged.write.mode("overwrite").parquet(v)
+        latest.set(v)
+        committed.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    drain(q)
+    (s.read.parquet(latest.get()).orderBy("user_id"), committed.get())
+  }
+
+  private val streamUpsertSink = Op(
+    "stream_upsert_sink",
+    (s, d) => upsertSinkRun(s, d)._1,
+    Some("""SELECT user_id, count(*) AS n_events,
+                   max(event_id) AS last_event_id,
+                   max_by(event_type, event_id) AS last_type,
+                   max_by(value, event_id) AS last_value
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
-    streamThrottledBackfill,
+    streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
     streamDedupState, streamCustomState, streamCdcFeed,

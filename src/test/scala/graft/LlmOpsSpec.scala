@@ -377,6 +377,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(3L) === ((53L, 0L, false)), s"doc3: ${rows(3L)}")
   }
 
+  test("corpus_curriculum emits a stage-monotone permutation of 1..N") {
+    val rows = SparkEntry.queries("corpus_curriculum")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_._2).sorted.toSeq === (1L to n).toSeq,
+      "global positions are not a permutation of 1..N")
+    // positions ordered by stage: every stage-s doc precedes every stage-s'
+    // doc for s < s' (the two-phase offset ranking equals a global sort)
+    assert(rows.sortBy(_._2).map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+  }
+
+  test("text_hash_features buckets are 2-hex-char and top_cnt bounds the doc") {
+    val rows = SparkEntry.queries("text_hash_features")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(2).matches("[0-9a-f]{2}")))
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 256))
+    // top bucket count can never exceed the doc's token count
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => r.getLong(3) <= toks(r.getLong(0)).toLong))
+  }
+
   test("emb_kmeans assigns every vector to one of k=8 clusters, deterministically") {
     val a = SparkEntry.queries("emb_kmeans")(spark, sfDir).collect()
     val b = SparkEntry.queries("emb_kmeans")(spark, sfDir).collect()

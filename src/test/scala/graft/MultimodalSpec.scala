@@ -101,4 +101,19 @@ class MultimodalSpec extends AnyFunSuite {
     val p = operators.Multimodal.phashPairsFrom(df).queryExecution.sparkPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
   }
+
+  test("mm_video_scene bounds scenes by frames; a one-frame doc is one scene") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_scene_").toString
+    Seq((1L, "short"),                    // < 64 bytes → 1 frame → 1 scene
+        (2L, "x" * 300))                  // 5 frames → 1..5 scenes
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("mm_video_scene")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(rows(1L) === ((1, 1)), s"one-frame doc: ${rows(1L)}")
+    val (nf, ns) = rows(2L)
+    assert(nf === 5 && ns >= 1 && ns <= 5, s"doc2: $nf frames, $ns scenes")
+  }
 }

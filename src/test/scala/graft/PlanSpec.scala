@@ -383,6 +383,15 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p.take(800))
   }
 
+  test("corpus_curriculum global ranking never funnels through one task") {
+    // two-phase ranking (per-stage row_number + broadcast offsets) must keep
+    // the plan free of Exchange SinglePartition — the partition-less window
+    // spelling would serialize the whole corpus through a single task
+    val p = SparkEntry.queries("corpus_curriculum")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
   test("dedup_substring span accounting is linear — no pair join anywhere") {
     val p = plan("dedup_substring")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -234,6 +234,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("p_id", "c_id").exceptAll(batch).count() === 0)
   }
 
+  test("stream_upsert_sink merges across batches to the batch-equivalent state") {
+    val (res, versions) = streaming.StreamOps.upsertSinkRun(spark, sfDir)
+    // 4 landed files at maxFilesPerTrigger=2 → at least two target commits,
+    // so the result really went through an incremental key-merge
+    assert(versions >= 2L, s"expected >= 2 merge commits, got $versions")
+    val ev = Tables.load(spark, sfDir, "events")
+    val batch = ev.groupBy("user_id")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        max(struct(col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("n_events"), col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+    assert(res.count() === batch.count())
+    assert(res.exceptAll(batch).count() === 0,
+      "streamed merge state diverges from the one-shot batch aggregate")
+  }
+
   test("stream_throttled_backfill drains through multiple bounded micro-batches") {
     val (res, batches) = streaming.StreamOps.throttledBackfillRun(spark, sfDir)
     // 4 landed files × maxFilesPerTrigger=1 → exactly 4 non-empty batches
