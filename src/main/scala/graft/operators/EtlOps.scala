@@ -969,7 +969,35 @@ object EtlOps {
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'"""))
 
+  // The 100 TB profiler: same per-column shape as profile_stats but the
+  // distinct counts are HyperLogLog sketches (approx_count_distinct), so
+  // the single aggregate pass carries 4 fixed-size sketch buffers instead
+  // of Catalyst's multi-distinct Expand — which multiplies every scanned
+  // row ×(#distinct aggs + 1) before the shuffle. Exact counts are a
+  // debugging tool; the sketch profile is what runs on the full corpus.
+  // No DuckDB analog of Spark's HLL++ seeding → test-only: EtlOpsSpec
+  // pins each estimate within 5% of the exact profile.
+  private val profileStatsApprox = Op(
+    "profile_stats_approx",
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val aggs = cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__nd"),
+        min(col(c).cast("string")).as(s"${c}__mn"),
+        max(col(c).cast("string")).as(s"${c}__mx"))
+      }
+      val one = t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+      one.selectExpr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n_null, n_distinct_est, min_s, max_s)")
+        .orderBy("column_name")
+    },
+    None)
+
   val ops: Seq[Op] = Seq(
+    profileStatsApprox,
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,
     topkLatest, partitionedWrite, layoutCluster, joinBucketed,

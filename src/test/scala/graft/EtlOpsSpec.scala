@@ -191,4 +191,19 @@ class EtlOpsSpec extends AnyFunSuite {
       204L -> 102L,  // at v2 start: v1's 'to' is exclusive
       205L -> 102L)) // open current row
   }
+
+  test("profile_stats_approx estimates stay within 5% of the exact profile") {
+    def byCol(key: String, distinctCol: Int): Map[String, (Long, String, String)] =
+      SparkEntry.queries(key)(spark, sfDir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(distinctCol), r.getString(3), r.getString(4)))).toMap
+    val exact = byCol("profile_stats", 2)
+    val approx = byCol("profile_stats_approx", 2)
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, (nd, mn, mx)) =>
+      val (est, amn, amx) = approx(c)
+      assert(math.abs(est - nd).toDouble / nd <= 0.05, s"$c: est $est vs exact $nd")
+      assert((amn, amx) === ((mn, mx)), s"$c min/max must be exact")
+    }
+  }
 }
