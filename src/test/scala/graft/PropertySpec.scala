@@ -161,4 +161,27 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // Affine int8 quantization: dequantizing any emb_quantize code recovers
+  // the original coordinate within half a quantization step — the bound
+  // that makes the 254-level grid usable as an ANN pre-filter.
+  test("emb_quantize dequantization error is bounded by half a grid step") {
+    val raw = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val dims = raw.values.head.length
+    val mn = Array.tabulate(dims)(i => raw.values.map(_(i)).min)
+    val mx = Array.tabulate(dims)(i => raw.values.map(_(i)).max)
+    val q = SparkEntry.queries("emb_quantize")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(',').map(_.toLong))
+    assert(q.nonEmpty)
+    q.take(50).foreach { case (id, codes) =>
+      codes.indices.foreach { i =>
+        val step = (mx(i) - mn(i)) / 254.0
+        val deq = mn(i) + (codes(i) + 127L) * step
+        assert(math.abs(deq - raw(id)(i)) <= step / 2 + 1e-12,
+          s"vec $id dim $i: |$deq - ${raw(id)(i)}| > ${step / 2}")
+      }
+    }
+  }
 }
