@@ -829,7 +829,135 @@ object AnalyticsOps {
                    round(mn + bin * ((mx - mn) / 128.0), 4) AS median_lo
             FROM r WHERE rn = 1 ORDER BY prio"""))
 
+  // Key-distribution skew report — the diagnosis a 100 TB pipeline runs
+  // BEFORE choosing a join/agg strategy: per-key counts (one map-side-
+  // combinable aggregate), then the tiny (total, key-count) summary is
+  // broadcast back so each key's share and its ratio to the uniform
+  // expectation are computed without a second shuffle. The top-10 readout is
+  // a TakeOrderedAndProject (bounded driver result), never a global sort.
+  private val profileSkew = Op(
+    "profile_skew",
+    (s, d) => {
+      val perKey = t(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      val tot = perKey.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("nkeys"))
+      perKey.crossJoin(broadcast(tot))
+        .select(col("o_custkey"), col("cnt"),
+          round(col("cnt") * lit(1.0) / col("total"), 6).as("share"),
+          round(col("cnt") * lit(1.0) * col("nkeys") / col("total"), 6)
+            .as("skew_vs_uniform"))
+        .orderBy(col("cnt").desc, col("o_custkey"))
+        .limit(10)
+    },
+    Some("""WITH per_key AS (
+              SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+            tot AS (SELECT sum(cnt) AS total, count(*) AS nkeys FROM per_key)
+            SELECT o_custkey, cnt,
+                   round(cnt * 1.0 / total, 6) AS share,
+                   round(cnt * 1.0 * nkeys / total, 6) AS skew_vs_uniform
+            FROM per_key CROSS JOIN tot
+            ORDER BY cnt DESC, o_custkey LIMIT 10"""))
+
+  // k-anonymity audit over quasi-identifiers (nation × market segment ×
+  // coarse balance bucket): group sizes in one partial→final aggregate,
+  // groups under k=5 flagged as re-identification risks. The shape privacy
+  // review runs before releasing a training corpus with user attributes —
+  // one shuffle on the QI tuple, output bounded by the QI domain, never by
+  // the row count.
+  private val privacyKanon = Op(
+    "privacy_kanon",
+    (s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bucket"),
+    Some("""SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                   count(*) AS n, count(*) < 5 AS at_risk
+            FROM customer
+            GROUP BY 1, 2, 3
+            ORDER BY c_nationkey, c_mktsegment, bal_bucket"""))
+
+  // Deterministic train/val/test split: the assignment is a pure row-local
+  // function of the stable doc_id (first md5 hex nibble → 12/2/2 buckets),
+  // so ANY re-run, engine, or cluster size reproduces the same split — the
+  // property leakage audits depend on. No shuffle for assignment; the
+  // per-split summary is one tiny aggregate.
+  private val sampleSplit = Op(
+    "sample_split",
+    (s, d) => {
+      val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+      t(s, d, "documents")
+        .select(when(nib <= "b", "train").when(nib <= "d", "val")
+          .otherwise("test").as("split"), col("n_chars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("split")
+    },
+    Some("""SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+                        THEN 'val' ELSE 'test' END AS split,
+                   count(*) AS n_docs, sum(n_chars) AS n_chars
+            FROM documents GROUP BY 1 ORDER BY split"""))
+
+  // Overlapping-interval flattening (union of per-event 15-minute activity
+  // spans into maximal covered spans per user): the classic running-max
+  // island detection — a span starts a new island iff its start exceeds the
+  // max end seen so far. One shuffle on user_id; per-user state is a single
+  // running max, so a year of events streams through a bounded window
+  // frame. Symmetric-duration spans make island assignment independent of
+  // tie order among equal starts (deterministic under any partitioning).
+  private val intervalMerge = Op(
+    "interval_merge",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000").as("s_ms"))
+        .withColumn("e_ms", col("s_ms") + 900000L)
+      val w = Window.partitionBy("user_id").orderBy("s_ms", "event_id")
+      val prevMax = max(col("e_ms"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      ev.withColumn("is_new",
+          when(prevMax.isNull || col("s_ms") > prevMax, 1).otherwise(0))
+        .withColumn("island", sum(col("is_new")).over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s_ms")).as("span_start_ms"),
+          max(col("e_ms")).as("span_end_ms"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "island")
+    },
+    Some("""WITH iv AS (
+              SELECT user_id, event_id, epoch_ms(ts) AS s_ms,
+                     epoch_ms(ts) + 900000 AS e_ms
+              FROM events),
+            flagged AS (
+              SELECT user_id, s_ms, e_ms,
+                     CASE WHEN max(e_ms) OVER
+                            (PARTITION BY user_id ORDER BY s_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          IS NULL
+                          OR s_ms > max(e_ms) OVER
+                            (PARTITION BY user_id ORDER BY s_ms, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS is_new,
+                     event_id
+              FROM iv),
+            islands AS (
+              SELECT user_id, s_ms, e_ms,
+                     sum(is_new) OVER
+                       (PARTITION BY user_id ORDER BY s_ms, event_id) AS island
+              FROM flagged)
+            SELECT user_id, island, min(s_ms) AS span_start_ms,
+                   max(e_ms) AS span_end_ms, count(*) AS n_events
+            FROM islands GROUP BY user_id, island
+            ORDER BY user_id, island"""))
+
   val ops: Seq[Op] = Seq(
+    profileSkew, privacyKanon, sampleSplit, intervalMerge,
     graphTriangles, aggHistogramQuantile,
     eventPathAnalysis, aggZscoreOutliers,
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,

@@ -996,7 +996,167 @@ object EtlOps {
     },
     None)
 
+  // Referential-integrity audit: orphan counts for each FK edge of the
+  // star (lineitem→orders, orders→customer, customer→nation), each as ONE
+  // left-outer join + aggregate pass — child_rows and orphans come from the
+  // same scan, never two. The fact-to-fact edge shuffles on the join key
+  // (the only correct shape at 100 TB); the dimension edges broadcast. The
+  // per-edge 1-row summaries union to a 3-row report.
+  private val auditFk = Op(
+    "audit_fk",
+    (s, d) => {
+      def edge(rel: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.join(parent.select(col(pk)).distinct(),
+            child(ck) === col(pk), "left")
+          .agg(count(lit(1)).as("child_rows"),
+            count(when(col(pk).isNull, 1)).as("orphans"))
+          .select(lit(rel).as("relation"), col("child_rows"), col("orphans"))
+      edge("customer->nation", t(s, d, "customer"), "c_nationkey",
+          t(s, d, "nation"), "n_nationkey")
+        .unionAll(edge("lineitem->orders", t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey"))
+        .unionAll(edge("orders->customer", t(s, d, "orders"), "o_custkey",
+          t(s, d, "customer"), "c_custkey"))
+        .orderBy("relation")
+    },
+    Some("""SELECT 'customer->nation' AS relation, count(*) AS child_rows,
+                   count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS orphans
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'lineitem->orders', count(*),
+                   count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT 'orders->customer', count(*),
+                   count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY relation"""))
+
+  // Rule-driven data-quality expectations (Deequ-style): ALL rules evaluate
+  // in ONE scan as conditional counts inside a single partial→final
+  // aggregate — never one pass per rule — then the 1-row result unpivots to
+  // a per-rule report with pass rates. Adding a rule costs one more counter
+  // per map task, not another 100 TB scan.
+  private val dqExpectations = Op(
+    "dq_expectations",
+    (s, d) =>
+      t(s, d, "orders")
+        .agg(count(lit(1)).as("checked"),
+          count(when(col("o_totalprice") <= 0, 1)).as("v_price_positive"),
+          count(when(col("o_orderdate").isNull, 1)).as("v_date_not_null"),
+          count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+            .as("v_status_domain"),
+          count(when(!col("o_orderpriority").rlike("^[1-5]-"), 1))
+            .as("v_priority_format"))
+        .selectExpr(
+          """stack(4,
+               'price_positive',  v_price_positive,
+               'date_not_null',   v_date_not_null,
+               'status_domain',   v_status_domain,
+               'priority_format', v_priority_format) AS (rule, violations)""",
+          "checked")
+        .select(col("rule"), col("violations"), col("checked"),
+          round((col("checked") - col("violations")) * lit(1.0) / col("checked"), 6)
+            .as("pass_rate"))
+        .orderBy("rule"),
+    Some("""WITH a AS (
+              SELECT count(*) AS checked,
+                     count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS v1,
+                     count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS v2,
+                     count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS v3,
+                     count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS v4
+              FROM orders),
+            r AS (
+              SELECT 'price_positive' AS rule, v1 AS violations, checked FROM a
+              UNION ALL SELECT 'date_not_null', v2, checked FROM a
+              UNION ALL SELECT 'status_domain', v3, checked FROM a
+              UNION ALL SELECT 'priority_format', v4, checked FROM a)
+            SELECT rule, violations, checked,
+                   round((checked - violations) * 1.0 / checked, 6) AS pass_rate
+            FROM r ORDER BY rule"""))
+
+  // Linear-interpolation gap fill on the calendar grid (the numeric sibling
+  // of resample_zerofill): missing (day × event_type) cells take the
+  // straight line between the nearest present neighbors, edges extend
+  // flat. The neighbor lookups are IGNORE NULLS window frames — per-group
+  // state is one value each direction, so the fill streams through sorted
+  // partitions without materializing gaps. Metric is max(value) (order-
+  // independent ⇒ bit-stable); both engines evaluate the interpolation with
+  // the identical double expression tree.
+  private val resampleInterpolate = Op(
+    "resample_interpolate",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val days = ev.agg(date_trunc("day", min("ts")).as("d0"),
+          date_trunc("day", max("ts")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = ev.select("event_type").distinct()
+      val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(max(col("value")).as("v"))
+      val g = days.crossJoin(types)
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(col("event_type"),
+          expr("unix_micros(day) div 86400000000").as("day_n"), col("v"))
+      val before = Window.partitionBy("event_type").orderBy("day_n")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val after = Window.partitionBy("event_type").orderBy("day_n")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val pv = last(col("v"), ignoreNulls = true).over(before)
+      val pd = last(when(col("v").isNotNull, col("day_n")), ignoreNulls = true)
+        .over(before)
+      val nv = first(col("v"), ignoreNulls = true).over(after)
+      val nd = first(when(col("v").isNotNull, col("day_n")), ignoreNulls = true)
+        .over(after)
+      g.withColumn("filled",
+          when(col("v").isNotNull, col("v"))
+            .when(pv.isNull, nv)
+            .when(nv.isNull, pv)
+            .otherwise(pv + ((nv - pv) * (col("day_n") - pd)) / (nd - pd)))
+        .select(col("event_type"), col("day_n"),
+          col("v").isNotNull.as("observed"), round(col("filled"), 6).as("filled"))
+        .orderBy("event_type", "day_n")
+    },
+    Some("""WITH b AS (SELECT date_trunc('day', min(ts)) AS d0,
+                              date_trunc('day', max(ts)) AS d1 FROM events),
+            days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+            types AS (SELECT DISTINCT event_type FROM events),
+            daily AS (
+              SELECT date_trunc('day', ts) AS day, event_type,
+                     max(value) AS v
+              FROM events GROUP BY 1, 2),
+            g AS (
+              SELECT types.event_type AS event_type,
+                     epoch_ms(days.day) // 86400000 AS day_n, daily.v AS v
+              FROM days CROSS JOIN types
+              LEFT JOIN daily ON daily.day = days.day
+                             AND daily.event_type = types.event_type),
+            w AS (
+              SELECT event_type, day_n, v,
+                     last_value(v IGNORE NULLS) OVER
+                       (PARTITION BY event_type ORDER BY day_n
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN day_n END IGNORE NULLS) OVER
+                       (PARTITION BY event_type ORDER BY day_n
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+                     first_value(v IGNORE NULLS) OVER
+                       (PARTITION BY event_type ORDER BY day_n
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN day_n END IGNORE NULLS) OVER
+                       (PARTITION BY event_type ORDER BY day_n
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+              FROM g)
+            SELECT event_type, day_n, v IS NOT NULL AS observed,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL THEN pv
+                              ELSE pv + ((nv - pv) * (day_n - pd)) / (nd - pd)
+                         END, 6) AS filled
+            FROM w ORDER BY event_type, day_n"""))
+
   val ops: Seq[Op] = Seq(
+    auditFk, dqExpectations, resampleInterpolate,
     profileStatsApprox,
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,

@@ -2053,7 +2053,45 @@ object LlmOps {
                      '|')) AS sig
             FROM bc GROUP BY doc_id ORDER BY doc_id"""))
 
+  // One BPE training round, distributed the way real tokenizer training
+  // scales: first collapse the corpus to its word-frequency table (the
+  // map-side-combinable aggregate that turns 100 TB of text into a
+  // vocabulary-sized relation), THEN expand each distinct word once into
+  // its adjacent character pairs weighted by the word's count. Pair
+  // frequencies are a second small aggregate; the top-20 merge candidates
+  // read out via TakeOrderedAndProject with a total-order tiebreak. The
+  // expensive explode runs over distinct words, never over raw rows.
+  private val textBpeTrain = Op(
+    "text_bpe_train",
+    (s, d) => {
+      val wf = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      wf.select(col("w"), col("wc"),
+          explode(expr("sequence(1, length(w) - 1)")).as("i"))
+        .select(expr("substr(w, i, 1)").as("a"),
+          expr("substr(w, i + 1, 1)").as("b"), col("wc"))
+        .groupBy("a", "b").agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some("""WITH words AS (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            wf AS (
+              SELECT w, count(*) AS wc FROM words
+              WHERE length(w) >= 2 GROUP BY w),
+            pos AS (
+              SELECT w, wc, unnest(range(1, length(w))) AS i FROM wf),
+            pairs AS (
+              SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, wc
+              FROM pos)
+            SELECT a, b, sum(wc) AS freq
+            FROM pairs GROUP BY a, b
+            ORDER BY freq DESC, a, b LIMIT 20"""))
+
   val ops: Seq[Op] = Seq(
+    textBpeTrain,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,
     dedupExact, dedupNgramJaccard, dedupContainment, dedupClusters,

@@ -152,4 +152,70 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) === 5L, s"median_bin = ${r.getLong(2)}")
     assert(r.getDouble(3) === 5.0, s"median_lo = ${r.getDouble(3)}")
   }
+
+  test("profile_skew shares are consistent and the readout is bounded") {
+    val rows = SparkEntry.queries("profile_skew")(spark, sfDir).collect()
+    assert(rows.length <= 10)
+    // descending by count with the key tiebreak
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // share and skew ratio are per-key consistent: skew = share * nkeys
+    val perKey = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_custkey").count()
+    val nkeys = perKey.count()
+    val total = perKey.agg(sum("count")).collect()(0).getLong(0)
+    rows.foreach { r =>
+      val expShare = BigDecimal(r.getLong(1).toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expShare) < 2e-6,
+        s"share ${r.getDouble(2)} vs $expShare")
+      assert(math.abs(r.getDouble(3) - r.getDouble(2) * nkeys) < 1e-3)
+    }
+  }
+
+  test("privacy_kanon flags exactly the groups under k=5") {
+    val rows = SparkEntry.queries("privacy_kanon")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1)
+      assert(r.getBoolean(4) === (r.getLong(3) < 5))
+    }
+    // group sizes sum back to the full table — the QI grouping partitions it
+    val total = Tables.load(spark, sfDir, "customer").count()
+    assert(rows.map(_.getLong(3)).sum === total)
+  }
+
+  test("sample_split partitions the corpus deterministically") {
+    val rows = SparkEntry.queries("sample_split")(spark, sfDir).collect()
+    val splits = rows.map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    // train gets the 12/16 share of the hash space — dominant by construction
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > byName.getOrElse("val", 0L))
+    assert(byName("train") > byName.getOrElse("test", 0L))
+    // assignment is a pure function of doc_id: a second run is identical
+    val again = SparkEntry.queries("sample_split")(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("interval_merge emits disjoint, ordered spans that cover every event") {
+    val rows = SparkEntry.queries("interval_merge")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { spans =>
+      val sorted = spans.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case ((_, _, e1, _), (_, s2, _, _)) =>
+        assert(s2 > e1, "adjacent merged spans must not overlap or touch")
+      }
+      spans.foreach { case (_, s0, e0, n) =>
+        assert(e0 - s0 >= 900000L, "span at least one interval long")
+        assert(n >= 1)
+      }
+    }
+    // every event is inside exactly one span of its user
+    val nEvents = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._4).sum === nEvents)
+  }
 }

@@ -206,4 +206,70 @@ class EtlOpsSpec extends AnyFunSuite {
       assert((amn, amx) === ((mn, mx)), s"$c min/max must be exact")
     }
   }
+
+  test("audit_fk counts every child row once and finds a planted orphan") {
+    val rows = SparkEntry.queries("audit_fk")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === Set(
+      "customer->nation", "lineitem->orders", "orders->customer"))
+    assert(rows("lineitem->orders")._1 ===
+      Tables.load(spark, sfDir, "lineitem").count())
+    rows.values.foreach { case (n, orph) => assert(orph >= 0 && orph <= n) }
+    // planted fixture: one lineitem row pointing at a nonexistent order
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_fk_").toString
+    Seq(10L, -999L).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(10L).toDF("o_orderkey").withColumn("o_custkey", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(0).toDF("n_nationkey").write.mode("overwrite")
+      .parquet(s"$dir/nation.parquet")
+    val planted = SparkEntry.queries("audit_fk")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(planted("lineitem->orders") === 1L, s"planted: $planted")
+    assert(planted("orders->customer") === 0L)
+  }
+
+  test("dq_expectations reports all rules from one scan with sane rates") {
+    val rows = SparkEntry.queries("dq_expectations")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === Set(
+      "price_positive", "date_not_null", "status_domain", "priority_format"))
+    val checked = Tables.load(spark, sfDir, "orders").count()
+    rows.foreach { r =>
+      assert(r.getLong(2) === checked)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= checked)
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - (checked - r.getLong(1)).toDouble / checked) < 2e-6)
+    }
+  }
+
+  test("resample_interpolate fills every grid cell and is exact between neighbors") {
+    val rows = SparkEntry.queries("resample_interpolate")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r._4.isNaN), "every cell filled")
+    // planted: values 10 at day 0 and 40 at day 3 → days 1,2 interpolate
+    // to 20, 30
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_ri_").toString
+    // ts planted as NANOSECOND longs — the driver fixture's parquet shape
+    // that Tables.load expects (see join_temporal_dim's fixture)
+    def ts(ms: Long): Long = ms * 1000000L
+    Seq((0L, 1L, "a", 10.0, ts(1704110400000L)),   // 2024-01-01 12:00 UTC
+        (1L, 1L, "a", 40.0, ts(1704369600000L)))   // 2024-01-04 12:00 UTC
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = SparkEntry.queries("resample_interpolate")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val base = planted.keys.min
+    assert(planted(base) === 10.0)
+    assert(planted(base + 1) === 20.0)
+    assert(planted(base + 2) === 30.0)
+    assert(planted(base + 3) === 40.0)
+  }
 }

@@ -428,4 +428,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(q(loId) === -127L, s"min of dim0 (vec $loId) → ${q(loId)}")
     assert(q(hiId) === 127L, s"max of dim0 (vec $hiId) → ${q(hiId)}")
   }
+
+  // BPE pair counting on a planted two-word corpus: "abab" ×3 + "ab" ×1 has
+  // pair (a,b) 7 times (weighted by word frequency), (b,a) 3 times.
+  test("text_bpe_train counts word-frequency-weighted adjacent pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_bpe_").toString
+    Seq((0L, "abab abab ab"), (1L, "abab x"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_bpe_train")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "x" is a 1-char word → filtered; pairs come only from abab (wc=3) and
+    // ab (wc=1): ab appears 2×3 + 1×1 = 7, ba appears 1×3 = 3
+    assert(got === Map(("a", "b") -> 7L, ("b", "a") -> 3L), s"got $got")
+  }
 }

@@ -397,4 +397,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(800))
   }
+
+  test("profile_skew readout is TakeOrderedAndProject over a partial aggregate") {
+    val p = plan("profile_skew")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("text_bpe_train explodes pairs AFTER the word-frequency collapse") {
+    // the pair explode must consume the distinct-word aggregate, not raw
+    // rows: exactly the Generate(sequence) sits above a HashAggregate on w
+    val p = plan("text_bpe_train")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    val genIdx = p.indexOf("Generate explode(sequence")
+    assert(genIdx >= 0, p.take(1200))
+    assert(p.substring(genIdx).contains("HashAggregate"),
+      "no aggregate below the pair explode — pairs would expand raw rows")
+  }
+
+  test("dq_expectations evaluates every rule in one scan") {
+    val p = plan("dq_expectations")
+    // a single parquet scan: all rules are counters in one aggregate
+    assert("Scan parquet".r.findAllIn(p).length === 1, p.take(800))
+  }
 }
