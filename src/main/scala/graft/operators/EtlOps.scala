@@ -495,6 +495,29 @@ object EtlOps {
                            AND daily.event_type = types.event_type
             ORDER BY day_ms, types.event_type"""))
 
+  // Text source/sink roundtrip (the line-oriented format logs and legacy
+  // feeds arrive in): rows render to delimited lines, spark.read.text
+  // brings them back as a single `value` column, and the parse is a
+  // map-side split + cast — schema-on-read at its rawest. The oracle reads
+  // the same rows from parquet, so the check proves render∘parse identity.
+  private val scanTextLines = Op(
+    "scan_text_lines",
+    (s, d) => {
+      val out = tmp("graft_text_")
+      t(s, d, "nation")
+        .select(concat_ws("\t", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f").getItem(0).cast("long").as("n_nationkey"),
+          col("f").getItem(1).as("n_name"),
+          col("f").getItem(2).cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, CAST(n_regionkey AS INT) AS n_regionkey
+            FROM nation ORDER BY n_nationkey"""))
+
   // ORC source/sink roundtrip (Spark's second columnar format, in-box): the
   // oracle reads the same rows from parquet, so the check proves the ORC
   // write+read preserved values exactly.
@@ -1163,7 +1186,7 @@ object EtlOps {
     topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, joinTemporalDim, resampleZerofill,
-    scanOrcRoundtrip, checksumTable, profileStats, joinDpp, scanMergeSchema,
+    scanOrcRoundtrip, scanTextLines, checksumTable, profileStats, joinDpp, scanMergeSchema,
     scanTimeTravel, maintenanceVacuum, maintenanceCompact,
     aggIncrementalMerge, scanZoneMap,
     scanCorruptQuarantine, scanObserveMetrics)

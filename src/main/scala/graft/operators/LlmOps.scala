@@ -2053,6 +2053,56 @@ object LlmOps {
                      '|')) AS sig
             FROM bc GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Budget-constrained data selection: keep the highest-quality documents
+  // until a global character budget is exhausted — the "select the best N
+  // tokens" step of training-set construction. Quality is an EXACT integer
+  // permyriad (distinct-token ratio ×10000 via integer division — no float
+  // rounding at the ordering boundary, so both engines sort identically).
+  // The global cumulative sum uses the same two-phase shape as
+  // corpus_curriculum: per-bucket running sums (one shuffle on the coarse
+  // score bucket) lifted by a tiny broadcast offset table — a partition-
+  // less running-sum window would funnel the corpus through ONE task
+  // (PlanSpec pins no Exchange SinglePartition).
+  private val corpusTokenBudget = Op(
+    "corpus_token_budget",
+    (s, d) => {
+      val q = t(s, d, "documents")
+        .withColumn("tk", tokens(col("text")))
+        .select(col("doc_id"), col("n_chars"),
+          expr("size(array_distinct(tk)) * 10000L div size(tk)").as("score_pm"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bucket", expr("score_pm div 500"))
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("score_pm").desc, col("h"), col("doc_id"))
+      val within = q.withColumn("cum_in", sum(col("n_chars")).over(w))
+      val counts = q.groupBy("bucket").agg(sum(col("n_chars")).as("bn"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.bucket") > col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bn")), lit(0L)).as("off"))
+      within.join(broadcast(offsets), Seq("bucket"))
+        .select(col("doc_id"), col("score_pm"), col("n_chars"),
+          (col("off") + col("cum_in")).as("cum_chars"))
+        .where(col("cum_chars") <= 100000L)
+        .orderBy("cum_chars")
+    },
+    Some("""WITH tk AS (
+              SELECT doc_id, n_chars,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            q AS (
+              SELECT doc_id, n_chars,
+                     (len(list_distinct(tk)) * 10000) // len(tk) AS score_pm,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM tk),
+            c AS (
+              SELECT doc_id, score_pm, n_chars,
+                     sum(n_chars) OVER
+                       (ORDER BY score_pm DESC, h, doc_id) AS cum_chars
+              FROM q)
+            SELECT doc_id, score_pm, n_chars, cum_chars FROM c
+            WHERE cum_chars <= 100000 ORDER BY cum_chars"""))
+
   // One BPE training round, distributed the way real tokenizer training
   // scales: first collapse the corpus to its word-frequency table (the
   // map-side-combinable aggregate that turns 100 TB of text into a
@@ -2091,7 +2141,7 @@ object LlmOps {
             ORDER BY freq DESC, a, b LIMIT 20"""))
 
   val ops: Seq[Op] = Seq(
-    textBpeTrain,
+    textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,
     dedupExact, dedupNgramJaccard, dedupContainment, dedupClusters,

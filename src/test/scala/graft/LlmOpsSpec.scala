@@ -443,4 +443,18 @@ class LlmOpsSpec extends AnyFunSuite {
     // ab (wc=1): ab appears 2×3 + 1×1 = 7, ba appears 1×3 = 3
     assert(got === Map(("a", "b") -> 7L, ("b", "a") -> 3L), s"got $got")
   }
+
+  // The two-phase offset+within-bucket cumsum must reconstruct an exact
+  // global prefix sum: consecutive cum values differ by exactly the row's
+  // own n_chars, and the whole selection stays within budget.
+  test("corpus_token_budget emits an exact in-budget prefix sum") {
+    val rows = SparkEntry.queries("corpus_token_budget")(spark, sfDir)
+      .collect().map(r => (r.getLong(2), r.getLong(3))) // (n_chars, cum)
+    assert(rows.nonEmpty)
+    assert(rows.last._2 <= 100000L)
+    assert(rows.head._2 === rows.head._1, "first cum = own size")
+    rows.zip(rows.tail).foreach { case ((_, c1), (n2, c2)) =>
+      assert(c2 - c1 === n2, s"cum gap ${c2 - c1} != row size $n2")
+    }
+  }
 }

@@ -420,4 +420,10 @@ class PlanSpec extends AnyFunSuite {
     // a single parquet scan: all rules are counters in one aggregate
     assert("Scan parquet".r.findAllIn(p).length === 1, p.take(800))
   }
+
+  test("corpus_token_budget global cumsum never funnels through one task") {
+    val p = SparkEntry.queries("corpus_token_budget")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
 }
