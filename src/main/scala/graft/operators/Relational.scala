@@ -315,6 +315,60 @@ object Relational {
             SELECT click_id, user_id, asof_id, asof_value FROM w WHERE side = 1
             ORDER BY click_id"""))
 
+  // As-of join with a match tolerance (merge_asof(tolerance=…) analog): the
+  // backward match only counts if it is at most 1 hour old — stale state
+  // must read as NO state, the semantics feature-store point-in-time
+  // lookups need. Same single-shuffle union-window trick as join_asof; the
+  // tolerance is a pure post-window predicate, so the cost is identical.
+  private val joinAsofTolerance = Op(
+    "join_asof_tolerance",
+    (s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"), col("ts_ms"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("p_id"), col("ts_ms").as("p_ts"), lit(0).as("side"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts"), col("ts_ms"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("p_id"), lit(null).cast("long").as("p_ts"),
+        lit(1).as("side"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("asof_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("gap_ms",
+          col("ts_ms") - last(col("p_ts"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("click_id"), col("user_id"),
+          when(col("gap_ms") <= 3600000L, col("asof_id")).as("asof_id"),
+          when(col("gap_ms") <= 3600000L, col("gap_ms")).as("gap_ms"))
+        .orderBy("click_id")
+    },
+    Some("""WITH u AS (
+              SELECT user_id, ts, epoch_ms(ts) AS ts_ms, NULL::BIGINT AS click_id,
+                     event_id AS p_id, epoch_ms(ts) AS p_ts, 0 AS side
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, epoch_ms(ts), event_id, NULL::BIGINT,
+                     NULL::BIGINT, 1
+              FROM events WHERE event_type = 'click'),
+            w AS (
+              SELECT *,
+                last_value(p_id IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
+                ts_ms - last_value(p_ts IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_ms
+              FROM u)
+            SELECT click_id, user_id,
+                   CASE WHEN gap_ms <= 3600000 THEN asof_id END AS asof_id,
+                   CASE WHEN gap_ms <= 3600000 THEN gap_ms END AS gap_ms
+            FROM w WHERE side = 1
+            ORDER BY click_id"""))
+
   // NEAREST-neighbor time join (join_asof's bidirectional sibling: backward
   // OR forward, whichever click is closer in time; ties go backward). Same
   // single-shuffle union-window trick — NOT a per-row range join: both
@@ -1120,5 +1174,6 @@ object Relational {
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
-    sqlTpchQ5, sqlTpchQ18, joinRangeBinned, joinRuntimeBloom, joinAsofNearest)
+    sqlTpchQ5, sqlTpchQ18, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
+    joinAsofTolerance)
 }

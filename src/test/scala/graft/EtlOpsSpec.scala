@@ -192,6 +192,26 @@ class EtlOpsSpec extends AnyFunSuite {
       205L -> 102L)) // open current row
   }
 
+  // A purchase 2h before a click is a valid BACKWARD match but outside the
+  // 1h tolerance → the click must surface with a NULL asof; a 30-min-old
+  // purchase stays matched.
+  test("join_asof_tolerance expires matches older than the tolerance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_tol_").toString
+    def ts(ms: Long): Long = ms * 1000000L
+    Seq(
+      (301L, 1L, "purchase", 5.0, ts(0L)),
+      (302L, 1L, "click", 0.0, ts(7200000L)),     // 2h later: expired
+      (303L, 2L, "purchase", 7.0, ts(0L)),
+      (304L, 2L, "click", 0.0, ts(1800000L)))     // 30min later: matched
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("join_asof_tolerance")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got === Map(302L -> -1L, 304L -> 303L), s"got $got")
+  }
+
   test("profile_stats_approx estimates stay within 5% of the exact profile") {
     def byCol(key: String, distinctCol: Int): Map[String, (Long, String, String)] =
       SparkEntry.queries(key)(spark, sfDir).collect()
