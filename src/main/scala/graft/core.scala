@@ -9,6 +9,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param oracle equivalent ANSI SQL runnable by DuckDB over the same
   *               parquet tables (None for non-SQL-expressible / approximate /
   *               hash-seeded / streaming ops — driver records rows-only)
+  *
+  * ==Driver-boundary determinism protocol==
+  * The driver hash-compares pandas frames (Spark parquet vs DuckDB result),
+  * so both sides must agree on dtype as well as value:
+  *   - '''Wrap every oracle integer `sum(...)` in `CAST(... AS BIGINT)`'''
+  *     (window sums included): DuckDB sums integers to HUGEINT, which
+  *     pandas widens to float64 while Spark emits int64 — equal values,
+  *     mismatched hash (broke 5 round-5 keys).
+  *   - '''No Array/Map result columns''': the driver's canonicalizer cannot
+  *     hash collection cells — stringify with `array_join`/`to_json`
+  *     (broke round-2 `agg_collect_sorted`, round-5 `maintenance_compact`).
+  *   - Alias every computed column identically in Spark and SQL; pin a
+  *     total ORDER BY (ties broken by a key column).
+  * RegistrySpec enforces the no-collection rule; `tools/check.py` flags
+  * int-vs-float dtype drift before the driver gate sees it.
   */
 final case class Op(
     key: String,

@@ -788,8 +788,11 @@ object AnalyticsOps {
         max(col("o_totalprice")).as("mx"))
       val binned = o.crossJoin(broadcast(bounds))
         .select(col("o_orderpriority").as("prio"),
-          least(floor((col("o_totalprice") - col("mn")) /
-            ((col("mx") - col("mn")) / 128.0)), lit(127L)).as("bin"),
+          // Degenerate-range guard: when every value is identical the bin
+          // divisor is 0 and floor(NaN) diverges between engines — pin bin 0.
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(floor((col("o_totalprice") - col("mn")) /
+              ((col("mx") - col("mn")) / 128.0)), lit(127L))).as("bin"),
           col("mn"), col("mx"))
         .groupBy("prio", "bin")
         .agg(count(lit(1)).as("cnt"), first(col("mn")).as("mn"),
@@ -812,14 +815,18 @@ object AnalyticsOps {
                        FROM orders),
             binned AS (
               SELECT o_orderpriority AS prio,
-                     least(floor((o_totalprice - mn) / ((mx - mn) / 128.0)),
-                           127) AS bin,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE least(floor((o_totalprice - mn) /
+                                           ((mx - mn) / 128.0)), 127)
+                     END AS bin,
                      count(*) AS cnt, first(mn) AS mn, first(mx) AS mx
               FROM orders CROSS JOIN b GROUP BY 1, 2),
             c AS (
               SELECT prio, bin, mn, mx,
-                     sum(cnt) OVER (PARTITION BY prio ORDER BY bin) AS cum,
-                     sum(cnt) OVER (PARTITION BY prio) AS n
+                     CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY bin)
+                          AS BIGINT) AS cum,
+                     CAST(sum(cnt) OVER (PARTITION BY prio)
+                          AS BIGINT) AS n
               FROM binned),
             r AS (
               SELECT prio, n, bin, mn, mx,
@@ -901,7 +908,7 @@ object AnalyticsOps {
                         THEN 'train'
                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
                         THEN 'val' ELSE 'test' END AS split,
-                   count(*) AS n_docs, sum(n_chars) AS n_chars
+                   count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
             FROM documents GROUP BY 1 ORDER BY split"""))
 
   // Overlapping-interval flattening (union of per-event 15-minute activity
@@ -948,8 +955,9 @@ object AnalyticsOps {
               FROM iv),
             islands AS (
               SELECT user_id, s_ms, e_ms,
-                     sum(is_new) OVER
-                       (PARTITION BY user_id ORDER BY s_ms, event_id) AS island
+                     CAST(sum(is_new) OVER
+                       (PARTITION BY user_id ORDER BY s_ms, event_id)
+                       AS BIGINT) AS island
               FROM flagged)
             SELECT user_id, island, min(s_ms) AS span_start_ms,
                    max(e_ms) AS span_end_ms, count(*) AS n_events

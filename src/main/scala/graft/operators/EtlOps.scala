@@ -874,9 +874,11 @@ object EtlOps {
       Versioned.commit(root, compacted, conf, keepVersions = 4)
       val (nb, sb, xb) = sig(small)
       val (na, sa, xa) = sig(compacted)
+      // history is stringified: the driver's pandas canonicalizer cannot
+      // hash array cells, so every query result sticks to scalar columns.
       Seq((before.length.toLong, dataFiles(compacted).length.toLong, nTarget,
         nb == na && sb == sa && xb == xa,
-        Versioned.history(root, conf),
+        Versioned.history(root, conf).mkString(","),
         Versioned.current(root, conf).map(_.getName).getOrElse("")))
         .toDF("n_files_before", "n_files_after", "n_files_target",
           "content_unchanged", "history", "current")

@@ -2097,8 +2097,9 @@ object LlmOps {
               FROM tk),
             c AS (
               SELECT doc_id, score_pm, n_chars,
-                     sum(n_chars) OVER
-                       (ORDER BY score_pm DESC, h, doc_id) AS cum_chars
+                     CAST(sum(n_chars) OVER
+                       (ORDER BY score_pm DESC, h, doc_id)
+                       AS BIGINT) AS cum_chars
               FROM q)
             SELECT doc_id, score_pm, n_chars, cum_chars FROM c
             WHERE cum_chars <= 100000 ORDER BY cum_chars"""))
@@ -2136,7 +2137,7 @@ object LlmOps {
             pairs AS (
               SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, wc
               FROM pos)
-            SELECT a, b, sum(wc) AS freq
+            SELECT a, b, CAST(sum(wc) AS BIGINT) AS freq
             FROM pairs GROUP BY a, b
             ORDER BY freq DESC, a, b LIMIT 20"""))
 

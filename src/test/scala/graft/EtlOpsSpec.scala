@@ -114,7 +114,7 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(after < before, "compaction must reduce the file count")
     assert(row.getAs[Boolean]("content_unchanged"),
       "compaction changed the table's contents")
-    assert(row.getAs[Seq[String]]("history") === Seq("v_small", "v_compact"),
+    assert(row.getAs[String]("history") === "v_small,v_compact",
       "_history must log both the ingest and the maintenance commit")
     assert(row.getAs[String]("current") === "v_compact")
   }

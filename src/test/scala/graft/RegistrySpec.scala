@@ -26,7 +26,19 @@ class RegistrySpec extends AnyFunSuite {
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !slowKeys(name)) {
     test(s"$name returns rows at sf0.001") {
-      assert(fn(spark, sfDir).count() > 0, s"$name returned 0 rows")
+      val df = fn(spark, sfDir)
+      // Driver-boundary contract: the driver's pandas canonicalizer cannot
+      // hash Array/Map cells (round-2 agg_collect_sorted, round-5
+      // maintenance_compact both broke here) — every result column must be
+      // scalar; stringify collections with array_join/to_json before return.
+      val nonScalar = df.schema.fields.filter(f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      assert(nonScalar.isEmpty,
+        s"$name emits non-scalar columns: " +
+          nonScalar.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(", "))
+      assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
 }

@@ -44,6 +44,19 @@ def main():
         sdf = sdf[sorted(sdf.columns)].reset_index(drop=True)
         ddf = ddf[sorted(ddf.columns)].reset_index(drop=True)
         bad = None
+        # dtype gate: duckdb returns HUGEINT sums that pandas widens to
+        # float64 while Spark emits int64 — equal values, different driver
+        # hash. Catch int-vs-float kind mismatches locally (fix: wrap the
+        # oracle sum in CAST(... AS BIGINT)).
+        for c in sdf.columns:
+            sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+            if sk != dk and {sk, dk} & {"i", "u"} and "f" in (sk, dk):
+                bad = (f"col {c} dtype kind differs: spark={sdf[c].dtype} "
+                       f"duck={ddf[c].dtype} (un-cast HUGEINT sum? "
+                       f"use CAST(... AS BIGINT))")
+                break
+        if bad:
+            fail.append((k, bad)); continue
         for c in sdf.columns:
             sv, dv = sdf[c], ddf[c]
             for i in range(len(sv)):
