@@ -30,6 +30,15 @@ object Bench {
       case Some(ks) => SparkEntry.queries.view.filterKeys(ks).toMap
       case None     => SparkEntry.queries
     }).toSeq.sortBy(_._1)
+    // 1-minute load average at start and end: a loaded box inflates
+    // per-key wall-clock 2-4× (looks exactly like a code regression), so
+    // the record carries the evidence to discount contended runs.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
     var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -49,7 +58,7 @@ object Bench {
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":${loadAvg()}}}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

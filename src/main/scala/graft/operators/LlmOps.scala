@@ -1714,6 +1714,9 @@ object LlmOps {
   private val embDimReduce = Op(
     "emb_dim_reduce",
     (s, d) => {
+      // inDim pins the embeddings fixture's 64-dim contract on BOTH sides
+      // (oracle hard-codes it too); a dim change fails loudly via null sums
+      // from the length-mismatched zip_with, never silently.
       val inDim = 64; val outDim = 4
       val mat = array((0 until outDim).map(j =>
         array((0 until inDim).map(i => lit(jlSign(i, j))): _*)): _*)
@@ -1907,7 +1910,7 @@ object LlmOps {
                        FROM embeddings),
                  c0 AS (SELECT vec_id AS cid, va AS vb FROM v WHERE vec_id < 8),
                  s1 AS (SELECT v.vec_id, c0.cid,
-                               round(list_sum(list_transform(range(64),
+                               round(list_sum(list_transform(range(len(va)),
                                  i -> (va[i+1] - vb[i+1]) * (va[i+1] - vb[i+1]))), 6) AS dist
                         FROM v CROSS JOIN c0),
                  a1 AS (SELECT vec_id, cid FROM (
@@ -1915,13 +1918,15 @@ object LlmOps {
                                  row_number() OVER (PARTITION BY vec_id
                                    ORDER BY dist, cid) AS rn
                           FROM s1) WHERE rn = 1),
-                 m1 AS (SELECT a1.cid, i, round(avg(va[i+1]), 4) AS m
-                        FROM a1 JOIN v USING (vec_id),
-                             (SELECT unnest(range(64)) AS i)
-                        GROUP BY a1.cid, i),
+                 m1 AS (SELECT cid, i, round(avg(x), 4) AS m
+                        FROM (SELECT a1.cid,
+                                     unnest(range(len(va))) AS i,
+                                     unnest(va) AS x
+                              FROM a1 JOIN v USING (vec_id))
+                        GROUP BY cid, i),
                  c1 AS (SELECT cid, list(m ORDER BY i) AS vb FROM m1 GROUP BY cid),
                  s2 AS (SELECT v.vec_id, c1.cid,
-                               round(list_sum(list_transform(range(64),
+                               round(list_sum(list_transform(range(len(va)),
                                  i -> (va[i+1] - vb[i+1]) * (va[i+1] - vb[i+1]))), 6) AS dist
                         FROM v CROSS JOIN c1),
                  a2 AS (SELECT vec_id, cid, dist FROM (
@@ -1962,14 +1967,15 @@ object LlmOps {
     },
     Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
-                 st AS (SELECT i, min(v[i+1]) AS mn, max(v[i+1]) AS mx
-                        FROM v, (SELECT unnest(range(64)) AS i)
+                 st AS (SELECT i, min(x) AS mn, max(x) AS mx
+                        FROM (SELECT unnest(range(len(v))) AS i,
+                                     unnest(v) AS x FROM v)
                         GROUP BY i),
                  lk AS (SELECT list(mn ORDER BY i) AS mns,
                                list(mx ORDER BY i) AS mxs
                         FROM st)
             SELECT vec_id,
-                   array_to_string(list_transform(range(64), i ->
+                   array_to_string(list_transform(range(len(v)), i ->
                      CASE WHEN mxs[i+1] = mns[i+1] THEN 0
                           ELSE CAST(floor((v[i+1] - mns[i+1]) /
                                  (mxs[i+1] - mns[i+1]) * 254.0 + 0.5) AS BIGINT) - 127

@@ -37,8 +37,11 @@ object IngestMode {
 }
 
 /** Mirrors IngestionConfig (framework.py:45-80), trimmed to the fields with
-  * engine behavior; catalog identity is `database.table` (OSS Spark has a
-  * 2-level session catalog — divergence documented in SURVEY.md §7.4). */
+  * engine behavior. The reference's 3-level `catalog.schema.table` identity
+  * (framework.py:53-55,79-80) maps onto OSS Spark's 2-level session catalog
+  * as a `catalog__schema` database prefix: `main.raw.t` lives in database
+  * `main__raw` as table `t` — every catalog reader round-trips the same
+  * 3-part name through [[IngestionConfig.forName]] / [[fullTableName]]. */
 final case class IngestionConfig(
     database: String,
     table: String,
@@ -57,14 +60,28 @@ final case class IngestionConfig(
     // how many committed versions each full rewrite retains on disk
     // (`delta.logRetention`/time-travel analog): 1 = space-frugal default,
     // >1 keeps history readable via Versioned.versionDir / scan_time_travel
-    retainVersions: Int = 1) {
+    retainVersions: Int = 1,
+    // top namespace level (framework.py:53's `catalog`); None = the plain
+    // 2-level `database.table` identity used before round 6
+    catalog: Option[String] = None) {
 
-  def fullTableName: String = s"$database.$table"
+  /** The Spark-side database this config's 3-part name flattens into. */
+  def qualifiedDatabase: String =
+    catalog.map(c => s"${c}__$database").getOrElse(database)
+
+  def fullTableName: String = s"$qualifiedDatabase.$table"
+
+  /** The user-facing name: 3-part when a catalog is set. */
+  def displayName: String =
+    catalog.map(c => s"$c.$database.$table").getOrElse(s"$database.$table")
 
   /** A1 (framework.py:121-126): cross-field rules, fail fast. */
   def validate(): Either[String, IngestionConfig] = {
     val errs = Seq(
       Option.when(database.isEmpty || table.isEmpty)("database/table required"),
+      Option.when(catalog.exists(_.isEmpty))("catalog must be non-empty when set"),
+      Option.when((catalog.toSeq :+ database :+ table).exists(_.contains("__")))(
+        "name segments must not contain '__' (reserved as the catalog separator)"),
       Option.when(sourcePath.isEmpty)("sourcePath required"),
       writeMode match {
         case WriteMode.Merge(keys) if keys.isEmpty =>
@@ -97,11 +114,25 @@ final case class IngestionConfig(
     }
     s"""Ingestion plan
        |  source : $sourceFormat @ $sourcePath ${if (options.nonEmpty) options else ""}
-       |  target : $fullTableName${targetPath.map(p => s" (external @ $p)").getOrElse(" (managed)")}
+       |  target : $displayName${targetPath.map(p => s" (external @ $p)").getOrElse(" (managed)")}
        |  mode   : $ingest / $mode
        |  layout : partitionBy=${partitionBy.mkString(",")} clusterBy=${clusterBy.mkString(",")}
        |""".stripMargin
   }
+}
+
+object IngestionConfig {
+  /** Parses a 1-, 2-, or 3-part dotted name (framework.py:79-80's
+    * `catalog.schema.table` identity): `t` → default database, `db.t`,
+    * `cat.db.t`. More than 3 parts is the caller's bug — fail fast. */
+  def forName(name: String, sourcePath: String): IngestionConfig =
+    name.split('.') match {
+      case Array(t)        => IngestionConfig("default", t, sourcePath)
+      case Array(d, t)     => IngestionConfig(d, t, sourcePath)
+      case Array(c, d, t)  => IngestionConfig(d, t, sourcePath, catalog = Some(c))
+      case _ => throw new IllegalArgumentException(
+        s"table name must have 1-3 dot-separated parts: $name")
+    }
 }
 
 /** A12/A13 (framework.py:271-302): source-scheme specialization + factory.
@@ -147,9 +178,15 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       n <- if (c.dryRun) { println(c.plan); Right(0L) } else execute(c)
     } yield n
 
-  /** A3 (framework.py:139-141): idempotent DDL. */
-  private def ensureDatabase(c: IngestionConfig): Unit =
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${c.database}")
+  /** A3 (framework.py:139-141): idempotent DDL for both namespace levels —
+    * the reference's CREATE CATALOG + CREATE SCHEMA pair maps to a marker
+    * database for the bare catalog plus the flattened `catalog__schema`
+    * database the table actually lives in. */
+  private def ensureDatabase(c: IngestionConfig): Unit = {
+    c.catalog.foreach(cat =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $cat"))
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${c.qualifiedDatabase}")
+  }
 
   private def readBatch(c: IngestionConfig): DataFrame = {
     // A4 (framework.py:144-151): options loop + optional explicit schema
@@ -317,7 +354,7 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       case Some(p) => new Path(p.stripSuffix("/") + "__graft_versions")
       case None =>
         val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        new Path(s"$wh/${c.database}.db/${c.table}__graft_versions")
+        new Path(s"$wh/${c.qualifiedDatabase}.db/${c.table}__graft_versions")
     }
 
   /** Stage: write the new table contents into a fresh version dir. Readers
@@ -408,7 +445,7 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
   private def writeStream(c: IngestionConfig, checkpoint: String): Long = {
     val target = c.targetPath.getOrElse(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
-        s"/${c.database}.db/${c.table}")
+        s"/${c.qualifiedDatabase}.db/${c.table}")
     val schema = c.schema.getOrElse(trackedSchema(c, checkpoint))
     val q = spark.readStream.options(c.options).schema(schema)
       .format(c.sourceFormat).load(c.sourcePath)

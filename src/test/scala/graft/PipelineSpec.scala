@@ -17,7 +17,7 @@ class PipelineSpec extends AnyFunSuite {
     // does not hit LOCATION_ALREADY_EXISTS
     val wh = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    Seq("graft_it.db", "graft_dry.db").foreach { db =>
+    Seq("graft_it.db", "graft_dry.db", "main__raw.db").foreach { db =>
       val dir = new java.io.File(wh, db)
       if (dir.exists()) {
         def rm(f: java.io.File): Unit = {
@@ -63,6 +63,29 @@ class PipelineSpec extends AnyFunSuite {
     val n = new IngestionRunner(spark, cfg).run()
     assert(n === Right(Tables.load(spark, sfDir, "region").count()))
     assert(spark.table("graft_it.region_m").columns.contains("r_name"))
+  }
+
+  test("3-level catalog.schema.table round-trips through ingest (A3/§7.4)") {
+    val expected = Tables.load(spark, sfDir, "region").count()
+    // managed: 3-part name parses, both namespace levels get DDL, and the
+    // flattened database.table identity reads back the ingested rows
+    val cfg = IngestionConfig.forName("main.raw.region3", srcDir)
+      .copy(writeMode = WriteMode.Overwrite)
+    assert(cfg.catalog === Some("main") && cfg.database === "raw")
+    assert(cfg.fullTableName === "main__raw.region3")
+    assert(cfg.displayName === "main.raw.region3")
+    assert(new IngestionRunner(spark, cfg).run() === Right(expected))
+    assert(spark.catalog.databaseExists("main"), "catalog marker database")
+    assert(spark.table("main__raw.region3").count() === expected)
+    // external registration under the same 3-part identity
+    val ext = tmp("g_threelevel_ext_")
+    val cfgE = cfg.copy(table = "region3_ext", targetPath = Some(ext))
+    assert(new IngestionRunner(spark, cfgE).run() === Right(expected))
+    assert(spark.table("main__raw.region3_ext").count() === expected)
+    // reserved separator and 4-part names fail fast
+    assert(cfg.copy(database = "a__b").validate().isLeft)
+    assertThrows[IllegalArgumentException](
+      IngestionConfig.forName("a.b.c.d", srcDir))
   }
 
   test("merge upserts matched keys and keeps unmatched target rows (A7)") {
