@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Op, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import java.nio.file.Files
@@ -969,19 +969,36 @@ object EtlOps {
   // is ~100k planning rows against skipping ~85% of the scan. EtlOpsSpec
   // asserts the final query reads strictly fewer files than the layout has
   // AND that repeat queries never re-derive the index with a table scan.
+  /** Driver-side bound on the materialized pruned-file list. At 100 TB a
+    * selective predicate can still overlap millions of files; past this cap
+    * the listing no longer pays for itself (Spark's own file-index planning
+    * re-lists every named path) and the driver shouldn't hold it either —
+    * fall back to the full layout and let the residual filter + parquet
+    * row-group stats do the skipping. */
+  private[graft] val ZoneMapMaxFiles = 100000
+
+  /** The scan source after zone pruning: the overlapping files when the
+    * pruned list is non-empty and within [[ZoneMapMaxFiles]] (fetched with
+    * limit cap+1, so the driver never materializes an unbounded list), the
+    * full layout otherwise. Correctness is ALWAYS owned by the caller's
+    * residual filter — zones only skip IO. */
+  private[graft] def zonePrunedSource(s: SparkSession, dataDir: String,
+      zmDir: String, overlap: Column, maxFiles: Int = ZoneMapMaxFiles): DataFrame = {
+    val zoneFiles = s.read.parquet(zmDir).where(overlap)
+      .select("file").limit(maxFiles + 1).collect().map(_.getString(0))
+    if (zoneFiles.isEmpty || zoneFiles.length > maxFiles)
+      s.read.parquet(dataDir)
+    else s.read.parquet(zoneFiles.toIndexedSeq: _*)
+  }
+
   private val scanZoneMap = Op(
     "scan_zone_map",
     (s, d) => {
       val (out, zmDir) = zoneMappedLayout(s, d)
       val lo = "TIMESTAMP_NTZ '1997-01-01'"
       val hi = "TIMESTAMP_NTZ '1998-01-01'"
-      val zoneFiles = s.read.parquet(zmDir)
-        .where(expr(s"mx >= $lo") && expr(s"mn < $hi"))
-        .select("file").collect().map(_.getString(0))
-      // a predicate missing every zone still answers correctly off the
-      // full layout (the residual filter owns correctness; zones only skip)
-      val src = if (zoneFiles.isEmpty) s.read.parquet(out)
-                else s.read.parquet(zoneFiles.toIndexedSeq: _*)
+      val src = zonePrunedSource(s, out, zmDir,
+        expr(s"mx >= $lo") && expr(s"mn < $hi"))
       src.where(expr(s"l_shipdate >= $lo") && expr(s"l_shipdate < $hi"))
         .agg(count(lit(1)).as("n_rows"),
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),

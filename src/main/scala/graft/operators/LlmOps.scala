@@ -691,8 +691,11 @@ object LlmOps {
   // (8-row broadcast, codegen'd cosine, window argmax), forming inverted
   // lists partitioned by leader. The probe searches its own list plus the
   // runner-up (nprobe=2). At 100 TB the lists shard by leader id and only
-  // ~2/8 of the corpus is scanned per query. Deterministic but too much
-  // machinery for a SQL oracle → recall asserted vs brute force in ScalaTest.
+  // ~2/8 of the corpus is scanned per query. Leader similarities are
+  // rounded to 6 dp BEFORE the argmax with a lid tie-break (the
+  // emb_centroid_assign recipe), so the nprobe=2 candidate set — and hence
+  // the oracle-checked top-10 — is engine-independent; recall vs brute
+  // force additionally asserted in ScalaTest.
   private val simAnnIvf = Op(
     "sim_ann_ivf",
     (s, d) => {
@@ -705,7 +708,7 @@ object LlmOps {
           .select(col("vec_id").as("lid"), col("v").as("lv")))
       val byLeader = Window.partitionBy("vec_id").orderBy(desc("lsim"), asc("lid"))
       val assigned = e.crossJoin(leaders)
-        .withColumn("lsim", cos("v", "lv"))
+        .withColumn("lsim", round(cos("v", "lv"), 6))
         .withColumn("rn", row_number().over(byLeader))
       val lists = assigned.where(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("lid"))
@@ -721,7 +724,28 @@ object LlmOps {
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     },
-    None)
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            l AS (SELECT vec_id AS lid, v AS lv FROM e
+                  WHERE vec_id BETWEEN 1 AND 8),
+            a0 AS (SELECT e.vec_id, l.lid,
+                          round(list_cosine_similarity(e.v, l.lv), 6) AS lsim
+                   FROM e CROSS JOIN l),
+            a AS (SELECT vec_id, lid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY lsim DESC, lid) AS rn
+                  FROM a0),
+            lists AS (SELECT vec_id, lid FROM a WHERE rn = 1),
+            plids AS (SELECT lid AS plid FROM a WHERE vec_id = 0 AND rn <= 2),
+            p AS (SELECT v AS vb FROM e WHERE vec_id = 0)
+            SELECT li.vec_id,
+                   round(list_cosine_similarity(e.v, p.vb), 6) AS cos_sim
+            FROM lists li
+            JOIN plids ON li.lid = plids.plid
+            JOIN e ON e.vec_id = li.vec_id
+            CROSS JOIN p
+            WHERE li.vec_id <> 0
+            ORDER BY cos_sim DESC, li.vec_id LIMIT 10"""))
 
   /** Deterministic per-source-dir root for the persisted ANN index
     * (build-once-serve-many). */

@@ -639,13 +639,27 @@ object StreamOps {
   // the result oracle-checkable against one batch query over all events.
   // At scale each merge is a key-partitioned join of target × batch
   // partials; raw events never accumulate in state.
-  private[graft] def upsertSinkRun(s: SparkSession, d: String): (DataFrame, Long) = {
-    val ev = Tables.load(s, d, "events")
-    val in = tmp("graft_sus_in_")
-    ev.repartition(4).write.mode("overwrite").parquet(in)
-    val tgtRoot = tmp("graft_sus_tgt_")
-    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** One checkpointed drain of the upsert sink over `in` into versioned
+    * target dirs under `tgtRoot`. Restart-safe by construction: the merge
+    * base is recovered FROM DISK as the highest `_SUCCESS`-committed version
+    * with id < the current batch id (never from driver memory, which a crash
+    * wipes), and a replayed batch id overwrites its own `v<id>` dir from the
+    * same base — foreachBatch's at-least-once redelivery lands on identical
+    * state. `failAfterBatches` injects a crash before the (n+1)-th commit so
+    * StreamingSpec can prove the replay property with a real kill+restart.
+    * Returns the number of batches committed by THIS run. */
+  private[graft] def upsertSinkDrain(s: SparkSession, in: String,
+      tgtRoot: String, ck: String,
+      failAfterBatches: Long = Long.MaxValue): Long = {
+    val schema = s.read.parquet(in).schema
     val committed = new java.util.concurrent.atomic.AtomicLong(0L)
+    def committedVersions(): Seq[(Long, String)] = {
+      val dir = new java.io.File(tgtRoot)
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(f => (f.getName.drop(1).toLong, f.getAbsolutePath))
+    }
     def reduceBatch(df: DataFrame): DataFrame =
       df.groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -653,14 +667,17 @@ object StreamOps {
         .select(col("user_id"), col("n_events"),
           col("m.event_id").as("last_event_id"),
           col("m.event_type").as("last_type"), col("m.value").as("last_value"))
-    val q = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "2").parquet(in)
-      .writeStream.option("checkpointLocation", tmp("graft_sus_ck_"))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (committed.get() >= failAfterBatches)
+          throw new RuntimeException("graft injected sink failure")
         val b = reduceBatch(batch)
-        val merged = Option(latest.get()) match {
+        val merged = committedVersions().filter(_._1 < id)
+          .sortBy(-_._1).headOption match {
           case None => b
-          case Some(prev) =>
+          case Some((_, prev)) =>
             s.read.parquet(prev).unionByName(b)
               .groupBy("user_id")
               .agg(sum(col("n_events")).as("n_events"),
@@ -671,15 +688,39 @@ object StreamOps {
                 col("m.last_type").as("last_type"),
                 col("m.last_value").as("last_value"))
         }
-        val v = s"$tgtRoot/v$id"
-        merged.write.mode("overwrite").parquet(v)
-        latest.set(v)
+        merged.write.mode("overwrite").parquet(s"$tgtRoot/v$id")
         committed.incrementAndGet()
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    drain(q)
-    (s.read.parquet(latest.get()).orderBy("user_id"), committed.get())
+    try drain(q)
+    catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+      // swallow only the injected crash; anything else is a real failure
+      def injected(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("graft injected sink failure"))
+          || injected(t.getCause))
+      if (!injected(e)) throw e
+    }
+    committed.get()
+  }
+
+  /** Reads back the latest committed target version under `tgtRoot`. */
+  private[graft] def upsertSinkState(s: SparkSession, tgtRoot: String): DataFrame = {
+    val latest = Option(new java.io.File(tgtRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .maxBy(_.getName.drop(1).toLong)
+    s.read.parquet(latest.getAbsolutePath).orderBy("user_id")
+  }
+
+  private[graft] def upsertSinkRun(s: SparkSession, d: String): (DataFrame, Long) = {
+    val ev = Tables.load(s, d, "events")
+    val in = tmp("graft_sus_in_")
+    ev.repartition(4).write.mode("overwrite").parquet(in)
+    val tgtRoot = tmp("graft_sus_tgt_")
+    val n = upsertSinkDrain(s, in, tgtRoot, tmp("graft_sus_ck_"))
+    (upsertSinkState(s, tgtRoot), n)
   }
 
   private val streamUpsertSink = Op(

@@ -158,6 +158,26 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(df.collect().head.getAs[Long]("n_rows") > 0)
   }
 
+  test("zone pruning past the driver file-list cap falls back to a full scan") {
+    import org.apache.spark.sql.functions.expr
+    val (out, zmDir) = operators.EtlOps.zoneMappedLayout(spark, sfDir)
+    val overlap = expr("mx >= TIMESTAMP_NTZ '1997-01-01'") &&
+      expr("mn < TIMESTAMP_NTZ '1998-01-01'")
+    val pruned = operators.EtlOps.zonePrunedSource(spark, out, zmDir, overlap)
+    val layoutFiles = spark.read.parquet(out).inputFiles.length
+    assert(pruned.inputFiles.length < layoutFiles, "cap untested: no pruning")
+    // same predicate, cap of 1 file: the pruned list exceeds it, so the
+    // source must be the FULL layout — never a truncated (wrong) subset
+    val capped = operators.EtlOps.zonePrunedSource(spark, out, zmDir, overlap,
+      maxFiles = 1)
+    assert(capped.inputFiles.length === layoutFiles,
+      "over-cap pruning must fall back to the full layout, not truncate")
+    // and the answer is identical either way (residual filter owns it)
+    val res = "l_shipdate >= TIMESTAMP_NTZ '1997-01-01' AND " +
+      "l_shipdate < TIMESTAMP_NTZ '1998-01-01'"
+    assert(capped.where(expr(res)).count() === pruned.where(expr(res)).count())
+  }
+
   // Point-in-time boundary semantics on a planted fixture: a fact AT a
   // version's start belongs to that version (inclusive from), a fact AT the
   // next version's start belongs to the NEXT one (exclusive to), a fact

@@ -236,7 +236,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream_upsert_sink merges across batches to the batch-equivalent state") {
     val (res, versions) = streaming.StreamOps.upsertSinkRun(spark, sfDir)
-    // 4 landed files at maxFilesPerTrigger=2 → at least two target commits,
+    // 4 landed files at maxFilesPerTrigger=1 → at least two target commits,
     // so the result really went through an incremental key-merge
     assert(versions >= 2L, s"expected >= 2 merge commits, got $versions")
     val ev = Tables.load(spark, sfDir, "events")
@@ -248,6 +248,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.count() === batch.count())
     assert(res.exceptAll(batch).count() === 0,
       "streamed merge state diverges from the one-shot batch aggregate")
+  }
+
+  test("stream_upsert_sink replays idempotently across a mid-stream crash") {
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val ev = Tables.load(spark, sfDir, "events")
+    val in = tmp("g_susr_in_"); val tgt = tmp("g_susr_tgt_")
+    val ck = tmp("g_susr_ck_")
+    ev.repartition(4).write.mode("overwrite").parquet(in)
+    // first run is killed after 2 of the 4 micro-batches commit
+    val n1 = streaming.StreamOps.upsertSinkDrain(spark, in, tgt, ck,
+      failAfterBatches = 2L)
+    assert(n1 === 2L, s"crash injection should stop after 2 commits, got $n1")
+    // restart from the SAME checkpoint: the killed batch replays, the rest
+    // drains; replay must overwrite, not double-merge
+    val n2 = streaming.StreamOps.upsertSinkDrain(spark, in, tgt, ck)
+    assert(n2 >= 2L, s"restart should commit the remaining batches, got $n2")
+    val res = streaming.StreamOps.upsertSinkState(spark, tgt)
+    val batch = ev.groupBy("user_id")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        max(struct(col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("n_events"), col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+    assert(res.count() === batch.count())
+    assert(res.exceptAll(batch).count() === 0,
+      "post-restart merge state diverges from the one-shot batch aggregate " +
+        "(at-least-once replay double-counted a batch)")
   }
 
   test("stream_throttled_backfill drains through multiple bounded micro-batches") {
