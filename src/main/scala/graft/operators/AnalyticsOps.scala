@@ -964,8 +964,261 @@ object AnalyticsOps {
             FROM islands GROUP BY user_id, island
             ORDER BY user_id, island"""))
 
+  // Marketing-style conversion attribution: for every user who converted
+  // (has a 'purchase' event), credit the FIRST and LAST touch among the
+  // events strictly before their first purchase. The conversion anchor is
+  // the lexicographic-min (ts, event_id) purchase — event_id uniqueness
+  // makes every comparison a total order, so first/last touch are exact
+  // regardless of partitioning. One shuffle on user_id for the anchor
+  // aggregate, one broadcast-able join of the tiny per-user anchor relation
+  // back onto the stream, one final per-user aggregate — the same plan holds
+  // when 'events' is 100 TB because every stage keys on user_id.
+  private val eventAttribution = Op(
+    "event_attribution",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val conv = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("c"))
+        .select(col("user_id"), col("c.ts").as("conv_ts"),
+          col("c.event_id").as("conv_eid"))
+      ev.join(conv, "user_id")
+        .where(struct(col("ts"), col("event_id")) <
+          struct(col("conv_ts"), col("conv_eid")))
+        .groupBy("user_id")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"),
+          count(lit(1)).as("n_prior"))
+        .select(col("user_id"), col("f.event_type").as("first_touch"),
+          col("l.event_type").as("last_touch"), col("n_prior"))
+        .orderBy("user_id")
+    },
+    Some("""WITH conv AS (
+              SELECT user_id,
+                     (min({'t': ts, 'e': event_id})).t AS conv_ts,
+                     (min({'t': ts, 'e': event_id})).e AS conv_eid
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+            prior AS (
+              SELECT e.user_id, e.ts, e.event_id, e.event_type
+              FROM events e JOIN conv USING (user_id)
+              WHERE (e.ts, e.event_id) < (conv_ts, conv_eid))
+            SELECT user_id,
+                   (min({'t': ts, 'e': event_id, 'v': event_type})).v
+                     AS first_touch,
+                   (max({'t': ts, 'e': event_id, 'v': event_type})).v
+                     AS last_touch,
+                   count(*) AS n_prior
+            FROM prior GROUP BY user_id ORDER BY user_id"""))
+
+  // Weighted median (the p50 of a weighted distribution) per return flag:
+  // price weighted by quantity. Weights are cast to BIGINT so every running
+  // sum is EXACT integer arithmetic — a float running sum would pick
+  // different boundary rows per engine. Classic two-window shape: running
+  // cumulative weight + per-group total, first row crossing half the total
+  // wins (ties broken by the unique (orderkey, linenumber) pair). One
+  // shuffle on the group key; window state is O(1) per row.
+  private val aggWeightedPercentile = Op(
+    "agg_weighted_percentile",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"),
+          col("l_quantity").cast("long").as("wt"),
+          col("l_orderkey"), col("l_linenumber"))
+      val wOrd = Window.partitionBy("rf")
+        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+      val wAll = Window.partitionBy("rf")
+      li.withColumn("cumw", sum(col("wt")).over(wOrd))
+        .withColumn("totw", sum(col("wt")).over(wAll))
+        .where(col("cumw") * 2 >= col("totw"))
+        .withColumn("rn", row_number().over(wOrd))
+        .where(col("rn") === 1)
+        .select(col("rf"), col("p").as("wmedian_price"), col("totw"))
+        .orderBy("rf")
+    },
+    Some("""WITH li AS (
+              SELECT l_returnflag AS rf, l_extendedprice AS p,
+                     CAST(l_quantity AS BIGINT) AS wt,
+                     l_orderkey, l_linenumber
+              FROM lineitem),
+            c AS (
+              SELECT rf, p, l_orderkey, l_linenumber,
+                     CAST(sum(wt) OVER (PARTITION BY rf
+                       ORDER BY p, l_orderkey, l_linenumber) AS BIGINT)
+                       AS cumw,
+                     CAST(sum(wt) OVER (PARTITION BY rf) AS BIGINT) AS totw
+              FROM li),
+            r AS (
+              SELECT rf, p, totw,
+                     row_number() OVER (PARTITION BY rf
+                       ORDER BY p, l_orderkey, l_linenumber) AS rn
+              FROM c WHERE cumw * 2 >= totw)
+            SELECT rf, p AS wmedian_price, totw FROM r
+            WHERE rn = 1 ORDER BY rf"""))
+
+  // l-diversity audit — the companion of privacy_kanon: a group can be
+  // k-anonymous yet still leak if every member shares the SAME sensitive
+  // value. Per quasi-identifier group, count DISTINCT sensitive values
+  // (coarse balance bucket); l < 3 flags a homogeneity risk. One shuffle on
+  // the QI tuple (distinct-count is partial-aggregable per group); output
+  // bounded by the QI domain.
+  private val privacyLdiversity = Op(
+    "privacy_ldiversity",
+    (s, d) =>
+      t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("bal_bucket")).as("l_div"))
+        .withColumn("at_risk", col("l_div") < 3)
+        .orderBy("c_nationkey", "c_mktsegment"),
+    Some("""SELECT c_nationkey, c_mktsegment, count(*) AS n,
+                   count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                     AS l_div,
+                   count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
+                     AS at_risk
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            ORDER BY c_nationkey, c_mktsegment"""))
+
+  // Count-min sketch (depth 4 × width 256) over order customer keys, with
+  // an exact-vs-estimate readout for the top-10 keys. Buckets are the first
+  // two hex chars of md5("<depth>:<key>") — a deterministic, engine-
+  // independent hash family, the same protocol the dedup/fingerprint keys
+  // use. The sketch is a 1024-row relation built with ONE map-side-
+  // combinable aggregate (each input row contributes 4 increments), so at
+  // 100 TB it is a mergeable partial-agg — the whole point of CMS — and the
+  // probe side joins against it BROADCAST. Estimates upper-bound exact
+  // counts (overcount = collision mass), never undercount.
+  private val aggCountMin = Op(
+    "agg_count_min",
+    (s, d) => {
+      val keys0 = t(s, d, "orders").select(col("o_custkey"))
+      val depths = expr("array(0, 1, 2, 3)")
+      val sketch = keys0
+        .select(col("o_custkey"), explode(depths).as("dep"))
+        .withColumn("bucket",
+          substring(md5(concat_ws(":", col("dep"), col("o_custkey"))), 1, 2))
+        .groupBy("dep", "bucket").agg(count(lit(1)).as("cnt"))
+      val exact = keys0.groupBy("o_custkey").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("o_custkey")).limit(10)
+      top.select(col("o_custkey"), col("n_exact"), explode(depths).as("dep"))
+        .withColumn("bucket",
+          substring(md5(concat_ws(":", col("dep"), col("o_custkey"))), 1, 2))
+        .join(broadcast(sketch), Seq("dep", "bucket"))
+        .groupBy("o_custkey", "n_exact")
+        .agg(min(col("cnt")).as("est"))
+        .select(col("o_custkey"), col("n_exact"), col("est"),
+          (col("est") - col("n_exact")).as("overcount"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH d AS (SELECT unnest([0, 1, 2, 3]) AS dep),
+            h AS (
+              SELECT o_custkey, dep,
+                     substr(md5(dep || ':' || o_custkey), 1, 2) AS bucket
+              FROM orders CROSS JOIN d),
+            sketch AS (
+              SELECT dep, bucket, count(*) AS cnt FROM h GROUP BY 1, 2),
+            exact AS (
+              SELECT o_custkey, count(*) AS n_exact FROM orders GROUP BY 1),
+            top AS (
+              SELECT * FROM exact ORDER BY n_exact DESC, o_custkey LIMIT 10),
+            probe AS (
+              SELECT t.o_custkey, t.n_exact, dep,
+                     substr(md5(dep || ':' || t.o_custkey), 1, 2) AS bucket
+              FROM top t CROSS JOIN d)
+            SELECT p.o_custkey, p.n_exact,
+                   CAST(min(s.cnt) AS BIGINT) AS est,
+                   CAST(min(s.cnt) - p.n_exact AS BIGINT) AS overcount
+            FROM probe p JOIN sketch s USING (dep, bucket)
+            GROUP BY 1, 2 ORDER BY o_custkey"""))
+
+  // Recursive exponential smoothing (EWMA, α = 1/2) per user — the one
+  // operator family that genuinely CANNOT be a window aggregate: each value
+  // depends on the previous OUTPUT (s_i = (v_i + s_{i-1}) div 2), so it is
+  // implemented as the classic secondary-sort scan: repartition on the
+  // entity key, sort within partitions by (key, ts, id), one sequential
+  // mapPartitions pass with O(1) state that resets at entity boundaries.
+  // This is the deliberate, documented `mapPartitions`-as-last-resort case
+  // (SURVEY §2C design rules) — at 100 TB it is one shuffle plus a
+  // streaming per-partition scan, the same cost as a window. Arithmetic is
+  // EXACT integer cents with floor halving, so every engine/parallelism
+  // reproduces identical values — a float recursion would drift per ulp.
+  private val windowEwma = Op(
+    "window_ewma",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .where(col("user_id") % 10 === 0)
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("ts"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("cents"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var state = 0L
+          it.map { case (u, e, c) =>
+            state = if (u != curUser) c else (c + state) / 2
+            curUser = u
+            (u, e, state)
+          }
+        }
+        .toDF("user_id", "event_id", "ewma_cents")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events WHERE user_id % 10 = 0),
+            r(user_id, event_id, rn, s) AS (
+              SELECT user_id, event_id, rn, cents FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.event_id, e.rn, (e.cents + r.s) // 2
+              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT user_id, event_id, s AS ewma_cents FROM r
+            ORDER BY user_id, event_id"""))
+
+  // Robust dispersion per group: median absolute deviation around the
+  // median (the outlier-resistant sibling of agg_zscore_outliers' stddev).
+  // Two exact-median passes — group medians are a tiny relation broadcast
+  // back onto the fact for the deviation pass, so the plan is two
+  // partial→final aggregates and zero extra shuffles of the fact beyond
+  // the group key. Medians interpolate midpoints, so the output is rounded
+  // to 4 decimals — engines may differ in the final ulp of (a+b)/2 vs
+  // a+(b-a)*0.5.
+  private val aggMadRobust = Op(
+    "agg_mad_robust",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val med = o.groupBy("o_orderpriority")
+        .agg(median(col("o_totalprice")).as("med"))
+      o.join(broadcast(med), Seq("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 4).as("med"),
+          round(median(abs(col("o_totalprice") - col("med"))), 4).as("mad"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH med AS (
+              SELECT o_orderpriority, median(o_totalprice) AS med
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority, count(*) AS n,
+                   round(first(m.med), 4) AS med,
+                   round(median(abs(o.o_totalprice - m.med)), 4) AS mad
+            FROM orders o JOIN med m USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority"""))
+
   val ops: Seq[Op] = Seq(
     profileSkew, privacyKanon, sampleSplit, intervalMerge,
+    eventAttribution, aggWeightedPercentile, privacyLdiversity, aggCountMin,
+    windowEwma, aggMadRobust,
     graphTriangles, aggHistogramQuantile,
     eventPathAnalysis, aggZscoreOutliers,
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,

@@ -1197,8 +1197,40 @@ object EtlOps {
                          END, 6) AS filled
             FROM w ORDER BY event_type, day_n"""))
 
+  // OHLC downsampling (open/high/low/close per event_type × hour) — the
+  // financial/metrics resampling primitive the zerofill/interpolate pair
+  // doesn't cover: open and close are ARGMIN/ARGMAX picks on the unique
+  // (ts, event_id) order, high/low plain min/max. All four are order-
+  // independent aggregates of EXACT values (no float accumulation — sums
+  // are deliberately absent), so any partitioning produces identical bars.
+  // One partial→final aggregate keyed on (type, hour); at 100 TB the map
+  // side collapses each partition to one candidate bar per key first.
+  private val resampleOhlc = Op(
+    "resample_ohlc",
+    (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("hour"),
+          col("o.value").as("open"), col("high"), col("low"),
+          col("c.value").as("close"), col("n"))
+        .orderBy("event_type", "hour"),
+    Some("""SELECT event_type, date_trunc('hour', ts) AS hour,
+                   (min({'t': ts, 'e': event_id, 'v': value})).v AS open,
+                   max(value) AS high, min(value) AS low,
+                   (max({'t': ts, 'e': event_id, 'v': value})).v AS close,
+                   count(*) AS n
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY event_type, hour"""))
+
   val ops: Seq[Op] = Seq(
-    auditFk, dqExpectations, resampleInterpolate,
+    auditFk, dqExpectations, resampleInterpolate, resampleOhlc,
     profileStatsApprox,
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,

@@ -2171,7 +2171,43 @@ object LlmOps {
             FROM pairs GROUP BY a, b
             ORDER BY freq DESC, a, b LIMIT 20"""))
 
+  // Deterministic multi-epoch corpus shuffle — training loaders need a
+  // DIFFERENT but REPRODUCIBLE document order every epoch, without a global
+  // sort: order within hash shards. Per (doc, epoch) the shuffle key is
+  // md5("<doc_id>:<epoch>"); its first hex char is the shard (16 shards),
+  // the full digest orders documents inside the shard. Every stage keys on
+  // (epoch, shard) — at 100 TB that is one shuffle into shard-sized
+  // partitions, each sorted independently (the exact shape
+  // corpus_shard_write persists), never an Exchange SinglePartition. Any
+  // engine, retry, or cluster size reproduces the identical order.
+  private val corpusEpochShuffle = Op(
+    "corpus_epoch_shuffle",
+    (s, d) => {
+      val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(expr("array(0L, 1L)")).as("epoch"))
+        .withColumn("h", md5(concat_ws(":", col("doc_id"), col("epoch"))))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy("epoch", "shard", "pos")
+    },
+    Some("""WITH e AS (SELECT unnest([CAST(0 AS BIGINT), 1]) AS epoch),
+            keyed AS (
+              SELECT doc_id, epoch,
+                     md5(doc_id || ':' || epoch) AS h
+              FROM documents CROSS JOIN e),
+            sharded AS (
+              SELECT epoch, substr(h, 1, 1) AS shard, doc_id,
+                     CAST(row_number() OVER
+                       (PARTITION BY epoch, substr(h, 1, 1)
+                        ORDER BY h, doc_id) AS BIGINT) AS pos
+              FROM keyed)
+            SELECT epoch, shard, pos, doc_id FROM sharded
+            ORDER BY epoch, shard, pos"""))
+
   val ops: Seq[Op] = Seq(
+    corpusEpochShuffle,
     textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,

@@ -928,6 +928,43 @@ object Relational {
             GROUP BY n_name
             ORDER BY revenue DESC, n_name"""))
 
+  // TPC-H-Q10-shaped "returned items" report: revenue lost to returns per
+  // customer over one quarter, top 20. The canonical customer-fact join
+  // where the FACT filter (return flag + date slice) must reach the scans
+  // before the join — Catalyst pushes both predicates into the parquet
+  // readers, the nation dim broadcasts, and the global top-20 plans as
+  // TakeOrderedAndProject (per-partition heaps), never a full sort. Revenue
+  // accumulates in DECIMAL (exact, order-independent) and is cast to DOUBLE
+  // only at the output boundary — the §7.6 float-sum protocol.
+  private val sqlTpchQ10 = Op(
+    "sql_tpch_q10",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .where(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= expr("TIMESTAMP '1996-01-01'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1996-07-01'"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20),
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   // TPC-H-Q18-shaped "large orders" query: the HAVING-subquery membership
   // test (`o_orderkey IN (SELECT ... HAVING sum(qty) > K)`) — Catalyst
   // rewrites the IN to a LEFT SEMI join against the pre-aggregated key set,
@@ -1174,6 +1211,6 @@ object Relational {
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
-    sqlTpchQ5, sqlTpchQ18, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
+    sqlTpchQ5, sqlTpchQ10, sqlTpchQ18, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
     joinAsofTolerance)
 }

@@ -218,4 +218,91 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val nEvents = Tables.load(spark, sfDir, "events").count()
     assert(rows.map(_._4).sum === nEvents)
   }
+
+  test("event_attribution only credits converting users with prior touches") {
+    val rows = SparkEntry.queries("event_attribution")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val converters = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(converters))
+    rows.foreach { case (_, f, l, n) =>
+      assert(n >= 1)
+      if (n == 1) assert(f === l, "a single prior touch is both first and last")
+    }
+  }
+
+  test("agg_weighted_percentile picks the half-weight boundary per flag") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("wt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val rows = SparkEntry.queries("agg_weighted_percentile")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === li.map(_._1).toSet)
+    rows.foreach { case (rf, m, tot) =>
+      val grp = li.filter(_._1 == rf)
+      assert(grp.map(_._3).sum === tot)
+      val below = grp.filter(_._2 < m).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= m).map(_._3).sum
+      assert(below * 2 < tot, "strictly-below mass stays under half")
+      assert(atOrBelow * 2 >= tot, "at-or-below mass crosses half")
+    }
+  }
+
+  test("privacy_ldiversity flags exactly the groups with l < 3") {
+    val rows = SparkEntry.queries("privacy_ldiversity")(spark, sfDir)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, l, risk) =>
+      assert(l >= 1 && l <= n, "diversity is bounded by group size")
+      assert(risk === (l < 3))
+    }
+  }
+
+  test("window_ewma matches a sequential reference recursion exactly") {
+    val ref = Tables.load(spark, sfDir, "events")
+      .where(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2.toInstant.getEpochSecond, t._2.toInstant.getNano.toLong, t._3))
+      .foldLeft((Map.empty[(Long, Long), Long], Long.MinValue, 0L)) {
+        case ((acc, prevUser, s), (u, _, e, c)) =>
+          val next = if (u != prevUser) c else (c + s) / 2
+          (acc + ((u, e) -> next), u, next)
+      }._1
+    val got = SparkEntry.queries("window_ewma")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === ref)
+  }
+
+  test("agg_mad_robust dispersion is nonnegative and bounded by the range") {
+    val rows = SparkEntry.queries("agg_mad_robust")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val stats = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(min("o_totalprice").as("mn"), max("o_totalprice").as("mx"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    rows.foreach { case (p, n, med, mad) =>
+      val (mn, mx, total) = stats(p)
+      assert(n === total)
+      assert(med >= mn && med <= mx)
+      assert(mad >= 0.0 && mad <= (mx - mn))
+    }
+  }
+
+  test("agg_count_min estimates never undercount") {
+    val rows = SparkEntry.queries("agg_count_min")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 10)
+    rows.foreach { case (exact, est, over) =>
+      assert(est >= exact, "CMS upper-bounds the true count")
+      assert(over === est - exact)
+    }
+  }
 }

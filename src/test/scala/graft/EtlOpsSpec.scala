@@ -312,4 +312,19 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(planted(base + 2) === 30.0)
     assert(planted(base + 3) === 40.0)
   }
+
+  test("resample_ohlc bars bound their values and cover every event") {
+    val rows = SparkEntry.queries("resample_ohlc")(spark, sfDir)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (open, high, low, close, n) =>
+      assert(low <= high)
+      assert(open >= low && open <= high)
+      assert(close >= low && close <= high)
+      assert(n >= 1)
+    }
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._5).sum === total)
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixpoint invariants for the iterative graph operators (the DuckDB
+  * recursive-CTE oracle pins exact values; these pin the algebraic
+  * properties any correct fixpoint must satisfy). */
+class GraphOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val comps =
+    SparkEntry.queries("graph_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private lazy val hops =
+    SparkEntry.queries("graph_bfs_hops")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("graph_components labels every nation with its component minimum") {
+    assert(comps.size === 25)
+    // a component id is the minimum member id, so it labels itself
+    comps.values.toSet.foreach((c: Long) => assert(comps(c) === c))
+    assert(comps.forall { case (v, c) => c <= v })
+  }
+
+  test("graph_bfs_hops starts at the source and grows by unit steps") {
+    assert(hops(0L) === 0L)
+    // hop levels are contiguous: every level h > 0 has a level h-1
+    val levels = hops.values.toSet
+    levels.filter(_ > 0).foreach(h => assert(levels.contains(h - 1)))
+  }
+
+  test("BFS reaches exactly the component of the source vertex") {
+    val sourceComp = comps(0L)
+    val expected = comps.collect { case (v, c) if c == sourceComp => v }.toSet
+    assert(hops.keySet === expected)
+  }
+
+  test("both fixpoints are reproducible across runs") {
+    val again = SparkEntry.queries("graph_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === comps)
+  }
+}

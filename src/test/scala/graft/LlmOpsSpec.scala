@@ -457,4 +457,24 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(c2 - c1 === n2, s"cum gap ${c2 - c1} != row size $n2")
     }
   }
+
+  test("corpus_epoch_shuffle is a permutation per epoch with contiguous shard positions") {
+    val rows = SparkEntry.queries("corpus_epoch_shuffle")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L))
+    byEpoch.values.foreach { ep =>
+      assert(ep.length.toLong === nDocs, "each epoch permutes the full corpus")
+      assert(ep.map(_._4).distinct.length.toLong === nDocs)
+      ep.groupBy(_._2).values.foreach { sh =>
+        assert(sh.map(_._3).sorted.toSeq === (1L to sh.length.toLong))
+      }
+    }
+    // the two epochs order documents differently (shard of doc 0 differs
+    // somewhere across the corpus with overwhelming probability)
+    val e0 = byEpoch(0L).sortBy(d => (d._2, d._3)).map(_._4)
+    val e1 = byEpoch(1L).sortBy(d => (d._2, d._3)).map(_._4)
+    assert(e0.toSeq !== e1.toSeq)
+  }
 }

@@ -426,4 +426,23 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("SinglePartition"), p.take(800))
   }
+
+  test("sql_tpch_q10 broadcasts the nation dim and heaps the top-20") {
+    val p = plan("sql_tpch_q10")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("agg_count_min probes the tiny sketch via broadcast") {
+    val p = plan("agg_count_min")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("corpus_epoch_shuffle never funnels through one task") {
+    // per-(epoch, shard) windows keep every stage hash-partitioned; a
+    // global row_number spelling would show Exchange SinglePartition
+    val p = SparkEntry.queries("corpus_epoch_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
 }
