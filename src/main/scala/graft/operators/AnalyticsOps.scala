@@ -1215,10 +1215,101 @@ object AnalyticsOps {
             GROUP BY o.o_orderpriority
             ORDER BY o.o_orderpriority"""))
 
+  // Behavioural-diversity score: Shannon entropy of each user's event-type
+  // distribution (low entropy = bot-like single-action users, the signal
+  // abuse/quality filters threshold on). Two partial→final aggregates on
+  // the same user_id partitioning — the (user, type) counts collapse to
+  // per-user entropy without a second shuffle. The few-term float sum is
+  // rounded at the boundary (6 dp), the same protocol window_time_decay
+  // uses; counts and type cardinalities stay exact integers.
+  private val aggGroupEntropy = Op(
+    "agg_group_entropy",
+    (s, d) => {
+      val tc = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("pr",
+          col("c") * 1.0 / sum(col("c")).over(Window.partitionBy("user_id")))
+      tc.groupBy("user_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"),
+          round(-sum(col("pr") * log(col("pr"))), 6).as("entropy"))
+        .orderBy("user_id")
+    },
+    Some("""WITH tc AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2),
+            p AS (
+              SELECT user_id, c,
+                     c * 1.0 / CAST(sum(c) OVER (PARTITION BY user_id)
+                                    AS BIGINT) AS pr
+              FROM tc)
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                   count(*) AS n_types,
+                   round(-sum(pr * ln(pr)), 6) AS entropy
+            FROM p GROUP BY user_id ORDER BY user_id"""))
+
+  // Rolling 10-event regression slope of value-vs-time per user — trend
+  // detection over a sliding window. EVERY window sum is exact integer
+  // arithmetic (seconds × cents, BIGINT), so the classic
+  // (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) closed form divides two identical exact
+  // integers on any engine — float only at the final division, which both
+  // engines perform on the same two operands. Per-row window state is O(1);
+  // one shuffle on user_id. Degenerate windows (zero time variance) pin
+  // slope 0 explicitly on both sides.
+  private val windowRollingSlope = Op(
+    "window_rolling_slope",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+      val base = t(s, d, "events")
+        .where(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          // rebase to the 2024-01-01 dataset epoch: slope is shift-invariant
+          // and Σx² over raw epoch seconds would overflow BIGINT
+          expr("unix_micros(ts) div 1000000 - 1704067200L").as("x"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("y"))
+      base
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .select(col("user_id"), col("event_id"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))
+            .otherwise(round(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              8)).as("slope_cents_per_s"),
+          col("n"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH base AS (
+              SELECT user_id, event_id, ts,
+                     epoch_ms(ts) // 1000 - 1704067200 AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events WHERE user_id % 20 = 0),
+            s AS (
+              SELECT user_id, event_id,
+                     CAST(count(*) OVER w AS BIGINT) AS n,
+                     CAST(sum(x) OVER w AS BIGINT) AS sx,
+                     CAST(sum(y) OVER w AS BIGINT) AS sy,
+                     CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+                     CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+            SELECT user_id, event_id,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                                   CAST(n * sxx - sx * sx AS DOUBLE), 8)
+                   END AS slope_cents_per_s,
+                   n
+            FROM s ORDER BY user_id, event_id"""))
+
   val ops: Seq[Op] = Seq(
     profileSkew, privacyKanon, sampleSplit, intervalMerge,
     eventAttribution, aggWeightedPercentile, privacyLdiversity, aggCountMin,
-    windowEwma, aggMadRobust,
+    windowEwma, aggMadRobust, aggGroupEntropy, windowRollingSlope,
     graphTriangles, aggHistogramQuantile,
     eventPathAnalysis, aggZscoreOutliers,
     unpivotLong, joinNullSafe, aggHistogram, windowCumeDist,

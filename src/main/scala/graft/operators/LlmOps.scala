@@ -2206,8 +2206,49 @@ object LlmOps {
             SELECT epoch, shard, pos, doc_id FROM sharded
             ORDER BY epoch, shard, pos"""))
 
+  // Tokenizer-vocabulary coverage audit — the eval a team runs before
+  // committing to a vocab: per document, what fraction of token OCCURRENCES
+  // the top-K corpus vocabulary covers (the complement is the OOV rate that
+  // becomes UNK tokens downstream). The vocab is a corpus-wide count top-K
+  // (tiny at any scale — vocabulary grows sublinearly) BROADCAST back onto
+  // the exploded token stream, so the fact side shuffles once on doc_id for
+  // the per-doc aggregate and never on the vocab join. Coverage is an exact
+  // integer permyriad (×10000 integer division) — no float at the boundary.
+  private val textVocabCoverage = Op(
+    "text_vocab_coverage",
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(1000)
+        .select(col("term"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(col("in_vocab")).as("n_covered"))
+        .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+          expr("n_covered * 10000L div n_tokens").as("coverage_pm"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            vocab AS (
+              SELECT term FROM (
+                SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+              ORDER BY cnt DESC, term LIMIT 1000),
+            j AS (
+              SELECT t.doc_id,
+                     CASE WHEN v.term IS NULL THEN 0 ELSE 1 END AS c
+              FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(c) AS BIGINT) AS n_covered,
+                   (CAST(sum(c) AS BIGINT) * 10000) // count(*) AS coverage_pm
+            FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   val ops: Seq[Op] = Seq(
-    corpusEpochShuffle,
+    corpusEpochShuffle, textVocabCoverage,
     textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,

@@ -965,6 +965,38 @@ object Relational {
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20"""))
 
+  // TPC-H-Q17-shaped "small-quantity revenue" query: a CORRELATED scalar
+  // subquery (per-part average quantity) in the WHERE clause — the third
+  // decorrelation shape alongside sql_tpch_q18's IN-HAVING and
+  // subquery_decorrelate's EXISTS: Catalyst rewrites the per-row scalar
+  // subquery into ONE aggregate over lineitem joined back on partkey, so
+  // the correlated predicate costs one extra aggregate + join, never a
+  // per-row re-scan. Determinism: avg(l_quantity) sums integral-valued
+  // doubles (exact in float64 far below 2^53), so the 0.2×avg threshold is
+  // bit-identical on any engine/order; revenue accumulates in DECIMAL.
+  private val sqlTpchQ17 = Op(
+    "sql_tpch_q17",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_q17")
+      t(s, d, "part").createOrReplaceTempView("part_q17")
+      s.sql("""SELECT count(*) AS n_small,
+                      round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                                 AS DOUBLE) / 7.0, 4) AS avg_yearly
+               FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+               WHERE p_brand = 'Brand#1'
+                 AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                   FROM lineitem_q17 l2
+                                   WHERE l2.l_partkey = p_partkey)""")
+    },
+    Some("""SELECT count(*) AS n_small,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / 7.0, 4) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)"""))
+
   // TPC-H-Q18-shaped "large orders" query: the HAVING-subquery membership
   // test (`o_orderkey IN (SELECT ... HAVING sum(qty) > K)`) — Catalyst
   // rewrites the IN to a LEFT SEMI join against the pre-aggregated key set,
@@ -1211,6 +1243,6 @@ object Relational {
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
-    sqlTpchQ5, sqlTpchQ10, sqlTpchQ18, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
+    sqlTpchQ5, sqlTpchQ10, sqlTpchQ17, sqlTpchQ18, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
     joinAsofTolerance)
 }

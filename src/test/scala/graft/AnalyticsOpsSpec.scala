@@ -296,6 +296,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_group_entropy is bounded by log of the type cardinality") {
+    val rows = SparkEntry.queries("agg_group_entropy")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, nTypes, h) =>
+      assert(nTypes >= 1 && nTypes <= n)
+      assert(h >= 0.0 && h <= math.log(nTypes.toDouble) + 1e-9)
+      if (nTypes == 1) assert(h === 0.0)
+    }
+  }
+
+  test("window_rolling_slope windows cap at 10 rows and degenerate to 0") {
+    val out = SparkEntry.queries("window_rolling_slope")(spark, sfDir)
+      .collect().map(r => (r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n) => assert(n >= 1 && n <= 10) }
+    // a 1-row window has zero time variance -> pinned slope 0
+    assert(out.filter(_._2 == 1).forall(_._1 === 0.0))
+  }
+
   test("agg_count_min estimates never undercount") {
     val rows = SparkEntry.queries("agg_count_min")(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))

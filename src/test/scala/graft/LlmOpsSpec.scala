@@ -477,4 +477,16 @@ class LlmOpsSpec extends AnyFunSuite {
     val e1 = byEpoch(1L).sortBy(d => (d._2, d._3)).map(_._4)
     assert(e0.toSeq !== e1.toSeq)
   }
+
+  test("text_vocab_coverage bounds coverage by token count") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { case (nTok, nCov, pm) =>
+      assert(nCov >= 0 && nCov <= nTok)
+      assert(pm >= 0 && pm <= 10000)
+      assert(pm === nCov * 10000 / nTok)
+    }
+  }
 }

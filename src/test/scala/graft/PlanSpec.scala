@@ -445,4 +445,12 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("SinglePartition"), p.take(800))
   }
+
+  test("sql_tpch_q17 decorrelates the scalar subquery into one aggregate") {
+    // a correlated per-row re-scan would appear as a non-decorrelated
+    // subquery; Catalyst must rewrite to aggregate + join
+    val p = SparkEntry.queries("sql_tpch_q17")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("scalar-subquery"), p.take(800))
+  }
 }
