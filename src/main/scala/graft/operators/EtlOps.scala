@@ -1229,8 +1229,60 @@ object EtlOps {
             GROUP BY 1, 2
             ORDER BY event_type, hour"""))
 
+  // IQR (Tukey-fence) anomaly audit per group — the robust complement of
+  // agg_zscore_outliers (stddev) and agg_mad_robust (MAD): quartiles,
+  // 1.5×IQR fences, and the count outside them. Quartiles interpolate over
+  // INTEGER CENTS at exact quarter fractions ((b−a)×0.25 on integers is
+  // exact in float64), so fences and the boundary comparisons are
+  // bit-identical across engines — no float-luck at the fence. Two
+  // aggregates on the same group key; the 5-row fence relation broadcasts
+  // back for the counting pass.
+  private val dqAnomalyIqr = Op(
+    "dq_anomaly_iqr",
+    (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val q = o.groupBy("prio")
+        .agg(expr("percentile(cents, 0.25D)").as("q1"),
+          expr("percentile(cents, 0.75D)").as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+        .withColumn("lo", col("q1") - col("iqr") * 1.5)
+        .withColumn("hi", col("q3") + col("iqr") * 1.5)
+      o.join(broadcast(q), Seq("prio"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          count_if(col("cents") < col("lo") || col("cents") > col("hi"))
+            .as("n_outliers"),
+          round(first(col("q1")) / 100.0, 4).as("q1"),
+          round(first(col("q3")) / 100.0, 4).as("q3"))
+        .orderBy("prio")
+    },
+    Some("""WITH o AS (
+              SELECT o_orderpriority AS prio,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            q AS (
+              SELECT prio,
+                     quantile_cont(cents, 0.25) AS q1,
+                     quantile_cont(cents, 0.75) AS q3
+              FROM o GROUP BY prio),
+            f AS (
+              SELECT prio, q1, q3,
+                     q1 - 1.5 * (q3 - q1) AS lo,
+                     q3 + 1.5 * (q3 - q1) AS hi
+              FROM q)
+            SELECT o.prio, count(*) AS n,
+                   CAST(count(*) FILTER (WHERE cents < lo OR cents > hi)
+                        AS BIGINT) AS n_outliers,
+                   round(first(q1) / 100.0, 4) AS q1,
+                   round(first(q3) / 100.0, 4) AS q3
+            FROM o JOIN f ON o.prio = f.prio
+            GROUP BY o.prio
+            ORDER BY o.prio"""))
+
   val ops: Seq[Op] = Seq(
-    auditFk, dqExpectations, resampleInterpolate, resampleOhlc,
+    auditFk, dqExpectations, resampleInterpolate, resampleOhlc, dqAnomalyIqr,
     profileStatsApprox,
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,

@@ -2252,8 +2252,77 @@ object LlmOps {
                    (CAST(sum(c) AS BIGINT) * 10000) // count(*) AS coverage_pm
             FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Product quantization — the compression half of IVF-PQ, the standard
+  // billion-vector ANN layout: each vector splits into 8 contiguous 8-dim
+  // sub-blocks, each block assigned to its nearest of 16 codebook entries
+  // (deterministic init: the corresponding sub-blocks of vec_id 1..16, the
+  // sim_ann_ivf leader recipe), so a 64-dim float vector compresses to 8
+  // code bytes (64× smaller — the difference between an index that fits in
+  // RAM and one that doesn't at 100 TB). The codebook is a 128-row
+  // BROADCAST; block scoring is map-side; the per-(vector, block) argmin is
+  // a partial-aggregable min(struct(dist, cid)) — one shuffle on vec_id.
+  // Distances round to 6 dp before the argmin with a cid tie-break
+  // (emb_centroid_assign protocol) — engine-independent codes.
+  private val embProductQuantize = Op(
+    "emb_product_quantize",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val blocks = e.select(col("vec_id"),
+        explode(expr(
+          "transform(sequence(0, 7), b -> struct(b AS b, slice(v, b * 8 + 1, 8) AS sv))"))
+          .as("s"))
+        .select(col("vec_id"), col("s.b").as("b"), col("s.sv").as("sv"))
+      val codebook = broadcast(
+        blocks.where(col("vec_id").between(1, 16))
+          .select(col("b").as("cb"), col("vec_id").as("cid"),
+            col("sv").as("cv")))
+      blocks.join(codebook, col("b") === col("cb"))
+        .withColumn("dist", round(expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"),
+          6))
+        .groupBy("vec_id", "b")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .groupBy("vec_id")
+        .agg(
+          expr("array_join(transform(array_sort(collect_list(struct(b, m.cid AS c))), " +
+            "x -> CAST(x.c AS STRING)), '-')").as("pq_code"),
+          // exact integer micro-units: each block dist is already a 6-dp
+          // value, so ×1e6 rounds to an exact BIGINT and the sum is
+          // order-independent (a float re-sum can flip a half-even round)
+          sum(expr("CAST(round(m.dist * 1000000) AS BIGINT)"))
+            .as("distortion_u"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            bs AS (SELECT unnest(range(8)) AS b),
+            blocks AS (
+              SELECT vec_id, b, v[b * 8 + 1 : b * 8 + 8] AS sv
+              FROM e CROSS JOIN bs),
+            codebook AS (
+              SELECT b AS cb, vec_id AS cid, sv AS cv
+              FROM blocks WHERE vec_id BETWEEN 1 AND 16),
+            scored AS (
+              SELECT bl.vec_id, bl.b, c.cid,
+                     round(list_sum(list_transform(range(len(bl.sv)),
+                       i -> (bl.sv[i+1] - c.cv[i+1]) * (bl.sv[i+1] - c.cv[i+1]))),
+                       6) AS dist
+              FROM blocks bl JOIN codebook c ON bl.b = c.cb),
+            am AS (
+              SELECT vec_id, b,
+                     (min({'d': dist, 'c': cid})).c AS code,
+                     (min({'d': dist, 'c': cid})).d AS dist
+              FROM scored GROUP BY vec_id, b)
+            SELECT vec_id,
+                   array_to_string(list(CAST(code AS VARCHAR) ORDER BY b), '-')
+                     AS pq_code,
+                   CAST(sum(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT)
+                     AS distortion_u
+            FROM am GROUP BY vec_id ORDER BY vec_id"""))
+
   val ops: Seq[Op] = Seq(
-    corpusEpochShuffle, textVocabCoverage,
+    corpusEpochShuffle, textVocabCoverage, embProductQuantize,
     textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,

@@ -327,4 +327,16 @@ class EtlOpsSpec extends AnyFunSuite {
     val total = Tables.load(spark, sfDir, "events").count()
     assert(rows.map(_._5).sum === total)
   }
+
+  test("dq_anomaly_iqr fences bound a minority of each group") {
+    val rows = SparkEntry.queries("dq_anomaly_iqr")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sfDir, "orders").count()
+    assert(rows.map(_._1).sum === total)
+    rows.foreach { case (n, out, q1, q3) =>
+      assert(q1 <= q3)
+      assert(out >= 0 && out * 2 < n, "Tukey fences exclude a minority")
+    }
+  }
 }

@@ -489,4 +489,22 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(pm === nCov * 10000 / nTok)
     }
   }
+
+  test("emb_product_quantize codebook vectors compress losslessly to themselves") {
+    val rows = SparkEntry.queries("emb_product_quantize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.length.toLong === nVecs)
+    rows.foreach { case (_, code, du) =>
+      val parts = code.split("-")
+      assert(parts.length === 8)
+      parts.foreach(p => assert(p.toInt >= 1 && p.toInt <= 16))
+      assert(du >= 0L)
+    }
+    // a codebook vector's nearest centroid in every block is itself
+    rows.filter(r => r._1 >= 1 && r._1 <= 16).foreach { case (vid, code, du) =>
+      assert(du === 0L)
+      assert(code === Array.fill(8)(vid.toString).mkString("-"))
+    }
+  }
 }

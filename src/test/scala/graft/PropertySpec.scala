@@ -184,4 +184,54 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // --- round-6 families -----------------------------------------------
+
+  private val vals: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L))
+
+  test("count-min sketch never undercounts (generated keys, md5 buckets)") {
+    forAll(vals) { keys =>
+      val df = keys.toDF("k")
+      val depths = expr("array(0, 1, 2, 3)")
+      val sketch = df.select(col("k"), explode(depths).as("d"))
+        .withColumn("b", substring(md5(concat_ws(":", col("d"), col("k"))), 1, 2))
+        .groupBy("d", "b").agg(count(lit(1)).as("cnt"))
+      val est = df.distinct().select(col("k"), explode(depths).as("d"))
+        .withColumn("b", substring(md5(concat_ws(":", col("d"), col("k"))), 1, 2))
+        .join(sketch, Seq("d", "b"))
+        .groupBy("k").agg(min("cnt").as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.foreach { case (k, n) => assert(est(k) >= n) }
+    }
+  }
+
+  test("weighted median is permutation-invariant and crosses half the mass") {
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(1L, 9L)))) { pw =>
+      def wmedian(rows: Seq[(Long, Long)]): Long = {
+        val sorted = rows.sortBy(_._1)
+        val tot = sorted.map(_._2).sum
+        var cum = 0L
+        sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      }
+      assert(wmedian(pw) === wmedian(pw.reverse))
+      val m = wmedian(pw)
+      val tot = pw.map(_._2).sum
+      assert(pw.filter(_._1 < m).map(_._2).sum * 2 < tot)
+      assert(pw.filter(_._1 <= m).map(_._2).sum * 2 >= tot)
+    }
+  }
+
+  test("integer EWMA recursion is reproducible and bounded by the running max") {
+    forAll(vals) { cents =>
+      def ewma(xs: List[Long]): List[Long] =
+        xs.tail.scanLeft(xs.head)((s, c) => (c + s) / 2)
+      val a = ewma(cents)
+      assert(a === ewma(cents), "pure recursion, same input -> same output")
+      a.zip(cents.scanLeft(0L)(math.max).tail).foreach { case (s, runMax) =>
+        assert(s <= runMax)
+      }
+    }
+  }
 }
