@@ -1036,6 +1036,151 @@ object Relational {
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100"""))
 
+  // TPC-H-Q1-shaped pricing summary: the canonical full-scan report — nine
+  // aggregates over one lineitem pass, grouped on a 6-value key. The shape
+  // that proves partial aggregation: map-side combine collapses each input
+  // partition to ≤6 rows before the shuffle, so the exchange moves O(groups)
+  // bytes regardless of SF (at 100 TB the scan dominates and the agg is
+  // free). Determinism: quantities sum as BIGINT, money in DECIMAL (the
+  // 3-factor charge product stays exact — scale 6 ≤ decimal(38,6)), and
+  // every avg divides an exact sum by an exact count in float64 once.
+  private val sqlTpchQ1 = Op(
+    "sql_tpch_q1",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_q1")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                        (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS sum_charge,
+               round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_qty,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*), 4) AS avg_price,
+               round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem_q1
+        WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                       (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+                AS sum_charge,
+              round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                    / COUNT(*), 4) AS avg_qty,
+              round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / COUNT(*), 4) AS avg_price,
+              round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*), 4) AS avg_disc,
+              COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  // TPC-H-Q21-shaped "suppliers who kept orders waiting": the DOUBLE
+  // correlation — an EXISTS (some other supplier on the order) and a NOT
+  // EXISTS (no other supplier shipped later) against the same fact table.
+  // Catalyst decorrelates both into a LEFT SEMI and a LEFT ANTI join on
+  // l_orderkey, so the query costs three hash joins over lineitem, never a
+  // per-row re-scan — the shape that separates an optimizer from a loop.
+  // Late = shipped >30 days after the order date (this schema carries
+  // shipdate, not commit/receipt dates).
+  private val sqlTpchQ21 = Op(
+    "sql_tpch_q21",
+    (s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("supplier_q21")
+      t(s, d, "orders").createOrReplaceTempView("orders_q21")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_q21")
+      s.sql("""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier_q21
+        JOIN lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders_q21 ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL '30' DAY
+          AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name""")
+    },
+    Some("""SELECT s_name, COUNT(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > l1.l_shipdate)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name"""))
+
+  // TPC-H-Q22-shaped "global sales opportunity": an UNCORRELATED scalar
+  // subquery (the global average balance) feeding the filter of an anti
+  // join (customers with no orders), grouped by nation. The scalar
+  // aggregates once and broadcasts as a literal; the NOT EXISTS plans as a
+  // LEFT ANTI hash join — both O(n), no per-row work. The above-average
+  // test cross-multiplies in exact integer cents (cents·count > Σcents, all
+  // BIGINT) so the threshold can't drift with float summation order.
+  private val sqlTpchQ22 = Op(
+    "sql_tpch_q22",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_q22")
+      t(s, d, "orders").createOrReplaceTempView("orders_q22")
+      s.sql("""
+        SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+               round(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS totacctbal
+        FROM customer_q22
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+              (SELECT COUNT(*) FROM customer_q22 WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                 FROM customer_q22 WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_q22
+                          WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey""")
+    },
+    Some("""SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+              round(CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0, 2) AS totacctbal
+            FROM customer
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+                  (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+                  > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                     FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey"""))
+
   // Binned interval join — the RANGE-join shape that survives 100 TB when
   // NEITHER side fits in a broadcast (join_theta_range's complement: that key
   // broadcasts its band side; this one needs no broadcast on either side).
@@ -1243,6 +1388,7 @@ object Relational {
     windowRank, windowRunning, windowRangeFrame, windowLagLead, windowNtile, windowPercentRank, windowFirstLast, aggBool, aggStats,
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
-    sqlTpchQ5, sqlTpchQ10, sqlTpchQ17, sqlTpchQ18, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
+    sqlTpchQ5, sqlTpchQ10, sqlTpchQ17, sqlTpchQ18, sqlTpchQ1, sqlTpchQ21,
+    sqlTpchQ22, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
     joinAsofTolerance)
 }

@@ -453,4 +453,27 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!p.contains("scalar-subquery"), p.take(800))
   }
+
+  test("sql_tpch_q21 decorrelates EXISTS/NOT EXISTS into semi + anti joins") {
+    val p = plan("sql_tpch_q21")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("sql_tpch_q22 plans the anti join hashed and no correlated re-scan") {
+    val p = plan("sql_tpch_q22")
+    assert(p.contains("LeftAnti"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("sql_tpch_q1 partially aggregates before its only exchange") {
+    // two HashAggregate spans (partial + final) around one shuffle — the
+    // map-side combine that keeps the exchange O(groups) at any SF
+    val p = plan("sql_tpch_q1")
+    assert(p.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") >= 2, p.take(800))
+  }
 }
