@@ -1306,7 +1306,174 @@ object AnalyticsOps {
                    n
             FROM s ORDER BY user_id, event_id"""))
 
+  // Exact-moment skewness / excess kurtosis per group: the four power sums
+  // Σv..Σv⁴ accumulate EXACTLY (Spark DECIMAL(38,0), DuckDB HUGEINT — v⁴ of
+  // a 6-digit dollar figure reaches 1e24, past BIGINT), so the shuffled
+  // partial aggregation is order-independent; the central-moment formula
+  // then runs ONCE per group in float64 on identical exact inputs, using
+  // only IEEE-exact ops (sqrt, not pow — libm pow can differ in the last
+  // ulp across engines). Shape: one map-side-combinable aggregate, O(groups)
+  // exchange at any SF.
+  private val aggSkewKurtosis = Op(
+    "agg_skew_kurtosis",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_sk")
+      s.sql("""
+        WITH o AS (SELECT o_orderpriority AS prio,
+                          CAST(round(o_totalprice) AS DECIMAL(38,0)) AS v
+                   FROM orders_sk),
+             m AS (SELECT prio, COUNT(*) AS n,
+                          CAST(SUM(v) AS DOUBLE) AS s1,
+                          CAST(SUM(v*v) AS DOUBLE) AS s2,
+                          CAST(SUM(v*v*v) AS DOUBLE) AS s3,
+                          CAST(SUM(v*v*v*v) AS DOUBLE) AS s4
+                   FROM o GROUP BY prio)
+        SELECT prio, n, round(s1 / n, 4) AS mean_usd,
+               round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                     / ((s2/n - (s1/n)*(s1/n)) *
+                        sqrt(s2/n - (s1/n)*(s1/n))), 4) AS skewness,
+               round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                      - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                     / ((s2/n - (s1/n)*(s1/n)) *
+                        (s2/n - (s1/n)*(s1/n))) - 3, 4) AS ex_kurtosis
+        FROM m ORDER BY prio""")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio,
+                              CAST(round(o_totalprice) AS HUGEINT) AS v
+                       FROM orders),
+                 m AS (SELECT prio, COUNT(*) AS n,
+                              CAST(SUM(v) AS DOUBLE) AS s1,
+                              CAST(SUM(v*v) AS DOUBLE) AS s2,
+                              CAST(SUM(v*v*v) AS DOUBLE) AS s3,
+                              CAST(SUM(v*v*v*v) AS DOUBLE) AS s4
+                       FROM o GROUP BY prio)
+            SELECT prio, n, round(s1 / n, 4) AS mean_usd,
+                   round((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                         / ((s2/n - (s1/n)*(s1/n)) *
+                            sqrt(s2/n - (s1/n)*(s1/n))), 4) AS skewness,
+                   round((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                          - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                         / ((s2/n - (s1/n)*(s1/n)) *
+                            (s2/n - (s1/n)*(s1/n))) - 3, 4) AS ex_kurtosis
+            FROM m ORDER BY prio"""))
+
+  // Rolling 20-point SPC (Shewhart control chart) violations per group: a
+  // point violates when it sits outside ±3σ of ITS OWN trailing window.
+  // The 3σ test cross-multiplies to pure BIGINT — (n·v − Σv)² > 9(n·Σv² −
+  // (Σv)²) — so there is NO float anywhere: rolling sums of dollar ints are
+  // exact, and the violation verdict is bit-identical on any engine or
+  // partitioning. Windows are ROWS-framed over a (date, orderkey) total
+  // order; one shuffle on the group key, single-pass window, O(1) state.
+  private val windowSpcRule = Op(
+    "window_spc_rule",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_spc")
+      s.sql("""
+        WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                          o_orderkey AS ok,
+                          CAST(round(o_totalprice) AS BIGINT) AS v
+                   FROM orders_spc),
+             w AS (SELECT prio, v,
+                          SUM(v) OVER win AS s1,
+                          SUM(v*v) OVER win AS s2,
+                          ROW_NUMBER() OVER
+                            (PARTITION BY prio ORDER BY od, ok) AS rn
+                   FROM o
+                   WINDOW win AS (PARTITION BY prio ORDER BY od, ok
+                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT prio, COUNT(*) AS n_windows,
+               CAST(COUNT_IF((20*v - s1)*(20*v - s1)
+                             > 9*(20*s2 - s1*s1)) AS BIGINT) AS n_violations
+        FROM w WHERE rn >= 20
+        GROUP BY prio ORDER BY prio""")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                              o_orderkey AS ok,
+                              CAST(round(o_totalprice) AS BIGINT) AS v
+                       FROM orders),
+                 w AS (SELECT prio, v,
+                              SUM(v) OVER win AS s1,
+                              SUM(v*v) OVER win AS s2,
+                              ROW_NUMBER() OVER
+                                (PARTITION BY prio ORDER BY od, ok) AS rn
+                       FROM o
+                       WINDOW win AS (PARTITION BY prio ORDER BY od, ok
+                                      ROWS BETWEEN 19 PRECEDING
+                                      AND CURRENT ROW))
+            SELECT prio, COUNT(*) AS n_windows,
+                   CAST(COUNT(*) FILTER (WHERE (20*v - s1)*(20*v - s1)
+                                         > 9*(20*s2 - s1*s1)) AS BIGINT)
+                     AS n_violations
+            FROM w WHERE rn >= 20
+            GROUP BY prio ORDER BY prio"""))
+
+  // Grid-bucketed spatial radius join (fixed-radius near-neighbor count
+  // over the embeddings' first two dimensions): each point lands in ONE
+  // r-sized grid cell, probes replicate to the 3×3 neighbor cells, and the
+  // join is a plain equi-join on the cell key — candidate pairs are bounded
+  // by local density, never all-pairs (the spatial analog of the LSH-bucket
+  // rule: at 100 TB a cross-join dies; a cell join scales linearly with
+  // occupied cells). Coordinates quantize to integer micro-units so the
+  // radius test (Δx² + Δy² ≤ r²) is pure BIGINT — no float boundary luck.
+  private val joinSpatialGrid = Op(
+    "join_spatial_grid",
+    (s, d) => {
+      t(s, d, "embeddings").createOrReplaceTempView("emb_grid")
+      s.sql("""
+        WITH p AS (SELECT vec_id,
+                          CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS x,
+                          CAST(round(CAST(element_at(embedding, 2) AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS y
+                   FROM emb_grid),
+             cells AS (SELECT vec_id, x, y,
+                              CAST(floor(x / 20000.0) AS BIGINT) AS cx,
+                              CAST(floor(y / 20000.0) AS BIGINT) AS cy
+                       FROM p),
+             probe AS (SELECT vec_id, x, y, cx + dx AS gx, cy + dy AS gy
+                       FROM cells
+                       CROSS JOIN (SELECT dx FROM VALUES (-1), (0), (1)
+                                   AS t(dx))
+                       CROSS JOIN (SELECT dy FROM VALUES (-1), (0), (1)
+                                   AS u(dy))),
+             pairs AS (SELECT a.vec_id AS va, COUNT(*) AS n
+                       FROM probe a JOIN cells b
+                         ON a.gx = b.cx AND a.gy = b.cy
+                        AND a.vec_id <> b.vec_id
+                       WHERE (a.x - b.x)*(a.x - b.x)
+                             + (a.y - b.y)*(a.y - b.y) <= 400000000
+                       GROUP BY a.vec_id)
+        SELECT p.vec_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_neighbors
+        FROM p LEFT JOIN pairs ON p.vec_id = pairs.va
+        ORDER BY p.vec_id""")
+    },
+    Some("""WITH p AS (SELECT vec_id,
+                              CAST(round(CAST(embedding[1] AS DOUBLE)
+                                         * 1000000) AS BIGINT) AS x,
+                              CAST(round(CAST(embedding[2] AS DOUBLE)
+                                         * 1000000) AS BIGINT) AS y
+                       FROM embeddings),
+                 cells AS (SELECT vec_id, x, y,
+                                  CAST(floor(x / 20000.0) AS BIGINT) AS cx,
+                                  CAST(floor(y / 20000.0) AS BIGINT) AS cy
+                           FROM p),
+                 probe AS (SELECT vec_id, x, y, cx + dx AS gx, cy + dy AS gy
+                           FROM cells
+                           CROSS JOIN (VALUES (-1), (0), (1)) t(dx)
+                           CROSS JOIN (VALUES (-1), (0), (1)) u(dy)),
+                 pairs AS (SELECT a.vec_id AS va, COUNT(*) AS n
+                           FROM probe a JOIN cells b
+                             ON a.gx = b.cx AND a.gy = b.cy
+                            AND a.vec_id <> b.vec_id
+                           WHERE (a.x - b.x)*(a.x - b.x)
+                                 + (a.y - b.y)*(a.y - b.y) <= 400000000
+                           GROUP BY a.vec_id)
+            SELECT p.vec_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_neighbors
+            FROM p LEFT JOIN pairs ON p.vec_id = pairs.va
+            ORDER BY p.vec_id"""))
+
   val ops: Seq[Op] = Seq(
+    aggSkewKurtosis, windowSpcRule, joinSpatialGrid,
     profileSkew, privacyKanon, sampleSplit, intervalMerge,
     eventAttribution, aggWeightedPercentile, privacyLdiversity, aggCountMin,
     windowEwma, aggMadRobust, aggGroupEntropy, windowRollingSlope,

@@ -325,4 +325,56 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(over === est - exact)
     }
   }
+
+  test("agg_skew_kurtosis agrees with Spark's own skewness/kurtosis") {
+    val rows = SparkEntry.queries("agg_skew_kurtosis")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(rows.nonEmpty)
+    val builtin = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(round(o_totalprice) AS DOUBLE)").as(("v")))
+      .groupBy("prio")
+      .agg(avg("v").as("mean"), skewness(col("v")).as("sk"),
+        kurtosis(col("v")).as("ku"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    rows.foreach { case (p, (mean, sk, ku)) =>
+      val (bMean, bSk, bKu) = builtin(p)
+      assert(math.abs(mean - bMean) < 1e-3)
+      assert(math.abs(sk - bSk) < 1e-3)
+      assert(math.abs(ku - bKu) < 1e-3)
+    }
+  }
+
+  test("window_spc_rule violations are a small tail of full windows") {
+    val rows = SparkEntry.queries("window_spc_rule")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nWin, nViol) =>
+      assert(nWin > 0)
+      // Chebyshev: >3 sigma has mass < 1/9 in ANY distribution
+      assert(nViol >= 0 && nViol * 9 <= nWin)
+    }
+  }
+
+  test("join_spatial_grid matches the brute-force radius count") {
+    val out = SparkEntry.queries("join_spatial_grid")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pts = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(round(CAST(element_at(embedding, 1) AS DOUBLE) * 1000000) AS BIGINT)"),
+        expr("CAST(round(CAST(element_at(embedding, 2) AS DOUBLE) * 1000000) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.size === pts.length)
+    val r2 = 400000000L
+    pts.foreach { case (id, x, y) =>
+      val brute = pts.count { case (id2, x2, y2) =>
+        id2 != id && (x - x2) * (x - x2) + (y - y2) * (y - y2) <= r2
+      }
+      assert(out(id) === brute.toLong, s"vec $id")
+    }
+  }
 }
