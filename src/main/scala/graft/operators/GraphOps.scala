@@ -150,5 +150,49 @@ object GraphOps {
              SELECT vid, CAST(min(h) AS BIGINT) AS hops
              FROM walk GROUP BY vid ORDER BY vid"""))
 
-  val ops: Seq[Op] = Seq(graphComponents, graphBfsHops)
+  // Link prediction by common-neighbor counting + Jaccard: candidate pairs
+  // come from a self-join of the adjacency on the SHARED NEIGHBOR — the
+  // wedge join (u—w—v), never a node cross product — so work is Σ_w deg(w)²,
+  // bounded by local degree exactly like the triangle count's basket cap.
+  // Known edges are anti-joined out; the Jaccard score divides two exact
+  // integers (|Γu∩Γv| / |Γu|+|Γv|−|∩|) once, rounded — engine-stable.
+  private val graphLinkPredict = Op(
+    "graph_link_predict",
+    (s, d) => {
+      val e = supplyEdges(s, d).cache()
+      val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+      val wedges = e.select(col("src").as("u"), col("dst").as("w"))
+        .join(e.select(col("src").as("w"), col("dst").as("v")), "w")
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+      val known = e.where(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      wedges.join(known, Seq("u", "v"), "left_anti")
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        .select(col("u"), col("v"), col("cn"),
+          round(col("cn").cast("double") /
+            (col("du") + col("dv") - col("cn")), 4).as("jaccard"))
+        .orderBy("u", "v")
+    },
+    Some(s"""WITH $oracleEdgeCte,
+             deg AS (SELECT src AS n, count(*) AS deg FROM edges GROUP BY src),
+             wedges AS (
+               SELECT e1.src AS u, e2.dst AS v,
+                      CAST(count(*) AS BIGINT) AS cn
+               FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+               WHERE e1.src < e2.dst
+               GROUP BY 1, 2),
+             known AS (SELECT src AS u, dst AS v FROM edges WHERE src < dst)
+             SELECT w.u, w.v, w.cn,
+                    round(CAST(w.cn AS DOUBLE)
+                          / (du.deg + dv.deg - w.cn), 4) AS jaccard
+             FROM wedges w
+             LEFT JOIN known k ON w.u = k.u AND w.v = k.v
+             JOIN deg du ON w.u = du.n
+             JOIN deg dv ON w.v = dv.n
+             WHERE k.u IS NULL
+             ORDER BY w.u, w.v"""))
+
+  val ops: Seq[Op] = Seq(graphComponents, graphBfsHops, graphLinkPredict)
 }

@@ -2321,8 +2321,108 @@ object LlmOps {
                      AS distortion_u
             FROM am GROUP BY vec_id ORDER BY vec_id"""))
 
+  // Asymmetric-distance (ADC) top-k search over the PQ index — the query
+  // half of IVF-PQ: the probe computes one 8×16 lookup table (its true
+  // distance to every codebook entry, per block), and every database
+  // vector's approximate distance is then just 8 LUT fetches summed —
+  // NO per-pair float math at query time. At 100 TB the LUT is a broadcast
+  // of 128 rows and the scan touches only the 8-byte codes, not the
+  // vectors. Distances quantize to exact integer micro-units before the
+  // sum (same protocol as emb_product_quantize) so ranking is BIGINT-exact;
+  // top-10 plans as TakeOrderedAndProject with a vec_id tie-break.
+  private val simPqAdc = Op(
+    "sim_pq_adc",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val blocks = e.select(col("vec_id"),
+        explode(expr(
+          "transform(sequence(0, 7), b -> struct(b AS b, slice(v, b * 8 + 1, 8) AS sv))"))
+          .as("s"))
+        .select(col("vec_id"), col("s.b").as("b"), col("s.sv").as("sv"))
+      val codebook = broadcast(
+        blocks.where(col("vec_id").between(1, 16))
+          .select(col("b").as("cb"), col("vec_id").as("cid"),
+            col("sv").as("cv")))
+      val codes = blocks.join(codebook, col("b") === col("cb"))
+        .withColumn("dist", round(expr(
+          "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"),
+          6))
+        .groupBy("vec_id", "b")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("b"), col("m.cid").as("code"))
+      val lut = broadcast(blocks.where(col("vec_id") === 42)
+        .select(col("b").as("lb"), col("sv").as("pv"))
+        .join(codebook, col("lb") === col("cb"))
+        .withColumn("pd", expr(
+          "CAST(round(aggregate(zip_with(pv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x) * 1000000) AS BIGINT)"))
+        .select(col("lb"), col("cid").as("lcid"), col("pd")))
+      codes.join(lut, col("b") === col("lb") && col("code") === col("lcid"))
+        .where(col("vec_id") =!= 42)
+        .groupBy("vec_id").agg(sum("pd").as("adc_u"))
+        .orderBy(col("adc_u"), col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            bs AS (SELECT unnest(range(8)) AS b),
+            blocks AS (
+              SELECT vec_id, b, v[b * 8 + 1 : b * 8 + 8] AS sv
+              FROM e CROSS JOIN bs),
+            codebook AS (
+              SELECT b AS cb, vec_id AS cid, sv AS cv
+              FROM blocks WHERE vec_id BETWEEN 1 AND 16),
+            scored AS (
+              SELECT bl.vec_id, bl.b, c.cid,
+                     round(list_sum(list_transform(range(len(bl.sv)),
+                       i -> (bl.sv[i+1] - c.cv[i+1]) * (bl.sv[i+1] - c.cv[i+1]))),
+                       6) AS dist
+              FROM blocks bl JOIN codebook c ON bl.b = c.cb),
+            codes AS (
+              SELECT vec_id, b, (min({'d': dist, 'c': cid})).c AS code
+              FROM scored GROUP BY vec_id, b),
+            lut AS (
+              SELECT c.cb AS lb, c.cid AS lcid,
+                     CAST(round(list_sum(list_transform(range(len(p.sv)),
+                       i -> (p.sv[i+1] - c.cv[i+1]) * (p.sv[i+1] - c.cv[i+1])))
+                       * 1000000) AS BIGINT) AS pd
+              FROM blocks p JOIN codebook c ON p.b = c.cb
+              WHERE p.vec_id = 42)
+            SELECT cd.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc_u
+            FROM codes cd JOIN lut l ON cd.b = l.lb AND cd.code = l.lcid
+            WHERE cd.vec_id <> 42
+            GROUP BY cd.vec_id
+            ORDER BY adc_u, vec_id LIMIT 10"""))
+
+  // Sentence segmentation stats per document: terminator-run counting
+  // ([.!?]+ occurrences) and whitespace tokenization — both pure map-side
+  // regex over the text column (zero shuffle, codegen'd), the pre-filter
+  // shape a quality pipeline runs before any per-sentence processing.
+  // Words-per-sentence divides two exact integers once, rounded.
+  private val textSentenceStats = Op(
+    "text_sentence_stats",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("CAST(regexp_count(text, '[.!?]+') AS BIGINT)")
+          .as("n_sentences"),
+        expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)")
+          .as("n_words"))
+      .withColumn("words_per_sent",
+        round(col("n_words") / greatest(col("n_sentences"), lit(1L)), 2))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                AS n_sentences,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                AS n_words,
+              round(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1), 2)
+                AS words_per_sent
+            FROM documents ORDER BY doc_id"""))
+
   val ops: Seq[Op] = Seq(
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
+    simPqAdc, textSentenceStats,
     textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,

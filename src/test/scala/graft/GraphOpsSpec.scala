@@ -41,4 +41,16 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === comps)
   }
+
+  test("graph_link_predict proposes only non-edges within one component") {
+    val rows = SparkEntry.queries("graph_link_predict")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (u, v, cn, j) =>
+      assert(u < v)
+      assert(cn >= 1, "a predicted pair shares at least one neighbor")
+      assert(j > 0.0 && j <= 1.0)
+      // sharing a neighbor implies same connected component
+      assert(comps(u) === comps(v))
+    }
+  }
 }

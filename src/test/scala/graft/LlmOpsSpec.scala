@@ -507,4 +507,28 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(code === Array.fill(8)(vid.toString).mkString("-"))
     }
   }
+
+  test("sim_pq_adc returns a sorted top-10 excluding the probe") {
+    val rows = SparkEntry.queries("sim_pq_adc")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 10)
+    assert(!rows.exists(_._1 == 42L), "probe excluded from its own results")
+    rows.foreach { case (_, adc) => assert(adc >= 0L) }
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sorted.toSeq)
+    val again = SparkEntry.queries("sim_pq_adc")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === rows.toSeq, "ADC ranking is deterministic")
+  }
+
+  test("text_sentence_stats ratio is consistent with its own counts") {
+    val rows = SparkEntry.queries("text_sentence_stats")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nSent, nWords, wps) =>
+      assert(nSent >= 0 && nWords >= 1)
+      val expected = math.round(
+        nWords.toDouble / math.max(nSent, 1L) * 100).toDouble / 100
+      assert(math.abs(wps - expected) < 1e-9)
+    }
+  }
 }
