@@ -1472,8 +1472,142 @@ object AnalyticsOps {
             FROM p LEFT JOIN pairs ON p.vec_id = pairs.va
             ORDER BY p.vec_id"""))
 
+  // First-order Markov transition matrix over per-user event sequences:
+  // one lead() window on the (user, time) order produces every (src, dst)
+  // adjacent pair, then a plain count + a per-src window sum turns counts
+  // into row-stochastic probabilities. Shape: one shuffle on user_id for
+  // the sequence window, one on src for the normalizer — both O(rows),
+  // and the output is O(|types|²) regardless of SF. Probabilities divide
+  // two exact counts once, rounded.
+  private val eventMarkov = Op(
+    "event_markov",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", round(
+          col("cnt") / sum("cnt").over(Window.partitionBy("src")), 4))
+        .orderBy("src", "dst")
+    },
+    Some("""WITH seq AS (
+              SELECT event_type,
+                     lead(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS next_type
+              FROM events),
+            tr AS (
+              SELECT event_type AS src, next_type AS dst, count(*) AS c
+              FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+            SELECT src, dst, CAST(c AS BIGINT) AS cnt,
+                   round(CAST(c AS DOUBLE) /
+                         CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE), 4)
+                     AS p
+            FROM tr ORDER BY src, dst"""))
+
+  // Gini concentration index per group over integer cents: the rank-sum
+  // formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) on the ascending sort.
+  // Every term is an exact BIGINT (ties contribute identically under any
+  // tie order, so row_number tie-breaks cannot change the sum); the single
+  // float division happens once per group, rounded. One window for ranks,
+  // one aggregate — both shuffle on the group key only.
+  private val aggGini = Op(
+    "agg_gini",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gini")
+      s.sql("""
+        WITH o AS (SELECT o_orderpriority AS prio,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                          o_orderkey AS ok
+                   FROM orders_gini),
+             r AS (SELECT prio, cents,
+                          ROW_NUMBER() OVER
+                            (PARTITION BY prio ORDER BY cents, ok) AS rn
+                   FROM o)
+        SELECT prio, COUNT(*) AS n,
+               round((2.0 * CAST(SUM(rn * cents) AS DOUBLE)
+                      - (COUNT(*) + 1.0) * CAST(SUM(cents) AS DOUBLE))
+                     / (COUNT(*) * CAST(SUM(cents) AS DOUBLE)), 6) AS gini
+        FROM r GROUP BY prio ORDER BY prio""")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents,
+                              o_orderkey AS ok
+                       FROM orders),
+                 r AS (SELECT prio, cents,
+                              ROW_NUMBER() OVER
+                                (PARTITION BY prio ORDER BY cents, ok) AS rn
+                       FROM o)
+            SELECT prio, COUNT(*) AS n,
+                   round((2.0 * CAST(SUM(rn * cents) AS DOUBLE)
+                          - (COUNT(*) + 1.0) * CAST(SUM(cents) AS DOUBLE))
+                         / (COUNT(*) * CAST(SUM(cents) AS DOUBLE)), 6)
+                     AS gini
+            FROM r GROUP BY prio ORDER BY prio"""))
+
+  // Mutual information between event type and day-of-week: the
+  // feature-dependence screen a pipeline runs before keeping a categorical
+  // feature. Cell/marginal counts are exact integers; MI and the marginal
+  // entropies evaluate the same closed form on both engines (natural log
+  // over exact count ratios; the |types|×7 cell sum is far too small for
+  // last-ulp drift to reach the 4-dp rounding). Day-of-week derives from
+  // an epoch-anchored datediff, not a locale-dependent dow() builtin.
+  private val aggMutualInfo = Op(
+    "agg_mutual_info",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_mi")
+      s.sql("""
+        WITH b AS (SELECT event_type AS x,
+                          CAST(datediff(CAST(ts AS DATE),
+                                        DATE '1995-01-01') % 7 AS BIGINT)
+                            AS y
+                   FROM events_mi),
+             cells AS (SELECT x, y, COUNT(*) AS c FROM b GROUP BY x, y),
+             mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+                    FROM cells GROUP BY x),
+             my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+                    FROM cells GROUP BY y),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+        SELECT n,
+               round(SUM((CAST(c AS DOUBLE) / n) *
+                         ln((CAST(c AS DOUBLE) * n)
+                            / (CAST(cx AS DOUBLE) * cy))), 4) AS mi,
+               round(-SUM((CAST(c AS DOUBLE) / n) *
+                          ln(CAST(cx AS DOUBLE) / n)), 4) AS h_x,
+               round(-SUM((CAST(c AS DOUBLE) / n) *
+                          ln(CAST(cy AS DOUBLE) / n)), 4) AS h_y
+        FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        GROUP BY n""")
+    },
+    Some("""WITH b AS (SELECT event_type AS x,
+                              CAST(datediff('day', DATE '1995-01-01',
+                                            CAST(ts AS DATE)) % 7 AS BIGINT)
+                                AS y
+                       FROM events),
+                 cells AS (SELECT x, y, COUNT(*) AS c FROM b GROUP BY x, y),
+                 mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+                        FROM cells GROUP BY x),
+                 my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+                        FROM cells GROUP BY y),
+                 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+            SELECT n,
+                   round(SUM((CAST(c AS DOUBLE) / n) *
+                             ln((CAST(c AS DOUBLE) * n)
+                                / (CAST(cx AS DOUBLE) * cy))), 4) AS mi,
+                   round(-SUM((CAST(c AS DOUBLE) / n) *
+                              ln(CAST(cx AS DOUBLE) / n)), 4) AS h_x,
+                   round(-SUM((CAST(c AS DOUBLE) / n) *
+                              ln(CAST(cy AS DOUBLE) / n)), 4) AS h_y
+            FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+            GROUP BY n"""))
+
   val ops: Seq[Op] = Seq(
     aggSkewKurtosis, windowSpcRule, joinSpatialGrid,
+    eventMarkov, aggGini, aggMutualInfo,
     profileSkew, privacyKanon, sampleSplit, intervalMerge,
     eventAttribution, aggWeightedPercentile, privacyLdiversity, aggCountMin,
     windowEwma, aggMadRobust, aggGroupEntropy, windowRollingSlope,

@@ -360,6 +360,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("event_markov rows are row-stochastic per source state") {
+    val rows = SparkEntry.queries("event_markov")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      val pSum = ts.map(_._3).sum
+      // rounded-4dp probabilities per src sum to 1 within rounding slack
+      assert(math.abs(pSum - 1.0) <= ts.length * 5e-5 + 1e-9)
+      ts.foreach { case (_, cnt, p) => assert(cnt >= 1 && p > 0.0 && p <= 1.0) }
+    }
+  }
+
+  test("agg_gini is within [0, 1) and invariant to a uniform scale") {
+    val rows = SparkEntry.queries("agg_gini")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sfDir, "orders").count()
+    assert(rows.map(_._2).sum === total)
+    rows.foreach { case (_, n, g) =>
+      assert(n > 0)
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
+  test("agg_mutual_info respects the information-theoretic bounds") {
+    val rows = SparkEntry.queries("agg_mutual_info")(spark, sfDir).collect()
+    assert(rows.length === 1)
+    val (n, mi, hx, hy) =
+      (rows(0).getLong(0), rows(0).getDouble(1), rows(0).getDouble(2), rows(0).getDouble(3))
+    assert(n === Tables.load(spark, sfDir, "events").count())
+    assert(mi >= -1e-9, "MI is non-negative")
+    assert(mi <= math.min(hx, hy) + 1e-9, "MI <= min of the entropies")
+    assert(hx >= 0.0 && hy >= 0.0)
+    assert(hy <= math.log(7.0) + 1e-9, "7 day-of-week buckets cap H(y)")
+  }
+
   test("join_spatial_grid matches the brute-force radius count") {
     val out = SparkEntry.queries("join_spatial_grid")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
