@@ -189,6 +189,30 @@ object FnFamilies {
               COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // DYNAMIC pivot — the column list comes from the data, not the query: a
+  // valueless pivot() makes Spark run a distinct-values job at plan time,
+  // then compile the same FILTER-per-value aggregate agg_pivot declares
+  // statically. Two passes by design (the first is a tiny distinct over one
+  // column); the cohort key keeps output rows O(10) at any SF. The oracle
+  // pins today's observed domain — if the generator ever grows a type, the
+  // column-set check fails loudly rather than silently dropping it.
+  private val aggPivotDynamic = Op(
+    "agg_pivot_dynamic",
+    (s, d) => t(s, d, "events")
+      .withColumn("cohort", (col("user_id") % 10).cast("long"))
+      .groupBy("cohort")
+      .pivot("event_type")
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("cohort"),
+    Some("""SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+              COUNT(*) FILTER (event_type = 'click') AS click,
+              COUNT(*) FILTER (event_type = 'error') AS error,
+              COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+              COUNT(*) FILTER (event_type = 'signup') AS signup,
+              COUNT(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1 ORDER BY cohort"""))
+
   // Binary/text encodings (base64, hex, and the decode roundtrip) — the
   // transport-encoding family next to fn_hash's digests. All map-side.
   private val fnEncode = Op(
@@ -366,5 +390,5 @@ object FnFamilies {
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
     fnHash, fnEncode, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot,
-    aggMinMaxBy, fnStruct, fnMap, fnUrl, fnCsv)
+    aggPivotDynamic, aggMinMaxBy, fnStruct, fnMap, fnUrl, fnCsv)
 }

@@ -1181,6 +1181,50 @@ object Relational {
             GROUP BY c_nationkey
             ORDER BY c_nationkey"""))
 
+  // TPC-H-Q2-shaped "minimum-cost supplier": the correlated scalar MIN over
+  // a DERIVED table (per-part supplier cost from the fact), referenced both
+  // as the join input and inside the correlated subquery. Catalyst
+  // decorrelates the per-row min into one aggregate joined back on partkey
+  // — so the lookup costs two aggregates + hash joins, never a re-scan per
+  // part. Costs quantize to integer cents before MIN, so the "equals the
+  // minimum" predicate is exact on both engines (a float min can differ in
+  // the last ulp and silently drop the matching row).
+  private val sqlTpchQ2 = Op(
+    "sql_tpch_q2",
+    (s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_q2")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_q2")
+      t(s, d, "nation").createOrReplaceTempView("nation_q2")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_q2")
+      s.sql("""
+        WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                           MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
+                             AS cost
+                    FROM lineitem_q2 GROUP BY 1, 2)
+        SELECT p_partkey, p_name, s_name, n_name,
+               round(CAST(ps.cost AS DOUBLE) / 100.0, 2) AS min_cost
+        FROM part_q2 JOIN ps ON pk = p_partkey
+        JOIN supplier_q2 ON s_suppkey = ps.sk
+        JOIN nation_q2 ON s_nationkey = n_nationkey
+        WHERE p_size <= 10
+          AND ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
+                         WHERE ps2.pk = p_partkey)
+        ORDER BY p_partkey, s_name""")
+    },
+    Some("""WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                               MIN(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)) AS cost
+                        FROM lineitem GROUP BY 1, 2)
+            SELECT p_partkey, p_name, s_name, n_name,
+                   round(CAST(ps.cost AS DOUBLE) / 100.0, 2) AS min_cost
+            FROM part JOIN ps ON pk = p_partkey
+            JOIN supplier ON s_suppkey = ps.sk
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_size <= 10
+              AND ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
+                             WHERE ps2.pk = p_partkey)
+            ORDER BY p_partkey, s_name"""))
+
   // Binned interval join — the RANGE-join shape that survives 100 TB when
   // NEITHER side fits in a broadcast (join_theta_range's complement: that key
   // broadcasts its band side; this one needs no broadcast on either side).
@@ -1389,6 +1433,6 @@ object Relational {
     aggPercentile, topkPerGroup,
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
     sqlTpchQ5, sqlTpchQ10, sqlTpchQ17, sqlTpchQ18, sqlTpchQ1, sqlTpchQ21,
-    sqlTpchQ22, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
+    sqlTpchQ22, sqlTpchQ2, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
     joinAsofTolerance)
 }

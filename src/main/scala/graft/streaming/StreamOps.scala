@@ -732,10 +732,45 @@ object StreamOps {
                    max_by(value, event_id) AS last_value
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // CHAINED stateful aggregations in one append-mode query (a Spark-4
+  // capability: multiple stateful operators per stream): 5-minute counts
+  // re-aggregate into 15-minute rollups downstream, all inside the same
+  // micro-batch pipeline — the streaming analog of a partial/final
+  // aggregate pair. Watermark semantics cascade: an inner window emits
+  // when the watermark passes its end, the outer window closes once the
+  // watermark passes ITS end, by which point every inner window inside it
+  // has emitted — so the oracle is the batch 15-minute rollup restricted
+  // to outer windows entirely below the final watermark.
+  private val streamChainedWindows = Op(
+    "stream_chained_windows",
+    (s, d) => {
+      val out = tmp("graft_scw_out_"); val ck = tmp("graft_scw_ck_")
+      val q = landAndStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n5"))
+        .groupBy(window(col("window"), "15 minutes"))
+        .agg(sum("n5").as("n15"), count(lit(1)).as("n_sub"))
+        .select(expr("unix_micros(window.start) div 1000").as("ws_ms"),
+          col("n15"), col("n_sub"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("ws_ms")
+    },
+    Some("""SELECT (epoch_ms(ts) // 900000) * 900000 AS ws_ms,
+              CAST(COUNT(*) AS BIGINT) AS n15,
+              CAST(COUNT(DISTINCT epoch_ms(ts) // 300000) AS BIGINT) AS n_sub
+            FROM events GROUP BY 1
+            HAVING ws_ms + 900000 <=
+              (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
+            ORDER BY ws_ms"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
     streamDedupState, streamCustomState, streamCdcFeed,
-    streamObserveMetrics, streamWatermarkAudit)
+    streamObserveMetrics, streamWatermarkAudit, streamChainedWindows)
 }

@@ -469,6 +469,20 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("sql_tpch_q2 decorrelates the per-part min into one aggregate") {
+    val p = SparkEntry.queries("sql_tpch_q2")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("scalar-subquery"), p.take(800))
+  }
+
+  test("agg_pivot_dynamic compiles to one hash aggregate, no join") {
+    // the distinct-values pass happens at PLAN time; the executed plan must
+    // be a plain grouped aggregate over events, not a per-value join
+    val p = plan("agg_pivot_dynamic")
+    assert(p.contains("HashAggregate"), p.take(500))
+    assert(!p.contains("Join"), p.take(500))
+  }
+
   test("sql_tpch_q1 partially aggregates before its only exchange") {
     // two HashAggregate spans (partial + final) around one shuffle — the
     // map-side combine that keeps the exchange O(groups) at any SF

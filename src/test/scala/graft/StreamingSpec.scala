@@ -284,4 +284,22 @@ class StreamingSpec extends AnyFunSuite {
     val expected = Tables.load(spark, sfDir, "events").count()
     assert(res.count() === expected, "throttling must not lose or duplicate rows")
   }
+
+  test("stream_chained_windows rolls 5-minute counts into consistent 15-minute sums") {
+    val rows = SparkEntry.queries("stream_chained_windows")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "the cascaded watermark must emit closed outer windows")
+    rows.foreach { case (ws, n15, nSub) =>
+      assert(ws % 900000L === 0L, "outer windows align to 15-minute boundaries")
+      assert(nSub >= 1 && nSub <= 3, "an outer window holds at most three 5-minute subwindows")
+      assert(n15 >= nSub, "each contributing subwindow counts at least one event")
+    }
+    // inner emissions must add up: the outer sum over a window equals the
+    // batch count of events in that window
+    val batch = Tables.load(spark, sfDir, "events")
+      .select((expr("unix_micros(ts) div 1000") / 900000L).cast("long").as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getLong(0) * 900000L -> r.getLong(1)).toMap
+    rows.foreach { case (ws, n15, _) => assert(batch(ws) === n15) }
+  }
 }
