@@ -148,6 +148,26 @@ object FnFamilies {
               json_extract_string(props, '$.missing') AS missing_val
             FROM events ORDER BY event_id"""))
 
+  // Spark-4 VARIANT path: parse once into the binary variant encoding,
+  // extract TYPED values with variant_get (no per-access string re-parse —
+  // the difference between JSON-as-string and a columnar semi-structured
+  // type at 100 TB). Missing paths yield NULL, surfaced via coalesce.
+  private val fnVariant = Op(
+    "fn_variant",
+    (s, d) => t(s, d, "events").select(
+      col("event_id"),
+      expr("CAST(variant_get(parse_json(props), '$.k', 'int') AS INT)")
+        .as("k_val"),
+      expr("""COALESCE(CAST(variant_get(parse_json(props), '$.missing',
+                                        'int') AS INT), -1)""")
+        .as("miss_val"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CAST(json_extract(props, '$.k') AS INT) AS k_val,
+              COALESCE(CAST(json_extract(props, '$.missing') AS INT), -1)
+                AS miss_val
+            FROM events ORDER BY event_id"""))
+
   // Cryptographic digests — content-addressing / dedup keys at scale.
   // (sha1 exists in Spark but not DuckDB, so the family sticks to the
   // engine-portable md5 + sha256.)
@@ -390,5 +410,5 @@ object FnFamilies {
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
     fnHash, fnEncode, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot,
-    aggPivotDynamic, aggMinMaxBy, fnStruct, fnMap, fnUrl, fnCsv)
+    aggPivotDynamic, aggMinMaxBy, fnStruct, fnMap, fnUrl, fnCsv, fnVariant)
 }

@@ -1605,8 +1605,55 @@ object AnalyticsOps {
             FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
             GROUP BY n"""))
 
+  // Rolling quantiles (median + p90) over a 20-row trailing frame: the
+  // windowed complement of agg_percentile. Interpolation runs over INTEGER
+  // CENTS — both engines compute pos = q·(n−1) and lerp on the same exact
+  // integers, so the result is bit-identical (the §7.6 rule: floats may
+  // appear only in the final division). Windows shuffle once on the group
+  // key; the frame is O(1) state per row.
+  private val windowRollingQuantile = Op(
+    "window_rolling_quantile",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_rq")
+      s.sql("""
+        WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                          o_orderkey AS ok,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders_rq),
+             w AS (SELECT prio, ok,
+                          percentile(cents, 0.5D) OVER win AS med_c,
+                          percentile(cents, 0.9D) OVER win AS p90_c,
+                          ROW_NUMBER() OVER
+                            (PARTITION BY prio ORDER BY od, ok) AS rn
+                   FROM o
+                   WINDOW win AS (PARTITION BY prio ORDER BY od, ok
+                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT prio, ok, round(med_c / 100.0, 4) AS med,
+               round(p90_c / 100.0, 4) AS p90
+        FROM w WHERE rn >= 20
+        ORDER BY prio, ok""")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                              o_orderkey AS ok,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders),
+                 w AS (SELECT prio, ok,
+                              quantile_cont(cents, 0.5) OVER win AS med_c,
+                              quantile_cont(cents, 0.9) OVER win AS p90_c,
+                              ROW_NUMBER() OVER
+                                (PARTITION BY prio ORDER BY od, ok) AS rn
+                       FROM o
+                       WINDOW win AS (PARTITION BY prio ORDER BY od, ok
+                                      ROWS BETWEEN 19 PRECEDING
+                                      AND CURRENT ROW))
+            SELECT prio, ok, round(med_c / 100.0, 4) AS med,
+                   round(p90_c / 100.0, 4) AS p90
+            FROM w WHERE rn >= 20
+            ORDER BY prio, ok"""))
+
   val ops: Seq[Op] = Seq(
-    aggSkewKurtosis, windowSpcRule, joinSpatialGrid,
+    aggSkewKurtosis, windowSpcRule, joinSpatialGrid, windowRollingQuantile,
     eventMarkov, aggGini, aggMutualInfo,
     profileSkew, privacyKanon, sampleSplit, intervalMerge,
     eventAttribution, aggWeightedPercentile, privacyLdiversity, aggCountMin,

@@ -1281,8 +1281,47 @@ object EtlOps {
             GROUP BY o.prio
             ORDER BY o.prio"""))
 
+  // Day-of-week seasonality profile per event type: the seasonal index
+  // idx = (cell count × 7) / type total — 1.0 means a flat weekly profile.
+  // Counts are exact; the index divides two exact integers once, rounded.
+  // Day-of-week derives from an epoch-anchored datediff (same rule as
+  // agg_mutual_info) — no locale-dependent dow() builtin on either engine.
+  private val resampleSeasonality = Op(
+    "resample_seasonality",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_season")
+      s.sql("""
+        WITH b AS (SELECT event_type,
+                          CAST(datediff(CAST(ts AS DATE),
+                                        DATE '1995-01-01') % 7 AS BIGINT)
+                            AS dow
+                   FROM events_season),
+             cell AS (SELECT event_type, dow, COUNT(*) AS n
+                      FROM b GROUP BY event_type, dow),
+             tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+                     FROM cell GROUP BY event_type)
+        SELECT c.event_type, c.dow, c.n,
+               round(CAST(c.n * 7 AS DOUBLE) / total, 4) AS idx
+        FROM cell c JOIN tot USING (event_type)
+        ORDER BY event_type, dow""")
+    },
+    Some("""WITH b AS (SELECT event_type,
+                              CAST(datediff('day', DATE '1995-01-01',
+                                            CAST(ts AS DATE)) % 7 AS BIGINT)
+                                AS dow
+                       FROM events),
+                 cell AS (SELECT event_type, dow, COUNT(*) AS n
+                          FROM b GROUP BY event_type, dow),
+                 tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+                         FROM cell GROUP BY event_type)
+            SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+                   round(CAST(c.n * 7 AS DOUBLE) / total, 4) AS idx
+            FROM cell c JOIN tot USING (event_type)
+            ORDER BY event_type, dow"""))
+
   val ops: Seq[Op] = Seq(
     auditFk, dqExpectations, resampleInterpolate, resampleOhlc, dqAnomalyIqr,
+    resampleSeasonality,
     profileStatsApprox,
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,

@@ -2420,9 +2420,79 @@ object LlmOps {
                 AS words_per_sent
             FROM documents ORDER BY doc_id"""))
 
+  // Grid-bounded kNN join over the embeddings' first two dims: top-3
+  // nearest neighbors per point, candidates restricted to the 3×3 grid
+  // neighborhood (the join_spatial_grid bucketing — work scales with local
+  // density, never all-pairs). Ranking is BIGINT-exact: squared micro-unit
+  // distances with a vec_id tie-break, so the per-point row_number top-3 is
+  // engine-independent. Points with an empty neighborhood simply emit no
+  // rows — the radius-bounded contract of a grid kNN.
+  private val joinKnnGrid = Op(
+    "join_knn_grid",
+    (s, d) => {
+      t(s, d, "embeddings").createOrReplaceTempView("emb_knn")
+      s.sql("""
+        WITH p AS (SELECT vec_id,
+                          CAST(round(CAST(element_at(embedding, 1) AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS x,
+                          CAST(round(CAST(element_at(embedding, 2) AS DOUBLE)
+                                     * 1000000) AS BIGINT) AS y
+                   FROM emb_knn),
+             cells AS (SELECT vec_id, x, y,
+                              CAST(floor(x / 20000.0) AS BIGINT) AS cx,
+                              CAST(floor(y / 20000.0) AS BIGINT) AS cy
+                       FROM p),
+             probe AS (SELECT vec_id, x, y, cx + dx AS gx, cy + dy AS gy
+                       FROM cells
+                       CROSS JOIN (SELECT dx FROM VALUES (-1), (0), (1)
+                                   AS t(dx))
+                       CROSS JOIN (SELECT dy FROM VALUES (-1), (0), (1)
+                                   AS u(dy))),
+             cand AS (SELECT a.vec_id AS src, b.vec_id AS nb,
+                             (a.x - b.x)*(a.x - b.x)
+                             + (a.y - b.y)*(a.y - b.y) AS d2
+                      FROM probe a JOIN cells b
+                        ON a.gx = b.cx AND a.gy = b.cy
+                       AND a.vec_id <> b.vec_id),
+             ranked AS (SELECT src, nb, d2,
+                               ROW_NUMBER() OVER (PARTITION BY src
+                                                  ORDER BY d2, nb) AS rk
+                        FROM cand)
+        SELECT src, nb, CAST(rk AS BIGINT) AS rk, d2
+        FROM ranked WHERE rk <= 3
+        ORDER BY src, rk""")
+    },
+    Some("""WITH p AS (SELECT vec_id,
+                              CAST(round(CAST(embedding[1] AS DOUBLE)
+                                         * 1000000) AS BIGINT) AS x,
+                              CAST(round(CAST(embedding[2] AS DOUBLE)
+                                         * 1000000) AS BIGINT) AS y
+                       FROM embeddings),
+                 cells AS (SELECT vec_id, x, y,
+                                  CAST(floor(x / 20000.0) AS BIGINT) AS cx,
+                                  CAST(floor(y / 20000.0) AS BIGINT) AS cy
+                           FROM p),
+                 probe AS (SELECT vec_id, x, y, cx + dx AS gx, cy + dy AS gy
+                           FROM cells
+                           CROSS JOIN (VALUES (-1), (0), (1)) t(dx)
+                           CROSS JOIN (VALUES (-1), (0), (1)) u(dy)),
+                 cand AS (SELECT a.vec_id AS src, b.vec_id AS nb,
+                                 (a.x - b.x)*(a.x - b.x)
+                                 + (a.y - b.y)*(a.y - b.y) AS d2
+                          FROM probe a JOIN cells b
+                            ON a.gx = b.cx AND a.gy = b.cy
+                           AND a.vec_id <> b.vec_id),
+                 ranked AS (SELECT src, nb, d2,
+                                   ROW_NUMBER() OVER (PARTITION BY src
+                                                      ORDER BY d2, nb) AS rk
+                            FROM cand)
+            SELECT src, nb, CAST(rk AS BIGINT) AS rk, d2
+            FROM ranked WHERE rk <= 3
+            ORDER BY src, rk"""))
+
   val ops: Seq[Op] = Seq(
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
-    simPqAdc, textSentenceStats,
+    simPqAdc, textSentenceStats, joinKnnGrid,
     textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,

@@ -396,6 +396,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(hy <= math.log(7.0) + 1e-9, "7 day-of-week buckets cap H(y)")
   }
 
+  test("window_rolling_quantile keeps median <= p90 on every full window") {
+    val rows = SparkEntry.queries("window_rolling_quantile")(spark, sfDir)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (med, p90) => assert(med <= p90 + 1e-9) }
+  }
+
+  test("join_knn_grid ranks are dense, distance-sorted, and self-free") {
+    val rows = SparkEntry.queries("join_knn_grid")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nb, rk, d2) =>
+      assert(src != nb)
+      assert(rk >= 1 && rk <= 3)
+      assert(d2 >= 0)
+    }
+    rows.groupBy(_._1).foreach { case (_, ns) =>
+      val byRank = ns.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1L to byRank.length).toSeq, "dense ranks")
+      assert(byRank.map(_._4).toSeq === byRank.map(_._4).sorted.toSeq, "distance-ordered")
+    }
+  }
+
   test("join_spatial_grid matches the brute-force radius count") {
     val out = SparkEntry.queries("join_spatial_grid")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -328,6 +328,24 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sum === total)
   }
 
+  test("resample_seasonality indexes average to 1 per event type") {
+    val rows = SparkEntry.queries("resample_seasonality")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_._3).sum === total)
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      assert(cells.map(_._2).distinct.length === cells.length, "one row per dow")
+      // Σ idx = Σ 7n/N = 7 when all seven days are present
+      if (cells.length == 7)
+        assert(math.abs(cells.map(_._4).sum - 7.0) < 7 * 5e-5 + 1e-9)
+      cells.foreach { case (_, dow, _, idx) =>
+        assert(dow >= 0 && dow <= 6)
+        assert(idx > 0.0)
+      }
+    }
+  }
+
   test("dq_anomaly_iqr fences bound a minority of each group") {
     val rows = SparkEntry.queries("dq_anomaly_iqr")(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
