@@ -1652,9 +1652,53 @@ object AnalyticsOps {
             FROM w WHERE rn >= 20
             ORDER BY prio, ok"""))
 
+  // Conversion-lag distribution: per user, time from FIRST signup to the
+  // first purchase after it — the funnel-timing metric next to
+  // event_funnel's step counts. Two per-user min-aggregates + one
+  // broadcast-size join; lags stay in exact epoch-millisecond BIGINTs and
+  // the median/p90 interpolate over those exact integers (one float
+  // division at the output boundary). Output is one row at any SF.
+  private val eventConversionLag = Op(
+    "event_conversion_lag",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_cl")
+      s.sql("""
+        WITH su AS (SELECT user_id,
+                           MIN(unix_micros(ts) div 1000) AS s_ms
+                    FROM events_cl WHERE event_type = 'signup'
+                    GROUP BY user_id),
+             pu AS (SELECT e.user_id,
+                           MIN(unix_micros(e.ts) div 1000) AS p_ms,
+                           MIN(su.s_ms) AS s_ms
+                    FROM events_cl e JOIN su ON e.user_id = su.user_id
+                    WHERE e.event_type = 'purchase'
+                      AND unix_micros(e.ts) div 1000 > su.s_ms
+                    GROUP BY e.user_id)
+        SELECT COUNT(*) AS n_converted,
+               round(percentile(p_ms - s_ms, 0.5D) / 1000.0, 3) AS med_lag_s,
+               round(percentile(p_ms - s_ms, 0.9D) / 1000.0, 3) AS p90_lag_s
+        FROM pu""")
+    },
+    Some("""WITH su AS (SELECT user_id, MIN(epoch_ms(ts)) AS s_ms
+                        FROM events WHERE event_type = 'signup'
+                        GROUP BY user_id),
+                 pu AS (SELECT e.user_id,
+                               MIN(epoch_ms(e.ts)) AS p_ms,
+                               MIN(su.s_ms) AS s_ms
+                        FROM events e JOIN su ON e.user_id = su.user_id
+                        WHERE e.event_type = 'purchase'
+                          AND epoch_ms(e.ts) > su.s_ms
+                        GROUP BY e.user_id)
+            SELECT COUNT(*) AS n_converted,
+                   round(quantile_cont(p_ms - s_ms, 0.5) / 1000.0, 3)
+                     AS med_lag_s,
+                   round(quantile_cont(p_ms - s_ms, 0.9) / 1000.0, 3)
+                     AS p90_lag_s
+            FROM pu"""))
+
   val ops: Seq[Op] = Seq(
     aggSkewKurtosis, windowSpcRule, joinSpatialGrid, windowRollingQuantile,
-    eventMarkov, aggGini, aggMutualInfo,
+    eventMarkov, aggGini, aggMutualInfo, eventConversionLag,
     profileSkew, privacyKanon, sampleSplit, intervalMerge,
     eventAttribution, aggWeightedPercentile, privacyLdiversity, aggCountMin,
     windowEwma, aggMadRobust, aggGroupEntropy, windowRollingSlope,

@@ -1319,9 +1319,43 @@ object EtlOps {
             FROM cell c JOIN tot USING (event_type)
             ORDER BY event_type, dow"""))
 
+  // Benford first-digit screen — the classic fabricated-data detector for
+  // financial columns: observed first-digit shares vs the Benford
+  // expectation log10(1 + 1/d). The first digit comes from the DECIMAL
+  // STRING of exact integer cents — never from float log10 of the value,
+  // whose mantissa rounding could misclassify numbers sitting exactly on a
+  // power of ten. One aggregate; output is ≤9 rows at any SF.
+  private val dqBenford = Op(
+    "dq_benford",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_bf")
+      s.sql("""
+        WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders_bf WHERE o_totalprice > 0),
+             dg AS (SELECT CAST(substr(CAST(cents AS STRING), 1, 1)
+                                AS BIGINT) AS digit
+                    FROM c)
+        SELECT digit, COUNT(*) AS n,
+               round(CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM dg), 4) AS share,
+               round(log10(1.0 + 1.0 / digit), 4) AS benford_p
+        FROM dg GROUP BY digit ORDER BY digit""")
+    },
+    Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS cents
+                       FROM orders WHERE o_totalprice > 0),
+                 dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                                    AS BIGINT) AS digit
+                        FROM c)
+            SELECT digit, COUNT(*) AS n,
+                   round(CAST(COUNT(*) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM dg), 4) AS share,
+                   round(log10(1.0 + 1.0 / digit), 4) AS benford_p
+            FROM dg GROUP BY digit ORDER BY digit"""))
+
   val ops: Seq[Op] = Seq(
     auditFk, dqExpectations, resampleInterpolate, resampleOhlc, dqAnomalyIqr,
-    resampleSeasonality,
+    resampleSeasonality, dqBenford,
     profileStatsApprox,
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
     mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,

@@ -2490,9 +2490,53 @@ object LlmOps {
             FROM ranked WHERE rk <= 3
             ORDER BY src, rk"""))
 
+  // End-to-end corpus assembly in ONE declarative query — the composition
+  // proof that the pipeline stages fuse: quality gate (length + language)
+  // → exact dedup (normalized-text survivor, min-id rule) → per-source
+  // budget (top-10 by id). Catalyst pipelines all three — the gate's
+  // predicate pushes into the scan, the dedup is one shuffle on the
+  // normalized key, the budget one window on source — no materialization
+  // between stages, which is exactly how the composed pipeline should run
+  // at 100 TB (operators that only compose via intermediate tables pay a
+  // full write+read per stage).
+  private val corpusE2ePipeline = Op(
+    "corpus_e2e_pipeline",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_e2e")
+      s.sql("""
+        WITH q AS (SELECT doc_id, source, lang, n_chars,
+                          lower(trim(text)) AS norm
+                   FROM docs_e2e
+                   WHERE n_chars BETWEEN 100 AND 2000
+                     AND lang IN ('en', 'de', 'fr', 'es')),
+             surv AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY norm),
+             kept AS (SELECT q.doc_id, q.source, q.lang, q.n_chars
+                      FROM q JOIN surv ON q.doc_id = surv.doc_id),
+             ranked AS (SELECT *, ROW_NUMBER() OVER
+                          (PARTITION BY source ORDER BY doc_id) AS rk
+                        FROM kept)
+        SELECT doc_id, source, lang, n_chars, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 10
+        ORDER BY source, rk""")
+    },
+    Some("""WITH q AS (SELECT doc_id, source, lang, n_chars,
+                              lower(trim(text)) AS norm
+                       FROM documents
+                       WHERE n_chars BETWEEN 100 AND 2000
+                         AND lang IN ('en', 'de', 'fr', 'es')),
+                 surv AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY norm),
+                 kept AS (SELECT q.doc_id, q.source, q.lang, q.n_chars
+                          FROM q JOIN surv ON q.doc_id = surv.doc_id),
+                 ranked AS (SELECT *, ROW_NUMBER() OVER
+                              (PARTITION BY source ORDER BY doc_id) AS rk
+                            FROM kept)
+            SELECT doc_id, source, lang, n_chars, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 10
+            ORDER BY source, rk"""))
+
   val ops: Seq[Op] = Seq(
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
-    simPqAdc, textSentenceStats, joinKnnGrid,
+    simPqAdc, textSentenceStats, joinKnnGrid, corpusE2ePipeline,
     textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,

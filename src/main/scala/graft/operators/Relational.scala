@@ -1144,7 +1144,8 @@ object Relational {
 
   // TPC-H-Q22-shaped "global sales opportunity": an UNCORRELATED scalar
   // subquery (the global average balance) feeding the filter of an anti
-  // join (customers with no orders), grouped by nation. The scalar
+  // join (customers with no RECENT orders — the date scope keeps
+  // the key non-degenerate at every SF), grouped by nation. The scalar
   // aggregates once and broadcasts as a literal; the NOT EXISTS plans as a
   // LEFT ANTI hash join — both O(n), no per-row work. The above-average
   // test cross-multiplies in exact integer cents (cents·count > Σcents, all
@@ -1164,7 +1165,8 @@ object Relational {
               > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT))
                  FROM customer_q22 WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders_q22
-                          WHERE o_custkey = c_custkey)
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey
         ORDER BY c_nationkey""")
     },
@@ -1177,7 +1179,8 @@ object Relational {
                   > (SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT))
                      FROM customer WHERE c_acctbal > 0)
               AND NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey)
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
             ORDER BY c_nationkey"""))
 

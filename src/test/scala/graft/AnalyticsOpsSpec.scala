@@ -396,6 +396,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(hy <= math.log(7.0) + 1e-9, "7 day-of-week buckets cap H(y)")
   }
 
+  test("event_conversion_lag counts only signup-then-purchase users") {
+    val rows = SparkEntry.queries("event_conversion_lag")(spark, sfDir).collect()
+    assert(rows.length === 1)
+    val (n, med, p90) =
+      (rows(0).getLong(0), rows(0).getDouble(1), rows(0).getDouble(2))
+    assert(n > 0, "some users convert in the synthetic events")
+    assert(med > 0.0 && med <= p90 + 1e-9)
+    // upper bound: converters cannot exceed users who ever signed up
+    val signups = Tables.load(spark, sfDir, "events")
+      .where(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(n <= signups)
+  }
+
   test("window_rolling_quantile keeps median <= p90 on every full window") {
     val rows = SparkEntry.queries("window_rolling_quantile")(spark, sfDir)
       .collect().map(r => (r.getDouble(2), r.getDouble(3)))

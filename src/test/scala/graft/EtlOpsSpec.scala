@@ -328,6 +328,21 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sum === total)
   }
 
+  test("dq_benford shares sum to 1 and expectations are the Benford law") {
+    val rows = SparkEntry.queries("dq_benford")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.foreach { case (d, n, share, bp) =>
+      assert(d >= 1 && d <= 9)
+      assert(n > 0 && share > 0.0)
+      assert(math.abs(bp - math.log10(1.0 + 1.0 / d)) < 5e-5)
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < rows.length * 5e-5 + 1e-9)
+    if (rows.length == 9)
+      assert(math.abs(rows.map(_._4).sum - 1.0) < rows.length * 5e-5 + 1e-9,
+        "Benford probabilities over digits 1-9 are a distribution")
+  }
+
   test("resample_seasonality indexes average to 1 per event type") {
     val rows = SparkEntry.queries("resample_seasonality")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -520,6 +520,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again.toSeq === rows.toSeq, "ADC ranking is deterministic")
   }
 
+  test("corpus_e2e_pipeline output passes every stage's own contract") {
+    val rows = SparkEntry.queries("corpus_e2e_pipeline")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ids = rows.map(_._1)
+    assert(ids.distinct.length === ids.length, "dedup stage leaves unique docs")
+    rows.foreach { case (_, _, lang, nChars, rk) =>
+      assert(nChars >= 100 && nChars <= 2000, "quality gate bounds held")
+      assert(Set("en", "de", "fr", "es").contains(lang))
+      assert(rk >= 1 && rk <= 10, "per-source budget held")
+    }
+    rows.groupBy(_._2).foreach { case (_, perSrc) =>
+      assert(perSrc.map(_._5).sorted.toSeq === (1L to perSrc.length).toSeq)
+    }
+  }
+
   test("text_sentence_stats ratio is consistent with its own counts") {
     val rows = SparkEntry.queries("text_sentence_stats")(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
