@@ -1696,9 +1696,159 @@ object AnalyticsOps {
                      AS p90_lag_s
             FROM pu"""))
 
+  // Log₂-bucketed magnitude histogram (the HdrHistogram/latency-histogram
+  // layout): the bucket is the BIT LENGTH of the integer cents — an exact
+  // integer op on both engines (float log2 misclassifies values sitting on
+  // a power of two). One map-side-combinable aggregate; output is ≤64 rows
+  // at any SF, bucket bounds reconstructed by exact bit shifts.
+  private val aggLogHistogram = Op(
+    "agg_log_histogram",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_lh")
+      s.sql("""
+        WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders_lh WHERE o_totalprice > 0),
+             b AS (SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket,
+                          cents
+                   FROM c)
+        SELECT bucket, COUNT(*) AS n,
+               shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1) AS lo,
+               shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1 AS hi
+        FROM b GROUP BY bucket ORDER BY bucket""")
+    },
+    Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS cents
+                       FROM orders WHERE o_totalprice > 0),
+                 b AS (SELECT CAST(length(format('{:b}', cents)) AS BIGINT)
+                         AS bucket
+                       FROM c)
+            SELECT bucket, COUNT(*) AS n,
+                   CAST(CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)
+                        AS BIGINT) AS lo,
+                   CAST((CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1
+                        AS BIGINT) AS hi
+            FROM b GROUP BY bucket ORDER BY bucket"""))
+
+  // Maximum drawdown per group — the largest drop from the running peak
+  // over the (date, key) order: a running-max window + one aggregate, all
+  // in exact integer cents (runmax − v is BIGINT; a float running max
+  // cannot drift, but the subtraction chain could — here nothing floats
+  // until the output division). The monitoring shape for "how far below
+  // its high-water mark did this series fall".
+  private val windowDrawdown = Op(
+    "window_drawdown",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_dd")
+      s.sql("""
+        WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                          o_orderkey AS ok,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders_dd),
+             w AS (SELECT prio, cents,
+                          MAX(cents) OVER (PARTITION BY prio ORDER BY od, ok
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS runmax
+                   FROM o)
+        SELECT prio, CAST(MAX(runmax - cents) AS BIGINT) AS max_dd_cents,
+               round(CAST(MAX(runmax - cents) AS DOUBLE) / 100.0, 2)
+                 AS max_dd
+        FROM w GROUP BY prio ORDER BY prio""")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                              o_orderkey AS ok,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders),
+                 w AS (SELECT prio, cents,
+                              MAX(cents) OVER (PARTITION BY prio
+                                               ORDER BY od, ok
+                                               ROWS UNBOUNDED PRECEDING)
+                                AS runmax
+                       FROM o)
+            SELECT prio, CAST(MAX(runmax - cents) AS BIGINT) AS max_dd_cents,
+                   round(CAST(MAX(runmax - cents) AS DOUBLE) / 100.0, 2)
+                     AS max_dd
+            FROM w GROUP BY prio ORDER BY prio"""))
+
+  // RFM (recency / frequency / monetary) scoring per user — deliberately
+  // NOT a global ntile(): that would funnel every row through one
+  // partition (Exchange SinglePartition, the banned shape). Instead the
+  // three quintile threshold sets are ONE scalar aggregate row, broadcast
+  // back, and each user's score is 1 + count of thresholds passed — a
+  // map-side comparison against exact integer metrics, fully parallel at
+  // any SF. Thresholds interpolate over exact integers (§7.6).
+  private val eventRfm = Op(
+    "event_rfm",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_rfm")
+      s.sql("""
+        WITH m AS (SELECT user_id,
+                          MAX(unix_micros(ts) div 1000) AS last_ms,
+                          COUNT(*) AS freq,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events_rfm GROUP BY user_id),
+             th AS (SELECT
+                      percentile(last_ms, 0.2D) AS r1,
+                      percentile(last_ms, 0.4D) AS r2,
+                      percentile(last_ms, 0.6D) AS r3,
+                      percentile(last_ms, 0.8D) AS r4,
+                      percentile(freq, 0.2D) AS f1, percentile(freq, 0.4D) AS f2,
+                      percentile(freq, 0.6D) AS f3, percentile(freq, 0.8D) AS f4,
+                      percentile(cents, 0.2D) AS m1, percentile(cents, 0.4D) AS m2,
+                      percentile(cents, 0.6D) AS m3, percentile(cents, 0.8D) AS m4
+                    FROM m)
+        SELECT user_id,
+               CAST(1 + CAST(last_ms > r1 AS INT) + CAST(last_ms > r2 AS INT)
+                      + CAST(last_ms > r3 AS INT) + CAST(last_ms > r4 AS INT)
+                    AS BIGINT) AS r,
+               CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+                      + CAST(freq > f3 AS INT) + CAST(freq > f4 AS INT)
+                    AS BIGINT) AS f,
+               CAST(1 + CAST(cents > m1 AS INT) + CAST(cents > m2 AS INT)
+                      + CAST(cents > m3 AS INT) + CAST(cents > m4 AS INT)
+                    AS BIGINT) AS mscore
+        FROM m CROSS JOIN th
+        ORDER BY user_id""")
+    },
+    Some("""WITH m AS (SELECT user_id,
+                              MAX(epoch_ms(ts)) AS last_ms,
+                              COUNT(*) AS freq,
+                              CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS cents
+                       FROM events GROUP BY user_id),
+                 th AS (SELECT
+                          quantile_cont(last_ms, 0.2) AS r1,
+                          quantile_cont(last_ms, 0.4) AS r2,
+                          quantile_cont(last_ms, 0.6) AS r3,
+                          quantile_cont(last_ms, 0.8) AS r4,
+                          quantile_cont(freq, 0.2) AS f1,
+                          quantile_cont(freq, 0.4) AS f2,
+                          quantile_cont(freq, 0.6) AS f3,
+                          quantile_cont(freq, 0.8) AS f4,
+                          quantile_cont(cents, 0.2) AS m1,
+                          quantile_cont(cents, 0.4) AS m2,
+                          quantile_cont(cents, 0.6) AS m3,
+                          quantile_cont(cents, 0.8) AS m4
+                        FROM m)
+            SELECT user_id,
+                   CAST(1 + CAST(last_ms > r1 AS INT)
+                          + CAST(last_ms > r2 AS INT)
+                          + CAST(last_ms > r3 AS INT)
+                          + CAST(last_ms > r4 AS INT) AS BIGINT) AS r,
+                   CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+                          + CAST(freq > f3 AS INT) + CAST(freq > f4 AS INT)
+                        AS BIGINT) AS f,
+                   CAST(1 + CAST(cents > m1 AS INT) + CAST(cents > m2 AS INT)
+                          + CAST(cents > m3 AS INT) + CAST(cents > m4 AS INT)
+                        AS BIGINT) AS mscore
+            FROM m CROSS JOIN th
+            ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     aggSkewKurtosis, windowSpcRule, joinSpatialGrid, windowRollingQuantile,
     eventMarkov, aggGini, aggMutualInfo, eventConversionLag,
+    aggLogHistogram, windowDrawdown, eventRfm,
     profileSkew, privacyKanon, sampleSplit, intervalMerge,
     eventAttribution, aggWeightedPercentile, privacyLdiversity, aggCountMin,
     windowEwma, aggMadRobust, aggGroupEntropy, windowRollingSlope,

@@ -396,6 +396,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(hy <= math.log(7.0) + 1e-9, "7 day-of-week buckets cap H(y)")
   }
 
+  test("agg_log_histogram buckets partition the value range exactly") {
+    val rows = SparkEntry.queries("agg_log_histogram")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 0).count()
+    assert(rows.map(_._2).sum === total)
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo === (1L << (b - 1).toInt))
+      assert(hi === (1L << b.toInt) - 1)
+    }
+  }
+
+  test("window_drawdown is non-negative and bounded by the group range") {
+    val dd = SparkEntry.queries("window_drawdown")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val range = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("CAST(round(max(o_totalprice) * 100) - round(min(o_totalprice) * 100) AS BIGINT)").as("rng"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dd.nonEmpty)
+    dd.foreach { case (p, v) =>
+      assert(v >= 0)
+      assert(v <= range(p), "a drawdown cannot exceed the max-min range")
+    }
+  }
+
+  test("event_rfm scores stay in 1..5 and cover every user") {
+    val rows = SparkEntry.queries("event_rfm")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val users = Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong === users)
+    rows.foreach { case (_, rr, ff, mm) =>
+      Seq(rr, ff, mm).foreach(s => assert(s >= 1 && s <= 5))
+    }
+    // threshold scoring must not funnel through a single partition
+    val p = SparkEntry.queries("event_rfm")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition") || p.contains("Broadcast"),
+      p.take(800))
+  }
+
   test("event_conversion_lag counts only signup-then-purchase users") {
     val rows = SparkEntry.queries("event_conversion_lag")(spark, sfDir).collect()
     assert(rows.length === 1)
