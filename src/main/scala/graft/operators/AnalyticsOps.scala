@@ -1845,10 +1845,65 @@ object AnalyticsOps {
             FROM m CROSS JOIN th
             ORDER BY user_id"""))
 
+  // Lag-1 autocorrelation per group — the "is this series momentum or
+  // noise" screen: Pearson r over consecutive (vₜ, vₜ₊₁) pairs in the
+  // (date, key) order. The five sums accumulate as exact BIGINT dollars
+  // (order-independent partials), and the Pearson formula runs once per
+  // group in float64 on those exact inputs using sqrt only. One lead()
+  // window + one aggregate, both shuffling on the group key.
+  private val aggAutocorr = Op(
+    "agg_autocorr",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_ac")
+      s.sql("""
+        WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                          o_orderkey AS ok,
+                          CAST(round(o_totalprice) AS BIGINT) AS v
+                   FROM orders_ac),
+             p AS (SELECT prio, v AS x,
+                          LEAD(v, 1) OVER
+                            (PARTITION BY prio ORDER BY od, ok) AS y
+                   FROM o),
+             q AS (SELECT prio, x, y FROM p WHERE y IS NOT NULL),
+             m AS (SELECT prio, COUNT(*) AS n,
+                          CAST(SUM(x) AS DOUBLE) AS sx,
+                          CAST(SUM(y) AS DOUBLE) AS sy,
+                          CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                          CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                          CAST(SUM(y * y) AS DOUBLE) AS syy
+                   FROM q GROUP BY prio)
+        SELECT prio, n,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+                 AS r1
+        FROM m ORDER BY prio""")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                              o_orderkey AS ok,
+                              CAST(round(o_totalprice) AS BIGINT) AS v
+                       FROM orders),
+                 p AS (SELECT prio, v AS x,
+                              LEAD(v, 1) OVER
+                                (PARTITION BY prio ORDER BY od, ok) AS y
+                       FROM o),
+                 q AS (SELECT prio, x, y FROM p WHERE y IS NOT NULL),
+                 m AS (SELECT prio, COUNT(*) AS n,
+                              CAST(SUM(x) AS DOUBLE) AS sx,
+                              CAST(SUM(y) AS DOUBLE) AS sy,
+                              CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                              CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                              CAST(SUM(y * y) AS DOUBLE) AS syy
+                       FROM q GROUP BY prio)
+            SELECT prio, n,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                         4) AS r1
+            FROM m ORDER BY prio"""))
+
   val ops: Seq[Op] = Seq(
     aggSkewKurtosis, windowSpcRule, joinSpatialGrid, windowRollingQuantile,
     eventMarkov, aggGini, aggMutualInfo, eventConversionLag,
-    aggLogHistogram, windowDrawdown, eventRfm,
+    aggLogHistogram, windowDrawdown, eventRfm, aggAutocorr,
     profileSkew, privacyKanon, sampleSplit, intervalMerge,
     eventAttribution, aggWeightedPercentile, privacyLdiversity, aggCountMin,
     windowEwma, aggMadRobust, aggGroupEntropy, windowRollingSlope,

@@ -2534,9 +2534,149 @@ object LlmOps {
             FROM ranked WHERE rk <= 10
             ORDER BY source, rk"""))
 
+  // ORACLE-CHECKED MinHash/LSH near-dup detection — the cross-engine proof
+  // of the banded-minhash pipeline (the production `dedup_minhash` uses
+  // seeded xxhash64, which no oracle can replay; this variant derives every
+  // hash from md5, which both engines implement bit-identically, so the
+  // WHOLE pipeline — shingling → 8-permutation signatures → 4×2 banding →
+  // candidate join → signature-overlap estimate — hash-matches DuckDB).
+  // Plan shape is the scale-safe one: shingles explode map-side, signatures
+  // are one partial-aggregable min per (doc, seed), candidates come from a
+  // band-key equi-join (never all-pairs), and the estimate joins two
+  // 8-element signature arrays.
+  private val dedupMinhashMd5 = Op(
+    "dedup_minhash_md5",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_mh")
+      s.sql("""
+        WITH toks AS (SELECT doc_id,
+                             split(lower(trim(text)), '\\s+') AS t
+                      FROM docs_mh),
+             sh AS (SELECT doc_id, g
+                    FROM toks
+                    LATERAL VIEW explode(transform(sequence(1, size(t) - 2),
+                      i -> concat_ws(' ', element_at(t, i),
+                                     element_at(t, i + 1),
+                                     element_at(t, i + 2)))) AS g
+                    WHERE size(t) >= 3),
+             sig AS (SELECT doc_id, s,
+                            MIN(md5(CAST(concat(s, ':', g) AS BINARY))) AS h
+                     FROM sh
+                     LATERAL VIEW explode(sequence(0, 7)) AS s
+                     GROUP BY doc_id, s),
+             arr AS (SELECT doc_id,
+                            transform(array_sort(collect_list(struct(s, h))),
+                                      x -> x.h) AS sig
+                     FROM sig GROUP BY doc_id),
+             bands AS (SELECT doc_id, b,
+                              element_at(sig, 2 * b + 1) AS h1,
+                              element_at(sig, 2 * b + 2) AS h2
+                       FROM arr
+                       LATERAL VIEW explode(sequence(0, 3)) AS b),
+             cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                      FROM bands a JOIN bands c
+                        ON a.b = c.b AND a.h1 = c.h1 AND a.h2 = c.h2
+                       AND a.doc_id < c.doc_id)
+        SELECT d1, d2,
+               CAST(aggregate(zip_with(x.sig, y.sig,
+                      (p, q) -> CAST(p = q AS INT)), 0, (acc, v) -> acc + v)
+                    AS BIGINT) AS n_match,
+               round(aggregate(zip_with(x.sig, y.sig,
+                      (p, q) -> CAST(p = q AS INT)), 0, (acc, v) -> acc + v)
+                     / CAST(8 AS DOUBLE), 4) AS est_jaccard
+        FROM cand JOIN arr x ON x.doc_id = d1 JOIN arr y ON y.doc_id = d2
+        ORDER BY d1, d2""")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+                                 string_split_regex(lower(trim(text)), '\s+')
+                                   AS t
+                          FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                                 AS g
+                        FROM toks WHERE len(t) >= 3),
+                 sig AS (SELECT doc_id, s, MIN(md5(s || ':' || g)) AS h
+                         FROM sh CROSS JOIN
+                           (SELECT unnest(range(8)) AS s)
+                         GROUP BY doc_id, s),
+                 arr AS (SELECT doc_id, list(h ORDER BY s) AS sig
+                         FROM sig GROUP BY doc_id),
+                 bands AS (SELECT doc_id, b, sig[2*b+1] AS h1,
+                                  sig[2*b+2] AS h2
+                           FROM arr CROSS JOIN
+                             (SELECT unnest(range(4)) AS b)),
+                 cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
+                          FROM bands a JOIN bands c
+                            ON a.b = c.b AND a.h1 = c.h1 AND a.h2 = c.h2
+                           AND a.doc_id < c.doc_id)
+            SELECT d1, d2,
+                   CAST(list_sum(list_transform(range(8),
+                          i -> CAST(x.sig[i+1] = y.sig[i+1] AS INT)))
+                        AS BIGINT) AS n_match,
+                   round(list_sum(list_transform(range(8),
+                          i -> CAST(x.sig[i+1] = y.sig[i+1] AS INT)))
+                         / 8.0, 4) AS est_jaccard
+            FROM cand JOIN arr x ON x.doc_id = d1 JOIN arr y ON y.doc_id = d2
+            ORDER BY d1, d2"""))
+
+  // Per-document n-gram novelty against everything that came before it (in
+  // doc_id order): the corpus-diversity curve a curation pipeline watches —
+  // a shrinking novelty score means new data is mostly re-treading old
+  // shingles. "First seen in doc k" is a single min-aggregate per distinct
+  // shingle (one shuffle on the shingle hash); per-doc novelty is then an
+  // exact count ratio. No pairwise comparison anywhere — linear at 100 TB.
+  private val textNovelty = Op(
+    "text_novelty",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_nv")
+      s.sql("""
+        WITH toks AS (SELECT doc_id,
+                             split(lower(trim(text)), '\\s+') AS t
+                      FROM docs_nv),
+             sh AS (SELECT DISTINCT doc_id, g
+                    FROM toks
+                    LATERAL VIEW explode(transform(sequence(1, size(t) - 2),
+                      i -> concat_ws(' ', element_at(t, i),
+                                     element_at(t, i + 1),
+                                     element_at(t, i + 2)))) AS g
+                    WHERE size(t) >= 3),
+             first AS (SELECT g, MIN(doc_id) AS first_doc
+                       FROM sh GROUP BY g)
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(COUNT_IF(first_doc = sh.doc_id) AS BIGINT) AS n_novel,
+               round(COUNT_IF(first_doc = sh.doc_id) / CAST(COUNT(*)
+                     AS DOUBLE), 4) AS novelty
+        FROM sh JOIN first ON sh.g = first.g
+        GROUP BY sh.doc_id
+        ORDER BY sh.doc_id""")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+                                 string_split_regex(lower(trim(text)), '\s+')
+                                   AS t
+                          FROM documents),
+                 sh AS (SELECT DISTINCT doc_id,
+                               unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                                 AS g
+                        FROM toks WHERE len(t) >= 3),
+                 f AS (SELECT g, MIN(doc_id) AS first_doc
+                       FROM sh GROUP BY g)
+            SELECT sh.doc_id,
+                   COUNT(*) AS n_shingles,
+                   CAST(COUNT(*) FILTER (WHERE first_doc = sh.doc_id)
+                        AS BIGINT) AS n_novel,
+                   round(COUNT(*) FILTER (WHERE first_doc = sh.doc_id)
+                         / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+            FROM sh JOIN f ON sh.g = f.g
+            GROUP BY sh.doc_id
+            ORDER BY sh.doc_id"""))
+
   val ops: Seq[Op] = Seq(
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
     simPqAdc, textSentenceStats, joinKnnGrid, corpusE2ePipeline,
+    dedupMinhashMd5, textNovelty,
     textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,

@@ -396,6 +396,19 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(hy <= math.log(7.0) + 1e-9, "7 day-of-week buckets cap H(y)")
   }
 
+  test("agg_autocorr stays within [-1, 1] with n-1 pairs per group") {
+    val rows = SparkEntry.queries("agg_autocorr")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val sizes = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (p, n, r1) =>
+      assert(n === sizes(p) - 1, "lag-1 pairing drops exactly one row per group")
+      assert(r1 >= -1.0 - 1e-9 && r1 <= 1.0 + 1e-9)
+    }
+  }
+
   test("agg_log_histogram buckets partition the value range exactly") {
     val rows = SparkEntry.queries("agg_log_histogram")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

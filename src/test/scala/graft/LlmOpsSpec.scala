@@ -537,6 +537,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash_md5 candidates honor the band guarantee") {
+    val rows = SparkEntry.queries("dedup_minhash_md5")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "planted near-duplicates must produce candidates")
+    rows.foreach { case (d1, d2, m, est) =>
+      assert(d1 < d2)
+      // a banded candidate shares at least one 2-seed band
+      assert(m >= 2 && m <= 8)
+      assert(math.abs(est - m / 8.0) < 1e-9)
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
+  }
+
+  test("text_novelty: first doc is all-novel and novel counts add up") {
+    val rows = SparkEntry.queries("text_novelty")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val firstDoc = rows.minBy(_._1)
+    assert(firstDoc._4 === 1.0, "the earliest doc introduces every shingle it has")
+    rows.foreach { case (_, n, novel, score) =>
+      assert(novel >= 0 && novel <= n)
+      assert(score >= 0.0 && score <= 1.0)
+    }
+    // every distinct shingle is novel in exactly one doc
+    val distinctShingles = Tables.load(spark, sfDir, "documents")
+      .selectExpr("explode(transform(sequence(1, size(split(lower(trim(text)), '\\\\s+')) - 2), " +
+        "i -> concat_ws(' ', element_at(split(lower(trim(text)), '\\\\s+'), i), " +
+        "element_at(split(lower(trim(text)), '\\\\s+'), i + 1), " +
+        "element_at(split(lower(trim(text)), '\\\\s+'), i + 2)))) AS g")
+      .distinct().count()
+    assert(rows.map(_._3).sum === distinctShingles)
+  }
+
   test("text_sentence_stats ratio is consistent with its own counts") {
     val rows = SparkEntry.queries("text_sentence_stats")(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -55,6 +55,15 @@ def main():
                        f"duck={ddf[c].dtype} (un-cast HUGEINT sum? "
                        f"use CAST(... AS BIGINT))")
                 break
+            # a Spark DECIMAL column lands as object (java BigDecimal) while
+            # the oracle is float64 — equal values, but the driver hashes
+            # them differently. Spark SQL literals like `8.0` are DECIMAL;
+            # divide by CAST(8 AS DOUBLE) / 8.0D instead.
+            if sk != dk and "O" in (sk, dk) and {sk, dk} & {"f", "i", "u"}:
+                bad = (f"col {c} dtype kind differs: spark={sdf[c].dtype} "
+                       f"duck={ddf[c].dtype} (DECIMAL leaking to the "
+                       f"boundary? cast to DOUBLE/BIGINT in both SQLs)")
+                break
         if bad:
             fail.append((k, bad)); continue
         for c in sdf.columns:
