@@ -38,15 +38,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is nanosecond-precision parquet, which Spark 4 rejects by
-      // default. Read nanos as long, then truncate to a microsecond
-      // TimestampType — the same precision DuckDB resolves this file to, so
-      // both engines order and bucket identical values (FIXTURES.md §A).
+      // events.ts has shipped under two physical schemas: nanosecond int64
+      // (which Spark 4 only reads with nanosAsLong) and timestamp[us] with
+      // isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Branch on the loaded
+      // dtype and normalize every variant to a microsecond session-TZ
+      // TimestampType — sessions pin UTC, so wall values match what DuckDB
+      // resolves the file to and both engines order/bucket identically.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000L")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ =>
+          raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -70,21 +70,21 @@ object UdfOps {
               COUNT(*) AS n
             FROM part GROUP BY p_brand ORDER BY p_brand"""))
 
-  // Generator (UDTF shape): one order row -> per-line rows with ordinality.
+  // Generator (UDTF shape): one vector row -> per-dimension rows with
+  // ordinality. posexplode over a genuinely array-typed column is pure
+  // map-side generation — no shuffle, no per-group array buffering; the only
+  // exchange is the determinism ORDER BY the oracle compare requires.
   private val udtfGenerate = Op(
     "udtf_generate",
-    (s, d) => t(s, d, "lineitem")
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
-      .select(col("l_orderkey"), posexplode(col("lns")).as(Seq("pos0", "ln")))
-      .select(col("l_orderkey"), (col("pos0") + 1).cast("int").as("pos"), col("ln"))
-      .orderBy("l_orderkey", "pos"),
-    Some("""SELECT l_orderkey,
-              CAST(unnest(range(1, len(lns) + 1)) AS INT) AS pos,
-              unnest(lns) AS ln
-            FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
-                  FROM lineitem GROUP BY l_orderkey)
-            ORDER BY l_orderkey, pos"""))
+    (s, d) => t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("int").as("pos"), col("v"))
+      .orderBy("vec_id", "pos"),
+    Some("""SELECT vec_id,
+              CAST(unnest(range(1, len(embedding) + 1)) AS INT) AS pos,
+              unnest(embedding) AS v
+            FROM embeddings
+            ORDER BY vec_id, pos"""))
 
   // Typed Dataset[T] surface: case-class Encoders + groupByKey/mapGroups —
   // the type-safe entry point for per-group imperative logic (the escape

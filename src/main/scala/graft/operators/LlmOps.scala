@@ -2540,10 +2540,13 @@ object LlmOps {
   // hash from md5, which both engines implement bit-identically, so the
   // WHOLE pipeline — shingling → 8-permutation signatures → 4×2 banding →
   // candidate join → signature-overlap estimate — hash-matches DuckDB).
-  // Plan shape is the scale-safe one: shingles explode map-side, signatures
-  // are one partial-aggregable min per (doc, seed), candidates come from a
-  // band-key equi-join (never all-pairs), and the estimate joins two
-  // 8-element signature arrays.
+  // Plan shape mirrors the production key's constant factor: ONE md5 per
+  // shingle occurrence, the 8 permutation orderings derived from that
+  // fixed-width digest by hex rotation (a bijection on digests, so each
+  // rotation is a valid permutation of the hash ordering), and all 8 mins
+  // partial-aggregated in a single GROUP BY doc_id — no seed explode, no
+  // 8× shuffle volume. Candidates come from a band-key equi-join (never
+  // all-pairs); the estimate joins two 8-element signature arrays.
   private val dedupMinhashMd5 = Op(
     "dedup_minhash_md5",
     (s, d) => {
@@ -2559,23 +2562,28 @@ object LlmOps {
                                      element_at(t, i + 1),
                                      element_at(t, i + 2)))) AS g
                     WHERE size(t) >= 3),
-             sig AS (SELECT doc_id, s,
-                            MIN(md5(CAST(concat(s, ':', g) AS BINARY))) AS h
-                     FROM sh
-                     LATERAL VIEW explode(sequence(0, 7)) AS s
-                     GROUP BY doc_id, s),
+             hm AS (SELECT doc_id, md5(CAST(g AS BINARY)) AS m FROM sh),
+             sig AS (SELECT doc_id,
+                            MIN(m) AS h0,
+                            MIN(concat(substr(m, 5),  substr(m, 1, 4)))  AS h1,
+                            MIN(concat(substr(m, 9),  substr(m, 1, 8)))  AS h2,
+                            MIN(concat(substr(m, 13), substr(m, 1, 12))) AS h3,
+                            MIN(concat(substr(m, 17), substr(m, 1, 16))) AS h4,
+                            MIN(concat(substr(m, 21), substr(m, 1, 20))) AS h5,
+                            MIN(concat(substr(m, 25), substr(m, 1, 24))) AS h6,
+                            MIN(concat(substr(m, 29), substr(m, 1, 28))) AS h7
+                     FROM hm GROUP BY doc_id),
              arr AS (SELECT doc_id,
-                            transform(array_sort(collect_list(struct(s, h))),
-                                      x -> x.h) AS sig
-                     FROM sig GROUP BY doc_id),
+                            array(h0, h1, h2, h3, h4, h5, h6, h7) AS sig
+                     FROM sig),
              bands AS (SELECT doc_id, b,
-                              element_at(sig, 2 * b + 1) AS h1,
-                              element_at(sig, 2 * b + 2) AS h2
+                              element_at(sig, 2 * b + 1) AS b1,
+                              element_at(sig, 2 * b + 2) AS b2
                        FROM arr
                        LATERAL VIEW explode(sequence(0, 3)) AS b),
              cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
                       FROM bands a JOIN bands c
-                        ON a.b = c.b AND a.h1 = c.h1 AND a.h2 = c.h2
+                        ON a.b = c.b AND a.b1 = c.b1 AND a.b2 = c.b2
                        AND a.doc_id < c.doc_id)
         SELECT d1, d2,
                CAST(aggregate(zip_with(x.sig, y.sig,
@@ -2596,19 +2604,27 @@ object LlmOps {
                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                                  AS g
                         FROM toks WHERE len(t) >= 3),
-                 sig AS (SELECT doc_id, s, MIN(md5(s || ':' || g)) AS h
-                         FROM sh CROSS JOIN
-                           (SELECT unnest(range(8)) AS s)
-                         GROUP BY doc_id, s),
-                 arr AS (SELECT doc_id, list(h ORDER BY s) AS sig
-                         FROM sig GROUP BY doc_id),
-                 bands AS (SELECT doc_id, b, sig[2*b+1] AS h1,
-                                  sig[2*b+2] AS h2
+                 hm AS (SELECT doc_id, md5(g) AS m FROM sh),
+                 sig AS (SELECT doc_id,
+                                MIN(m) AS h0,
+                                MIN(substr(m, 5)  || substr(m, 1, 4))  AS h1,
+                                MIN(substr(m, 9)  || substr(m, 1, 8))  AS h2,
+                                MIN(substr(m, 13) || substr(m, 1, 12)) AS h3,
+                                MIN(substr(m, 17) || substr(m, 1, 16)) AS h4,
+                                MIN(substr(m, 21) || substr(m, 1, 20)) AS h5,
+                                MIN(substr(m, 25) || substr(m, 1, 24)) AS h6,
+                                MIN(substr(m, 29) || substr(m, 1, 28)) AS h7
+                         FROM hm GROUP BY doc_id),
+                 arr AS (SELECT doc_id,
+                                [h0, h1, h2, h3, h4, h5, h6, h7] AS sig
+                         FROM sig),
+                 bands AS (SELECT doc_id, b, sig[2*b+1] AS b1,
+                                  sig[2*b+2] AS b2
                            FROM arr CROSS JOIN
                              (SELECT unnest(range(4)) AS b)),
                  cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2
                           FROM bands a JOIN bands c
-                            ON a.b = c.b AND a.h1 = c.h1 AND a.h2 = c.h2
+                            ON a.b = c.b AND a.b1 = c.b1 AND a.b2 = c.b2
                            AND a.doc_id < c.doc_id)
             SELECT d1, d2,
                    CAST(list_sum(list_transform(range(8),
