@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private lazy val all: Seq[Op] = {
-    val ops = operators.Relational.ops ++ operators.AnalyticsOps.ops ++
+    val ops = operators.Relational.ops ++ operators.TpchSuite.ops ++
+      operators.AnalyticsOps.ops ++
       operators.GraphOps.ops ++ operators.EtlOps.ops ++
       operators.LlmOps.ops ++ operators.Multimodal.ops ++
       streaming.StreamOps.ops ++

@@ -490,4 +490,60 @@ class PlanSpec extends AnyFunSuite {
     assert(p.sliding("HashAggregate".length)
       .count(_ == "HashAggregate") >= 2, p.take(800))
   }
+
+  // ---- round-8 TPC-H completion suite ----
+
+  test("sql_tpch_q4 plans EXISTS as a left semi join, no re-scan loop") {
+    val p = plan("sql_tpch_q4")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("sql_tpch_q6 pushes all three predicates into the parquet scan") {
+    val p = plan("sql_tpch_q6")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("l_shipdate") && p.contains("l_discount") &&
+      p.contains("l_quantity"), p.take(800))
+    // scan-dominated query: partial + final aggregate around the exchange
+    assert(p.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") >= 2, p.take(800))
+  }
+
+  test("sql_tpch_q7 broadcasts nation and region on both join sides") {
+    val p = plan("sql_tpch_q7")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 4, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sql_tpch_q13 keeps the outer join and double-aggregates") {
+    val p = plan("sql_tpch_q13")
+    assert(p.contains("LeftOuter"), p.take(800))
+    // two aggregate levels, each partial+final = >=4 HashAggregate spans
+    assert(p.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") >= 4, p.take(800))
+  }
+
+  test("sql_tpch_q15 joins the argmax row hashed, never a cartesian") {
+    val p = plan("sql_tpch_q15")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("sql_tpch_q19 keeps the equi-join hashed with the OR as residual") {
+    val p = plan("sql_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("sql_tpch_q20 plans the IN filter as a left semi join") {
+    val p = plan("sql_tpch_q20")
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
