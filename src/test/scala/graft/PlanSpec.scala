@@ -546,4 +546,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("join_interval_overlap is a bin equi-join, never a nested loop") {
+    // the dual-bin replication turns the interval×interval overlap into a
+    // hash equi-join on the bin key with the range test as residual
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("event_sequence_match runs the whole pattern in one window pass") {
+    // running conditional state (filtered MAX over unbounded-preceding)
+    // means ONE shuffle on user_id and no self-join per pattern symbol
+    val p = plan("event_sequence_match")
+    assert(!p.contains("Join"), "sequence match should not plan a join:\n" +
+      p.take(800))
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("agg_kmv_intersect sketches collapse before any pair join") {
+    // the k-row per-type sketches join; the raw (user, day) elements never
+    // cross-join — no cartesian anywhere
+    val p = plan("agg_kmv_intersect")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
