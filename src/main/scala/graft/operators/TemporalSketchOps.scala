@@ -318,7 +318,126 @@ object TemporalSketchOps {
               ON e.type_a = k.type_a AND e.type_b = k.type_b
             ORDER BY e.type_a, e.type_b"""))
 
+  // Exact two-sample Kolmogorov–Smirnov distance between the value
+  // distributions of two event types. D = max |F_a − F_b| over pooled
+  // points needs a GLOBAL ordered cumulative sum — done with the same
+  // two-phase shape as corpus_token_budget: the input first collapses to
+  // per-cent-value counts (cardinality bounded by the VALUE DOMAIN, not
+  // the data volume), running sums run per coarse bucket, and a tiny
+  // broadcast offset table lifts them to global — a partition-less
+  // running-sum window would funnel everything through ONE task
+  // (PlanSpec pins no Exchange SinglePartition). Counts are exact BIGINT;
+  // the two CDF divisions and the max run in float64 once, rounded 6 dp.
+  private val aggKsTest = Op(
+    "agg_ks_test",
+    (s, d) => {
+      val pts = t(s, d, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("x"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("is_a"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_b"))
+        .groupBy("x")
+        .agg(sum("is_a").as("sa"), sum("is_b").as("sb"))
+        .withColumn("bucket", expr("x div 1000"))
+      val w = Window.partitionBy("bucket").orderBy("x")
+      val within = pts
+        .withColumn("ca_in", sum("sa").over(w))
+        .withColumn("cb_in", sum("sb").over(w))
+      val counts = pts.groupBy("bucket")
+        .agg(sum("sa").as("ba"), sum("sb").as("bb"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.ba")), lit(0L)).as("offa"),
+          coalesce(sum(col("b.bb")), lit(0L)).as("offb"))
+      val tot = pts.agg(sum("sa").as("na"), sum("sb").as("nb"))
+      within.join(broadcast(offsets), Seq("bucket"))
+        .crossJoin(broadcast(tot))
+        .agg(
+          round(max(abs((col("offa") + col("ca_in")).cast("double") / col("na") -
+            (col("offb") + col("cb_in")).cast("double") / col("nb"))), 6)
+            .as("ks_d"),
+          min("na").as("n_a"), min("nb").as("n_b"))
+    },
+    Some("""WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                                CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END AS is_a,
+                                CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END AS is_b
+                         FROM events
+                         WHERE event_type IN ('view', 'purchase')),
+                 tot AS (SELECT SUM(is_a) AS na, SUM(is_b) AS nb FROM pts),
+                 cdf AS (SELECT x,
+                                SUM(SUM(is_a)) OVER (ORDER BY x) AS ca,
+                                SUM(SUM(is_b)) OVER (ORDER BY x) AS cb
+                         FROM pts GROUP BY x)
+            SELECT round(MAX(abs(CAST(ca AS DOUBLE) / na -
+                                 CAST(cb AS DOUBLE) / nb)), 6) AS ks_d,
+                   CAST(MIN(na) AS BIGINT) AS n_a,
+                   CAST(MIN(nb) AS BIGINT) AS n_b
+            FROM cdf, tot"""))
+
+  // CUSUM change detection per user (s_i = max(0, s_{i−1} + x_i − k),
+  // alarm at s ≥ h) — genuinely recursive state like window_ewma: each
+  // value depends on the previous OUTPUT, so it runs as the documented
+  // secondary-sort scan (repartition on user_id, sortWithinPartitions,
+  // one sequential mapPartitions pass with O(1) state resetting at user
+  // boundaries) — one shuffle total, the same cost as a window, at any
+  // SF. Arithmetic is exact integer cents (k = 75.00, h = 200.00), so
+  // every engine/parallelism reproduces identical alarm sets; the oracle
+  // replays the recursion as a breadth-first recursive CTE.
+  private val windowCusum = Op(
+    "window_cusum",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("ts"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select(col("user_id"), col("cents"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var state = 0L
+          it.map { case (u, c) =>
+            state = math.max(0L, (if (u != curUser) 0L else state) + c - 7500L)
+            curUser = u
+            (u, state)
+          }
+        }
+        .toDF("user_id", "s")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("s") >= 20000L, 1L).otherwise(0L)).as("n_alarm"),
+          max("s").as("max_s"))
+        .orderBy("user_id")
+    },
+    Some("""WITH seq AS (SELECT user_id,
+                                CAST(round(value * 100) AS BIGINT) AS x,
+                                row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                  AS rn
+                         FROM events),
+                 rec AS (
+                   WITH RECURSIVE r(user_id, rn, s) AS (
+                     SELECT user_id, rn, GREATEST(0, x - 7500)
+                     FROM seq WHERE rn = 1
+                     UNION ALL
+                     SELECT seq.user_id, seq.rn,
+                            GREATEST(0, r.s + seq.x - 7500)
+                     FROM r JOIN seq ON seq.user_id = r.user_id
+                                    AND seq.rn = r.rn + 1)
+                   SELECT * FROM r)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN s >= 20000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alarm,
+                   CAST(MAX(s) AS BIGINT) AS max_s
+            FROM rec GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
-      aggKmvIntersect)
+      aggKmvIntersect, aggKsTest, windowCusum)
 }

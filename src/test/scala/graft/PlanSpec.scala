@@ -564,6 +564,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(800))
   }
 
+  test("agg_ks_test runs the CDF window bucket-partitioned, not global") {
+    // two-phase cumsum: the running-sum window must be partitioned on the
+    // coarse bucket (a partition-less spec would sort ALL points in one
+    // task); the only SinglePartition exchanges are the O(1)-row final
+    // aggregates
+    val p = SparkEntry.queries("agg_ks_test")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(bucket"), p.take(1200))
+  }
+
   test("agg_kmv_intersect sketches collapse before any pair join") {
     // the k-row per-type sketches join; the raw (user, day) elements never
     // cross-join — no cartesian anywhere
