@@ -437,7 +437,191 @@ object TemporalSketchOps {
                    CAST(MAX(s) AS BIGINT) AS max_s
             FROM rec GROUP BY user_id ORDER BY user_id"""))
 
+  // Welch's t-test between two event types' value distributions — the
+  // A/B-experiment readout. Each group collapses to the (n, Σx, Σx²)
+  // moment triple in exact BIGINT cents (a commutative map-side-combinable
+  // partial: at 100 TB the scan dominates, the test is free); the t
+  // statistic evaluates ONCE in float64 from the exact moments, round 6.
+  private val aggTtest = Op(
+    "agg_ttest",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_tt")
+      s.sql("""
+        WITH g AS (SELECT event_type,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          SUM(CAST(round(value * 100) AS BIGINT)) AS sx,
+                          SUM(CAST(round(value * 100) AS BIGINT) *
+                              CAST(round(value * 100) AS BIGINT)) AS sxx
+                   FROM events_tt WHERE event_type IN ('view', 'purchase')
+                   GROUP BY event_type),
+             m AS (SELECT
+                     MAX(CASE WHEN event_type = 'view' THEN n END) AS na,
+                     MAX(CASE WHEN event_type = 'view' THEN sx END) AS sxa,
+                     MAX(CASE WHEN event_type = 'view' THEN sxx END) AS sxxa,
+                     MAX(CASE WHEN event_type = 'purchase' THEN n END) AS nb,
+                     MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS sxb,
+                     MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxxb
+                   FROM g)
+        SELECT na, nb,
+               round((CAST(sxa AS DOUBLE)/na - CAST(sxb AS DOUBLE)/nb) /
+                     sqrt((CAST(sxxa AS DOUBLE)/na -
+                           (CAST(sxa AS DOUBLE)/na)*(CAST(sxa AS DOUBLE)/na))
+                            / (na - 1)
+                        + (CAST(sxxb AS DOUBLE)/nb -
+                           (CAST(sxb AS DOUBLE)/nb)*(CAST(sxb AS DOUBLE)/nb))
+                            / (nb - 1)), 6) AS t_stat
+        FROM m""")
+    },
+    Some("""WITH g AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              SUM(CAST(round(value * 100) AS BIGINT)) AS sx,
+                              SUM(CAST(round(value * 100) AS BIGINT) *
+                                  CAST(round(value * 100) AS BIGINT)) AS sxx
+                       FROM events WHERE event_type IN ('view', 'purchase')
+                       GROUP BY event_type),
+                 m AS (SELECT
+                         MAX(CASE WHEN event_type = 'view' THEN n END) AS na,
+                         MAX(CASE WHEN event_type = 'view' THEN sx END) AS sxa,
+                         MAX(CASE WHEN event_type = 'view' THEN sxx END) AS sxxa,
+                         MAX(CASE WHEN event_type = 'purchase' THEN n END) AS nb,
+                         MAX(CASE WHEN event_type = 'purchase' THEN sx END) AS sxb,
+                         MAX(CASE WHEN event_type = 'purchase' THEN sxx END) AS sxxb
+                       FROM g)
+            SELECT na, nb,
+                   round((CAST(sxa AS DOUBLE)/na - CAST(sxb AS DOUBLE)/nb) /
+                         sqrt((CAST(sxxa AS DOUBLE)/na -
+                               (CAST(sxa AS DOUBLE)/na)*(CAST(sxa AS DOUBLE)/na))
+                                / (na - 1)
+                            + (CAST(sxxb AS DOUBLE)/nb -
+                               (CAST(sxb AS DOUBLE)/nb)*(CAST(sxb AS DOUBLE)/nb))
+                                / (nb - 1)), 6) AS t_stat
+            FROM m"""))
+
+  // Chi-square independence test (event_type × week-of-month): observed
+  // counts are ONE partial→final aggregate; row totals, column totals and
+  // the grand total are three more tiny aggregates joined back (row/col
+  // relations are O(domain), broadcast); the statistic sums float64 terms
+  // over O(cells) rows — cells bounded by the category product, never the
+  // data volume. Round 6 at the boundary.
+  private val aggChiSquare = Op(
+    "agg_chi_square",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_chi")
+      s.sql("""
+        WITH ct AS (SELECT event_type,
+                           CAST((EXTRACT(DAY FROM ts) - 1) DIV 7 AS BIGINT)
+                             AS wk,
+                           CAST(COUNT(*) AS BIGINT) AS o
+                    FROM events_chi GROUP BY 1, 2),
+             rt AS (SELECT event_type, SUM(o) AS r FROM ct GROUP BY 1),
+             cl AS (SELECT wk, SUM(o) AS c FROM ct GROUP BY 1),
+             n AS (SELECT SUM(o) AS n FROM ct)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               round(SUM((CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*c/n.n) *
+                         (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*c/n.n) /
+                         (CAST(r AS DOUBLE)*c/n.n)), 6) AS chi2
+        FROM ct JOIN rt USING (event_type) JOIN cl USING (wk) CROSS JOIN n""")
+    },
+    Some("""WITH ct AS (SELECT event_type,
+                               CAST((EXTRACT(DAY FROM ts) - 1) // 7 AS BIGINT)
+                                 AS wk,
+                               CAST(COUNT(*) AS BIGINT) AS o
+                        FROM events GROUP BY 1, 2),
+                 rt AS (SELECT event_type, SUM(o) AS r FROM ct GROUP BY 1),
+                 cl AS (SELECT wk, SUM(o) AS c FROM ct GROUP BY 1),
+                 n AS (SELECT SUM(o) AS n FROM ct)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   round(SUM((CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*c/n.n) *
+                             (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*c/n.n) /
+                             (CAST(r AS DOUBLE)*c/n.n)), 6) AS chi2
+            FROM ct JOIN rt USING (event_type) JOIN cl USING (wk)
+            CROSS JOIN n"""))
+
+  // Poisson bootstrap confidence interval for the mean — THE bootstrap
+  // that scales: instead of resampling n rows with replacement (which
+  // needs global coordination), each row draws a Poisson(1) weight per
+  // replicate from a deterministic md5 hash, so all B=32 replicates
+  // accumulate in ONE map-side-combinable pass of exact BIGINT (Σw, Σw·x)
+  // partials. The Poisson inverse-CDF thresholds are exact 60-bit integer
+  // constants, so the weight draw is bit-identical on any engine. The 32
+  // replicate means sort once (a 32-row relation) and the 5%/50%/95%
+  // order statistics read out by rank.
+  private val aggBootstrapCi = Op(
+    "agg_bootstrap_ci",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_bs")
+      s.sql("""
+        WITH rep AS (SELECT id AS b FROM range(0, 32)),
+             w AS (SELECT rep.b,
+                          CAST(round(e.value * 100) AS BIGINT) AS x,
+                          CASE WHEN hv < 424136118829305344L THEN 0L
+                               WHEN hv < 848272237658610688L THEN 1L
+                               WHEN hv < 1060340297073263360L THEN 2L
+                               WHEN hv < 1131029650211480960L THEN 3L
+                               WHEN hv < 1148701988496035328L THEN 4L
+                               ELSE 5L END AS wt
+                   FROM (SELECT value,
+                                CAST(conv(substring(md5(concat(
+                                  CAST(event_id AS STRING), ':',
+                                  CAST(rep2.b AS STRING))), 1, 15), 16, 10)
+                                  AS BIGINT) AS hv,
+                                rep2.b
+                         FROM events_bs
+                         CROSS JOIN (SELECT id AS b FROM range(0, 32)) rep2
+                         WHERE event_type = 'purchase') e
+                   JOIN rep ON rep.b = e.b),
+             means AS (SELECT b,
+                              round(CAST(SUM(wt * x) AS DOUBLE) / SUM(wt), 6)
+                                AS m
+                       FROM w GROUP BY b),
+             ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn
+                        FROM means)
+        SELECT round(MAX(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+               round(MAX(CASE WHEN rn = 16 THEN m END), 6) AS ci_med,
+               round(MAX(CASE WHEN rn = 31 THEN m END), 6) AS ci_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_boot
+        FROM ranked""")
+    },
+    Some("""WITH w AS (SELECT b2.b,
+                              CAST(round(e.value * 100) AS BIGINT) AS x,
+                              CASE WHEN ('0x' || substr(md5(
+                                     CAST(e.event_id AS VARCHAR) || ':' ||
+                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
+                                     < 424136118829305344 THEN 0
+                                   WHEN ('0x' || substr(md5(
+                                     CAST(e.event_id AS VARCHAR) || ':' ||
+                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
+                                     < 848272237658610688 THEN 1
+                                   WHEN ('0x' || substr(md5(
+                                     CAST(e.event_id AS VARCHAR) || ':' ||
+                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
+                                     < 1060340297073263360 THEN 2
+                                   WHEN ('0x' || substr(md5(
+                                     CAST(e.event_id AS VARCHAR) || ':' ||
+                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
+                                     < 1131029650211480960 THEN 3
+                                   WHEN ('0x' || substr(md5(
+                                     CAST(e.event_id AS VARCHAR) || ':' ||
+                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
+                                     < 1148701988496035328 THEN 4
+                                   ELSE 5 END AS wt
+                       FROM events e,
+                            (SELECT unnest(range(0, 32)) AS b) b2
+                       WHERE e.event_type = 'purchase'),
+                 means AS (SELECT b,
+                                  round(CAST(SUM(wt * x) AS DOUBLE)
+                                        / SUM(wt), 6) AS m
+                           FROM w GROUP BY b),
+                 ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn
+                            FROM means)
+            SELECT round(MAX(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,
+                   round(MAX(CASE WHEN rn = 16 THEN m END), 6) AS ci_med,
+                   round(MAX(CASE WHEN rn = 31 THEN m END), 6) AS ci_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n_boot
+            FROM ranked"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
-      aggKmvIntersect, aggKsTest, windowCusum)
+      aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
+      aggBootstrapCi)
 }
