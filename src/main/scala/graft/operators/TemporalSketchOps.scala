@@ -620,8 +620,80 @@ object TemporalSketchOps {
                    CAST(COUNT(*) AS BIGINT) AS n_boot
             FROM ranked"""))
 
+  // Mann–Whitney U (rank-sum) test — the nonparametric sibling of
+  // agg_ttest. All rank arithmetic stays EXACT: per-cent-value counts
+  // collapse the input to its value domain, the average tied rank is
+  // carried as 2·rank (2·C_below + t + 1 — an integer), so 2·U_a is an
+  // exact BIGINT on any engine; the tie-corrected normal z evaluates once
+  // in float64, round 6. The strictly-below cumulative count uses the
+  // same bucket-partitioned two-phase cumsum as agg_ks_test (no global
+  // sort).
+  private val aggMannWhitney = Op(
+    "agg_mann_whitney",
+    (s, d) => {
+      val g = t(s, d, "events")
+        .where(col("event_type").isin("view", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("x"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("ia"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("ib"))
+        .groupBy("x")
+        .agg(sum("ia").as("ca"), sum("ib").as("cb"))
+        .withColumn("ct", col("ca") + col("cb"))
+        .withColumn("bucket", expr("x div 1000"))
+      val w = Window.partitionBy("bucket").orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = g.withColumn("cb_in", coalesce(sum("ct").over(w), lit(0L)))
+      val counts = g.groupBy("bucket").agg(sum("ct").as("bt"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bt")), lit(0L)).as("off"))
+      within.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cbefore", col("off") + col("cb_in"))
+        .agg(sum("ca").as("na"), sum("cb").as("nb"), sum("ct").as("n"),
+          sum(col("ca") * (lit(2) * col("cbefore") + col("ct") + 1)).as("r2a"),
+          sum(col("ct") * col("ct") * col("ct") - col("ct")).as("tie3"))
+        .select(col("na").as("n_a"), col("nb").as("nb_tmp"),
+          (col("r2a") - col("na") * (col("na") + 1)).as("u2_a"),
+          round(((col("r2a") - col("na") * (col("na") + 1)).cast("double") / 2.0 -
+            col("na").cast("double") * col("nb") / 2.0) /
+            sqrt(col("na").cast("double") * col("nb") / 12.0 *
+              ((col("n") + 1) - col("tie3").cast("double") /
+                (col("n").cast("double") * (col("n") - 1)))), 6)
+            .as("z_score"))
+        .withColumnRenamed("nb_tmp", "n_b")
+    },
+    Some("""WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                                CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END AS ia,
+                                CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END AS ib
+                         FROM events
+                         WHERE event_type IN ('view', 'purchase')),
+                 g AS (SELECT x, CAST(SUM(ia) AS BIGINT) AS ca,
+                              CAST(SUM(ib) AS BIGINT) AS cb
+                       FROM pts GROUP BY x),
+                 c AS (SELECT x, ca, cb, ca + cb AS ct,
+                              CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS cbefore
+                       FROM g),
+                 tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb,
+                                SUM(ca + cb) AS n,
+                                SUM(ca * (2*cbefore + ct + 1)) AS r2a,
+                                SUM((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb)) AS tie3
+                         FROM c)
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(r2a - na*(na+1) AS BIGINT) AS u2_a,
+                   round((CAST(r2a - na*(na+1) AS DOUBLE)/2.0 -
+                          CAST(na AS DOUBLE)*nb/2.0) /
+                         sqrt(CAST(na AS DOUBLE)*nb/12.0 *
+                              ((n + 1) - CAST(tie3 AS DOUBLE) /
+                               (CAST(n AS DOUBLE)*(n-1)))), 6) AS z_score
+            FROM tot"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
-      aggBootstrapCi)
+      aggBootstrapCi, aggMannWhitney)
 }
