@@ -692,8 +692,64 @@ object TemporalSketchOps {
                                (CAST(n AS DOUBLE)*(n-1)))), 6) AS z_score
             FROM tot"""))
 
+  // EXACT global quantiles without a global sort — the scale mechanism
+  // Spark's own exact `percentile` lacks for one giant group (it sorts
+  // the group in one task's memory; approx_percentile trades exactness).
+  // Domain collapse: values group to integer cents (cardinality bounded
+  // by the value DOMAIN, not volume — one map-side-combinable aggregate),
+  // the CDF runs as the bucket-partitioned two-phase cumsum, and each
+  // quantile reads out by the inverse-CDF rule (smallest x with
+  // cum ≥ ⌈p·n⌉ — pure integer comparisons, identical on any engine).
+  // At 100 TB this is one scan + a shuffle of O(distinct values) rows.
+  private val aggQuantileExact = Op(
+    "agg_quantile_exact",
+    (s, d) => {
+      val g = t(s, d, "events")
+        .select(round(col("value") * 100).cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", expr("x div 1000"))
+      val w = Window.partitionBy("bucket").orderBy("x")
+      val within = g.withColumn("cum_in", sum("cnt").over(w))
+      val counts = g.groupBy("bucket").agg(sum("cnt").as("bt"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"), col("b.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("b.bt")), lit(0L)).as("off"))
+      val tot = g.agg(sum("cnt").as("n"))
+      def q(p: Double, name: String) =
+        round(min(when(col("cum") >= ceil(lit(p) * col("n")).cast("long"),
+          col("x"))).cast("double") / 100.0, 2).as(name)
+      within.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum", col("off") + col("cum_in"))
+        .crossJoin(broadcast(tot))
+        .groupBy("n")
+        .agg(q(0.25, "q25"), q(0.50, "q50"), q(0.90, "q90"), q(0.99, "q99"))
+        .select(col("n"), col("q25"), col("q50"), col("q90"), col("q99"))
+    },
+    Some("""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1),
+                 c AS (SELECT x, CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT)
+                              AS cum
+                       FROM g),
+                 n AS (SELECT SUM(cnt) AS n FROM g)
+            SELECT CAST(n.n AS BIGINT) AS n,
+                   round(CAST(MIN(CASE WHEN cum >=
+                       CAST(ceil(0.25 * n.n) AS BIGINT) THEN x END)
+                     AS DOUBLE)/100.0, 2) AS q25,
+                   round(CAST(MIN(CASE WHEN cum >=
+                       CAST(ceil(0.50 * n.n) AS BIGINT) THEN x END)
+                     AS DOUBLE)/100.0, 2) AS q50,
+                   round(CAST(MIN(CASE WHEN cum >=
+                       CAST(ceil(0.90 * n.n) AS BIGINT) THEN x END)
+                     AS DOUBLE)/100.0, 2) AS q90,
+                   round(CAST(MIN(CASE WHEN cum >=
+                       CAST(ceil(0.99 * n.n) AS BIGINT) THEN x END)
+                     AS DOUBLE)/100.0, 2) AS q99
+            FROM c CROSS JOIN n GROUP BY n.n"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
-      aggBootstrapCi, aggMannWhitney)
+      aggBootstrapCi, aggMannWhitney, aggQuantileExact)
 }
