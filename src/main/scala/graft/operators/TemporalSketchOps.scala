@@ -748,8 +748,74 @@ object TemporalSketchOps {
                      AS DOUBLE)/100.0, 2) AS q99
             FROM c CROSS JOIN n GROUP BY n.n"""))
 
+  // Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) vs
+  // ln(rank) for the top-100 terms — the corpus-statistics diagnostic
+  // (natural text ≈ −1; synthetic/templated corpora flatten toward 0).
+  // The expensive part (term frequencies) is ONE map-side-combinable
+  // aggregate over the token explosion; the fit then runs on a ≤100-row
+  // relation (TakeOrderedAndProject readout, total-order tiebreak).
+  // Determinism: each ln quantizes to an exact BIGINT at 1e-7 before
+  // summation, so the OLS sums are order-independent integers; the slope
+  // divides once in float64, round 6.
+  private val textZipfFit = Op(
+    "text_zipf_fit",
+    (s, d) => {
+      val tf = t(s, d, "documents")
+        .select(explode(split(trim(regexp_replace(lower(col("text")),
+          "\\s+", " ")), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(100)
+      val pts = tf
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("freq").desc, col("term"))))
+        .select(
+          round(log(col("rnk").cast("double")) * 1e7).cast("long").as("x"),
+          round(log(col("freq").cast("double")) * 1e7).cast("long").as("y"))
+      pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n"),
+          round((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx") -
+             col("sx").cast("double") * col("sx")), 6).as("zipf_slope"),
+          round((col("sy").cast("double") -
+            ((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+             (col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx"))) * col("sx")) /
+            col("n") / 1e7, 6).as("intercept_ln"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(trim(regexp_replace(
+                            lower(text), '\s+', ' ', 'g')), ' ')) AS term
+                          FROM documents),
+                 tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+                        FROM toks GROUP BY term),
+                 top AS (SELECT term, freq,
+                                row_number() OVER (ORDER BY freq DESC, term)
+                                  AS rnk
+                         FROM tf ORDER BY freq DESC, term LIMIT 100),
+                 pts AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 10000000)
+                                     AS BIGINT) AS x,
+                                CAST(round(ln(CAST(freq AS DOUBLE)) * 10000000)
+                                     AS BIGINT) AS y
+                         FROM top),
+                 sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                                 SUM(x) AS sx, SUM(y) AS sy,
+                                 SUM(x*x) AS sxx, SUM(x*y) AS sxy
+                          FROM pts)
+            SELECT n,
+                   round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+                         (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx), 6)
+                     AS zipf_slope,
+                   round((CAST(sy AS DOUBLE) -
+                          ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) /
+                           (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx))
+                          * sx) / n / 10000000.0, 6) AS intercept_ln
+            FROM sums"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
-      aggBootstrapCi, aggMannWhitney, aggQuantileExact)
+      aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit)
 }
