@@ -767,10 +767,83 @@ object StreamOps {
               (SELECT MAX(epoch_ms(ts)) - 600000 FROM events)
             ORDER BY ws_ms"""))
 
+  // Streaming CEP: the stateful-pattern-match shape (view → purchase
+  // within 30 min with no error between — the same pattern as the batch
+  // `event_sequence_match`, so the same DuckDB oracle checks it).
+  // flatMapGroupsWithState carries O(1) state per user — (last_view,
+  // last_error, n_purchases, n_converted) — across micro-batches; each
+  // batch's group rows sort by (ts, event_id) before replay (a streaming
+  // file source does not order rows within a batch; cross-batch order is
+  // the state's job). Emissions are running per-user totals upserted into
+  // the versioned parquet target, so after the bounded run the sink equals
+  // the batch answer. At 100 TB this is one shuffle on user_id per batch
+  // and constant state per key — the flink-CEP shape on Spark primitives.
+  private val streamSequenceMatch = Op(
+    "stream_sequence_match",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val out = tmp("graft_ssm_out_"); val ck = tmp("graft_ssm_ck_")
+      val none = Long.MinValue
+      val q = landAndStream(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"), col("event_id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>
+          var (lastView, lastError, nPurch, nConv) =
+            state.getOption.getOrElse((none, none, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach {
+            case (_, "view", us, _)  => lastView = us
+            case (_, "error", us, _) => lastError = us
+            case (_, "purchase", us, _) =>
+              nPurch += 1
+              if (lastView != none && lastView >= us - 30L * 60 * 1000000 &&
+                (lastError == none || lastError < lastView)) nConv += 1
+            case _ => ()
+          }
+          state.update((lastView, lastError, nPurch, nConv))
+          Iterator((uid, nPurch, nConv))
+        }
+        .toDF("user_id", "n_purchases", "n_converted")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          upsertParquet(b, Seq("user_id"), out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(currentVersionDir(s, out).get)
+        .where(col("n_purchases") > 0).orderBy("user_id")
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type, ts,
+                     MAX(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_view,
+                     MAX(CASE WHEN event_type = 'error' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_error
+              FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(CASE WHEN last_view IS NOT NULL
+                                  AND last_view >= ts - INTERVAL 30 MINUTE
+                                  AND (last_error IS NULL
+                                       OR last_error < last_view)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM seq WHERE event_type = 'purchase'
+            GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
     streamDedupState, streamCustomState, streamCdcFeed,
-    streamObserveMetrics, streamWatermarkAudit, streamChainedWindows)
+    streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
+    streamSequenceMatch)
 }
