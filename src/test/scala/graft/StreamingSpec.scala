@@ -302,4 +302,69 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) * 900000L -> r.getLong(1)).toMap
     rows.foreach { case (ws, n15, _) => assert(batch(ws) === n15) }
   }
+
+  test("CEP pattern state survives a checkpointed restart") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val in = tmp("g_cep_in_"); val out = tmp("g_cep_out_"); val ck = tmp("g_cep_ck_")
+    val t0 = 1700000000000L
+    val cepSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def land(rows: Seq[(Long, Long, String, Long)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (e, u, ty, ms) =>
+          Row(e, u, ty, new Timestamp(ms))
+        }), cepSchema).coalesce(1).write.mode("append").parquet(in)
+    val sparkStable = spark
+    import sparkStable.implicits._
+    val none = Long.MinValue
+    def run(): Unit = {
+      val q = spark.readStream.schema(cepSchema).parquet(in)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"), col("event_id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          GroupStateTimeout.NoTimeout) { case (uid, rows, state) =>
+          var (lastView, lastError, nPurch, nConv) =
+            state.getOption.getOrElse((none, none, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach {
+            case (_, "view", us, _)  => lastView = us
+            case (_, "error", us, _) => lastError = us
+            case (_, "purchase", us, _) =>
+              nPurch += 1
+              if (lastView != none && lastView >= us - 30L * 60 * 1000000 &&
+                (lastError == none || lastError < lastView)) nConv += 1
+            case _ => ()
+          }
+          state.update((lastView, lastError, nPurch, nConv))
+          Iterator((uid, nPurch, nConv))
+        }
+        .toDF("user_id", "n_purchases", "n_converted")
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: user 7 sees an old error then a view; user 8 just a view
+    land(Seq((1L, 7L, "error", t0 - 3600000L), (2L, 7L, "view", t0),
+      (3L, 8L, "view", t0)))
+    run()
+    // batch 2 (restart): user 7 purchases 10 min after the batch-1 view —
+    // converts ONLY if (last_view, last_error) survived the checkpoint;
+    // user 8 errors between its view and purchase — must NOT convert
+    land(Seq((4L, 7L, "purchase", t0 + 600000L),
+      (5L, 8L, "error", t0 + 60000L), (6L, 8L, "purchase", t0 + 120000L)))
+    run()
+    val byUser = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byUser(7L) === ((1L, 1L)),
+      "pattern state (last_view) lost across the checkpointed restart")
+    assert(byUser(8L) === ((1L, 0L)),
+      "an error between view and purchase must block the match")
+  }
 }
