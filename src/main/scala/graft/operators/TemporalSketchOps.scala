@@ -814,8 +814,71 @@ object TemporalSketchOps {
                           * sx) / n / 10000000.0, 6) AS intercept_ln
             FROM sums"""))
 
+  // Z-order (Morton-curve) clustering key — the multi-dimensional layout
+  // primitive behind OPTIMIZE ZORDER (the reference delegates it to Delta;
+  // `layout_cluster` is our 1-D range equivalent). The native codegen'd
+  // [[graft.functions.MortonCode]] expression interleaves (customer-bucket,
+  // order-day) bits, and grouping by z div 4096 tiles the key space into
+  // 64×64 cells: every tile is provably dense in BOTH dimensions (the
+  // min/max spans in the output are ≤ 63 — asserted in PlanSpec's sibling
+  // spec), which is exactly why per-file min/max skipping works on EITHER
+  // predicate after sorting by z, where 1-D clustering serves only its
+  // leading key. The oracle replays the same 5-step magic-number bit
+  // spreading with DuckDB's integer bit ops — the cross-engine determinism
+  // proof for the custom expression.
+  private val layoutZorder = Op(
+    "layout_zorder",
+    (s, d) => {
+      graft.functions.MortonCode.register(s)
+      t(s, d, "orders").createOrReplaceTempView("orders_zo")
+      s.sql("""
+        WITH base AS (SELECT o_custkey % 1024 AS a,
+                             (unix_seconds(CAST(o_orderdate AS TIMESTAMP))
+                              div 86400) % 1024 AS b
+                      FROM orders_zo),
+             z AS (SELECT a, b, graft_morton(a, b) AS z FROM base)
+        SELECT z div 4096 AS zbucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(a) AS min_a, MAX(a) AS max_a,
+               MIN(b) AS min_b, MAX(b) AS max_b
+        FROM z GROUP BY z div 4096
+        ORDER BY zbucket""")
+    },
+    Some("""WITH base AS (SELECT o_custkey % 1024 AS a,
+                                 (CAST(epoch(o_orderdate) AS BIGINT) // 86400)
+                                   % 1024 AS b
+                          FROM orders),
+                 s1 AS (SELECT a, b,
+                               (a | (a << 16)) & 281470681808895 AS xa,
+                               (b | (b << 16)) & 281470681808895 AS xb
+                        FROM base),
+                 s2 AS (SELECT a, b,
+                               (xa | (xa << 8)) & 71777214294589695 AS xa,
+                               (xb | (xb << 8)) & 71777214294589695 AS xb
+                        FROM s1),
+                 s3 AS (SELECT a, b,
+                               (xa | (xa << 4)) & 1085102592571150095 AS xa,
+                               (xb | (xb << 4)) & 1085102592571150095 AS xb
+                        FROM s2),
+                 s4 AS (SELECT a, b,
+                               (xa | (xa << 2)) & 3689348814741910323 AS xa,
+                               (xb | (xb << 2)) & 3689348814741910323 AS xb
+                        FROM s3),
+                 s5 AS (SELECT a, b,
+                               (xa | (xa << 1)) & 6148914691236517205 AS xa,
+                               (xb | (xb << 1)) & 6148914691236517205 AS xb
+                        FROM s4),
+                 z AS (SELECT a, b, xa | (xb << 1) AS z FROM s5)
+            SELECT z // 4096 AS zbucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(a) AS min_a, MAX(a) AS max_a,
+                   MIN(b) AS min_b, MAX(b) AS max_b
+            FROM z GROUP BY z // 4096
+            ORDER BY zbucket"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
-      aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit)
+      aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
+      layoutZorder)
 }

@@ -574,6 +574,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(bucket"), p.take(1200))
   }
 
+  test("layout_zorder tiles are dense in BOTH dimensions") {
+    // the Z-order property 1-D range clustering lacks: every z div 4096
+    // bucket is a 64×64 cell, so per-tile min/max spans bound at 63 on
+    // EACH dimension — the file-skipping guarantee for either predicate
+    val rows = SparkEntry.queries("layout_zorder")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_a") - r.getAs[Long]("min_a") <= 63L)
+      assert(r.getAs[Long]("max_b") - r.getAs[Long]("min_b") <= 63L)
+    }
+    // and the interleave itself round-trips bit-exactly
+    assert(graft.functions.MortonCode.interleave(0L, 0L) === 0L)
+    assert(graft.functions.MortonCode.interleave(1L, 0L) === 1L)
+    assert(graft.functions.MortonCode.interleave(0L, 1L) === 2L)
+    assert(graft.functions.MortonCode.interleave(1023L, 1023L) === (1L << 20) - 1)
+    val (a, b) = (0x2d5e1L, 0x71a3fL)
+    val z = graft.functions.MortonCode.interleave(a, b)
+    // de-interleave by collecting alternating bits
+    def gather(z: Long, off: Int): Long =
+      (0 until 31).foldLeft(0L)((acc, i) =>
+        acc | (((z >> (2 * i + off)) & 1L) << i))
+    assert(gather(z, 0) === a && gather(z, 1) === b)
+  }
+
+  test("graft_morton stays inside whole-stage codegen") {
+    graft.functions.MortonCode.register(spark)
+    val df = Tables.load(spark, sfDir, "orders")
+      .selectExpr("graft_morton(o_custkey % 1024, o_orderkey % 1024) AS z")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"), p.take(600))
+  }
+
   test("agg_kmv_intersect sketches collapse before any pair join") {
     // the k-row per-type sketches join; the raw (user, day) elements never
     // cross-join — no cartesian anywhere
