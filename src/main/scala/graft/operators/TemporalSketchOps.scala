@@ -876,9 +876,99 @@ object TemporalSketchOps {
             FROM z GROUP BY z // 4096
             ORDER BY zbucket"""))
 
+  // Kaplan–Meier survival estimator (time to first purchase, censored at
+  // last activity) — the churn/time-to-event staple. The input collapses
+  // to the DURATION DOMAIN (per-hour event/censor counts — one per-user
+  // aggregate then one map-side-combinable collapse), so the survival
+  // recursion runs over O(domain) rows regardless of volume. The running
+  // product Π(1 − d/n) is carried as a cumulative INTEGER sum of
+  // ln-factors quantized to 1e-9 (order-independent, engine-stable), and
+  // exp() runs once per output row, round 6. The terminal step where
+  // everyone at risk fails (ln 0) is excluded — survival is reported at
+  // event times with survivors.
+  private val aggSurvivalKm = Op(
+    "agg_survival_km",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_km")
+      s.sql("""
+        WITH u AS (SELECT user_id, MIN(ts) AS start_ts,
+                          MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                            AS ev_ts,
+                          MAX(ts) AS last_ts
+                   FROM events_km GROUP BY user_id),
+             dur AS (SELECT user_id,
+                            CASE WHEN ev_ts IS NOT NULL
+                                 THEN (unix_micros(CAST(ev_ts AS TIMESTAMP))
+                                       - unix_micros(CAST(start_ts AS TIMESTAMP)))
+                                      div 3600000000
+                                 ELSE (unix_micros(CAST(last_ts AS TIMESTAMP))
+                                       - unix_micros(CAST(start_ts AS TIMESTAMP)))
+                                      div 3600000000 END AS t,
+                            CASE WHEN ev_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+                     FROM u),
+             g AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events,
+                          CAST(SUM(1 - ev) AS BIGINT) AS c_cens
+                   FROM dur GROUP BY t),
+             cum AS (SELECT t, d_events, c_cens,
+                            CAST((SELECT COUNT(*) FROM dur) AS BIGINT)
+                              - CAST(COALESCE(SUM(d_events + c_cens) OVER
+                                  (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                     FROM g),
+             lnf AS (SELECT t, d_events, n_risk,
+                            CAST(round(ln(1.0D - CAST(d_events AS DOUBLE)
+                                          / n_risk) * 1000000000) AS BIGINT)
+                              AS lnq
+                     FROM cum WHERE d_events > 0 AND n_risk > d_events),
+             surv AS (SELECT t, d_events, n_risk,
+                             CAST(SUM(lnq) OVER (ORDER BY t) AS BIGINT) AS cl
+                      FROM lnf)
+        SELECT t AS duration_h, n_risk, d_events,
+               round(exp(CAST(cl AS DOUBLE) / 1000000000.0D), 6) AS survival
+        FROM surv ORDER BY t""")
+    },
+    Some("""WITH u AS (SELECT user_id, MIN(ts) AS start_ts,
+                              MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                                AS ev_ts,
+                              MAX(ts) AS last_ts
+                       FROM events GROUP BY user_id),
+                 dur AS (SELECT user_id,
+                                CASE WHEN ev_ts IS NOT NULL
+                                     THEN (epoch_us(ev_ts)
+                                           - epoch_us(start_ts)) // 3600000000
+                                     ELSE (epoch_us(last_ts)
+                                           - epoch_us(start_ts)) // 3600000000
+                                     END AS t,
+                                CASE WHEN ev_ts IS NOT NULL THEN 1 ELSE 0 END
+                                  AS ev
+                         FROM u),
+                 g AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events,
+                              CAST(SUM(1 - ev) AS BIGINT) AS c_cens
+                       FROM dur GROUP BY t),
+                 cum AS (SELECT t, d_events, c_cens,
+                                CAST((SELECT COUNT(*) FROM dur) AS BIGINT)
+                                  - CAST(COALESCE(SUM(d_events + c_cens) OVER
+                                      (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                       PRECEDING AND 1 PRECEDING), 0)
+                                    AS BIGINT) AS n_risk
+                         FROM g),
+                 lnf AS (SELECT t, d_events, n_risk,
+                                CAST(round(ln(1.0 - CAST(d_events AS DOUBLE)
+                                              / n_risk) * 1000000000)
+                                  AS BIGINT) AS lnq
+                         FROM cum WHERE d_events > 0 AND n_risk > d_events),
+                 surv AS (SELECT t, d_events, n_risk,
+                                 CAST(SUM(lnq) OVER (ORDER BY t) AS BIGINT)
+                                   AS cl
+                          FROM lnf)
+            SELECT t AS duration_h, n_risk, d_events,
+                   round(exp(CAST(cl AS DOUBLE) / 1000000000.0), 6)
+                     AS survival
+            FROM surv ORDER BY t"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
       aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
-      layoutZorder)
+      layoutZorder, aggSurvivalKm)
 }
