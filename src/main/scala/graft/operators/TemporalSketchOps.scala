@@ -966,9 +966,101 @@ object TemporalSketchOps {
                      AS survival
             FROM surv ORDER BY t"""))
 
+  // Exact AUC-ROC from the rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) /
+  // (n⁺·n⁻) — the model-evaluation staple, computed WITHOUT sorting
+  // predictions: scores collapse to the value domain (one map-side
+  // aggregate), tied ranks stay exact integers (the agg_mann_whitney
+  // machinery — 2·rank arithmetic), and the single float division rounds
+  // at the boundary. The bucket-partitioned cumsum variant (see
+  // agg_mann_whitney) is the 100 TB path; the cumulative here runs over
+  // O(value domain) rows.
+  private val aggAucRoc = Op(
+    "agg_auc_roc",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_auc")
+      s.sql("""
+        WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                            CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END AS pos
+                     FROM events_auc
+                     WHERE event_type IN ('view', 'purchase')),
+             g AS (SELECT x, CAST(SUM(pos) AS BIGINT) AS cp,
+                          CAST(SUM(1 - pos) AS BIGINT) AS cn
+                   FROM pts GROUP BY x),
+             c AS (SELECT x, cp, cn, cp + cn AS ct,
+                          CAST(COALESCE(SUM(cp + cn) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cb
+                   FROM g),
+             tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn,
+                            SUM(cp * (2*cb + ct + 1)) AS r2p FROM c)
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               round(CAST(r2p - np*(np+1) AS DOUBLE) / (2.0D*np*nn), 6) AS auc
+        FROM tot""")
+    },
+    Some("""WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                                CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END AS pos
+                         FROM events
+                         WHERE event_type IN ('view', 'purchase')),
+                 g AS (SELECT x, CAST(SUM(pos) AS BIGINT) AS cp,
+                              CAST(SUM(1 - pos) AS BIGINT) AS cn
+                       FROM pts GROUP BY x),
+                 c AS (SELECT x, cp, cn, cp + cn AS ct,
+                              CAST(COALESCE(SUM(cp + cn) OVER (ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS cb
+                       FROM g),
+                 tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn,
+                                SUM(cp * (2*cb + ct + 1)) AS r2p FROM c)
+            SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+                   round(CAST(r2p - np*(np+1) AS DOUBLE) / (2.0*np*nn), 6)
+                     AS auc
+            FROM tot"""))
+
+  // Calibration / reliability bins: mean score vs empirical positive rate
+  // per tenth of the score range — the diagnosis that separates a
+  // well-ranked model (high AUC) from a well-CALIBRATED one. Integer-cent
+  // scores and counts stay exact; the two divisions per bin run once in
+  // float64, round 6. One aggregate after a broadcast of the 1-row max.
+  private val aggCalibrationBins = Op(
+    "agg_calibration_bins",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_cal")
+      s.sql("""
+        WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                            CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END AS pos
+                     FROM events_cal
+                     WHERE event_type IN ('view', 'purchase')),
+             mx AS (SELECT MAX(x) AS mx FROM pts),
+             b AS (SELECT LEAST(CAST((x * 10) DIV (mx + 1) AS BIGINT), 9L)
+                            AS bin, x, pos
+                   FROM pts CROSS JOIN mx)
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 100.0D, 6)
+                 AS mean_score,
+               round(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+        FROM b GROUP BY bin ORDER BY bin""")
+    },
+    Some("""WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                                CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END AS pos
+                         FROM events
+                         WHERE event_type IN ('view', 'purchase')),
+                 mx AS (SELECT MAX(x) AS mx FROM pts),
+                 b AS (SELECT LEAST(CAST((x * 10) // (mx + 1) AS BIGINT), 9)
+                                AS bin, x, pos
+                       FROM pts CROSS JOIN mx)
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(SUM(x) AS DOUBLE) / COUNT(*) / 100.0, 6)
+                     AS mean_score,
+                   round(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+            FROM b GROUP BY bin ORDER BY bin"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
       aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
-      layoutZorder, aggSurvivalKm)
+      layoutZorder, aggSurvivalKm, aggAucRoc, aggCalibrationBins)
 }
