@@ -1058,9 +1058,71 @@ object TemporalSketchOps {
                    round(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
             FROM b GROUP BY bin ORDER BY bin"""))
 
+  // Population Stability Index between the first and second half-month of
+  // events — THE production data-drift alarm (PSI < 0.1 stable, > 0.25
+  // drifted). Bin proportions are exact integer counts; each bin's
+  // (p−q)·ln(p/q) term quantizes to a 1e-9 BIGINT before the sum, so the
+  // readout is order-independent across engines/parallelism. Bins where
+  // either period is empty are excluded (the standard convention). One
+  // aggregate over the binned domain — the scan dominates at any SF.
+  private val aggPsiDrift = Op(
+    "agg_psi_drift",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_psi")
+      s.sql("""
+        WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                            CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                                 THEN 0 ELSE 1 END AS half
+                     FROM events_psi),
+             mx AS (SELECT MAX(x) AS mx FROM pts),
+             b AS (SELECT LEAST((x * 10) DIV (mx + 1), 9L) AS bin, half
+                   FROM pts CROSS JOIN mx),
+             ct AS (SELECT bin,
+                           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS ca,
+                           CAST(SUM(half) AS BIGINT) AS cb
+                    FROM b GROUP BY bin),
+             tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM ct),
+             terms AS (SELECT bin, ca, cb,
+                              CAST(round((CAST(ca AS DOUBLE)/na -
+                                          CAST(cb AS DOUBLE)/nb) *
+                                         ln((CAST(ca AS DOUBLE)/na) /
+                                            (CAST(cb AS DOUBLE)/nb))
+                                         * 1000000000) AS BIGINT) AS term_q
+                       FROM ct CROSS JOIN tot WHERE ca > 0 AND cb > 0)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+               round(CAST(SUM(term_q) AS DOUBLE) / 1000000000.0D, 6) AS psi
+        FROM terms""")
+    },
+    Some("""WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                                CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                                     THEN 0 ELSE 1 END AS half
+                         FROM events),
+                 mx AS (SELECT MAX(x) AS mx FROM pts),
+                 b AS (SELECT LEAST((x * 10) // (mx + 1), 9) AS bin, half
+                       FROM pts CROSS JOIN mx),
+                 ct AS (SELECT bin,
+                               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                                    AS BIGINT) AS ca,
+                               CAST(SUM(half) AS BIGINT) AS cb
+                        FROM b GROUP BY bin),
+                 tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM ct),
+                 terms AS (SELECT bin, ca, cb,
+                                  CAST(round((CAST(ca AS DOUBLE)/na -
+                                              CAST(cb AS DOUBLE)/nb) *
+                                             ln((CAST(ca AS DOUBLE)/na) /
+                                                (CAST(cb AS DOUBLE)/nb))
+                                             * 1000000000) AS BIGINT)
+                                    AS term_q
+                           FROM ct CROSS JOIN tot WHERE ca > 0 AND cb > 0)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+                   round(CAST(SUM(term_q) AS DOUBLE) / 1000000000.0, 6) AS psi
+            FROM terms"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
       aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
-      layoutZorder, aggSurvivalKm, aggAucRoc, aggCalibrationBins)
+      layoutZorder, aggSurvivalKm, aggAucRoc, aggCalibrationBins,
+      aggPsiDrift)
 }
