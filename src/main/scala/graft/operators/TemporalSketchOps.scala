@@ -1119,10 +1119,103 @@ object TemporalSketchOps {
                    round(CAST(SUM(term_q) AS DOUBLE) / 1000000000.0, 6) AS psi
             FROM terms"""))
 
+  // Winsorized mean — the robust location estimate: values clamp to the
+  // exact [p5, p95] inverse-CDF thresholds (the agg_quantile_exact
+  // machinery — pure integer comparisons over the collapsed value domain)
+  // and the clamped sum stays exact BIGINT weighted by the per-value
+  // counts; ONE float division at the boundary. Unlike a trimmed mean,
+  // boundary mass needs no fractional weighting — clamping is exact.
+  private val aggWinsorizedMean = Op(
+    "agg_winsorized_mean",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_wm")
+      s.sql("""
+        WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM events_wm GROUP BY 1),
+             c AS (SELECT x, cnt,
+                          CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT) AS cum
+                   FROM g),
+             n AS (SELECT SUM(cnt) AS n FROM g),
+             th AS (SELECT MIN(CASE WHEN cum >=
+                             CAST(ceil(0.05 * n.n) AS BIGINT) THEN x END)
+                           AS lo,
+                           MIN(CASE WHEN cum >=
+                             CAST(ceil(0.95 * n.n) AS BIGINT) THEN x END)
+                           AS hi
+                    FROM c CROSS JOIN n)
+        SELECT CAST(n.n AS BIGINT) AS n,
+               round(CAST(th.lo AS DOUBLE) / 100.0D, 2) AS lo,
+               round(CAST(th.hi AS DOUBLE) / 100.0D, 2) AS hi,
+               round(CAST(SUM(GREATEST(LEAST(x, th.hi), th.lo) * cnt)
+                          AS DOUBLE) / n.n / 100.0D, 6) AS winsorized_mean
+        FROM g CROSS JOIN th CROSS JOIN n GROUP BY n.n, th.lo, th.hi""")
+    },
+    Some("""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1),
+                 c AS (SELECT x, cnt,
+                              CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT)
+                                AS cum
+                       FROM g),
+                 n AS (SELECT SUM(cnt) AS n FROM g),
+                 th AS (SELECT MIN(CASE WHEN cum >=
+                                 CAST(ceil(0.05 * n.n) AS BIGINT) THEN x END)
+                               AS lo,
+                               MIN(CASE WHEN cum >=
+                                 CAST(ceil(0.95 * n.n) AS BIGINT) THEN x END)
+                               AS hi
+                        FROM c CROSS JOIN n)
+            SELECT CAST(n.n AS BIGINT) AS n,
+                   round(CAST(th.lo AS DOUBLE) / 100.0, 2) AS lo,
+                   round(CAST(th.hi AS DOUBLE) / 100.0, 2) AS hi,
+                   round(CAST(SUM(GREATEST(LEAST(x, th.hi), th.lo) * cnt)
+                              AS DOUBLE) / n.n / 100.0, 6) AS winsorized_mean
+            FROM g CROSS JOIN th CROSS JOIN n GROUP BY n.n, th.lo, th.hi"""))
+
+  // Brier score — mean squared error of the (score → probability) proxy
+  // against binary outcomes, the calibration-sensitive companion to
+  // agg_auc_roc. With p = x/max rewritten as (x − pos·max)²/max², the sum
+  // of squares is EXACT BIGINT (every term ≤ max² ≈ 2.4e9; the total
+  // stays far under 2⁶³ at bench scale) and float enters once in the
+  // final division, round 6.
+  private val aggBrierScore = Op(
+    "agg_brier_score",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_br")
+      s.sql("""
+        WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                            CASE WHEN event_type = 'purchase'
+                                 THEN 1L ELSE 0L END AS pos
+                     FROM events_br
+                     WHERE event_type IN ('view', 'purchase')),
+             mx AS (SELECT MAX(x) AS mx FROM pts),
+             sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             SUM((x - pos*mx) * (x - pos*mx)) AS ss,
+                             MIN(mx) AS mx
+                      FROM pts CROSS JOIN mx)
+        SELECT n, round(CAST(ss AS DOUBLE) /
+                        (CAST(n AS DOUBLE) * mx * mx), 6) AS brier
+        FROM sums""")
+    },
+    Some("""WITH pts AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                                CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END AS pos
+                         FROM events
+                         WHERE event_type IN ('view', 'purchase')),
+                 mx AS (SELECT MAX(x) AS mx FROM pts),
+                 sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                                 SUM((x - pos*mx) * (x - pos*mx)) AS ss,
+                                 MIN(mx) AS mx
+                          FROM pts CROSS JOIN mx)
+            SELECT n, round(CAST(ss AS DOUBLE) /
+                            (CAST(n AS DOUBLE) * mx * mx), 6) AS brier
+            FROM sums"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
       aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
       layoutZorder, aggSurvivalKm, aggAucRoc, aggCalibrationBins,
-      aggPsiDrift)
+      aggPsiDrift, aggWinsorizedMean, aggBrierScore)
 }

@@ -234,4 +234,24 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("MortonCode interleave round-trips and preserves order per dimension") {
+    val dim: Gen[Long] = Gen.chooseNum(0L, 0x7fffffffL)
+    def gather(z: Long, off: Int): Long =
+      (0 until 31).foldLeft(0L)((acc, i) =>
+        acc | (((z >> (2 * i + off)) & 1L) << i))
+    forAll(Gen.zip(dim, dim)) { case (a, b) =>
+      val z = graft.functions.MortonCode.interleave(a, b)
+      assert(z >= 0L, "62-bit result stays non-negative")
+      assert(gather(z, 0) === a, s"even bits must recover a=$a from z=$z")
+      assert(gather(z, 1) === b, s"odd bits must recover b=$b from z=$z")
+    }
+    // monotone within a fixed other-dimension: more-significant bits of a
+    // land at more-significant even positions
+    forAll(Gen.zip(dim, dim, dim)) { case (a1, a2, b) =>
+      val (lo, hi) = if (a1 <= a2) (a1, a2) else (a2, a1)
+      assert(graft.functions.MortonCode.interleave(lo, b) <=
+        graft.functions.MortonCode.interleave(hi, b))
+    }
+  }
 }
