@@ -1212,10 +1212,71 @@ object TemporalSketchOps {
                             (CAST(n AS DOUBLE) * mx * mx), 6) AS brier
             FROM sums"""))
 
+  // Holt double-exponential smoothing (level + trend, α = β = 1/2) — the
+  // SECOND-ORDER recursive state: each output depends on TWO previous
+  // outputs, so like window_ewma/window_cusum it runs as the documented
+  // secondary-sort mapPartitions scan (one shuffle on user_id, O(1)
+  // two-register state per key). Arithmetic is exact integer cents with
+  // TRUNCATING division (Scala Long `/` ≡ DuckDB `//`, both toward zero
+  // on negatives — Math.floorDiv would diverge by one the first time the
+  // trend goes negative); the oracle replays both registers in one
+  // recursive CTE.
+  private val windowHolt = Op(
+    "window_holt",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .where(col("user_id") % 20 === 0)
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("ts"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("cents"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var lev = 0L
+          var tr = 0L
+          it.map { case (u, e, x) =>
+            if (u != curUser) { lev = x; tr = 0L }
+            else {
+              val nl = (x + (lev + tr)) / 2L
+              tr = (tr + (nl - lev)) / 2L
+              lev = nl
+            }
+            curUser = u
+            (u, e, lev, tr)
+          }
+        }
+        .toDF("user_id", "event_id", "level_cents", "trend_cents")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_id,
+                                CAST(round(value * 100) AS BIGINT) AS x,
+                                row_number() OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                                  AS rn
+                         FROM events WHERE user_id % 20 = 0),
+                 rec AS (
+                   WITH RECURSIVE r(user_id, event_id, rn, lev, tr) AS (
+                     SELECT user_id, event_id, rn, x, CAST(0 AS BIGINT)
+                     FROM seq WHERE rn = 1
+                     UNION ALL
+                     SELECT seq.user_id, seq.event_id, seq.rn,
+                            (seq.x + (r.lev + r.tr)) // 2,
+                            (r.tr + ((seq.x + (r.lev + r.tr)) // 2 - r.lev))
+                              // 2
+                     FROM r JOIN seq ON seq.user_id = r.user_id
+                                    AND seq.rn = r.rn + 1)
+                   SELECT * FROM r)
+            SELECT user_id, event_id, lev AS level_cents, tr AS trend_cents
+            FROM rec ORDER BY user_id, event_id"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
       aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
       layoutZorder, aggSurvivalKm, aggAucRoc, aggCalibrationBins,
-      aggPsiDrift, aggWinsorizedMean, aggBrierScore)
+      aggPsiDrift, aggWinsorizedMean, aggBrierScore, windowHolt)
 }
