@@ -1273,10 +1273,110 @@ object TemporalSketchOps {
             SELECT user_id, event_id, lev AS level_cents, tr AS trend_cents
             FROM rec ORDER BY user_id, event_id"""))
 
+  // Temperature-scaled mixture allocation (w ∝ n^0.5) — THE LLM-training
+  // data-mixture recipe: upweight tail languages relative to their raw
+  // share. Weights quantize to 1e-6 BIGINTs (sqrt of an exact integer is
+  // IEEE-identical everywhere), and the 1000-doc budget allocates by
+  // LARGEST REMAINDER in pure integer arithmetic (floor share + ranked
+  // remainders), so the allocation sums exactly to budget on any engine —
+  // float proportional rounding can be off by one either way. O(sources)
+  // relation after one count aggregate.
+  private val corpusMixTemperature = Op(
+    "corpus_mix_temperature",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_mt")
+      s.sql("""
+        WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents_mt GROUP BY lang),
+             w AS (SELECT lang, n,
+                          CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000)
+                               AS BIGINT) AS wq
+                   FROM c),
+             tot AS (SELECT SUM(wq) AS tw FROM w),
+             alloc AS (SELECT lang, n, wq,
+                              (1000 * wq) DIV tw AS base,
+                              (1000 * wq) % tw AS rem
+                       FROM w CROSS JOIN tot),
+             d2 AS (SELECT SUM(base) AS sb FROM alloc),
+             r AS (SELECT lang, n, base, rem,
+                          row_number() OVER (ORDER BY rem DESC, lang) AS rk
+                   FROM alloc)
+        SELECT lang, n,
+               CAST(base + CASE WHEN rk <= 1000 - d2.sb
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs
+        FROM r CROSS JOIN d2 ORDER BY lang""")
+    },
+    Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY lang),
+                 w AS (SELECT lang, n,
+                              CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000)
+                                   AS BIGINT) AS wq
+                       FROM c),
+                 tot AS (SELECT SUM(wq) AS tw FROM w),
+                 alloc AS (SELECT lang, n, wq,
+                                  (1000 * wq) // tw AS base,
+                                  (1000 * wq) % tw AS rem
+                           FROM w CROSS JOIN tot),
+                 d2 AS (SELECT SUM(base) AS sb FROM alloc),
+                 r AS (SELECT lang, n, base, rem,
+                              row_number() OVER (ORDER BY rem DESC, lang)
+                                AS rk
+                       FROM alloc)
+            SELECT lang, n,
+                   CAST(base + CASE WHEN rk <= 1000 - d2.sb
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                     AS alloc_docs
+            FROM r CROSS JOIN d2 ORDER BY lang"""))
+
+  // Time-weighted average (TWAP) per user-day: each observation weighs by
+  // its HOLDING DURATION (lead(ts) − ts, exact µs) rather than its count
+  // — the correct average for irregularly-sampled series (finance TWAP,
+  // sensor readings). Products stay exact BIGINT (cents × µs), one float
+  // division per group, round 6; one shuffle on (user, day), one lead
+  // window over the same sort.
+  private val windowTwap = Op(
+    "window_twap",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_tw")
+      s.sql("""
+        WITH e AS (SELECT user_id,
+                          CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day,
+                          CAST(round(value * 100) AS BIGINT) AS cents,
+                          unix_micros(CAST(ts AS TIMESTAMP)) AS us, event_id
+                   FROM events_tw),
+             w AS (SELECT user_id, day, cents,
+                          LEAD(us) OVER (PARTITION BY user_id, day
+                                         ORDER BY us, event_id) - us AS dur
+                   FROM e)
+        SELECT user_id, day,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               round(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100.0D, 6)
+                 AS twap
+        FROM w WHERE dur IS NOT NULL AND dur > 0
+        GROUP BY user_id, day ORDER BY user_id, day""")
+    },
+    Some("""WITH e AS (SELECT user_id,
+                              CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS day,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              epoch_us(ts) AS us, event_id
+                       FROM events),
+                 w AS (SELECT user_id, day, cents,
+                              LEAD(us) OVER (PARTITION BY user_id, day
+                                             ORDER BY us, event_id) - us
+                                AS dur
+                       FROM e)
+            SELECT user_id, day,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   round(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur)
+                         / 100.0, 6) AS twap
+            FROM w WHERE dur IS NOT NULL AND dur > 0
+            GROUP BY user_id, day ORDER BY user_id, day"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
       aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
       layoutZorder, aggSurvivalKm, aggAucRoc, aggCalibrationBins,
-      aggPsiDrift, aggWinsorizedMean, aggBrierScore, windowHolt)
+      aggPsiDrift, aggWinsorizedMean, aggBrierScore, windowHolt,
+      corpusMixTemperature, windowTwap)
 }
