@@ -194,5 +194,62 @@ object GraphOps {
              WHERE k.u IS NULL
              ORDER BY w.u, w.v"""))
 
-  val ops: Seq[Op] = Seq(graphComponents, graphBfsHops, graphLinkPredict)
+  // Per-node clustering coefficient: 2·triangles(v) / (deg(v)·(deg(v)−1))
+  // — the local-density metric behind community/spam detection (a node
+  // whose neighbours all know each other scores 1). Triangles enumerate
+  // once in canonical a<b<c orientation (two hash equi-joins over the
+  // u<v edge list — the graph_triangles wedge shape, never all-pairs),
+  // then each corner credits its node; degrees come from one aggregate
+  // over the symmetric edges. Exact integer counts; the single division
+  // rounds to 6 dp. deg<2 nodes are excluded (coefficient undefined).
+  private val graphClusteringCoeff = Op(
+    "graph_clustering_coeff",
+    (s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val el = supplyEdges(s, d).where(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v")).cache()
+      val tri = el.as("e1")
+        .join(el.as("e2"), col("e1.v") === col("e2.u"))
+        .join(el.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      val triPerNode = tri.select(col("a").as("vid"))
+        .unionAll(tri.select(col("b").as("vid")))
+        .unionAll(tri.select(col("c").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("tri"))
+      val deg = supplyEdges(s, d).groupBy(col("src").as("vid"))
+        .agg(count(lit(1)).as("deg"))
+      val out = deg.where(col("deg") >= 2)
+        .join(broadcast(triPerNode), Seq("vid"), "left")
+        .select(col("vid"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("triangles"),
+          round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)), 6).as("coeff"))
+        .orderBy("vid")
+      el.unpersist()
+      out
+    },
+    Some(s"""WITH $oracleEdgeCte,
+             el AS (SELECT u, v FROM und),
+             tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                     FROM el e1
+                     JOIN el e2 ON e1.v = e2.u
+                     JOIN el e3 ON e3.u = e1.u AND e3.v = e2.v),
+             tpn AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS tri
+                     FROM (SELECT a AS vid FROM tri
+                           UNION ALL SELECT b FROM tri
+                           UNION ALL SELECT c FROM tri) x
+                     GROUP BY vid),
+             deg AS (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM edges GROUP BY src)
+             SELECT d.vid, d.deg,
+                    CAST(COALESCE(t.tri, 0) AS BIGINT) AS triangles,
+                    round(2.0 * COALESCE(t.tri, 0) /
+                          (d.deg * (d.deg - 1)), 6) AS coeff
+             FROM deg d LEFT JOIN tpn t ON d.vid = t.vid
+             WHERE d.deg >= 2
+             ORDER BY d.vid"""))
+
+  val ops: Seq[Op] = Seq(graphComponents, graphBfsHops, graphLinkPredict,
+    graphClusteringCoeff)
 }

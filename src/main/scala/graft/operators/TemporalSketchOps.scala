@@ -1372,11 +1372,58 @@ object TemporalSketchOps {
             FROM w WHERE dur IS NOT NULL AND dur > 0
             GROUP BY user_id, day ORDER BY user_id, day"""))
 
+  // Differential-privacy-SHAPED noisy counts: Laplace(b=1) noise drawn by
+  // inverse CDF from a SEEDED md5 hash of the group key (−sign(u)·ln(1−2|u|)
+  // for u ∈ (−½, ½)) — the release pipeline's plumbing (per-group count +
+  // calibrated noise, noise quantized to 1e-6 before the add so both
+  // engines emit identical releases). NOTE: a seeded, repeatable draw is
+  // deliberately NOT a privacy mechanism — determinism is what the
+  // correctness gate needs; swapping the hash for a CSPRNG at release
+  // time is the one-line production change. Counts are one partial→final
+  // aggregate; the noise math is per-group O(groups).
+  private val privacyDpCount = Op(
+    "privacy_dp_count",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_dp")
+      s.sql("""
+        WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM customer_dp GROUP BY 1),
+             u AS (SELECT nk, n,
+                          CAST(CAST(conv(substring(md5(concat('dp1:',
+                            CAST(nk AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                            AS DOUBLE) / 1152921504606846976.0D - 0.5D AS up
+                   FROM c),
+             nz AS (SELECT nk, n,
+                           CAST(round(-sign(up) *
+                             ln(GREATEST(1.0D - 2.0D*abs(up), 1e-18D))
+                             * 1000000) AS BIGINT) AS noise_q
+                    FROM u)
+        SELECT nk, n, round(n + CAST(noise_q AS DOUBLE)/1000000.0D, 6)
+                 AS dp_count
+        FROM nz ORDER BY nk""")
+    },
+    Some("""WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT)
+                              AS n
+                       FROM customer GROUP BY 1),
+                 u AS (SELECT nk, n,
+                              CAST(('0x' || substr(md5('dp1:' || nk), 1, 15))
+                                   ::BIGINT AS DOUBLE)
+                              / 1152921504606846976.0 - 0.5 AS up
+                       FROM c),
+                 nz AS (SELECT nk, n,
+                               CAST(round(-sign(up) *
+                                 ln(GREATEST(1.0 - 2.0*abs(up), 1e-18))
+                                 * 1000000) AS BIGINT) AS noise_q
+                        FROM u)
+            SELECT nk, n, round(n + CAST(noise_q AS DOUBLE)/1000000.0, 6)
+                     AS dp_count
+            FROM nz ORDER BY nk"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
       aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
       aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
       layoutZorder, aggSurvivalKm, aggAucRoc, aggCalibrationBins,
       aggPsiDrift, aggWinsorizedMean, aggBrierScore, windowHolt,
-      corpusMixTemperature, windowTwap)
+      corpusMixTemperature, windowTwap, privacyDpCount)
 }
