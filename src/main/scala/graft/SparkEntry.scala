@@ -12,7 +12,8 @@ object SparkEntry {
 
   private lazy val all: Seq[Op] = {
     val ops = operators.Relational.ops ++ operators.TpchSuite.ops ++
-      operators.TemporalSketchOps.ops ++ operators.AnalyticsOps.ops ++
+      operators.TemporalSketchOps.ops ++ operators.StatsMlOps.ops ++
+      operators.AnalyticsOps.ops ++
       operators.GraphOps.ops ++ operators.EtlOps.ops ++
       operators.LlmOps.ops ++ operators.Multimodal.ops ++
       streaming.StreamOps.ops ++
