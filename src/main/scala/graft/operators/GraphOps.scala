@@ -250,6 +250,107 @@ object GraphOps {
              WHERE d.deg >= 2
              ORDER BY d.vid"""))
 
+  /** Weighted symmetric edges: wt ∈ [1,10] derived deterministically from
+    * the pair's traffic count (min over the two directions before the
+    * undirected dedup, so both engines see one canonical weight). */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("a"),
+        col("s_nationkey").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") % 7 === 0 && col("a") =!= col("b"))
+    val und = pairs
+      .groupBy(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .agg(expr("(min(w) div 7) % 10 + 1").as("wt"))
+    und.select(col("u").as("src"), col("v").as("dst"), col("wt"))
+      .union(und.select(col("v").as("src"), col("u").as("dst"), col("wt")))
+  }
+
+  private val oracleWeightedEdgeCte =
+    """pairs AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS a,
+      |         CAST(s_nationkey AS BIGINT) AS b, count(*) AS w
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2),
+      |und AS (
+      |  SELECT least(a, b) AS u, greatest(a, b) AS v,
+      |         (CAST(min(w) AS BIGINT) // 7) % 10 + 1 AS wt
+      |  FROM pairs WHERE w % 7 = 0 AND a <> b GROUP BY 1, 2),
+      |wedges AS (
+      |  SELECT u AS src, v AS dst, wt FROM und
+      |  UNION ALL SELECT v, u, wt FROM und)""".stripMargin
+
+  // Single-source WEIGHTED shortest paths (Bellman-Ford by rounds): each
+  // round relaxes every edge out of the current frontier — one hash join
+  // + one min-aggregate, the same per-round cost as BFS but with
+  // dist + wt instead of hops + 1. Positive integer weights ⇒ the min-dist
+  // fixpoint is unique, so any execution order (or cluster size) lands on
+  // identical output; convergence is the same monotone (reached-count,
+  // dist-sum) scalar pair as graph_bfs_hops, rounds ≤ V−1. The oracle
+  // replays the relaxation as a bounded recursive walk (dist ≤ V·max_wt
+  // caps the state space; UNION dedups exact (vid, dist) pairs).
+  private val graphSsspWeighted = Op(
+    "graph_sssp_weighted",
+    (s, d) => {
+      val e = weightedEdges(s, d).cache()
+      var dist = nodes(s, d).where(col("vid") === 0)
+        .withColumn("dist", lit(0L)).localCheckpoint()
+      var prev = (-1L, -1L)
+      var cur = (1L, 0L)
+      var it = 0
+      while (cur != prev && it < 40) {
+        val relaxed = e.join(dist, e("src") === dist("vid"))
+          .groupBy(e("dst").as("nv"))
+          .agg(min(col("dist") + col("wt")).as("nd"))
+        dist = dist.join(relaxed, dist("vid") === col("nv"), "full")
+          .select(coalesce(col("vid"), col("nv")).as("vid"),
+            least(coalesce(col("dist"), col("nd")),
+              coalesce(col("nd"), col("dist"))).as("dist"))
+          .localCheckpoint()
+        prev = cur
+        val r = dist.agg(count(lit(1)), sum("dist")).head
+        cur = (r.getLong(0), r.getLong(1))
+        it += 1
+      }
+      e.unpersist()
+      dist.orderBy("vid")
+    },
+    Some(s"""WITH RECURSIVE $oracleWeightedEdgeCte,
+             walk(vid, dist) AS (
+               SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+               UNION
+               SELECT e.dst, w.dist + e.wt
+               FROM walk w JOIN wedges e ON e.src = w.vid
+               WHERE w.dist + e.wt <= 250)
+             SELECT vid, CAST(min(dist) AS BIGINT) AS dist
+             FROM walk GROUP BY vid ORDER BY vid"""))
+
+  // Degree distribution — the first diagnostic run on any production
+  // graph (power-law check, max-degree skew estimate for join salting).
+  // Two partial-aggregated shuffles: degree per vertex, then vertex count
+  // per degree; both combine map-side, so at 100 TB the exchanges carry
+  // one row per vertex then one per distinct degree.
+  private val graphDegreeDist = Op(
+    "graph_degree_dist",
+    (s, d) => {
+      val deg = supplyEdges(s, d)
+        .groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+    Some(s"""WITH $oracleEdgeCte,
+             deg AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS degree
+                     FROM edges GROUP BY src)
+             SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM deg GROUP BY degree ORDER BY degree"""))
+
   val ops: Seq[Op] = Seq(graphComponents, graphBfsHops, graphLinkPredict,
-    graphClusteringCoeff)
+    graphClusteringCoeff, graphSsspWeighted, graphDegreeDist)
 }

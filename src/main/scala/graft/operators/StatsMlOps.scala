@@ -316,7 +316,205 @@ object StatsMlOps {
                        CROSS JOIN u
             ORDER BY type_a, type_b"""))
 
+  // Simpson lexical diversity per corpus source — 1 − Σ nᵢ(nᵢ−1)/(N(N−1)),
+  // the repeat-probability complement used as a cheap corpus-quality
+  // signal next to text_entropy/text_repetition. Token counts roll up in
+  // ONE partial-aggregated shuffle on (source, word); the Σnᵢ(nᵢ−1) and N
+  // moments stay exact BIGINT to the single final division. At 100 TB the
+  // (source, word) rollup is the only big exchange — vocabulary-bounded
+  // output, map-side combinable.
+  private val textSimpsonDiversity = Op(
+    "text_simpson_diversity",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_sd")
+      s.sql("""
+        WITH w AS (SELECT source, w AS word
+                   FROM docs_sd
+                   LATERAL VIEW explode(split(lower(trim(text)), '\\s+'))
+                     AS w),
+             wc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM w GROUP BY 1, 2),
+             m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                          CAST(COUNT(*) AS BIGINT) AS vocab,
+                          CAST(SUM(c * (c - 1)) AS BIGINT) AS rep
+                   FROM wc GROUP BY 1)
+        SELECT source, n, vocab,
+               round(1.0D - CAST(rep AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * (n - 1)), 6)
+                 AS simpson_diversity
+        FROM m ORDER BY source""")
+    },
+    Some("""WITH w AS (SELECT source,
+                              unnest(string_split_regex(lower(trim(text)),
+                                                        '\s+')) AS word
+                       FROM documents),
+                 wc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM w GROUP BY 1, 2),
+                 m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                              CAST(COUNT(*) AS BIGINT) AS vocab,
+                              CAST(SUM(c * (c - 1)) AS BIGINT) AS rep
+                       FROM wc GROUP BY 1)
+            SELECT source, n, vocab,
+                   round(1.0 - CAST(rep AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * (n - 1)), 6)
+                     AS simpson_diversity
+            FROM m ORDER BY source"""))
+
+  // Jensen–Shannon divergence between the event-type distributions of two
+  // user cohorts (even vs odd user_id) — the bounded, symmetric drift
+  // metric (0 = identical, ln 2 = disjoint) used for A/B sanity and
+  // feature-drift monitoring alongside agg_psi_drift. Counts are ONE
+  // conditional-aggregate scan (no per-cohort subqueries); each category's
+  // KL term is computed in double and quantized to 1e9 BEFORE the final
+  // sum, so the result is order-independent. 5 categories ⇒ the divergence
+  // combine is driver-trivial; the scan is the only distributed work.
+  private val aggJsDivergence = Op(
+    "agg_js_divergence",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_js")
+      s.sql("""
+        WITH c AS (SELECT event_type,
+                          CAST(SUM(CASE WHEN user_id % 2 = 0
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                          CAST(SUM(user_id % 2) AS BIGINT) AS cb
+                   FROM events_js GROUP BY 1),
+             tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                            CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+             terms AS (SELECT event_type,
+                              CAST(ca AS DOUBLE) / na AS p,
+                              CAST(cb AS DOUBLE) / nb AS q
+                       FROM c CROSS JOIN tot),
+             qt AS (SELECT event_type,
+                           CAST(round((CASE WHEN p > 0
+                                            THEN p * ln(2 * p / (p + q))
+                                            ELSE 0 END
+                                     + CASE WHEN q > 0
+                                            THEN q * ln(2 * q / (p + q))
+                                            ELSE 0 END) * 1000000000)
+                                AS BIGINT) AS t2
+                    FROM terms)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+               round(CAST(SUM(t2) AS DOUBLE) / 2000000000.0D, 6) AS jsd
+        FROM qt""")
+    },
+    Some("""WITH c AS (SELECT event_type,
+                              CAST(SUM(CASE WHEN user_id % 2 = 0
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                                AS ca,
+                              CAST(SUM(user_id % 2) AS BIGINT) AS cb
+                       FROM events GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                                CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+                 terms AS (SELECT event_type,
+                                  CAST(ca AS DOUBLE) / na AS p,
+                                  CAST(cb AS DOUBLE) / nb AS q
+                           FROM c CROSS JOIN tot),
+                 qt AS (SELECT event_type,
+                               CAST(round((CASE WHEN p > 0
+                                                THEN p * ln(2 * p / (p + q))
+                                                ELSE 0 END
+                                         + CASE WHEN q > 0
+                                                THEN q * ln(2 * q / (p + q))
+                                                ELSE 0 END) * 1000000000)
+                                    AS BIGINT) AS t2
+                        FROM terms)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                   round(CAST(SUM(t2) AS DOUBLE) / 2000000000.0, 6) AS jsd
+            FROM qt"""))
+
+  // t-closeness — the distribution-aware successor to k-anonymity /
+  // l-diversity (privacy_kanon, privacy_ldiversity): for each
+  // quasi-identifier group (market segment), the Earth-Mover's Distance
+  // between the group's sensitive-attribute distribution (account-balance
+  // decile) and the GLOBAL one, over the ordered buckets:
+  // EMD = Σₖ |cumP − cumQ| / (B−1). The grid densifies missing buckets
+  // with an explicit (segment × bucket) frame so cumulative sums align;
+  // counts stay exact BIGINT, each |Δcdf| term quantizes to 1e9 before
+  // the sum. All joins after the one scan are on ≤ 50-row relations —
+  // broadcast. A release gate would reject segments with t > threshold.
+  private val privacyTcloseness = Op(
+    "privacy_tcloseness",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_tc")
+      s.sql("""
+        WITH mm AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+                    FROM customer_tc),
+             b AS (SELECT c_mktsegment AS seg,
+                          LEAST(CAST(FLOOR((c_acctbal - lo) / (hi - lo) * 10)
+                                     AS INT), 9) AS bkt
+                   FROM customer_tc CROSS JOIN mm),
+             g AS (SELECT seg, bkt, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM b GROUP BY 1, 2),
+             gl AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS gc
+                    FROM g GROUP BY 1),
+             grid AS (SELECT s.seg, k.bkt, COALESCE(g.c, 0L) AS c, gl.gc
+                      FROM (SELECT DISTINCT seg FROM g) s
+                      CROSS JOIN (SELECT DISTINCT bkt FROM gl) k
+                      LEFT JOIN g ON g.seg = s.seg AND g.bkt = k.bkt
+                      JOIN gl ON gl.bkt = k.bkt),
+             tots AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS n
+                      FROM grid GROUP BY 1),
+             gtot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gn FROM gl),
+             cum AS (SELECT seg, bkt,
+                            CAST(SUM(c) OVER (PARTITION BY seg
+                                              ORDER BY bkt) AS BIGINT) AS cc,
+                            CAST(SUM(gc) OVER (PARTITION BY seg
+                                               ORDER BY bkt) AS BIGINT) AS cg
+                     FROM grid),
+             emd AS (SELECT c1.seg,
+                            CAST(SUM(CAST(round(abs(CAST(cc AS DOUBLE) / t.n
+                                               - CAST(cg AS DOUBLE) / gtot.gn)
+                                                * 1000000000) AS BIGINT))
+                                 AS BIGINT) AS s
+                     FROM cum c1 JOIN tots t ON t.seg = c1.seg
+                     CROSS JOIN gtot
+                     WHERE bkt < 9 GROUP BY 1)
+        SELECT emd.seg AS c_mktsegment, t.n,
+               round(CAST(s AS DOUBLE) / 9000000000.0D, 6) AS t_closeness
+        FROM emd JOIN tots t ON t.seg = emd.seg ORDER BY 1""")
+    },
+    Some("""WITH mm AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+                        FROM customer),
+                 b AS (SELECT c_mktsegment AS seg,
+                              LEAST(CAST(FLOOR((c_acctbal - lo)
+                                               / (hi - lo) * 10)
+                                         AS INT), 9) AS bkt
+                       FROM customer CROSS JOIN mm),
+                 g AS (SELECT seg, bkt, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM b GROUP BY 1, 2),
+                 gl AS (SELECT bkt, CAST(SUM(c) AS BIGINT) AS gc
+                        FROM g GROUP BY 1),
+                 grid AS (SELECT s.seg, k.bkt, COALESCE(g.c, 0) AS c, gl.gc
+                          FROM (SELECT DISTINCT seg FROM g) s
+                          CROSS JOIN (SELECT DISTINCT bkt FROM gl) k
+                          LEFT JOIN g ON g.seg = s.seg AND g.bkt = k.bkt
+                          JOIN gl ON gl.bkt = k.bkt),
+                 tots AS (SELECT seg, CAST(SUM(c) AS BIGINT) AS n
+                          FROM grid GROUP BY 1),
+                 gtot AS (SELECT CAST(SUM(gc) AS BIGINT) AS gn FROM gl),
+                 cum AS (SELECT seg, bkt,
+                                CAST(SUM(c) OVER (PARTITION BY seg
+                                                  ORDER BY bkt) AS BIGINT)
+                                  AS cc,
+                                CAST(SUM(gc) OVER (PARTITION BY seg
+                                                   ORDER BY bkt) AS BIGINT)
+                                  AS cg
+                         FROM grid),
+                 emd AS (SELECT c1.seg,
+                                CAST(SUM(CAST(round(abs(
+                                         CAST(cc AS DOUBLE) / t.n
+                                       - CAST(cg AS DOUBLE) / gtot.gn)
+                                                    * 1000000000) AS BIGINT))
+                                     AS BIGINT) AS s
+                         FROM cum c1 JOIN tots t ON t.seg = c1.seg
+                         CROSS JOIN gtot
+                         WHERE bkt < 9 GROUP BY 1)
+            SELECT emd.seg AS c_mktsegment, t.n,
+                   round(CAST(s AS DOUBLE) / 9000000000.0, 6) AS t_closeness
+            FROM emd JOIN tots t ON t.seg = emd.seg ORDER BY 1"""))
+
   val ops: Seq[Op] =
     Seq(aggHhi, aggSpearman, windowBollinger, aggCircularMean,
-      eventCooccurrence)
+      eventCooccurrence, textSimpsonDiversity, aggJsDivergence,
+      privacyTcloseness)
 }
