@@ -513,8 +513,261 @@ object StatsMlOps {
                    round(CAST(s AS DOUBLE) / 9000000000.0, 6) AS t_closeness
             FROM emd JOIN tots t ON t.seg = emd.seg ORDER BY 1"""))
 
+  // Lorenz curve by revenue decile — the inequality profile behind
+  // agg_gini, materialized as the decile table an analyst actually reads
+  // ("top decile holds 17% of revenue"). Customer revenue rolls up in one
+  // partial-aggregated shuffle (exact cents); deciles come from ONE global
+  // row_number with a deterministic (rev, custkey) tie-break — the only
+  // single-partition sort, over the already-aggregated per-customer
+  // relation, which is |customers| rows, not |orders| (at 100 TB one
+  // would range-repartition the rank; the decile rollup after it is 10
+  // rows). Shares divide exact BIGINTs once, rounded 6.
+  private val aggLorenz = Op(
+    "agg_lorenz",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_lz")
+      s.sql("""
+        WITH r AS (SELECT o_custkey,
+                          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS rev
+                   FROM orders_lz GROUP BY 1),
+             rk AS (SELECT rev,
+                           CAST(row_number() OVER (ORDER BY rev, o_custkey)
+                                AS BIGINT) AS rn,
+                           CAST(count(*) OVER () AS BIGINT) AS n
+                    FROM r),
+             dd AS (SELECT CAST(((rn - 1) * 10) div n AS BIGINT) AS decile,
+                           rev
+                    FROM rk),
+             g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                          CAST(SUM(rev) AS BIGINT) AS drev
+                   FROM dd GROUP BY 1),
+             tot AS (SELECT CAST(SUM(drev) AS BIGINT) AS trev FROM g)
+        SELECT decile, n_cust,
+               round(CAST(drev AS DOUBLE) / trev, 6) AS rev_share,
+               round(CAST(SUM(drev) OVER (ORDER BY decile) AS BIGINT)
+                     / CAST(trev AS DOUBLE), 6) AS cum_share
+        FROM g CROSS JOIN tot ORDER BY decile""")
+    },
+    Some("""WITH r AS (SELECT o_custkey,
+                              CAST(SUM(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS rev
+                       FROM orders GROUP BY 1),
+                 rk AS (SELECT rev,
+                               CAST(row_number() OVER (ORDER BY rev,
+                                                       o_custkey)
+                                    AS BIGINT) AS rn,
+                               CAST(count(*) OVER () AS BIGINT) AS n
+                        FROM r),
+                 dd AS (SELECT CAST(((rn - 1) * 10) // n AS BIGINT)
+                                 AS decile,
+                               rev
+                        FROM rk),
+                 g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                              CAST(SUM(rev) AS BIGINT) AS drev
+                       FROM dd GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(drev) AS BIGINT) AS trev FROM g)
+            SELECT decile, n_cust,
+                   round(CAST(drev AS DOUBLE) / trev, 6) AS rev_share,
+                   round(CAST(SUM(drev) OVER (ORDER BY decile) AS BIGINT)
+                         / CAST(trev AS DOUBLE), 6) AS cum_share
+            FROM g CROSS JOIN tot ORDER BY decile"""))
+
+  // Relative Strength Index (Cutler's SMA variant, 14-period) — trailing
+  // gain/loss balance per user. The lag-diff and the two frame sums share
+  // ONE (user_id / ts) sort; gains and losses stay exact BIGINT cents, so
+  // RSI = 100·Σgain/(Σgain+Σloss) divides exact ints once per row —
+  // rounded on the 1e-4 grid (see window_bollinger's protocol) because
+  // integer ratios hit terminating-decimal half boundaries. Flat frames
+  // (no movement) pin to the conventional neutral 50.
+  private val windowRsi = Op(
+    "window_rsi",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_rsi")
+      s.sql("""
+        WITH e AS (SELECT user_id, event_id, ts,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events_rsi WHERE user_id % 10 = 0),
+             df AS (SELECT user_id, event_id, ts,
+                           cents - lag(cents) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                             AS diff
+                    FROM e),
+             fr AS (SELECT user_id, event_id,
+                           CAST(SUM(GREATEST(diff, 0)) OVER w AS BIGINT)
+                             AS sg,
+                           CAST(SUM(GREATEST(-diff, 0)) OVER w AS BIGINT)
+                             AS sl,
+                           CAST(COUNT(diff) OVER w AS BIGINT) AS nd
+                    FROM df WHERE diff IS NOT NULL
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, nd,
+               CASE WHEN sg + sl = 0 THEN 50.0D
+                    ELSE CAST(round(1000000.0D * sg / (sg + sl)) AS BIGINT)
+                         / 10000.0D END AS rsi
+        FROM fr ORDER BY user_id, event_id""")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE user_id % 10 = 0),
+                 df AS (SELECT user_id, event_id, ts,
+                               cents - lag(cents)
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS diff
+                        FROM e),
+                 fr AS (SELECT user_id, event_id,
+                               CAST(SUM(GREATEST(diff, 0)) OVER w AS BIGINT)
+                                 AS sg,
+                               CAST(SUM(GREATEST(-diff, 0)) OVER w AS BIGINT)
+                                 AS sl,
+                               CAST(COUNT(diff) OVER w AS BIGINT) AS nd
+                        FROM df WHERE diff IS NOT NULL
+                        WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 13 PRECEDING
+                                              AND CURRENT ROW))
+            SELECT user_id, event_id, nd,
+                   CASE WHEN sg + sl = 0 THEN 50.0
+                        ELSE CAST(round(1000000.0 * sg / (sg + sl))
+                                  AS BIGINT) / 10000.0 END AS rsi
+            FROM fr ORDER BY user_id, event_id"""))
+
+  // Inter-arrival time profile per event type — the traffic-shape
+  // diagnostic (burstiness, dead-air gaps) run before sizing streaming
+  // watermarks. One window lag per (user, type) stream, then a
+  // partial-aggregated rollup of exact integer second gaps; the mean
+  // rounds on the 1e-2 grid (integer-ratio half boundary, as in
+  // window_bollinger).
+  private val eventInterarrival = Op(
+    "event_interarrival",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_ia")
+      s.sql("""
+        WITH s AS (SELECT user_id, event_type, ts, event_id,
+                          lag(ts) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS pts
+                   FROM events_ia),
+             dd AS (SELECT event_type,
+                           unix_timestamp(ts) - unix_timestamp(pts) AS gap
+                    FROM s WHERE pts IS NOT NULL)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(gap) AS BIGINT) AS min_gap,
+               CAST(MAX(gap) AS BIGINT) AS max_gap,
+               CAST(round(CAST(SUM(gap) AS DOUBLE) * 100 / COUNT(*))
+                    AS BIGINT) / 100.0D AS mean_gap
+        FROM dd GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH s AS (SELECT user_id, event_type, ts, event_id,
+                              lag(ts) OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) AS pts
+                       FROM events),
+                 dd AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT)
+                                 - CAST(floor(epoch(pts)) AS BIGINT) AS gap
+                        FROM s WHERE pts IS NOT NULL)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap,
+                   CAST(round(CAST(SUM(gap) AS DOUBLE) * 100 / COUNT(*))
+                        AS BIGINT) / 100.0 AS mean_gap
+            FROM dd GROUP BY 1 ORDER BY 1"""))
+
+  // Duplicate-key audit — multiplicity histogram of a CANDIDATE key the
+  // synthetic data deliberately violates ((l_orderkey, l_linenumber) is
+  // NOT unique here — the gotcha every detail query's ORDER BY works
+  // around). Two partial-aggregated rollups: count per key, then key
+  // count per multiplicity — the second input is one row per distinct
+  // key, the output one row per multiplicity. The shape a DQ suite runs
+  // before declaring a primary key.
+  private val dqDuplicateKeys = Op(
+    "dq_duplicate_keys",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_dk")
+      s.sql("""
+        WITH k AS (SELECT l_orderkey, l_linenumber,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem_dk GROUP BY 1, 2)
+        SELECT c AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows
+        FROM k GROUP BY c ORDER BY c""")
+    },
+    Some("""WITH k AS (SELECT l_orderkey, l_linenumber,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT c AS multiplicity, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(c) AS BIGINT) AS n_rows
+            FROM k GROUP BY c ORDER BY c"""))
+
+  // Cramér's V — the NORMALIZED effect size over a contingency table
+  // (agg_chi_square reports raw χ², which grows with n; V ∈ [0,1] is the
+  // comparable-across-datasets number). The table here crosses event_type
+  // with a JSON-extracted property bucket — one scan with map-side JSON
+  // pathing, a cells rollup bounded by the category product, and the χ²
+  // terms quantized to 1e9 before the exact BIGINT sum.
+  private val aggCramersV = Op(
+    "agg_cramers_v",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_cv")
+      s.sql("""
+        WITH ct AS (SELECT event_type,
+                           CAST(get_json_object(props, '$.k') AS BIGINT) % 4
+                             AS kb,
+                           CAST(COUNT(*) AS BIGINT) AS o
+                    FROM events_cv GROUP BY 1, 2),
+             rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+                    FROM ct GROUP BY 1),
+             cl AS (SELECT kb, CAST(SUM(o) AS BIGINT) AS c
+                    FROM ct GROUP BY 1),
+             n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct),
+             chi AS (SELECT CAST(SUM(CAST(round(
+                              (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*c/n.n)
+                            * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*c/n.n)
+                            / (CAST(r AS DOUBLE)*c/n.n) * 1000000000)
+                              AS BIGINT)) AS BIGINT) AS chi_q,
+                            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                            CAST(COUNT(DISTINCT kb) AS BIGINT) AS nc,
+                            MIN(n.n) AS n
+                     FROM ct JOIN rt USING (event_type)
+                             JOIN cl USING (kb) CROSS JOIN n)
+        SELECT nr AS n_rows_cat, nc AS n_cols_cat,
+               round(CAST(chi_q AS DOUBLE) / 1000000000.0D, 6) AS chi2,
+               round(sqrt(CAST(chi_q AS DOUBLE) / 1000000000.0D
+                          / (CAST(n AS DOUBLE) * (LEAST(nr, nc) - 1))), 6)
+                 AS cramers_v
+        FROM chi""")
+    },
+    Some("""WITH ct AS (SELECT event_type,
+                               CAST(json_extract(props, '$.k') AS BIGINT) % 4
+                                 AS kb,
+                               CAST(COUNT(*) AS BIGINT) AS o
+                        FROM events GROUP BY 1, 2),
+                 rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+                        FROM ct GROUP BY 1),
+                 cl AS (SELECT kb, CAST(SUM(o) AS BIGINT) AS c
+                        FROM ct GROUP BY 1),
+                 n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct),
+                 chi AS (SELECT CAST(SUM(CAST(round(
+                                  (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*c/n.n)
+                                * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE)*c/n.n)
+                                / (CAST(r AS DOUBLE)*c/n.n) * 1000000000)
+                                  AS BIGINT)) AS BIGINT) AS chi_q,
+                                CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                                  AS nr,
+                                CAST(COUNT(DISTINCT kb) AS BIGINT) AS nc,
+                                MIN(n.n) AS n
+                         FROM ct JOIN rt USING (event_type)
+                                 JOIN cl USING (kb) CROSS JOIN n)
+            SELECT nr AS n_rows_cat, nc AS n_cols_cat,
+                   round(CAST(chi_q AS DOUBLE) / 1000000000.0, 6) AS chi2,
+                   round(sqrt(CAST(chi_q AS DOUBLE) / 1000000000.0
+                              / (CAST(n AS DOUBLE) * (LEAST(nr, nc) - 1))),
+                         6) AS cramers_v
+            FROM chi"""))
+
   val ops: Seq[Op] =
     Seq(aggHhi, aggSpearman, windowBollinger, aggCircularMean,
       eventCooccurrence, textSimpsonDiversity, aggJsDivergence,
-      privacyTcloseness)
+      privacyTcloseness, aggLorenz, windowRsi, eventInterarrival,
+      dqDuplicateKeys, aggCramersV)
 }
