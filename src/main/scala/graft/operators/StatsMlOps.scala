@@ -765,9 +765,302 @@ object StatsMlOps {
                          6) AS cramers_v
             FROM chi"""))
 
+  // Distance-to-centroid outlier scoring per embedding label — the cheap
+  // mislabel/contamination screen run before training on a labeled
+  // embedding corpus. Per-label centroids come from ONE posexplode rollup
+  // ((label, dim) partial aggregates — 640 rows — collapsed to arrays and
+  // broadcast back); distances are a map-side zip_with fold. Each distance
+  // quantizes to 1e6 BEFORE the per-label moment sums, so the z-scores are
+  // order-independent exactly like window_bollinger's bands. Top-20 by z
+  // is a TakeOrdered, not a global sort.
+  private val embOutlierDistance = Op(
+    "emb_outlier_distance",
+    (s, d) => {
+      t(s, d, "embeddings")
+        .selectExpr("vec_id", "label",
+          "CAST(embedding AS ARRAY<DOUBLE>) AS va")
+        .createOrReplaceTempView("emb_od")
+      s.sql("""
+        WITH cen AS (SELECT label, i, round(avg(x), 6) AS m
+                     FROM (SELECT label, posexplode(va) AS (i, x)
+                           FROM emb_od)
+                     GROUP BY 1, 2),
+             cl AS (SELECT label,
+                           transform(array_sort(collect_list(
+                             struct(i, m))), s -> s.m) AS cv
+                    FROM cen GROUP BY 1),
+             dq AS (SELECT vec_id, v.label,
+                           CAST(round(sqrt(aggregate(zip_with(va, cv,
+                                  (x, m) -> (x - m) * (x - m)),
+                                0.0D, (acc, t) -> acc + t)) * 1000000)
+                                AS BIGINT) AS dq
+                    FROM emb_od v JOIN cl ON v.label = cl.label),
+             st AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(dq) AS BIGINT) AS s1,
+                           CAST(SUM(dq * dq) AS BIGINT) AS s2
+                    FROM dq GROUP BY 1)
+        SELECT vec_id, dq.label,
+               round(dq / 1000000.0D, 4) AS dist,
+               round((dq - CAST(s1 AS DOUBLE) / n)
+                     / sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * s1 / n) / n), 4) AS z
+        FROM dq JOIN st ON dq.label = st.label
+        ORDER BY z DESC, vec_id LIMIT 20""")
+    },
+    Some("""WITH v AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS va
+                       FROM embeddings),
+                 cen AS (SELECT label, i, round(avg(x), 6) AS m
+                         FROM (SELECT label,
+                                      unnest(range(len(va))) AS i,
+                                      unnest(va) AS x
+                               FROM v)
+                         GROUP BY 1, 2),
+                 cl AS (SELECT label, list(m ORDER BY i) AS cv
+                        FROM cen GROUP BY 1),
+                 dq AS (SELECT vec_id, v.label,
+                               CAST(round(sqrt(list_sum(list_transform(
+                                      range(len(va)),
+                                      i -> (va[i+1] - cv[i+1])
+                                         * (va[i+1] - cv[i+1]))))
+                                          * 1000000) AS BIGINT) AS dq
+                        FROM v JOIN cl ON v.label = cl.label),
+                 st AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(dq) AS BIGINT) AS s1,
+                               CAST(SUM(dq * dq) AS BIGINT) AS s2
+                        FROM dq GROUP BY 1)
+            SELECT vec_id, dq.label,
+                   round(dq / 1000000.0, 4) AS dist,
+                   round((dq - CAST(s1 AS DOUBLE) / n)
+                         / sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * s1 / n) / n), 4)
+                     AS z
+            FROM dq JOIN st ON dq.label = st.label
+            ORDER BY z DESC, vec_id LIMIT 20"""))
+
+  // Bigram conditional entropy H(next | current) per language — the
+  // sequence-level predictability score that separates natural text from
+  // shuffled/templated filler (unigram entropy — text_entropy — can't:
+  // it ignores order). Bigrams derive map-side from the token array (the
+  // dedup_minhash shingle pattern, no self-join); the (lang, w1) marginal
+  // reuses the (lang, bigram) rollup. Each −p·ln(p(w2|w1)) term quantizes
+  // to 1e9 before the final exact sum.
+  private val textBigramEntropy = Op(
+    "text_bigram_entropy",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_be")
+      s.sql("""
+        WITH toks AS (SELECT lang, split(lower(trim(text)), '\\s+') AS t
+                      FROM docs_be),
+             bg AS (SELECT lang, b
+                    FROM toks
+                    LATERAL VIEW explode(transform(sequence(1, size(t) - 1),
+                      i -> concat(element_at(t, i), ' ',
+                                  element_at(t, i + 1)))) AS b
+                    WHERE size(t) >= 2),
+             c12 AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM bg GROUP BY 1, 2),
+             c1 AS (SELECT lang, split(b, ' ')[0] AS w1,
+                           CAST(SUM(c) AS BIGINT) AS c1
+                    FROM c12 GROUP BY 1, 2),
+             n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+                   FROM c12 GROUP BY 1),
+             q AS (SELECT c12.lang,
+                          CAST(round(CAST(c12.c AS DOUBLE) / n.n
+                                     * ln(CAST(c1.c1 AS DOUBLE) / c12.c)
+                                     * 1000000000) AS BIGINT) AS t
+                   FROM c12 JOIN c1 ON c12.lang = c1.lang
+                                   AND split(c12.b, ' ')[0] = c1.w1
+                   JOIN n ON n.lang = c12.lang)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(CAST(SUM(t) AS DOUBLE) / 1000000000.0D, 6)
+                 AS cond_entropy
+        FROM q GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH toks AS (SELECT lang,
+                                 string_split_regex(lower(trim(text)),
+                                                    '\s+') AS t
+                          FROM documents),
+                 bg AS (SELECT lang,
+                               unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS b
+                        FROM toks WHERE len(t) >= 2),
+                 c12 AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM bg GROUP BY 1, 2),
+                 c1 AS (SELECT lang, string_split(b, ' ')[1] AS w1,
+                               CAST(SUM(c) AS BIGINT) AS c1
+                        FROM c12 GROUP BY 1, 2),
+                 n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n
+                       FROM c12 GROUP BY 1),
+                 q AS (SELECT c12.lang,
+                              CAST(round(CAST(c12.c AS DOUBLE) / n.n
+                                       * ln(CAST(c1.c1 AS DOUBLE) / c12.c)
+                                         * 1000000000) AS BIGINT) AS t
+                       FROM c12 JOIN c1 ON c12.lang = c1.lang
+                               AND string_split(c12.b, ' ')[1] = c1.w1
+                       JOIN n ON n.lang = c12.lang)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   round(CAST(SUM(t) AS DOUBLE) / 1000000000.0, 6)
+                     AS cond_entropy
+            FROM q GROUP BY 1 ORDER BY 1"""))
+
+  // Cohort lifetime value — cumulative purchase revenue by signup-week
+  // cohort over weeks-since-signup, the revenue companion to
+  // agg_retention_cohort. ENTIRELY exact integer arithmetic: week indices
+  // are epoch floor-divisions, revenue is BIGINT cents, and the running
+  // total is a cumulative window over the (cohort, week) rollup — so the
+  // oracle match is exact with NO rounding protocol at all. Shuffles: the
+  // per-user min (partial-aggregated), one broadcast-able join back, the
+  // (cohort, week) rollup, and a window over the tiny rollup.
+  private val aggCohortLtv = Op(
+    "agg_cohort_ltv",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_ltv")
+      s.sql("""
+        WITH fu AS (SELECT user_id,
+                           CAST(MIN(unix_timestamp(ts) div 604800)
+                                AS BIGINT) AS cw
+                    FROM events_ltv GROUP BY 1),
+             p AS (SELECT fu.cw,
+                          CAST(unix_timestamp(e.ts) div 604800 AS BIGINT)
+                            - fu.cw AS ws,
+                          CAST(round(e.value * 100) AS BIGINT) AS cents
+                   FROM events_ltv e JOIN fu ON e.user_id = fu.user_id
+                   WHERE e.event_type = 'purchase'),
+             g AS (SELECT cw, ws, CAST(SUM(cents) AS BIGINT) AS rev
+                   FROM p GROUP BY 1, 2)
+        SELECT cw AS cohort_week, ws AS weeks_since, rev,
+               CAST(SUM(rev) OVER (PARTITION BY cw ORDER BY ws) AS BIGINT)
+                 AS cum_rev
+        FROM g ORDER BY cohort_week, weeks_since""")
+    },
+    Some("""WITH fu AS (SELECT user_id,
+                               CAST(MIN(CAST(floor(epoch(ts)) AS BIGINT)
+                                        // 604800) AS BIGINT) AS cw
+                        FROM events GROUP BY 1),
+                 p AS (SELECT fu.cw,
+                              CAST(floor(epoch(e.ts)) AS BIGINT) // 604800
+                                - fu.cw AS ws,
+                              CAST(round(e.value * 100) AS BIGINT) AS cents
+                       FROM events e JOIN fu ON e.user_id = fu.user_id
+                       WHERE e.event_type = 'purchase'),
+                 g AS (SELECT cw, ws, CAST(SUM(cents) AS BIGINT) AS rev
+                       FROM p GROUP BY 1, 2)
+            SELECT cw AS cohort_week, ws AS weeks_since, rev,
+                   CAST(SUM(rev) OVER (PARTITION BY cw ORDER BY ws)
+                        AS BIGINT) AS cum_rev
+            FROM g ORDER BY cohort_week, weeks_since"""))
+
+  // Seasonal-naive forecast error — MAE and sMAPE of the "same hour
+  // yesterday" baseline over per-type hourly counts: the first number a
+  // forecasting effort must beat, and the capacity-planning sanity check.
+  // The hourly rollup is one partial-aggregated shuffle; the lag-24 pairing
+  // is an equi-join on (type, hr−24) — hash join, no window over a sparse
+  // hour axis. Counts are exact ints; MAE rounds on the 1e-4 grid and each
+  // sMAPE term quantizes to 1e9 before its exact sum.
+  private val resampleForecastNaive = Op(
+    "resample_forecast_naive",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_fc")
+      s.sql("""
+        WITH h AS (SELECT event_type,
+                          CAST(unix_timestamp(ts) div 3600 AS BIGINT) AS hr,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM events_fc GROUP BY 1, 2),
+             l AS (SELECT a.event_type, a.c, b.c AS p
+                   FROM h a JOIN h b ON a.event_type = b.event_type
+                                    AND b.hr = a.hr - 24),
+             q AS (SELECT event_type, abs(c - p) AS ae,
+                          CAST(round(2.0D * abs(c - p) / (c + p)
+                                     * 1000000000) AS BIGINT) AS sm
+                   FROM l)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(round(CAST(SUM(ae) AS DOUBLE) * 10000 / COUNT(*))
+                    AS BIGINT) / 10000.0D AS mae,
+               round(CAST(SUM(sm) AS DOUBLE) / COUNT(*) / 1000000000.0D, 6)
+                 AS smape
+        FROM q GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH h AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                AS hr,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+                 l AS (SELECT a.event_type, a.c, b.c AS p
+                       FROM h a JOIN h b ON a.event_type = b.event_type
+                                        AND b.hr = a.hr - 24),
+                 q AS (SELECT event_type, abs(c - p) AS ae,
+                              CAST(round(2.0 * abs(c - p) / (c + p)
+                                         * 1000000000) AS BIGINT) AS sm
+                       FROM l)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(round(CAST(SUM(ae) AS DOUBLE) * 10000 / COUNT(*))
+                        AS BIGINT) / 10000.0 AS mae,
+                   round(CAST(SUM(sm) AS DOUBLE) / COUNT(*)
+                         / 1000000000.0, 6) AS smape
+            FROM q GROUP BY 1 ORDER BY 1"""))
+
+  // Rate-spike detection — hours whose event count exceeds the trailing
+  // 24-observed-hour mean + 3σ, per type: the batch analog of a streaming
+  // alerting rule (and the query you run to backfill one). Same exact
+  // integer frame-accumulator discipline as window_bollinger, over the
+  // hourly rollup instead of raw events — the window input is |hours|
+  // rows, so the per-type sort is trivial at any corpus size. Warm-up
+  // frames (< 12 observations) are excluded rather than alerted on.
+  private val eventSpikeDetect = Op(
+    "event_spike_detect",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_sp")
+      s.sql("""
+        WITH h AS (SELECT event_type,
+                          CAST(unix_timestamp(ts) div 3600 AS BIGINT) AS hr,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM events_sp GROUP BY 1, 2),
+             w AS (SELECT event_type, hr, c,
+                          CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+                          CAST(SUM(c) OVER fr AS BIGINT) AS s1,
+                          CAST(SUM(c * c) OVER fr AS BIGINT) AS s2
+                   FROM h
+                   WINDOW fr AS (PARTITION BY event_type ORDER BY hr
+                                 ROWS BETWEEN 24 PRECEDING
+                                          AND 1 PRECEDING))
+        SELECT event_type, hr, c,
+               CAST(round(CAST(s1 AS DOUBLE) * 10000 / n) AS BIGINT)
+                 / 10000.0D AS base_mean
+        FROM w
+        WHERE n >= 12
+          AND CAST(c AS DOUBLE) > CAST(s1 AS DOUBLE) / n
+                + 3 * sqrt((CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * s1 / n) / n)
+        ORDER BY event_type, hr""")
+    },
+    Some("""WITH h AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                AS hr,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+                 w AS (SELECT event_type, hr, c,
+                              CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+                              CAST(SUM(c) OVER fr AS BIGINT) AS s1,
+                              CAST(SUM(c * c) OVER fr AS BIGINT) AS s2
+                       FROM h
+                       WINDOW fr AS (PARTITION BY event_type ORDER BY hr
+                                     ROWS BETWEEN 24 PRECEDING
+                                              AND 1 PRECEDING))
+            SELECT event_type, hr, c,
+                   CAST(round(CAST(s1 AS DOUBLE) * 10000 / n) AS BIGINT)
+                     / 10000.0 AS base_mean
+            FROM w
+            WHERE n >= 12
+              AND CAST(c AS DOUBLE) > CAST(s1 AS DOUBLE) / n
+                    + 3 * sqrt((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * s1 / n) / n)
+            ORDER BY event_type, hr"""))
+
   val ops: Seq[Op] =
     Seq(aggHhi, aggSpearman, windowBollinger, aggCircularMean,
       eventCooccurrence, textSimpsonDiversity, aggJsDivergence,
       privacyTcloseness, aggLorenz, windowRsi, eventInterarrival,
-      dqDuplicateKeys, aggCramersV)
+      dqDuplicateKeys, aggCramersV, embOutlierDistance, textBigramEntropy,
+      aggCohortLtv, resampleForecastNaive, eventSpikeDetect)
 }
