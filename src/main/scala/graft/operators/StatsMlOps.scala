@@ -1057,10 +1057,304 @@ object StatsMlOps {
                                 - CAST(s1 AS DOUBLE) * s1 / n) / n)
             ORDER BY event_type, hr"""))
 
+  // Longest monotone-up streak per user — the gaps-and-islands run-length
+  // idiom (row_number − cumulative-flag-sum groups consecutive ups), the
+  // shape behind "N consecutive increases" alerts. Everything after the
+  // single (user_id / ts) window sort is exact integer arithmetic; the
+  // run rollup and per-user max partial-aggregate. ONE shuffle total —
+  // all three windows share the user_id partitioning.
+  private val windowStreak = Op(
+    "window_streak",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_st")
+      s.sql("""
+        WITH e AS (SELECT user_id, event_id, ts,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events_st WHERE user_id % 10 = 0),
+             df AS (SELECT user_id, event_id, ts,
+                           CASE WHEN cents > lag(cents) OVER w
+                                THEN 1 ELSE 0 END AS up
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id)),
+             gr AS (SELECT user_id, up,
+                           CAST(row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS BIGINT)
+                         - CAST(SUM(up) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS BIGINT) AS grp
+                    FROM df),
+             runs AS (SELECT user_id, grp, CAST(SUM(up) AS BIGINT) AS len
+                      FROM gr WHERE up = 1 GROUP BY 1, 2)
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_up_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_runs
+        FROM runs GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events WHERE user_id % 10 = 0),
+                 df AS (SELECT user_id, event_id, ts,
+                               CASE WHEN cents > lag(cents) OVER w
+                                    THEN 1 ELSE 0 END AS up
+                        FROM e
+                        WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id)),
+                 gr AS (SELECT user_id, up,
+                               CAST(row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                             - CAST(SUM(up) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT)
+                                 AS grp
+                        FROM df),
+                 runs AS (SELECT user_id, grp,
+                                 CAST(SUM(up) AS BIGINT) AS len
+                          FROM gr WHERE up = 1 GROUP BY 1, 2)
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_up_streak,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY 1 ORDER BY 1"""))
+
+  // Source-pair vocabulary overlap (Jaccard) — the corpus-curation matrix
+  // that decides which sources are redundant before mixing weights
+  // (corpus_mix) are assigned. Candidate pairs come from the SHARED-WORD
+  // equi-join over the distinct (source, word) relation — work scales with
+  // Σ_word df(word)², the dedup_ngram_jaccard shape, never |sources|²
+  // scans of the corpus. Intersections and vocab sizes are exact ints.
+  private val corpusSourceOverlap = Op(
+    "corpus_source_overlap",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_so")
+      s.sql("""
+        WITH w AS (SELECT DISTINCT source, w AS word
+                   FROM docs_so
+                   LATERAL VIEW explode(split(lower(trim(text)), '\\s+'))
+                     AS w),
+             sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+                    FROM w GROUP BY 1),
+             inter AS (SELECT a.source AS s1, b.source AS s2,
+                              CAST(COUNT(*) AS BIGINT) AS i
+                       FROM w a JOIN w b ON a.word = b.word
+                                        AND a.source < b.source
+                       GROUP BY 1, 2)
+        SELECT s1, s2, i, x.v AS v1, y.v AS v2,
+               round(CAST(i AS DOUBLE) / (x.v + y.v - i), 6) AS jaccard
+        FROM inter JOIN sz x ON x.source = s1
+                   JOIN sz y ON y.source = s2
+        ORDER BY s1, s2""")
+    },
+    Some("""WITH w AS (SELECT DISTINCT source,
+                              unnest(string_split_regex(lower(trim(text)),
+                                                        '\s+')) AS word
+                       FROM documents),
+                 sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+                        FROM w GROUP BY 1),
+                 inter AS (SELECT a.source AS s1, b.source AS s2,
+                                  CAST(COUNT(*) AS BIGINT) AS i
+                           FROM w a JOIN w b ON a.word = b.word
+                                            AND a.source < b.source
+                           GROUP BY 1, 2)
+            SELECT s1, s2, i, x.v AS v1, y.v AS v2,
+                   round(CAST(i AS DOUBLE) / (x.v + y.v - i), 6) AS jaccard
+            FROM inter JOIN sz x ON x.source = s1
+                       JOIN sz y ON y.source = s2
+            ORDER BY s1, s2"""))
+
+  // Fano factor (index of dispersion) of hourly arrival counts per event
+  // type — variance/mean of a Poisson process is 1, so F≫1 quantifies
+  // burstiness and F<1 regularity; the number that justifies (or kills)
+  // a Poisson capacity model before event_spike_detect thresholds are
+  // trusted. Two partial-aggregated rollups over exact integer moments;
+  // one double division at the boundary.
+  private val eventBurstiness = Op(
+    "event_burstiness",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_bf")
+      s.sql("""
+        WITH h AS (SELECT event_type,
+                          CAST(unix_timestamp(ts) div 3600 AS BIGINT) AS hr,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM events_bf GROUP BY 1, 2),
+             m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(c) AS BIGINT) AS s1,
+                          CAST(SUM(c * c) AS BIGINT) AS s2
+                   FROM h GROUP BY 1)
+        SELECT event_type, n,
+               round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n
+                     / (CAST(s1 AS DOUBLE) / n), 6) AS fano
+        FROM m ORDER BY 1""")
+    },
+    Some("""WITH h AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                AS hr,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+                 m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(c) AS BIGINT) AS s1,
+                              CAST(SUM(c * c) AS BIGINT) AS s2
+                       FROM h GROUP BY 1)
+            SELECT event_type, n,
+                   round((CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * s1 / n) / n
+                         / (CAST(s1 AS DOUBLE) / n), 6) AS fano
+            FROM m ORDER BY 1"""))
+
+  // Per-source Jensen–Shannon divergence against the corpus-wide unigram
+  // distribution — the upweight/downweight signal for corpus mixing (a
+  // source whose word distribution diverges is either a valuable domain
+  // or junk; either way it is the one to look at). Full JSD: terms for
+  // words PRESENT in the source come from the (source, word) rollup
+  // joined to the global marginal; the mass of corpus words ABSENT from
+  // the source contributes its exact closed form (q·ln 2 per missing
+  // word ⇒ (1 − Σq_present)·ln 2 in total) — no densified grid needed.
+  // All counts exact; every term 1e9-quantized before summation.
+  private val corpusSourceDivergence = Op(
+    "corpus_source_divergence",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_sv")
+      s.sql("""
+        WITH w AS (SELECT source, w AS word
+                   FROM docs_sv
+                   LATERAL VIEW explode(split(lower(trim(text)), '\\s+'))
+                     AS w),
+             sc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM w GROUP BY 1, 2),
+             st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                    FROM sc GROUP BY 1),
+             gc AS (SELECT word, CAST(SUM(c) AS BIGINT) AS g
+                    FROM sc GROUP BY 1),
+             gt AS (SELECT CAST(SUM(g) AS BIGINT) AS gn FROM gc),
+             terms AS (SELECT sc.source,
+                              CAST(sc.c AS DOUBLE) / st.n AS p,
+                              CAST(gc.g AS DOUBLE) / gt.gn AS q
+                       FROM sc JOIN st USING (source)
+                               JOIN gc USING (word) CROSS JOIN gt),
+             qs AS (SELECT source,
+                           CAST(round(p * ln(2 * p / (p + q)) * 1000000000)
+                                AS BIGINT) AS tp,
+                           CAST(round(q * ln(2 * q / (p + q)) * 1000000000)
+                                AS BIGINT) AS tq,
+                           CAST(round(q * 1000000000) AS BIGINT) AS qq
+                    FROM terms)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+               round((CAST(SUM(tp) AS DOUBLE) + SUM(tq)
+                      + (1000000000 - SUM(qq)) * ln(2.0D))
+                     / 2000000000.0D, 6) AS jsd_vs_corpus
+        FROM qs GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH w AS (SELECT source,
+                              unnest(string_split_regex(lower(trim(text)),
+                                                        '\s+')) AS word
+                       FROM documents),
+                 sc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM w GROUP BY 1, 2),
+                 st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                        FROM sc GROUP BY 1),
+                 gc AS (SELECT word, CAST(SUM(c) AS BIGINT) AS g
+                        FROM sc GROUP BY 1),
+                 gt AS (SELECT CAST(SUM(g) AS BIGINT) AS gn FROM gc),
+                 terms AS (SELECT sc.source,
+                                  CAST(sc.c AS DOUBLE) / st.n AS p,
+                                  CAST(gc.g AS DOUBLE) / gt.gn AS q
+                           FROM sc JOIN st USING (source)
+                                   JOIN gc USING (word) CROSS JOIN gt),
+                 qs AS (SELECT source,
+                               CAST(round(p * ln(2 * p / (p + q))
+                                          * 1000000000) AS BIGINT) AS tp,
+                               CAST(round(q * ln(2 * q / (p + q))
+                                          * 1000000000) AS BIGINT) AS tq,
+                               CAST(round(q * 1000000000) AS BIGINT) AS qq
+                        FROM terms)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   round((CAST(SUM(tp) AS DOUBLE) + SUM(tq)
+                          + (1000000000 - SUM(qq)) * ln(2.0))
+                         / 2000000000.0, 6) AS jsd_vs_corpus
+            FROM qs GROUP BY 1 ORDER BY 1"""))
+
+  // Wald–Wolfowitz runs test per user — is the above/below-median
+  // sequence of a user's values random, or does it trend/oscillate?
+  // (|z| > 1.96 rejects randomness; the behavioral-bot screen.) The
+  // median is the exact global inverse-CDF (value-domain collapse, as in
+  // agg_winsorized_mean); runs count via the lag-compare flag sum; n₁/n₂/R
+  // are exact ints and the normal-approximation z is one double formula,
+  // rounded 6.
+  private val aggRunsTest = Op(
+    "agg_runs_test",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_rt")
+      s.sql("""
+        WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM events_rt GROUP BY 1),
+             c AS (SELECT x, CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT)
+                             AS cum
+                   FROM g),
+             nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+             med AS (SELECT MIN(CASE WHEN cum * 2 >= nn.n THEN x END)
+                              AS med
+                     FROM c CROSS JOIN nn),
+             b AS (SELECT user_id, ts, event_id,
+                          CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                    > med THEN 1 ELSE 0 END AS hi
+                   FROM events_rt CROSS JOIN med
+                   WHERE user_id % 10 = 0),
+             fl AS (SELECT user_id, hi,
+                           CASE WHEN lag(hi) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL
+                                  OR lag(hi) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) <> hi
+                                THEN 1 ELSE 0 END AS brk
+                    FROM b),
+             m AS (SELECT user_id,
+                          CAST(SUM(hi) AS BIGINT) AS n1,
+                          CAST(SUM(1 - hi) AS BIGINT) AS n2,
+                          CAST(SUM(brk) AS BIGINT) AS r
+                   FROM fl GROUP BY 1)
+        SELECT user_id, n1, n2, r,
+               round((r - (2.0D * n1 * n2 / (n1 + n2) + 1))
+                     / sqrt(2.0D * n1 * n2 * (2.0D * n1 * n2 - n1 - n2)
+                            / ((n1 + n2) * (n1 + n2)
+                               * CAST(n1 + n2 - 1 AS DOUBLE))), 6) AS z
+        FROM m WHERE n1 > 0 AND n2 > 0 ORDER BY user_id""")
+    },
+    Some("""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1),
+                 c AS (SELECT x, CAST(SUM(cnt) OVER (ORDER BY x) AS BIGINT)
+                                 AS cum
+                       FROM g),
+                 nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g),
+                 med AS (SELECT MIN(CASE WHEN cum * 2 >= nn.n THEN x END)
+                                  AS med
+                         FROM c CROSS JOIN nn),
+                 b AS (SELECT user_id, ts, event_id,
+                              CASE WHEN CAST(round(value * 100) AS BIGINT)
+                                        > med THEN 1 ELSE 0 END AS hi
+                       FROM events CROSS JOIN med
+                       WHERE user_id % 10 = 0),
+                 fl AS (SELECT user_id, hi,
+                               CASE WHEN lag(hi) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL
+                                      OR lag(hi) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) <> hi
+                                    THEN 1 ELSE 0 END AS brk
+                        FROM b),
+                 m AS (SELECT user_id,
+                              CAST(SUM(hi) AS BIGINT) AS n1,
+                              CAST(SUM(1 - hi) AS BIGINT) AS n2,
+                              CAST(SUM(brk) AS BIGINT) AS r
+                       FROM fl GROUP BY 1)
+            SELECT user_id, n1, n2, r,
+                   round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                         / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                                / ((n1 + n2) * (n1 + n2)
+                                   * CAST(n1 + n2 - 1 AS DOUBLE))), 6)
+                     AS z
+            FROM m WHERE n1 > 0 AND n2 > 0 ORDER BY user_id"""))
+
   val ops: Seq[Op] =
     Seq(aggHhi, aggSpearman, windowBollinger, aggCircularMean,
       eventCooccurrence, textSimpsonDiversity, aggJsDivergence,
       privacyTcloseness, aggLorenz, windowRsi, eventInterarrival,
       dqDuplicateKeys, aggCramersV, embOutlierDistance, textBigramEntropy,
-      aggCohortLtv, resampleForecastNaive, eventSpikeDetect)
+      aggCohortLtv, resampleForecastNaive, eventSpikeDetect, windowStreak,
+      corpusSourceOverlap, eventBurstiness, corpusSourceDivergence,
+      aggRunsTest)
 }
