@@ -338,7 +338,332 @@ object MetricsOps {
             FROM dau JOIN wau ON dau.day = wau.day
             ORDER BY day_idx"""))
 
+  // One-way ANOVA F-statistic across event types — "do the groups differ
+  // at all" before pairwise tests (agg_ttest / agg_mann_whitney). Each
+  // group collapses to exact BIGINT moments (n, Σ¢, Σ¢²) in one partial-
+  // aggregated scan; the between/within sum-of-squares terms are per-GROUP
+  // fixed IEEE expressions quantized to 1e-6 before the final BIGINT sum,
+  // so the F statistic is bit-stable at any parallelism. Output is one
+  // row — the aggregate-to-a-scalar shape that costs one scan at 100 TB.
+  private val aggAnova = Op(
+    "agg_anova",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_av")
+      s.sql("""
+        WITH b AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events_av),
+             m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS sx,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx
+                   FROM b GROUP BY 1),
+             q AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                          CAST(SUM(n) AS BIGINT) AS nn,
+                          CAST(SUM(sx) AS BIGINT) AS ss,
+                          CAST(SUM(CAST(round((CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                   / n) * 1000000) AS BIGINT)) AS BIGINT)
+                            AS ssw_q,
+                          CAST(SUM(CAST(round(CAST(sx AS DOUBLE)
+                                 * CAST(sx AS DOUBLE) / n * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS sgm_q
+                   FROM m)
+        SELECT k, nn AS n,
+               round((CAST(sgm_q AS DOUBLE) / 1000000.0D
+                      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nn)
+                     / (k - 1)
+                     / (CAST(ssw_q AS DOUBLE) / 1000000.0D / (nn - k)),
+                     6) AS f_stat
+        FROM q""")
+    },
+    Some("""WITH b AS (SELECT event_type AS g,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events),
+                 m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(x) AS BIGINT) AS sx,
+                              CAST(SUM(x * x) AS BIGINT) AS sxx
+                       FROM b GROUP BY 1),
+                 q AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                              CAST(SUM(n) AS BIGINT) AS nn,
+                              CAST(SUM(sx) AS BIGINT) AS ss,
+                              CAST(SUM(CAST(round((CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE)
+                                       * CAST(sx AS DOUBLE) / n)
+                                     * 1000000) AS BIGINT)) AS BIGINT)
+                                AS ssw_q,
+                              CAST(SUM(CAST(round(CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE) / n * 1000000)
+                                     AS BIGINT)) AS BIGINT) AS sgm_q
+                       FROM m)
+            SELECT k, nn AS n,
+                   round((CAST(sgm_q AS DOUBLE) / 1000000.0
+                          - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / nn)
+                         / (k - 1)
+                         / (CAST(ssw_q AS DOUBLE) / 1000000.0 / (nn - k)),
+                         6) AS f_stat
+            FROM q"""))
+
+  // Moving-average crossover signals (golden/death cross, SMA5 vs SMA20)
+  // per user — the classic trend-change detector. Both frame sums and the
+  // lag ride ONE (user / ts) sort; the comparison is cross-multiplied
+  // exact integers (s5·n20 vs s20·n5 — no division, no float), so the
+  // signal set is identical on any engine. Emits only the crossover rows:
+  // output is sparse no matter the input volume.
+  private val windowSmaCross = Op(
+    "window_sma_cross",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_sc")
+      s.sql("""
+        WITH b AS (SELECT user_id, ts, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events_sc),
+             r AS (SELECT user_id, event_id,
+                          CAST(SUM(x) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS 4 PRECEDING) AS BIGINT) AS s5,
+                          CAST(COUNT(*) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS 4 PRECEDING) AS BIGINT) AS n5,
+                          CAST(SUM(x) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS 19 PRECEDING) AS BIGINT) AS s20,
+                          CAST(COUNT(*) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS 19 PRECEDING) AS BIGINT) AS n20,
+                          ts
+                   FROM b),
+             sg AS (SELECT user_id, event_id,
+                           CASE WHEN s5 * n20 > s20 * n5 THEN 1
+                                WHEN s5 * n20 < s20 * n5 THEN -1
+                                ELSE 0 END AS sgn,
+                           lag(CASE WHEN s5 * n20 > s20 * n5 THEN 1
+                                    WHEN s5 * n20 < s20 * n5 THEN -1
+                                    ELSE 0 END)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS psgn
+                    FROM r)
+        SELECT user_id, event_id,
+               CASE WHEN sgn = 1 THEN 'golden' ELSE 'death' END AS signal
+        FROM sg
+        WHERE psgn IS NOT NULL AND sgn * psgn = -1
+        ORDER BY user_id, event_id""")
+    },
+    Some("""WITH b AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events),
+                 r AS (SELECT user_id, event_id,
+                              CAST(SUM(x) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS 4 PRECEDING) AS BIGINT) AS s5,
+                              CAST(COUNT(*) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS 4 PRECEDING) AS BIGINT) AS n5,
+                              CAST(SUM(x) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS 19 PRECEDING) AS BIGINT) AS s20,
+                              CAST(COUNT(*) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS 19 PRECEDING) AS BIGINT) AS n20,
+                              ts
+                       FROM b),
+                 sg AS (SELECT user_id, event_id,
+                               CASE WHEN s5 * n20 > s20 * n5 THEN 1
+                                    WHEN s5 * n20 < s20 * n5 THEN -1
+                                    ELSE 0 END AS sgn,
+                               lag(CASE WHEN s5 * n20 > s20 * n5 THEN 1
+                                        WHEN s5 * n20 < s20 * n5 THEN -1
+                                        ELSE 0 END)
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS psgn
+                        FROM r)
+            SELECT user_id, event_id,
+                   CASE WHEN sgn = 1 THEN 'golden' ELSE 'death' END
+                     AS signal
+            FROM sg
+            WHERE psgn IS NOT NULL AND sgn * psgn = -1
+            ORDER BY user_id, event_id"""))
+
+  // Theil T inequality index of customer revenue per market segment — the
+  // decomposable entropy-based sibling of agg_gini/agg_lorenz. Customer
+  // revenue rolls up once (exact cents); segment totals join back by
+  // broadcast (5 rows); each (x/S)·ln(x·N/S) term quantizes to 1e-12
+  // BEFORE the BIGINT sum — order-independent where a naive float Σ is
+  // partitioning-dependent. Two partial-aggregated shuffles total.
+  private val aggTheilIndex = Op(
+    "agg_theil_index",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_th")
+      t(s, d, "customer").createOrReplaceTempView("customer_th")
+      s.sql("""
+        WITH rev AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                            CAST(SUM(CAST(round(o.o_totalprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS r
+                     FROM orders_th o
+                     JOIN customer_th c ON o.o_custkey = c.c_custkey
+                     GROUP BY 1, 2),
+             tot AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                            CAST(SUM(r) AS BIGINT) AS sr
+                     FROM rev GROUP BY 1),
+             term AS (SELECT rev.seg,
+                             CAST(round(CAST(r AS DOUBLE) / sr
+                                    * ln(CAST(r AS DOUBLE) * n / sr)
+                                    * 1000000000000) AS BIGINT) AS tq
+                      FROM rev JOIN tot ON rev.seg = tot.seg)
+        SELECT term.seg AS c_mktsegment, MAX(tot.n) AS n_customers,
+               round(CAST(SUM(tq) AS DOUBLE) / 1000000000000.0D, 6)
+                 AS theil_t
+        FROM term JOIN tot ON term.seg = tot.seg
+        GROUP BY term.seg ORDER BY term.seg""")
+    },
+    Some("""WITH rev AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                                CAST(SUM(CAST(round(o.o_totalprice * 100)
+                                              AS BIGINT)) AS BIGINT) AS r
+                         FROM orders o
+                         JOIN customer c ON o.o_custkey = c.c_custkey
+                         GROUP BY 1, 2),
+                 tot AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                                CAST(SUM(r) AS BIGINT) AS sr
+                         FROM rev GROUP BY 1),
+                 term AS (SELECT rev.seg,
+                                 CAST(round(CAST(r AS DOUBLE) / sr
+                                        * ln(CAST(r AS DOUBLE) * n / sr)
+                                        * 1000000000000) AS BIGINT) AS tq
+                          FROM rev JOIN tot ON rev.seg = tot.seg)
+            SELECT term.seg AS c_mktsegment, MAX(tot.n) AS n_customers,
+                   round(CAST(SUM(tq) AS DOUBLE) / 1000000000000.0, 6)
+                     AS theil_t
+            FROM term JOIN tot ON term.seg = tot.seg
+            GROUP BY term.seg ORDER BY term.seg"""))
+
+  // Small-cell suppression — the statistical-disclosure-control release
+  // rule (publish a cross-tab only where n ≥ 5; suppress the rest): the
+  // operational complement to privacy_kanon's audit. One partial-aggregated
+  // rollup; the full category grid is published so suppressed cells are
+  // visible as such (count NULLed, flag set) — the contract a data-release
+  // reviewer checks.
+  private val privacySuppressCells = Op(
+    "privacy_suppress_cells",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_sup")
+      s.sql("""
+        WITH cells AS (SELECT c_mktsegment, c_nationkey,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM customer_sup WHERE c_custkey % 7 = 0
+                       GROUP BY 1, 2)
+        SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CASE WHEN c >= 5 THEN c ELSE CAST(NULL AS BIGINT) END
+                 AS published,
+               CASE WHEN c < 5 THEN 1 ELSE 0 END AS suppressed
+        FROM cells ORDER BY c_mktsegment, c_nationkey""")
+    },
+    Some("""WITH cells AS (SELECT c_mktsegment, c_nationkey,
+                                  CAST(COUNT(*) AS BIGINT) AS c
+                           FROM customer WHERE c_custkey % 7 = 0
+                           GROUP BY 1, 2)
+            SELECT c_mktsegment, CAST(c_nationkey AS BIGINT)
+                     AS c_nationkey,
+                   CASE WHEN c >= 5 THEN c ELSE CAST(NULL AS BIGINT) END
+                     AS published,
+                   CASE WHEN c < 5 THEN 1 ELSE 0 END AS suppressed
+            FROM cells ORDER BY c_mktsegment, c_nationkey"""))
+
+  // Exact-duplicate rate per corpus source — the first number on any
+  // corpus-health dashboard (dedup_exact removes the dups; this MEASURES
+  // them per source so curation knows where they come from). Text hashes
+  // roll up once (md5 group — one shuffle of hashes, never of text), the
+  // per-doc dup flag comes from joining the count relation back on the
+  // hash, and the source rollup is partial-aggregated. Nothing leaves the
+  // hash domain until the final small result.
+  private val corpusDupStats = Op(
+    "corpus_dup_stats",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_ds")
+      s.sql("""
+        WITH h AS (SELECT doc_id, source, md5(text) AS hk
+                   FROM documents_ds),
+             g AS (SELECT hk, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM h GROUP BY 1),
+             j AS (SELECT h.source, h.hk, g.c FROM h
+                   JOIN g ON h.hk = g.hk)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs,
+               CAST(COUNT(DISTINCT hk) AS BIGINT) AS distinct_texts,
+               round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        FROM j GROUP BY source ORDER BY source""")
+    },
+    Some("""WITH h AS (SELECT doc_id, source, md5(text) AS hk
+                       FROM documents),
+                 g AS (SELECT hk, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM h GROUP BY 1),
+                 j AS (SELECT h.source, h.hk, g.c FROM h
+                       JOIN g ON h.hk = g.hk)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dup_docs,
+                   CAST(COUNT(DISTINCT hk) AS BIGINT) AS distinct_texts,
+                   round(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6) AS dup_rate
+            FROM j GROUP BY source ORDER BY source"""))
+
+  // ANN recall@k — the evaluation loop that justifies (or rejects) an
+  // approximate index: exact brute-force top-10 vs the 4-bit sign-bucket
+  // top-10 (the sim_ann_persisted index key), overlap counted as
+  // recall@10. Both rankings use the round-6 cosine + vec_id tie-break
+  // the sim_* family already proves engine-stable; DuckDB recomputes both
+  // sides from raw embeddings and must land on the identical scalar. At
+  // 100 TB this runs over a fixed probe SAMPLE — the result is one row
+  // per evaluation, not per vector.
+  private val embRecallAtK = Op(
+    "emb_recall_at_k",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_rk")
+      s.sql("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+                          8 * IF(element_at(embedding, 1) >= 0, 1, 0)
+                          + 4 * IF(element_at(embedding, 2) >= 0, 1, 0)
+                          + 2 * IF(element_at(embedding, 3) >= 0, 1, 0)
+                          + IF(element_at(embedding, 4) >= 0, 1, 0) AS bk
+                   FROM embeddings_rk),
+             p AS (SELECT v AS pv, bk AS pbk FROM e WHERE vec_id = 0),
+             sc AS (SELECT e.vec_id,
+                           round(graft_cosine(e.v, p.pv), 6) AS cs,
+                           e.bk, p.pbk
+                    FROM e CROSS JOIN p WHERE e.vec_id <> 0),
+             ex AS (SELECT vec_id FROM sc
+                    ORDER BY cs DESC, vec_id LIMIT 10),
+             ap AS (SELECT vec_id FROM sc WHERE bk = pbk
+                    ORDER BY cs DESC, vec_id LIMIT 10)
+        SELECT CAST(10 AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS hits,
+               round(CAST(COUNT(*) AS DOUBLE) / 10.0D, 6) AS recall
+        FROM ex JOIN ap ON ex.vec_id = ap.vec_id""")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+                   4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) +
+                   2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) +
+                       (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
+                     AS bk
+                       FROM embeddings),
+                 p AS (SELECT v AS pv, bk AS pbk FROM e WHERE vec_id = 0),
+                 sc AS (SELECT e.vec_id,
+                               round(list_cosine_similarity(e.v, p.pv), 6)
+                                 AS cs, e.bk, p.pbk
+                        FROM e CROSS JOIN p WHERE e.vec_id <> 0),
+                 ex AS (SELECT vec_id FROM sc
+                        ORDER BY cs DESC, vec_id LIMIT 10),
+                 ap AS (SELECT vec_id FROM sc WHERE bk = pbk
+                        ORDER BY cs DESC, vec_id LIMIT 10)
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS hits,
+                   round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
+            FROM ex JOIN ap ON ex.vec_id = ap.vec_id"""))
+
   val ops: Seq[Op] =
     Seq(windowVwap, aggOlsMulti, aggPowerMeans, dqFreshness,
-      sampleReservoir, eventDauWau)
+      sampleReservoir, eventDauWau, aggAnova, windowSmaCross,
+      aggTheilIndex, privacySuppressCells, corpusDupStats, embRecallAtK)
 }
