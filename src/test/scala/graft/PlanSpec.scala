@@ -613,4 +613,42 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("agg_kmv_intersect")
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("sample_reservoir rank filter pushes a WindowGroupLimit") {
+    // the rn <= 25 filter must pre-limit each map task's input BEFORE the
+    // exchange (two WindowGroupLimit nodes: Partial below the shuffle,
+    // Final above) — the two-phase reservoir-merge shape; without it the
+    // full table sorts through the window
+    val p = SparkEntry.queries("sample_reservoir")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("event_dau_wau expands pairs instead of range-joining") {
+    // the trailing-7-day distinct count must come from the 7-row explode +
+    // equi-groupBy, never a nested-loop range join over (day BETWEEN …)
+    val p = plan("event_dau_wau")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate"), p.take(800))
+  }
+
+  test("window_vwap shares one sort across both cumulative frames") {
+    // both running sums ride the same (partkey / shipdate…) window spec —
+    // exactly one Exchange and one Sort in the executed plan
+    val p = SparkEntry.queries("window_vwap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n" +
+      p.take(800))
+  }
+
+  test("agg_ols_multi collects all nine moments in one scan") {
+    // a single partial→final aggregate pair over one FileScan — the fit is
+    // free next to the scan; a second scan or join would break the shape
+    val p = SparkEntry.queries("agg_ols_multi")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans\n" + p.take(800))
+  }
 }
