@@ -13,7 +13,7 @@ object SparkEntry {
   private lazy val all: Seq[Op] = {
     val ops = operators.Relational.ops ++ operators.TpchSuite.ops ++
       operators.TemporalSketchOps.ops ++ operators.StatsMlOps.ops ++
-      operators.MetricsOps.ops ++
+      operators.MetricsOps.ops ++ operators.MiningOps.ops ++
       operators.AnalyticsOps.ops ++
       operators.GraphOps.ops ++ operators.EtlOps.ops ++
       operators.LlmOps.ops ++ operators.Multimodal.ops ++

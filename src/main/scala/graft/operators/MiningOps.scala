@@ -1,0 +1,325 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Round-8 continuation batch 2: data-mining operators — association
+  * rules, time-series decomposition, chart decimation, hard-example
+  * mining, and single-feature split search. Same engine-determinism
+  * protocol as the rest of the registry (core.scala): exact BIGINT sums
+  * via per-row quantization, fixed IEEE expressions for the float step,
+  * total ORDER BY with key tie-breaks.
+  */
+object MiningOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // Market-basket association over order contents — support / confidence /
+  // lift for part pairs co-purchased in one order (the item-granularity
+  // sibling of event_cooccurrence's user-level lift). Pair generation
+  // self-joins the DISTINCT (order, part) baskets on the ORDER key with
+  // a < b — per-order work is quadratic in basket size (≈4 lines), never
+  // in catalog or corpus size, and hot parts cost nothing because the join
+  // key is the order. Exact integer counts throughout; the three ratios
+  // are one fixed float expression per surviving pair; top-20 by count
+  // heaps via TakeOrderedAndProject.
+  private val aggMarketBasket = Op(
+    "agg_market_basket",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_mb")
+      s.sql("""
+        WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem_mb),
+             n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+                   FROM bk),
+             ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM bk
+                    GROUP BY 1),
+             pr AS (SELECT a.pk AS pa, b.pk AS pb,
+                           CAST(COUNT(*) AS BIGINT) AS c_ab
+                    FROM bk a JOIN bk b
+                      ON a.ok = b.ok AND a.pk < b.pk
+                    GROUP BY 1, 2)
+        SELECT pr.pa, pr.pb, pr.c_ab,
+               round(CAST(pr.c_ab AS DOUBLE) / n.n_orders, 6) AS support,
+               round(CAST(pr.c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+               round(CAST(pr.c_ab AS DOUBLE) * n.n_orders
+                     / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS lift
+        FROM pr JOIN ic ia ON pr.pa = ia.pk
+                JOIN ic ib ON pr.pb = ib.pk
+                CROSS JOIN n
+        ORDER BY pr.c_ab DESC, pr.pa, pr.pb LIMIT 20""")
+    },
+    Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM lineitem),
+                 n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT)
+                                AS n_orders FROM bk),
+                 ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM bk
+                        GROUP BY 1),
+                 pr AS (SELECT a.pk AS pa, b.pk AS pb,
+                               CAST(COUNT(*) AS BIGINT) AS c_ab
+                        FROM bk a JOIN bk b
+                          ON a.ok = b.ok AND a.pk < b.pk
+                        GROUP BY 1, 2)
+            SELECT pr.pa, pr.pb, pr.c_ab,
+                   round(CAST(pr.c_ab AS DOUBLE) / n.n_orders, 6)
+                     AS support,
+                   round(CAST(pr.c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+                   round(CAST(pr.c_ab AS DOUBLE) * n.n_orders
+                         / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS lift
+            FROM pr JOIN ic ia ON pr.pa = ia.pk
+                    JOIN ic ib ON pr.pb = ib.pk
+                    CROSS JOIN n
+            ORDER BY pr.c_ab DESC, pr.pa, pr.pb LIMIT 20"""))
+
+  // Min/max downsampling (chart decimation) — per (type, hour) bucket keep
+  // exactly the extreme rows, the lossless-envelope reduction a plotting
+  // front-end requests instead of raw points. Both ranks ride ONE
+  // (type, hour) partitioning (two in-partition sorts); ties break on
+  // event_id so the kept row is engine-unique. Output is 2 rows per
+  // bucket — bounded by the time range, not the data volume.
+  private val resampleMinmaxDecimate = Op(
+    "resample_minmax_decimate",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_dc")
+      s.sql("""
+        WITH b AS (SELECT event_type, event_id,
+                          unix_timestamp(ts) div 3600 AS hr,
+                          CAST(round(value * 100) AS BIGINT) AS xc
+                   FROM events_dc),
+             r AS (SELECT event_type, hr, event_id, xc,
+                          ROW_NUMBER() OVER (PARTITION BY event_type, hr
+                            ORDER BY xc, event_id) AS rlo,
+                          ROW_NUMBER() OVER (PARTITION BY event_type, hr
+                            ORDER BY xc DESC, event_id) AS rhi
+                   FROM b)
+        SELECT event_type, hr AS hour_idx,
+               CASE WHEN rlo = 1 THEN 'min' ELSE 'max' END AS kind,
+               event_id, CAST(xc AS DOUBLE) / 100.0D AS value_usd
+        FROM r WHERE rlo = 1 OR rhi = 1
+        ORDER BY event_type, hour_idx, kind, event_id""")
+    },
+    Some("""WITH b AS (SELECT event_type, event_id,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                AS hr,
+                              CAST(round(value * 100) AS BIGINT) AS xc
+                       FROM events),
+                 r AS (SELECT event_type, hr, event_id, xc,
+                              ROW_NUMBER() OVER (PARTITION BY event_type,
+                                hr ORDER BY xc, event_id) AS rlo,
+                              ROW_NUMBER() OVER (PARTITION BY event_type,
+                                hr ORDER BY xc DESC, event_id) AS rhi
+                       FROM b)
+            SELECT event_type, hr AS hour_idx,
+                   CASE WHEN rlo = 1 THEN 'min' ELSE 'max' END AS kind,
+                   event_id, CAST(xc AS DOUBLE) / 100.0 AS value_usd
+            FROM r WHERE rlo = 1 OR rhi = 1
+            ORDER BY event_type, hour_idx, kind, event_id"""))
+
+  // Classical additive seasonal decomposition of hourly traffic — the
+  // hour-of-day seasonal profile after removing a centered 24-hour
+  // moving-average trend (resample_seasonality's by-bucket means WITHOUT
+  // detrending conflate trend with season; this is the textbook fix).
+  // ENTIRELY integer until the last division: the detrended value scaled
+  // by 24 is (24·cnt − Σ₂₄cnt), an exact BIGINT, summed per hour-of-day
+  // and divided once — engine-identical with no quantization needed. The
+  // hourly rollup bounds everything downstream by the time range.
+  private val resampleSeasonalDecompose = Op(
+    "resample_seasonal_decompose",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_sd")
+      s.sql("""
+        WITH hc AS (SELECT event_type,
+                           unix_timestamp(ts) div 3600 AS h,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM events_sd GROUP BY 1, 2),
+             tr AS (SELECT event_type, h, cnt,
+                           CAST(SUM(cnt) OVER (PARTITION BY event_type
+                             ORDER BY h ROWS BETWEEN 12 PRECEDING
+                             AND 11 FOLLOWING) AS BIGINT) AS s24,
+                           CAST(COUNT(*) OVER (PARTITION BY event_type
+                             ORDER BY h ROWS BETWEEN 12 PRECEDING
+                             AND 11 FOLLOWING) AS BIGINT) AS n24
+                    FROM hc),
+             dt AS (SELECT event_type, h % 24 AS hod,
+                           24 * cnt - s24 AS d24
+                    FROM tr WHERE n24 = 24)
+        SELECT event_type, CAST(hod AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               round(CAST(SUM(d24) AS DOUBLE) / (24.0D * COUNT(*)), 6)
+                 AS seasonal
+        FROM dt GROUP BY event_type, hod
+        ORDER BY event_type, hod""")
+    },
+    Some("""WITH hc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                 AS h,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1, 2),
+                 tr AS (SELECT event_type, h, cnt,
+                               CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                 ORDER BY h ROWS BETWEEN 12 PRECEDING
+                                 AND 11 FOLLOWING) AS BIGINT) AS s24,
+                               CAST(COUNT(*) OVER (PARTITION BY event_type
+                                 ORDER BY h ROWS BETWEEN 12 PRECEDING
+                                 AND 11 FOLLOWING) AS BIGINT) AS n24
+                        FROM hc),
+                 dt AS (SELECT event_type, h % 24 AS hod,
+                               24 * cnt - s24 AS d24
+                        FROM tr WHERE n24 = 24)
+            SELECT event_type, CAST(hod AS BIGINT) AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   round(CAST(SUM(d24) AS DOUBLE) / (24.0 * COUNT(*)), 6)
+                     AS seasonal
+            FROM dt GROUP BY event_type, hod
+            ORDER BY event_type, hod"""))
+
+  // Hard-example (triplet) mining — for each anchor: hardest positive
+  // (same label, LOWEST cosine) and hardest negative (other label,
+  // HIGHEST cosine), the batch that makes a metric-learning step
+  // informative. Anchors broadcast; the corpus streams ONCE through the
+  // codegen'd cosine; both ranks share one (anchor, side) partitioning.
+  // Round-6 cosine + vec_id tie-break keeps the picked rows
+  // engine-unique (the sim_* family's proven discipline).
+  private val embTripletMining = Op(
+    "emb_triplet_mining",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_tm")
+      s.sql("""
+        WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS ARRAY<DOUBLE>) AS v
+                   FROM embeddings_tm),
+             a AS (SELECT vec_id AS a_id, label AS a_lab, v AS av
+                   FROM e WHERE vec_id < 5),
+             sc AS (SELECT a.a_id, e.vec_id, e.label = a.a_lab AS pos,
+                           round(graft_cosine(e.v, a.av), 6) AS cs
+                    FROM e CROSS JOIN a WHERE e.vec_id <> a.a_id),
+             rk AS (SELECT a_id, vec_id, pos, cs,
+                           ROW_NUMBER() OVER (PARTITION BY a_id, pos
+                             ORDER BY CASE WHEN pos THEN cs ELSE -cs END,
+                                      vec_id) AS rn
+                    FROM sc)
+        SELECT p.a_id, p.vec_id AS pos_id, p.cs AS pos_cos,
+               q.vec_id AS neg_id, q.cs AS neg_cos
+        FROM (SELECT * FROM rk WHERE pos AND rn = 1) p
+        JOIN (SELECT * FROM rk WHERE NOT pos AND rn = 1) q
+          ON p.a_id = q.a_id
+        ORDER BY p.a_id""")
+    },
+    Some("""WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 a AS (SELECT vec_id AS a_id, label AS a_lab, v AS av
+                       FROM e WHERE vec_id < 5),
+                 sc AS (SELECT a.a_id, e.vec_id,
+                               e.label = a.a_lab AS pos,
+                               round(list_cosine_similarity(e.v, a.av), 6)
+                                 AS cs
+                        FROM e CROSS JOIN a WHERE e.vec_id <> a.a_id),
+                 rk AS (SELECT a_id, vec_id, pos, cs,
+                               ROW_NUMBER() OVER (PARTITION BY a_id, pos
+                                 ORDER BY CASE WHEN pos THEN cs
+                                               ELSE -cs END, vec_id)
+                                 AS rn
+                        FROM sc)
+            SELECT p.a_id, p.vec_id AS pos_id, p.cs AS pos_cos,
+                   q.vec_id AS neg_id, q.cs AS neg_cos
+            FROM (SELECT * FROM rk WHERE pos AND rn = 1) p
+            JOIN (SELECT * FROM rk WHERE NOT pos AND rn = 1) q
+              ON p.a_id = q.a_id
+            ORDER BY p.a_id"""))
+
+  // Decision-stump split search — the best single threshold on `value`
+  // separating purchases from the rest by weighted Gini impurity: the
+  // inner loop of tree building and the strongest simple feature probe.
+  // The input collapses to the VALUE DOMAIN (cent granularity) in one
+  // map-side aggregate, the left/right class counts come from one
+  // cumulative pass over that bounded domain, and every candidate's
+  // impurity is a fixed IEEE expression rounded to 1e-9 BEFORE the argmin
+  // (so the winning threshold cannot differ by an ulp between engines).
+  private val aggStumpSplit = Op(
+    "agg_stump_split",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_st")
+      s.sql("""
+        WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN event_type = 'purchase'
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS p
+                   FROM events_st GROUP BY 1),
+             tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                            CAST(SUM(p) AS BIGINT) AS pp FROM g),
+             c AS (SELECT x,
+                          CAST(SUM(n) OVER (ORDER BY x) AS BIGINT) AS nl,
+                          CAST(SUM(p) OVER (ORDER BY x) AS BIGINT) AS pl
+                   FROM g),
+             s AS (SELECT c.x, c.nl, c.pl, tot.nn, tot.pp
+                   FROM c CROSS JOIN tot
+                   WHERE c.nl > 0 AND c.nl < tot.nn),
+             gi AS (SELECT x, nl, nn - nl AS nr,
+                           round((CAST(nl AS DOUBLE) / nn)
+                                 * (1.0D - (CAST(pl AS DOUBLE) / nl)
+                                           * (CAST(pl AS DOUBLE) / nl)
+                                         - (CAST(nl - pl AS DOUBLE) / nl)
+                                           * (CAST(nl - pl AS DOUBLE)
+                                              / nl))
+                                 + (CAST(nn - nl AS DOUBLE) / nn)
+                                 * (1.0D - (CAST(pp - pl AS DOUBLE)
+                                            / (nn - nl))
+                                           * (CAST(pp - pl AS DOUBLE)
+                                              / (nn - nl))
+                                         - (CAST(nn - nl - pp + pl
+                                                 AS DOUBLE) / (nn - nl))
+                                           * (CAST(nn - nl - pp + pl
+                                                   AS DOUBLE)
+                                              / (nn - nl))), 9) AS gini
+                    FROM s)
+        SELECT CAST(x AS DOUBLE) / 100.0D AS threshold_usd, gini,
+               nl AS n_left, nr AS n_right
+        FROM gi ORDER BY gini, x LIMIT 1""")
+    },
+    Some("""WITH g AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CASE WHEN event_type = 'purchase'
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                                AS p
+                       FROM events GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                                CAST(SUM(p) AS BIGINT) AS pp FROM g),
+                 c AS (SELECT x,
+                              CAST(SUM(n) OVER (ORDER BY x) AS BIGINT)
+                                AS nl,
+                              CAST(SUM(p) OVER (ORDER BY x) AS BIGINT)
+                                AS pl
+                       FROM g),
+                 s AS (SELECT c.x, c.nl, c.pl, tot.nn, tot.pp
+                       FROM c CROSS JOIN tot
+                       WHERE c.nl > 0 AND c.nl < tot.nn),
+                 gi AS (SELECT x, nl, nn - nl AS nr,
+                               round((CAST(nl AS DOUBLE) / nn)
+                                     * (1.0 - (CAST(pl AS DOUBLE) / nl)
+                                              * (CAST(pl AS DOUBLE) / nl)
+                                            - (CAST(nl - pl AS DOUBLE)
+                                               / nl)
+                                              * (CAST(nl - pl AS DOUBLE)
+                                                 / nl))
+                                     + (CAST(nn - nl AS DOUBLE) / nn)
+                                     * (1.0 - (CAST(pp - pl AS DOUBLE)
+                                               / (nn - nl))
+                                             * (CAST(pp - pl AS DOUBLE)
+                                                / (nn - nl))
+                                           - (CAST(nn - nl - pp + pl
+                                                   AS DOUBLE) / (nn - nl))
+                                             * (CAST(nn - nl - pp + pl
+                                                     AS DOUBLE)
+                                                / (nn - nl))), 9)
+                                 AS gini
+                        FROM s)
+            SELECT CAST(x AS DOUBLE) / 100.0 AS threshold_usd, gini,
+                   nl AS n_left, nr AS n_right
+            FROM gi ORDER BY gini, x LIMIT 1"""))
+
+  val ops: Seq[Op] =
+    Seq(aggMarketBasket, resampleMinmaxDecimate, resampleSeasonalDecompose,
+      embTripletMining, aggStumpSplit)
+}
