@@ -898,6 +898,68 @@ object LlmOps {
                    CAST(score AS INT) AS score
             FROM r WHERE rn = 1 ORDER BY doc_id"""))
 
+  // Language-ID EVALUATION against the corpus's labeled `lang` column —
+  // the confusion matrix + per-class accuracy that tells a curation team
+  // whether the classifier is good enough to route on. The prediction is
+  // the identical zero-shuffle map-side argmax as text_langid; the only
+  // shuffle is the (actual, predicted) cell rollup, bounded by the label
+  // product. The recall denominator joins back by broadcast.
+  private val textLangidConfusion = Op(
+    "text_langid_confusion",
+    (s, d) => {
+      val scored = langMarkers.foldLeft(
+        t(s, d, "documents").withColumn("tk", tokens(col("text")))) {
+        case (df, (lang, marks)) =>
+          df.withColumn(s"s_$lang", expr(
+            s"size(filter(tk, t -> t IN (${marks.map(m => s"'$m'").mkString(",")})))"))
+      }
+      val mx = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+      val pick = langMarkers.foldRight(lit("und")) { case ((l, _), els) =>
+        when(col(s"s_$l") === col("mx"), lit(l)).otherwise(els)
+      }
+      val pred = scored.withColumn("mx", mx)
+        .select(col("lang").as("actual"),
+          when(col("mx") === 0, "und").otherwise(pick).as("predicted"))
+      val cells = pred.groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"))
+      val totals = broadcast(cells.groupBy("actual")
+        .agg(sum("n").as("n_actual")))
+      cells.join(totals, "actual")
+        .select(col("actual"), col("predicted"), col("n").cast("long").as("n"),
+          round(col("n").cast("double") / col("n_actual"), 6).as("recall"))
+        .orderBy("actual", "predicted")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            cand(cand_lang, markers) AS (VALUES
+              ('de', ['der','die','und']), ('en', ['the','a','of']),
+              ('es', ['el','la','de']), ('fr', ['le','la','et']),
+              ('zh', ['的','了','是'])),
+            scored AS (
+              SELECT doc_id, lang, cand_lang,
+                     len(list_filter(tk, t -> list_contains(markers, t))) AS score
+              FROM toks CROSS JOIN cand),
+            r AS (SELECT doc_id, lang, cand_lang, score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cand_lang) AS rn
+                  FROM scored),
+            pred AS (SELECT lang AS actual,
+                            CASE WHEN score = 0 THEN 'und'
+                                 ELSE cand_lang END AS predicted
+                     FROM r WHERE rn = 1),
+            cells AS (SELECT actual, predicted,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM pred GROUP BY 1, 2),
+            tot AS (SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual
+                    FROM cells GROUP BY 1)
+            SELECT cells.actual, cells.predicted, cells.n,
+                   round(CAST(cells.n AS DOUBLE) / tot.n_actual, 6)
+                     AS recall
+            FROM cells JOIN tot ON cells.actual = tot.actual
+            ORDER BY cells.actual, cells.predicted"""))
+
   // Quality score: length/stopword/word-shape heuristics combined into one
   // bounded score — pure rational double arithmetic, rounded at the boundary.
   // CCNet-style unigram LM quality score: build corpus token frequencies
@@ -2704,7 +2766,8 @@ object LlmOps {
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, simAnnPersisted,
     embCentroidAssign,
     embKnnGraph,
-    textStats, textTopterms, textLangid, textQuality, textLmScore, textTokenBpe,
+    textStats, textTopterms, textLangid, textLangidConfusion,
+    textQuality, textLmScore, textTokenBpe,
     textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap,
     textRepetition, textEntropy, dedupIncremental, sampleWeighted)
 }

@@ -319,7 +319,134 @@ object MiningOps {
                    nl AS n_left, nr AS n_right
             FROM gi ORDER BY gini, x LIMIT 1"""))
 
+  // Deterministic keyed pseudonymization — user ids replaced by a salted
+  // one-way token (md5 over a pepper + id), the release transform that
+  // keeps joins working across pseudonymized extracts without exposing
+  // the key. Pure map-side (zero shuffles for the transform itself; the
+  // published sample just heaps 20 rows). Swapping md5 for HMAC-SHA256
+  // with a vaulted pepper is the one-line production change — the
+  // plumbing (column contract, determinism, join-stability) is the
+  // operator.
+  private val privacyPseudonymize = Op(
+    "privacy_pseudonymize",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_ps")
+      s.sql("""
+        SELECT event_id, event_type,
+               md5(concat('pepper:', CAST(user_id AS STRING))) AS user_token
+        FROM events_ps ORDER BY event_id LIMIT 20""")
+    },
+    Some("""SELECT event_id, event_type,
+                   md5(concat('pepper:', CAST(user_id AS VARCHAR)))
+                     AS user_token
+            FROM events ORDER BY event_id LIMIT 20"""))
+
+  // Gap-fill by last observation carried forward (LOCF) — the step-function
+  // fill for state-like series (sensor readings, prices), where
+  // resample_interpolate's linear fill would invent values. The hourly grid
+  // comes from one sequence explode per type; the carried value is a
+  // last_value IGNORE NULLS running frame over the grid — O(1) state per
+  // row, one (type / hour) sort, engine-identical because the carried
+  // value is the exact integer-cents LAST event in its hour (ts, event_id
+  // tie-break), not a float aggregate.
+  private val resampleLocf = Op(
+    "resample_locf",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_lf")
+      s.sql("""
+        WITH b AS (SELECT event_type, unix_timestamp(ts) div 3600 AS h,
+                          ts, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS xc
+                   FROM events_lf WHERE user_id % 20 = 0),
+             obs AS (SELECT event_type, h, xc FROM (
+                       SELECT event_type, h, xc,
+                              ROW_NUMBER() OVER (PARTITION BY event_type, h
+                                ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM b) r WHERE rn = 1),
+             span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                      FROM b GROUP BY 1),
+             grid AS (SELECT event_type, explode(sequence(h0, h1)) AS h
+                      FROM span),
+             j AS (SELECT g.event_type, g.h, obs.xc
+                   FROM grid g LEFT JOIN obs
+                     ON obs.event_type = g.event_type AND obs.h = g.h)
+        SELECT event_type, h AS hour_idx,
+               CASE WHEN xc IS NULL THEN 1 ELSE 0 END AS filled,
+               CAST(last_value(xc) IGNORE NULLS OVER (
+                 PARTITION BY event_type ORDER BY h
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0D
+                 AS value_usd
+        FROM j ORDER BY event_type, hour_idx""")
+    },
+    Some("""WITH b AS (SELECT event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                AS h,
+                              ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS xc
+                       FROM events WHERE user_id % 20 = 0),
+                 obs AS (SELECT event_type, h, xc FROM (
+                           SELECT event_type, h, xc,
+                                  ROW_NUMBER() OVER (
+                                    PARTITION BY event_type, h
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+                           FROM b) r WHERE rn = 1),
+                 span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+                          FROM b GROUP BY 1),
+                 grid AS (SELECT event_type,
+                                 unnest(generate_series(h0, h1)) AS h
+                          FROM span),
+                 j AS (SELECT g.event_type, g.h, obs.xc
+                       FROM grid g LEFT JOIN obs
+                         ON obs.event_type = g.event_type
+                        AND obs.h = g.h)
+            SELECT event_type, h AS hour_idx,
+                   CASE WHEN xc IS NULL THEN 1 ELSE 0 END AS filled,
+                   CAST(last_value(xc IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY h
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+                     AS value_usd
+            FROM j ORDER BY event_type, hour_idx"""))
+
+  // Stratified evaluation-set sampling — k docs per computed length decile
+  // (NTILE strata over the corpus, not a pre-existing category — the
+  // difference from sample_stratified), picked deterministically by hashed
+  // rank so the eval set is reproducible across runs and engines. Two
+  // window passes (decile assignment, per-stratum hash rank) over one
+  // partitioning each; the rank-≤-k filter takes the WindowGroupLimit
+  // pre-limit like sample_reservoir.
+  private val corpusEvalSample = Op(
+    "corpus_eval_sample",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_es")
+      s.sql("""
+        WITH dec AS (SELECT doc_id,
+                            NTILE(10) OVER (ORDER BY n_chars, doc_id)
+                              AS decile
+                     FROM documents_es),
+             rk AS (SELECT decile, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY decile
+                             ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
+                             AS rn
+                    FROM dec)
+        SELECT CAST(decile AS BIGINT) AS decile, CAST(rn AS BIGINT) AS rn,
+               doc_id
+        FROM rk WHERE rn <= 5 ORDER BY decile, rn""")
+    },
+    Some("""WITH dec AS (SELECT doc_id,
+                                NTILE(10) OVER (ORDER BY n_chars, doc_id)
+                                  AS decile
+                         FROM documents),
+                 rk AS (SELECT decile, doc_id,
+                               ROW_NUMBER() OVER (PARTITION BY decile
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                          doc_id) AS rn
+                        FROM dec)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(rn AS BIGINT) AS rn, doc_id
+            FROM rk WHERE rn <= 5 ORDER BY decile, rn"""))
+
   val ops: Seq[Op] =
     Seq(aggMarketBasket, resampleMinmaxDecimate, resampleSeasonalDecompose,
-      embTripletMining, aggStumpSplit)
+      embTripletMining, aggStumpSplit, privacyPseudonymize, resampleLocf,
+      corpusEvalSample)
 }
