@@ -351,6 +351,111 @@ object GraphOps {
              SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
              FROM deg GROUP BY degree ORDER BY degree"""))
 
+  // Edge reciprocity over the DIRECTED trade graph (buyer-nation →
+  // supplier-nation, before the symmetrization the other graph keys use):
+  // the share of directed edges whose reverse also exists — the
+  // macro-level "is trade mutual" diagnostic. One directed-edge rollup,
+  // one self-join on the REVERSED key (equi-join — at any scale this is a
+  // hash join on (b, a)), exact counts, one division.
+  private val graphReciprocity = Op(
+    "graph_reciprocity",
+    (s, d) => {
+      for (n <- Seq("customer", "orders", "lineitem", "supplier"))
+        t(s, d, n).createOrReplaceTempView(s"${n}_rc")
+      s.sql("""
+        WITH pairs AS (
+               SELECT CAST(c_nationkey AS BIGINT) AS a,
+                      CAST(s_nationkey AS BIGINT) AS b, count(*) AS w
+               FROM customer_rc
+               JOIN orders_rc ON c_custkey = o_custkey
+               JOIN lineitem_rc ON l_orderkey = o_orderkey
+               JOIN supplier_rc ON l_suppkey = s_suppkey
+               GROUP BY 1, 2),
+             de AS (SELECT a, b FROM pairs WHERE w % 7 = 0 AND a <> b),
+             r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                          CAST(SUM(CASE WHEN x.b IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_recip
+                   FROM de LEFT JOIN de x
+                     ON de.a = x.b AND de.b = x.a)
+        SELECT n_edges, n_recip,
+               round(CAST(n_recip AS DOUBLE) / n_edges, 6)
+                 AS reciprocity
+        FROM r""")
+    },
+    Some("""WITH pairs AS (
+                   SELECT CAST(c_nationkey AS BIGINT) AS a,
+                          CAST(s_nationkey AS BIGINT) AS b, count(*) AS w
+                   FROM customer
+                   JOIN orders ON c_custkey = o_custkey
+                   JOIN lineitem ON l_orderkey = o_orderkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   GROUP BY 1, 2),
+                 de AS (SELECT a, b FROM pairs
+                        WHERE w % 7 = 0 AND a <> b),
+                 r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                              CAST(SUM(CASE WHEN x.b IS NOT NULL
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                                AS n_recip
+                       FROM de LEFT JOIN de x
+                         ON de.a = x.b AND de.b = x.a)
+            SELECT n_edges, n_recip,
+                   round(CAST(n_recip AS DOUBLE) / n_edges, 6)
+                     AS reciprocity
+            FROM r"""))
+
+  // Degree assortativity — Pearson correlation of endpoint degrees over
+  // the undirected edge set: do hubs link to hubs (positive) or to leaves
+  // (negative)? Degrees join onto the edges by two hash joins (the degree
+  // relation is one row per vertex — broadcast-sized for any real graph's
+  // vertex count relative to edges); the five correlation moments are
+  // exact BIGINT sums, combined once in float64.
+  private val graphAssortativity = Op(
+    "graph_assortativity",
+    (s, d) => {
+      val e = supplyEdges(s, d)
+      val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+      val j = e.join(broadcast(deg.withColumnRenamed("src", "s1")
+            .withColumnRenamed("deg", "dx")), col("src") === col("s1"))
+        .join(broadcast(deg.withColumnRenamed("src", "s2")
+            .withColumnRenamed("deg", "dy")), col("dst") === col("s2"))
+        .select(col("dx"), col("dy"))
+      j.agg(count(lit(1)).cast("long").as("n"),
+          sum("dx").cast("long").as("sx"), sum("dy").cast("long").as("sy"),
+          sum(col("dx") * col("dx")).cast("long").as("sxx"),
+          sum(col("dy") * col("dy")).cast("long").as("syy"),
+          sum(col("dx") * col("dy")).cast("long").as("sxy"))
+        .selectExpr("n",
+          """round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity""")
+    },
+    Some(s"""WITH $oracleEdgeCte,
+                 deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                         FROM edges GROUP BY src),
+                 j AS (SELECT da.deg AS dx, db.deg AS dy
+                       FROM edges e
+                       JOIN deg da ON e.src = da.src
+                       JOIN deg db ON e.dst = db.src),
+                 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(dx) AS BIGINT) AS sx,
+                              CAST(SUM(dy) AS BIGINT) AS sy,
+                              CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                              CAST(SUM(dy * dy) AS BIGINT) AS syy,
+                              CAST(SUM(dx * dy) AS BIGINT) AS sxy
+                       FROM j)
+            SELECT n,
+                   round((CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (sqrt(CAST(n AS DOUBLE) * sxx
+                                 - CAST(sx AS DOUBLE) * sx)
+                            * sqrt(CAST(n AS DOUBLE) * syy
+                                   - CAST(sy AS DOUBLE) * sy)), 6)
+                     AS assortativity
+            FROM m"""))
+
   val ops: Seq[Op] = Seq(graphComponents, graphBfsHops, graphLinkPredict,
-    graphClusteringCoeff, graphSsspWeighted, graphDegreeDist)
+    graphClusteringCoeff, graphSsspWeighted, graphDegreeDist,
+    graphReciprocity, graphAssortativity)
 }

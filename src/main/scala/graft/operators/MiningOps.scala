@@ -445,8 +445,161 @@ object MiningOps {
                    CAST(rn AS BIGINT) AS rn, doc_id
             FROM rk WHERE rn <= 5 ORDER BY decile, rn"""))
 
+  // User lifecycle staging — each (user, week) of activity classified as
+  // new / retained / resurrected from the gap to the PREVIOUS active week,
+  // plus churn rows for users who go silent: the growth-accounting table
+  // behind every "DAU is up but is it new or resurrected?" question.
+  // Weekly presence collapses first (the pair set is tiny vs the event
+  // stream); the stage is one lag over (user / week) — a single shuffle;
+  // churn is the same lag read forward. Counts roll up per (week, stage).
+  private val eventLifecycleStages = Op(
+    "event_lifecycle_stages",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_lc")
+      s.sql("""
+        WITH wk AS (SELECT DISTINCT user_id,
+                           unix_timestamp(ts) div 604800 AS w
+                    FROM events_lc),
+             mx AS (SELECT CAST(MAX(w) AS BIGINT) AS wmax FROM wk),
+             st AS (SELECT user_id, w,
+                           lag(w) OVER (PARTITION BY user_id ORDER BY w)
+                             AS pw,
+                           lead(w) OVER (PARTITION BY user_id ORDER BY w)
+                             AS nw
+                    FROM wk),
+             act AS (SELECT w,
+                            CASE WHEN pw IS NULL THEN 'new'
+                                 WHEN w = pw + 1 THEN 'retained'
+                                 ELSE 'resurrected' END AS stage
+                     FROM st),
+             ch AS (SELECT st.w + 1 AS w, 'churned' AS stage
+                    FROM st CROSS JOIN mx
+                    WHERE st.w < mx.wmax
+                      AND (st.nw IS NULL OR st.nw > st.w + 1)),
+             u AS (SELECT w, stage FROM act
+                   UNION ALL SELECT w, stage FROM ch)
+        SELECT w AS week_idx, stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM u GROUP BY w, stage ORDER BY week_idx, stage""")
+    },
+    Some("""WITH wk AS (SELECT DISTINCT user_id,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 604800
+                                 AS w
+                        FROM events),
+                 mx AS (SELECT CAST(MAX(w) AS BIGINT) AS wmax FROM wk),
+                 st AS (SELECT user_id, w,
+                               lag(w) OVER (PARTITION BY user_id
+                                            ORDER BY w) AS pw,
+                               lead(w) OVER (PARTITION BY user_id
+                                             ORDER BY w) AS nw
+                        FROM wk),
+                 act AS (SELECT w,
+                                CASE WHEN pw IS NULL THEN 'new'
+                                     WHEN w = pw + 1 THEN 'retained'
+                                     ELSE 'resurrected' END AS stage
+                         FROM st),
+                 ch AS (SELECT st.w + 1 AS w, 'churned' AS stage
+                        FROM st CROSS JOIN mx
+                        WHERE st.w < mx.wmax
+                          AND (st.nw IS NULL OR st.nw > st.w + 1)),
+                 u AS (SELECT w, stage FROM act
+                       UNION ALL SELECT w, stage FROM ch)
+            SELECT w AS week_idx, stage, CAST(COUNT(*) AS BIGINT)
+                     AS n_users
+            FROM u GROUP BY w, stage ORDER BY week_idx, stage"""))
+
+  // Corpus length profile — docs per power-of-two length bucket per
+  // source: the first plot on a corpus dashboard and the input to length
+  // curriculum decisions. Pure map-side bucketing (one int log2) + one
+  // partial-aggregated rollup bounded by sources × ~30 buckets.
+  private val corpusLengthHistogram = Op(
+    "corpus_length_histogram",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_lh")
+      s.sql("""
+        WITH b AS (SELECT source,
+                          CAST(floor(ln(CAST(n_chars AS DOUBLE)) / ln(2.0D))
+                               AS BIGINT) AS lb
+                   FROM documents_lh WHERE n_chars > 0)
+        SELECT source, lb AS log2_bucket, CAST(COUNT(*) AS BIGINT) AS docs
+        FROM b GROUP BY source, lb ORDER BY source, lb""")
+    },
+    Some("""WITH b AS (SELECT source,
+                              CAST(floor(ln(CAST(n_chars AS DOUBLE))
+                                         / ln(2.0)) AS BIGINT) AS lb
+                       FROM documents WHERE n_chars > 0)
+            SELECT source, lb AS log2_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS docs
+            FROM b GROUP BY source, lb ORDER BY source, lb"""))
+
+  // Extreme-value analysis by block maxima — daily maxima per event type
+  // fitted to a Gumbel distribution by method of moments (β = σ√6/π,
+  // μ = x̄ − γβ), then the 100-block return level μ − β·ln(−ln(1−1/100)):
+  // the "how bad can a day get" capacity question answered from exact
+  // daily-max cents. Block maxima are one partial-aggregated rollup
+  // (bounded by the time range); the fit runs on those ~30 rows.
+  private val aggBlockMaxima = Op(
+    "agg_block_maxima",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_bm")
+      s.sql("""
+        WITH dm AS (SELECT event_type,
+                           unix_timestamp(ts) div 86400 AS day,
+                           CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                                AS BIGINT) AS mx
+                    FROM events_bm GROUP BY 1, 2),
+             m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(mx) AS BIGINT) AS sx,
+                          CAST(SUM(mx * mx) AS BIGINT) AS sxx
+                   FROM dm GROUP BY 1),
+             f AS (SELECT event_type, n,
+                          CAST(sx AS DOUBLE) / n AS mean_c,
+                          sqrt((CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * sx / n)
+                               / (n - 1)) AS sd_c
+                   FROM m),
+             g AS (SELECT event_type, n,
+                          sd_c * sqrt(6.0D) / pi() AS beta_c,
+                          mean_c - 0.5772156649D * sd_c * sqrt(6.0D) / pi()
+                            AS mu_c
+                   FROM f)
+        SELECT event_type, n AS n_blocks,
+               round(mu_c / 100.0D, 6) AS gumbel_mu_usd,
+               round(beta_c / 100.0D, 6) AS gumbel_beta_usd,
+               round((mu_c - beta_c * ln(-ln(1.0D - 1.0D / 100.0D)))
+                     / 100.0D, 6) AS return_level_100_usd
+        FROM g ORDER BY event_type""")
+    },
+    Some("""WITH dm AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 AS day,
+                               CAST(MAX(CAST(round(value * 100)
+                                             AS BIGINT)) AS BIGINT) AS mx
+                        FROM events GROUP BY 1, 2),
+                 m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(mx) AS BIGINT) AS sx,
+                              CAST(SUM(mx * mx) AS BIGINT) AS sxx
+                       FROM dm GROUP BY 1),
+                 f AS (SELECT event_type, n,
+                              CAST(sx AS DOUBLE) / n AS mean_c,
+                              sqrt((CAST(sxx AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * sx / n)
+                                   / (n - 1)) AS sd_c
+                       FROM m),
+                 g AS (SELECT event_type, n,
+                              sd_c * sqrt(6.0) / pi() AS beta_c,
+                              mean_c - 0.5772156649 * sd_c * sqrt(6.0)
+                                / pi() AS mu_c
+                       FROM f)
+            SELECT event_type, n AS n_blocks,
+                   round(mu_c / 100.0, 6) AS gumbel_mu_usd,
+                   round(beta_c / 100.0, 6) AS gumbel_beta_usd,
+                   round((mu_c - beta_c * ln(-ln(1.0 - 1.0 / 100.0)))
+                         / 100.0, 6) AS return_level_100_usd
+            FROM g ORDER BY event_type"""))
+
   val ops: Seq[Op] =
     Seq(aggMarketBasket, resampleMinmaxDecimate, resampleSeasonalDecompose,
       embTripletMining, aggStumpSplit, privacyPseudonymize, resampleLocf,
-      corpusEvalSample)
+      corpusEvalSample, eventLifecycleStages, corpusLengthHistogram,
+      aggBlockMaxima)
 }
