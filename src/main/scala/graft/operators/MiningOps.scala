@@ -597,9 +597,126 @@ object MiningOps {
                          / 100.0, 6) AS return_level_100_usd
             FROM g ORDER BY event_type"""))
 
+  // Daily realized volatility from log returns per event type — the
+  // risk-metric shape (each day's Σ r², r = ln(xₜ/xₜ₋₁)) over the hourly
+  // mean-value series. Each log return quantizes to 1e-9 BIGINT per row
+  // BEFORE the square/sum, so the realized variance is an
+  // order-independent integer sum; one (type / hour) lag window over the
+  // hourly rollup — everything downstream of the first aggregate is
+  // bounded by the time range.
+  private val windowLogReturns = Op(
+    "window_log_returns",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_lr")
+      s.sql("""
+        WITH hb AS (SELECT event_type,
+                           unix_timestamp(ts) div 3600 AS h,
+                           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                AS BIGINT) AS sc,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM events_lr GROUP BY 1, 2),
+             mv AS (SELECT event_type, h,
+                           CAST(sc AS DOUBLE) / n AS m
+                    FROM hb),
+             lr AS (SELECT event_type, h div 24 AS day,
+                           CAST(round(ln(m / lag(m) OVER (
+                                  PARTITION BY event_type ORDER BY h))
+                                * 1000000) AS BIGINT) AS rq
+                    FROM mv),
+             dd AS (SELECT event_type, day,
+                           CAST(COUNT(rq) AS BIGINT) AS n_rets,
+                           CAST(SUM(rq * rq) AS BIGINT) AS svq
+                    FROM lr WHERE rq IS NOT NULL GROUP BY 1, 2)
+        SELECT event_type, day AS day_idx, n_rets,
+               round(sqrt(CAST(svq AS DOUBLE) / 1000000000000.0D), 6)
+                 AS realized_vol
+        FROM dd ORDER BY event_type, day_idx""")
+    },
+    Some("""WITH hb AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                 AS h,
+                               CAST(SUM(CAST(round(value * 100)
+                                             AS BIGINT)) AS BIGINT) AS sc,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+                 mv AS (SELECT event_type, h,
+                               CAST(sc AS DOUBLE) / n AS m
+                        FROM hb),
+                 lr AS (SELECT event_type, h // 24 AS day,
+                               CAST(round(ln(m / lag(m) OVER (
+                                      PARTITION BY event_type ORDER BY h))
+                                    * 1000000) AS BIGINT) AS rq
+                        FROM mv),
+                 dd AS (SELECT event_type, day,
+                               CAST(COUNT(rq) AS BIGINT) AS n_rets,
+                               CAST(SUM(rq * rq) AS BIGINT) AS svq
+                        FROM lr WHERE rq IS NOT NULL GROUP BY 1, 2)
+            SELECT event_type, day AS day_idx, n_rets,
+                   round(sqrt(CAST(svq AS DOUBLE) / 1000000000000.0), 6)
+                     AS realized_vol
+            FROM dd ORDER BY event_type, day_idx"""))
+
+  // Two-proportion z-test — conversion-rate comparison between user
+  // cohorts (even vs odd id), the A/B readout product teams act on
+  // (agg_ttest compares MEANS; this compares RATES with the pooled-
+  // variance z). Conversion = a high-value purchase, keeping both rates
+  // interior — an everyone-converts definition degenerates the pooled
+  // variance to zero. Both cohorts' numerators and denominators are exact
+  // BIGINT counts from ONE scan; the z statistic is a fixed IEEE
+  // expression evaluated once.
+  private val aggTwoProportionZ = Op(
+    "agg_two_proportion_z",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_zp")
+      s.sql("""
+        WITH c AS (SELECT user_id % 2 AS grp,
+                          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+                          CAST(COUNT(DISTINCT CASE
+                                 WHEN event_type = 'purchase'
+                                  AND value >= 95 THEN user_id END)
+                               AS BIGINT) AS conv
+                   FROM events_zp GROUP BY 1),
+             w AS (SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+                          MAX(CASE WHEN grp = 0 THEN conv END) AS c0,
+                          MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+                          MAX(CASE WHEN grp = 1 THEN conv END) AS c1
+                   FROM c)
+        SELECT n0, c0, n1, c1,
+               round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+               round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+               round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                     / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0D - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                            * (1.0D / n0 + 1.0D / n1)), 6) AS z
+        FROM w""")
+    },
+    Some("""WITH c AS (SELECT user_id % 2 AS grp,
+                              CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                                AS n,
+                              CAST(COUNT(DISTINCT CASE
+                                     WHEN event_type = 'purchase'
+                                      AND value >= 95 THEN user_id END)
+                                   AS BIGINT) AS conv
+                       FROM events GROUP BY 1),
+                 w AS (SELECT MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+                              MAX(CASE WHEN grp = 0 THEN conv END) AS c0,
+                              MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+                              MAX(CASE WHEN grp = 1 THEN conv END) AS c1
+                       FROM c)
+            SELECT n0, c0, n1, c1,
+                   round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+                   round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+                   round((CAST(c0 AS DOUBLE) / n0
+                          - CAST(c1 AS DOUBLE) / n1)
+                         / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                                * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                         / (n0 + n1))
+                                * (1.0 / n0 + 1.0 / n1)), 6) AS z
+            FROM w"""))
+
   val ops: Seq[Op] =
     Seq(aggMarketBasket, resampleMinmaxDecimate, resampleSeasonalDecompose,
       embTripletMining, aggStumpSplit, privacyPseudonymize, resampleLocf,
       corpusEvalSample, eventLifecycleStages, corpusLengthHistogram,
-      aggBlockMaxima)
+      aggBlockMaxima, windowLogReturns, aggTwoProportionZ)
 }

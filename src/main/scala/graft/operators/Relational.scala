@@ -315,6 +315,57 @@ object Relational {
             SELECT click_id, user_id, asof_id, asof_value FROM w WHERE side = 1
             ORDER BY click_id"""))
 
+  // FORWARD as-of join (merge_asof(direction='forward') analog): each
+  // click matches the FIRST purchase at-or-after it — the "next action
+  // after exposure" semantics attribution needs, completing the
+  // backward/forward/nearest/tolerance matrix. Same single-shuffle
+  // union-window trick as join_asof, with the frame read forward
+  // (first_value over current→unbounded-following) and purchases sorted
+  // AFTER same-timestamp clicks so an exactly-simultaneous purchase still
+  // matches. O(n log n) per user partition; never a per-row range join.
+  private val joinAsofForward = Op(
+    "join_asof_forward",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+        col("event_id").as("p_id"), col("value").as("p_value"),
+        lit(2).as("side"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(null).cast("long").as("p_id"),
+        lit(null).cast("double").as("p_value"), lit(1).as("side"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      purchases.unionByName(clicks)
+        .withColumn("next_id", first(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("next_value",
+          first(col("p_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select("click_id", "user_id", "next_id", "next_value")
+        .orderBy("click_id")
+    },
+    Some("""WITH u AS (
+              SELECT user_id, ts, NULL::BIGINT AS click_id, event_id AS p_id,
+                     value AS p_value, 2 AS side
+              FROM events WHERE event_type = 'purchase'
+              UNION ALL
+              SELECT user_id, ts, event_id, NULL::BIGINT, NULL::DOUBLE, 1
+              FROM events WHERE event_type = 'click'),
+            w AS (
+              SELECT *,
+                first_value(p_id IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS next_id,
+                first_value(p_value IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS next_value
+              FROM u)
+            SELECT click_id, user_id, next_id, next_value FROM w
+            WHERE side = 1 ORDER BY click_id"""))
+
   // As-of join with a match tolerance (merge_asof(tolerance=…) analog): the
   // backward match only counts if it is at most 1 hour old — stale state
   // must read as NO state, the semantics feature-store point-in-time
@@ -1437,5 +1488,5 @@ object Relational {
     sortMulti, limitTopk, setUnionAll, setIntersect, setExcept, setIntersectAll, setExceptAll, aggCountIf,
     sqlTpchQ5, sqlTpchQ10, sqlTpchQ17, sqlTpchQ18, sqlTpchQ1, sqlTpchQ21,
     sqlTpchQ22, sqlTpchQ2, joinRangeBinned, joinRuntimeBloom, joinAsofNearest,
-    joinAsofTolerance)
+    joinAsofTolerance, joinAsofForward)
 }
