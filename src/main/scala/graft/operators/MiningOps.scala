@@ -714,9 +714,156 @@ object MiningOps {
                                 * (1.0 / n0 + 1.0 / n1)), 6) AS z
             FROM w"""))
 
+  // Anchored time bucketing (date_bin analog) — 15-minute buckets and
+  // 4-hour buckets anchored at 02:00, the arbitrary-origin binning
+  // date_trunc can't express (its grid is calendar-aligned only). Pure
+  // integer epoch arithmetic (floor division against the anchor offset,
+  // Spark DIV ≡ DuckDB //), zero shuffles for the transform; the
+  // published sample heaps 20 rows.
+  private val fnTimeBucket = Op(
+    "fn_time_bucket",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_tb")
+      s.sql("""
+        SELECT event_id,
+               (unix_timestamp(ts) div 900) * 900 AS q15_start_s,
+               ((unix_timestamp(ts) - 7200) div 14400) * 14400 + 7200
+                 AS b4h_start_s
+        FROM events_tb ORDER BY event_id LIMIT 20""")
+    },
+    Some("""SELECT event_id,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900
+                     AS q15_start_s,
+                   ((CAST(floor(epoch(ts)) AS BIGINT) - 7200) // 14400)
+                     * 14400 + 7200 AS b4h_start_s
+            FROM events ORDER BY event_id LIMIT 20"""))
+
+  // Delta-method confidence interval for a RATIO metric (revenue per
+  // event, per type) — the experimentation-platform math for metrics
+  // whose unit of analysis (user) differs from the unit of measurement
+  // (event): Var(X̄/Ȳ) via the bivariate delta expansion over per-user
+  // totals. Both aggregation levels are exact BIGINT (per-user cents and
+  // counts, then five moments over users); the CI is one fixed IEEE
+  // expression. Two partial-aggregated shuffles, nothing else.
+  private val aggRatioDeltaCi = Op(
+    "agg_ratio_delta_ci",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_rc2")
+      s.sql("""
+        WITH pu AS (SELECT event_type, user_id,
+                           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                AS BIGINT) AS sx,
+                           CAST(COUNT(*) AS BIGINT) AS sn
+                    FROM events_rc2 GROUP BY 1, 2),
+             m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu,
+                          CAST(SUM(sx) AS BIGINT) AS tx,
+                          CAST(SUM(sn) AS BIGINT) AS tn,
+                          CAST(SUM(sx * sx) AS BIGINT) AS txx,
+                          CAST(SUM(sn * sn) AS BIGINT) AS tnn,
+                          CAST(SUM(sx * sn) AS BIGINT) AS txn
+                   FROM pu GROUP BY 1),
+             f AS (SELECT event_type, nu,
+                          CAST(tx AS DOUBLE) / tn AS r,
+                          (CAST(txx AS DOUBLE)
+                           - CAST(tx AS DOUBLE) * tx / nu) / (nu - 1)
+                            AS vx,
+                          (CAST(tnn AS DOUBLE)
+                           - CAST(tn AS DOUBLE) * tn / nu) / (nu - 1)
+                            AS vn,
+                          (CAST(txn AS DOUBLE)
+                           - CAST(tx AS DOUBLE) * tn / nu) / (nu - 1)
+                            AS vxn,
+                          CAST(tn AS DOUBLE) / nu AS mn
+                   FROM m)
+        SELECT event_type, nu AS n_users,
+               round(r / 100.0D, 6) AS ratio_usd,
+               round((r - 1.96D * sqrt((vx + r * r * vn
+                        - 2.0D * r * vxn) / nu) / mn) / 100.0D, 6)
+                 AS ci_lo_usd,
+               round((r + 1.96D * sqrt((vx + r * r * vn
+                        - 2.0D * r * vxn) / nu) / mn) / 100.0D, 6)
+                 AS ci_hi_usd
+        FROM f ORDER BY event_type""")
+    },
+    Some("""WITH pu AS (SELECT event_type, user_id,
+                               CAST(SUM(CAST(round(value * 100)
+                                             AS BIGINT)) AS BIGINT) AS sx,
+                               CAST(COUNT(*) AS BIGINT) AS sn
+                        FROM events GROUP BY 1, 2),
+                 m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu,
+                              CAST(SUM(sx) AS BIGINT) AS tx,
+                              CAST(SUM(sn) AS BIGINT) AS tn,
+                              CAST(SUM(sx * sx) AS BIGINT) AS txx,
+                              CAST(SUM(sn * sn) AS BIGINT) AS tnn,
+                              CAST(SUM(sx * sn) AS BIGINT) AS txn
+                       FROM pu GROUP BY 1),
+                 f AS (SELECT event_type, nu,
+                              CAST(tx AS DOUBLE) / tn AS r,
+                              (CAST(txx AS DOUBLE)
+                               - CAST(tx AS DOUBLE) * tx / nu) / (nu - 1)
+                                AS vx,
+                              (CAST(tnn AS DOUBLE)
+                               - CAST(tn AS DOUBLE) * tn / nu) / (nu - 1)
+                                AS vn,
+                              (CAST(txn AS DOUBLE)
+                               - CAST(tx AS DOUBLE) * tn / nu) / (nu - 1)
+                                AS vxn,
+                              CAST(tn AS DOUBLE) / nu AS mn
+                       FROM m)
+            SELECT event_type, nu AS n_users,
+                   round(r / 100.0, 6) AS ratio_usd,
+                   round((r - 1.96 * sqrt((vx + r * r * vn
+                            - 2.0 * r * vxn) / nu) / mn) / 100.0, 6)
+                     AS ci_lo_usd,
+                   round((r + 1.96 * sqrt((vx + r * r * vn
+                            - 2.0 * r * vxn) / nu) / mn) / 100.0, 6)
+                     AS ci_hi_usd
+            FROM f ORDER BY event_type"""))
+
+  // Day-over-day volume drift — the row-count alarm next to dq_freshness's
+  // recency alarm: per (type, day) exact counts, one lag, relative change
+  // flagged beyond ±50%. The shape that catches a silently-dropped
+  // upstream partition before any consumer does.
+  private val dqVolumeDrift = Op(
+    "dq_volume_drift",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_vd")
+      s.sql("""
+        WITH dc AS (SELECT event_type,
+                           unix_timestamp(ts) div 86400 AS day,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM events_vd GROUP BY 1, 2),
+             l AS (SELECT event_type, day, n,
+                          lag(n) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS pn
+                   FROM dc)
+        SELECT event_type, day AS day_idx, n, pn,
+               round((CAST(n AS DOUBLE) - pn) / pn, 6) AS rel_change,
+               CASE WHEN abs(CAST(n AS DOUBLE) - pn) > 0.5D * pn
+                    THEN 1 ELSE 0 END AS alarm
+        FROM l WHERE pn IS NOT NULL
+        ORDER BY event_type, day_idx""")
+    },
+    Some("""WITH dc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+                 l AS (SELECT event_type, day, n,
+                              lag(n) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS pn
+                       FROM dc)
+            SELECT event_type, day AS day_idx, n, pn,
+                   round((CAST(n AS DOUBLE) - pn) / pn, 6) AS rel_change,
+                   CASE WHEN abs(CAST(n AS DOUBLE) - pn) > 0.5 * pn
+                        THEN 1 ELSE 0 END AS alarm
+            FROM l WHERE pn IS NOT NULL
+            ORDER BY event_type, day_idx"""))
+
   val ops: Seq[Op] =
     Seq(aggMarketBasket, resampleMinmaxDecimate, resampleSeasonalDecompose,
       embTripletMining, aggStumpSplit, privacyPseudonymize, resampleLocf,
       corpusEvalSample, eventLifecycleStages, corpusLengthHistogram,
-      aggBlockMaxima, windowLogReturns, aggTwoProportionZ)
+      aggBlockMaxima, windowLogReturns, aggTwoProportionZ, fnTimeBucket,
+      aggRatioDeltaCi, dqVolumeDrift)
 }
