@@ -860,10 +860,206 @@ object MiningOps {
             FROM l WHERE pn IS NOT NULL
             ORDER BY event_type, day_idx"""))
 
-  val ops: Seq[Op] =
+  lazy val ops: Seq[Op] =
     Seq(aggMarketBasket, resampleMinmaxDecimate, resampleSeasonalDecompose,
       embTripletMining, aggStumpSplit, privacyPseudonymize, resampleLocf,
       corpusEvalSample, eventLifecycleStages, corpusLengthHistogram,
       aggBlockMaxima, windowLogReturns, aggTwoProportionZ, fnTimeBucket,
-      aggRatioDeltaCi, dqVolumeDrift)
+      aggRatioDeltaCi, dqVolumeDrift) ++ ops2
+
+  // 2-D skyline (Pareto front) — orders maximizing BOTH total price and
+  // recency: no other order is at least as good on both axes and strictly
+  // better on one. The input collapses to the price DOMAIN first (max
+  // order-day per distinct price — dominated same-price rows die
+  // map-side), then one descending-price scan keeps rows whose day beats
+  // the running max — the sort-scan skyline algorithm. Skylines are
+  // associative (skyline of per-partition skylines = global skyline), so
+  // at 100 TB the same operator runs per-partition first; here the
+  // domain-collapsed relation is already small.
+  private val aggSkyline2d = Op(
+    "agg_skyline_2d",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_sk")
+      s.sql("""
+        WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+                          CAST(MAX(unix_timestamp(o_orderdate) div 86400)
+                               AS BIGINT) AS dd
+                   FROM orders_sk GROUP BY 1),
+             r AS (SELECT pc, dd,
+                          MAX(dd) OVER (ORDER BY pc DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+                   FROM b)
+        SELECT CAST(pc AS DOUBLE) / 100.0D AS price_usd, dd AS day_idx
+        FROM r WHERE prev_max IS NULL OR dd > prev_max
+        ORDER BY price_usd DESC""")
+    },
+    Some("""WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS pc,
+                              CAST(MAX(CAST(floor(epoch(o_orderdate))
+                                            AS BIGINT) // 86400)
+                                   AS BIGINT) AS dd
+                       FROM orders GROUP BY 1),
+                 r AS (SELECT pc, dd,
+                              MAX(dd) OVER (ORDER BY pc DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+                       FROM b)
+            SELECT CAST(pc AS DOUBLE) / 100.0 AS price_usd, dd AS day_idx
+            FROM r WHERE prev_max IS NULL OR dd > prev_max
+            ORDER BY price_usd DESC"""))
+
+  // Nearest-VALUE neighbor join — for each order, the closest-priced other
+  // order in its priority class: the sorted-neighbor spelling (sort once
+  // per class, candidates are the adjacent rows) of what a naive engine
+  // does as an O(n²) |a−b| cross join. One (priority / price) sort; the
+  // winner picks the smaller absolute gap with a key tie-break. Published
+  // for a deterministic customer slice to bound the output.
+  private val joinNearestValue = Op(
+    "join_nearest_value",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_nv")
+      s.sql("""
+        WITH b AS (SELECT o_orderkey AS ok, o_custkey,
+                          o_orderpriority AS prio,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                   FROM orders_nv),
+             n AS (SELECT ok, o_custkey, prio, pc,
+                          lag(ok) OVER w AS pok, lag(pc) OVER w AS ppc,
+                          lead(ok) OVER w AS nok, lead(pc) OVER w AS npc
+                   FROM b
+                   WINDOW w AS (PARTITION BY prio ORDER BY pc, ok)),
+             c AS (SELECT ok, o_custkey, prio, pc,
+                          CASE
+                            WHEN pok IS NULL THEN nok
+                            WHEN nok IS NULL THEN pok
+                            WHEN pc - ppc < npc - pc THEN pok
+                            WHEN npc - pc < pc - ppc THEN nok
+                            WHEN pok < nok THEN pok ELSE nok END
+                            AS neighbor_key,
+                          CASE
+                            WHEN pok IS NULL THEN npc - pc
+                            WHEN nok IS NULL THEN pc - ppc
+                            ELSE LEAST(pc - ppc, npc - pc) END AS gap_c
+                   FROM n)
+        SELECT ok AS o_orderkey, prio AS o_orderpriority, neighbor_key,
+               CAST(gap_c AS BIGINT) AS gap_cents
+        FROM c WHERE o_custkey % 100 = 0 AND neighbor_key IS NOT NULL
+        ORDER BY o_orderkey""")
+    },
+    Some("""WITH b AS (SELECT o_orderkey AS ok, o_custkey,
+                              o_orderpriority AS prio,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS pc
+                       FROM orders),
+                 n AS (SELECT ok, o_custkey, prio, pc,
+                              lag(ok) OVER w AS pok,
+                              lag(pc) OVER w AS ppc,
+                              lead(ok) OVER w AS nok,
+                              lead(pc) OVER w AS npc
+                       FROM b
+                       WINDOW w AS (PARTITION BY prio ORDER BY pc, ok)),
+                 c AS (SELECT ok, o_custkey, prio, pc,
+                              CASE
+                                WHEN pok IS NULL THEN nok
+                                WHEN nok IS NULL THEN pok
+                                WHEN pc - ppc < npc - pc THEN pok
+                                WHEN npc - pc < pc - ppc THEN nok
+                                WHEN pok < nok THEN pok ELSE nok END
+                                AS neighbor_key,
+                              CASE
+                                WHEN pok IS NULL THEN npc - pc
+                                WHEN nok IS NULL THEN pc - ppc
+                                ELSE LEAST(pc - ppc, npc - pc) END
+                                AS gap_c
+                       FROM n)
+            SELECT ok AS o_orderkey, prio AS o_orderpriority,
+                   neighbor_key, CAST(gap_c AS BIGINT) AS gap_cents
+            FROM c WHERE o_custkey % 100 = 0
+              AND neighbor_key IS NOT NULL
+            ORDER BY o_orderkey"""))
+
+  // ABC (Pareto) classification — parts bucketed A/B/C by cumulative
+  // revenue share (top 80% / next 15% / tail), the inventory-prioritization
+  // standard. Revenue rolls up exactly per part; the class boundaries are
+  // INTEGER cross-multiplications against the total (cum·10 ≤ tot·8,
+  // cum·20 ≤ tot·19) so no float share ever decides a boundary row.
+  private val aggAbcClass = Op(
+    "agg_abc_class",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_abc")
+      s.sql("""
+        WITH rev AS (SELECT l_partkey AS pk,
+                            CAST(SUM(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS r
+                     FROM lineitem_abc GROUP BY 1),
+             tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
+             c AS (SELECT pk, r,
+                          CAST(SUM(r) OVER (ORDER BY r DESC, pk)
+                               AS BIGINT) AS cum
+                   FROM rev),
+             cl AS (SELECT pk, r,
+                           CASE WHEN cum * 10 <= t * 8 THEN 'A'
+                                WHEN cum * 20 <= t * 19 THEN 'B'
+                                ELSE 'C' END AS abc
+                    FROM c CROSS JOIN tot)
+        SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(r) AS BIGINT) AS revenue_cents
+        FROM cl GROUP BY abc ORDER BY abc""")
+    },
+    Some("""WITH rev AS (SELECT l_partkey AS pk,
+                                CAST(SUM(CAST(round(l_extendedprice * 100)
+                                              AS BIGINT)) AS BIGINT) AS r
+                         FROM lineitem GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
+                 c AS (SELECT pk, r,
+                              CAST(SUM(r) OVER (ORDER BY r DESC, pk)
+                                   AS BIGINT) AS cum
+                       FROM rev),
+                 cl AS (SELECT pk, r,
+                               CASE WHEN cum * 10 <= t * 8 THEN 'A'
+                                    WHEN cum * 20 <= t * 19 THEN 'B'
+                                    ELSE 'C' END AS abc
+                        FROM c CROSS JOIN tot)
+            SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(r) AS BIGINT) AS revenue_cents
+            FROM cl GROUP BY abc ORDER BY abc"""))
+
+  // Backlog aging — open (non-final) orders bucketed by 30-day age bands
+  // per status: the operations report behind "how stale is the queue".
+  // Age is exact integer day arithmetic against the snapshot (global max
+  // date, a 1-row broadcast); one partial-aggregated rollup.
+  private val aggBacklogAging = Op(
+    "agg_backlog_aging",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_ba")
+      s.sql("""
+        WITH mx AS (SELECT CAST(MAX(unix_timestamp(o_orderdate) div 86400)
+                                AS BIGINT) AS dmax FROM orders_ba),
+             b AS (SELECT o_orderstatus,
+                          (dmax - unix_timestamp(o_orderdate) div 86400)
+                            div 30 AS bucket
+                   FROM orders_ba CROSS JOIN mx
+                   WHERE o_orderstatus <> 'F')
+        SELECT o_orderstatus, CAST(bucket AS BIGINT) AS age_bucket_30d,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM b GROUP BY 1, 2 ORDER BY o_orderstatus, age_bucket_30d""")
+    },
+    Some("""WITH mx AS (SELECT CAST(MAX(CAST(floor(epoch(o_orderdate))
+                                             AS BIGINT) // 86400)
+                                    AS BIGINT) AS dmax FROM orders),
+                 b AS (SELECT o_orderstatus,
+                              (dmax - CAST(floor(epoch(o_orderdate))
+                                           AS BIGINT) // 86400) // 30
+                                AS bucket
+                       FROM orders CROSS JOIN mx
+                       WHERE o_orderstatus <> 'F')
+            SELECT o_orderstatus, CAST(bucket AS BIGINT)
+                     AS age_bucket_30d,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM b GROUP BY 1, 2 ORDER BY o_orderstatus,
+                     age_bucket_30d"""))
+
+  private val ops2: Seq[Op] =
+    Seq(aggSkyline2d, joinNearestValue, aggAbcClass, aggBacklogAging)
 }

@@ -1419,9 +1419,163 @@ object TemporalSketchOps {
                      AS dp_count
             FROM nz ORDER BY nk"""))
 
+  // KMV set-DIFFERENCE estimates — |A ∖ B| per ordered event-type pair
+  // from the same k=64 min-hash sketches as agg_kmv_intersect:
+  // est(A∖B) = est(A) − est(A∩B), both terms pure sketch math (per-type
+  // kth-min cardinality + shared-fraction intersection), so the answer
+  // costs 64 rows per set at any volume. The exact difference rides along
+  // to expose the sketch error. Completes the sketch set algebra
+  // (distinct → HLL, intersect/difference → KMV).
+  private val aggKmvDifference = Op(
+    "agg_kmv_difference",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_kd")
+      s.sql("""
+        WITH el AS (SELECT DISTINCT event_type, user_id,
+                           CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS dd
+                    FROM events_kd),
+             h AS (SELECT event_type,
+                          CAST(conv(substring(md5(concat(
+                            CAST(user_id AS STRING), '_',
+                            CAST(dd AS STRING))), 1, 15), 16, 10)
+                               AS BIGINT) AS hv
+                   FROM el),
+             topk AS (SELECT event_type, hv
+                      FROM (SELECT event_type, hv,
+                                   row_number() OVER (
+                                     PARTITION BY event_type
+                                     ORDER BY hv) AS rn
+                            FROM h) r WHERE rn <= 64),
+             card AS (SELECT event_type, MAX(hv) AS hk
+                      FROM topk GROUP BY 1),
+             tpairs AS (SELECT a.event_type AS type_a,
+                               b.event_type AS type_b
+                        FROM card a JOIN card b
+                          ON a.event_type <> b.event_type),
+             uni AS (SELECT type_a, type_b, hv,
+                            row_number() OVER (PARTITION BY type_a, type_b
+                                               ORDER BY hv) AS rn
+                     FROM (SELECT DISTINCT p.type_a, p.type_b, t.hv
+                           FROM tpairs p JOIN topk t
+                             ON t.event_type = p.type_a
+                              OR t.event_type = p.type_b) u),
+             both_s AS (SELECT a.event_type AS type_a,
+                               b.event_type AS type_b, a.hv
+                        FROM topk a JOIN topk b
+                          ON a.hv = b.hv
+                         AND a.event_type <> b.event_type),
+             kth AS (SELECT u.type_a, u.type_b, MAX(u.hv) AS hku,
+                            CAST(SUM(CASE WHEN bo.hv IS NOT NULL
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                              AS shared
+                     FROM uni u LEFT JOIN both_s bo
+                       ON bo.type_a = u.type_a AND bo.type_b = u.type_b
+                      AND bo.hv = u.hv
+                     WHERE u.rn <= 64
+                     GROUP BY u.type_a, u.type_b),
+             est AS (SELECT k.type_a, k.type_b,
+                            CAST(round(63.0D * 1152921504606846976.0D
+                                       / CAST(ca.hk AS DOUBLE)) AS BIGINT)
+                              AS kmv_a,
+                            CAST(round(CAST(k.shared AS DOUBLE) / 64.0D *
+                                       63.0D * 1152921504606846976.0D /
+                                       CAST(k.hku AS DOUBLE)) AS BIGINT)
+                              AS kmv_inter
+                     FROM kth k JOIN card ca
+                       ON ca.event_type = k.type_a),
+             exact AS (SELECT a.event_type AS type_a,
+                              b.event_type AS type_b,
+                              CAST(COUNT(*) AS BIGINT) AS exact_diff
+                       FROM el a LEFT JOIN el b
+                         ON a.user_id = b.user_id AND a.dd = b.dd
+                        AND b.event_type = 'purchase'
+                       WHERE a.event_type <> 'purchase'
+                         AND b.user_id IS NULL
+                       GROUP BY 1, 2)
+        SELECT e.type_a, 'purchase' AS type_b,
+               GREATEST(CAST(0 AS BIGINT), e.kmv_a - e.kmv_inter)
+                 AS kmv_diff,
+               x.exact_diff
+        FROM est e JOIN exact x
+          ON x.type_a = e.type_a AND e.type_b = 'purchase'
+        ORDER BY e.type_a""")
+    },
+    Some("""WITH el AS (SELECT DISTINCT event_type, user_id,
+                               CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS dd
+                        FROM events),
+                 h AS (SELECT event_type,
+                              ('0x' || substr(md5(concat(
+                                CAST(user_id AS VARCHAR), '_',
+                                CAST(dd AS VARCHAR))), 1, 15))::BIGINT
+                                AS hv
+                       FROM el),
+                 topk AS (SELECT event_type, hv
+                          FROM (SELECT event_type, hv,
+                                       row_number() OVER (
+                                         PARTITION BY event_type
+                                         ORDER BY hv) AS rn
+                                FROM h) r WHERE rn <= 64),
+                 card AS (SELECT event_type, MAX(hv) AS hk
+                          FROM topk GROUP BY 1),
+                 tpairs AS (SELECT a.event_type AS type_a,
+                                   b.event_type AS type_b
+                            FROM card a JOIN card b
+                              ON a.event_type <> b.event_type),
+                 uni AS (SELECT type_a, type_b, hv,
+                                row_number() OVER (
+                                  PARTITION BY type_a, type_b
+                                  ORDER BY hv) AS rn
+                         FROM (SELECT DISTINCT p.type_a, p.type_b, t.hv
+                               FROM tpairs p JOIN topk t
+                                 ON t.event_type = p.type_a
+                                  OR t.event_type = p.type_b) u),
+                 both_s AS (SELECT a.event_type AS type_a,
+                                   b.event_type AS type_b, a.hv
+                            FROM topk a JOIN topk b
+                              ON a.hv = b.hv
+                             AND a.event_type <> b.event_type),
+                 kth AS (SELECT u.type_a, u.type_b, MAX(u.hv) AS hku,
+                                CAST(SUM(CASE WHEN bo.hv IS NOT NULL
+                                              THEN 1 ELSE 0 END)
+                                     AS BIGINT) AS shared
+                         FROM uni u LEFT JOIN both_s bo
+                           ON bo.type_a = u.type_a
+                          AND bo.type_b = u.type_b
+                          AND bo.hv = u.hv
+                         WHERE u.rn <= 64
+                         GROUP BY u.type_a, u.type_b),
+                 est AS (SELECT k.type_a, k.type_b,
+                                CAST(round(63.0 * 1152921504606846976.0
+                                           / CAST(ca.hk AS DOUBLE))
+                                     AS BIGINT) AS kmv_a,
+                                CAST(round(CAST(k.shared AS DOUBLE)
+                                           / 64.0 * 63.0
+                                           * 1152921504606846976.0 /
+                                           CAST(k.hku AS DOUBLE))
+                                     AS BIGINT) AS kmv_inter
+                         FROM kth k JOIN card ca
+                           ON ca.event_type = k.type_a),
+                 exact AS (SELECT a.event_type AS type_a,
+                                  b.event_type AS type_b,
+                                  CAST(COUNT(*) AS BIGINT) AS exact_diff
+                           FROM el a LEFT JOIN el b
+                             ON a.user_id = b.user_id AND a.dd = b.dd
+                            AND b.event_type = 'purchase'
+                           WHERE a.event_type <> 'purchase'
+                             AND b.user_id IS NULL
+                           GROUP BY 1, 2)
+            SELECT e.type_a, 'purchase' AS type_b,
+                   GREATEST(CAST(0 AS BIGINT), e.kmv_a - e.kmv_inter)
+                     AS kmv_diff,
+                   x.exact_diff
+            FROM est e JOIN exact x
+              ON x.type_a = e.type_a AND e.type_b = 'purchase'
+            ORDER BY e.type_a"""))
+
   val ops: Seq[Op] =
     Seq(joinIntervalOverlap, eventSequenceMatch, windowRollingCorr,
-      aggKmvIntersect, aggKsTest, windowCusum, aggTtest, aggChiSquare,
+      aggKmvIntersect, aggKmvDifference, aggKsTest, windowCusum, aggTtest,
+      aggChiSquare,
       aggBootstrapCi, aggMannWhitney, aggQuantileExact, textZipfFit,
       layoutZorder, aggSurvivalKm, aggAucRoc, aggCalibrationBins,
       aggPsiDrift, aggWinsorizedMean, aggBrierScore, windowHolt,
