@@ -15,37 +15,50 @@ object MiningOps {
 
   // Market-basket association over order contents — support / confidence /
   // lift for part pairs co-purchased in one order (the item-granularity
-  // sibling of event_cooccurrence's user-level lift). Pair generation
-  // self-joins the DISTINCT (order, part) baskets on the ORDER key with
-  // a < b — per-order work is quadratic in basket size (≈4 lines), never
-  // in catalog or corpus size, and hot parts cost nothing because the join
-  // key is the order. Exact integer counts throughout; the three ratios
-  // are one fixed float expression per surviving pair; top-20 by count
-  // heaps via TakeOrderedAndProject.
+  // sibling of event_cooccurrence's user-level lift). Pair generation is
+  // the basket-ARRAY expansion (the graph_triangles trick): one shuffle
+  // collects each order's sorted part set (bounded by basket size ≈4),
+  // pairs explode MAP-SIDE with i<j, and the pair counts partial-aggregate
+  // — no second shuffle of the basket relation, where the naive self-join
+  // on the order key shuffles it twice. Per-order work stays quadratic in
+  // basket size, never in catalog size; hot parts cost nothing. Exact
+  // integer counts; three ratios in one fixed float expression; top-20 by
+  // count heaps via TakeOrderedAndProject. The oracle keeps the self-join
+  // spelling — identical pairs, independently derived.
   private val aggMarketBasket = Op(
     "agg_market_basket",
     (s, d) => {
-      t(s, d, "lineitem").createOrReplaceTempView("lineitem_mb")
+      import org.apache.spark.sql.functions._
+      // cached: the basket relation feeds three branches (order count,
+      // per-item counts, pair counts) — a CTE would inline and replay the
+      // 600 k-row collect_set shuffle three times
+      val ba = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .cache()
+      val n = ba.agg(count(lit(1)).cast("long").as("n_orders"))
+      val ic = ba.select(explode(col("ps")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).cast("long").as("c"))
+      val pr = ba.select(col("ps"))
+        .selectExpr("ps")
+        .createOrReplaceTempView("baskets_mb")
       s.sql("""
-        WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-                    FROM lineitem_mb),
-             n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
-                   FROM bk),
-             ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM bk
-                    GROUP BY 1),
-             pr AS (SELECT a.pk AS pa, b.pk AS pb,
-                           CAST(COUNT(*) AS BIGINT) AS c_ab
-                    FROM bk a JOIN bk b
-                      ON a.ok = b.ok AND a.pk < b.pk
-                    GROUP BY 1, 2)
+        SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM baskets_mb
+        LATERAL VIEW posexplode(ps) a AS i, pa
+        LATERAL VIEW posexplode(ps) b AS j, pb
+        WHERE i < j GROUP BY 1, 2""").createOrReplaceTempView("pairs_mb")
+      ic.createOrReplaceTempView("ic_mb")
+      n.createOrReplaceTempView("n_mb")
+      s.sql("""
         SELECT pr.pa, pr.pb, pr.c_ab,
                round(CAST(pr.c_ab AS DOUBLE) / n.n_orders, 6) AS support,
                round(CAST(pr.c_ab AS DOUBLE) / ia.c, 6) AS confidence,
                round(CAST(pr.c_ab AS DOUBLE) * n.n_orders
                      / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS lift
-        FROM pr JOIN ic ia ON pr.pa = ia.pk
-                JOIN ic ib ON pr.pb = ib.pk
-                CROSS JOIN n
+        FROM pairs_mb pr JOIN ic_mb ia ON pr.pa = ia.pk
+                JOIN ic_mb ib ON pr.pb = ib.pk
+                CROSS JOIN n_mb n
         ORDER BY pr.c_ab DESC, pr.pa, pr.pb LIMIT 20""")
     },
     Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
