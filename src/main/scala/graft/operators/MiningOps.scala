@@ -1073,6 +1073,180 @@ object MiningOps {
             FROM b GROUP BY 1, 2 ORDER BY o_orderstatus,
                      age_bucket_30d"""))
 
+  // Hidden file-metadata projection — Spark's `_metadata` struct on file
+  // sources surfaces provenance (file path, per-file row accounting)
+  // without a separate listing job: the lineage audit a landing-zone
+  // triage runs ("which file contributed these rows"). The basename
+  // extraction and per-file rollup are map-side + one bounded aggregate
+  // (one row per input FILE, not per data row).
+  private val scanFileMetadata = Op(
+    "scan_file_metadata",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)
+            .as("file"), col("l_orderkey"))
+        .groupBy("file")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min("l_orderkey").cast("long").as("min_key"),
+          max("l_orderkey").cast("long").as("max_key"))
+        .orderBy("file")
+    },
+    // the basename is invariant across scale factors by testdata layout;
+    // the row accounting is the live check
+    Some("""SELECT 'lineitem.parquet' AS file,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+                   CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+            FROM lineitem GROUP BY 1 ORDER BY file"""))
+
+  // Interval-concurrency sweep line — max simultaneously-open orders per
+  // 30-day window, treating each order as a [start, start+10d) interval:
+  // the classic +1/−1 event-sweep that answers "peak concurrent load"
+  // without expanding intervals to days. Deltas aggregate per day FIRST
+  // (domain-collapsed — the sweep runs over the day DOMAIN, not the
+  // order count), one cumulative pass, one month rollup.
+  private val aggConcurrencySweep = Op(
+    "agg_concurrency_sweep",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_cs")
+      s.sql("""
+        WITH ev AS (SELECT unix_timestamp(o_orderdate) div 86400 AS day,
+                           1 AS delta
+                    FROM orders_cs
+                    UNION ALL
+                    SELECT unix_timestamp(o_orderdate) div 86400 + 10, -1
+                    FROM orders_cs),
+             dd AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+                    FROM ev GROUP BY 1),
+             c AS (SELECT day,
+                          CAST(SUM(net) OVER (ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+                   FROM dd)
+        SELECT day div 30 AS month_idx, CAST(MAX(open) AS BIGINT)
+                 AS max_open
+        FROM c GROUP BY 1 ORDER BY month_idx""")
+    },
+    Some("""WITH ev AS (SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                                 // 86400 AS day,
+                               1 AS delta
+                        FROM orders
+                        UNION ALL
+                        SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                                 // 86400 + 10, -1
+                        FROM orders),
+                 dd AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+                        FROM ev GROUP BY 1),
+                 c AS (SELECT day,
+                              CAST(SUM(net) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                AS open
+                       FROM dd)
+            SELECT day // 30 AS month_idx, CAST(MAX(open) AS BIGINT)
+                     AS max_open
+            FROM c GROUP BY 1 ORDER BY month_idx"""))
+
+  // Leaderboard movement — part revenue ranks in the early vs late half
+  // of the ship history, top movers by absolute rank delta: the
+  // "trending items" report. Two partial-aggregated rollups share one
+  // scan shape; ranks are ROW_NUMBER with key tie-breaks (engine-unique),
+  // movers heap via TakeOrderedAndProject.
+  private val windowRankChange = Op(
+    "window_rank_change",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_rk")
+      s.sql("""
+        WITH h AS (SELECT l_partkey AS pk,
+                          CASE WHEN l_shipdate <
+                                    TIMESTAMP '1995-06-01 00:00:00'
+                               THEN 0 ELSE 1 END AS half,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS pc
+                   FROM lineitem_rk),
+             rv AS (SELECT pk, half, CAST(SUM(pc) AS BIGINT) AS r
+                    FROM h GROUP BY 1, 2),
+             rk AS (SELECT pk, half, r,
+                           ROW_NUMBER() OVER (PARTITION BY half
+                             ORDER BY r DESC, pk) AS rnk
+                    FROM rv)
+        SELECT a.pk AS l_partkey, a.rnk AS rank_early,
+               b.rnk AS rank_late,
+               CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
+        FROM rk a JOIN rk b ON a.pk = b.pk AND a.half = 0 AND b.half = 1
+        ORDER BY abs(a.rnk - b.rnk) DESC, a.pk LIMIT 20""")
+    },
+    Some("""WITH h AS (SELECT l_partkey AS pk,
+                              CASE WHEN l_shipdate <
+                                        TIMESTAMP '1995-06-01 00:00:00'
+                                   THEN 0 ELSE 1 END AS half,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS pc
+                       FROM lineitem),
+                 rv AS (SELECT pk, half, CAST(SUM(pc) AS BIGINT) AS r
+                        FROM h GROUP BY 1, 2),
+                 rk AS (SELECT pk, half, r,
+                               ROW_NUMBER() OVER (PARTITION BY half
+                                 ORDER BY r DESC, pk) AS rnk
+                        FROM rv)
+            SELECT a.pk AS l_partkey, a.rnk AS rank_early,
+                   b.rnk AS rank_late,
+                   CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
+            FROM rk a JOIN rk b
+              ON a.pk = b.pk AND a.half = 0 AND b.half = 1
+            ORDER BY abs(a.rnk - b.rnk) DESC, a.pk LIMIT 20"""))
+
+  // Unicode-script composition per corpus source — CJK / Latin / other
+  // character shares from explicit codepoint-range classes (literal range
+  // characters, identical semantics in Java regex and RE2 — no
+  // engine-specific \p{script} names). Map-side regexp counting + one
+  // bounded rollup; the mixed-script ratio is a standard corpus-quality
+  // and mislabel signal next to text_langid.
+  private val textScriptDetect = Op(
+    "text_script_detect", {
+      val cjk = "一-鿿"
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("documents_sc")
+        s.sql(s"""
+          WITH b AS (SELECT source,
+                            length(text) AS n,
+                            length(regexp_replace(text, '[^$cjk]', ''))
+                              AS n_cjk,
+                            length(regexp_replace(text, '[^A-Za-z]', ''))
+                              AS n_latin
+                     FROM documents_sc)
+          SELECT source,
+                 CAST(SUM(n) AS BIGINT) AS chars,
+                 CAST(SUM(n_cjk) AS BIGINT) AS cjk_chars,
+                 CAST(SUM(n_latin) AS BIGINT) AS latin_chars,
+                 round(CAST(SUM(n_cjk) AS DOUBLE) / SUM(n), 6)
+                   AS cjk_share,
+                 round(CAST(SUM(n_latin) AS DOUBLE) / SUM(n), 6)
+                   AS latin_share
+          FROM b GROUP BY source ORDER BY source""")
+      }
+    },
+    Some {
+      val cjk = "一-鿿"
+      s"""WITH b AS (SELECT source,
+                            length(text) AS n,
+                            length(regexp_replace(text, '[^$cjk]', '',
+                                                  'g')) AS n_cjk,
+                            length(regexp_replace(text, '[^A-Za-z]', '',
+                                                  'g')) AS n_latin
+                     FROM documents)
+          SELECT source,
+                 CAST(SUM(n) AS BIGINT) AS chars,
+                 CAST(SUM(n_cjk) AS BIGINT) AS cjk_chars,
+                 CAST(SUM(n_latin) AS BIGINT) AS latin_chars,
+                 round(CAST(SUM(n_cjk) AS DOUBLE) / SUM(n), 6)
+                   AS cjk_share,
+                 round(CAST(SUM(n_latin) AS DOUBLE) / SUM(n), 6)
+                   AS latin_share
+          FROM b GROUP BY source ORDER BY source"""
+    })
+
   private val ops2: Seq[Op] =
-    Seq(aggSkyline2d, joinNearestValue, aggAbcClass, aggBacklogAging)
+    Seq(aggSkyline2d, joinNearestValue, aggAbcClass, aggBacklogAging,
+      scanFileMetadata, aggConcurrencySweep, windowRankChange,
+      textScriptDetect)
 }
