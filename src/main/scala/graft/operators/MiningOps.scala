@@ -1245,8 +1245,267 @@ object MiningOps {
           FROM b GROUP BY source ORDER BY source"""
     })
 
+  // Entropy rate of the user-journey Markov chain — how predictable the
+  // next action is, per source state and overall (the sequence-level
+  // complement of event_markov's transition matrix). Transition counts
+  // are one lag + one rollup (exact BIGINT); each −(c/T)·ln(c/tot_src)
+  // term quantizes to 1e-12 BEFORE the order-independent BIGINT sum.
+  private val eventMarkovEntropy = Op(
+    "event_markov_entropy",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_me")
+      s.sql("""
+        WITH seq AS (SELECT event_type,
+                            lead(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_type
+                     FROM events_me),
+             tr AS (SELECT event_type AS src, next_type AS dst,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             st AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM tr
+                    GROUP BY 1),
+             tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tr),
+             q AS (SELECT tr.src, tr.c, st.tot, tt.t,
+                          CAST(round(-(CAST(tr.c AS DOUBLE) / tt.t)
+                                 * ln(CAST(tr.c AS DOUBLE) / st.tot)
+                                 * 1000000000000) AS BIGINT) AS hq
+                   FROM tr JOIN st ON tr.src = st.src CROSS JOIN tt)
+        SELECT src, CAST(SUM(c) AS BIGINT) AS n_transitions,
+               round(CAST(SUM(hq) AS DOUBLE) / 1000000000000.0D
+                     * MAX(t) / SUM(c), 6) AS h_cond_nats,
+               round(CAST(SUM(hq) AS DOUBLE) / 1000000000000.0D, 6)
+                 AS h_contrib_nats
+        FROM q GROUP BY src ORDER BY src""")
+    },
+    Some("""WITH seq AS (SELECT event_type,
+                                lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+                         FROM events),
+                 tr AS (SELECT event_type AS src, next_type AS dst,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM seq WHERE next_type IS NOT NULL
+                        GROUP BY 1, 2),
+                 st AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM tr
+                        GROUP BY 1),
+                 tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tr),
+                 q AS (SELECT tr.src, tr.c, st.tot, tt.t,
+                              CAST(round(-(CAST(tr.c AS DOUBLE) / tt.t)
+                                     * ln(CAST(tr.c AS DOUBLE) / st.tot)
+                                     * 1000000000000) AS BIGINT) AS hq
+                       FROM tr JOIN st ON tr.src = st.src CROSS JOIN tt)
+            SELECT src, CAST(SUM(c) AS BIGINT) AS n_transitions,
+                   round(CAST(SUM(hq) AS DOUBLE) / 1000000000000.0
+                         * MAX(t) / SUM(c), 6) AS h_cond_nats,
+                   round(CAST(SUM(hq) AS DOUBLE) / 1000000000000.0, 6)
+                     AS h_contrib_nats
+            FROM q GROUP BY src ORDER BY src"""))
+
+  // Vocabulary coverage curve — what share of all token occurrences the
+  // top-k terms cover, read out at standard k checkpoints: the curve that
+  // sizes a tokenizer vocabulary. Term frequencies are one map-side
+  // aggregate (vocab-bounded); the cumulative runs over the RANKED vocab
+  // domain, and the checkpoints are exact integer cumulative counts over
+  // the grand total.
+  private val textCoverageCurve = Op(
+    "text_coverage_curve",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_cc")
+      s.sql("""
+        WITH tk AS (SELECT explode(split(trim(regexp_replace(lower(text),
+                             '\\s+', ' ')), ' ')) AS w
+                    FROM documents_cc),
+             tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+                    WHERE w <> '' GROUP BY 1),
+             tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+                            CAST(COUNT(*) AS BIGINT) AS vocab FROM tf),
+             rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w)
+                              AS rnk
+                    FROM tf),
+             cum AS (SELECT rnk, CAST(SUM(c) OVER (ORDER BY rnk
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS cc
+                     FROM rk)
+        SELECT cum.rnk AS top_k, cum.cc AS covered, tot.t AS total,
+               tot.vocab,
+               round(CAST(cum.cc AS DOUBLE) / tot.t, 6) AS coverage
+        FROM cum CROSS JOIN tot
+        WHERE cum.rnk IN (10, 50, 100, 500, 1000)
+        ORDER BY top_k""")
+    },
+    Some("""WITH tk AS (SELECT unnest(string_split(trim(regexp_replace(
+                             lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                        FROM documents),
+                 tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+                        WHERE w <> '' GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+                                CAST(COUNT(*) AS BIGINT) AS vocab
+                         FROM tf),
+                 rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w)
+                                  AS rnk
+                        FROM tf),
+                 cum AS (SELECT rnk, CAST(SUM(c) OVER (ORDER BY rnk
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                  AS cc
+                         FROM rk)
+            SELECT cum.rnk AS top_k, cum.cc AS covered, tot.t AS total,
+                   tot.vocab,
+                   round(CAST(cum.cc AS DOUBLE) / tot.t, 6) AS coverage
+            FROM cum CROSS JOIN tot
+            WHERE cum.rnk IN (10, 50, 100, 500, 1000)
+            ORDER BY top_k"""))
+
+  // Seasonal strength — share of detrended variance explained by the
+  // hour-of-day profile (F_s = 1 − Var(remainder)/Var(detrended)), the
+  // scalar that says whether resample_seasonal_decompose's profile is
+  // signal or noise. Works entirely on the 24-scaled detrended BIGINTs
+  // (the ×24 cancels in the ratio); the per-hod mean terms quantize to
+  // 1e-6 before the final sums.
+  private val resampleSeasonalStrength = Op(
+    "resample_seasonal_strength",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_ss")
+      s.sql("""
+        WITH hc AS (SELECT event_type,
+                           unix_timestamp(ts) div 3600 AS h,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM events_ss GROUP BY 1, 2),
+             tr AS (SELECT event_type, h, cnt,
+                           CAST(SUM(cnt) OVER (PARTITION BY event_type
+                             ORDER BY h ROWS BETWEEN 12 PRECEDING
+                             AND 11 FOLLOWING) AS BIGINT) AS s24,
+                           CAST(COUNT(*) OVER (PARTITION BY event_type
+                             ORDER BY h ROWS BETWEEN 12 PRECEDING
+                             AND 11 FOLLOWING) AS BIGINT) AS n24
+                    FROM hc),
+             dt AS (SELECT event_type, h % 24 AS hod,
+                           24 * cnt - s24 AS d
+                    FROM tr WHERE n24 = 24),
+             hm AS (SELECT event_type, hod,
+                           CAST(COUNT(*) AS BIGINT) AS nh,
+                           CAST(SUM(d) AS BIGINT) AS sh
+                    FROM dt GROUP BY 1, 2),
+             g AS (SELECT dt.event_type,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(d) AS BIGINT) AS sd,
+                          CAST(SUM(d * d) AS BIGINT) AS sdd
+                   FROM dt GROUP BY 1),
+             hs AS (SELECT event_type,
+                           CAST(SUM(CAST(round(CAST(sh AS DOUBLE) * sh
+                                  / nh * 1000000) AS BIGINT)) AS BIGINT)
+                             AS shm_q
+                    FROM hm GROUP BY 1)
+        SELECT g.event_type,
+               round(GREATEST(0.0D, 1.0D -
+                 (CAST(g.sdd AS DOUBLE)
+                  - CAST(hs.shm_q AS DOUBLE) / 1000000.0D)
+                 / (CAST(g.sdd AS DOUBLE)
+                    - CAST(g.sd AS DOUBLE) * g.sd / g.n)), 6)
+                 AS seasonal_strength
+        FROM g JOIN hs ON g.event_type = hs.event_type
+        ORDER BY g.event_type""")
+    },
+    Some("""WITH hc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                 AS h,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1, 2),
+                 tr AS (SELECT event_type, h, cnt,
+                               CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                 ORDER BY h ROWS BETWEEN 12 PRECEDING
+                                 AND 11 FOLLOWING) AS BIGINT) AS s24,
+                               CAST(COUNT(*) OVER (PARTITION BY event_type
+                                 ORDER BY h ROWS BETWEEN 12 PRECEDING
+                                 AND 11 FOLLOWING) AS BIGINT) AS n24
+                        FROM hc),
+                 dt AS (SELECT event_type, h % 24 AS hod,
+                               24 * cnt - s24 AS d
+                        FROM tr WHERE n24 = 24),
+                 hm AS (SELECT event_type, hod,
+                               CAST(COUNT(*) AS BIGINT) AS nh,
+                               CAST(SUM(d) AS BIGINT) AS sh
+                        FROM dt GROUP BY 1, 2),
+                 g AS (SELECT dt.event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(d) AS BIGINT) AS sd,
+                              CAST(SUM(d * d) AS BIGINT) AS sdd
+                       FROM dt GROUP BY 1),
+                 hs AS (SELECT event_type,
+                               CAST(SUM(CAST(round(CAST(sh AS DOUBLE)
+                                      * sh / nh * 1000000) AS BIGINT))
+                                    AS BIGINT) AS shm_q
+                        FROM hm GROUP BY 1)
+            SELECT g.event_type,
+                   round(GREATEST(0.0, 1.0 -
+                     (CAST(g.sdd AS DOUBLE)
+                      - CAST(hs.shm_q AS DOUBLE) / 1000000.0)
+                     / (CAST(g.sdd AS DOUBLE)
+                        - CAST(g.sd AS DOUBLE) * g.sd / g.n)), 6)
+                     AS seasonal_strength
+            FROM g JOIN hs ON g.event_type = hs.event_type
+            ORDER BY g.event_type"""))
+
+  // Generalization-hierarchy release — cells failing the n ≥ 5 rule at
+  // nation granularity generalize UP to region granularity; region cells
+  // still failing are suppressed outright: the lattice step behind
+  // k-anonymization (privacy_kanon audits; privacy_suppress_cells drops;
+  // this COARSENS, the standard middle ground). Cell rollups are exact
+  // and bounded by the category product; the hierarchy is the broadcast
+  // nation→region dimension.
+  private val privacyGeneralize = Op(
+    "privacy_generalize",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_pg")
+      t(s, d, "nation").createOrReplaceTempView("nation_pg")
+      s.sql("""
+        WITH cells AS (SELECT c.c_mktsegment AS seg,
+                              CAST(c.c_nationkey AS BIGINT) AS nk,
+                              CAST(n.n_regionkey AS BIGINT) AS rk,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM customer_pg c
+                       JOIN nation_pg n ON c.c_nationkey = n.n_nationkey
+                       WHERE c.c_custkey % 7 = 0
+                       GROUP BY 1, 2, 3),
+             fine AS (SELECT seg, 'nation' AS level, nk AS key, n
+                      FROM cells WHERE n >= 5),
+             up AS (SELECT seg, rk, CAST(SUM(n) AS BIGINT) AS n
+                    FROM cells WHERE n < 5 GROUP BY 1, 2),
+             coarse AS (SELECT seg, 'region' AS level, rk AS key, n
+                        FROM up WHERE n >= 5),
+             sup AS (SELECT seg, 'suppressed' AS level, rk AS key,
+                            CAST(NULL AS BIGINT) AS n
+                     FROM up WHERE n < 5)
+        SELECT seg AS c_mktsegment, level, key, n AS published_n
+        FROM (SELECT * FROM fine UNION ALL SELECT * FROM coarse
+              UNION ALL SELECT * FROM sup) u
+        ORDER BY c_mktsegment, level, key""")
+    },
+    Some("""WITH cells AS (SELECT c.c_mktsegment AS seg,
+                                  CAST(c.c_nationkey AS BIGINT) AS nk,
+                                  CAST(n.n_regionkey AS BIGINT) AS rk,
+                                  CAST(COUNT(*) AS BIGINT) AS n
+                           FROM customer c
+                           JOIN nation n
+                             ON c.c_nationkey = n.n_nationkey
+                           WHERE c.c_custkey % 7 = 0
+                           GROUP BY 1, 2, 3),
+                 fine AS (SELECT seg, 'nation' AS level, nk AS key, n
+                          FROM cells WHERE n >= 5),
+                 up AS (SELECT seg, rk, CAST(SUM(n) AS BIGINT) AS n
+                        FROM cells WHERE n < 5 GROUP BY 1, 2),
+                 coarse AS (SELECT seg, 'region' AS level, rk AS key, n
+                            FROM up WHERE n >= 5),
+                 sup AS (SELECT seg, 'suppressed' AS level, rk AS key,
+                                CAST(NULL AS BIGINT) AS n
+                         FROM up WHERE n < 5)
+            SELECT seg AS c_mktsegment, level, key, n AS published_n
+            FROM (SELECT * FROM fine UNION ALL SELECT * FROM coarse
+                  UNION ALL SELECT * FROM sup) u
+            ORDER BY c_mktsegment, level, key"""))
+
   private val ops2: Seq[Op] =
     Seq(aggSkyline2d, joinNearestValue, aggAbcClass, aggBacklogAging,
       scanFileMetadata, aggConcurrencySweep, windowRankChange,
-      textScriptDetect)
+      textScriptDetect, eventMarkovEntropy, textCoverageCurve,
+      resampleSeasonalStrength, privacyGeneralize)
 }
