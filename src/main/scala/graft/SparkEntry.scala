@@ -14,6 +14,7 @@ object SparkEntry {
     val ops = operators.Relational.ops ++ operators.TpchSuite.ops ++
       operators.TemporalSketchOps.ops ++ operators.StatsMlOps.ops ++
       operators.MetricsOps.ops ++ operators.MiningOps.ops ++
+      operators.InferenceOps.ops ++
       operators.AnalyticsOps.ops ++
       operators.GraphOps.ops ++ operators.EtlOps.ops ++
       operators.LlmOps.ops ++ operators.Multimodal.ops ++

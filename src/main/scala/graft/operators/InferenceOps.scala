@@ -1,0 +1,388 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Round-8 continuation batch 3: trend inference, volatility estimation,
+  * and experimentation hygiene — the statistical layer a production
+  * analytics platform runs on top of its rollups. Engine-determinism per
+  * the repo protocol (core.scala): exact BIGINT sums via per-row
+  * quantization, one fixed IEEE expression for each float step, total
+  * ORDER BY. Pairwise constructions here run over DOMAIN-collapsed
+  * series (days, hours), so "O(n²) pairs" means hundreds of rows at any
+  * data volume.
+  */
+object InferenceOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // Mann–Kendall trend test per event type over the DAILY count series —
+  // the nonparametric "is traffic trending" answer that needs no
+  // distributional assumption. The series is a ~30-row day domain, so the
+  // i<j pair sum (S = Σ sign(x_j − x_i), exact integer) is a few hundred
+  // pairs however large the event stream; the tie-corrected variance and
+  // the continuity-corrected z evaluate once per type in float64.
+  private val aggMannKendall = Op(
+    "agg_mann_kendall",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_mk")
+      s.sql("""
+        WITH dc AS (SELECT event_type,
+                           unix_timestamp(ts) div 86400 AS day,
+                           CAST(COUNT(*) AS BIGINT) AS x
+                    FROM events_mk GROUP BY 1, 2),
+             pr AS (SELECT a.event_type,
+                           CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                         WHEN b.x < a.x THEN -1
+                                         ELSE 0 END) AS BIGINT) AS sgn
+                    FROM dc a JOIN dc b
+                      ON a.event_type = b.event_type AND a.day < b.day
+                    GROUP BY 1),
+             nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM dc GROUP BY 1),
+             ties AS (SELECT event_type,
+                             CAST(SUM(tc * (tc - 1) * (2 * tc + 5))
+                                  AS BIGINT) AS tcorr
+                      FROM (SELECT event_type, x,
+                                   CAST(COUNT(*) AS BIGINT) AS tc
+                            FROM dc GROUP BY 1, 2) g
+                      WHERE tc > 1 GROUP BY 1),
+             f AS (SELECT pr.event_type, pr.sgn, nn.n,
+                          (CAST(nn.n AS DOUBLE) * (nn.n - 1)
+                           * (2 * nn.n + 5)
+                           - coalesce(ties.tcorr, 0)) / 18.0D AS v
+                   FROM pr JOIN nn ON pr.event_type = nn.event_type
+                   LEFT JOIN ties ON pr.event_type = ties.event_type)
+        SELECT event_type, n AS n_days, sgn AS s_stat,
+               round(CASE WHEN sgn > 0
+                          THEN (sgn - 1) / sqrt(v)
+                          WHEN sgn < 0 THEN (sgn + 1) / sqrt(v)
+                          ELSE 0.0D END, 6) AS z
+        FROM f ORDER BY event_type""")
+    },
+    Some("""WITH dc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+                 pr AS (SELECT a.event_type,
+                               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                             WHEN b.x < a.x THEN -1
+                                             ELSE 0 END) AS BIGINT)
+                                 AS sgn
+                        FROM dc a JOIN dc b
+                          ON a.event_type = b.event_type
+                         AND a.day < b.day
+                        GROUP BY 1),
+                 nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                        FROM dc GROUP BY 1),
+                 ties AS (SELECT event_type,
+                                 CAST(SUM(tc * (tc - 1) * (2 * tc + 5))
+                                      AS BIGINT) AS tcorr
+                          FROM (SELECT event_type, x,
+                                       CAST(COUNT(*) AS BIGINT) AS tc
+                                FROM dc GROUP BY 1, 2) g
+                          WHERE tc > 1 GROUP BY 1),
+                 f AS (SELECT pr.event_type, pr.sgn, nn.n,
+                              (CAST(nn.n AS DOUBLE) * (nn.n - 1)
+                               * (2 * nn.n + 5)
+                               - coalesce(ties.tcorr, 0)) / 18.0 AS v
+                       FROM pr JOIN nn ON pr.event_type = nn.event_type
+                       LEFT JOIN ties
+                         ON pr.event_type = ties.event_type)
+            SELECT event_type, n AS n_days, sgn AS s_stat,
+                   round(CASE WHEN sgn > 0
+                              THEN (sgn - 1) / sqrt(v)
+                              WHEN sgn < 0 THEN (sgn + 1) / sqrt(v)
+                              ELSE 0.0 END, 6) AS z
+            FROM f ORDER BY event_type"""))
+
+  // Theil–Sen slope — the robust trend estimate (median of all pairwise
+  // slopes) companion to agg_mann_kendall's significance: immune to
+  // outlier days that wreck OLS. Slopes quantize to 1e-9 BIGINTs; the
+  // median picks the ⌈m/2⌉-th by deterministic (slope, pair-key) rank —
+  // engine-unique without averaging middles. Day-domain pairs again:
+  // hundreds of rows at any volume.
+  private val aggTheilSen = Op(
+    "agg_theil_sen",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_tsn")
+      s.sql("""
+        WITH dc AS (SELECT event_type,
+                           unix_timestamp(ts) div 86400 AS day,
+                           CAST(COUNT(*) AS BIGINT) AS x
+                    FROM events_tsn GROUP BY 1, 2),
+             sl AS (SELECT a.event_type,
+                           CAST(round(CAST(b.x - a.x AS DOUBLE)
+                                  / (b.day - a.day) * 1000000000)
+                                AS BIGINT) AS sq,
+                           a.day AS di, b.day AS dj
+                    FROM dc a JOIN dc b
+                      ON a.event_type = b.event_type AND a.day < b.day),
+             rk AS (SELECT event_type, sq,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY sq, di, dj) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS m
+                    FROM sl)
+        SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+               round(CAST(MAX(CASE WHEN rn = (m + 1) div 2 THEN sq END)
+                          AS DOUBLE) / 1000000000.0D, 6)
+                 AS sen_slope_per_day
+        FROM rk GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""WITH dc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+                 sl AS (SELECT a.event_type,
+                               CAST(round(CAST(b.x - a.x AS DOUBLE)
+                                      / (b.day - a.day) * 1000000000)
+                                    AS BIGINT) AS sq,
+                               a.day AS di, b.day AS dj
+                        FROM dc a JOIN dc b
+                          ON a.event_type = b.event_type
+                         AND a.day < b.day),
+                 rk AS (SELECT event_type, sq,
+                               ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY sq, di, dj) AS rn,
+                               COUNT(*) OVER (PARTITION BY event_type)
+                                 AS m
+                        FROM sl)
+            SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+                   round(CAST(MAX(CASE WHEN rn = (m + 1) // 2 THEN sq
+                                  END) AS DOUBLE) / 1000000000.0, 6)
+                     AS sen_slope_per_day
+            FROM rk GROUP BY event_type ORDER BY event_type"""))
+
+  // Parkinson range volatility from hourly OHLC bars — the high/low
+  // estimator that is ~5× more efficient than close-to-close volatility
+  // (window_log_returns) on the same data: σ²_P = Σ ln(H/L)² / (4·ln2·n).
+  // Bars are one partial-aggregated rollup (exact cent extremes); each
+  // ln² term quantizes to 1e-9 before the BIGINT sum; one sqrt per type.
+  private val resampleOhlcVolatility = Op(
+    "resample_ohlc_volatility",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_pv")
+      s.sql("""
+        WITH bar AS (SELECT event_type,
+                            unix_timestamp(ts) div 3600 AS h,
+                            CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS hi,
+                            CAST(MIN(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS lo
+                     FROM events_pv WHERE value > 0 GROUP BY 1, 2),
+             q AS (SELECT event_type,
+                          CAST(round(ln(CAST(hi AS DOUBLE) / lo)
+                                 * ln(CAST(hi AS DOUBLE) / lo)
+                                 * 1000000000) AS BIGINT) AS lq
+                   FROM bar)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bars,
+               round(sqrt(CAST(SUM(lq) AS DOUBLE) / 1000000000.0D
+                          / (4.0D * ln(2.0D) * COUNT(*))), 6)
+                 AS parkinson_vol
+        FROM q GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""WITH bar AS (SELECT event_type,
+                                CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                  AS h,
+                                CAST(MAX(CAST(round(value * 100)
+                                              AS BIGINT)) AS BIGINT)
+                                  AS hi,
+                                CAST(MIN(CAST(round(value * 100)
+                                              AS BIGINT)) AS BIGINT)
+                                  AS lo
+                         FROM events WHERE value > 0 GROUP BY 1, 2),
+                 q AS (SELECT event_type,
+                              CAST(round(ln(CAST(hi AS DOUBLE) / lo)
+                                     * ln(CAST(hi AS DOUBLE) / lo)
+                                     * 1000000000) AS BIGINT) AS lq
+                       FROM bar)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bars,
+                   round(sqrt(CAST(SUM(lq) AS DOUBLE) / 1000000000.0
+                              / (4.0 * ln(2.0) * COUNT(*))), 6)
+                     AS parkinson_vol
+            FROM q GROUP BY event_type ORDER BY event_type"""))
+
+  // Sample-ratio-mismatch check — the FIRST validity gate on any
+  // experiment readout: a 50/50 assignment whose observed split fails a
+  // 1-df chi-square means the instrumentation is broken and every
+  // downstream metric is garbage. One distinct-count scan, χ² =
+  // (n0 − n1)²/(n0 + n1) exactly from BIGINTs, flag at the 0.05 critical
+  // value.
+  private val dqSrmCheck = Op(
+    "dq_srm_check",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_srm")
+      s.sql("""
+        WITH c AS (SELECT CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0
+                                  THEN user_id END) AS BIGINT) AS n0,
+                          CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1
+                                  THEN user_id END) AS BIGINT) AS n1
+                   FROM events_srm)
+        SELECT n0, n1,
+               round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1),
+                     6) AS chi2,
+               CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                         / (n0 + n1) > 3.841D
+                    THEN 1 ELSE 0 END AS srm_alarm
+        FROM c""")
+    },
+    Some("""WITH c AS (SELECT CAST(COUNT(DISTINCT CASE
+                                     WHEN user_id % 2 = 0
+                                     THEN user_id END) AS BIGINT) AS n0,
+                              CAST(COUNT(DISTINCT CASE
+                                     WHEN user_id % 2 = 1
+                                     THEN user_id END) AS BIGINT) AS n1
+                       FROM events)
+            SELECT n0, n1,
+                   round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                         / (n0 + n1), 6) AS chi2,
+                   CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                             / (n0 + n1) > 3.841
+                        THEN 1 ELSE 0 END AS srm_alarm
+            FROM c"""))
+
+  // Difference-in-differences — the causal-inference workhorse: treatment
+  // cohort (odd users) vs control (even), purchase value before vs after
+  // mid-month; DiD = (T_post − T_pre) − (C_post − C_pre) with its pooled
+  // standard error. All four cell moments (n, Σ¢, Σ¢²) come from ONE
+  // partial-aggregated scan; the estimate and SE evaluate once in
+  // float64.
+  private val aggDiffInDiff = Op(
+    "agg_diff_in_diff",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_did"); s.sql("""
+        WITH b AS (SELECT user_id % 2 AS g,
+                          CASE WHEN unix_timestamp(ts) div 86400
+                                    >= 19738 THEN 1 ELSE 0 END AS p,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events_did WHERE event_type = 'purchase'),
+             m AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS sx,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx
+                   FROM b GROUP BY 1, 2),
+             w AS (SELECT
+                     MAX(CASE WHEN g = 0 AND p = 0 THEN n END) AS n00,
+                     MAX(CASE WHEN g = 0 AND p = 0 THEN sx END) AS s00,
+                     MAX(CASE WHEN g = 0 AND p = 0 THEN sxx END) AS q00,
+                     MAX(CASE WHEN g = 0 AND p = 1 THEN n END) AS n01,
+                     MAX(CASE WHEN g = 0 AND p = 1 THEN sx END) AS s01,
+                     MAX(CASE WHEN g = 0 AND p = 1 THEN sxx END) AS q01,
+                     MAX(CASE WHEN g = 1 AND p = 0 THEN n END) AS n10,
+                     MAX(CASE WHEN g = 1 AND p = 0 THEN sx END) AS s10,
+                     MAX(CASE WHEN g = 1 AND p = 0 THEN sxx END) AS q10,
+                     MAX(CASE WHEN g = 1 AND p = 1 THEN n END) AS n11,
+                     MAX(CASE WHEN g = 1 AND p = 1 THEN sx END) AS s11,
+                     MAX(CASE WHEN g = 1 AND p = 1 THEN sxx END) AS q11
+                   FROM m)
+        SELECT n00, n01, n10, n11,
+               round(((CAST(s11 AS DOUBLE) / n11
+                       - CAST(s10 AS DOUBLE) / n10)
+                      - (CAST(s01 AS DOUBLE) / n01
+                         - CAST(s00 AS DOUBLE) / n00)) / 100.0D, 6)
+                 AS did_usd,
+               round(sqrt(
+                 (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) * s00 / n00)
+                   / (n00 - 1) / n00 +
+                 (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) * s01 / n01)
+                   / (n01 - 1) / n01 +
+                 (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) * s10 / n10)
+                   / (n10 - 1) / n10 +
+                 (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) * s11 / n11)
+                   / (n11 - 1) / n11) / 100.0D, 6) AS se_usd
+        FROM w""")
+    },
+    Some("""WITH b AS (SELECT user_id % 2 AS g,
+                              CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                        // 86400 >= 19738
+                                   THEN 1 ELSE 0 END AS p,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events WHERE event_type = 'purchase'),
+                 m AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(x) AS BIGINT) AS sx,
+                              CAST(SUM(x * x) AS BIGINT) AS sxx
+                       FROM b GROUP BY 1, 2),
+                 w AS (SELECT
+                         MAX(CASE WHEN g = 0 AND p = 0 THEN n END)
+                           AS n00,
+                         MAX(CASE WHEN g = 0 AND p = 0 THEN sx END)
+                           AS s00,
+                         MAX(CASE WHEN g = 0 AND p = 0 THEN sxx END)
+                           AS q00,
+                         MAX(CASE WHEN g = 0 AND p = 1 THEN n END)
+                           AS n01,
+                         MAX(CASE WHEN g = 0 AND p = 1 THEN sx END)
+                           AS s01,
+                         MAX(CASE WHEN g = 0 AND p = 1 THEN sxx END)
+                           AS q01,
+                         MAX(CASE WHEN g = 1 AND p = 0 THEN n END)
+                           AS n10,
+                         MAX(CASE WHEN g = 1 AND p = 0 THEN sx END)
+                           AS s10,
+                         MAX(CASE WHEN g = 1 AND p = 0 THEN sxx END)
+                           AS q10,
+                         MAX(CASE WHEN g = 1 AND p = 1 THEN n END)
+                           AS n11,
+                         MAX(CASE WHEN g = 1 AND p = 1 THEN sx END)
+                           AS s11,
+                         MAX(CASE WHEN g = 1 AND p = 1 THEN sxx END)
+                           AS q11
+                       FROM m)
+            SELECT n00, n01, n10, n11,
+                   round(((CAST(s11 AS DOUBLE) / n11
+                           - CAST(s10 AS DOUBLE) / n10)
+                          - (CAST(s01 AS DOUBLE) / n01
+                             - CAST(s00 AS DOUBLE) / n00)) / 100.0, 6)
+                     AS did_usd,
+                   round(sqrt(
+                     (CAST(q00 AS DOUBLE)
+                      - CAST(s00 AS DOUBLE) * s00 / n00)
+                       / (n00 - 1) / n00 +
+                     (CAST(q01 AS DOUBLE)
+                      - CAST(s01 AS DOUBLE) * s01 / n01)
+                       / (n01 - 1) / n01 +
+                     (CAST(q10 AS DOUBLE)
+                      - CAST(s10 AS DOUBLE) * s10 / n10)
+                       / (n10 - 1) / n10 +
+                     (CAST(q11 AS DOUBLE)
+                      - CAST(s11 AS DOUBLE) * s11 / n11)
+                       / (n11 - 1) / n11) / 100.0, 6) AS se_usd
+            FROM w"""))
+
+  // Deterministic namespace UUIDs (UUIDv5-shaped, md5-based) — stable
+  // entity identifiers derived from a namespace + natural key, formatted
+  // 8-4-4-4-12 with the version/variant nibbles forced: the id-minting
+  // transform for cross-system joins without a sequence service. Pure
+  // map-side string slicing of one hash.
+  private val fnUuidNs = Op(
+    "fn_uuid_ns",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_uu")
+      s.sql("""
+        WITH h AS (SELECT event_id,
+                          md5(concat('graft:user:',
+                                     CAST(user_id AS STRING))) AS hx
+                   FROM events_uu)
+        SELECT event_id,
+               concat(substring(hx, 1, 8), '-', substring(hx, 9, 4),
+                      '-5', substring(hx, 14, 3), '-',
+                      '8', substring(hx, 18, 3), '-',
+                      substring(hx, 21, 12)) AS user_uuid
+        FROM h ORDER BY event_id LIMIT 20""")
+    },
+    Some("""WITH h AS (SELECT event_id,
+                              md5(concat('graft:user:',
+                                         CAST(user_id AS VARCHAR)))
+                                AS hx
+                       FROM events)
+            SELECT event_id,
+                   concat(substring(hx, 1, 8), '-', substring(hx, 9, 4),
+                          '-5', substring(hx, 14, 3), '-',
+                          '8', substring(hx, 18, 3), '-',
+                          substring(hx, 21, 12)) AS user_uuid
+            FROM h ORDER BY event_id LIMIT 20"""))
+
+  val ops: Seq[Op] =
+    Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
+      aggDiffInDiff, fnUuidNs)
+}
