@@ -382,7 +382,347 @@ object InferenceOps {
                           substring(hx, 21, 12)) AS user_uuid
             FROM h ORDER BY event_id LIMIT 20"""))
 
+  // Hurst exponent by rescaled-range (R/S) analysis over the hourly
+  // count series — long-memory detection (H > 0.5 persistent, < 0.5
+  // mean-reverting) for capacity planning and anomaly baselines. The
+  // algebra stays EXACT inside each block: with integer counts x and
+  // block sums S1 = Σx, S2 = Σx², the rescaled range collapses to
+  // R/S = (max_k − min_k)(s·c_k − k·S1) / √(s·S2 − S1²) — an integer
+  // range over an integer discriminant. ln(R/S) quantizes to 1e-9 per
+  // block, means roll up per block size, and with sizes {8,16,32}
+  // log-equally spaced the OLS slope reduces to (v₃₂ − v₈)/(2·ln 2).
+  // Everything runs on the hour domain — hundreds of rows at any volume.
+  private val aggHurstExponent = Op(
+    "agg_hurst_exponent",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_he")
+      s.sql("""
+        WITH hc AS (SELECT event_type,
+                           unix_timestamp(ts) div 3600 AS h,
+                           CAST(COUNT(*) AS BIGINT) AS x
+                    FROM events_he GROUP BY 1, 2),
+             hz AS (SELECT event_type, x,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY h) - 1 AS BIGINT) AS hi
+                    FROM hc),
+             ex AS (SELECT event_type, x, hi, sz,
+                           hi div sz AS blk, hi % sz + 1 AS k
+                    FROM hz
+                    LATERAL VIEW explode(array(8, 16, 32)) t AS sz),
+             bs AS (SELECT event_type, sz, blk,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(x) AS BIGINT) AS s1,
+                           CAST(SUM(x * x) AS BIGINT) AS s2
+                    FROM ex GROUP BY 1, 2, 3),
+             cu AS (SELECT event_type, sz, blk, k,
+                           CAST(SUM(x) OVER (PARTITION BY event_type, sz,
+                             blk ORDER BY hi
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ck
+                    FROM ex),
+             dv AS (SELECT cu.event_type, cu.sz, cu.blk,
+                           CAST(MAX(cu.sz * cu.ck - cu.k * bs.s1)
+                                - MIN(cu.sz * cu.ck - cu.k * bs.s1)
+                                AS BIGINT) AS rint,
+                           MAX(bs.s1) AS s1, MAX(bs.s2) AS s2,
+                           MAX(bs.n) AS n
+                    FROM cu JOIN bs
+                      ON cu.event_type = bs.event_type
+                     AND cu.sz = bs.sz AND cu.blk = bs.blk
+                    GROUP BY 1, 2, 3),
+             rs AS (SELECT event_type, sz,
+                           CAST(round(ln(CAST(rint AS DOUBLE)
+                                  / sqrt(CAST(sz * s2 - s1 * s1
+                                              AS DOUBLE)))
+                                * 1000000000) AS BIGINT) AS lq
+                    FROM dv
+                    WHERE n = sz AND sz * s2 - s1 * s1 > 0 AND rint > 0),
+             mv AS (SELECT event_type, sz,
+                           CAST(SUM(lq) AS BIGINT) AS slq,
+                           CAST(COUNT(*) AS BIGINT) AS nb
+                    FROM rs GROUP BY 1, 2)
+        SELECT event_type,
+               round((MAX(CASE WHEN sz = 32 THEN
+                            CAST(slq AS DOUBLE) / nb END)
+                      - MAX(CASE WHEN sz = 8 THEN
+                              CAST(slq AS DOUBLE) / nb END))
+                     / 1000000000.0D / (2.0D * ln(2.0D)), 6) AS hurst
+        FROM mv GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""WITH hc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                 AS h,
+                               CAST(COUNT(*) AS BIGINT) AS x
+                        FROM events GROUP BY 1, 2),
+                 hz AS (SELECT event_type, x,
+                               CAST(ROW_NUMBER() OVER (
+                                 PARTITION BY event_type ORDER BY h) - 1
+                                 AS BIGINT) AS hi
+                        FROM hc),
+                 ex AS (SELECT event_type, x, hi, sz,
+                               hi // sz AS blk, hi % sz + 1 AS k
+                        FROM hz CROSS JOIN (SELECT unnest([8, 16, 32])
+                                            AS sz) t),
+                 bs AS (SELECT event_type, sz, blk,
+                               CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(x) AS BIGINT) AS s1,
+                               CAST(SUM(x * x) AS BIGINT) AS s2
+                        FROM ex GROUP BY 1, 2, 3),
+                 cu AS (SELECT event_type, sz, blk, k, hi,
+                               CAST(SUM(x) OVER (PARTITION BY event_type,
+                                 sz, blk ORDER BY hi
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                 AS ck
+                        FROM ex),
+                 dv AS (SELECT cu.event_type, cu.sz, cu.blk,
+                               CAST(MAX(cu.sz * cu.ck - cu.k * bs.s1)
+                                    - MIN(cu.sz * cu.ck - cu.k * bs.s1)
+                                    AS BIGINT) AS rint,
+                               MAX(bs.s1) AS s1, MAX(bs.s2) AS s2,
+                               MAX(bs.n) AS n
+                        FROM cu JOIN bs
+                          ON cu.event_type = bs.event_type
+                         AND cu.sz = bs.sz AND cu.blk = bs.blk
+                        GROUP BY 1, 2, 3),
+                 rs AS (SELECT event_type, sz,
+                               CAST(round(ln(CAST(rint AS DOUBLE)
+                                      / sqrt(CAST(sz * s2 - s1 * s1
+                                                  AS DOUBLE)))
+                                    * 1000000000) AS BIGINT) AS lq
+                        FROM dv
+                        WHERE n = sz AND sz * s2 - s1 * s1 > 0
+                          AND rint > 0),
+                 mv AS (SELECT event_type, sz,
+                               CAST(SUM(lq) AS BIGINT) AS slq,
+                               CAST(COUNT(*) AS BIGINT) AS nb
+                        FROM rs GROUP BY 1, 2)
+            SELECT event_type,
+                   round((MAX(CASE WHEN sz = 32 THEN
+                                CAST(slq AS DOUBLE) / nb END)
+                          - MAX(CASE WHEN sz = 8 THEN
+                                  CAST(slq AS DOUBLE) / nb END))
+                         / 1000000000.0 / (2.0 * ln(2.0)), 6) AS hurst
+            FROM mv GROUP BY event_type ORDER BY event_type"""))
+
+  // Average True Range from hourly OHLC bars — TR = max(H−L, |H−C_prev|,
+  // |L−C_prev|) handles the gap between bars that the plain range
+  // misses; ATR is its trailing-14-bar mean, published in exact
+  // micro-units via floor division. One bar rollup, one lag + one frame
+  // over the same (type / hour) sort.
+  private val resampleAtr = Op(
+    "resample_atr",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_atr")
+      s.sql("""
+        WITH bar AS (SELECT event_type,
+                            unix_timestamp(ts) div 3600 AS h,
+                            CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS hi,
+                            CAST(MIN(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS lo,
+                            CAST(MAX(struct(ts, event_id,
+                                 CAST(round(value * 100) AS BIGINT)))
+                                 .col3 AS BIGINT) AS cl
+                     FROM events_atr GROUP BY 1, 2),
+             tr AS (SELECT event_type, h,
+                           GREATEST(hi - lo,
+                             abs(hi - lag(cl) OVER w),
+                             abs(lo - lag(cl) OVER w)) AS trng,
+                           ROW_NUMBER() OVER w AS rn
+                    FROM bar
+                    WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+             a AS (SELECT event_type, h, rn,
+                          CAST(SUM(trng) OVER (PARTITION BY event_type
+                            ORDER BY h ROWS 13 PRECEDING) AS BIGINT)
+                            AS s14,
+                          CAST(COUNT(*) OVER (PARTITION BY event_type
+                            ORDER BY h ROWS 13 PRECEDING) AS BIGINT)
+                            AS n14
+                   FROM tr WHERE trng IS NOT NULL)
+        SELECT event_type, h AS hour_idx,
+               CAST((s14 * 10000) div n14 AS BIGINT) AS atr_microusd
+        FROM a WHERE rn >= 14
+        ORDER BY event_type, hour_idx""")
+    },
+    Some("""WITH bar AS (SELECT event_type,
+                                CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                  AS h,
+                                CAST(MAX(CAST(round(value * 100)
+                                              AS BIGINT)) AS BIGINT)
+                                  AS hi,
+                                CAST(MIN(CAST(round(value * 100)
+                                              AS BIGINT)) AS BIGINT)
+                                  AS lo,
+                                (MAX({'ts': ts, 'eid': event_id,
+                                      'c': CAST(round(value * 100)
+                                                AS BIGINT)})).c AS cl
+                         FROM events GROUP BY 1, 2),
+                 tr AS (SELECT event_type, h,
+                               GREATEST(hi - lo,
+                                 abs(hi - lag(cl) OVER w),
+                                 abs(lo - lag(cl) OVER w)) AS trng,
+                               ROW_NUMBER() OVER w AS rn
+                        FROM bar
+                        WINDOW w AS (PARTITION BY event_type
+                                     ORDER BY h)),
+                 a AS (SELECT event_type, h, rn,
+                              CAST(SUM(trng) OVER (
+                                PARTITION BY event_type ORDER BY h
+                                ROWS 13 PRECEDING) AS BIGINT) AS s14,
+                              CAST(COUNT(*) OVER (
+                                PARTITION BY event_type ORDER BY h
+                                ROWS 13 PRECEDING) AS BIGINT) AS n14
+                       FROM tr WHERE trng IS NOT NULL)
+            SELECT event_type, h AS hour_idx,
+                   CAST((s14 * 10000) // n14 AS BIGINT) AS atr_microusd
+            FROM a WHERE rn >= 14
+            ORDER BY event_type, hour_idx"""))
+
+  // Covariance matrix in long form — all pairwise covariances and
+  // correlations of (quantity, price, discount) from ONE scan of nine
+  // exact BIGINT moments (the agg_ols_multi moment set, read out as a
+  // matrix instead of a fit): the input to any downstream PCA/whitening
+  // step. Fixed 3×3 output.
+  private val aggCovMatrix = Op(
+    "agg_cov_matrix",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_cv")
+      s.sql("""
+        WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS x2,
+                          CAST(round(l_discount * 100) AS BIGINT) AS x3
+                   FROM lineitem_cv),
+             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x1) AS BIGINT) AS s1,
+                          CAST(SUM(x2) AS BIGINT) AS s2,
+                          CAST(SUM(x3) AS BIGINT) AS s3,
+                          CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                          CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                          CAST(SUM(x3 * x3) AS BIGINT) AS s33,
+                          CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                          CAST(SUM(x1 * x3) AS BIGINT) AS s13,
+                          CAST(SUM(x2 * x3) AS BIGINT) AS s23
+                   FROM b),
+             l AS (SELECT 'quantity' AS vi, 'quantity' AS vj,
+                          (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+                           / n) / (n - 1) AS cov,
+                          1.0D AS corr
+                   FROM m
+                   UNION ALL
+                   SELECT 'price', 'price',
+                          (CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2
+                           / n) / (n - 1), 1.0D FROM m
+                   UNION ALL
+                   SELECT 'discount', 'discount',
+                          (CAST(s33 AS DOUBLE) - CAST(s3 AS DOUBLE) * s3
+                           / n) / (n - 1), 1.0D FROM m
+                   UNION ALL
+                   SELECT 'quantity', 'price',
+                          (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2
+                           / n) / (n - 1),
+                          (CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2
+                           / n)
+                          / sqrt((CAST(s11 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n)
+                                 * (CAST(s22 AS DOUBLE)
+                                    - CAST(s2 AS DOUBLE) * s2 / n))
+                   FROM m
+                   UNION ALL
+                   SELECT 'quantity', 'discount',
+                          (CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3
+                           / n) / (n - 1),
+                          (CAST(s13 AS DOUBLE) - CAST(s1 AS DOUBLE) * s3
+                           / n)
+                          / sqrt((CAST(s11 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n)
+                                 * (CAST(s33 AS DOUBLE)
+                                    - CAST(s3 AS DOUBLE) * s3 / n))
+                   FROM m
+                   UNION ALL
+                   SELECT 'price', 'discount',
+                          (CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3
+                           / n) / (n - 1),
+                          (CAST(s23 AS DOUBLE) - CAST(s2 AS DOUBLE) * s3
+                           / n)
+                          / sqrt((CAST(s22 AS DOUBLE)
+                                  - CAST(s2 AS DOUBLE) * s2 / n)
+                                 * (CAST(s33 AS DOUBLE)
+                                    - CAST(s3 AS DOUBLE) * s3 / n))
+                   FROM m)
+        SELECT vi, vj, round(cov, 4) AS cov, round(corr, 6) AS corr
+        FROM l ORDER BY vi, vj""")
+    },
+    Some("""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS x2,
+                              CAST(round(l_discount * 100) AS BIGINT)
+                                AS x3
+                       FROM lineitem),
+                 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(x1) AS BIGINT) AS s1,
+                              CAST(SUM(x2) AS BIGINT) AS s2,
+                              CAST(SUM(x3) AS BIGINT) AS s3,
+                              CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                              CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                              CAST(SUM(x3 * x3) AS BIGINT) AS s33,
+                              CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                              CAST(SUM(x1 * x3) AS BIGINT) AS s13,
+                              CAST(SUM(x2 * x3) AS BIGINT) AS s23
+                       FROM b),
+                 l AS (SELECT 'quantity' AS vi, 'quantity' AS vj,
+                              (CAST(s11 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+                                AS cov,
+                              1.0 AS corr
+                       FROM m
+                       UNION ALL
+                       SELECT 'price', 'price',
+                              (CAST(s22 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE) * s2 / n) / (n - 1),
+                              1.0 FROM m
+                       UNION ALL
+                       SELECT 'discount', 'discount',
+                              (CAST(s33 AS DOUBLE)
+                               - CAST(s3 AS DOUBLE) * s3 / n) / (n - 1),
+                              1.0 FROM m
+                       UNION ALL
+                       SELECT 'quantity', 'price',
+                              (CAST(s12 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s2 / n) / (n - 1),
+                              (CAST(s12 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s2 / n)
+                              / sqrt((CAST(s11 AS DOUBLE)
+                                      - CAST(s1 AS DOUBLE) * s1 / n)
+                                     * (CAST(s22 AS DOUBLE)
+                                        - CAST(s2 AS DOUBLE) * s2 / n))
+                       FROM m
+                       UNION ALL
+                       SELECT 'quantity', 'discount',
+                              (CAST(s13 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s3 / n) / (n - 1),
+                              (CAST(s13 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s3 / n)
+                              / sqrt((CAST(s11 AS DOUBLE)
+                                      - CAST(s1 AS DOUBLE) * s1 / n)
+                                     * (CAST(s33 AS DOUBLE)
+                                        - CAST(s3 AS DOUBLE) * s3 / n))
+                       FROM m
+                       UNION ALL
+                       SELECT 'price', 'discount',
+                              (CAST(s23 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE) * s3 / n) / (n - 1),
+                              (CAST(s23 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE) * s3 / n)
+                              / sqrt((CAST(s22 AS DOUBLE)
+                                      - CAST(s2 AS DOUBLE) * s2 / n)
+                                     * (CAST(s33 AS DOUBLE)
+                                        - CAST(s3 AS DOUBLE) * s3 / n))
+                       FROM m)
+            SELECT vi, vj, round(cov, 4) AS cov, round(corr, 6) AS corr
+            FROM l ORDER BY vi, vj"""))
+
   val ops: Seq[Op] =
     Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
-      aggDiffInDiff, fnUuidNs)
+      aggDiffInDiff, fnUuidNs, aggHurstExponent, resampleAtr,
+      aggCovMatrix)
 }
