@@ -721,8 +721,226 @@ object InferenceOps {
             SELECT vi, vj, round(cov, 4) AS cov, round(corr, 6) AS corr
             FROM l ORDER BY vi, vj"""))
 
+  // Price elasticity of demand — the log-log OLS slope of quantity on
+  // unit price per return flag (β < −1 elastic, > −1 inelastic): the
+  // econometric read on the same scan agg_regression fits linearly. Each
+  // row's (ln q, ln p) quantizes to 1e-6 BIGINTs BEFORE the five moment
+  // sums, so the fit is order-independent; slope and intercept evaluate
+  // once per group.
+  private val aggPriceElasticity = Op(
+    "agg_price_elasticity",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_pe")
+      s.sql("""
+        WITH b AS (SELECT l_returnflag AS flag,
+                          CAST(round(ln(l_quantity) * 1000000) AS BIGINT)
+                            AS lq,
+                          CAST(round(ln(l_extendedprice / l_quantity)
+                                 * 1000000) AS BIGINT) AS lp
+                   FROM lineitem_pe
+                   WHERE l_quantity > 0 AND l_extendedprice > 0),
+             m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(lp) AS BIGINT) AS sx,
+                          CAST(SUM(lq) AS BIGINT) AS sy,
+                          CAST(SUM(lp * lp) AS BIGINT) AS sxx,
+                          CAST(SUM(lp * lq) AS BIGINT) AS sxy
+                   FROM b GROUP BY 1)
+        SELECT flag AS l_returnflag, n,
+               round((CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx), 6) AS elasticity
+        FROM m ORDER BY flag""")
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS flag,
+                              CAST(round(ln(l_quantity) * 1000000)
+                                   AS BIGINT) AS lq,
+                              CAST(round(ln(l_extendedprice / l_quantity)
+                                     * 1000000) AS BIGINT) AS lp
+                       FROM lineitem
+                       WHERE l_quantity > 0 AND l_extendedprice > 0),
+                 m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(lp) AS BIGINT) AS sx,
+                              CAST(SUM(lq) AS BIGINT) AS sy,
+                              CAST(SUM(lp * lp) AS BIGINT) AS sxx,
+                              CAST(SUM(lp * lq) AS BIGINT) AS sxy
+                       FROM b GROUP BY 1)
+            SELECT flag AS l_returnflag, n,
+                   round((CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx), 6)
+                     AS elasticity
+            FROM m ORDER BY flag"""))
+
+  // Deseasonalized traffic series — the hourly counts with the
+  // hour-of-day profile removed (cnt − seasonal(hod)), the series
+  // alerting thresholds should run on (a 2 a.m. lull is not an
+  // incident). Works on the ×24-scaled exact integers end-to-end: the
+  // published value is (24·n_h·cnt − n_h·s24 − 24·Σ_hod d) / (24·n_h),
+  // one division per row after integer arithmetic.
+  private val resampleDeseasonalize = Op(
+    "resample_deseasonalize",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_dsz")
+      s.sql("""
+        WITH hc AS (SELECT event_type,
+                           unix_timestamp(ts) div 3600 AS h,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM events_dsz GROUP BY 1, 2),
+             tr AS (SELECT event_type, h, cnt,
+                           CAST(SUM(cnt) OVER (PARTITION BY event_type
+                             ORDER BY h ROWS BETWEEN 12 PRECEDING
+                             AND 11 FOLLOWING) AS BIGINT) AS s24,
+                           CAST(COUNT(*) OVER (PARTITION BY event_type
+                             ORDER BY h ROWS BETWEEN 12 PRECEDING
+                             AND 11 FOLLOWING) AS BIGINT) AS n24
+                    FROM hc),
+             dt AS (SELECT event_type, h, h % 24 AS hod, cnt,
+                           24 * cnt - s24 AS d
+                    FROM tr WHERE n24 = 24),
+             hm AS (SELECT event_type, hod,
+                           CAST(COUNT(*) AS BIGINT) AS nh,
+                           CAST(SUM(d) AS BIGINT) AS sh
+                    FROM dt GROUP BY 1, 2)
+        SELECT dt.event_type, dt.h AS hour_idx, dt.cnt,
+               round(dt.cnt - CAST(hm.sh AS DOUBLE) / (24.0D * hm.nh),
+                     4) AS deseasonalized
+        FROM dt JOIN hm
+          ON dt.event_type = hm.event_type AND dt.hod = hm.hod
+        ORDER BY dt.event_type, hour_idx""")
+    },
+    Some("""WITH hc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                 AS h,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1, 2),
+                 tr AS (SELECT event_type, h, cnt,
+                               CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                 ORDER BY h ROWS BETWEEN 12 PRECEDING
+                                 AND 11 FOLLOWING) AS BIGINT) AS s24,
+                               CAST(COUNT(*) OVER (PARTITION BY event_type
+                                 ORDER BY h ROWS BETWEEN 12 PRECEDING
+                                 AND 11 FOLLOWING) AS BIGINT) AS n24
+                        FROM hc),
+                 dt AS (SELECT event_type, h, h % 24 AS hod, cnt,
+                               24 * cnt - s24 AS d
+                        FROM tr WHERE n24 = 24),
+                 hm AS (SELECT event_type, hod,
+                               CAST(COUNT(*) AS BIGINT) AS nh,
+                               CAST(SUM(d) AS BIGINT) AS sh
+                        FROM dt GROUP BY 1, 2)
+            SELECT dt.event_type, dt.h AS hour_idx, dt.cnt,
+                   round(dt.cnt - CAST(hm.sh AS DOUBLE)
+                         / (24.0 * hm.nh), 4) AS deseasonalized
+            FROM dt JOIN hm
+              ON dt.event_type = hm.event_type AND dt.hod = hm.hod
+            ORDER BY dt.event_type, hour_idx"""))
+
+  // Sequential-pattern support (GSP 2-sequences) — "A eventually followed
+  // by B within a user's history" support counts, the sequence-mining
+  // complement to event_markov's IMMEDIATE successor matrix. Each user
+  // collapses to first-arrival times per type (bounded by the type
+  // alphabet), ordered pairs come from the ≤k² per-user type set, and
+  // support is an exact count over users.
+  private val eventSeqPairs = Op(
+    "event_seq_pairs",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_sq")
+      s.sql("""
+        WITH ft AS (SELECT user_id, event_type,
+                           MIN(struct(ts, event_id)) AS first_at
+                    FROM events_sq GROUP BY 1, 2),
+             nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+                    FROM ft),
+             pr AS (SELECT a.event_type AS t_first,
+                           b.event_type AS t_then,
+                           CAST(COUNT(*) AS BIGINT) AS sup
+                    FROM ft a JOIN ft b
+                      ON a.user_id = b.user_id
+                     AND a.event_type <> b.event_type
+                     AND a.first_at < b.first_at
+                    GROUP BY 1, 2)
+        SELECT t_first, t_then, sup,
+               round(CAST(sup AS DOUBLE) / nu.n, 6) AS support
+        FROM pr CROSS JOIN nu
+        ORDER BY t_first, t_then""")
+    },
+    Some("""WITH ft AS (SELECT user_id, event_type,
+                               MIN({'ts': ts, 'eid': event_id})
+                                 AS first_at
+                        FROM events GROUP BY 1, 2),
+                 nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                                 AS n
+                        FROM ft),
+                 pr AS (SELECT a.event_type AS t_first,
+                               b.event_type AS t_then,
+                               CAST(COUNT(*) AS BIGINT) AS sup
+                        FROM ft a JOIN ft b
+                          ON a.user_id = b.user_id
+                         AND a.event_type <> b.event_type
+                         AND (a.first_at).ts < (b.first_at).ts
+                          OR (a.user_id = b.user_id
+                              AND a.event_type <> b.event_type
+                              AND (a.first_at).ts = (b.first_at).ts
+                              AND (a.first_at).eid < (b.first_at).eid)
+                        GROUP BY 1, 2)
+            SELECT t_first, t_then, sup,
+                   round(CAST(sup AS DOUBLE) / nu.n, 6) AS support
+            FROM pr CROSS JOIN nu
+            ORDER BY t_first, t_then"""))
+
+  // Capture–recapture (Lincoln–Petersen) population estimate — how many
+  // TOTAL users exist given two observation windows and their overlap:
+  // N̂ = n₁·n₂/m, the coverage estimator ecology lends to dedup-rate and
+  // crawl-frontier estimation. Three distinct counts from one scan, one
+  // division; the Chapman bias-corrected variant rides along.
+  private val aggCaptureRecapture = Op(
+    "agg_capture_recapture",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_cr")
+      s.sql("""
+        WITH w AS (SELECT user_id,
+                          MAX(CASE WHEN unix_timestamp(ts) div 86400
+                                        < 19738 THEN 1 ELSE 0 END) AS w1,
+                          MAX(CASE WHEN unix_timestamp(ts) div 86400
+                                        >= 19738 THEN 1 ELSE 0 END)
+                            AS w2
+                   FROM events_cr GROUP BY 1),
+             c AS (SELECT CAST(SUM(w1) AS BIGINT) AS n1,
+                          CAST(SUM(w2) AS BIGINT) AS n2,
+                          CAST(SUM(w1 * w2) AS BIGINT) AS m,
+                          CAST(COUNT(*) AS BIGINT) AS n_true
+                   FROM w)
+        SELECT n1, n2, m, n_true,
+               round(CAST(n1 AS DOUBLE) * n2 / m, 2) AS lp_estimate,
+               round((CAST(n1 + 1 AS DOUBLE)) * (n2 + 1) / (m + 1) - 1,
+                     2) AS chapman_estimate
+        FROM c""")
+    },
+    Some("""WITH w AS (SELECT user_id,
+                              MAX(CASE WHEN CAST(floor(epoch(ts))
+                                             AS BIGINT) // 86400 < 19738
+                                       THEN 1 ELSE 0 END) AS w1,
+                              MAX(CASE WHEN CAST(floor(epoch(ts))
+                                             AS BIGINT) // 86400
+                                            >= 19738
+                                       THEN 1 ELSE 0 END) AS w2
+                       FROM events GROUP BY 1),
+                 c AS (SELECT CAST(SUM(w1) AS BIGINT) AS n1,
+                              CAST(SUM(w2) AS BIGINT) AS n2,
+                              CAST(SUM(w1 * w2) AS BIGINT) AS m,
+                              CAST(COUNT(*) AS BIGINT) AS n_true
+                       FROM w)
+            SELECT n1, n2, m, n_true,
+                   round(CAST(n1 AS DOUBLE) * n2 / m, 2) AS lp_estimate,
+                   round((CAST(n1 + 1 AS DOUBLE)) * (n2 + 1) / (m + 1)
+                         - 1, 2) AS chapman_estimate
+            FROM c"""))
+
   val ops: Seq[Op] =
     Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
       aggDiffInDiff, fnUuidNs, aggHurstExponent, resampleAtr,
-      aggCovMatrix)
+      aggCovMatrix, aggPriceElasticity, resampleDeseasonalize,
+      eventSeqPairs, aggCaptureRecapture)
 }
