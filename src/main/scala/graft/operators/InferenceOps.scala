@@ -938,9 +938,164 @@ object InferenceOps {
                          - 1, 2) AS chapman_estimate
             FROM c"""))
 
+  // Bigram language-model quality score — per-source mean log-probability
+  // under an add-1-smoothed bigram LM with a top-500 vocabulary and an
+  // <unk> bucket: the sequence-aware upgrade of text_lm_score's unigram
+  // model (templated filler scores high on unigrams but low here). The
+  // vocab and bigram tables are corpus-bounded aggregates; doc bigrams
+  // come from direct list indexing (no per-doc window); each ln term
+  // quantizes to 1e-6 before the per-doc and per-source means.
+  private val textBigramLmScore = Op(
+    "text_bigram_lm_score",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_bl")
+      s.sql("""
+        WITH tk AS (SELECT doc_id, source,
+                           split(trim(regexp_replace(lower(text),
+                             '\\s+', ' ')), ' ') AS w
+                    FROM documents_bl),
+             bg0 AS (SELECT doc_id, source,
+                            element_at(w, i) AS w1,
+                            element_at(w, i + 1) AS w2
+                     FROM tk
+                     LATERAL VIEW explode(sequence(1, size(w) - 1))
+                       t AS i
+                     WHERE size(w) >= 2),
+             voc AS (SELECT w1 AS w FROM (
+                       SELECT w1, COUNT(*) AS c,
+                              ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                                 w1) AS rn
+                       FROM bg0 GROUP BY w1) v WHERE rn <= 500),
+             bg AS (SELECT doc_id, source,
+                           CASE WHEN v1.w IS NULL THEN '<unk>'
+                                ELSE bg0.w1 END AS w1,
+                           CASE WHEN v2.w IS NULL THEN '<unk>'
+                                ELSE bg0.w2 END AS w2
+                    FROM bg0
+                    LEFT JOIN voc v1 ON bg0.w1 = v1.w
+                    LEFT JOIN voc v2 ON bg0.w2 = v2.w),
+             c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM bg GROUP BY 1, 2),
+             c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM bg GROUP BY 1),
+             sc AS (SELECT bg.doc_id, bg.source,
+                           CAST(round(ln((CAST(c2.c AS DOUBLE) + 1)
+                                  / (c1.c + 501)) * 1000000) AS BIGINT)
+                             AS lq
+                    FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                    JOIN c1 ON bg.w1 = c1.w1),
+             ds AS (SELECT doc_id, source,
+                           CAST(SUM(lq) AS BIGINT) AS slq,
+                           CAST(COUNT(*) AS BIGINT) AS nb
+                    FROM sc GROUP BY 1, 2)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(CAST(SUM(CAST(round(CAST(slq AS DOUBLE) / nb)
+                                   AS BIGINT)) AS DOUBLE)
+                     / COUNT(*) / 1000000.0D, 6) AS mean_lm_score
+        FROM ds GROUP BY source ORDER BY source""")
+    },
+    Some("""WITH tk AS (SELECT doc_id, source,
+                               string_split(trim(regexp_replace(
+                                 lower(text), '\s+', ' ', 'g')), ' ')
+                                 AS w
+                        FROM documents),
+                 bg0 AS (SELECT doc_id, source,
+                                w[i] AS w1, w[i + 1] AS w2
+                         FROM (SELECT doc_id, source, w,
+                                      unnest(generate_series(1,
+                                        len(w) - 1)) AS i
+                               FROM tk WHERE len(w) >= 2) x),
+                 voc AS (SELECT w1 AS w FROM (
+                           SELECT w1, COUNT(*) AS c,
+                                  ROW_NUMBER() OVER (
+                                    ORDER BY COUNT(*) DESC, w1) AS rn
+                           FROM bg0 GROUP BY w1) v WHERE rn <= 500),
+                 bg AS (SELECT doc_id, source,
+                               CASE WHEN v1.w IS NULL THEN '<unk>'
+                                    ELSE bg0.w1 END AS w1,
+                               CASE WHEN v2.w IS NULL THEN '<unk>'
+                                    ELSE bg0.w2 END AS w2
+                        FROM bg0
+                        LEFT JOIN voc v1 ON bg0.w1 = v1.w
+                        LEFT JOIN voc v2 ON bg0.w2 = v2.w),
+                 c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM bg GROUP BY 1, 2),
+                 c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM bg GROUP BY 1),
+                 sc AS (SELECT bg.doc_id, bg.source,
+                               CAST(round(ln((CAST(c2.c AS DOUBLE) + 1)
+                                      / (c1.c + 501)) * 1000000)
+                                    AS BIGINT) AS lq
+                        FROM bg JOIN c2
+                          ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                        JOIN c1 ON bg.w1 = c1.w1),
+                 ds AS (SELECT doc_id, source,
+                               CAST(SUM(lq) AS BIGINT) AS slq,
+                               CAST(COUNT(*) AS BIGINT) AS nb
+                        FROM sc GROUP BY 1, 2)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   round(CAST(SUM(CAST(round(CAST(slq AS DOUBLE) / nb)
+                                       AS BIGINT)) AS DOUBLE)
+                         / COUNT(*) / 1000000.0, 6) AS mean_lm_score
+            FROM ds GROUP BY source ORDER BY source"""))
+
+  // Matryoshka prefix-dimension evaluation — recall@10 of the 16-dim
+  // PREFIX cosine ranking against the full 64-dim ranking, plus the rank-1
+  // agreement: the measurement behind "can we serve truncated embeddings
+  // at 1/4 the memory". Same broadcast-probe single-pass shape as
+  // emb_recall_at_k; slicing is free map-side.
+  private val embPrefixRecall = Op(
+    "emb_prefix_recall",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_pr")
+      s.sql("""
+        WITH e AS (SELECT vec_id,
+                          CAST(embedding AS ARRAY<DOUBLE>) AS v,
+                          CAST(slice(embedding, 1, 16) AS ARRAY<DOUBLE>)
+                            AS vp
+                   FROM embeddings_pr),
+             p AS (SELECT v AS pv, vp AS pvp FROM e WHERE vec_id = 0),
+             sc AS (SELECT e.vec_id,
+                           round(graft_cosine(e.v, p.pv), 6) AS cs,
+                           round(graft_cosine(e.vp, p.pvp), 6) AS csp
+                    FROM e CROSS JOIN p WHERE e.vec_id <> 0),
+             fx AS (SELECT vec_id FROM sc
+                    ORDER BY cs DESC, vec_id LIMIT 10),
+             px AS (SELECT vec_id FROM sc
+                    ORDER BY csp DESC, vec_id LIMIT 10)
+        SELECT CAST(16 AS BIGINT) AS prefix_dims,
+               CAST(COUNT(*) AS BIGINT) AS hits,
+               round(CAST(COUNT(*) AS DOUBLE) / 10.0D, 6)
+                 AS recall_at_10
+        FROM fx JOIN px ON fx.vec_id = px.vec_id""")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+                              CAST(embedding AS DOUBLE[]) AS v,
+                              CAST(embedding[1:16] AS DOUBLE[]) AS vp
+                       FROM embeddings),
+                 p AS (SELECT v AS pv, vp AS pvp FROM e
+                       WHERE vec_id = 0),
+                 sc AS (SELECT e.vec_id,
+                               round(list_cosine_similarity(e.v, p.pv),
+                                     6) AS cs,
+                               round(list_cosine_similarity(e.vp,
+                                     p.pvp), 6) AS csp
+                        FROM e CROSS JOIN p WHERE e.vec_id <> 0),
+                 fx AS (SELECT vec_id FROM sc
+                        ORDER BY cs DESC, vec_id LIMIT 10),
+                 px AS (SELECT vec_id FROM sc
+                        ORDER BY csp DESC, vec_id LIMIT 10)
+            SELECT CAST(16 AS BIGINT) AS prefix_dims,
+                   CAST(COUNT(*) AS BIGINT) AS hits,
+                   round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6)
+                     AS recall_at_10
+            FROM fx JOIN px ON fx.vec_id = px.vec_id"""))
+
   val ops: Seq[Op] =
     Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
       aggDiffInDiff, fnUuidNs, aggHurstExponent, resampleAtr,
       aggCovMatrix, aggPriceElasticity, resampleDeseasonalize,
-      eventSeqPairs, aggCaptureRecapture)
+      eventSeqPairs, aggCaptureRecapture, textBigramLmScore,
+      embPrefixRecall)
 }
