@@ -588,8 +588,7 @@ object InferenceOps {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_cv")
       s.sql("""
         WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
-                          CAST(round(l_extendedprice * 100) AS BIGINT)
-                            AS x2,
+                          CAST(round(l_extendedprice) AS BIGINT) AS x2,
                           CAST(round(l_discount * 100) AS BIGINT) AS x3
                    FROM lineitem_cv),
              m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -653,8 +652,8 @@ object InferenceOps {
         FROM l ORDER BY vi, vj""")
     },
     Some("""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
-                              CAST(round(l_extendedprice * 100)
-                                   AS BIGINT) AS x2,
+                              CAST(round(l_extendedprice) AS BIGINT)
+                                AS x2,
                               CAST(round(l_discount * 100) AS BIGINT)
                                 AS x3
                        FROM lineitem),
@@ -733,10 +732,10 @@ object InferenceOps {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_pe")
       s.sql("""
         WITH b AS (SELECT l_returnflag AS flag,
-                          CAST(round(ln(l_quantity) * 1000000) AS BIGINT)
+                          CAST(round(ln(l_quantity) * 10000) AS BIGINT)
                             AS lq,
                           CAST(round(ln(l_extendedprice / l_quantity)
-                                 * 1000000) AS BIGINT) AS lp
+                                 * 10000) AS BIGINT) AS lp
                    FROM lineitem_pe
                    WHERE l_quantity > 0 AND l_extendedprice > 0),
              m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -753,10 +752,10 @@ object InferenceOps {
         FROM m ORDER BY flag""")
     },
     Some("""WITH b AS (SELECT l_returnflag AS flag,
-                              CAST(round(ln(l_quantity) * 1000000)
+                              CAST(round(ln(l_quantity) * 10000)
                                    AS BIGINT) AS lq,
                               CAST(round(ln(l_extendedprice / l_quantity)
-                                     * 1000000) AS BIGINT) AS lp
+                                     * 10000) AS BIGINT) AS lp
                        FROM lineitem
                        WHERE l_quantity > 0 AND l_extendedprice > 0),
                  m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
