@@ -1091,10 +1091,241 @@ object InferenceOps {
                      AS recall_at_10
             FROM fx JOIN px ON fx.vec_id = px.vec_id"""))
 
+  // CUPED variance reduction — the experimentation-platform technique
+  // that shrinks metric variance using the PRE-period value as a control
+  // covariate (θ = cov(pre, post)/var(pre); variance shrinks by ρ²).
+  // Per-user pre/post purchase totals come from ONE conditional-aggregate
+  // scan (exact cents); the five cross-moments over users are exact
+  // BIGINTs; θ and the variance-reduction share evaluate once.
+  private val aggCuped = Op(
+    "agg_cuped",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_cp")
+      s.sql("""
+        WITH u AS (SELECT user_id,
+                          CAST(SUM(CASE WHEN unix_timestamp(ts)
+                                 div 86400 < 19738
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS x,
+                          CAST(SUM(CASE WHEN unix_timestamp(ts)
+                                 div 86400 >= 19738
+                                 THEN CAST(round(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS y
+                   FROM events_cp WHERE event_type = 'purchase'
+                   GROUP BY 1),
+             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS sx,
+                          CAST(SUM(y) AS BIGINT) AS sy,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx,
+                          CAST(SUM(y * y) AS BIGINT) AS syy,
+                          CAST(SUM(x * y) AS BIGINT) AS sxy
+                   FROM u)
+        SELECT n,
+               round((CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx), 6) AS theta,
+               round(((CAST(n AS DOUBLE) * sxy
+                       - CAST(sx AS DOUBLE) * sy)
+                      * (CAST(n AS DOUBLE) * sxy
+                         - CAST(sx AS DOUBLE) * sy))
+                     / ((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+                 AS var_reduction
+        FROM m""")
+    },
+    Some("""WITH u AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN CAST(floor(epoch(ts))
+                                     AS BIGINT) // 86400 < 19738
+                                     THEN CAST(round(value * 100)
+                                               AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS x,
+                              CAST(SUM(CASE WHEN CAST(floor(epoch(ts))
+                                     AS BIGINT) // 86400 >= 19738
+                                     THEN CAST(round(value * 100)
+                                               AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS y
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1),
+                 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(x) AS BIGINT) AS sx,
+                              CAST(SUM(y) AS BIGINT) AS sy,
+                              CAST(SUM(x * x) AS BIGINT) AS sxx,
+                              CAST(SUM(y * y) AS BIGINT) AS syy,
+                              CAST(SUM(x * y) AS BIGINT) AS sxy
+                       FROM u)
+            SELECT n,
+                   round((CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx), 6) AS theta,
+                   round(((CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                          * (CAST(n AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy))
+                         / ((CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy)), 6)
+                     AS var_reduction
+            FROM m"""))
+
+  // k-NN classification over the embedding space — each "unlabeled" probe
+  // takes the majority label of its 5 nearest labeled neighbors (votes
+  // and the true label ride along): the semi-supervised labeling /
+  // label-audit loop. Probes broadcast, corpus streams once through the
+  // codegen'd cosine, one rank window per probe, majority by
+  // (votes DESC, label) — engine-unique.
+  private val embKnnClassify = Op(
+    "emb_knn_classify",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_kc")
+      s.sql("""
+        WITH e AS (SELECT vec_id, label,
+                          CAST(embedding AS ARRAY<DOUBLE>) AS v
+                   FROM embeddings_kc),
+             p AS (SELECT vec_id AS p_id, label AS true_label, v AS pv
+                   FROM e WHERE vec_id < 5),
+             nb AS (SELECT p.p_id, p.true_label, e.vec_id, e.label,
+                           ROW_NUMBER() OVER (PARTITION BY p.p_id
+                             ORDER BY round(graft_cosine(e.v, p.pv), 6)
+                               DESC, e.vec_id) AS rn
+                    FROM e CROSS JOIN p WHERE e.vec_id >= 5),
+             vt AS (SELECT p_id, true_label, label,
+                           CAST(COUNT(*) AS BIGINT) AS votes
+                    FROM nb WHERE rn <= 5 GROUP BY 1, 2, 3),
+             mj AS (SELECT p_id, true_label, label, votes,
+                           ROW_NUMBER() OVER (PARTITION BY p_id
+                             ORDER BY votes DESC, label) AS r
+                    FROM vt)
+        SELECT p_id AS vec_id, CAST(label AS BIGINT) AS predicted,
+               CAST(true_label AS BIGINT) AS actual, votes,
+               CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+        FROM mj WHERE r = 1 ORDER BY vec_id""")
+    },
+    Some("""WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 p AS (SELECT vec_id AS p_id, label AS true_label,
+                              v AS pv
+                       FROM e WHERE vec_id < 5),
+                 nb AS (SELECT p.p_id, p.true_label, e.vec_id, e.label,
+                               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                 ORDER BY round(list_cosine_similarity(
+                                   e.v, p.pv), 6) DESC, e.vec_id) AS rn
+                        FROM e CROSS JOIN p WHERE e.vec_id >= 5),
+                 vt AS (SELECT p_id, true_label, label,
+                               CAST(COUNT(*) AS BIGINT) AS votes
+                        FROM nb WHERE rn <= 5 GROUP BY 1, 2, 3),
+                 mj AS (SELECT p_id, true_label, label, votes,
+                               ROW_NUMBER() OVER (PARTITION BY p_id
+                                 ORDER BY votes DESC, label) AS r
+                        FROM vt)
+            SELECT p_id AS vec_id, CAST(label AS BIGINT) AS predicted,
+                   CAST(true_label AS BIGINT) AS actual, votes,
+                   CASE WHEN label = true_label THEN 1 ELSE 0 END
+                     AS correct
+            FROM mj WHERE r = 1 ORDER BY vec_id"""))
+
+  // LTTB-style downsampling (largest-triangle-one-bucket variant) — per
+  // 4-hour bucket keep the point subtending the largest triangle against
+  // the NEIGHBOR bucket centroids: preserves visual shape (spikes AND
+  // slopes) where min/max decimation keeps only extremes. Centroids come
+  // from exact integer sums; the area is one fixed IEEE expression
+  // quantized to 1e-6 before the per-bucket argmax; everything runs on
+  // the hourly rollup domain.
+  private val resampleLttb = Op(
+    "resample_lttb",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_lt")
+      s.sql("""
+        WITH hc AS (SELECT event_type,
+                           unix_timestamp(ts) div 3600 AS h,
+                           CAST(COUNT(*) AS BIGINT) AS v
+                    FROM events_lt GROUP BY 1, 2),
+             bk AS (SELECT event_type, h, v, h div 4 AS b FROM hc),
+             bc AS (SELECT event_type, b,
+                           CAST(SUM(h) AS BIGINT) AS sh,
+                           CAST(SUM(v) AS BIGINT) AS sv,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM bk GROUP BY 1, 2),
+             nb AS (SELECT event_type, b,
+                           lag(sh) OVER w AS psh, lag(sv) OVER w AS psv,
+                           lag(n) OVER w AS pn,
+                           lead(sh) OVER w AS nsh,
+                           lead(sv) OVER w AS nsv, lead(n) OVER w AS nn
+                    FROM bc
+                    WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+             ar AS (SELECT bk.event_type, bk.b, bk.h, bk.v,
+                           CAST(round(abs(
+                             (bk.h - CAST(nb.psh AS DOUBLE) / nb.pn)
+                             * (CAST(nb.nsv AS DOUBLE) / nb.nn
+                                - CAST(nb.psv AS DOUBLE) / nb.pn)
+                             - (CAST(nb.nsh AS DOUBLE) / nb.nn
+                                - CAST(nb.psh AS DOUBLE) / nb.pn)
+                             * (bk.v - CAST(nb.psv AS DOUBLE) / nb.pn))
+                             * 1000000) AS BIGINT) AS area_q
+                    FROM bk JOIN nb
+                      ON bk.event_type = nb.event_type AND bk.b = nb.b
+                    WHERE nb.psh IS NOT NULL AND nb.nsh IS NOT NULL),
+             pick AS (SELECT event_type, b, h, v,
+                             ROW_NUMBER() OVER (PARTITION BY event_type,
+                               b ORDER BY area_q DESC, h) AS r
+                      FROM ar)
+        SELECT event_type, h AS hour_idx, v AS cnt
+        FROM pick WHERE r = 1 ORDER BY event_type, hour_idx""")
+    },
+    Some("""WITH hc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                 AS h,
+                               CAST(COUNT(*) AS BIGINT) AS v
+                        FROM events GROUP BY 1, 2),
+                 bk AS (SELECT event_type, h, v, h // 4 AS b FROM hc),
+                 bc AS (SELECT event_type, b,
+                               CAST(SUM(h) AS BIGINT) AS sh,
+                               CAST(SUM(v) AS BIGINT) AS sv,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM bk GROUP BY 1, 2),
+                 nb AS (SELECT event_type, b,
+                               lag(sh) OVER w AS psh,
+                               lag(sv) OVER w AS psv,
+                               lag(n) OVER w AS pn,
+                               lead(sh) OVER w AS nsh,
+                               lead(sv) OVER w AS nsv,
+                               lead(n) OVER w AS nn
+                        FROM bc
+                        WINDOW w AS (PARTITION BY event_type
+                                     ORDER BY b)),
+                 ar AS (SELECT bk.event_type, bk.b, bk.h, bk.v,
+                               CAST(round(abs(
+                                 (bk.h - CAST(nb.psh AS DOUBLE) / nb.pn)
+                                 * (CAST(nb.nsv AS DOUBLE) / nb.nn
+                                    - CAST(nb.psv AS DOUBLE) / nb.pn)
+                                 - (CAST(nb.nsh AS DOUBLE) / nb.nn
+                                    - CAST(nb.psh AS DOUBLE) / nb.pn)
+                                 * (bk.v - CAST(nb.psv AS DOUBLE)
+                                    / nb.pn)) * 1000000) AS BIGINT)
+                                 AS area_q
+                        FROM bk JOIN nb
+                          ON bk.event_type = nb.event_type
+                         AND bk.b = nb.b
+                        WHERE nb.psh IS NOT NULL
+                          AND nb.nsh IS NOT NULL),
+                 pick AS (SELECT event_type, b, h, v,
+                                 ROW_NUMBER() OVER (
+                                   PARTITION BY event_type, b
+                                   ORDER BY area_q DESC, h) AS r
+                          FROM ar)
+            SELECT event_type, h AS hour_idx, v AS cnt
+            FROM pick WHERE r = 1 ORDER BY event_type, hour_idx"""))
+
   val ops: Seq[Op] =
     Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
       aggDiffInDiff, fnUuidNs, aggHurstExponent, resampleAtr,
       aggCovMatrix, aggPriceElasticity, resampleDeseasonalize,
       eventSeqPairs, aggCaptureRecapture, textBigramLmScore,
-      embPrefixRecall)
+      embPrefixRecall, aggCuped, embKnnClassify, resampleLttb)
 }
