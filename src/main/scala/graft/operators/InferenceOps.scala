@@ -1322,10 +1322,217 @@ object InferenceOps {
             SELECT event_type, h AS hour_idx, v AS cnt
             FROM pick WHERE r = 1 ORDER BY event_type, hour_idx"""))
 
+  // Theil decomposition — total inequality split EXACTLY into
+  // within-segment and between-segment components (T = Σ s_g·T_g + T_B),
+  // the property that makes Theil the inequality measure analysts
+  // decompose (Gini cannot): "is revenue inequality driven inside
+  // segments or across them". Per-customer rollup once, per-segment and
+  // global terms quantized to 1e-12 before their BIGINT sums.
+  private val aggTheilDecompose = Op(
+    "agg_theil_decompose",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_td")
+      t(s, d, "customer").createOrReplaceTempView("customer_td")
+      s.sql("""
+        WITH rev AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                            CAST(SUM(CAST(round(o.o_totalprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS r
+                     FROM orders_td o
+                     JOIN customer_td c ON o.o_custkey = c.c_custkey
+                     GROUP BY 1, 2),
+             sg AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(r) AS BIGINT) AS sr
+                    FROM rev GROUP BY 1),
+             gt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                           CAST(SUM(sr) AS BIGINT) AS tr FROM sg),
+             wi AS (SELECT rev.seg,
+                           CAST(SUM(CAST(round(CAST(r AS DOUBLE) / sr
+                                  * ln(CAST(r AS DOUBLE) * n / sr)
+                                  * 1000000000000) AS BIGINT))
+                                AS BIGINT) AS twq
+                    FROM rev JOIN sg ON rev.seg = sg.seg
+                    GROUP BY rev.seg),
+             parts AS (SELECT sg.seg, sg.n, sg.sr, wi.twq, gt.nn, gt.tr,
+                              CAST(round(CAST(sg.sr AS DOUBLE) / gt.tr
+                                     * ln((CAST(sg.sr AS DOUBLE)
+                                           / gt.tr)
+                                          / (CAST(sg.n AS DOUBLE)
+                                             / gt.nn))
+                                     * 1000000000000) AS BIGINT) AS tbq
+                       FROM sg JOIN wi ON sg.seg = wi.seg CROSS JOIN gt)
+        SELECT seg AS c_mktsegment,
+               round(CAST(twq AS DOUBLE) / 1000000000000.0D, 6)
+                 AS theil_within,
+               round(CAST(sr AS DOUBLE) / tr, 6) AS revenue_share,
+               round(CAST(tbq AS DOUBLE) / 1000000000000.0D, 6)
+                 AS between_term
+        FROM parts ORDER BY c_mktsegment""")
+    },
+    Some("""WITH rev AS (SELECT c.c_mktsegment AS seg, o.o_custkey,
+                                CAST(SUM(CAST(round(o.o_totalprice * 100)
+                                              AS BIGINT)) AS BIGINT)
+                                  AS r
+                         FROM orders o
+                         JOIN customer c ON o.o_custkey = c.c_custkey
+                         GROUP BY 1, 2),
+                 sg AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(r) AS BIGINT) AS sr
+                        FROM rev GROUP BY 1),
+                 gt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                               CAST(SUM(sr) AS BIGINT) AS tr FROM sg),
+                 wi AS (SELECT rev.seg,
+                               CAST(SUM(CAST(round(CAST(r AS DOUBLE)
+                                      / sr
+                                      * ln(CAST(r AS DOUBLE) * n / sr)
+                                      * 1000000000000) AS BIGINT))
+                                    AS BIGINT) AS twq
+                        FROM rev JOIN sg ON rev.seg = sg.seg
+                        GROUP BY rev.seg),
+                 parts AS (SELECT sg.seg, sg.n, sg.sr, wi.twq, gt.nn,
+                                  gt.tr,
+                                  CAST(round(CAST(sg.sr AS DOUBLE)
+                                         / gt.tr
+                                         * ln((CAST(sg.sr AS DOUBLE)
+                                               / gt.tr)
+                                              / (CAST(sg.n AS DOUBLE)
+                                                 / gt.nn))
+                                         * 1000000000000) AS BIGINT)
+                                    AS tbq
+                           FROM sg JOIN wi ON sg.seg = wi.seg
+                           CROSS JOIN gt)
+            SELECT seg AS c_mktsegment,
+                   round(CAST(twq AS DOUBLE) / 1000000000000.0, 6)
+                     AS theil_within,
+                   round(CAST(sr AS DOUBLE) / tr, 6) AS revenue_share,
+                   round(CAST(tbq AS DOUBLE) / 1000000000000.0, 6)
+                     AS between_term
+            FROM parts ORDER BY c_mktsegment"""))
+
+  // Hill tail-index estimator — how heavy the order-value tail is
+  // (α < 2 means infinite variance: percentile SLAs and mean-based
+  // capacity plans break). Uses the top-k=100 order statistics only:
+  // one rank window, each ln(x_(i)/x_(k)) quantized to 1e-9 before the
+  // mean, α = 1/H once. The top-k filter takes the WindowGroupLimit
+  // pre-limit, so the sort never materializes the full table.
+  private val aggHillTail = Op(
+    "agg_hill_tail",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_hl")
+      s.sql("""
+        WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS pc,
+                          o_orderkey
+                   FROM orders_hl),
+             rk AS (SELECT pc, ROW_NUMBER() OVER (ORDER BY pc DESC,
+                              o_orderkey) AS rn
+                    FROM b),
+             tk AS (SELECT pc, rn FROM rk WHERE rn <= 100),
+             kth AS (SELECT CAST(MAX(CASE WHEN rn = 100 THEN pc END)
+                                 AS BIGINT) AS xk
+                     FROM tk),
+             q AS (SELECT CAST(round(ln(CAST(tk.pc AS DOUBLE) / kth.xk)
+                            * 1000000000) AS BIGINT) AS lq
+                   FROM tk CROSS JOIN kth WHERE tk.rn < 100)
+        SELECT CAST(100 AS BIGINT) AS k,
+               round(CAST(SUM(lq) AS DOUBLE) / 99 / 1000000000.0D, 6)
+                 AS hill_h,
+               round(99 * 1000000000.0D / CAST(SUM(lq) AS DOUBLE), 6)
+                 AS tail_alpha
+        FROM q""")
+    },
+    Some("""WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS pc,
+                              o_orderkey
+                       FROM orders),
+                 rk AS (SELECT pc, ROW_NUMBER() OVER (ORDER BY pc DESC,
+                                  o_orderkey) AS rn
+                        FROM b),
+                 tk AS (SELECT pc, rn FROM rk WHERE rn <= 100),
+                 kth AS (SELECT CAST(MAX(CASE WHEN rn = 100 THEN pc
+                                        END) AS BIGINT) AS xk
+                         FROM tk),
+                 q AS (SELECT CAST(round(ln(CAST(tk.pc AS DOUBLE)
+                                / kth.xk) * 1000000000) AS BIGINT)
+                                AS lq
+                       FROM tk CROSS JOIN kth WHERE tk.rn < 100)
+            SELECT CAST(100 AS BIGINT) AS k,
+                   round(CAST(SUM(lq) AS DOUBLE) / 99 / 1000000000.0,
+                         6) AS hill_h,
+                   round(99 * 1000000000.0 / CAST(SUM(lq) AS DOUBLE),
+                         6) AS tail_alpha
+            FROM q"""))
+
+  // Cumulative-gains (lift) chart — per score decile: share of all
+  // positives captured when targeting the top-d deciles, and the lift
+  // over random: the model-eval readout a campaign planner reads
+  // (agg_auc_roc says "ranked well", this says "mail the top 30%").
+  // Value-as-score deciles via NTILE over the domain-collapsed rollup,
+  // exact integer cumulative positives.
+  private val aggGainChart = Op(
+    "agg_gain_chart",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_gc")
+      s.sql("""
+        WITH b AS (SELECT event_id,
+                          CAST(round(value * 100) AS BIGINT) AS score,
+                          CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS pos
+                   FROM events_gc),
+             dec AS (SELECT pos,
+                            NTILE(10) OVER (ORDER BY score DESC,
+                                            event_id) AS d
+                     FROM b),
+             g AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(pos) AS BIGINT) AS p
+                   FROM dec GROUP BY 1),
+             c AS (SELECT d, n, p,
+                          CAST(SUM(p) OVER (ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+                          CAST(SUM(n) OVER (ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+                          CAST(SUM(p) OVER () AS BIGINT) AS tp,
+                          CAST(SUM(n) OVER () AS BIGINT) AS tn
+                   FROM g)
+        SELECT CAST(d AS BIGINT) AS decile, n, p,
+               round(CAST(cp AS DOUBLE) / tp, 6) AS cum_gain,
+               round((CAST(cp AS DOUBLE) / tp)
+                     / (CAST(cn AS DOUBLE) / tn), 6) AS lift
+        FROM c ORDER BY decile""")
+    },
+    Some("""WITH b AS (SELECT event_id,
+                              CAST(round(value * 100) AS BIGINT)
+                                AS score,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS pos
+                       FROM events),
+                 dec AS (SELECT pos,
+                                NTILE(10) OVER (ORDER BY score DESC,
+                                                event_id) AS d
+                         FROM b),
+                 g AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(pos) AS BIGINT) AS p
+                       FROM dec GROUP BY 1),
+                 c AS (SELECT d, n, p,
+                              CAST(SUM(p) OVER (ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                AS cp,
+                              CAST(SUM(n) OVER (ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                AS cn,
+                              CAST(SUM(p) OVER () AS BIGINT) AS tp,
+                              CAST(SUM(n) OVER () AS BIGINT) AS tn
+                       FROM g)
+            SELECT CAST(d AS BIGINT) AS decile, n, p,
+                   round(CAST(cp AS DOUBLE) / tp, 6) AS cum_gain,
+                   round((CAST(cp AS DOUBLE) / tp)
+                         / (CAST(cn AS DOUBLE) / tn), 6) AS lift
+            FROM c ORDER BY decile"""))
+
   val ops: Seq[Op] =
     Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
       aggDiffInDiff, fnUuidNs, aggHurstExponent, resampleAtr,
       aggCovMatrix, aggPriceElasticity, resampleDeseasonalize,
       eventSeqPairs, aggCaptureRecapture, textBigramLmScore,
-      embPrefixRecall, aggCuped, embKnnClassify, resampleLttb)
+      embPrefixRecall, aggCuped, embKnnClassify, resampleLttb,
+      aggTheilDecompose, aggHillTail, aggGainChart)
 }
