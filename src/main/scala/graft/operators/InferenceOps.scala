@@ -1534,5 +1534,179 @@ object InferenceOps {
       aggCovMatrix, aggPriceElasticity, resampleDeseasonalize,
       eventSeqPairs, aggCaptureRecapture, textBigramLmScore,
       embPrefixRecall, aggCuped, embKnnClassify, resampleLttb,
-      aggTheilDecompose, aggHillTail, aggGainChart)
+      aggTheilDecompose, aggHillTail, aggGainChart,
+      eventTransitionTime, embCentroidDrift, aggCochranArmitage)
+
+  // Mean dwell time per journey transition — how long users sit between
+  // consecutive action types (event_markov gives WHERE they go; this
+  // gives HOW FAST): one lead window shared for next-type and next-ts,
+  // exact second gaps, partial-aggregated rollup bounded by the type
+  // alphabet squared.
+  private lazy val eventTransitionTime = Op(
+    "event_transition_time",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_tt")
+      s.sql("""
+        WITH seq AS (SELECT event_type AS src,
+                            lead(event_type) OVER w AS dst,
+                            CAST(unix_timestamp(lead(ts) OVER w)
+                                 - unix_timestamp(ts) AS BIGINT) AS gap
+                     FROM events_tt
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id))
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+               CAST(SUM(gap) div COUNT(*) AS BIGINT) AS mean_gap_floor_s
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY src, dst ORDER BY src, dst""")
+    },
+    Some("""WITH seq AS (SELECT event_type AS src,
+                                lead(event_type) OVER w AS dst,
+                                CAST(floor(epoch(lead(ts) OVER w))
+                                     AS BIGINT)
+                                  - CAST(floor(epoch(ts)) AS BIGINT)
+                                  AS gap
+                         FROM events
+                         WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+                   CAST(SUM(gap) // COUNT(*) AS BIGINT)
+                     AS mean_gap_floor_s
+            FROM seq WHERE dst IS NOT NULL
+            GROUP BY src, dst ORDER BY src, dst"""))
+
+  // Embedding-space drift per label — L2 distance between each label's
+  // centroid in the first vs second half of the corpus: the retraining
+  // trigger ("did this class move"). Centroids come from two (label, dim)
+  // posexplode rollups (sums quantized to 1e-6 integers — exact partial
+  // aggregation at any parallelism); the distance is one fixed
+  // per-label expression over the 64-dim join.
+  private lazy val embCentroidDrift = Op(
+    "emb_centroid_drift",
+    (s, d) => {
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_cd")
+      s.sql("""
+        WITH mid AS (SELECT CAST(MAX(vec_id) div 2 AS BIGINT) AS m
+                     FROM embeddings_cd),
+             ex AS (SELECT label,
+                           CASE WHEN vec_id <= mid.m THEN 0 ELSE 1 END
+                             AS half,
+                           pos AS dim,
+                           CAST(round(CAST(val AS DOUBLE) * 1000000)
+                                AS BIGINT) AS vq
+                    FROM embeddings_cd CROSS JOIN mid
+                    LATERAL VIEW posexplode(embedding) t AS pos, val),
+             cen AS (SELECT label, half, dim,
+                            CAST(SUM(vq) AS BIGINT) AS s,
+                            CAST(COUNT(*) AS BIGINT) AS n
+                     FROM ex GROUP BY 1, 2, 3),
+             j AS (SELECT a.label, a.dim,
+                          CAST(a.s AS DOUBLE) / a.n
+                            - CAST(b.s AS DOUBLE) / b.n AS dd,
+                          a.n AS n0, b.n AS n1
+                   FROM cen a JOIN cen b
+                     ON a.label = b.label AND a.dim = b.dim
+                    AND a.half = 0 AND b.half = 1)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(MAX(n0) AS BIGINT) AS n_first,
+               CAST(MAX(n1) AS BIGINT) AS n_second,
+               round(sqrt(SUM(dd * dd)) / 1000000.0D, 6) AS l2_drift
+        FROM j GROUP BY label ORDER BY label""")
+    },
+    Some("""WITH mid AS (SELECT CAST(MAX(vec_id) // 2 AS BIGINT) AS m
+                         FROM embeddings),
+                 ex AS (SELECT label,
+                               CASE WHEN vec_id <= mid.m THEN 0
+                                    ELSE 1 END AS half,
+                               x.i - 1 AS dim,
+                               CAST(round(CAST(x.v AS DOUBLE) * 1000000)
+                                    AS BIGINT) AS vq
+                        FROM embeddings CROSS JOIN mid
+                        CROSS JOIN LATERAL (
+                          SELECT unnest(embedding) AS v,
+                                 unnest(generate_series(1,
+                                   len(embedding))) AS i) x),
+                 cen AS (SELECT label, half, dim,
+                                CAST(SUM(vq) AS BIGINT) AS s,
+                                CAST(COUNT(*) AS BIGINT) AS n
+                         FROM ex GROUP BY 1, 2, 3),
+                 j AS (SELECT a.label, a.dim,
+                              CAST(a.s AS DOUBLE) / a.n
+                                - CAST(b.s AS DOUBLE) / b.n AS dd,
+                              a.n AS n0, b.n AS n1
+                       FROM cen a JOIN cen b
+                         ON a.label = b.label AND a.dim = b.dim
+                        AND a.half = 0 AND b.half = 1)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(MAX(n0) AS BIGINT) AS n_first,
+                   CAST(MAX(n1) AS BIGINT) AS n_second,
+                   round(sqrt(SUM(dd * dd)) / 1000000.0, 6) AS l2_drift
+            FROM j GROUP BY label ORDER BY label"""))
+
+  // Cochran–Armitage trend test — is the high-value-purchase RATE
+  // monotonically trending across ordered calendar weeks, unit =
+  // (user, active week) (the ordered
+  // version of the chi-square independence test, with far more power
+  // against trend alternatives). All sums are exact BIGINTs over the
+  // ≤5-row week table; z evaluates once.
+  private lazy val aggCochranArmitage = Op(
+    "agg_cochran_armitage",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_ca")
+      s.sql("""
+        WITH u AS (SELECT user_id,
+                          unix_timestamp(ts) div 604800 AS w0,
+                          MAX(CASE WHEN event_type = 'purchase'
+                                    AND value >= 95 THEN 1 ELSE 0 END)
+                            AS conv
+                   FROM events_ca GROUP BY 1, 2),
+             wk AS (SELECT w0 - (SELECT MIN(w0) FROM u) AS wi,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(conv) AS BIGINT) AS r
+                    FROM u GROUP BY 1),
+             g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                          CAST(SUM(r) AS BIGINT) AS rr,
+                          CAST(SUM(wi * r) AS BIGINT) AS swr,
+                          CAST(SUM(wi * n) AS BIGINT) AS swn,
+                          CAST(SUM(wi * wi * n) AS BIGINT) AS swwn
+                   FROM wk)
+        SELECT nn AS n_users, rr AS n_conv,
+               round((CAST(swr AS DOUBLE)
+                      - CAST(rr AS DOUBLE) * swn / nn)
+                     / sqrt(CAST(rr AS DOUBLE) / nn
+                            * (1.0D - CAST(rr AS DOUBLE) / nn)
+                            * (CAST(swwn AS DOUBLE)
+                               - CAST(swn AS DOUBLE) * swn / nn)), 6)
+                 AS trend_z
+        FROM g""")
+    },
+    Some("""WITH u AS (SELECT user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT)
+                                // 604800 AS w0,
+                              MAX(CASE WHEN event_type = 'purchase'
+                                        AND value >= 95
+                                       THEN 1 ELSE 0 END) AS conv
+                       FROM events GROUP BY 1, 2),
+                 wk AS (SELECT w0 - (SELECT MIN(w0) FROM u) AS wi,
+                               CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(conv) AS BIGINT) AS r
+                        FROM u GROUP BY 1),
+                 g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                              CAST(SUM(r) AS BIGINT) AS rr,
+                              CAST(SUM(wi * r) AS BIGINT) AS swr,
+                              CAST(SUM(wi * n) AS BIGINT) AS swn,
+                              CAST(SUM(wi * wi * n) AS BIGINT) AS swwn
+                       FROM wk)
+            SELECT nn AS n_users, rr AS n_conv,
+                   round((CAST(swr AS DOUBLE)
+                          - CAST(rr AS DOUBLE) * swn / nn)
+                         / sqrt(CAST(rr AS DOUBLE) / nn
+                                * (1.0 - CAST(rr AS DOUBLE) / nn)
+                                * (CAST(swwn AS DOUBLE)
+                                   - CAST(swn AS DOUBLE) * swn / nn)),
+                         6) AS trend_z
+            FROM g"""))
 }
