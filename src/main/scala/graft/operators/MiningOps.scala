@@ -1503,9 +1503,135 @@ object MiningOps {
                   UNION ALL SELECT * FROM sup) u
             ORDER BY c_mktsegment, level, key"""))
 
+  // Hapax legomena profile — share of the vocabulary seen exactly once
+  // and the token share those words carry, per source: the classic
+  // "productive vs templated" corpus signal (natural text runs ~40-60%
+  // hapax vocab; templated filler collapses). One token rollup per
+  // (source, word), one bounded source rollup, exact counts.
+  private val textHapaxRatio = Op(
+    "text_hapax_ratio",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_hx")
+      s.sql("""
+        WITH tk AS (SELECT source,
+                           explode(split(trim(regexp_replace(lower(text),
+                             '\\s+', ' ')), ' ')) AS w
+                    FROM documents_hx),
+             tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM tk WHERE w <> '' GROUP BY 1, 2)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hapax,
+               CAST(SUM(c) AS BIGINT) AS tokens,
+               round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS hapax_vocab_share,
+               round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / SUM(c), 6) AS hapax_token_share
+        FROM tf GROUP BY source ORDER BY source""")
+    },
+    Some("""WITH tk AS (SELECT source,
+                               unnest(string_split(trim(regexp_replace(
+                                 lower(text), '\s+', ' ', 'g')), ' '))
+                                 AS w
+                        FROM documents),
+                 tf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM tk WHERE w <> '' GROUP BY 1, 2)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS vocab,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapax,
+                   CAST(SUM(c) AS BIGINT) AS tokens,
+                   round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6)
+                     AS hapax_vocab_share,
+                   round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / SUM(c), 6)
+                     AS hapax_token_share
+            FROM tf GROUP BY source ORDER BY source"""))
+
+  // Cohen's kappa for the language classifier — chance-corrected
+  // agreement between text_langid's prediction and the labeled lang
+  // (accuracy looks great on skewed label mixes; kappa doesn't). Reuses
+  // the zero-shuffle argmax; po and pe come from exact confusion-cell
+  // counts, one float combine.
+  private val textLangidKappa = Op(
+    "text_langid_kappa",
+    (s, d) => {
+      // prediction must match text_langid exactly — reuse its confusion
+      // cells through the registered operator
+      val cells = graft.SparkEntry.queries("text_langid_confusion")(s, d)
+      cells.createOrReplaceTempView("langid_cells_k")
+      s.sql("""
+        WITH m AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                          CAST(SUM(CASE WHEN actual = predicted THEN n
+                                        ELSE 0 END) AS BIGINT) AS agree
+                   FROM langid_cells_k),
+             ra AS (SELECT actual AS lab, CAST(SUM(n) AS BIGINT) AS r
+                    FROM langid_cells_k GROUP BY 1),
+             pa AS (SELECT predicted AS lab,
+                           CAST(SUM(n) AS BIGINT) AS p
+                    FROM langid_cells_k GROUP BY 1),
+             pe AS (SELECT CAST(SUM(ra.r * pa.p) AS BIGINT) AS spe
+                    FROM ra JOIN pa ON ra.lab = pa.lab)
+        SELECT m.t AS n_docs,
+               round(CAST(m.agree AS DOUBLE) / m.t, 6) AS accuracy,
+               round((CAST(m.agree AS DOUBLE) / m.t
+                      - CAST(pe.spe AS DOUBLE) / (CAST(m.t AS DOUBLE)
+                                                  * m.t))
+                     / (1.0D - CAST(pe.spe AS DOUBLE)
+                               / (CAST(m.t AS DOUBLE) * m.t)), 6)
+                 AS kappa
+        FROM m CROSS JOIN pe""")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+              FROM documents),
+            cand(cand_lang, markers) AS (VALUES
+              ('de', ['der','die','und']), ('en', ['the','a','of']),
+              ('es', ['el','la','de']), ('fr', ['le','la','et']),
+              ('zh', ['的','了','是'])),
+            scored AS (
+              SELECT doc_id, lang, cand_lang,
+                     len(list_filter(tk, t -> list_contains(markers, t))) AS score
+              FROM toks CROSS JOIN cand),
+            r AS (SELECT doc_id, lang, cand_lang, score,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cand_lang) AS rn
+                  FROM scored),
+            pred AS (SELECT lang AS actual,
+                            CASE WHEN score = 0 THEN 'und'
+                                 ELSE cand_lang END AS predicted
+                     FROM r WHERE rn = 1),
+            cells AS (SELECT actual, predicted,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM pred GROUP BY 1, 2),
+            m AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                         CAST(SUM(CASE WHEN actual = predicted THEN n
+                                       ELSE 0 END) AS BIGINT) AS agree
+                  FROM cells),
+            ra AS (SELECT actual AS lab, CAST(SUM(n) AS BIGINT) AS r
+                   FROM cells GROUP BY 1),
+            pa AS (SELECT predicted AS lab,
+                          CAST(SUM(n) AS BIGINT) AS p
+                   FROM cells GROUP BY 1),
+            pe AS (SELECT CAST(SUM(ra.r * pa.p) AS BIGINT) AS spe
+                   FROM ra JOIN pa ON ra.lab = pa.lab)
+            SELECT m.t AS n_docs,
+                   round(CAST(m.agree AS DOUBLE) / m.t, 6) AS accuracy,
+                   round((CAST(m.agree AS DOUBLE) / m.t
+                          - CAST(pe.spe AS DOUBLE)
+                            / (CAST(m.t AS DOUBLE) * m.t))
+                         / (1.0 - CAST(pe.spe AS DOUBLE)
+                                  / (CAST(m.t AS DOUBLE) * m.t)), 6)
+                     AS kappa
+            FROM m CROSS JOIN pe"""))
+
   private val ops2: Seq[Op] =
     Seq(aggSkyline2d, joinNearestValue, aggAbcClass, aggBacklogAging,
       scanFileMetadata, aggConcurrencySweep, windowRankChange,
       textScriptDetect, eventMarkovEntropy, textCoverageCurve,
-      resampleSeasonalStrength, privacyGeneralize)
+      resampleSeasonalStrength, privacyGeneralize, textHapaxRatio,
+      textLangidKappa)
 }
