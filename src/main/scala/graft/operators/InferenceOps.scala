@@ -1528,15 +1528,6 @@ object InferenceOps {
                          / (CAST(cn AS DOUBLE) / tn), 6) AS lift
             FROM c ORDER BY decile"""))
 
-  val ops: Seq[Op] =
-    Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
-      aggDiffInDiff, fnUuidNs, aggHurstExponent, resampleAtr,
-      aggCovMatrix, aggPriceElasticity, resampleDeseasonalize,
-      eventSeqPairs, aggCaptureRecapture, textBigramLmScore,
-      embPrefixRecall, aggCuped, embKnnClassify, resampleLttb,
-      aggTheilDecompose, aggHillTail, aggGainChart,
-      eventTransitionTime, embCentroidDrift, aggCochranArmitage)
-
   // Mean dwell time per journey transition — how long users sit between
   // consecutive action types (event_markov gives WHERE they go; this
   // gives HOW FAST): one lead window shared for next-type and next-ts,
@@ -1709,4 +1700,172 @@ object InferenceOps {
                                    - CAST(swn AS DOUBLE) * swn / nn)),
                          6) AS trend_z
             FROM g"""))
+
+  // Newman modularity of the region partition over the trade graph —
+  // does the geographic community structure explain the edges
+  // (Q = Σ_c (e_c/m − (d_c/2m)²))? The quality score behind every
+  // community-detection loop, here evaluated for a GIVEN partition:
+  // exact integer edge/degree sums per community (nation→region is a
+  // broadcast dimension), one float combine per community, quantized
+  // before the final sum.
+  private val graphModularity = Op(
+    "graph_modularity",
+    (s, d) => {
+      for (n <- Seq("customer", "orders", "lineitem", "supplier",
+        "nation"))
+        t(s, d, n).createOrReplaceTempView(s"${n}_md")
+      s.sql("""
+        WITH pairs AS (
+               SELECT CAST(c_nationkey AS BIGINT) AS a,
+                      CAST(s_nationkey AS BIGINT) AS b, count(*) AS w
+               FROM customer_md
+               JOIN orders_md ON c_custkey = o_custkey
+               JOIN lineitem_md ON l_orderkey = o_orderkey
+               JOIN supplier_md ON l_suppkey = s_suppkey
+               GROUP BY 1, 2),
+             und AS (SELECT DISTINCT least(a, b) AS u,
+                            greatest(a, b) AS v
+                     FROM pairs WHERE w % 7 = 0 AND a <> b),
+             ed AS (SELECT u AS src, v AS dst FROM und
+                    UNION ALL SELECT v, u FROM und),
+             cm AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                           CAST(n_regionkey AS BIGINT) AS rk
+                    FROM nation_md),
+             m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS deg2 FROM ed),
+             ec AS (SELECT ca.rk,
+                           CAST(SUM(CASE WHEN ca.rk = cb.rk
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS within2,
+                           CAST(COUNT(*) AS BIGINT) AS dc
+                    FROM ed JOIN cm ca ON ed.src = ca.nk
+                            JOIN cm cb ON ed.dst = cb.nk
+                    GROUP BY 1),
+             q AS (SELECT ec.rk,
+                          CAST(round((CAST(ec.within2 AS DOUBLE)
+                                      / m2.deg2
+                                 - (CAST(ec.dc AS DOUBLE) / m2.deg2)
+                                   * (CAST(ec.dc AS DOUBLE) / m2.deg2))
+                                * 1000000000) AS BIGINT) AS qq
+                   FROM ec CROSS JOIN m2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               round(CAST(SUM(qq) AS DOUBLE) / 1000000000.0D, 6)
+                 AS modularity
+        FROM q""")
+    },
+    Some("""WITH pairs AS (
+                   SELECT CAST(c_nationkey AS BIGINT) AS a,
+                          CAST(s_nationkey AS BIGINT) AS b, count(*)
+                            AS w
+                   FROM customer
+                   JOIN orders ON c_custkey = o_custkey
+                   JOIN lineitem ON l_orderkey = o_orderkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   GROUP BY 1, 2),
+                 und AS (SELECT DISTINCT least(a, b) AS u,
+                                greatest(a, b) AS v
+                         FROM pairs WHERE w % 7 = 0 AND a <> b),
+                 ed AS (SELECT u AS src, v AS dst FROM und
+                        UNION ALL SELECT v, u FROM und),
+                 cm AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                               CAST(n_regionkey AS BIGINT) AS rk
+                        FROM nation),
+                 m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS deg2
+                        FROM ed),
+                 ec AS (SELECT ca.rk,
+                               CAST(SUM(CASE WHEN ca.rk = cb.rk
+                                             THEN 1 ELSE 0 END)
+                                    AS BIGINT) AS within2,
+                               CAST(COUNT(*) AS BIGINT) AS dc
+                        FROM ed JOIN cm ca ON ed.src = ca.nk
+                                JOIN cm cb ON ed.dst = cb.nk
+                        GROUP BY 1),
+                 q AS (SELECT ec.rk,
+                              CAST(round((CAST(ec.within2 AS DOUBLE)
+                                          / m2.deg2
+                                     - (CAST(ec.dc AS DOUBLE)
+                                        / m2.deg2)
+                                       * (CAST(ec.dc AS DOUBLE)
+                                          / m2.deg2))
+                                    * 1000000000) AS BIGINT) AS qq
+                       FROM ec CROSS JOIN m2)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                   round(CAST(SUM(qq) AS DOUBLE) / 1000000000.0, 6)
+                     AS modularity
+            FROM q"""))
+
+  // Delete-one-day jackknife variance of the mean — the resampling
+  // sibling of agg_bootstrap_ci for when replicates must partition the
+  // data (day groups here): each leave-one-out mean is EXACT rational
+  // arithmetic on group sums ((S − S_i)/(N − n_i)), so the only float is
+  // the final variance combine. ~30 replicates at any data volume.
+  private val aggJackknife = Op(
+    "agg_jackknife",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_jk")
+      s.sql("""
+        WITH g AS (SELECT unix_timestamp(ts) div 86400 AS day,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS sx
+                   FROM events_jk GROUP BY 1),
+             tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gg,
+                            CAST(SUM(n) AS BIGINT) AS nn,
+                            CAST(SUM(sx) AS BIGINT) AS ss FROM g),
+             lo AS (SELECT g.day,
+                           (CAST(tot.ss - g.sx AS DOUBLE))
+                             / (tot.nn - g.n) AS theta_i,
+                           tot.gg, tot.nn, tot.ss
+                    FROM g CROSS JOIN tot),
+             mj AS (SELECT MAX(gg) AS gg,
+                           SUM(theta_i) / MAX(gg) AS tbar,
+                           MAX(nn) AS nn, MAX(ss) AS ss
+                    FROM lo),
+             v AS (SELECT SUM((lo.theta_i - mj.tbar)
+                              * (lo.theta_i - mj.tbar)) AS sv
+                   FROM lo CROSS JOIN mj)
+        SELECT mj.gg AS n_groups,
+               round(CAST(mj.ss AS DOUBLE) / mj.nn / 100.0D, 6)
+                 AS mean_usd,
+               round(sqrt((mj.gg - 1.0D) / mj.gg * v.sv) / 100.0D, 6)
+                 AS jackknife_se_usd
+        FROM mj CROSS JOIN v""")
+    },
+    Some("""WITH g AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(round(value * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                AS sx
+                       FROM events GROUP BY 1),
+                 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gg,
+                                CAST(SUM(n) AS BIGINT) AS nn,
+                                CAST(SUM(sx) AS BIGINT) AS ss FROM g),
+                 lo AS (SELECT g.day,
+                               (CAST(tot.ss - g.sx AS DOUBLE))
+                                 / (tot.nn - g.n) AS theta_i,
+                               tot.gg, tot.nn, tot.ss
+                        FROM g CROSS JOIN tot),
+                 mj AS (SELECT MAX(gg) AS gg,
+                               SUM(theta_i) / MAX(gg) AS tbar,
+                               MAX(nn) AS nn, MAX(ss) AS ss
+                        FROM lo),
+                 v AS (SELECT SUM((lo.theta_i - mj.tbar)
+                                  * (lo.theta_i - mj.tbar)) AS sv
+                       FROM lo CROSS JOIN mj)
+            SELECT mj.gg AS n_groups,
+                   round(CAST(mj.ss AS DOUBLE) / mj.nn / 100.0, 6)
+                     AS mean_usd,
+                   round(sqrt((mj.gg - 1.0) / mj.gg * v.sv) / 100.0, 6)
+                     AS jackknife_se_usd
+            FROM mj CROSS JOIN v"""))
+
+  val ops: Seq[Op] =
+    Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
+      aggDiffInDiff, fnUuidNs, aggHurstExponent, resampleAtr,
+      aggCovMatrix, aggPriceElasticity, resampleDeseasonalize,
+      eventSeqPairs, aggCaptureRecapture, textBigramLmScore,
+      embPrefixRecall, aggCuped, embKnnClassify, resampleLttb,
+      aggTheilDecompose, aggHillTail, aggGainChart,
+      eventTransitionTime, embCentroidDrift, aggCochranArmitage,
+      graphModularity, aggJackknife)
 }
