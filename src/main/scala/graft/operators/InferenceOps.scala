@@ -1859,6 +1859,119 @@ object InferenceOps {
                      AS jackknife_se_usd
             FROM mj CROSS JOIN v"""))
 
+  // Weibull fit by median-rank regression — parametric survival on top
+  // of agg_survival_km's nonparametric curve: time-to-first-purchase
+  // durations collapse to the HOUR domain, the empirical CDF comes from
+  // one bucket cumsum, and ln(−ln(1−F)) vs ln(t) is an exact-quantized
+  // OLS (shape k and scale λ once per output). Shape k < 1 means
+  // conversion hazard FALLS with time — convert-early-or-never, the
+  // product question the fit answers.
+  private val aggWeibullFit = Op(
+    "agg_weibull_fit",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_wb")
+      s.sql("""
+        WITH u AS (SELECT user_id,
+                          CAST((MIN(CASE WHEN event_type = 'purchase'
+                                    THEN unix_timestamp(ts) END)
+                                - MIN(unix_timestamp(ts))) div 3600
+                               AS BIGINT) AS t_h
+                   FROM events_wb GROUP BY 1),
+             g AS (SELECT t_h, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM u WHERE t_h IS NOT NULL AND t_h > 0
+                   GROUP BY 1),
+             n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM g),
+             cdf AS (SELECT t_h,
+                            CAST(SUM(c) OVER (ORDER BY t_h
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS cum
+                     FROM g),
+             pts AS (SELECT CAST(round(ln(CAST(t_h AS DOUBLE))
+                              * 1000000000) AS BIGINT) AS xq,
+                            CAST(round(ln(-ln(1.0D
+                                  - (CAST(cum AS DOUBLE) - 0.3D)
+                                    / (n.nn + 0.4D)))
+                              * 1000000000) AS BIGINT) AS yq
+                     FROM cdf CROSS JOIN n WHERE cum < n.nn),
+             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                          CAST(SUM(xq) AS BIGINT) AS sx,
+                          CAST(SUM(yq) AS BIGINT) AS sy,
+                          CAST(SUM(xq div 1000 * (xq div 1000))
+                               AS BIGINT) AS sxx,
+                          CAST(SUM(xq div 1000 * (yq div 1000))
+                               AS BIGINT) AS sxy
+                   FROM pts)
+        SELECT k AS n_points,
+               round((CAST(k AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) / 1000
+                        * (CAST(sy AS DOUBLE) / 1000))
+                     / (CAST(k AS DOUBLE) * sxx
+                        - (CAST(sx AS DOUBLE) / 1000)
+                          * (CAST(sx AS DOUBLE) / 1000)), 6)
+                 AS weibull_shape,
+               round(exp((CAST(sx AS DOUBLE) / 1000000000 / k)
+                     - (CAST(sy AS DOUBLE) / 1000000000 / k)
+                       / ((CAST(k AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) / 1000
+                             * (CAST(sy AS DOUBLE) / 1000))
+                          / (CAST(k AS DOUBLE) * sxx
+                             - (CAST(sx AS DOUBLE) / 1000)
+                               * (CAST(sx AS DOUBLE) / 1000)))), 4)
+                 AS weibull_scale_h
+        FROM m""")
+    },
+    Some("""WITH u AS (SELECT user_id,
+                              CAST((MIN(CASE WHEN event_type
+                                             = 'purchase'
+                                        THEN CAST(floor(epoch(ts))
+                                                  AS BIGINT) END)
+                                    - MIN(CAST(floor(epoch(ts))
+                                               AS BIGINT))) // 3600
+                                   AS BIGINT) AS t_h
+                       FROM events GROUP BY 1),
+                 g AS (SELECT t_h, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM u WHERE t_h IS NOT NULL AND t_h > 0
+                       GROUP BY 1),
+                 n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM g),
+                 cdf AS (SELECT t_h,
+                                CAST(SUM(c) OVER (ORDER BY t_h
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                  AS cum
+                         FROM g),
+                 pts AS (SELECT CAST(round(ln(CAST(t_h AS DOUBLE))
+                                  * 1000000000) AS BIGINT) AS xq,
+                                CAST(round(ln(-ln(1.0
+                                      - (CAST(cum AS DOUBLE) - 0.3)
+                                        / (n.nn + 0.4)))
+                                  * 1000000000) AS BIGINT) AS yq
+                         FROM cdf CROSS JOIN n WHERE cum < n.nn),
+                 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                              CAST(SUM(xq) AS BIGINT) AS sx,
+                              CAST(SUM(yq) AS BIGINT) AS sy,
+                              CAST(SUM(xq // 1000 * (xq // 1000))
+                                   AS BIGINT) AS sxx,
+                              CAST(SUM(xq // 1000 * (yq // 1000))
+                                   AS BIGINT) AS sxy
+                       FROM pts)
+            SELECT k AS n_points,
+                   round((CAST(k AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) / 1000
+                            * (CAST(sy AS DOUBLE) / 1000))
+                         / (CAST(k AS DOUBLE) * sxx
+                            - (CAST(sx AS DOUBLE) / 1000)
+                              * (CAST(sx AS DOUBLE) / 1000)), 6)
+                     AS weibull_shape,
+                   round(exp((CAST(sx AS DOUBLE) / 1000000000 / k)
+                         - (CAST(sy AS DOUBLE) / 1000000000 / k)
+                           / ((CAST(k AS DOUBLE) * sxy
+                               - CAST(sx AS DOUBLE) / 1000
+                                 * (CAST(sy AS DOUBLE) / 1000))
+                              / (CAST(k AS DOUBLE) * sxx
+                                 - (CAST(sx AS DOUBLE) / 1000)
+                                   * (CAST(sx AS DOUBLE) / 1000)))),
+                         4) AS weibull_scale_h
+            FROM m"""))
+
   val ops: Seq[Op] =
     Seq(aggMannKendall, aggTheilSen, resampleOhlcVolatility, dqSrmCheck,
       aggDiffInDiff, fnUuidNs, aggHurstExponent, resampleAtr,
@@ -1867,5 +1980,5 @@ object InferenceOps {
       embPrefixRecall, aggCuped, embKnnClassify, resampleLttb,
       aggTheilDecompose, aggHillTail, aggGainChart,
       eventTransitionTime, embCentroidDrift, aggCochranArmitage,
-      graphModularity, aggJackknife)
+      graphModularity, aggJackknife, aggWeibullFit)
 }
