@@ -1980,5 +1980,199 @@ object InferenceOps {
       embPrefixRecall, aggCuped, embKnnClassify, resampleLttb,
       aggTheilDecompose, aggHillTail, aggGainChart,
       eventTransitionTime, embCentroidDrift, aggCochranArmitage,
-      graphModularity, aggJackknife, aggWeibullFit)
+      graphModularity, aggJackknife, aggWeibullFit, aggCohensD,
+      dqBenfordMad, aggOddsRatio)
+
+  // Cohen's d — the standardized effect size that belongs next to every
+  // significant t-test (agg_ttest says "real", d says "big enough to
+  // care": 0.2 small / 0.5 medium / 0.8 large). Pooled-SD version from
+  // the same one-scan exact moment triples.
+  private lazy val aggCohensD = Op(
+    "agg_cohens_d",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_cd2")
+      s.sql("""
+        WITH b AS (SELECT CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END AS g,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events_cd2
+                   WHERE event_type IN ('purchase', 'view')),
+             m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS sx,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx
+                   FROM b GROUP BY 1),
+             w AS (SELECT MAX(CASE WHEN g = 1 THEN n END) AS n1,
+                          MAX(CASE WHEN g = 1 THEN sx END) AS s1,
+                          MAX(CASE WHEN g = 1 THEN sxx END) AS q1,
+                          MAX(CASE WHEN g = 0 THEN n END) AS n0,
+                          MAX(CASE WHEN g = 0 THEN sx END) AS s0,
+                          MAX(CASE WHEN g = 0 THEN sxx END) AS q0
+                   FROM m)
+        SELECT n1, n0,
+               round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                     / sqrt(((CAST(q1 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * s1 / n1)
+                             + (CAST(q0 AS DOUBLE)
+                                - CAST(s0 AS DOUBLE) * s0 / n0))
+                            / (n1 + n0 - 2)), 6) AS cohens_d
+        FROM w""")
+    },
+    Some("""WITH b AS (SELECT CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS g,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+                 m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(x) AS BIGINT) AS sx,
+                              CAST(SUM(x * x) AS BIGINT) AS sxx
+                       FROM b GROUP BY 1),
+                 w AS (SELECT MAX(CASE WHEN g = 1 THEN n END) AS n1,
+                              MAX(CASE WHEN g = 1 THEN sx END) AS s1,
+                              MAX(CASE WHEN g = 1 THEN sxx END) AS q1,
+                              MAX(CASE WHEN g = 0 THEN n END) AS n0,
+                              MAX(CASE WHEN g = 0 THEN sx END) AS s0,
+                              MAX(CASE WHEN g = 0 THEN sxx END) AS q0
+                       FROM m)
+            SELECT n1, n0,
+                   round((CAST(s1 AS DOUBLE) / n1
+                          - CAST(s0 AS DOUBLE) / n0)
+                         / sqrt(((CAST(q1 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n1)
+                                 + (CAST(q0 AS DOUBLE)
+                                    - CAST(s0 AS DOUBLE) * s0 / n0))
+                                / (n1 + n0 - 2)), 6) AS cohens_d
+            FROM w"""))
+
+  // Benford conformity verdict — the Nigrini MAD thresholds on top of
+  // dq_benford's digit table: one scalar + a verdict string instead of
+  // nine rows to eyeball. Each |share − benford| term quantizes to 1e-9
+  // before the order-independent sum.
+  private lazy val dqBenfordMad = Op(
+    "dq_benford_mad",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_bm2")
+      s.sql("""
+        WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS cents
+                   FROM orders_bm2 WHERE o_totalprice > 0),
+             n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM c),
+             dg AS (SELECT CAST(substr(CAST(cents AS STRING), 1, 1)
+                                AS BIGINT) AS digit,
+                           CAST(COUNT(*) AS BIGINT) AS cnt
+                    FROM c GROUP BY 1),
+             t AS (SELECT CAST(SUM(CAST(round(abs(
+                            CAST(dg.cnt AS DOUBLE) / n.nn
+                            - log10(1.0D + 1.0D / dg.digit))
+                            * 1000000000) AS BIGINT)) AS BIGINT) AS sq,
+                          CAST(COUNT(*) AS BIGINT) AS k
+                   FROM dg CROSS JOIN n)
+        SELECT round(CAST(sq AS DOUBLE) / k / 1000000000.0D, 6) AS mad,
+               CASE
+                 WHEN CAST(sq AS DOUBLE) / k / 1000000000.0D < 0.006D
+                 THEN 'close'
+                 WHEN CAST(sq AS DOUBLE) / k / 1000000000.0D < 0.012D
+                 THEN 'acceptable'
+                 WHEN CAST(sq AS DOUBLE) / k / 1000000000.0D < 0.015D
+                 THEN 'marginal'
+                 ELSE 'nonconforming' END AS verdict
+        FROM t""")
+    },
+    Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders WHERE o_totalprice > 0),
+                 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM c),
+                 dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1,
+                                     1) AS BIGINT) AS digit,
+                               CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM c GROUP BY 1),
+                 t AS (SELECT CAST(SUM(CAST(round(abs(
+                                CAST(dg.cnt AS DOUBLE) / n.nn
+                                - log10(1.0 + 1.0 / dg.digit))
+                                * 1000000000) AS BIGINT)) AS BIGINT)
+                                AS sq,
+                              CAST(COUNT(*) AS BIGINT) AS k
+                       FROM dg CROSS JOIN n)
+            SELECT round(CAST(sq AS DOUBLE) / k / 1000000000.0, 6)
+                     AS mad,
+                   CASE
+                     WHEN CAST(sq AS DOUBLE) / k / 1000000000.0
+                          < 0.006 THEN 'close'
+                     WHEN CAST(sq AS DOUBLE) / k / 1000000000.0
+                          < 0.012 THEN 'acceptable'
+                     WHEN CAST(sq AS DOUBLE) / k / 1000000000.0
+                          < 0.015 THEN 'marginal'
+                     ELSE 'nonconforming' END AS verdict
+            FROM t"""))
+
+  // Odds ratio with Woolf confidence interval — the 2×2 association
+  // readout (high-value purchase × weekend) epidemiology and churn
+  // analysis both speak: OR, ln-scale CI from Σ1/cell. Four exact cell
+  // counts from one scan; the CI is one fixed expression.
+  private lazy val aggOddsRatio = Op(
+    "agg_odds_ratio",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_or")
+      s.sql("""
+        WITH b AS (SELECT CASE WHEN (unix_timestamp(ts) div 86400 + 4)
+                                    % 7 >= 5 THEN 1 ELSE 0 END AS wknd,
+                          CASE WHEN event_type = 'purchase'
+                                AND value >= 95 THEN 1 ELSE 0 END AS hi
+                   FROM events_or),
+             c AS (SELECT
+                     CAST(SUM(CASE WHEN wknd = 1 AND hi = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                     CAST(SUM(CASE WHEN wknd = 1 AND hi = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                     CAST(SUM(CASE WHEN wknd = 0 AND hi = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                     CAST(SUM(CASE WHEN wknd = 0 AND hi = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS dd
+                   FROM b)
+        SELECT a, b, c, dd AS d,
+               round(CAST(a AS DOUBLE) * dd
+                     / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio,
+               round(exp(ln(CAST(a AS DOUBLE) * dd
+                            / (CAST(b AS DOUBLE) * c))
+                         - 1.96D * sqrt(1.0D / a + 1.0D / b
+                                        + 1.0D / c + 1.0D / dd)), 6)
+                 AS ci_lo,
+               round(exp(ln(CAST(a AS DOUBLE) * dd
+                            / (CAST(b AS DOUBLE) * c))
+                         + 1.96D * sqrt(1.0D / a + 1.0D / b
+                                        + 1.0D / c + 1.0D / dd)), 6)
+                 AS ci_hi
+        FROM c""")
+    },
+    Some("""WITH b AS (SELECT CASE WHEN (CAST(floor(epoch(ts))
+                                          AS BIGINT) // 86400 + 4)
+                                        % 7 >= 5 THEN 1 ELSE 0 END
+                                AS wknd,
+                              CASE WHEN event_type = 'purchase'
+                                    AND value >= 95 THEN 1 ELSE 0 END
+                                AS hi
+                       FROM events),
+                 c AS (SELECT
+                         CAST(SUM(CASE WHEN wknd = 1 AND hi = 1
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN wknd = 1 AND hi = 0
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(SUM(CASE WHEN wknd = 0 AND hi = 1
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                         CAST(SUM(CASE WHEN wknd = 0 AND hi = 0
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS dd
+                       FROM b)
+            SELECT a, b, c, dd AS d,
+                   round(CAST(a AS DOUBLE) * dd
+                         / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio,
+                   round(exp(ln(CAST(a AS DOUBLE) * dd
+                                / (CAST(b AS DOUBLE) * c))
+                             - 1.96 * sqrt(1.0 / a + 1.0 / b
+                                           + 1.0 / c + 1.0 / dd)), 6)
+                     AS ci_lo,
+                   round(exp(ln(CAST(a AS DOUBLE) * dd
+                                / (CAST(b AS DOUBLE) * c))
+                             + 1.96 * sqrt(1.0 / a + 1.0 / b
+                                           + 1.0 / c + 1.0 / dd)), 6)
+                     AS ci_hi
+            FROM c"""))
 }
