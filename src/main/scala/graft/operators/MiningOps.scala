@@ -1628,10 +1628,178 @@ object MiningOps {
                      AS kappa
             FROM m CROSS JOIN pe"""))
 
+  // Single-source supply risk — how much revenue rides on parts with
+  // exactly one supplier: the n-supplier histogram with its revenue
+  // exposure. Two partial-aggregated rollups over the fact; nothing
+  // grows past the part count.
+  private val aggSupplierRisk = Op(
+    "agg_supplier_risk",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_sr")
+      s.sql("""
+        WITH ps AS (SELECT l_partkey AS pk,
+                           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                             AS n_supp,
+                           CAST(SUM(CAST(round(l_extendedprice * 100)
+                                         AS BIGINT)) AS BIGINT) AS r
+                    FROM lineitem_sr GROUP BY 1),
+             tot AS (SELECT CAST(SUM(r) AS BIGINT) AS tr FROM ps)
+        SELECT n_supp AS n_suppliers,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(r) AS BIGINT) AS revenue_cents,
+               round(CAST(SUM(r) AS DOUBLE) / MAX(tot.tr), 6)
+                 AS revenue_share
+        FROM ps CROSS JOIN tot
+        GROUP BY n_supp ORDER BY n_supp""")
+    },
+    Some("""WITH ps AS (SELECT l_partkey AS pk,
+                               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                                 AS n_supp,
+                               CAST(SUM(CAST(round(l_extendedprice
+                                      * 100) AS BIGINT)) AS BIGINT)
+                                 AS r
+                        FROM lineitem GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(r) AS BIGINT) AS tr FROM ps)
+            SELECT n_supp AS n_suppliers,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(r) AS BIGINT) AS revenue_cents,
+                   round(CAST(SUM(r) AS DOUBLE) / MAX(tot.tr), 6)
+                     AS revenue_share
+            FROM ps CROSS JOIN tot
+            GROUP BY n_supp ORDER BY n_supp"""))
+
+  // Newsvendor critical fractile — the optimal stocking quantile
+  // q* = cu/(cu+co) read EXACTLY off the demand CDF (daily order counts;
+  // underage cost 3× overage here → stock at the 75th percentile): the
+  // operations-research readout the exact-quantile machinery exists for.
+  // Day-domain collapse + one cumulative pass + inverse-CDF readout —
+  // pure integer comparisons.
+  private val aggNewsvendor = Op(
+    "agg_newsvendor",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_nv2")
+      s.sql("""
+        WITH dd AS (SELECT unix_timestamp(o_orderdate) div 86400 AS day,
+                           CAST(COUNT(*) AS BIGINT) AS demand
+                    FROM orders_nv2 GROUP BY 1),
+             g AS (SELECT demand, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM dd GROUP BY 1),
+             n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM g),
+             cdf AS (SELECT demand,
+                            CAST(SUM(c) OVER (ORDER BY demand
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              AS cum
+                     FROM g)
+        SELECT CAST(3 AS BIGINT) AS cost_ratio_under_over,
+               round(3.0D / 4.0D, 6) AS critical_fractile,
+               CAST(MIN(CASE WHEN cum * 4 >= nn * 3 THEN demand END)
+                    AS BIGINT) AS stock_level
+        FROM cdf CROSS JOIN n""")
+    },
+    Some("""WITH dd AS (SELECT CAST(floor(epoch(o_orderdate))
+                                    AS BIGINT) // 86400 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS demand
+                        FROM orders GROUP BY 1),
+                 g AS (SELECT demand, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM dd GROUP BY 1),
+                 n AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM g),
+                 cdf AS (SELECT demand,
+                                CAST(SUM(c) OVER (ORDER BY demand
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                                  AS cum
+                         FROM g)
+            SELECT CAST(3 AS BIGINT) AS cost_ratio_under_over,
+                   round(3.0 / 4.0, 6) AS critical_fractile,
+                   CAST(MIN(CASE WHEN cum * 4 >= nn * 3 THEN demand
+                            END) AS BIGINT) AS stock_level
+            FROM cdf CROSS JOIN n"""))
+
+  // ABC–XYZ matrix — the inventory-planning 9-cell grid: revenue class
+  // (A/B/C cumulative share, integer cross-multiplied boundaries) crossed
+  // with demand-variability class (X/Y/Z by the coefficient of variation
+  // of weekly demand, CV² kept as an exact integer ratio comparison).
+  // Everything collapses to the part domain before classification.
+  private val aggAbcXyz = Op(
+    "agg_abc_xyz",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_ax")
+      s.sql("""
+        WITH wk AS (SELECT l_partkey AS pk,
+                           unix_timestamp(l_shipdate) div 604800 AS w,
+                           CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                                AS BIGINT) AS q
+                    FROM lineitem_ax GROUP BY 1, 2),
+             vs AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS nw,
+                           CAST(SUM(q) AS BIGINT) AS sq,
+                           CAST(SUM(q * q) AS BIGINT) AS sqq
+                    FROM wk GROUP BY 1),
+             rev AS (SELECT l_partkey AS pk,
+                            CAST(SUM(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)) AS BIGINT) AS r
+                     FROM lineitem_ax GROUP BY 1),
+             tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
+             cum AS (SELECT pk, r,
+                            CAST(SUM(r) OVER (ORDER BY r DESC, pk)
+                                 AS BIGINT) AS cr
+                     FROM rev),
+             cls AS (SELECT cum.pk,
+                            CASE WHEN cum.cr * 10 <= tot.t * 8 THEN 'A'
+                                 WHEN cum.cr * 20 <= tot.t * 19
+                                 THEN 'B' ELSE 'C' END AS abc,
+                            CASE
+                              WHEN (vs.nw * vs.sqq - vs.sq * vs.sq) * 4
+                                   <= vs.sq * vs.sq THEN 'X'
+                              WHEN (vs.nw * vs.sqq - vs.sq * vs.sq)
+                                   <= vs.sq * vs.sq THEN 'Y'
+                              ELSE 'Z' END AS xyz
+                     FROM cum JOIN vs ON cum.pk = vs.pk
+                     CROSS JOIN tot)
+        SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM cls GROUP BY abc, xyz ORDER BY abc, xyz""")
+    },
+    Some("""WITH wk AS (SELECT l_partkey AS pk,
+                               CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                                 // 604800 AS w,
+                               CAST(SUM(CAST(round(l_quantity)
+                                             AS BIGINT)) AS BIGINT)
+                                 AS q
+                        FROM lineitem GROUP BY 1, 2),
+                 vs AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS nw,
+                               CAST(SUM(q) AS BIGINT) AS sq,
+                               CAST(SUM(q * q) AS BIGINT) AS sqq
+                        FROM wk GROUP BY 1),
+                 rev AS (SELECT l_partkey AS pk,
+                                CAST(SUM(CAST(round(l_extendedprice
+                                       * 100) AS BIGINT)) AS BIGINT)
+                                  AS r
+                         FROM lineitem GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
+                 cum AS (SELECT pk, r,
+                                CAST(SUM(r) OVER (ORDER BY r DESC, pk)
+                                     AS BIGINT) AS cr
+                         FROM rev),
+                 cls AS (SELECT cum.pk,
+                                CASE WHEN cum.cr * 10 <= tot.t * 8
+                                     THEN 'A'
+                                     WHEN cum.cr * 20 <= tot.t * 19
+                                     THEN 'B' ELSE 'C' END AS abc,
+                                CASE
+                                  WHEN (vs.nw * vs.sqq
+                                        - vs.sq * vs.sq) * 4
+                                       <= vs.sq * vs.sq THEN 'X'
+                                  WHEN (vs.nw * vs.sqq
+                                        - vs.sq * vs.sq)
+                                       <= vs.sq * vs.sq THEN 'Y'
+                                  ELSE 'Z' END AS xyz
+                         FROM cum JOIN vs ON cum.pk = vs.pk
+                         CROSS JOIN tot)
+            SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM cls GROUP BY abc, xyz ORDER BY abc, xyz"""))
+
   private val ops2: Seq[Op] =
     Seq(aggSkyline2d, joinNearestValue, aggAbcClass, aggBacklogAging,
       scanFileMetadata, aggConcurrencySweep, windowRankChange,
       textScriptDetect, eventMarkovEntropy, textCoverageCurve,
       resampleSeasonalStrength, privacyGeneralize, textHapaxRatio,
-      textLangidKappa)
+      textLangidKappa, aggSupplierRisk, aggNewsvendor, aggAbcXyz)
 }
