@@ -1466,8 +1466,10 @@ object InferenceOps {
   // positives captured when targeting the top-d deciles, and the lift
   // over random: the model-eval readout a campaign planner reads
   // (agg_auc_roc says "ranked well", this says "mail the top 30%").
-  // Value-as-score deciles via NTILE over the domain-collapsed rollup,
-  // exact integer cumulative positives.
+  // Deciles come from a bucket-partitioned two-phase global rank (the
+  // corpus_curriculum pattern — no Exchange SinglePartition; the event
+  // count scales with volume) with the floor-decile formula mirrored in
+  // the oracle's plain global rank; exact integer cumulative positives.
   private val aggGainChart = Op(
     "agg_gain_chart",
     (s, d) => {
@@ -1478,10 +1480,26 @@ object InferenceOps {
                           CASE WHEN event_type = 'purchase'
                                THEN 1 ELSE 0 END AS pos
                    FROM events_gc),
-             dec AS (SELECT pos,
-                            NTILE(10) OVER (ORDER BY score DESC,
-                                            event_id) AS d
+             bkt AS (SELECT event_id, score, pos,
+                            (-score) div 500 AS bu
                      FROM b),
+             win AS (SELECT pos, bu,
+                            CAST(row_number() OVER (PARTITION BY bu
+                              ORDER BY score DESC, event_id)
+                              AS BIGINT) AS rin
+                     FROM bkt),
+             bt AS (SELECT bu, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM bkt GROUP BY 1),
+             off AS (SELECT a.bu,
+                            CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS o
+                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
+                     GROUP BY a.bu),
+             nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bt),
+             dec AS (SELECT win.pos,
+                            CAST(((win.rin + off.o - 1) * 10) div nn.n
+                                 + 1 AS INT) AS d
+                     FROM win JOIN off ON win.bu = off.bu
+                     CROSS JOIN nn),
              g AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
                           CAST(SUM(pos) AS BIGINT) AS p
                    FROM dec GROUP BY 1),
@@ -1505,10 +1523,16 @@ object InferenceOps {
                               CASE WHEN event_type = 'purchase'
                                    THEN 1 ELSE 0 END AS pos
                        FROM events),
+                 rk AS (SELECT pos,
+                               CAST(row_number() OVER (
+                                 ORDER BY score DESC, event_id)
+                                 AS BIGINT) AS rn,
+                               CAST(count(*) OVER () AS BIGINT) AS n
+                        FROM b),
                  dec AS (SELECT pos,
-                                NTILE(10) OVER (ORDER BY score DESC,
-                                                event_id) AS d
-                         FROM b),
+                                CAST(((rn - 1) * 10) // n + 1 AS INT)
+                                  AS d
+                         FROM rk),
                  g AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
                               CAST(SUM(pos) AS BIGINT) AS p
                        FROM dec GROUP BY 1),

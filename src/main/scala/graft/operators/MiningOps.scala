@@ -421,7 +421,9 @@ object MiningOps {
             FROM j ORDER BY event_type, hour_idx"""))
 
   // Stratified evaluation-set sampling — k docs per computed length decile
-  // (NTILE strata over the corpus, not a pre-existing category — the
+  // (strata computed over the corpus via a bucket-partitioned two-phase
+  // global rank — the doc count scales with volume, so no NTILE global
+  // sort; not a pre-existing category — the
   // difference from sample_stratified), picked deterministically by hashed
   // rank so the eval set is reproducible across runs and engines. Two
   // window passes (decile assignment, per-stratum hash rank) over one
@@ -432,10 +434,26 @@ object MiningOps {
     (s, d) => {
       t(s, d, "documents").createOrReplaceTempView("documents_es")
       s.sql("""
-        WITH dec AS (SELECT doc_id,
-                            NTILE(10) OVER (ORDER BY n_chars, doc_id)
-                              AS decile
-                     FROM documents_es),
+        WITH b AS (SELECT doc_id, n_chars,
+                          n_chars div 100 AS bu
+                   FROM documents_es),
+             win AS (SELECT doc_id, bu,
+                            CAST(row_number() OVER (PARTITION BY bu
+                              ORDER BY n_chars, doc_id) AS BIGINT)
+                              AS rin
+                     FROM b),
+             bt AS (SELECT bu, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM b GROUP BY 1),
+             off AS (SELECT a.bu,
+                            CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS o
+                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
+                     GROUP BY a.bu),
+             nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bt),
+             dec AS (SELECT win.doc_id,
+                            CAST(((win.rin + off.o - 1) * 10) div nn.n
+                                 + 1 AS INT) AS decile
+                     FROM win JOIN off ON win.bu = off.bu
+                     CROSS JOIN nn),
              rk AS (SELECT decile, doc_id,
                            ROW_NUMBER() OVER (PARTITION BY decile
                              ORDER BY md5(CAST(doc_id AS STRING)), doc_id)
@@ -445,10 +463,16 @@ object MiningOps {
                doc_id
         FROM rk WHERE rn <= 5 ORDER BY decile, rn""")
     },
-    Some("""WITH dec AS (SELECT doc_id,
-                                NTILE(10) OVER (ORDER BY n_chars, doc_id)
-                                  AS decile
+    Some("""WITH rk0 AS (SELECT doc_id,
+                                CAST(row_number() OVER (
+                                  ORDER BY n_chars, doc_id) AS BIGINT)
+                                  AS rn,
+                                CAST(count(*) OVER () AS BIGINT) AS n
                          FROM documents),
+                 dec AS (SELECT doc_id,
+                                CAST(((rn - 1) * 10) // n + 1 AS INT)
+                                  AS decile
+                         FROM rk0),
                  rk AS (SELECT decile, doc_id,
                                ROW_NUMBER() OVER (PARTITION BY decile
                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
@@ -996,7 +1020,12 @@ object MiningOps {
   // revenue share (top 80% / next 15% / tail), the inventory-prioritization
   // standard. Revenue rolls up exactly per part; the class boundaries are
   // INTEGER cross-multiplications against the total (cum·10 ≤ tot·8,
-  // cum·20 ≤ tot·19) so no float share ever decides a boundary row.
+  // cum·20 ≤ tot·19) so no float share ever decides a boundary row. The
+  // cumulative runs BUCKET-PARTITIONED (per revenue-range bucket, lifted
+  // by broadcast offsets — the agg_ks_test two-phase pattern): the part
+  // domain GROWS with data volume, so a global single-partition window
+  // would be the 100 TB bottleneck. The oracle keeps the plain global
+  // spelling — identical cumulative, independently derived.
   private val aggAbcClass = Op(
     "agg_abc_class",
     (s, d) => {
@@ -1007,10 +1036,21 @@ object MiningOps {
                                           AS BIGINT)) AS BIGINT) AS r
                      FROM lineitem_abc GROUP BY 1),
              tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
-             c AS (SELECT pk, r,
-                          CAST(SUM(r) OVER (ORDER BY r DESC, pk)
-                               AS BIGINT) AS cum
-                   FROM rev),
+             bkt AS (SELECT pk, r, (-r) div 10000000 AS bu FROM rev),
+             win AS (SELECT pk, r, bu,
+                            CAST(SUM(r) OVER (PARTITION BY bu
+                              ORDER BY -r, pk) AS BIGINT) AS cin
+                     FROM bkt),
+             bt AS (SELECT bu, CAST(SUM(r) AS BIGINT) AS sb
+                    FROM bkt GROUP BY 1),
+             off AS (SELECT a.bu,
+                            CAST(COALESCE(SUM(x.sb), 0) AS BIGINT)
+                              AS o
+                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
+                     GROUP BY a.bu),
+             c AS (SELECT win.pk, win.r,
+                          CAST(win.cin + off.o AS BIGINT) AS cum
+                   FROM win JOIN off ON win.bu = off.bu),
              cl AS (SELECT pk, r,
                            CASE WHEN cum * 10 <= t * 8 THEN 'A'
                                 WHEN cum * 20 <= t * 19 THEN 'B'
@@ -1718,7 +1758,9 @@ object MiningOps {
   // (A/B/C cumulative share, integer cross-multiplied boundaries) crossed
   // with demand-variability class (X/Y/Z by the coefficient of variation
   // of weekly demand, CV² kept as an exact integer ratio comparison).
-  // Everything collapses to the part domain before classification.
+  // Everything collapses to the part domain before classification, and
+  // the revenue cumulative runs bucket-partitioned (two-phase, like
+  // agg_abc_class) because the part domain scales with volume.
   private val aggAbcXyz = Op(
     "agg_abc_xyz",
     (s, d) => {
@@ -1738,10 +1780,21 @@ object MiningOps {
                                           AS BIGINT)) AS BIGINT) AS r
                      FROM lineitem_ax GROUP BY 1),
              tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
-             cum AS (SELECT pk, r,
-                            CAST(SUM(r) OVER (ORDER BY r DESC, pk)
-                                 AS BIGINT) AS cr
-                     FROM rev),
+             bkt AS (SELECT pk, r, (-r) div 10000000 AS bu FROM rev),
+             win AS (SELECT pk, r, bu,
+                            CAST(SUM(r) OVER (PARTITION BY bu
+                              ORDER BY -r, pk) AS BIGINT) AS cin
+                     FROM bkt),
+             bt AS (SELECT bu, CAST(SUM(r) AS BIGINT) AS sb
+                    FROM bkt GROUP BY 1),
+             off AS (SELECT a.bu,
+                            CAST(COALESCE(SUM(x.sb), 0) AS BIGINT)
+                              AS o
+                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
+                     GROUP BY a.bu),
+             cum AS (SELECT win.pk, win.r,
+                            CAST(win.cin + off.o AS BIGINT) AS cr
+                     FROM win JOIN off ON win.bu = off.bu),
              cls AS (SELECT cum.pk,
                             CASE WHEN cum.cr * 10 <= tot.t * 8 THEN 'A'
                                  WHEN cum.cr * 20 <= tot.t * 19

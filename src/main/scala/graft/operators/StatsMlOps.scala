@@ -514,7 +514,10 @@ object StatsMlOps {
             FROM emd JOIN tots t ON t.seg = emd.seg ORDER BY 1"""))
 
   // Lorenz curve by revenue decile — the inequality profile behind
-  // agg_gini, materialized as the decile table an analyst actually reads
+  // agg_gini, materialized as the decile table an analyst actually reads.
+  // The global rank runs bucket-partitioned (two-phase, broadcast
+  // offsets) because the customer domain scales with volume — no
+  // Exchange SinglePartition; the oracle keeps the plain global rank
   // ("top decile holds 17% of revenue"). Customer revenue rolls up in one
   // partial-aggregated shuffle (exact cents); deciles come from ONE global
   // row_number with a deterministic (rev, custkey) tie-break — the only
@@ -531,11 +534,25 @@ object StatsMlOps {
                           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
                                AS BIGINT) AS rev
                    FROM orders_lz GROUP BY 1),
-             rk AS (SELECT rev,
-                           CAST(row_number() OVER (ORDER BY rev, o_custkey)
-                                AS BIGINT) AS rn,
-                           CAST(count(*) OVER () AS BIGINT) AS n
-                    FROM r),
+             bkt AS (SELECT o_custkey, rev, rev div 10000000 AS bu
+                     FROM r),
+             win AS (SELECT rev, bu,
+                            CAST(row_number() OVER (PARTITION BY bu
+                              ORDER BY rev, o_custkey) AS BIGINT)
+                              AS rin
+                     FROM bkt),
+             bt AS (SELECT bu, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM bkt GROUP BY 1),
+             off AS (SELECT a.bu,
+                            CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS o
+                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
+                     GROUP BY a.bu),
+             nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bt),
+             rk AS (SELECT win.rev,
+                           CAST(win.rin + off.o AS BIGINT) AS rn,
+                           nn.n
+                    FROM win JOIN off ON win.bu = off.bu
+                    CROSS JOIN nn),
              dd AS (SELECT CAST(((rn - 1) * 10) div n AS BIGINT) AS decile,
                            rev
                     FROM rk),

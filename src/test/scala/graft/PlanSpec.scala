@@ -643,6 +643,23 @@ class PlanSpec extends AnyFunSuite {
       p.take(800))
   }
 
+  test("volume-scaled rankings run two-phase, bucket-partitioned") {
+    // the ABC cumulatives, the Lorenz/gain/eval deciles: their rank domain
+    // (parts, customers, events, docs) GROWS with volume, so each runs the
+    // bucket-partitioned two-phase rank with broadcast offsets. Assert the
+    // rank/cumsum window is partitioned on the bucket column — the
+    // partition-less spelling (which serializes the domain through one
+    // task) prints windowspecdefinition WITHOUT the bu partition key. The
+    // remaining SinglePartition exchanges are the O(1)-row scalar
+    // readouts (totals), which is the documented exception.
+    for (k <- Seq("agg_abc_class", "agg_abc_xyz", "agg_lorenz",
+                  "agg_gain_chart", "corpus_eval_sample")) {
+      val p = SparkEntry.queries(k)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("windowspecdefinition(bu#"), s"$k: " + p.take(800))
+    }
+  }
+
   test("agg_ols_multi collects all nine moments in one scan") {
     // a single partial→final aggregate pair over one FileScan — the fit is
     // free next to the scan; a second scan or join would break the shape
