@@ -941,7 +941,9 @@ object InferenceOps {
   // under an add-1-smoothed bigram LM with a top-500 vocabulary and an
   // <unk> bucket: the sequence-aware upgrade of text_lm_score's unigram
   // model (templated filler scores high on unigrams but low here). The
-  // vocab and bigram tables are corpus-bounded aggregates; doc bigrams
+  // vocab candidates take a df ≥ 5 floor BEFORE the rank (the ranked
+  // relation stays head-sized — a raw-vocab global rank would scale with
+  // the corpus tail); doc bigrams
   // come from direct list indexing (no per-doc window); each ln term
   // quantizes to 1e-6 before the per-doc and per-source means.
   private val textBigramLmScore = Op(
@@ -964,7 +966,8 @@ object InferenceOps {
                        SELECT w1, COUNT(*) AS c,
                               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
                                                  w1) AS rn
-                       FROM bg0 GROUP BY w1) v WHERE rn <= 500),
+                       FROM bg0 GROUP BY w1 HAVING COUNT(*) >= 5) v
+                     WHERE rn <= 500),
              bg AS (SELECT doc_id, source,
                            CASE WHEN v1.w IS NULL THEN '<unk>'
                                 ELSE bg0.w1 END AS w1,
@@ -1008,7 +1011,8 @@ object InferenceOps {
                            SELECT w1, COUNT(*) AS c,
                                   ROW_NUMBER() OVER (
                                     ORDER BY COUNT(*) DESC, w1) AS rn
-                           FROM bg0 GROUP BY w1) v WHERE rn <= 500),
+                           FROM bg0 GROUP BY w1
+                           HAVING COUNT(*) >= 5) v WHERE rn <= 500),
                  bg AS (SELECT doc_id, source,
                                CASE WHEN v1.w IS NULL THEN '<unk>'
                                     ELSE bg0.w1 END AS w1,

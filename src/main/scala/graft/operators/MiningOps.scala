@@ -1189,8 +1189,10 @@ object MiningOps {
   // Leaderboard movement — part revenue ranks in the early vs late half
   // of the ship history, top movers by absolute rank delta: the
   // "trending items" report. Two partial-aggregated rollups share one
-  // scan shape; ranks are ROW_NUMBER with key tie-breaks (engine-unique),
-  // movers heap via TakeOrderedAndProject.
+  // scan shape; ranks are ROW_NUMBER with key tie-breaks (engine-unique)
+  // and run BUCKET-PARTITIONED two-phase per half (the part domain
+  // scales with volume); movers heap via TakeOrderedAndProject. The
+  // oracle keeps the plain per-half rank.
   private val windowRankChange = Op(
     "window_rank_change",
     (s, d) => {
@@ -1205,10 +1207,24 @@ object MiningOps {
                    FROM lineitem_rk),
              rv AS (SELECT pk, half, CAST(SUM(pc) AS BIGINT) AS r
                     FROM h GROUP BY 1, 2),
-             rk AS (SELECT pk, half, r,
-                           ROW_NUMBER() OVER (PARTITION BY half
-                             ORDER BY r DESC, pk) AS rnk
-                    FROM rv)
+             bkt AS (SELECT pk, half, r, (-r) div 10000000 AS bu
+                     FROM rv),
+             win AS (SELECT pk, half, r, bu,
+                            CAST(ROW_NUMBER() OVER (PARTITION BY half,
+                              bu ORDER BY r DESC, pk) AS BIGINT)
+                              AS rin
+                     FROM bkt),
+             bt AS (SELECT half, bu, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM bkt GROUP BY 1, 2),
+             off AS (SELECT a.half, a.bu,
+                            CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS o
+                     FROM bt a LEFT JOIN bt x
+                       ON a.half = x.half AND x.bu < a.bu
+                     GROUP BY a.half, a.bu),
+             rk AS (SELECT win.pk, win.half, win.r,
+                           CAST(win.rin + off.o AS BIGINT) AS rnk
+                    FROM win JOIN off
+                      ON win.half = off.half AND win.bu = off.bu)
         SELECT a.pk AS l_partkey, a.rnk AS rank_early,
                b.rnk AS rank_late,
                CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
@@ -1344,9 +1360,10 @@ object MiningOps {
   // Vocabulary coverage curve — what share of all token occurrences the
   // top-k terms cover, read out at standard k checkpoints: the curve that
   // sizes a tokenizer vocabulary. Term frequencies are one map-side
-  // aggregate (vocab-bounded); the cumulative runs over the RANKED vocab
-  // domain, and the checkpoints are exact integer cumulative counts over
-  // the grand total.
+  // aggregate (vocab-bounded); the rank takes a df ≥ 5 floor first so
+  // the ranked relation is the head, not the corpus-scaled tail (the
+  // checkpoints at k ≤ 1000 are unaffected — every head term clears the
+  // floor); coverage denominators stay over ALL tokens.
   private val textCoverageCurve = Op(
     "text_coverage_curve",
     (s, d) => {
@@ -1361,7 +1378,7 @@ object MiningOps {
                             CAST(COUNT(*) AS BIGINT) AS vocab FROM tf),
              rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w)
                               AS rnk
-                    FROM tf),
+                    FROM tf WHERE c >= 5),
              cum AS (SELECT rnk, CAST(SUM(c) OVER (ORDER BY rnk
                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
                               AS cc
@@ -1381,9 +1398,9 @@ object MiningOps {
                  tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
                                 CAST(COUNT(*) AS BIGINT) AS vocab
                          FROM tf),
-                 rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w)
-                                  AS rnk
-                        FROM tf),
+                 rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC,
+                                  w) AS rnk
+                        FROM tf WHERE c >= 5),
                  cum AS (SELECT rnk, CAST(SUM(c) OVER (ORDER BY rnk
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
                                   AS cc
