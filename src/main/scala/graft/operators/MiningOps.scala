@@ -1866,10 +1866,120 @@ object MiningOps {
             SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts
             FROM cls GROUP BY abc, xyz ORDER BY abc, xyz"""))
 
+  // Hour-of-day × day-of-week traffic heatmap — the dashboard staple
+  // behind staffing and maintenance-window decisions. Pure integer epoch
+  // arithmetic (epoch day 0 = Thursday, hence the +4 weekday shift), one
+  // partial-aggregated rollup bounded by 24×7 cells per type.
+  private val eventHeatmapHodDow = Op(
+    "event_heatmap_hod_dow",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_hm")
+      s.sql("""
+        SELECT event_type,
+               (unix_timestamp(ts) div 86400 + 4) % 7 AS dow,
+               (unix_timestamp(ts) % 86400) div 3600 AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events_hm GROUP BY 1, 2, 3
+        ORDER BY event_type, dow, hod""")
+    },
+    Some("""SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7
+                     AS dow,
+                   (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
+                     AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+            ORDER BY event_type, dow, hod"""))
+
+  // Discrete-time churn hazard — P(last active week = k | active through
+  // k): the per-week risk curve behind retention planning, computed from
+  // each user's (first, last) active week. The at-risk denominator is a
+  // reverse cumulative over the ≤5-row week domain; exact integer counts,
+  // one division per week.
+  private val eventChurnHazard = Op(
+    "event_churn_hazard",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_ch")
+      s.sql("""
+        WITH u AS (SELECT user_id,
+                          CAST(MAX(unix_timestamp(ts) div 604800)
+                               - MIN(unix_timestamp(ts) div 604800)
+                               AS BIGINT) AS last_off
+                   FROM events_ch GROUP BY 1),
+             dc AS (SELECT last_off, CAST(COUNT(*) AS BIGINT) AS ended
+                    FROM u GROUP BY 1),
+             tot AS (SELECT CAST(SUM(ended) AS BIGINT) AS n FROM dc),
+             rc AS (SELECT dc.last_off, dc.ended,
+                           CAST(tot.n - COALESCE((SELECT SUM(d2.ended)
+                                  FROM dc d2
+                                  WHERE d2.last_off < dc.last_off), 0)
+                                AS BIGINT) AS at_risk
+                    FROM dc CROSS JOIN tot)
+        SELECT last_off AS week_offset, ended, at_risk,
+               round(CAST(ended AS DOUBLE) / at_risk, 6) AS hazard
+        FROM rc ORDER BY week_offset""")
+    },
+    Some("""WITH u AS (SELECT user_id,
+                              CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)
+                                       // 604800)
+                                   - MIN(CAST(floor(epoch(ts))
+                                              AS BIGINT) // 604800)
+                                   AS BIGINT) AS last_off
+                       FROM events GROUP BY 1),
+                 dc AS (SELECT last_off,
+                               CAST(COUNT(*) AS BIGINT) AS ended
+                        FROM u GROUP BY 1),
+                 tot AS (SELECT CAST(SUM(ended) AS BIGINT) AS n
+                         FROM dc),
+                 rc AS (SELECT dc.last_off, dc.ended,
+                               CAST(tot.n
+                                    - COALESCE((SELECT SUM(d2.ended)
+                                       FROM dc d2
+                                       WHERE d2.last_off < dc.last_off),
+                                      0) AS BIGINT) AS at_risk
+                        FROM dc CROSS JOIN tot)
+            SELECT last_off AS week_offset, ended, at_risk,
+                   round(CAST(ended AS DOUBLE) / at_risk, 6) AS hazard
+            FROM rc ORDER BY week_offset"""))
+
+  // Embedding-norm health histogram — L2 norms per label in 0.1-wide
+  // buckets: collapsed or exploded norms are the first symptom of a
+  // broken encoder run (normalize-all embeddings read as a single spike
+  // at 1.0). The norm is one map-side aggregate HOF over each vector;
+  // the rollup is bounded by labels × buckets.
+  private val embNormHistogram = Op(
+    "emb_norm_histogram",
+    (s, d) => {
+      t(s, d, "embeddings").createOrReplaceTempView("embeddings_nh")
+      s.sql("""
+        WITH n AS (SELECT label,
+                          CAST(floor(sqrt(aggregate(
+                            CAST(embedding AS ARRAY<DOUBLE>),
+                            CAST(0.0 AS DOUBLE),
+                            (acc, x) -> acc + x * x)) * 10.0D)
+                               AS BIGINT) AS nb
+                   FROM embeddings_nh)
+        SELECT CAST(label AS BIGINT) AS label, nb AS norm_bucket_01,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM n GROUP BY 1, 2 ORDER BY label, norm_bucket_01""")
+    },
+    Some("""WITH n AS (SELECT label,
+                              CAST(floor(sqrt(list_sum(
+                                list_transform(
+                                  CAST(embedding AS DOUBLE[]),
+                                  x -> x * x))) * 10.0) AS BIGINT)
+                                AS nb
+                       FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   nb AS norm_bucket_01,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM n GROUP BY 1, 2 ORDER BY label, norm_bucket_01"""))
+
   private val ops2: Seq[Op] =
     Seq(aggSkyline2d, joinNearestValue, aggAbcClass, aggBacklogAging,
       scanFileMetadata, aggConcurrencySweep, windowRankChange,
       textScriptDetect, eventMarkovEntropy, textCoverageCurve,
       resampleSeasonalStrength, privacyGeneralize, textHapaxRatio,
-      textLangidKappa, aggSupplierRisk, aggNewsvendor, aggAbcXyz)
+      textLangidKappa, aggSupplierRisk, aggNewsvendor, aggAbcXyz,
+      eventHeatmapHodDow, eventChurnHazard, embNormHistogram)
 }
