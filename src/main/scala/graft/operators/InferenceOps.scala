@@ -2009,7 +2009,123 @@ object InferenceOps {
       aggTheilDecompose, aggHillTail, aggGainChart,
       eventTransitionTime, embCentroidDrift, aggCochranArmitage,
       graphModularity, aggJackknife, aggWeibullFit, aggCohensD,
-      dqBenfordMad, aggOddsRatio)
+      dqBenfordMad, aggOddsRatio, aggSimpsonParadox, privacyRiskCurve)
+
+  // Simpson's-paradox probe — does the aggregate association between
+  // discount and quantity reverse inside the return-flag segments? The
+  // canonical aggregation trap, checked mechanically: overall OLS slope
+  // sign vs each segment's slope sign, all from ONE scan of exact
+  // per-segment moments (the overall moments are their sums — nothing is
+  // scanned twice).
+  private lazy val aggSimpsonParadox = Op(
+    "agg_simpson_paradox",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_sx")
+      s.sql("""
+        WITH b AS (SELECT l_returnflag AS g,
+                          CAST(round(l_discount * 100) AS BIGINT) AS x,
+                          CAST(round(l_quantity) AS BIGINT) AS y
+                   FROM lineitem_sx),
+             m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS sx,
+                          CAST(SUM(y) AS BIGINT) AS sy,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx,
+                          CAST(SUM(x * y) AS BIGINT) AS sxy
+                   FROM b GROUP BY 1),
+             seg AS (SELECT g,
+                            CAST(n AS DOUBLE) * sxy
+                              - CAST(sx AS DOUBLE) * sy AS num
+                     FROM m),
+             tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                            CAST(SUM(sx) AS BIGINT) AS sx,
+                            CAST(SUM(sy) AS BIGINT) AS sy,
+                            CAST(SUM(sxx) AS BIGINT) AS sxx,
+                            CAST(SUM(sxy) AS BIGINT) AS sxy
+                     FROM m),
+             ov AS (SELECT CAST(n AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy AS num
+                    FROM tot)
+        SELECT round(ov.num / 1.0e12D, 6) AS overall_assoc_scaled,
+               CAST(SUM(CASE WHEN SIGN(seg.num) <> SIGN(ov.num)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_segments_reversed,
+               CASE WHEN SUM(CASE WHEN SIGN(seg.num) <> SIGN(ov.num)
+                             THEN 1 ELSE 0 END) = COUNT(*)
+                    THEN 1 ELSE 0 END AS full_paradox
+        FROM seg CROSS JOIN ov GROUP BY ov.num""")
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS g,
+                              CAST(round(l_discount * 100) AS BIGINT)
+                                AS x,
+                              CAST(round(l_quantity) AS BIGINT) AS y
+                       FROM lineitem),
+                 m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(x) AS BIGINT) AS sx,
+                              CAST(SUM(y) AS BIGINT) AS sy,
+                              CAST(SUM(x * x) AS BIGINT) AS sxx,
+                              CAST(SUM(x * y) AS BIGINT) AS sxy
+                       FROM b GROUP BY 1),
+                 seg AS (SELECT g,
+                                CAST(n AS DOUBLE) * sxy
+                                  - CAST(sx AS DOUBLE) * sy AS num
+                         FROM m),
+                 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                                CAST(SUM(sx) AS BIGINT) AS sx,
+                                CAST(SUM(sy) AS BIGINT) AS sy,
+                                CAST(SUM(sxx) AS BIGINT) AS sxx,
+                                CAST(SUM(sxy) AS BIGINT) AS sxy
+                         FROM m),
+                 ov AS (SELECT CAST(n AS DOUBLE) * sxy
+                                 - CAST(sx AS DOUBLE) * sy AS num
+                        FROM tot)
+            SELECT round(ov.num / 1.0e12, 6) AS overall_assoc_scaled,
+                   CAST(SUM(CASE WHEN SIGN(seg.num) <> SIGN(ov.num)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_segments_reversed,
+                   CASE WHEN SUM(CASE WHEN SIGN(seg.num)
+                                           <> SIGN(ov.num)
+                                 THEN 1 ELSE 0 END) = COUNT(*)
+                        THEN 1 ELSE 0 END AS full_paradox
+            FROM seg CROSS JOIN ov GROUP BY ov.num"""))
+
+  // k-anonymity risk curve — the share of rows sitting in
+  // quasi-identifier groups smaller than k, swept across the k values a
+  // privacy review actually debates (2/5/10/20): one group rollup, four
+  // conditional sums, the "how much must we generalize" planning table
+  // (privacy_kanon audits ONE k; this prices the policy options).
+  private lazy val privacyRiskCurve = Op(
+    "privacy_risk_curve",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_rk2")
+      s.sql("""
+        WITH g AS (SELECT c_mktsegment, c_nationkey,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM customer_rk2 GROUP BY 1, 2),
+             tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g),
+             k AS (SELECT kk FROM (SELECT explode(array(2, 5, 10, 20))
+                                     AS kk))
+        SELECT CAST(k.kk AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN g.n < k.kk THEN g.n ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               round(CAST(SUM(CASE WHEN g.n < k.kk THEN g.n
+                                   ELSE 0 END) AS DOUBLE) / MAX(tot.t),
+                     6) AS risk_share
+        FROM g CROSS JOIN k CROSS JOIN tot
+        GROUP BY k.kk ORDER BY k""")
+    },
+    Some("""WITH g AS (SELECT c_mktsegment, c_nationkey,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM customer GROUP BY 1, 2),
+                 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g),
+                 k AS (SELECT unnest([2, 5, 10, 20]) AS kk)
+            SELECT CAST(k.kk AS BIGINT) AS k,
+                   CAST(SUM(CASE WHEN g.n < k.kk THEN g.n ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk,
+                   round(CAST(SUM(CASE WHEN g.n < k.kk THEN g.n
+                                       ELSE 0 END) AS DOUBLE)
+                         / MAX(tot.t), 6) AS risk_share
+            FROM g CROSS JOIN k CROSS JOIN tot
+            GROUP BY k.kk ORDER BY k"""))
 
   // Cohen's d — the standardized effect size that belongs next to every
   // significant t-test (agg_ttest says "real", d says "big enough to
