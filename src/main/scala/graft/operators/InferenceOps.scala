@@ -2009,7 +2009,197 @@ object InferenceOps {
       aggTheilDecompose, aggHillTail, aggGainChart,
       eventTransitionTime, embCentroidDrift, aggCochranArmitage,
       graphModularity, aggJackknife, aggWeibullFit, aggCohensD,
-      dqBenfordMad, aggOddsRatio, aggSimpsonParadox, privacyRiskCurve)
+      dqBenfordMad, aggOddsRatio, aggSimpsonParadox, privacyRiskCurve,
+      aggKruskalWallis, aggRevenueBridge)
+
+  // Kruskal–Wallis H — the rank-based one-way ANOVA (the nonparametric
+  // sibling of agg_anova, as agg_mann_whitney is of agg_ttest): do the
+  // return-flag populations draw quantity from the same distribution?
+  // Globally ranking N rows is the classic partition-less-window trap;
+  // tied-average ranks are instead computed on the QUANTITY DOMAIN
+  // (≤ 50 distinct values: cum-count-before + (t+1)/2), so the only
+  // window runs over a value-bounded relation and the per-group rank
+  // sums reuse the same (group × value) rollup. Integer moments stay
+  // exact end-to-end (c·avg_rank is a multiple of 0.5 — exactly
+  // representable); the tie-corrected H divides out 1 − Σ(t³−t)/(N³−N).
+  private lazy val aggKruskalWallis = Op(
+    "agg_kruskal_wallis",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_kw")
+      s.sql("""
+        WITH gv AS (SELECT l_returnflag AS g,
+                           CAST(round(l_quantity) AS BIGINT) AS v,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lineitem_kw GROUP BY 1, 2),
+             dv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS tc
+                    FROM gv GROUP BY 1),
+             ar AS (SELECT v, tc,
+                           CAST(SUM(tc) OVER (ORDER BY v) AS BIGINT) - tc
+                             AS cb
+                    FROM dv),
+             gr AS (SELECT gv.g, CAST(SUM(gv.c) AS BIGINT) AS n,
+                           SUM(CAST(gv.c AS DOUBLE)
+                               * (CAST(ar.cb AS DOUBLE)
+                                  + (CAST(ar.tc AS DOUBLE) + 1) / 2))
+                             AS r
+                    FROM gv JOIN ar ON gv.v = ar.v GROUP BY 1),
+             tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM gr),
+             tie AS (SELECT SUM(CAST(tc AS DOUBLE) * tc * tc - tc) AS s3
+                     FROM dv),
+             h AS (SELECT tt.nn,
+                          12.0D / (CAST(tt.nn AS DOUBLE) * (tt.nn + 1))
+                            * SUM(r * r / n)
+                            - 3.0D * (tt.nn + 1) AS hraw
+                   FROM gr CROSS JOIN tt GROUP BY tt.nn),
+             hc AS (SELECT h.hraw,
+                           h.hraw / (1.0D - tie.s3
+                                     / (CAST(h.nn AS DOUBLE) * h.nn
+                                        * h.nn - h.nn)) AS hcorr
+                    FROM h CROSS JOIN tie)
+        SELECT gr.g AS flag, gr.n,
+               round(gr.r / gr.n, 6) AS mean_rank,
+               round(hc.hraw, 6) AS h_stat,
+               round(hc.hcorr, 6) AS h_tie_corrected,
+               CASE WHEN hc.hcorr > 5.991464547107979D THEN 1 ELSE 0 END
+                 AS reject_95
+        FROM gr CROSS JOIN hc ORDER BY flag""")
+    },
+    Some("""WITH gv AS (SELECT l_returnflag AS g,
+                               CAST(round(l_quantity) AS BIGINT) AS v,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM lineitem GROUP BY 1, 2),
+                 dv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS tc
+                        FROM gv GROUP BY 1),
+                 ar AS (SELECT v, tc,
+                               CAST(SUM(tc) OVER (ORDER BY v) AS BIGINT)
+                                 - tc AS cb
+                        FROM dv),
+                 gr AS (SELECT gv.g, CAST(SUM(gv.c) AS BIGINT) AS n,
+                               SUM(CAST(gv.c AS DOUBLE)
+                                   * (CAST(ar.cb AS DOUBLE)
+                                      + (CAST(ar.tc AS DOUBLE) + 1) / 2))
+                                 AS r
+                        FROM gv JOIN ar ON gv.v = ar.v GROUP BY 1),
+                 tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM gr),
+                 tie AS (SELECT SUM(CAST(tc AS DOUBLE) * tc * tc - tc)
+                                  AS s3
+                         FROM dv),
+                 h AS (SELECT tt.nn,
+                              12.0 / (CAST(tt.nn AS DOUBLE)
+                                      * (tt.nn + 1))
+                                * SUM(r * r / n)
+                                - 3.0 * (tt.nn + 1) AS hraw
+                       FROM gr CROSS JOIN tt GROUP BY tt.nn),
+                 hc AS (SELECT h.hraw,
+                               h.hraw / (1.0 - tie.s3
+                                         / (CAST(h.nn AS DOUBLE) * h.nn
+                                            * h.nn - h.nn)) AS hcorr
+                        FROM h CROSS JOIN tie)
+            SELECT gr.g AS flag, gr.n,
+                   round(gr.r / gr.n, 6) AS mean_rank,
+                   round(hc.hraw, 6) AS h_stat,
+                   round(hc.hcorr, 6) AS h_tie_corrected,
+                   CASE WHEN hc.hcorr > 5.991464547107979
+                        THEN 1 ELSE 0 END AS reject_95
+            FROM gr CROSS JOIN hc ORDER BY flag"""))
+
+  // Revenue bridge (price/volume/mix) — the FP&A waterfall: decompose
+  // each supplier-nation's 1996→1997 revenue change into pure-volume
+  // (period-0 price × period-0 mix scaled by total-quantity growth),
+  // mix-shift (period-0 price × deviation from that scaling), and price
+  // (rate change × period-1 volume); the three sum to Δrevenue exactly.
+  // One year-filtered lineitem scan rolled up to (nation, year) cents
+  // via a broadcast supplier→nation dim join; everything after the
+  // 25-row pivot is scalar double arithmetic on exact BIGINT moments.
+  private lazy val aggRevenueBridge = Op(
+    "agg_revenue_bridge",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_rb")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_rb")
+      t(s, d, "nation").createOrReplaceTempView("nation_rb")
+      s.sql("""
+        WITH li AS (SELECT l_suppkey, year(l_shipdate) AS yr,
+                           CAST(round(l_quantity) AS BIGINT) AS q,
+                           CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 100) AS BIGINT) AS rc
+                    FROM lineitem_rb
+                    WHERE year(l_shipdate) IN (1996, 1997)),
+             sn AS (SELECT s_suppkey, n_name
+                    FROM supplier_rb JOIN nation_rb
+                      ON s_nationkey = n_nationkey),
+             seg AS (SELECT sn.n_name AS nation, li.yr,
+                            CAST(SUM(li.q) AS BIGINT) AS q,
+                            CAST(SUM(li.rc) AS BIGINT) AS rev
+                     FROM li JOIN sn ON li.l_suppkey = sn.s_suppkey
+                     GROUP BY 1, 2),
+             pv AS (SELECT nation,
+                           MAX(CASE WHEN yr = 1996 THEN q END) AS q0,
+                           MAX(CASE WHEN yr = 1996 THEN rev END) AS r0,
+                           MAX(CASE WHEN yr = 1997 THEN q END) AS q1,
+                           MAX(CASE WHEN yr = 1997 THEN rev END) AS r1
+                    FROM seg GROUP BY 1),
+             pb AS (SELECT * FROM pv
+                    WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+                      AND q0 > 0 AND q1 > 0),
+             tq AS (SELECT CAST(SUM(q0) AS BIGINT) AS tq0,
+                           CAST(SUM(q1) AS BIGINT) AS tq1
+                    FROM pb)
+        SELECT pb.nation, pb.q0, pb.q1,
+               round((pb.r1 - pb.r0) / 100.0D, 4) AS delta_rev_usd,
+               round(CAST(pb.r0 AS DOUBLE)
+                     * (CAST(tq.tq1 AS DOUBLE) / tq.tq0 - 1)
+                     / 100.0D, 4) AS volume_effect_usd,
+               round((CAST(pb.r0 AS DOUBLE) * pb.q1 / pb.q0
+                      - CAST(pb.r0 AS DOUBLE) * tq.tq1 / tq.tq0)
+                     / 100.0D, 4) AS mix_effect_usd,
+               round((pb.r1 - CAST(pb.r0 AS DOUBLE) * pb.q1 / pb.q0)
+                     / 100.0D, 4) AS price_effect_usd
+        FROM pb CROSS JOIN tq ORDER BY nation""")
+    },
+    Some("""WITH li AS (SELECT l_suppkey, year(l_shipdate) AS yr,
+                               CAST(round(l_quantity) AS BIGINT) AS q,
+                               CAST(round(l_extendedprice
+                                          * (1 - l_discount) * 100)
+                                    AS BIGINT) AS rc
+                        FROM lineitem
+                        WHERE year(l_shipdate) IN (1996, 1997)),
+                 sn AS (SELECT s_suppkey, n_name
+                        FROM supplier JOIN nation
+                          ON s_nationkey = n_nationkey),
+                 seg AS (SELECT sn.n_name AS nation, li.yr,
+                                CAST(SUM(li.q) AS BIGINT) AS q,
+                                CAST(SUM(li.rc) AS BIGINT) AS rev
+                         FROM li JOIN sn
+                           ON li.l_suppkey = sn.s_suppkey
+                         GROUP BY 1, 2),
+                 pv AS (SELECT nation,
+                               MAX(CASE WHEN yr = 1996 THEN q END)
+                                 AS q0,
+                               MAX(CASE WHEN yr = 1996 THEN rev END)
+                                 AS r0,
+                               MAX(CASE WHEN yr = 1997 THEN q END)
+                                 AS q1,
+                               MAX(CASE WHEN yr = 1997 THEN rev END)
+                                 AS r1
+                        FROM seg GROUP BY 1),
+                 pb AS (SELECT * FROM pv
+                        WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+                          AND q0 > 0 AND q1 > 0),
+                 tq AS (SELECT CAST(SUM(q0) AS BIGINT) AS tq0,
+                               CAST(SUM(q1) AS BIGINT) AS tq1
+                        FROM pb)
+            SELECT pb.nation, pb.q0, pb.q1,
+                   round((pb.r1 - pb.r0) / 100.0, 4) AS delta_rev_usd,
+                   round(CAST(pb.r0 AS DOUBLE)
+                         * (CAST(tq.tq1 AS DOUBLE) / tq.tq0 - 1)
+                         / 100.0, 4) AS volume_effect_usd,
+                   round((CAST(pb.r0 AS DOUBLE) * pb.q1 / pb.q0
+                          - CAST(pb.r0 AS DOUBLE) * tq.tq1 / tq.tq0)
+                         / 100.0, 4) AS mix_effect_usd,
+                   round((pb.r1 - CAST(pb.r0 AS DOUBLE) * pb.q1
+                                    / pb.q0)
+                         / 100.0, 4) AS price_effect_usd
+            FROM pb CROSS JOIN tq ORDER BY nation"""))
 
   // Simpson's-paradox probe — does the aggregate association between
   // discount and quantity reverse inside the return-flag segments? The
