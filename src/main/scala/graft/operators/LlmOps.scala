@@ -2751,7 +2751,56 @@ object LlmOps {
             GROUP BY sh.doc_id
             ORDER BY sh.doc_id"""))
 
+  // Flesch reading-ease + Flesch–Kincaid grade per document — the
+  // classic readability pair, from three regex counts per row (sentences
+  // '[.!?]+', whitespace words, and the vowel-group syllable proxy — the
+  // standard dictionary-free approximation). Pure map-side expression
+  // work: no shuffle at all except the output sort; at 100 TB this is a
+  // single codegen'd scan, the same discipline as text_quality /
+  // text_sentence_stats (whose tokenization it reuses verbatim so the
+  // per-doc word counts agree across the text family).
+  private val textReadability = Op(
+    "text_readability",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_fre")
+      s.sql("""
+        WITH c AS (SELECT doc_id,
+                          greatest(CAST(regexp_count(text, '[.!?]+')
+                                        AS BIGINT), 1L) AS ns,
+                          greatest(CAST(size(split(trim(text), '\\s+'))
+                                        AS BIGINT), 1L) AS nw,
+                          CAST(regexp_count(lower(text), '[aeiouy]+')
+                               AS BIGINT) AS sy
+                   FROM docs_fre)
+        SELECT doc_id, ns AS n_sentences, nw AS n_words,
+               sy AS n_syllables,
+               round(206.835D - 1.015D * nw / ns - 84.6D * sy / nw, 4)
+                 AS flesch_ease,
+               round(0.39D * nw / ns + 11.8D * sy / nw - 15.59D, 4)
+                 AS fk_grade
+        FROM c ORDER BY doc_id""")
+    },
+    Some("""WITH c AS (SELECT doc_id,
+                              greatest(CAST(len(regexp_extract_all(
+                                    text, '[.!?]+')) AS BIGINT), 1)
+                                AS ns,
+                              greatest(CAST(len(string_split_regex(
+                                    trim(text), '\s+')) AS BIGINT), 1)
+                                AS nw,
+                              CAST(len(regexp_extract_all(
+                                    lower(text), '[aeiouy]+'))
+                                   AS BIGINT) AS sy
+                       FROM documents)
+            SELECT doc_id, ns AS n_sentences, nw AS n_words,
+                   sy AS n_syllables,
+                   round(206.835 - 1.015 * nw / ns - 84.6 * sy / nw, 4)
+                     AS flesch_ease,
+                   round(0.39 * nw / ns + 11.8 * sy / nw - 15.59, 4)
+                     AS fk_grade
+            FROM c ORDER BY doc_id"""))
+
   val ops: Seq[Op] = Seq(
+    textReadability,
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
     simPqAdc, textSentenceStats, joinKnnGrid, corpusE2ePipeline,
     dedupMinhashMd5, textNovelty,

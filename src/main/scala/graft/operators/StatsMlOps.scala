@@ -1366,8 +1366,99 @@ object StatsMlOps {
                      AS z
             FROM m WHERE n1 > 0 AND n2 > 0 ORDER BY user_id"""))
 
+  // Offline binary change-point per event type — the split of the daily
+  // count series that maximizes the between-segment variance reduction
+  // (the first step of binary-segmentation / offline CUSUM), i.e. "when
+  // did the regime change", where event_spike_detect / window_cusum only
+  // flag points online. Scored on the DAY DOMAIN: one rollup bounds the
+  // candidate set to |days| rows per type, the split statistic
+  // (n·Sₖ − k·Sₙ)²/(k(n−k)) stays BIGINT-exact in the numerator and is
+  // quantized to 1e-3 before the per-type argmax (the stump-split
+  // discipline), so the winner is engine-independent; windows are
+  // partitioned by type over the bounded day relation.
+  private val aggChangepointBinary = Op(
+    "agg_changepoint_binary",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_cp")
+      s.sql("""
+        WITH dc AS (SELECT event_type,
+                           CAST(unix_timestamp(ts) div 86400 AS BIGINT)
+                             AS day,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM events_cp GROUP BY 1, 2),
+             ix AS (SELECT event_type, day, c,
+                           CAST(ROW_NUMBER() OVER (
+                                  PARTITION BY event_type ORDER BY day)
+                                AS BIGINT) AS k,
+                           CAST(SUM(c) OVER (
+                                  PARTITION BY event_type ORDER BY day)
+                                AS BIGINT) AS s
+                    FROM dc),
+             tt AS (SELECT event_type, CAST(MAX(k) AS BIGINT) AS n,
+                           CAST(MAX(s) AS BIGINT) AS st
+                    FROM ix GROUP BY 1),
+             sc AS (SELECT i.event_type, i.day, i.k, i.s, t.n, t.st,
+                           t.n * i.s - i.k * t.st AS num,
+                           i.k * (t.n - i.k) AS den
+                    FROM ix i JOIN tt t
+                      ON i.event_type = t.event_type
+                    WHERE i.k < t.n),
+             q AS (SELECT event_type, day, k, s, n, st,
+                          CAST(round(CAST(num AS DOUBLE) * num / den
+                                     * 1000) AS BIGINT) AS score_q
+                   FROM sc),
+             r AS (SELECT *, ROW_NUMBER() OVER (
+                               PARTITION BY event_type
+                               ORDER BY score_q DESC, day) AS rn
+                   FROM q)
+        SELECT event_type, n AS n_days, day AS change_epoch_day,
+               round(CAST(s AS DOUBLE) / k, 4) AS mean_before,
+               round(CAST(st - s AS DOUBLE) / (n - k), 4) AS mean_after,
+               round(score_q / 1000.0D, 3) AS split_score
+        FROM r WHERE rn = 1 ORDER BY event_type""")
+    },
+    Some("""WITH dc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+                 ix AS (SELECT event_type, day, c,
+                               CAST(ROW_NUMBER() OVER (
+                                      PARTITION BY event_type
+                                      ORDER BY day) AS BIGINT) AS k,
+                               CAST(SUM(c) OVER (
+                                      PARTITION BY event_type
+                                      ORDER BY day) AS BIGINT) AS s
+                        FROM dc),
+                 tt AS (SELECT event_type, CAST(MAX(k) AS BIGINT) AS n,
+                               CAST(MAX(s) AS BIGINT) AS st
+                        FROM ix GROUP BY 1),
+                 sc AS (SELECT i.event_type, i.day, i.k, i.s, t.n,
+                               t.st,
+                               t.n * i.s - i.k * t.st AS num,
+                               i.k * (t.n - i.k) AS den
+                        FROM ix i JOIN tt t
+                          ON i.event_type = t.event_type
+                        WHERE i.k < t.n),
+                 q AS (SELECT event_type, day, k, s, n, st,
+                              CAST(round(CAST(num AS DOUBLE) * num
+                                         / den * 1000) AS BIGINT)
+                                AS score_q
+                       FROM sc),
+                 r AS (SELECT *, ROW_NUMBER() OVER (
+                                   PARTITION BY event_type
+                                   ORDER BY score_q DESC, day) AS rn
+                       FROM q)
+            SELECT event_type, n AS n_days, day AS change_epoch_day,
+                   round(CAST(s AS DOUBLE) / k, 4) AS mean_before,
+                   round(CAST(st - s AS DOUBLE) / (n - k), 4)
+                     AS mean_after,
+                   round(score_q / 1000.0, 3) AS split_score
+            FROM r WHERE rn = 1 ORDER BY event_type"""))
+
   val ops: Seq[Op] =
-    Seq(aggHhi, aggSpearman, windowBollinger, aggCircularMean,
+    Seq(aggChangepointBinary,
+      aggHhi, aggSpearman, windowBollinger, aggCircularMean,
       eventCooccurrence, textSimpsonDiversity, aggJsDivergence,
       privacyTcloseness, aggLorenz, windowRsi, eventInterarrival,
       dqDuplicateKeys, aggCramersV, embOutlierDistance, textBigramEntropy,
