@@ -2010,7 +2010,120 @@ object InferenceOps {
       eventTransitionTime, embCentroidDrift, aggCochranArmitage,
       graphModularity, aggJackknife, aggWeibullFit, aggCohensD,
       dqBenfordMad, aggOddsRatio, aggSimpsonParadox, privacyRiskCurve,
-      aggKruskalWallis, aggRevenueBridge)
+      aggKruskalWallis, aggRevenueBridge, aggSequentialPeeking)
+
+  // Sequential-monitoring ("peeking") curve — the day-by-day cumulative
+  // two-proportion z between the even/odd user arms, against an
+  // O'Brien–Fleming-shaped spending boundary c/√(information fraction)
+  // (c = 2.963, the classic 5-look OBF critical value at α = 0.05):
+  // the daily dashboard agg_two_proportion_z must NOT be read against
+  // 1.96 — this key produces the boundary that makes daily peeking
+  // honest. Cumulative counts come from day-domain-bounded windows over
+  // the (day, arm) rollup; the z and boundary are scalar doubles on
+  // exact BIGINT cumulatives, so every row is engine-stable after
+  // rounding.
+  private lazy val aggSequentialPeeking = Op(
+    "agg_sequential_peeking",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_pk")
+      s.sql("""
+        WITH e AS (SELECT CAST(unix_timestamp(ts) div 86400 AS BIGINT)
+                            AS day,
+                          CAST(user_id % 2 AS BIGINT) AS arm,
+                          CASE WHEN value >= 100 THEN 1L ELSE 0L END
+                            AS conv
+                   FROM events_pk),
+             dd AS (SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(conv) AS BIGINT) AS c
+                    FROM e GROUP BY 1, 2),
+             cum AS (SELECT day, arm,
+                            CAST(SUM(n) OVER (PARTITION BY arm
+                                              ORDER BY day) AS BIGINT)
+                              AS cn,
+                            CAST(SUM(c) OVER (PARTITION BY arm
+                                              ORDER BY day) AS BIGINT)
+                              AS cc
+                     FROM dd),
+             pr AS (SELECT a.day, a.cn AS n0, a.cc AS c0,
+                           b.cn AS n1, b.cc AS c1
+                    FROM cum a JOIN cum b
+                      ON a.day = b.day AND a.arm = 0 AND b.arm = 1),
+             ix AS (SELECT pr.*,
+                           CAST(ROW_NUMBER() OVER (ORDER BY day)
+                                AS BIGINT) AS k
+                    FROM pr),
+             tt AS (SELECT CAST(MAX(k) AS BIGINT) AS t_days FROM ix),
+             z AS (SELECT ix.day, ix.k, tt.t_days,
+                          ix.n0, ix.c0, ix.n1, ix.c1,
+                          (CAST(ix.c1 AS DOUBLE) / ix.n1
+                           - CAST(ix.c0 AS DOUBLE) / ix.n0)
+                          / sqrt((CAST(ix.c0 + ix.c1 AS DOUBLE)
+                                  / (ix.n0 + ix.n1))
+                                 * (1 - CAST(ix.c0 + ix.c1 AS DOUBLE)
+                                        / (ix.n0 + ix.n1))
+                                 * (1.0D / ix.n0 + 1.0D / ix.n1))
+                            AS zs,
+                          2.963D / sqrt(CAST(ix.k AS DOUBLE)
+                                        / tt.t_days) AS bound
+                   FROM ix CROSS JOIN tt
+                   WHERE ix.c0 + ix.c1 > 0
+                     AND ix.c0 + ix.c1 < ix.n0 + ix.n1)
+        SELECT day AS epoch_day, k AS look_no, n0, c0, n1, c1,
+               round(zs, 6) AS z_cum,
+               round(bound, 6) AS obf_bound,
+               CASE WHEN abs(zs) > bound THEN 1 ELSE 0 END AS crossed
+        FROM z ORDER BY epoch_day""")
+    },
+    Some("""WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                AS day,
+                              CAST(user_id % 2 AS BIGINT) AS arm,
+                              CASE WHEN value >= 100 THEN 1 ELSE 0 END
+                                AS conv
+                       FROM events),
+                 dd AS (SELECT day, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(conv) AS BIGINT) AS c
+                        FROM e GROUP BY 1, 2),
+                 cum AS (SELECT day, arm,
+                                CAST(SUM(n) OVER (PARTITION BY arm
+                                                  ORDER BY day)
+                                     AS BIGINT) AS cn,
+                                CAST(SUM(c) OVER (PARTITION BY arm
+                                                  ORDER BY day)
+                                     AS BIGINT) AS cc
+                         FROM dd),
+                 pr AS (SELECT a.day, a.cn AS n0, a.cc AS c0,
+                               b.cn AS n1, b.cc AS c1
+                        FROM cum a JOIN cum b
+                          ON a.day = b.day AND a.arm = 0
+                         AND b.arm = 1),
+                 ix AS (SELECT pr.*,
+                               CAST(ROW_NUMBER() OVER (ORDER BY day)
+                                    AS BIGINT) AS k
+                        FROM pr),
+                 tt AS (SELECT CAST(MAX(k) AS BIGINT) AS t_days
+                        FROM ix),
+                 z AS (SELECT ix.day, ix.k, tt.t_days,
+                              ix.n0, ix.c0, ix.n1, ix.c1,
+                              (CAST(ix.c1 AS DOUBLE) / ix.n1
+                               - CAST(ix.c0 AS DOUBLE) / ix.n0)
+                              / sqrt((CAST(ix.c0 + ix.c1 AS DOUBLE)
+                                      / (ix.n0 + ix.n1))
+                                     * (1 - CAST(ix.c0 + ix.c1
+                                                 AS DOUBLE)
+                                            / (ix.n0 + ix.n1))
+                                     * (1.0 / ix.n0 + 1.0 / ix.n1))
+                                AS zs,
+                              2.963 / sqrt(CAST(ix.k AS DOUBLE)
+                                           / tt.t_days) AS bound
+                       FROM ix CROSS JOIN tt
+                       WHERE ix.c0 + ix.c1 > 0
+                         AND ix.c0 + ix.c1 < ix.n0 + ix.n1)
+            SELECT day AS epoch_day, k AS look_no, n0, c0, n1, c1,
+                   round(zs, 6) AS z_cum,
+                   round(bound, 6) AS obf_bound,
+                   CASE WHEN abs(zs) > bound THEN 1 ELSE 0 END
+                     AS crossed
+            FROM z ORDER BY epoch_day"""))
 
   // Kruskal–Wallis H — the rank-based one-way ANOVA (the nonparametric
   // sibling of agg_anova, as agg_mann_whitney is of agg_ttest): do the

@@ -2799,8 +2799,69 @@ object LlmOps {
                      AS fk_grade
             FROM c ORDER BY doc_id"""))
 
+  // Length-filter threshold sweep — docs and tokens retained at each
+  // candidate min-length cutoff {100, 250, 500, 1000, 2000} chars: the
+  // planning table behind a corpus length filter (what quality_gate
+  // APPLIES at one threshold, this PRICES across the policy options —
+  // the corpus-side sibling of privacy_risk_curve). One map-side doc
+  // measurement, one 5-way conditional rollup against the exploded
+  // threshold list; totals ride along in the same pass. At 100 TB the
+  // only exchange is the 5-row aggregate.
+  private val corpusFilterSweep = Op(
+    "corpus_filter_sweep",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_fs")
+      s.sql("""
+        WITH dc AS (SELECT CAST(length(text) AS BIGINT) AS nc,
+                           CAST(size(split(trim(text), '\\s+'))
+                                AS BIGINT) AS nt
+                    FROM docs_fs),
+             tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                            CAST(SUM(nt) AS BIGINT) AS ttok
+                     FROM dc),
+             th AS (SELECT explode(array(100, 250, 500, 1000, 2000))
+                             AS min_chars)
+        SELECT CAST(th.min_chars AS BIGINT) AS min_chars,
+               CAST(SUM(CASE WHEN dc.nc >= th.min_chars THEN 1 ELSE 0
+                        END) AS BIGINT) AS docs_kept,
+               round(CAST(SUM(CASE WHEN dc.nc >= th.min_chars
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / MAX(tot.nd), 6) AS doc_share,
+               CAST(SUM(CASE WHEN dc.nc >= th.min_chars THEN dc.nt
+                        ELSE 0 END) AS BIGINT) AS tokens_kept,
+               round(CAST(SUM(CASE WHEN dc.nc >= th.min_chars
+                                   THEN dc.nt ELSE 0 END) AS DOUBLE)
+                     / MAX(tot.ttok), 6) AS token_share
+        FROM dc CROSS JOIN th CROSS JOIN tot
+        GROUP BY th.min_chars ORDER BY min_chars""")
+    },
+    Some("""WITH dc AS (SELECT CAST(length(text) AS BIGINT) AS nc,
+                               CAST(len(string_split_regex(trim(text),
+                                        '\s+')) AS BIGINT) AS nt
+                        FROM documents),
+                 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                                CAST(SUM(nt) AS BIGINT) AS ttok
+                         FROM dc),
+                 th AS (SELECT unnest([100, 250, 500, 1000, 2000])
+                                 AS min_chars)
+            SELECT CAST(th.min_chars AS BIGINT) AS min_chars,
+                   CAST(SUM(CASE WHEN dc.nc >= th.min_chars
+                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+                   round(CAST(SUM(CASE WHEN dc.nc >= th.min_chars
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / MAX(tot.nd), 6) AS doc_share,
+                   CAST(SUM(CASE WHEN dc.nc >= th.min_chars
+                            THEN dc.nt ELSE 0 END) AS BIGINT)
+                     AS tokens_kept,
+                   round(CAST(SUM(CASE WHEN dc.nc >= th.min_chars
+                                       THEN dc.nt ELSE 0 END)
+                              AS DOUBLE) / MAX(tot.ttok), 6)
+                     AS token_share
+            FROM dc CROSS JOIN th CROSS JOIN tot
+            GROUP BY th.min_chars ORDER BY min_chars"""))
+
   val ops: Seq[Op] = Seq(
-    textReadability,
+    textReadability, corpusFilterSweep,
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
     simPqAdc, textSentenceStats, joinKnnGrid, corpusE2ePipeline,
     dedupMinhashMd5, textNovelty,
