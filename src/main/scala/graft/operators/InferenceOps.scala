@@ -2010,7 +2010,166 @@ object InferenceOps {
       eventTransitionTime, embCentroidDrift, aggCochranArmitage,
       graphModularity, aggJackknife, aggWeibullFit, aggCohensD,
       dqBenfordMad, aggOddsRatio, aggSimpsonParadox, privacyRiskCurve,
-      aggKruskalWallis, aggRevenueBridge, aggSequentialPeeking)
+      aggKruskalWallis, aggRevenueBridge, aggSequentialPeeking,
+      aggJamesStein, aggTukeyHsd)
+
+  // James–Stein shrinkage of per-nation mean order values toward the
+  // grand mean — the empirical-Bayes answer to the winner's-curse
+  // leaderboard (the raw top nation is partly luck; the shrunk mean is
+  // the honest estimate). Equal-variance JS: factor
+  // c = max(0, 1 − (k−3)·avg(σ̂²/nᵢ)/Σ(x̄ᵢ−x̄)²) with σ̂² pooled
+  // within-group. One broadcast customer-dim join, one 25-row rollup of
+  // DOLLAR-unit integer moments (cents² overflows BIGINT at sf ≥ 0.1 —
+  // the agg_cov_matrix lesson), then scalar doubles; x̄ is the
+  // unweighted mean of the k group means, as JS acts on the means
+  // vector.
+  private lazy val aggJamesStein = Op(
+    "agg_james_stein",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_js")
+      t(s, d, "customer").createOrReplaceTempView("customer_js")
+      s.sql("""
+        WITH b AS (SELECT c_nationkey AS nk,
+                          CAST(round(o_totalprice) AS BIGINT) AS v
+                   FROM orders_js JOIN customer_js
+                     ON o_custkey = c_custkey),
+             g AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(v) AS BIGINT) AS s,
+                          CAST(SUM(v * v) AS BIGINT) AS ss
+                   FROM b GROUP BY 1),
+             p AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                          SUM(CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * s / n)
+                            / SUM(CAST(n AS DOUBLE) - 1) AS var_w,
+                          SUM(CAST(s AS DOUBLE) / n) / COUNT(*) AS gm
+                   FROM g),
+             sq AS (SELECT SUM((CAST(g.s AS DOUBLE) / g.n - p.gm)
+                               * (CAST(g.s AS DOUBLE) / g.n - p.gm))
+                             AS ssb,
+                           MAX(p.k) AS k, MAX(p.gm) AS gm,
+                           SUM(p.var_w / g.n) / MAX(p.k) AS avg_se2
+                    FROM g CROSS JOIN p),
+             c AS (SELECT k, gm,
+                          greatest(0.0D, 1.0D - (k - 3) * avg_se2
+                                                / ssb) AS shrink
+                   FROM sq)
+        SELECT g.nk AS nationkey, g.n,
+               round(CAST(g.s AS DOUBLE) / g.n, 4) AS raw_mean,
+               round(c.gm + c.shrink
+                     * (CAST(g.s AS DOUBLE) / g.n - c.gm), 4)
+                 AS js_mean,
+               round(c.shrink, 6) AS shrink_factor
+        FROM g CROSS JOIN c ORDER BY nationkey""")
+    },
+    Some("""WITH b AS (SELECT c_nationkey AS nk,
+                              CAST(round(o_totalprice) AS BIGINT) AS v
+                       FROM orders JOIN customer
+                         ON o_custkey = c_custkey),
+                 g AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(v) AS BIGINT) AS s,
+                              CAST(SUM(v * v) AS BIGINT) AS ss
+                       FROM b GROUP BY 1),
+                 p AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                              SUM(CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / n)
+                                / SUM(CAST(n AS DOUBLE) - 1) AS var_w,
+                              SUM(CAST(s AS DOUBLE) / n) / COUNT(*)
+                                AS gm
+                       FROM g),
+                 sq AS (SELECT SUM((CAST(g.s AS DOUBLE) / g.n - p.gm)
+                                   * (CAST(g.s AS DOUBLE) / g.n
+                                      - p.gm)) AS ssb,
+                               MAX(p.k) AS k, MAX(p.gm) AS gm,
+                               SUM(p.var_w / g.n) / MAX(p.k)
+                                 AS avg_se2
+                        FROM g CROSS JOIN p),
+                 c AS (SELECT k, gm,
+                              greatest(0.0, 1.0 - (k - 3) * avg_se2
+                                                  / ssb) AS shrink
+                       FROM sq)
+            SELECT g.nk AS nationkey, g.n,
+                   round(CAST(g.s AS DOUBLE) / g.n, 4) AS raw_mean,
+                   round(c.gm + c.shrink
+                         * (CAST(g.s AS DOUBLE) / g.n - c.gm), 4)
+                     AS js_mean,
+                   round(c.shrink, 6) AS shrink_factor
+            FROM g CROSS JOIN c ORDER BY nationkey"""))
+
+  // Tukey HSD post-hoc — agg_anova says "some return-flag group
+  // differs"; this says WHICH pairs do, at a familywise-honest level:
+  // studentized-range statistic q = |x̄ᵢ−x̄ⱼ|/√(MSW/2·(1/nᵢ+1/nⱼ))
+  // against q₀.₉₅(k=3, df=∞) = 3.314 (pairwise t would triple the
+  // false-alarm rate). Same single pass of exact quantity moments as
+  // the ANOVA, a 3-row self-join for the pairs, scalar doubles after.
+  private lazy val aggTukeyHsd = Op(
+    "agg_tukey_hsd",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_th")
+      s.sql("""
+        WITH g AS (SELECT l_returnflag AS g,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                               AS BIGINT) AS s,
+                          CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+                                   * CAST(round(l_quantity) AS BIGINT))
+                               AS BIGINT) AS ss
+                   FROM lineitem_th GROUP BY 1),
+             w AS (SELECT SUM(CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * s / n)
+                            / SUM(CAST(n AS DOUBLE) - 1) AS msw
+                   FROM g),
+             pr AS (SELECT a.g AS grp_a, b.g AS grp_b,
+                           a.n AS na, b.n AS nb,
+                           CAST(a.s AS DOUBLE) / a.n AS ma,
+                           CAST(b.s AS DOUBLE) / b.n AS mb
+                    FROM g a JOIN g b ON a.g < b.g)
+        SELECT pr.grp_a, pr.grp_b,
+               round(pr.ma, 4) AS mean_a, round(pr.mb, 4) AS mean_b,
+               round(pr.mb - pr.ma, 4) AS diff,
+               round(abs(pr.mb - pr.ma)
+                     / sqrt(w.msw / 2 * (1.0D / pr.na
+                                         + 1.0D / pr.nb)), 4)
+                 AS q_stat,
+               CASE WHEN abs(pr.mb - pr.ma)
+                         / sqrt(w.msw / 2 * (1.0D / pr.na
+                                             + 1.0D / pr.nb))
+                         > 3.314D THEN 1 ELSE 0 END AS significant
+        FROM pr CROSS JOIN w ORDER BY grp_a, grp_b""")
+    },
+    Some("""WITH g AS (SELECT l_returnflag AS g,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(round(l_quantity)
+                                            AS BIGINT)) AS BIGINT)
+                                AS s,
+                              CAST(SUM(CAST(round(l_quantity)
+                                            AS BIGINT)
+                                       * CAST(round(l_quantity)
+                                              AS BIGINT)) AS BIGINT)
+                                AS ss
+                       FROM lineitem GROUP BY 1),
+                 w AS (SELECT SUM(CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / n)
+                                / SUM(CAST(n AS DOUBLE) - 1) AS msw
+                       FROM g),
+                 pr AS (SELECT a.g AS grp_a, b.g AS grp_b,
+                               a.n AS na, b.n AS nb,
+                               CAST(a.s AS DOUBLE) / a.n AS ma,
+                               CAST(b.s AS DOUBLE) / b.n AS mb
+                        FROM g a JOIN g b ON a.g < b.g)
+            SELECT pr.grp_a, pr.grp_b,
+                   round(pr.ma, 4) AS mean_a,
+                   round(pr.mb, 4) AS mean_b,
+                   round(pr.mb - pr.ma, 4) AS diff,
+                   round(abs(pr.mb - pr.ma)
+                         / sqrt(w.msw / 2 * (1.0 / pr.na
+                                             + 1.0 / pr.nb)), 4)
+                     AS q_stat,
+                   CASE WHEN abs(pr.mb - pr.ma)
+                             / sqrt(w.msw / 2 * (1.0 / pr.na
+                                                 + 1.0 / pr.nb))
+                             > 3.314 THEN 1 ELSE 0 END
+                     AS significant
+            FROM pr CROSS JOIN w ORDER BY grp_a, grp_b"""))
 
   // Sequential-monitoring ("peeking") curve — the day-by-day cumulative
   // two-proportion z between the even/odd user arms, against an
