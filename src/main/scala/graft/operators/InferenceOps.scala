@@ -2011,7 +2011,195 @@ object InferenceOps {
       graphModularity, aggJackknife, aggWeibullFit, aggCohensD,
       dqBenfordMad, aggOddsRatio, aggSimpsonParadox, privacyRiskCurve,
       aggKruskalWallis, aggRevenueBridge, aggSequentialPeeking,
-      aggJamesStein, aggTukeyHsd)
+      aggJamesStein, aggTukeyHsd, aggBenjaminiHochberg, aggNegbinFit)
+
+  // Benjamini–Hochberg FDR step-up over the 25 per-nation mean-value
+  // z-tests — at 100 TB you test EVERY segment, and 5% false positives
+  // per test means guaranteed false discoveries; BH caps the FALSE
+  // DISCOVERY RATE at α = 0.10 instead. Two-sided p-values come from
+  // the Abramowitz–Stegun 7.1.26 erf polynomial (spelled identically in
+  // both engines — no erf builtin in either SQL dialect); the p-rank,
+  // the step-up cutoff max{i : p₍ᵢ₎ ≤ iα/k}, and the final flags are
+  // all windows over the 25-row nation domain. Moments are the
+  // james_stein dollar-unit rollup — one scan, one broadcast dim join.
+  private lazy val aggBenjaminiHochberg = Op(
+    "agg_benjamini_hochberg",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_bh")
+      t(s, d, "customer").createOrReplaceTempView("customer_bh")
+      s.sql("""
+        WITH b AS (SELECT c_nationkey AS nk,
+                          CAST(round(o_totalprice) AS BIGINT) AS v
+                   FROM orders_bh JOIN customer_bh
+                     ON o_custkey = c_custkey),
+             g AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(v) AS BIGINT) AS s,
+                          CAST(SUM(v * v) AS BIGINT) AS ss
+                   FROM b GROUP BY 1),
+             p AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                          SUM(CAST(ss AS DOUBLE)
+                              - CAST(s AS DOUBLE) * s / n)
+                            / SUM(CAST(n AS DOUBLE) - 1) AS var_w,
+                          CAST(SUM(s) AS BIGINT) AS ts,
+                          CAST(SUM(n) AS BIGINT) AS tn
+                   FROM g),
+             z AS (SELECT g.nk, g.n, p.k,
+                          abs((CAST(g.s AS DOUBLE) / g.n
+                               - CAST(p.ts AS DOUBLE) / p.tn)
+                              / sqrt(p.var_w / g.n)) AS az
+                   FROM g CROSS JOIN p),
+             pv AS (SELECT nk, n, k,
+                           (0.254829592D
+                              / (1 + 0.3275911D * az
+                                     / 1.4142135623730951D)
+                            - 0.284496736D
+                              / pow(1 + 0.3275911D * az
+                                        / 1.4142135623730951D, 2)
+                            + 1.421413741D
+                              / pow(1 + 0.3275911D * az
+                                        / 1.4142135623730951D, 3)
+                            - 1.453152027D
+                              / pow(1 + 0.3275911D * az
+                                        / 1.4142135623730951D, 4)
+                            + 1.061405429D
+                              / pow(1 + 0.3275911D * az
+                                        / 1.4142135623730951D, 5))
+                           * exp(-az * az / 2) AS pval
+                    FROM z),
+             rk AS (SELECT nk, n, k, pval,
+                           CAST(ROW_NUMBER() OVER (ORDER BY pval, nk)
+                                AS BIGINT) AS i
+                    FROM pv),
+             cut AS (SELECT MAX(CASE WHEN pval <= 0.10D * i / k
+                                     THEN i ELSE 0 END) AS cutoff
+                     FROM rk)
+        SELECT rk.nk AS nationkey, rk.n, rk.i AS p_rank,
+               round(rk.pval, 6) AS p_value,
+               round(0.10D * rk.i / rk.k, 6) AS bh_threshold,
+               CASE WHEN rk.i <= cut.cutoff THEN 1 ELSE 0 END
+                 AS discovery
+        FROM rk CROSS JOIN cut ORDER BY p_rank, nationkey""")
+    },
+    Some("""WITH b AS (SELECT c_nationkey AS nk,
+                              CAST(round(o_totalprice) AS BIGINT) AS v
+                       FROM orders JOIN customer
+                         ON o_custkey = c_custkey),
+                 g AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(v) AS BIGINT) AS s,
+                              CAST(SUM(v * v) AS BIGINT) AS ss
+                       FROM b GROUP BY 1),
+                 p AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                              SUM(CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / n)
+                                / SUM(CAST(n AS DOUBLE) - 1) AS var_w,
+                              CAST(SUM(s) AS BIGINT) AS ts,
+                              CAST(SUM(n) AS BIGINT) AS tn
+                       FROM g),
+                 z AS (SELECT g.nk, g.n, p.k,
+                              abs((CAST(g.s AS DOUBLE) / g.n
+                                   - CAST(p.ts AS DOUBLE) / p.tn)
+                                  / sqrt(p.var_w / g.n)) AS az
+                       FROM g CROSS JOIN p),
+                 pv AS (SELECT nk, n, k,
+                               (0.254829592
+                                  / (1 + 0.3275911 * az
+                                         / 1.4142135623730951)
+                                - 0.284496736
+                                  / pow(1 + 0.3275911 * az
+                                            / 1.4142135623730951, 2)
+                                + 1.421413741
+                                  / pow(1 + 0.3275911 * az
+                                            / 1.4142135623730951, 3)
+                                - 1.453152027
+                                  / pow(1 + 0.3275911 * az
+                                            / 1.4142135623730951, 4)
+                                + 1.061405429
+                                  / pow(1 + 0.3275911 * az
+                                            / 1.4142135623730951, 5))
+                               * exp(-az * az / 2) AS pval
+                        FROM z),
+                 rk AS (SELECT nk, n, k, pval,
+                               CAST(ROW_NUMBER() OVER (
+                                      ORDER BY pval, nk) AS BIGINT)
+                                 AS i
+                        FROM pv),
+                 cut AS (SELECT MAX(CASE WHEN pval <= 0.10 * i / k
+                                         THEN i ELSE 0 END) AS cutoff
+                         FROM rk)
+            SELECT rk.nk AS nationkey, rk.n, rk.i AS p_rank,
+                   round(rk.pval, 6) AS p_value,
+                   round(0.10 * rk.i / rk.k, 6) AS bh_threshold,
+                   CASE WHEN rk.i <= cut.cutoff THEN 1 ELSE 0 END
+                     AS discovery
+            FROM rk CROSS JOIN cut ORDER BY p_rank, nationkey"""))
+
+  // Negative-binomial overdispersion fit per event type — daily counts
+  // are almost never Poisson (var = mean); the moment fit
+  // r = m²/(v−m), p = m/v quantifies HOW overdispersed, which is what
+  // sizes alert thresholds and capacity buffers honestly (a Poisson
+  // assumption under-alarms). Day-domain rollup (one shuffle bounded by
+  // |days|×|types|), exact integer day-count moments, scalar doubles at
+  // the end; dispersion ≤ 1 (under-dispersed) yields NULL r/p by the
+  // NULLIF guard rather than a negative "fit".
+  private lazy val aggNegbinFit = Op(
+    "agg_negbin_fit",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_nb")
+      s.sql("""
+        WITH dc AS (SELECT event_type,
+                           CAST(unix_timestamp(ts) div 86400 AS BIGINT)
+                             AS day,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM events_nb GROUP BY 1, 2),
+             m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(c) AS BIGINT) AS s,
+                          CAST(SUM(c * c) AS BIGINT) AS ss
+                   FROM dc GROUP BY 1),
+             f AS (SELECT event_type, n,
+                          CAST(s AS DOUBLE) / n AS mean_d,
+                          (CAST(ss AS DOUBLE)
+                           - CAST(s AS DOUBLE) * s / n) / (n - 1)
+                            AS var_d
+                   FROM m)
+        SELECT event_type, n AS n_days,
+               round(mean_d, 4) AS mean_daily,
+               round(var_d, 4) AS var_daily,
+               round(var_d / mean_d, 4) AS dispersion,
+               round(mean_d * mean_d
+                     / NULLIF(greatest(var_d - mean_d, 0.0D), 0.0D),
+                     4) AS nb_r,
+               round(mean_d / NULLIF(CASE WHEN var_d > mean_d
+                                          THEN var_d END, 0.0D), 6)
+                 AS nb_p
+        FROM f ORDER BY event_type""")
+    },
+    Some("""WITH dc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT)
+                                 // 86400 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+                 m AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(c) AS BIGINT) AS s,
+                              CAST(SUM(c * c) AS BIGINT) AS ss
+                       FROM dc GROUP BY 1),
+                 f AS (SELECT event_type, n,
+                              CAST(s AS DOUBLE) / n AS mean_d,
+                              (CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * s / n) / (n - 1)
+                                AS var_d
+                       FROM m)
+            SELECT event_type, n AS n_days,
+                   round(mean_d, 4) AS mean_daily,
+                   round(var_d, 4) AS var_daily,
+                   round(var_d / mean_d, 4) AS dispersion,
+                   round(mean_d * mean_d
+                         / NULLIF(greatest(var_d - mean_d, 0.0), 0.0),
+                         4) AS nb_r,
+                   round(mean_d / NULLIF(CASE WHEN var_d > mean_d
+                                              THEN var_d END, 0.0),
+                         6) AS nb_p
+            FROM f ORDER BY event_type"""))
 
   // James–Stein shrinkage of per-nation mean order values toward the
   // grand mean — the empirical-Bayes answer to the winner's-curse
