@@ -2011,7 +2011,136 @@ object InferenceOps {
       graphModularity, aggJackknife, aggWeibullFit, aggCohensD,
       dqBenfordMad, aggOddsRatio, aggSimpsonParadox, privacyRiskCurve,
       aggKruskalWallis, aggRevenueBridge, aggSequentialPeeking,
-      aggJamesStein, aggTukeyHsd, aggBenjaminiHochberg, aggNegbinFit)
+      aggJamesStein, aggTukeyHsd, aggBenjaminiHochberg, aggNegbinFit,
+      aggPowerAnalysis, aggRareCollapse)
+
+  // Experiment power analysis from MEASURED baselines — required n per
+  // arm and days-to-run for relative MDEs {5,10,20,50}%, using the
+  // standard two-proportion formula (z₀.₉₇₅+z₀.₈)²·(p₀q₀+p₁q₁)/δ² with
+  // the baseline conversion and daily traffic taken from the events
+  // table itself (the planning table you consult BEFORE
+  // agg_sequential_peeking monitors the run). One scan for three exact
+  // counts, then pure scalar IEEE arithmetic (no libm transcendentals),
+  // so the ceil'd integers agree across engines.
+  private lazy val aggPowerAnalysis = Op(
+    "agg_power_analysis",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_pw")
+      s.sql("""
+        WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(SUM(CASE WHEN value >= 100 THEN 1
+                                      ELSE 0 END) AS BIGINT) AS c,
+                             CAST(COUNT(DISTINCT unix_timestamp(ts)
+                                        div 86400) AS BIGINT) AS days
+                      FROM events_pw),
+             p AS (SELECT n, c, days,
+                          CAST(c AS DOUBLE) / n AS p0,
+                          CAST(n AS DOUBLE) / days AS daily
+                   FROM base),
+             m AS (SELECT explode(array(5, 10, 20, 50)) AS mde_pct)
+        SELECT CAST(m.mde_pct AS BIGINT) AS mde_pct,
+               round(p.p0, 6) AS baseline_rate,
+               round(p.p0 * (1 + m.mde_pct / 100.0D), 6)
+                 AS target_rate,
+               CAST(ceil(
+                 (1.959963984540054D + 0.8416212335729143D)
+                 * (1.959963984540054D + 0.8416212335729143D)
+                 * (p.p0 * (1 - p.p0)
+                    + p.p0 * (1 + m.mde_pct / 100.0D)
+                      * (1 - p.p0 * (1 + m.mde_pct / 100.0D)))
+                 / ((p.p0 * m.mde_pct / 100.0D)
+                    * (p.p0 * m.mde_pct / 100.0D))) AS BIGINT)
+                 AS n_per_arm,
+               CAST(ceil(2.0D * ceil(
+                 (1.959963984540054D + 0.8416212335729143D)
+                 * (1.959963984540054D + 0.8416212335729143D)
+                 * (p.p0 * (1 - p.p0)
+                    + p.p0 * (1 + m.mde_pct / 100.0D)
+                      * (1 - p.p0 * (1 + m.mde_pct / 100.0D)))
+                 / ((p.p0 * m.mde_pct / 100.0D)
+                    * (p.p0 * m.mde_pct / 100.0D))) / p.daily)
+                 AS BIGINT) AS days_required
+        FROM p CROSS JOIN m ORDER BY mde_pct""")
+    },
+    Some("""WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                                 CAST(SUM(CASE WHEN value >= 100
+                                          THEN 1 ELSE 0 END)
+                                      AS BIGINT) AS c,
+                                 CAST(COUNT(DISTINCT
+                                        CAST(floor(epoch(ts))
+                                             AS BIGINT) // 86400)
+                                      AS BIGINT) AS days
+                          FROM events),
+                 p AS (SELECT n, c, days,
+                              CAST(c AS DOUBLE) / n AS p0,
+                              CAST(n AS DOUBLE) / days AS daily
+                       FROM base),
+                 m AS (SELECT unnest([5, 10, 20, 50]) AS mde_pct)
+            SELECT CAST(m.mde_pct AS BIGINT) AS mde_pct,
+                   round(p.p0, 6) AS baseline_rate,
+                   round(p.p0 * (1 + m.mde_pct / 100.0), 6)
+                     AS target_rate,
+                   CAST(ceil(
+                     (1.959963984540054 + 0.8416212335729143)
+                     * (1.959963984540054 + 0.8416212335729143)
+                     * (p.p0 * (1 - p.p0)
+                        + p.p0 * (1 + m.mde_pct / 100.0)
+                          * (1 - p.p0 * (1 + m.mde_pct / 100.0)))
+                     / ((p.p0 * m.mde_pct / 100.0)
+                        * (p.p0 * m.mde_pct / 100.0))) AS BIGINT)
+                     AS n_per_arm,
+                   CAST(ceil(2.0 * ceil(
+                     (1.959963984540054 + 0.8416212335729143)
+                     * (1.959963984540054 + 0.8416212335729143)
+                     * (p.p0 * (1 - p.p0)
+                        + p.p0 * (1 + m.mde_pct / 100.0)
+                          * (1 - p.p0 * (1 + m.mde_pct / 100.0)))
+                     / ((p.p0 * m.mde_pct / 100.0)
+                        * (p.p0 * m.mde_pct / 100.0))) / p.daily)
+                     AS BIGINT) AS days_required
+            FROM p CROSS JOIN m ORDER BY mde_pct"""))
+
+  // Rare-category collapse — the "long tail → OTHER" feature-hygiene
+  // step (one-hot/feature-store prep chokes on 150 part types; models
+  // overfit categories with a handful of rows). Keep categories holding
+  // ≥ 1% of rows, fold the rest into OTHER; the threshold compare is
+  // pure integer (100·n ≥ total — no float share), so membership is
+  // engine-exact. One count rollup bounded by the category domain, a
+  // scalar total broadcast back, one 2nd rollup over the relabeled
+  // categories.
+  private lazy val aggRareCollapse = Op(
+    "agg_rare_collapse",
+    (s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_rc")
+      s.sql("""
+        WITH g AS (SELECT p_type AS cat, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM part_rc GROUP BY 1),
+             t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+             lab AS (SELECT CASE WHEN g.n * 100 >= t.tot THEN g.cat
+                                 ELSE 'OTHER' END AS category, g.n
+                     FROM g CROSS JOIN t)
+        SELECT lab.category, CAST(SUM(lab.n) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_source_cats,
+               round(CAST(SUM(lab.n) AS DOUBLE) / MAX(t.tot), 6)
+                 AS share
+        FROM lab CROSS JOIN t GROUP BY lab.category
+        ORDER BY n_rows DESC, category""")
+    },
+    Some("""WITH g AS (SELECT p_type AS cat,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM part GROUP BY 1),
+                 t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+                 lab AS (SELECT CASE WHEN g.n * 100 >= t.tot
+                                     THEN g.cat
+                                     ELSE 'OTHER' END AS category,
+                                g.n
+                         FROM g CROSS JOIN t)
+            SELECT lab.category, CAST(SUM(lab.n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_source_cats,
+                   round(CAST(SUM(lab.n) AS DOUBLE) / MAX(t.tot), 6)
+                     AS share
+            FROM lab CROSS JOIN t GROUP BY lab.category
+            ORDER BY n_rows DESC, category"""))
 
   // Benjamini–Hochberg FDR step-up over the 25 per-nation mean-value
   // z-tests — at 100 TB you test EVERY segment, and 5% false positives
