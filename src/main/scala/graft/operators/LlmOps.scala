@@ -2860,8 +2860,183 @@ object LlmOps {
             FROM dc CROSS JOIN th CROSS JOIN tot
             GROUP BY th.min_chars ORDER BY min_chars"""))
 
+  // Heaps'-law fit — vocabulary growth V(N) ≈ K·N^β, the dual of
+  // text_zipf_fit (Zipf: how often words repeat; Heaps: how fast NEW
+  // words keep arriving — what sizes a tokenizer vocab or a dedup
+  // dictionary as the corpus scales). Cumulative-vocab-at-prefix is
+  // inherently sequential, so it is re-expressed as joins: each word's
+  // FIRST doc (one rollup) against doc-id thresholds at {5,10,25,50,
+  // 100}% of max — vocab at a cutoff is "words whose first doc ≤
+  // cutoff", token mass is a conditional sum, both exact BIGINTs. The
+  // 5-point log-log OLS for (K, β) is scalar double work on one row.
+  private val textHeapsFit = Op(
+    "text_heaps_fit",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_hp")
+      s.sql("""
+        WITH w AS (SELECT doc_id, w AS word
+                   FROM docs_hp
+                   LATERAL VIEW explode(split(lower(trim(text)),
+                                              '\\s+')) AS w),
+             fw AS (SELECT word, CAST(MIN(doc_id) AS BIGINT) AS fd
+                    FROM w GROUP BY 1),
+             dt AS (SELECT doc_id,
+                           CAST(size(split(trim(text), '\\s+'))
+                                AS BIGINT) AS nt
+                    FROM docs_hp),
+             mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mid
+                    FROM docs_hp),
+             th AS (SELECT CAST(pct AS BIGINT) AS pct,
+                           CAST(round(mx.mid * pct / 100.0D) AS BIGINT)
+                             AS cut
+                    FROM mx LATERAL VIEW
+                      explode(array(5, 10, 25, 50, 100)) AS pct),
+             pk AS (SELECT th.pct, th.cut,
+                           CAST(SUM(CASE WHEN dt.doc_id <= th.cut
+                                    THEN dt.nt ELSE 0 END) AS BIGINT)
+                             AS toks
+                    FROM th CROSS JOIN dt GROUP BY th.pct, th.cut),
+             pvv AS (SELECT th.pct,
+                            CAST(SUM(CASE WHEN fw.fd <= th.cut
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                              AS vocab
+                     FROM th CROSS JOIN fw GROUP BY th.pct),
+             pt AS (SELECT pk.pct, pk.cut, pk.toks, pvv.vocab
+                    FROM pk JOIN pvv ON pk.pct = pvv.pct),
+             ols AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                            SUM(ln(CAST(toks AS DOUBLE))) AS sx,
+                            SUM(ln(CAST(vocab AS DOUBLE))) AS sy,
+                            SUM(ln(CAST(toks AS DOUBLE))
+                                * ln(CAST(toks AS DOUBLE))) AS sxx,
+                            SUM(ln(CAST(toks AS DOUBLE))
+                                * ln(CAST(vocab AS DOUBLE))) AS sxy
+                     FROM pt),
+             f AS (SELECT (k * sxy - sx * sy)
+                            / (k * sxx - sx * sx) AS beta,
+                          exp(sy / k - (k * sxy - sx * sy)
+                                       / (k * sxx - sx * sx)
+                                       * sx / k) AS kk
+                   FROM ols)
+        SELECT pt.pct AS prefix_pct, pt.toks AS n_tokens,
+               pt.vocab AS vocab_size,
+               round(f.beta, 4) AS heaps_beta,
+               round(f.kk, 4) AS heaps_k
+        FROM pt CROSS JOIN f ORDER BY prefix_pct""")
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split_regex(
+                                lower(trim(text)), '\s+')) AS word
+                       FROM documents),
+                 fw AS (SELECT word, CAST(MIN(doc_id) AS BIGINT) AS fd
+                        FROM w GROUP BY 1),
+                 dt AS (SELECT doc_id,
+                               CAST(len(string_split_regex(trim(text),
+                                        '\s+')) AS BIGINT) AS nt
+                        FROM documents),
+                 mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mid
+                        FROM documents),
+                 th AS (SELECT CAST(pct AS BIGINT) AS pct,
+                               CAST(round(mx.mid * pct / 100.0)
+                                    AS BIGINT) AS cut
+                        FROM mx, unnest([5, 10, 25, 50, 100])
+                                   AS t(pct)),
+                 pk AS (SELECT th.pct, th.cut,
+                               CAST(SUM(CASE WHEN dt.doc_id
+                                                  <= th.cut
+                                        THEN dt.nt ELSE 0 END)
+                                    AS BIGINT) AS toks
+                        FROM th CROSS JOIN dt
+                        GROUP BY th.pct, th.cut),
+                 pvv AS (SELECT th.pct,
+                                CAST(SUM(CASE WHEN fw.fd <= th.cut
+                                         THEN 1 ELSE 0 END)
+                                     AS BIGINT) AS vocab
+                         FROM th CROSS JOIN fw GROUP BY th.pct),
+                 pt AS (SELECT pk.pct, pk.cut, pk.toks, pvv.vocab
+                        FROM pk JOIN pvv ON pk.pct = pvv.pct),
+                 ols AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                                SUM(ln(CAST(toks AS DOUBLE))) AS sx,
+                                SUM(ln(CAST(vocab AS DOUBLE))) AS sy,
+                                SUM(ln(CAST(toks AS DOUBLE))
+                                    * ln(CAST(toks AS DOUBLE)))
+                                  AS sxx,
+                                SUM(ln(CAST(toks AS DOUBLE))
+                                    * ln(CAST(vocab AS DOUBLE)))
+                                  AS sxy
+                         FROM pt),
+                 f AS (SELECT (k * sxy - sx * sy)
+                                / (k * sxx - sx * sx) AS beta,
+                              exp(sy / k - (k * sxy - sx * sy)
+                                           / (k * sxx - sx * sx)
+                                           * sx / k) AS kk
+                       FROM ols)
+            SELECT pt.pct AS prefix_pct, pt.toks AS n_tokens,
+                   pt.vocab AS vocab_size,
+                   round(f.beta, 4) AS heaps_beta,
+                   round(f.kk, 4) AS heaps_k
+            FROM pt CROSS JOIN f ORDER BY prefix_pct"""))
+
+  // Shard-balance audit — the skew report for the corpus_shard_write
+  // layout: per-shard token mass under the same md5 assignment (two hex
+  // chars → 256 shards), reduced to the numbers a training-loader SRE
+  // reads: max/mean (the straggler stall factor — epoch time is set by
+  // the FULLEST shard), min/mean, and the coefficient of variation.
+  // One explode-free scan (n_chars is the mass proxy), one 256-row
+  // rollup, scalar doubles on exact BIGINT moments.
+  private val corpusShardBalance = Op(
+    "corpus_shard_balance",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_sb")
+      s.sql("""
+        WITH sh AS (SELECT substring(md5(CAST(doc_id AS STRING)), 1, 2)
+                             AS shard,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(n_chars) AS BIGINT) AS mass
+                    FROM docs_sb GROUP BY 1),
+             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+                          CAST(SUM(mass) AS BIGINT) AS tot,
+                          CAST(MIN(mass) AS BIGINT) AS mn,
+                          CAST(MAX(mass) AS BIGINT) AS mx,
+                          CAST(SUM(mass * mass) AS BIGINT) AS ss
+                   FROM sh)
+        SELECT n_shards, tot AS total_chars, mn AS min_shard,
+               mx AS max_shard,
+               round(CAST(mx AS DOUBLE) * n_shards / tot, 4)
+                 AS max_over_mean,
+               round(CAST(mn AS DOUBLE) * n_shards / tot, 4)
+                 AS min_over_mean,
+               round(sqrt((CAST(ss AS DOUBLE)
+                           - CAST(tot AS DOUBLE) * tot / n_shards)
+                          / (n_shards - 1))
+                     / (CAST(tot AS DOUBLE) / n_shards), 4) AS cv
+        FROM m""")
+    },
+    Some("""WITH sh AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 2) AS shard,
+                               CAST(COUNT(*) AS BIGINT) AS n_docs,
+                               CAST(SUM(n_chars) AS BIGINT) AS mass
+                        FROM documents GROUP BY 1),
+                 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+                              CAST(SUM(mass) AS BIGINT) AS tot,
+                              CAST(MIN(mass) AS BIGINT) AS mn,
+                              CAST(MAX(mass) AS BIGINT) AS mx,
+                              CAST(SUM(mass * mass) AS BIGINT) AS ss
+                       FROM sh)
+            SELECT n_shards, tot AS total_chars, mn AS min_shard,
+                   mx AS max_shard,
+                   round(CAST(mx AS DOUBLE) * n_shards / tot, 4)
+                     AS max_over_mean,
+                   round(CAST(mn AS DOUBLE) * n_shards / tot, 4)
+                     AS min_over_mean,
+                   round(sqrt((CAST(ss AS DOUBLE)
+                               - CAST(tot AS DOUBLE) * tot
+                                 / n_shards)
+                              / (n_shards - 1))
+                         / (CAST(tot AS DOUBLE) / n_shards), 4)
+                     AS cv
+            FROM m"""))
+
   val ops: Seq[Op] = Seq(
-    textReadability, corpusFilterSweep,
+    textReadability, corpusFilterSweep, textHeapsFit, corpusShardBalance,
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
     simPqAdc, textSentenceStats, joinKnnGrid, corpusE2ePipeline,
     dedupMinhashMd5, textNovelty,
