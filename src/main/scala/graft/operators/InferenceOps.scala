@@ -2012,7 +2012,135 @@ object InferenceOps {
       dqBenfordMad, aggOddsRatio, aggSimpsonParadox, privacyRiskCurve,
       aggKruskalWallis, aggRevenueBridge, aggSequentialPeeking,
       aggJamesStein, aggTukeyHsd, aggBenjaminiHochberg, aggNegbinFit,
-      aggPowerAnalysis, aggRareCollapse)
+      aggPowerAnalysis, aggRareCollapse, eventHodDivergence, aggWilsonCi)
+
+  // Hour-of-day profile divergence per event type — Jensen–Shannon
+  // distance between each type's 24-cell hour-of-day distribution and
+  // the all-traffic profile: the "which behavior is temporally
+  // anomalous" readout on top of event_heatmap_hod_dow's raw cells
+  // (bots and batch jobs jump out as high-JS types). One rollup bounded
+  // by 24×|types| cells; JS from exact counts with 0·ln0 = 0 handled by
+  // the CASE guards; base-2 via /ln(2) so the distance is in bits.
+  private lazy val eventHodDivergence = Op(
+    "event_hod_divergence",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_hd")
+      s.sql("""
+        WITH c AS (SELECT event_type,
+                          CAST(unix_timestamp(ts) div 3600 % 24
+                               AS BIGINT) AS hod,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events_hd GROUP BY 1, 2),
+             tt AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn
+                    FROM c GROUP BY 1),
+             g AS (SELECT hod, CAST(SUM(n) AS BIGINT) AS gn
+                   FROM c GROUP BY 1),
+             gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS gtot FROM g),
+             p AS (SELECT c.event_type, c.hod,
+                          CAST(c.n AS DOUBLE) / tt.tn AS pp,
+                          CAST(g.gn AS DOUBLE) / gt.gtot AS qq
+                   FROM c JOIN tt ON c.event_type = tt.event_type
+                          JOIN g ON c.hod = g.hod
+                          CROSS JOIN gt),
+             js AS (SELECT event_type,
+                           SUM(CASE WHEN pp > 0
+                                    THEN pp * ln(pp / ((pp + qq) / 2))
+                                    ELSE 0 END) / 2 / ln(2.0D)
+                           + SUM(CASE WHEN qq > 0
+                                      THEN qq * ln(qq / ((pp + qq)
+                                                         / 2))
+                                      ELSE 0 END) / 2 / ln(2.0D)
+                             AS jsd
+                    FROM p GROUP BY 1)
+        SELECT event_type, round(jsd, 6) AS js_divergence_bits,
+               round(sqrt(jsd), 6) AS js_distance
+        FROM js ORDER BY event_type""")
+    },
+    Some("""WITH c AS (SELECT event_type,
+                              (CAST(floor(epoch(ts)) AS BIGINT)
+                               // 3600) % 24 AS hod,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+                 tt AS (SELECT event_type,
+                               CAST(SUM(n) AS BIGINT) AS tn
+                        FROM c GROUP BY 1),
+                 g AS (SELECT hod, CAST(SUM(n) AS BIGINT) AS gn
+                       FROM c GROUP BY 1),
+                 gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS gtot
+                        FROM g),
+                 p AS (SELECT c.event_type, c.hod,
+                              CAST(c.n AS DOUBLE) / tt.tn AS pp,
+                              CAST(g.gn AS DOUBLE) / gt.gtot AS qq
+                       FROM c JOIN tt
+                              ON c.event_type = tt.event_type
+                            JOIN g ON c.hod = g.hod
+                            CROSS JOIN gt),
+                 js AS (SELECT event_type,
+                               SUM(CASE WHEN pp > 0
+                                        THEN pp * ln(pp / ((pp + qq)
+                                                           / 2))
+                                        ELSE 0 END) / 2 / ln(2.0)
+                               + SUM(CASE WHEN qq > 0
+                                          THEN qq * ln(qq
+                                                 / ((pp + qq) / 2))
+                                          ELSE 0 END) / 2 / ln(2.0)
+                                 AS jsd
+                        FROM p GROUP BY 1)
+            SELECT event_type, round(jsd, 6) AS js_divergence_bits,
+                   round(sqrt(jsd), 6) AS js_distance
+            FROM js ORDER BY event_type"""))
+
+  // Wilson score interval per event type — the proportion CI that stays
+  // honest at extreme rates and small n, where the Wald interval
+  // (p̂ ± 1.96·SE) collapses to zero width at p̂ ∈ {0,1} and overshoots
+  // [0,1]: center (p̂ + z²/2n)/(1 + z²/n), half-width
+  // z·√(p̂q̂/n + z²/4n²)/(1 + z²/n). Exact counts from one scan; the
+  // interval is scalar IEEE arithmetic (sqrt only — no libm drift).
+  private lazy val aggWilsonCi = Op(
+    "agg_wilson_ci",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_wc")
+      s.sql("""
+        WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN value >= 100 THEN 1
+                                   ELSE 0 END) AS BIGINT) AS k
+                   FROM events_wc GROUP BY 1),
+             w AS (SELECT event_type, n, k,
+                          CAST(k AS DOUBLE) / n AS p,
+                          3.841458820694124D / n AS z2n
+                   FROM c)
+        SELECT event_type, n, k,
+               round(p, 6) AS p_hat,
+               round((p + z2n / 2) / (1 + z2n)
+                     - 1.959963984540054D
+                       * sqrt(p * (1 - p) / n + z2n / (4 * n))
+                       / (1 + z2n), 6) AS wilson_lo,
+               round((p + z2n / 2) / (1 + z2n)
+                     + 1.959963984540054D
+                       * sqrt(p * (1 - p) / n + z2n / (4 * n))
+                       / (1 + z2n), 6) AS wilson_hi
+        FROM w ORDER BY event_type""")
+    },
+    Some("""WITH c AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CASE WHEN value >= 100 THEN 1
+                                       ELSE 0 END) AS BIGINT) AS k
+                       FROM events GROUP BY 1),
+                 w AS (SELECT event_type, n, k,
+                              CAST(k AS DOUBLE) / n AS p,
+                              3.841458820694124 / n AS z2n
+                       FROM c)
+            SELECT event_type, n, k,
+                   round(p, 6) AS p_hat,
+                   round((p + z2n / 2) / (1 + z2n)
+                         - 1.959963984540054
+                           * sqrt(p * (1 - p) / n + z2n / (4 * n))
+                           / (1 + z2n), 6) AS wilson_lo,
+                   round((p + z2n / 2) / (1 + z2n)
+                         + 1.959963984540054
+                           * sqrt(p * (1 - p) / n + z2n / (4 * n))
+                           / (1 + z2n), 6) AS wilson_hi
+            FROM w ORDER BY event_type"""))
 
   // Experiment power analysis from MEASURED baselines — required n per
   // arm and days-to-run for relative MDEs {5,10,20,50}%, using the
