@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * (/root/reference/.devcontainer/src/my_datapipeline/framework.py:154-168
   * batch read → transform → write; graph iteration is a transform).
   *
-  * Both keys run driver-coordinated FIXPOINT loops — the standard Spark
+  * `graph_components` runs large-star/small-star contraction (O(log n)
+  * rounds — see [[LlmOps.connectedComponents]]); the BFS/SSSP keys run
+  * driver-coordinated FIXPOINT loops — the standard Spark
   * iterative-graph shape (what GraphX/Pregel do under the hood): each
   * iteration is one shuffle-free broadcast-or-hash join plus a map-side
   * combinable `min` aggregate, lineage is cut with `localCheckpoint` so the
@@ -18,9 +20,9 @@ import org.apache.spark.sql.functions._
   * monotone aggregate (`sum(comp)` / `(count, sum)` of hops) rather than a
   * row-level diff join. At 100 TB the same loop holds: the label/dist
   * relation shuffles on vertex id once per round, the edge relation is
-  * re-used from cache, and rounds are bounded by graph diameter — for
-  * web-scale graphs one would swap in the large-star/small-star contraction
-  * (as `dedup_clusters` does) to cut round count to O(log n).
+  * re-used from cache, and BFS/SSSP rounds are inherently bounded by the
+  * hop radius of interest (a BFS MUST touch frontier k before k+1 — there
+  * is no sublinear-round spelling to port, unlike components).
   *
   * Determinism: the edge set is an exact integer-count derivation (`w % 7`
   * sparsification keeps a nontrivial component structure), min-label /
@@ -68,35 +70,25 @@ object GraphOps {
       |  SELECT u AS src, v AS dst FROM und
       |  UNION SELECT v, u FROM und)""".stripMargin
 
-  // Connected components by min-label propagation: every vertex starts
-  // labelled with its own id; each round a vertex adopts the minimum label
-  // among itself and its neighbours. The fixpoint label is the minimum
-  // vertex id reachable from each vertex = a canonical component id.
-  // Convergence: sum(comp) is strictly decreasing until the fixpoint, so a
-  // single scalar aggregate per round detects it (no row diff join). Rounds
-  // ≤ graph diameter, hard-capped defensively.
+  // Connected components by large-star/small-star contraction
+  // ([[LlmOps.connectedComponents]] — the same machinery that labels the
+  // dedup similarity graph): O(log n) driver-coordinated rounds instead of
+  // the O(graph diameter) rounds plain min-label propagation needs — the
+  // difference between ~40 and ~10 sequential shuffle rounds on a 100 TB
+  // long-diameter graph. The fixpoint label is still the minimum vertex id
+  // reachable from each vertex (unique solution, engine-independent);
+  // isolated vertices never appear in the edge relation, so they re-enter
+  // at the output boundary as their own singleton component via the
+  // left join + coalesce. Round bound on a planted path graph (the shape
+  // where propagation degenerates to n rounds) is asserted in GraphOpsSpec.
   private val graphComponents = Op(
     "graph_components",
     (s, d) => {
-      val e = supplyEdges(s, d).cache()
-      val n = nodes(s, d)
-      var lab = n.withColumn("comp", col("vid")).localCheckpoint()
-      var prev = -1L
-      var cur = lab.agg(sum("comp")).head.getLong(0)
-      var it = 0
-      while (cur != prev && it < 30) {
-        val nbrMin = e.join(lab, e("src") === lab("vid"))
-          .groupBy(e("dst").as("nv")).agg(min(col("comp")).as("nc"))
-        lab = lab.join(nbrMin, lab("vid") === col("nv"), "left")
-          .select(col("vid"),
-            least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-          .localCheckpoint()
-        prev = cur
-        cur = lab.agg(sum("comp")).head.getLong(0)
-        it += 1
-      }
-      e.unpersist()
-      lab.orderBy("vid")
+      val labels = LlmOps.connectedComponents(
+        supplyEdges(s, d).select(col("src").as("u"), col("dst").as("v")))
+      nodes(s, d).join(labels, col("vid") === col("node"), "left")
+        .select(col("vid"), coalesce(col("lab"), col("vid")).as("comp"))
+        .orderBy("vid")
     },
     Some(s"""WITH RECURSIVE $oracleEdgeCte,
              nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS vid FROM nation),

@@ -2021,6 +2021,12 @@ object InferenceOps {
   // (bots and batch jobs jump out as high-JS types). One rollup bounded
   // by 24×|types| cells; JS from exact counts with 0·ln0 = 0 handled by
   // the CASE guards; base-2 via /ln(2) so the distance is in bits.
+  // The grid is DENSIFIED (types × observed hours, COALESCE(n, 0)):
+  // a type with zero events in some hour still owes that cell's
+  // qq·ln2/2 contribution — dropping absent cells would under-count JS
+  // for exactly the temporally-anomalous types this op exists to flag.
+  // (Any hour with pp > 0 also has qq > 0, so types × g covers every
+  // nonzero cell.)
   private lazy val eventHodDivergence = Op(
     "event_hod_divergence",
     (s, d) => {
@@ -2036,12 +2042,13 @@ object InferenceOps {
              g AS (SELECT hod, CAST(SUM(n) AS BIGINT) AS gn
                    FROM c GROUP BY 1),
              gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS gtot FROM g),
-             p AS (SELECT c.event_type, c.hod,
-                          CAST(c.n AS DOUBLE) / tt.tn AS pp,
+             p AS (SELECT tt.event_type, g.hod,
+                          CAST(COALESCE(c.n, 0) AS DOUBLE) / tt.tn AS pp,
                           CAST(g.gn AS DOUBLE) / gt.gtot AS qq
-                   FROM c JOIN tt ON c.event_type = tt.event_type
-                          JOIN g ON c.hod = g.hod
-                          CROSS JOIN gt),
+                   FROM tt CROSS JOIN g
+                        LEFT JOIN c ON c.event_type = tt.event_type
+                                   AND c.hod = g.hod
+                        CROSS JOIN gt),
              js AS (SELECT event_type,
                            SUM(CASE WHEN pp > 0
                                     THEN pp * ln(pp / ((pp + qq) / 2))
@@ -2068,12 +2075,14 @@ object InferenceOps {
                        FROM c GROUP BY 1),
                  gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS gtot
                         FROM g),
-                 p AS (SELECT c.event_type, c.hod,
-                              CAST(c.n AS DOUBLE) / tt.tn AS pp,
+                 p AS (SELECT tt.event_type, g.hod,
+                              CAST(COALESCE(c.n, 0) AS DOUBLE)
+                                / tt.tn AS pp,
                               CAST(g.gn AS DOUBLE) / gt.gtot AS qq
-                       FROM c JOIN tt
+                       FROM tt CROSS JOIN g
+                            LEFT JOIN c
                               ON c.event_type = tt.event_type
-                            JOIN g ON c.hod = g.hod
+                             AND c.hod = g.hod
                             CROSS JOIN gt),
                  js AS (SELECT event_type,
                                SUM(CASE WHEN pp > 0
@@ -3159,13 +3168,16 @@ object InferenceOps {
   // readout (high-value purchase × weekend) epidemiology and churn
   // analysis both speak: OR, ln-scale CI from Σ1/cell. Four exact cell
   // counts from one scan; the CI is one fixed expression.
+  // Weekend flag: epoch day 0 = Thursday, so (day + 4) % 7 maps Sunday→0
+  // … Saturday→6; weekend = {0, 6} (Sun/Sat), not >= 5 (which would
+  // misclassify Friday as weekend and Sunday as weekday).
   private lazy val aggOddsRatio = Op(
     "agg_odds_ratio",
     (s, d) => {
       t(s, d, "events").createOrReplaceTempView("events_or")
       s.sql("""
         WITH b AS (SELECT CASE WHEN (unix_timestamp(ts) div 86400 + 4)
-                                    % 7 >= 5 THEN 1 ELSE 0 END AS wknd,
+                                    % 7 IN (0, 6) THEN 1 ELSE 0 END AS wknd,
                           CASE WHEN event_type = 'purchase'
                                 AND value >= 95 THEN 1 ELSE 0 END AS hi
                    FROM events_or),
@@ -3196,7 +3208,7 @@ object InferenceOps {
     },
     Some("""WITH b AS (SELECT CASE WHEN (CAST(floor(epoch(ts))
                                           AS BIGINT) // 86400 + 4)
-                                        % 7 >= 5 THEN 1 ELSE 0 END
+                                        % 7 IN (0, 6) THEN 1 ELSE 0 END
                                 AS wknd,
                               CASE WHEN event_type = 'purchase'
                                     AND value >= 95 THEN 1 ELSE 0 END

@@ -39,9 +39,7 @@ object MiningOps {
       val n = ba.agg(count(lit(1)).cast("long").as("n_orders"))
       val ic = ba.select(explode(col("ps")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).cast("long").as("c"))
-      val pr = ba.select(col("ps"))
-        .selectExpr("ps")
-        .createOrReplaceTempView("baskets_mb")
+      ba.select(col("ps")).createOrReplaceTempView("baskets_mb")
       s.sql("""
         SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS c_ab
         FROM baskets_mb
@@ -50,7 +48,7 @@ object MiningOps {
         WHERE i < j GROUP BY 1, 2""").createOrReplaceTempView("pairs_mb")
       ic.createOrReplaceTempView("ic_mb")
       n.createOrReplaceTempView("n_mb")
-      s.sql("""
+      val out = s.sql("""
         SELECT pr.pa, pr.pb, pr.c_ab,
                round(CAST(pr.c_ab AS DOUBLE) / n.n_orders, 6) AS support,
                round(CAST(pr.c_ab AS DOUBLE) / ia.c, 6) AS confidence,
@@ -60,6 +58,12 @@ object MiningOps {
                 JOIN ic_mb ib ON pr.pb = ib.pk
                 CROSS JOIN n_mb n
         ORDER BY pr.c_ab DESC, pr.pa, pr.pb LIMIT 20""")
+        // eager 20-row localCheckpoint so the basket cache can be released
+        // NOW — without it the 600 k-row relation stays pinned in executor
+        // memory for the rest of a long-lived session
+        .localCheckpoint(true)
+      ba.unpersist()
+      out
     },
     Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                         FROM lineitem),
@@ -1123,6 +1127,19 @@ object MiningOps {
     "scan_file_metadata",
     (s, d) => {
       import org.apache.spark.sql.functions._
+      // the oracle hardcodes the basename 'lineitem.parquet' (one row):
+      // assert the single-file layout HERE so a testdata change to a
+      // multi-file directory (part-*.parquet) fails loudly instead of as a
+      // silent oracle row-count divergence. Driver-side FS metadata only —
+      // no data read.
+      val p = new org.apache.hadoop.fs.Path(s"$d/lineitem.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      val nFiles =
+        if (st.isFile) 1
+        else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+      require(nFiles == 1,
+        s"scan_file_metadata oracle assumes a single-file lineitem layout; found $nFiles parquet files")
       s.read.parquet(s"$d/lineitem.parquet")
         .select(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)
             .as("file"), col("l_orderkey"))
@@ -1891,54 +1908,68 @@ object MiningOps {
             FROM events GROUP BY 1, 2, 3
             ORDER BY event_type, dow, hod"""))
 
-  // Discrete-time churn hazard — P(last active week = k | active through
-  // k): the per-week risk curve behind retention planning, computed from
-  // each user's (first, last) active week. The at-risk denominator is a
-  // reverse cumulative over the ≤5-row week domain; exact integer counts,
-  // one division per week.
+  // Discrete-time churn hazard — P(churned at week k | active through k):
+  // the per-week risk curve behind retention planning, computed from each
+  // user's (first, last) active week. RIGHT-CENSORING: a user whose last
+  // activity falls in the final observed week has not been seen to churn —
+  // they are censored at that offset (count in the at-risk denominator,
+  // never in `ended`). Without this the terminal hazard is forced to 1.0
+  // and every earlier hazard is biased upward. The at-risk denominator is
+  // a reverse cumulative over the ≤5-row week domain; exact integer
+  // counts, one division per week.
   private val eventChurnHazard = Op(
     "event_churn_hazard",
     (s, d) => {
       t(s, d, "events").createOrReplaceTempView("events_ch")
       s.sql("""
-        WITH u AS (SELECT user_id,
-                          CAST(MAX(unix_timestamp(ts) div 604800)
-                               - MIN(unix_timestamp(ts) div 604800)
-                               AS BIGINT) AS last_off
+        WITH w AS (SELECT user_id,
+                          MIN(unix_timestamp(ts) div 604800) AS fw,
+                          MAX(unix_timestamp(ts) div 604800) AS lw
                    FROM events_ch GROUP BY 1),
-             dc AS (SELECT last_off, CAST(COUNT(*) AS BIGINT) AS ended
+             gm AS (SELECT MAX(lw) AS gw FROM w),
+             u AS (SELECT CAST(lw - fw AS BIGINT) AS off,
+                          CASE WHEN lw = gw THEN 1 ELSE 0 END AS cens
+                   FROM w CROSS JOIN gm),
+             dc AS (SELECT off, CAST(SUM(1 - cens) AS BIGINT) AS ended,
+                           CAST(SUM(cens) AS BIGINT) AS censored
                     FROM u GROUP BY 1),
-             tot AS (SELECT CAST(SUM(ended) AS BIGINT) AS n FROM dc),
-             rc AS (SELECT dc.last_off, dc.ended,
-                           CAST(tot.n - COALESCE((SELECT SUM(d2.ended)
-                                  FROM dc d2
-                                  WHERE d2.last_off < dc.last_off), 0)
+             tot AS (SELECT CAST(SUM(ended + censored) AS BIGINT) AS n
+                     FROM dc),
+             rc AS (SELECT dc.off, dc.ended, dc.censored,
+                           CAST(tot.n - COALESCE(
+                                  (SELECT SUM(d2.ended + d2.censored)
+                                   FROM dc d2 WHERE d2.off < dc.off), 0)
                                 AS BIGINT) AS at_risk
                     FROM dc CROSS JOIN tot)
-        SELECT last_off AS week_offset, ended, at_risk,
+        SELECT off AS week_offset, ended, censored, at_risk,
                round(CAST(ended AS DOUBLE) / at_risk, 6) AS hazard
         FROM rc ORDER BY week_offset""")
     },
-    Some("""WITH u AS (SELECT user_id,
-                              CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)
-                                       // 604800)
-                                   - MIN(CAST(floor(epoch(ts))
-                                              AS BIGINT) // 604800)
-                                   AS BIGINT) AS last_off
+    Some("""WITH w AS (SELECT user_id,
+                              MIN(CAST(floor(epoch(ts)) AS BIGINT)
+                                  // 604800) AS fw,
+                              MAX(CAST(floor(epoch(ts)) AS BIGINT)
+                                  // 604800) AS lw
                        FROM events GROUP BY 1),
-                 dc AS (SELECT last_off,
-                               CAST(COUNT(*) AS BIGINT) AS ended
+                 gm AS (SELECT MAX(lw) AS gw FROM w),
+                 u AS (SELECT CAST(lw - fw AS BIGINT) AS off,
+                              CASE WHEN lw = gw THEN 1 ELSE 0 END
+                                AS cens
+                       FROM w CROSS JOIN gm),
+                 dc AS (SELECT off,
+                               CAST(SUM(1 - cens) AS BIGINT) AS ended,
+                               CAST(SUM(cens) AS BIGINT) AS censored
                         FROM u GROUP BY 1),
-                 tot AS (SELECT CAST(SUM(ended) AS BIGINT) AS n
-                         FROM dc),
-                 rc AS (SELECT dc.last_off, dc.ended,
-                               CAST(tot.n
-                                    - COALESCE((SELECT SUM(d2.ended)
+                 tot AS (SELECT CAST(SUM(ended + censored) AS BIGINT)
+                                  AS n FROM dc),
+                 rc AS (SELECT dc.off, dc.ended, dc.censored,
+                               CAST(tot.n - COALESCE(
+                                      (SELECT SUM(d2.ended + d2.censored)
                                        FROM dc d2
-                                       WHERE d2.last_off < dc.last_off),
-                                      0) AS BIGINT) AS at_risk
+                                       WHERE d2.off < dc.off), 0)
+                                    AS BIGINT) AS at_risk
                         FROM dc CROSS JOIN tot)
-            SELECT last_off AS week_offset, ended, at_risk,
+            SELECT off AS week_offset, ended, censored, at_risk,
                    round(CAST(ended AS DOUBLE) / at_risk, 6) AS hazard
             FROM rc ORDER BY week_offset"""))
 

@@ -801,16 +801,74 @@ object Relational {
                 ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
             FROM orders ORDER BY o_orderkey"""))
 
+  /** Exact per-group linear-interpolation percentile WITHOUT a holistic
+    * aggregation buffer — the scale-safe spelling of `percentile(col, p)`.
+    * Spark's builtin is an ObjectAggregate whose buffer materializes every
+    * value of the group (lineitem has 3 return-flag groups → one buffer
+    * holds ~a third of the fact table per executor: the OOM shape at
+    * 100×). This re-spell collapses values to the integer-cents DOMAIN
+    * first (one map-side-combinable count aggregate — cardinality bounded
+    * by the value domain, not the data volume), runs the per-group CDF as
+    * the bucket-partitioned two-phase cumsum (window per (group, x/1000
+    * bucket) + tiny per-bucket offset join — no single-partition window),
+    * and reads the two interpolation anchors by the inverse-CDF rule
+    * (smallest x with cum ≥ k+1 / k+2, pure integer comparisons). The
+    * interpolation itself is the standard type-7 rule both engines use:
+    * pos = p·(n−1), v_lo + frac·(v_hi − v_lo). Input df: (g, v) rows with
+    * v exact at 2 decimals. */
+  private def interpPercentileByGroup(
+      df: DataFrame, p: Double, out: String): DataFrame = {
+    val g = df
+      .select(col("g"), round(col("v") * 100).cast("long").as("x"))
+      .groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr("x div 1000"))
+    val w = Window.partitionBy("g", "bucket").orderBy("x")
+    val within = g.withColumn("cum_in", sum("cnt").over(w))
+    val counts = g.groupBy("g", "bucket").agg(sum("cnt").as("bt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"),
+        col("a.g") === col("b.g") && col("b.bucket") < col("a.bucket"),
+        "left")
+      .groupBy(col("a.g").as("g"), col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("b.bt")), lit(0L)).as("off"))
+    val tot = g.groupBy("g").agg(sum("cnt").as("n"))
+    within.join(broadcast(offsets), Seq("g", "bucket"))
+      .withColumn("cum", col("off") + col("cum_in"))
+      .join(broadcast(tot), Seq("g"))
+      .withColumn("k",
+        floor(lit(p) * (col("n") - 1).cast("double")).cast("long"))
+      .groupBy("g", "n", "k")
+      .agg(min(when(col("cum") >= col("k") + 1, col("x"))).as("xlo"),
+        min(when(col("cum") >= col("k") + 2, col("x"))).as("xhi"))
+      .select(col("g"),
+        round(col("xlo").cast("double") / 100.0 +
+          (lit(p) * (col("n") - 1).cast("double") -
+            col("k").cast("double")) *
+          (coalesce(col("xhi"), col("xlo")).cast("double") -
+            col("xlo").cast("double")) / 100.0, 4).as(out))
+  }
+
   // Exact linear-interpolation percentiles per group; rounded at the
-  // boundary (§7.6.2) since interpolation arithmetic is float.
+  // boundary (§7.6.2) since interpolation arithmetic is float. Spelled on
+  // the domain-collapse + two-phase-CDF machinery (see
+  // interpPercentileByGroup) — no holistic ObjectAggregate in the plan
+  // (pinned in PlanSpec).
   private val aggPercentile = Op(
     "agg_percentile",
-    (s, d) => t(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50_qty"),
-        round(expr("percentile(l_extendedprice, 0.9D)"), 4).as("p90_price"))
-      .orderBy("l_returnflag"),
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val p50 = interpPercentileByGroup(
+        li.select(col("l_returnflag").as("g"), col("l_quantity").as("v")),
+        0.5, "p50_qty")
+      val p90 = interpPercentileByGroup(
+        li.select(col("l_returnflag").as("g"),
+          col("l_extendedprice").as("v")),
+        0.9, "p90_price")
+      p50.join(p90, "g")
+        .select(col("g").as("l_returnflag"), col("p50_qty"),
+          col("p90_price"))
+        .orderBy("l_returnflag")
+    },
     Some("""SELECT l_returnflag,
               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price

@@ -42,6 +42,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(again === comps)
   }
 
+  test("components contraction converges in O(log n) rounds on a path graph") {
+    // a planted 1024-node path: the worst shape for plain min-label
+    // propagation (needs ~n rounds — the O(diameter) trap at 100 TB).
+    // large-star/small-star contraction must reach the fixpoint within
+    // ⌈log2 n⌉ + 4 rounds; connectedComponents THROWS if maxIter is hit,
+    // so a converged run IS the round-bound assertion.
+    import spark.implicits._
+    val n = 1024
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("u", "v")
+    val labels = operators.LlmOps.connectedComponents(edges, maxIter = 14)
+    val labs = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size === n)
+    assert(labs.values.forall(_ === 0L), "single path component labels to 0")
+  }
+
   test("graph_link_predict proposes only non-edges within one component") {
     val rows = SparkEntry.queries("graph_link_predict")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -54,6 +54,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_percentile is partial+final hash aggregation, never holistic") {
+    // the builtin percentile() plans an ObjectHashAggregate whose buffer
+    // materializes every group value (OOM shape at 100×); the
+    // domain-collapse spelling must stay on codegen'd HashAggregate
+    val p = plan("agg_percentile")
+    assert(!p.contains("ObjectHashAggregate"), p.take(800))
+    assert(!p.contains("SortAggregate"), p.take(800))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("whole-stage codegen covers the flagship aggregate") {
     val df = SparkEntry.entry(spark)
     df.collect() // run THIS plan so AQE finalizes it (count() plans separately)
