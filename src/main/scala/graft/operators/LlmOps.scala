@@ -2698,6 +2698,147 @@ object LlmOps {
             FROM cand JOIN arr x ON x.doc_id = d1 JOIN arr y ON y.doc_id = d2
             ORDER BY d1, d2"""))
 
+  /** Shared SQL builder for the ORACLE-CHECKED SimHash twin — one template
+    * rendered for both engines (engine differences: hex→int, bit shift,
+    * xor spelling, tokenizer). The 64 bit-majority sums and 4 chunk
+    * assemblies are generated, not hand-written, so Spark and DuckDB can
+    * never drift structurally. */
+  private def simhashMd5Sql(spark: Boolean): String = {
+    def hex4(j: Int) =
+      if (spark) s"CAST(conv(substr(m, ${4 * j + 1}, 4), 16, 10) AS INT)"
+      else s"CAST(('0x' || substr(m, ${4 * j + 1}, 4)) AS INT)"
+    def bit(j: Int, k: Int) =
+      if (spark) s"(shiftright(h$j, $k) & 1)" else s"((h$j >> $k) & 1)"
+    def xorB(a: String, b: String) =
+      if (spark) s"($a ^ $b)" else s"xor($a, $b)"
+    val toks =
+      if (spark)
+        """toks AS (SELECT DISTINCT doc_id, t FROM (
+          |  SELECT doc_id, explode(split(trim(regexp_replace(lower(text),
+          |    '\\s+', ' ')), ' ')) AS t FROM docs_shm))""".stripMargin
+      else
+        """toks AS (SELECT DISTINCT doc_id, t FROM (
+          |  SELECT doc_id, unnest(string_split(trim(regexp_replace(
+          |    lower(text), '\s+', ' ', 'g')), ' ')) AS t FROM documents))"""
+          .stripMargin
+    val md5t = if (spark) "md5(CAST(t AS BINARY))" else "md5(t)"
+    val bandJ =
+      if (spark) "LATERAL VIEW explode(sequence(0, 3)) AS j"
+      else "CROSS JOIN (SELECT unnest(range(4)) AS j)"
+    val chunkAt =
+      if (spark) "element_at(array(c0, c1, c2, c3), j + 1)"
+      else "([c0, c1, c2, c3])[j + 1]"
+    val sums = (for (j <- 0 until 4; k <- 0 until 16)
+      yield s"CAST(SUM(${bit(j, k)}) AS BIGINT) AS s${j}_$k")
+      .mkString(",\n       ")
+    val chunks = (0 until 4).map(j =>
+      (0 until 16)
+        .map(k => s"(CASE WHEN 2 * s${j}_$k > n THEN ${1 << k} ELSE 0 END)")
+        .mkString("CAST(", " + ", s" AS INT) AS c$j"))
+      .mkString(",\n       ")
+    val ham = (0 until 4)
+      .map(j => s"bit_count(${xorB(s"x.c$j", s"y.c$j")})")
+      .mkString("CAST(", " + ", " AS INT)")
+    s"""WITH $toks,
+       |hm AS (SELECT doc_id, $md5t AS m FROM toks),
+       |h AS (SELECT doc_id, ${(0 until 4)
+        .map(j => s"${hex4(j)} AS h$j").mkString(", ")} FROM hm),
+       |bits AS (SELECT doc_id, COUNT(*) AS n,
+       |       $sums
+       |       FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |       $chunks
+       |       FROM bits),
+       |bands AS (SELECT doc_id, j, $chunkAt AS chunk
+       |          FROM sig $bandJ),
+       |cold AS (SELECT j, chunk FROM bands
+       |         GROUP BY j, chunk HAVING COUNT(*) <= 256),
+       |cap AS (SELECT b.doc_id, b.j, b.chunk
+       |        FROM bands b JOIN cold ON b.j = cold.j
+       |                             AND b.chunk = cold.chunk),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |         FROM cap a JOIN cap c
+       |           ON a.j = c.j AND a.chunk = c.chunk
+       |          AND a.doc_id < c.doc_id),
+       |hd AS (SELECT doc_a, doc_b, $ham AS hamming
+       |       FROM cand JOIN sig x ON x.doc_id = doc_a
+       |                 JOIN sig y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, hamming FROM hd
+       |WHERE hamming <= 6 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ORACLE-CHECKED SimHash near-dup twin — the cross-engine proof of the
+  // whole simhash pipeline (the production `dedup_simhash` uses seeded
+  // xxhash64 per token, which no oracle can replay; this twin derives the
+  // per-token 64-bit hash from md5 — 4×16-bit hex chunks — which both
+  // engines produce bit-identically, so tokenize → per-bit majority →
+  // 4×16-bit chunk banding (pigeonhole: hamming ≤ 6 collides on ≥1 chunk)
+  // → frequency-capped candidate join → hamming verify hash-matches
+  // DuckDB end to end). Same plan constant factor as the production key:
+  // one md5 per distinct (doc, token), 64 bit-majority sums in ONE
+  // partial-aggregated GROUP BY, candidates from an equi-join — never
+  // all-pairs. The xxhash production key stays the fast path.
+  private val dedupSimhashMd5 = Op(
+    "dedup_simhash_md5",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_shm")
+      s.sql(simhashMd5Sql(spark = true))
+    },
+    Some(simhashMd5Sql(spark = false)))
+
+  // ORACLE-CHECKED winnowing twin — replays text_fingerprint's pipeline
+  // (char-8-gram rolling hash, min per 4-window, distinct-fingerprint
+  // readout) with an md5-derived gram hash (first 8 hex chars as int64)
+  // instead of the native TextWinnow xxhash64, so DuckDB can replay it
+  // bit-identically. Pure per-row HOF arithmetic — zero shuffle except
+  // the output sort, exactly like the production key; the native
+  // expression stays the fast path (one primitive pass vs one md5 per
+  // gram here — the twin is the correctness vehicle, not the hot loop).
+  private val textFingerprintMd5 = Op(
+    "text_fingerprint_md5",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_fpm")
+      // the transform(array(X), x -> ...) wrappers are LET-BINDINGS, not
+      // decoration: Catalyst's CollapseProject inlines subquery columns
+      // into lambda bodies, so a naive `slice(hs, w, 4)` re-evaluates the
+      // ENTIRE md5 gram array once per window — O(len²) md5 calls per doc
+      // (measured 185 s for 500 docs). Binding hs/fps as lambda variables
+      // pins one evaluation each; the whole op is back to one linear pass.
+      s.sql("""
+        SELECT doc_id, r.n_fp AS n_fp, r.fp_min AS fp_min,
+               r.fp_max AS fp_max
+        FROM (
+          SELECT doc_id,
+                 element_at(transform(
+                   array(transform(sequence(1, length(text) - 7),
+                     i -> CAST(conv(substr(md5(CAST(substr(text, i, 8)
+                            AS BINARY)), 1, 8), 16, 10) AS BIGINT))),
+                   hs -> element_at(transform(
+                     array(transform(sequence(1, size(hs) - 3),
+                       w -> array_min(slice(hs, w, 4)))),
+                     fps -> named_struct(
+                       'n_fp', CAST(size(array_distinct(fps)) AS INT),
+                       'fp_min', array_min(fps),
+                       'fp_max', array_max(fps))), 1)), 1) AS r
+          FROM docs_fpm WHERE length(text) >= 11)
+        ORDER BY doc_id""")
+    },
+    Some("""SELECT doc_id,
+                   CAST(len(list_distinct(fps)) AS INT) AS n_fp,
+                   list_min(fps) AS fp_min,
+                   list_max(fps) AS fp_max
+            FROM (
+              SELECT doc_id,
+                     list_transform(range(1, length(text) - 9),
+                       w -> list_min(hs[w:w+3])) AS fps
+              FROM (
+                SELECT doc_id, text,
+                       list_transform(range(1, length(text) - 6),
+                         i -> CAST(('0x' || substr(md5(substr(text, i, 8)),
+                                1, 8)) AS BIGINT)) AS hs
+                FROM documents WHERE length(text) >= 11))
+            ORDER BY doc_id"""))
+
   // Per-document n-gram novelty against everything that came before it (in
   // doc_id order): the corpus-diversity curve a curation pipeline watches —
   // a shrinking novelty score means new data is mostly re-treading old
@@ -3039,7 +3180,7 @@ object LlmOps {
     textReadability, corpusFilterSweep, textHeapsFit, corpusShardBalance,
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
     simPqAdc, textSentenceStats, joinKnnGrid, corpusE2ePipeline,
-    dedupMinhashMd5, textNovelty,
+    dedupMinhashMd5, dedupSimhashMd5, textFingerprintMd5, textNovelty,
     textBpeTrain, corpusTokenBudget,
     textTfidf, dedupSubstring, embKmeans, embQuantize,
     corpusCurriculum, textHashFeatures,

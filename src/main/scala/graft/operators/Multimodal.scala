@@ -271,6 +271,70 @@ object Multimodal {
     (s, d) => phashPairsFrom(payloads(s, d)).orderBy("doc_a", "doc_b"),
     None)
 
+  // ORACLE-CHECKED phash twin — the SAME Spark pipeline as mm_dedup_phash
+  // (native BlockMeanHash expression + banded candidate join), but with a
+  // DuckDB oracle that replays the block-mean hash in hex arithmetic
+  // (payload bytes from hex(encode(text)) two chars at a time, the 64
+  // span sums and the cross-multiplied mean comparison as list HOFs, the
+  // 4×16-bit chunks assembled bit by bit) — an INDEPENDENT second
+  // implementation that pins the native Catalyst expression end to end,
+  // the way mm_audio_window's oracle replays its windows. The only reason
+  // the production key was test-only was engine-side byte layout; UTF-8
+  // encoding is identical in both engines, so the hashes match exactly.
+  private val mmDedupPhashHex = Op(
+    "mm_dedup_phash_hex",
+    (s, d) => phashPairsFrom(payloads(s, d)).orderBy("doc_a", "doc_b"),
+    Some("""WITH p AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS n
+              FROM documents),
+            b AS (
+              SELECT doc_id, n,
+                     list_transform(range(0, n),
+                       i -> CAST(('0x' || substr(h, 2*i + 1, 2)) AS INT))
+                       AS bytes
+              FROM p),
+            t AS (SELECT doc_id, n, bytes,
+                         CAST(list_sum(bytes) AS BIGINT) AS total
+                  FROM b),
+            bits AS (
+              SELECT doc_id,
+                     list_transform(range(0, 64), blk ->
+                       CASE WHEN CAST(COALESCE(list_sum(
+                                   bytes[(blk*n)//64 + 1 : ((blk+1)*n)//64]),
+                                 0) AS BIGINT) * n
+                                 > total * (((blk+1)*n)//64 - (blk*n)//64)
+                            THEN 1 ELSE 0 END) AS bv
+              FROM t),
+            sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 4), j ->
+                       CAST(list_sum(list_transform(range(0, 16),
+                         k -> bv[16*j + k + 1] * (1 << k))) AS BIGINT)) AS cs
+              FROM bits),
+            bands AS (
+              SELECT doc_id, j, cs[j + 1] AS chunk
+              FROM sig CROSS JOIN (SELECT unnest(range(4)) AS j)),
+            cold AS (SELECT j, chunk FROM bands
+                     GROUP BY j, chunk HAVING COUNT(*) <= 256),
+            cap AS (SELECT b.doc_id, b.j, b.chunk
+                    FROM bands b JOIN cold ON b.j = cold.j
+                                          AND b.chunk = cold.chunk),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                     FROM cap a JOIN cap c
+                       ON a.j = c.j AND a.chunk = c.chunk
+                      AND a.doc_id < c.doc_id),
+            hd AS (SELECT doc_a, doc_b,
+                          CAST(bit_count(xor(x.cs[1], y.cs[1]))
+                             + bit_count(xor(x.cs[2], y.cs[2]))
+                             + bit_count(xor(x.cs[3], y.cs[3]))
+                             + bit_count(xor(x.cs[4], y.cs[4])) AS INT)
+                            AS hamming
+                   FROM cand JOIN sig x ON x.doc_id = doc_a
+                             JOIN sig y ON y.doc_id = doc_b)
+            SELECT doc_a, doc_b, hamming FROM hd
+            WHERE hamming <= 12 ORDER BY doc_a, doc_b"""))
+
   // Scene-change detection over the frame stream (stub for a video shot
   // detector): per-frame "intensity" is an md5-derived integer (the stand-in
   // for a decoded luminance histogram — a codec swap touches ONLY that
@@ -311,5 +375,6 @@ object Multimodal {
             FROM ints ORDER BY doc_id"""))
 
   val ops: Seq[Op] = Seq(mmMeta, mmFrameSample, mmFeatureExtract, mmResize,
-    mmAudioWindow, scanBinaryFiles, mmDedupPhash, mmVideoScene)
+    mmAudioWindow, scanBinaryFiles, mmDedupPhash, mmDedupPhashHex,
+    mmVideoScene)
 }

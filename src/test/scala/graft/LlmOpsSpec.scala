@@ -550,6 +550,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
   }
 
+  test("dedup_simhash_md5 pairs honor the hamming bound and band guarantee") {
+    val rows = SparkEntry.queries("dedup_simhash_md5")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "shared-vocabulary corpus must produce near pairs")
+    rows.foreach { case (a, b, h) =>
+      assert(a < b)
+      assert(h >= 0 && h <= 6)
+    }
+    assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
+  }
+
+  test("text_fingerprint_md5 covers every long-enough doc with sane bounds") {
+    val rows = SparkEntry.queries("text_fingerprint_md5")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val eligible = Tables.load(spark, sfDir, "documents")
+      .where("length(text) >= 11").count()
+    assert(rows.length.toLong === eligible)
+    rows.foreach { case (_, nFp, fpMin, fpMax) =>
+      assert(nFp >= 1)
+      assert(fpMin <= fpMax)
+      assert(fpMin >= 0L, "md5-derived 32-bit fingerprints are non-negative")
+    }
+  }
+
   test("text_novelty: first doc is all-novel and novel counts add up") {
     val rows = SparkEntry.queries("text_novelty")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -81,6 +81,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(functions.BlockMeanHash.compute(Array.emptyByteArray) === 0L)
   }
 
+  test("mm_dedup_phash_hex is the production pipeline on the same payloads") {
+    // the oracle-checked twin runs the SAME Spark pipeline as the
+    // production key — their outputs over the testdata must be identical
+    // row for row (the twin adds only the DuckDB hex-arithmetic replay)
+    val prod = SparkEntry.queries("mm_dedup_phash")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val twin = SparkEntry.queries("mm_dedup_phash_hex")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(twin === prod)
+  }
+
   test("mm_dedup_phash finds planted near-identical payloads, banded join only") {
     val s = spark
     import s.implicits._
