@@ -57,6 +57,63 @@ object EtlOps {
             SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
             ORDER BY o_orderkey"""))
 
+  // A7 with the full Delta MERGE clause set — conditional DELETE on match
+  // plus NOT MATCHED BY SOURCE handling (WriteMode.Merge's deleteOnMatch /
+  // deleteNotMatchedBySource, applied by IngestionRunner.mergeInto):
+  //   - source rows flagged is_delete (o_orderkey % 9 = 0) are TOMBSTONES:
+  //     they delete the matching target row and insert nothing when
+  //     unmatched (cdc_apply_changelog's tombstone mechanics);
+  //   - target rows with NO source match are purged when stale
+  //     (o_totalprice < 50000 — the "source is the full truth" sync rule),
+  //     otherwise survive.
+  // Spark spelling stays the single shuffle on the merge key: the clauses
+  // are FILTERS on the upsert and survivor branches of the same
+  // union/anti-join plan as merge_upsert — no extra join. The oracle
+  // derives identical rows INDEPENDENTLY from one full outer join over
+  // the 2×2 (matched × tombstone/stale) clause grid.
+  private val mergeUpsertDelete = Op(
+    "merge_upsert_delete",
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val target = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select(cols.map(col): _*)
+      val source = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(cols.map(col): _*)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("is_delete", col("o_orderkey") % 9 === 0)
+      val upserts = source.filter(!col("is_delete")).drop("is_delete")
+      val survivors = target
+        .join(source.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .filter(col("o_totalprice") >= 50000)
+      upserts.unionByName(survivors).orderBy("o_orderkey")
+    },
+    Some("""WITH tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                                o_totalprice
+                         FROM orders WHERE o_orderkey % 2 = 0),
+                 src AS (SELECT o_orderkey, o_custkey,
+                                'U' AS o_orderstatus, o_totalprice,
+                                (o_orderkey % 9 = 0) AS is_del
+                         FROM orders WHERE o_orderkey % 3 = 0),
+                 j AS (SELECT COALESCE(s.o_orderkey, t.o_orderkey)
+                                AS o_orderkey,
+                              s.o_orderkey IS NOT NULL AS has_s,
+                              t.o_orderkey IS NOT NULL AS has_t,
+                              s.is_del,
+                              s.o_custkey AS s_ck, s.o_orderstatus AS s_st,
+                              s.o_totalprice AS s_tp,
+                              t.o_custkey AS t_ck, t.o_orderstatus AS t_st,
+                              t.o_totalprice AS t_tp
+                       FROM tgt t FULL JOIN src s
+                         ON t.o_orderkey = s.o_orderkey)
+            SELECT o_orderkey,
+                   CASE WHEN has_s THEN s_ck ELSE t_ck END AS o_custkey,
+                   CASE WHEN has_s THEN s_st ELSE t_st END AS o_orderstatus,
+                   CASE WHEN has_s THEN s_tp ELSE t_tp END AS o_totalprice
+            FROM j
+            WHERE (has_s AND NOT is_del)
+               OR (NOT has_s AND t_tp >= 50000)
+            ORDER BY o_orderkey"""))
+
   // framework.py:15's schema-evolution promise on the MERGE path (Delta
   // autoMerge analog): the source batch gained a column the target lacks;
   // matched rows take the source version, unmatched target rows survive
@@ -1358,7 +1415,7 @@ object EtlOps {
     resampleSeasonality, dqBenford,
     profileStatsApprox,
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,
-    mergeUpsert, mergeUpsertEvolve, partitionOverwriteDynamic,
+    mergeUpsert, mergeUpsertDelete, mergeUpsertEvolve, partitionOverwriteDynamic,
     topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, joinTemporalDim, resampleZerofill,

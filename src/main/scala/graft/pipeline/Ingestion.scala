@@ -25,8 +25,25 @@ sealed trait WriteMode
 object WriteMode {
   case object Append extends WriteMode
   case object Overwrite extends WriteMode
-  /** Join-based upsert (framework.py:211-231 semantics, §7.4 rewrite). */
-  final case class Merge(keys: Seq[String]) extends WriteMode
+  /** Join-based upsert (framework.py:211-231 semantics, §7.4 rewrite) with
+    * the two conditional clauses Delta MERGE adds on top of plain upsert:
+    *
+    *   - `deleteOnMatch`: SQL predicate over SOURCE columns — a source row
+    *     satisfying it is a TOMBSTONE: it deletes the matching target row
+    *     instead of upserting (and inserts nothing when unmatched). The
+    *     `WHEN MATCHED AND <cond> THEN DELETE` clause; mechanics identical
+    *     to `cdc_apply_changelog`'s tombstone handling.
+    *   - `deleteNotMatchedBySource`: SQL predicate over TARGET columns —
+    *     a target row with NO matching source row satisfying it is purged
+    *     (the `WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE` clause,
+    *     the "source is the full truth, drop stale rows" sync shape).
+    *
+    * Both default to None = plain upsert, byte-compatible with the
+    * pre-existing behavior. Still ONE shuffle on the merge keys: the
+    * clauses are filters on the two union branches, not extra joins. */
+  final case class Merge(keys: Seq[String],
+      deleteOnMatch: Option[String] = None,
+      deleteNotMatchedBySource: Option[String] = None) extends WriteMode
 }
 
 sealed trait IngestMode
@@ -84,7 +101,7 @@ final case class IngestionConfig(
         "name segments must not contain '__' (reserved as the catalog separator)"),
       Option.when(sourcePath.isEmpty)("sourcePath required"),
       writeMode match {
-        case WriteMode.Merge(keys) if keys.isEmpty =>
+        case WriteMode.Merge(keys, _, _) if keys.isEmpty =>
           Some("merge requires non-empty merge keys")
         case _ => None
       },
@@ -105,7 +122,7 @@ final case class IngestionConfig(
   /** A2 (framework.py:128-137): human-readable plan for dry runs. */
   def plan: String = {
     val mode = writeMode match {
-      case WriteMode.Merge(keys) => s"merge on (${keys.mkString(", ")})"
+      case WriteMode.Merge(keys, _, _) => s"merge on (${keys.mkString(", ")})"
       case m => m.toString.toLowerCase
     }
     val ingest = ingestMode match {
@@ -203,7 +220,7 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       case IngestMode.Batch =>
         val df = readBatch(c)
         c.writeMode match {
-          case WriteMode.Merge(keys) => Right(mergeInto(c, df, keys))
+          case m: WriteMode.Merge => Right(mergeInto(c, df, m))
           case m => Right(writeBatch(c, df, m))
         }
       case IngestMode.Stream(cp) => Right(writeStream(c, cp))
@@ -367,12 +384,43 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
 
   /** Commit: repoint the catalog (the commit point for every catalog
     * reader), then move the `_current` manifest for path-based readers and
-    * GC older versions ([[Versioned.commit]]). */
-  private[graft] def commitVersion(c: IngestionConfig, dir: Path): Unit = {
+    * GC older versions ([[Versioned.commit]]).
+    *
+    * `expectedParent = Some(p)` makes the commit CONDITIONAL
+    * ([[Versioned.commitExclusive]]): `p` is the version this writer
+    * staged from; a sibling commit in between throws
+    * [[Versioned.CommitConflictException]] — with a cheap pre-fence before
+    * the catalog is touched, and a catalog rollback onto the winner's
+    * version if the race is lost inside the final window, so a losing
+    * writer never leaves the catalog pointing at its doomed staged dir. */
+  private[graft] def commitVersion(c: IngestionConfig, dir: Path,
+      expectedParent: Option[Option[String]] = None): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = versionsRoot(c)
+    expectedParent.foreach { p =>
+      val cur = Versioned.current(root, conf).map(_.getName)
+      if (cur != p && cur != Some(dir.getName))
+        throw new Versioned.CommitConflictException(
+          s"concurrent write at $root: staged from " +
+            s"${p.getOrElse("<none>")} but current is now " +
+            s"${cur.getOrElse("<none>")}")
+    }
     spark.sql(s"ALTER TABLE ${c.fullTableName} SET LOCATION '${dir.toString}'")
     spark.catalog.refreshTable(c.fullTableName)
-    Versioned.commit(versionsRoot(c), dir, spark.sessionState.newHadoopConf(),
-      keepVersions = c.retainVersions)
+    try expectedParent match {
+      case Some(p) =>
+        Versioned.commitExclusive(root, dir, conf, p,
+          keepVersions = c.retainVersions)
+      case None =>
+        Versioned.commit(root, dir, conf, keepVersions = c.retainVersions)
+    } catch { case e: Versioned.CommitConflictException =>
+      Versioned.current(root, conf).foreach { winner =>
+        spark.sql(
+          s"ALTER TABLE ${c.fullTableName} SET LOCATION '${winner.toString}'")
+        spark.catalog.refreshTable(c.fullTableName)
+      }
+      throw e
+    }
   }
 
   /** SET LOCATION repoints only the table root — a PARTITIONED table's
@@ -408,15 +456,33 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     * likewise backfills on the source side). When the merged column set
     * differs from the catalog's, the registration is recreated at the new
     * version dir so catalog readers see the evolved schema. */
-  private def mergeInto(c: IngestionConfig, source: DataFrame, keys: Seq[String]): Long = {
+  private def mergeInto(c: IngestionConfig, source: DataFrame,
+      m: WriteMode.Merge): Long = {
+    val keys = m.keys
     if (!spark.catalog.tableExists(c.fullTableName)) {
       val dir = stageVersion(c, source.limit(0))
       registerExternal(c, dir.toString, Some(source.schema))
     }
+    // optimistic concurrency (Versioned.commitExclusive): remember the
+    // version this merge READS — the commit fences on it, so a sibling
+    // writer that commits in between makes THIS merge throw instead of
+    // silently overwriting the sibling's rows (lost update)
+    val parent = Versioned.current(versionsRoot(c),
+      spark.sessionState.newHadoopConf()).map(_.getName)
     val target = spark.table(c.fullTableName)
-    val merged = source.unionByName(
-      target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti"),
-      allowMissingColumns = true)
+    // conditional clauses (see WriteMode.Merge): a deleteOnMatch tombstone
+    // is EXCLUDED from the upsert branch but still CLAIMS its key (so the
+    // matching target row is dropped by the anti join and an unmatched
+    // tombstone is a no-op); deleteNotMatchedBySource filters the
+    // surviving-target branch. Both are filters on existing branches —
+    // the plan keeps the single shuffle on the merge keys.
+    val upserts = m.deleteOnMatch
+      .map(cond => source.filter(s"NOT ($cond)")).getOrElse(source)
+    val survivors0 =
+      target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val survivors = m.deleteNotMatchedBySource
+      .map(cond => survivors0.filter(s"NOT ($cond)")).getOrElse(survivors0)
+    val merged = upserts.unionByName(survivors, allowMissingColumns = true)
     val partitioned = isPartitionedTable(c)
     var staged: Path = null
     // only the stage write is counted — the legacy path's saveAsTable
@@ -429,9 +495,10 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       // staged dir, then move the version pointer as usual
       registerExternal(c, staged.toString, Some(merged.schema))
       spark.catalog.refreshTable(c.fullTableName)
-      Versioned.commit(versionsRoot(c), staged,
-        spark.sessionState.newHadoopConf(), keepVersions = c.retainVersions)
-    } else commitVersion(c, staged)
+      Versioned.commitExclusive(versionsRoot(c), staged,
+        spark.sessionState.newHadoopConf(), parent,
+        keepVersions = c.retainVersions)
+    } else commitVersion(c, staged, Some(parent))
     applyMetadata(c)
     optimizePostWrite(c)
     n

@@ -17,12 +17,21 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * All IO goes through the Hadoop FileSystem API — roots are HDFS/S3 URIs
   * in production, where java.io.File would silently resolve locally.
   *
-  * The protocol assumes a SINGLE writer per root (one pipeline owns its
+  * [[commit]] assumes a SINGLE writer per root (one pipeline owns its
   * table, as in the reference's job-per-table layout) — readers are always
-  * safe, but two concurrent committers could interleave `_history`
-  * updates. Delta's optimistic multi-writer log is the documented
-  * divergence (SURVEY §7.4). */
+  * safe. Multi-writer roots use [[commitExclusive]]: the Delta-style
+  * optimistic-concurrency commit that fences on the expected parent
+  * version and claims the successor slot with an atomic create-if-absent
+  * marker, so of two racing committers exactly one wins and the loser
+  * throws [[CommitConflictException]] with no committed data lost. */
 object Versioned {
+
+  /** Thrown when [[commitExclusive]] loses the optimistic-concurrency race:
+    * another writer committed between this writer's stage and commit. The
+    * loser's staged dir is untouched (and GC'd by the next vacuum); no
+    * committed data is lost. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
 
   private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
 
@@ -105,6 +114,73 @@ object Versioned {
     FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, new Path(root, "_current"), Options.Rename.OVERWRITE)
     vacuum(root, conf, keepVersions)
+  }
+
+  /** Optimistic-concurrency commit — the one Delta guarantee the plain
+    * single-writer [[commit]] lacks (the reference's Delta MERGE inherits
+    * it from the Delta log, framework.py:227-231): the caller passes the
+    * parent version it staged FROM (`expectedParent` = the `_current` name
+    * it read before reading the table, None for a fresh root), and the
+    * commit throws [[CommitConflictException]] if another writer got there
+    * first — instead of blindly OVERWRITE-renaming `_current` over the
+    * other writer's result (lost update).
+    *
+    * Mechanics, two fences:
+    *   1. re-read `_current` and compare to `expectedParent` — the cheap
+    *      fast-fail for writers that lost long ago;
+    *   2. claim the next history ordinal with an ATOMIC create-if-absent
+    *      marker file (`_commit_{n}`, content = the version dir name) —
+    *      `FileSystem.create(path, overwrite = false)` is the
+    *      one-winner primitive (atomic on HDFS; conditional-put on object
+    *      stores), so of two writers that BOTH pass fence 1 concurrently,
+    *      exactly one creates the marker and proceeds; the loser throws
+    *      without touching `_history`/`_current`, keeping the log linear.
+    * A re-commit of the SAME dir name (deterministic replay) finds its own
+    * name in the marker and proceeds — idempotent, like [[commit]].
+    *
+    * The marker ordinal is derived from `expectedParent`'s position in the
+    * history (NOT re-read at claim time): a slow writer that passed fence 1
+    * before a faster sibling's pointer swap still aims at the SAME
+    * successor slot and collides with the winner's marker. Markers are one
+    * tiny file per committed version and are never GC'd — same unbounded-
+    * but-negligible growth as the `_history` log itself (deleting a marker
+    * would re-open its slot to exactly the slow-writer race it fences). */
+  def commitExclusive(root: Path, dir: Path, conf: Configuration,
+      expectedParent: Option[String], keepVersions: Int = 1): Unit = {
+    val f = fs(root, conf)
+    val cur = current(root, conf).map(_.getName)
+    if (cur != expectedParent && cur != Some(dir.getName))
+      throw new CommitConflictException(
+        s"concurrent write at $root: staged from parent " +
+          s"${expectedParent.getOrElse("<none>")} but current is now " +
+          s"${cur.getOrElse("<none>")}")
+    val hist = history(root, conf)
+    val ordinal = expectedParent match {
+      case None => 0
+      case Some(p) =>
+        val i = hist.indexOf(p)
+        if (i < 0)
+          throw new CommitConflictException(
+            s"concurrent write at $root: parent $p is not in the history")
+        i + 1
+    }
+    val claim = new Path(root, f"_commit_$ordinal%05d")
+    val won =
+      try {
+        val out = f.create(claim, false)
+        try out.write(dir.getName.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!won) {
+      val in = f.open(claim)
+      val owner =
+        try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+      if (owner != dir.getName)
+        throw new CommitConflictException(
+          s"concurrent write at $root: version ordinal $ordinal already " +
+            s"claimed by $owner")
+    }
+    commit(root, dir, conf, keepVersions)
   }
 
   /** Delete every version dir under `root` except the newest `keepVersions`

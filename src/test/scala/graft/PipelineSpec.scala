@@ -113,6 +113,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(new IngestionRunner(spark, cfg.copy(sourcePath = src2)).run() === Right(6L))
   }
 
+  test("merge applies conditional delete clauses (tombstones + stale purge)") {
+    import spark.implicits._
+    val db = "graft_it"; val tbl = s"$db.merge_del"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val src1 = tmp("g_md1_")
+    Seq((1, "a", 10), (2, "b", 10), (3, "c", 99), (4, "d", 10))
+      .toDF("k", "s", "v").write.mode("overwrite").parquet(src1)
+    val boot = IngestionConfig(db, "merge_del", src1,
+      writeMode = WriteMode.Merge(Seq("k")))
+    assert(new IngestionRunner(spark, boot).run() === Right(4L))
+    // batch 2: k=2 updates, k=4 is a tombstone (v < 0 = delete-on-match),
+    // k=5 inserts; unmatched target rows with v < 50 are stale → purged
+    // (k=1 goes, k=3 with v=99 survives)
+    val src2 = tmp("g_md2_")
+    Seq((2, "B2", 10), (4, "d", -1), (5, "e", 10))
+      .toDF("k", "s", "v").write.mode("overwrite").parquet(src2)
+    val cfg2 = boot.copy(sourcePath = src2,
+      writeMode = WriteMode.Merge(Seq("k"),
+        deleteOnMatch = Some("v < 0"),
+        deleteNotMatchedBySource = Some("v < 50")))
+    assert(new IngestionRunner(spark, cfg2).run() === Right(3L))
+    val rows = spark.table(tbl).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows === Set((2, "B2", 10), (3, "c", 99), (5, "e", 10)))
+    // an unmatched tombstone is a no-op: replaying the same batch with the
+    // same clauses leaves the table unchanged (k=4 no longer exists)
+    assert(new IngestionRunner(spark, cfg2).run() === Right(3L))
+    assert(spark.table(tbl).count() === 3)
+  }
+
+  test("merge commit fences on the version it read (writer conflict)") {
+    val db = "graft_it"; val tbl = s"$db.merge_race"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val src1 = tmp("g_mr1_")
+    Tables.load(spark, sfDir, "region").write.mode("overwrite").parquet(src1)
+    val cfg = IngestionConfig(db, "merge_race", src1,
+      writeMode = WriteMode.Merge(Seq("r_regionkey")), retainVersions = 5)
+    val runner = new IngestionRunner(spark, cfg)
+    assert(runner.run() === Right(5L))
+    val root = runner.versionsRoot(cfg)
+    val conf = spark.sessionState.newHadoopConf()
+    val winner = Versioned.current(root, conf).get
+    // a writer that staged from a parent the sibling has since superseded
+    // must THROW and leave the catalog on the winner's version — not
+    // blind-overwrite the sibling's commit (lost update)
+    val staged = Versioned.stagePath(root, Some("v_loser"))
+    spark.table(tbl).limit(1).write.mode("overwrite").parquet(staged.toString)
+    val e = intercept[Versioned.CommitConflictException] {
+      runner.commitVersion(cfg, staged, Some(Some("not_the_parent")))
+    }
+    assert(e.getMessage.contains("concurrent write"))
+    assert(Versioned.current(root, conf).map(_.getName) === Some(winner.getName))
+    assert(Versioned.history(root, conf).last === winner.getName)
+    assert(spark.table(tbl).count() === 5, "no committed rows lost")
+  }
+
   test("merge evolves the schema when the source gains a column (A7 + evolution)") {
     import spark.implicits._
     val db = "graft_it"; val tbl = s"$db.evolve_m"

@@ -100,4 +100,61 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.isCommitted(root, v2, conf))
     assert(Versioned.versionDir(root, 1, conf).map(_.getName) === Some("v2"))
   }
+
+  test("commitExclusive: two writers race from one parent, one wins, log stays linear") {
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "base"), conf, keepVersions = 5)
+    // both writers stage from parent 'base'
+    val a = mkVersion(root, "wa")
+    val b = mkVersion(root, "wb")
+    Versioned.commitExclusive(root, a, conf, Some("base"), keepVersions = 5)
+    val e = intercept[Versioned.CommitConflictException] {
+      Versioned.commitExclusive(root, b, conf, Some("base"), keepVersions = 5)
+    }
+    assert(e.getMessage.contains("concurrent write"))
+    // winner committed, loser left no trace in the log, no rows lost
+    assert(Versioned.current(root, conf).map(_.getName) === Some("wa"))
+    assert(Versioned.history(root, conf) === Seq("base", "wa"))
+  }
+
+  test("commitExclusive: marker collision fences a slow writer that passed the pointer check") {
+    // simulate the narrow race: writer B read current == 'base', then A
+    // claimed the successor slot; B must collide on the marker even though
+    // _current has not moved yet (we claim A's marker by hand)
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "base"), conf, keepVersions = 5)
+    val f = root.getFileSystem(conf)
+    val out = f.create(new Path(root, "_commit_00001"), false)
+    try out.write("wa".getBytes("UTF-8")) finally out.close()
+    val b = mkVersion(root, "wb")
+    intercept[Versioned.CommitConflictException] {
+      Versioned.commitExclusive(root, b, conf, Some("base"), keepVersions = 5)
+    }
+    assert(Versioned.current(root, conf).map(_.getName) === Some("base"))
+  }
+
+  test("commitExclusive: replay of the same dir name is idempotent") {
+    val root = freshRoot()
+    val v1 = mkVersion(root, "v1")
+    Versioned.commitExclusive(root, v1, conf, None, keepVersions = 5)
+    // at-least-once replay: same dir, same parent — proceeds, no dup entry
+    Versioned.commitExclusive(root, v1, conf, None, keepVersions = 5)
+    assert(Versioned.history(root, conf) === Seq("v1"))
+    // a SECOND writer bootstrapping from the empty parent still conflicts
+    intercept[Versioned.CommitConflictException] {
+      Versioned.commitExclusive(root, mkVersion(root, "v1b"), conf, None,
+        keepVersions = 5)
+    }
+  }
+
+  test("commitExclusive: stale parent fast-fails before touching the claim") {
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "p1"), conf, keepVersions = 5)
+    Versioned.commit(root, mkVersion(root, "p2"), conf, keepVersions = 5)
+    intercept[Versioned.CommitConflictException] {
+      Versioned.commitExclusive(root, mkVersion(root, "w"), conf,
+        Some("p1"), keepVersions = 5)
+    }
+    assert(Versioned.current(root, conf).map(_.getName) === Some("p2"))
+  }
 }
