@@ -221,20 +221,36 @@ object AnalyticsOps {
   // Mergeable-sketch pattern: per-day HLL partials union into a monthly
   // distinct-user estimate WITHOUT re-touching raw data — the incremental
   // rollup shape at 100 TB (store a sketch per partition/day; any window's
-  // distinct count is a union of sketches, never a rescan). DataSketches
-  // binary images are engine-specific → test-only; AnalyticsOpsSpec pins
-  // the estimate against the exact distinct and checks merge consistency.
+  // distinct count is a union of sketches, never a rescan).
+  //
+  // ORACLE-CHECKED via the bound-verdict pattern: the DataSketches binary
+  // estimate is engine-specific and never crosses the compare boundary —
+  // the output is the exact day count + exact distinct (plain SQL in
+  // DuckDB) plus `est_within_5pct`, which Spark computes from the real
+  // merged-sketch estimate and the oracle asserts TRUE (HLL lgK=12 rsd is
+  // ~1.6%; 5% is the declared bound). A drifted or broken sketch merge
+  // flips the boolean and fails the driver's hash compare.
   private val aggHllPartialMerge = Op(
     "agg_hll_partial_merge",
     (s, d) => {
       val daily = t(s, d, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      daily.agg(
-        expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_users"),
+      val est = daily.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").cast("double").as("est"),
         count(lit(1)).as("n_days"))
+      val exact = t(s, d, "events")
+        .agg(countDistinct(col("user_id")).as("n_users_exact"))
+      est.crossJoin(exact).select(
+        col("n_days"), col("n_users_exact"),
+        (abs(col("est") - col("n_users_exact")) <=
+          lit(0.05) * col("n_users_exact")).as("est_within_5pct"))
     },
-    None)
+    Some("""SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                     AS n_days,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                   TRUE AS est_within_5pct
+            FROM events"""))
 
   // Ordered event funnel: users who progressed view → click → purchase in
   // strict timestamp order, with each step's first qualifying time. Each
@@ -339,20 +355,55 @@ object AnalyticsOps {
 
   // Misra–Gries heavy hitters (graft.functions.MisraGries): fixed-k
   // frequency summary, O(k) state per partition however large the scan.
-  // Test-only like the other sketches — counts depend on merge order; the
-  // coverage (> n/k items always present) and n/k error-bound guarantees
-  // are pinned in PropertySpec on planted skew.
+  //
+  // ORACLE-CHECKED via the bound-verdict pattern: MG counts depend on
+  // partition/merge order, so neither the reported item set nor the
+  // estimates can cross the compare boundary. What CAN: the items whose
+  // EXACT count exceeds n/k (k=16) — MG guarantees every one is in the
+  // summary (`covered`) with an estimate that undercounts by at most n/k
+  // and never overcounts (`est_ok`). Spark computes both booleans from
+  // the real sketch; the oracle derives the same heavy-item rows from
+  // exact SQL and asserts TRUE — a sketch that loses a guaranteed item
+  // or breaks the error bound fails the hash compare. PropertySpec keeps
+  // the planted-skew guarantee tests.
   private val aggHeavyHitters = Op(
     "agg_heavy_hitters",
     (s, d) => {
       val mg = udaf(new graft.functions.MisraGries(16))
-      t(s, d, "orders")
-        .select(col("o_custkey").cast("string").as("k"))
-        .agg(mg(col("k")).as("sketch"))
-        .select(explode(col("sketch.items")).as(Seq("item", "est_count")))
+      // derived skew: three planted heavy keys (~10% of rows each, above
+      // the n/16 threshold) over a long tail of per-customer keys — the
+      // raw o_custkey is uniform, which would make the heavy set (and the
+      // oracle check) empty, and the tail forces real MG evictions
+      val keys = t(s, d, "orders")
+        .select(expr(
+          """CASE WHEN o_custkey % 10 = 0 THEN 'h0'
+            |     WHEN o_custkey % 10 = 1 THEN 'h1'
+            |     WHEN o_custkey % 10 = 2 THEN 'h2'
+            |     ELSE CAST(o_custkey AS STRING) END""".stripMargin).as("k"))
+      val sk = keys.agg(mg(col("k")).as("sketch"), count(lit(1)).as("n"))
+      keys.groupBy("k").agg(count(lit(1)).as("exact_count"))
+        .crossJoin(broadcast(sk))
+        .where(col("exact_count") * 16 > col("n"))
+        .withColumn("est", element_at(col("sketch.items"), col("k")))
+        .select(col("k").as("item"), col("exact_count"),
+          col("est").isNotNull.as("covered"),
+          (col("est").isNotNull && col("est") <= col("exact_count") &&
+            (col("exact_count") - col("est")) * 16 <= col("n")).as("est_ok"))
         .orderBy("item")
     },
-    None)
+    Some("""WITH o AS (SELECT CASE WHEN o_custkey % 10 = 0 THEN 'h0'
+                                   WHEN o_custkey % 10 = 1 THEN 'h1'
+                                   WHEN o_custkey % 10 = 2 THEN 'h2'
+                                   ELSE CAST(o_custkey AS VARCHAR) END AS k
+                       FROM orders),
+                 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o),
+                 c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_count
+                       FROM o GROUP BY k)
+            SELECT k AS item, exact_count,
+                   TRUE AS covered, TRUE AS est_ok
+            FROM c CROSS JOIN n
+            WHERE exact_count * 16 > n
+            ORDER BY item"""))
 
   // Gaps-and-islands: maximal runs of equal event_type per user in event
   // order. The lag-then-running-sum formulation keeps BOTH window passes on

@@ -232,17 +232,19 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(got === Map(302L -> -1L, 304L -> 303L), s"got $got")
   }
 
-  test("profile_stats_approx estimates stay within 5% of the exact profile") {
-    def byCol(key: String, distinctCol: Int): Map[String, (Long, String, String)] =
-      SparkEntry.queries(key)(spark, sfDir).collect()
-        .map(r => r.getString(0) ->
-          ((r.getLong(distinctCol), r.getString(3), r.getString(4)))).toMap
-    val exact = byCol("profile_stats", 2)
-    val approx = byCol("profile_stats_approx", 2)
+  test("profile_stats_approx agrees with the exact profile, verdicts true") {
+    val exact = SparkEntry.queries("profile_stats")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    val approx = SparkEntry.queries("profile_stats_approx")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getString(4), r.getString(5)))).toMap
     assert(approx.keySet === exact.keySet)
     exact.foreach { case (c, (nd, mn, mx)) =>
-      val (est, amn, amx) = approx(c)
-      assert(math.abs(est - nd).toDouble / nd <= 0.05, s"$c: est $est vs exact $nd")
+      val (and, ok, amn, amx) = approx(c)
+      assert(and === nd, s"$c: audit-side exact distinct must match")
+      assert(ok, s"$c: HLL estimate left the 5% bound")
       assert((amn, amx) === ((mn, mx)), s"$c min/max must be exact")
     }
   }
