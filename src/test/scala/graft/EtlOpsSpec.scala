@@ -63,8 +63,9 @@ class EtlOpsSpec extends AnyFunSuite {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val j = spark.table("graft_buckets.lineitem_b")
-        .join(spark.table("graft_buckets.orders_b"),
+      val db = "graft_buckets_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val j = spark.table(s"$db.lineitem_b")
+        .join(spark.table(s"$db.orders_b"),
           col("l_orderkey") === col("o_orderkey"))
       val p = j.queryExecution.sparkPlan.toString
       assert(p.contains("SortMergeJoin"), p.take(300))
