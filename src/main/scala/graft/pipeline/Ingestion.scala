@@ -122,7 +122,11 @@ final case class IngestionConfig(
   /** A2 (framework.py:128-137): human-readable plan for dry runs. */
   def plan: String = {
     val mode = writeMode match {
-      case WriteMode.Merge(keys, _, _) => s"merge on (${keys.mkString(", ")})"
+      case WriteMode.Merge(keys, delOnMatch, delUnmatched) =>
+        s"merge on (${keys.mkString(", ")})" +
+          delOnMatch.map(c => s" delete-on-match [$c]").getOrElse("") +
+          delUnmatched.map(c => s" purge-not-matched-by-source [$c]")
+            .getOrElse("")
       case m => m.toString.toLowerCase
     }
     val ingest = ingestMode match {

@@ -55,6 +55,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(new IngestionRunner(spark, cfg).run() === Right(0L))
     assert(cfg.plan.contains("batch") && cfg.plan.contains("append"))
     assert(!spark.catalog.databaseExists("graft_dry"))
+    // merge clauses surface in the rendered plan
+    val mp = cfg.copy(writeMode = WriteMode.Merge(Seq("k"),
+      deleteOnMatch = Some("v < 0"),
+      deleteNotMatchedBySource = Some("stale"))).plan
+    assert(mp.contains("merge on (k)"))
+    assert(mp.contains("delete-on-match [v < 0]"))
+    assert(mp.contains("purge-not-matched-by-source [stale]"))
   }
 
   test("batch overwrite ingests into a managed table (A3-A5)") {
