@@ -342,8 +342,10 @@ object MetricsOps {
   // at all" before pairwise tests (agg_ttest / agg_mann_whitney). Each
   // group collapses to exact BIGINT moments (n, Σ¢, Σ¢²) in one partial-
   // aggregated scan; the between/within sum-of-squares terms are per-GROUP
-  // fixed IEEE expressions quantized to 1e-6 before the final BIGINT sum,
-  // so the F statistic is bit-stable at any parallelism. Output is one
+  // fixed IEEE expressions quantized to 1e-6 before the final
+  // DECIMAL(38,0) sum (a BIGINT sum overflows at sf1 — the quantized
+  // per-group term reaches ~5e18), so the F statistic is bit-stable at
+  // any parallelism. Output is one
   // row — the aggregate-to-a-scalar shape that costs one scan at 100 TB.
   private val aggAnova = Op(
     "agg_anova",
@@ -360,13 +362,17 @@ object MetricsOps {
              q AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                           CAST(SUM(n) AS BIGINT) AS nn,
                           CAST(SUM(sx) AS BIGINT) AS ss,
-                          CAST(SUM(CAST(round((CAST(sxx AS DOUBLE)
+                          -- DECIMAL(38,0), not BIGINT: the quantized
+                          -- per-group term is ~sx²/n·1e6 ≈ 5e18 at sf1 —
+                          -- a BIGINT sum of k groups overflows (caught by
+                          -- the round-9 sf1 scale run)
+                          SUM(CAST(round((CAST(sxx AS DOUBLE)
                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                                   / n) * 1000000) AS BIGINT)) AS BIGINT)
+                                   / n) * 1000000) AS DECIMAL(38,0)))
                             AS ssw_q,
-                          CAST(SUM(CAST(round(CAST(sx AS DOUBLE)
+                          SUM(CAST(round(CAST(sx AS DOUBLE)
                                  * CAST(sx AS DOUBLE) / n * 1000000)
-                                 AS BIGINT)) AS BIGINT) AS sgm_q
+                                 AS DECIMAL(38,0))) AS sgm_q
                    FROM m)
         SELECT k, nn AS n,
                round((CAST(sgm_q AS DOUBLE) / 1000000.0D
@@ -386,14 +392,14 @@ object MetricsOps {
                  q AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                               CAST(SUM(n) AS BIGINT) AS nn,
                               CAST(SUM(sx) AS BIGINT) AS ss,
-                              CAST(SUM(CAST(round((CAST(sxx AS DOUBLE)
+                              SUM(CAST(round((CAST(sxx AS DOUBLE)
                                      - CAST(sx AS DOUBLE)
                                        * CAST(sx AS DOUBLE) / n)
-                                     * 1000000) AS BIGINT)) AS BIGINT)
+                                     * 1000000) AS HUGEINT))
                                 AS ssw_q,
-                              CAST(SUM(CAST(round(CAST(sx AS DOUBLE)
+                              SUM(CAST(round(CAST(sx AS DOUBLE)
                                      * CAST(sx AS DOUBLE) / n * 1000000)
-                                     AS BIGINT)) AS BIGINT) AS sgm_q
+                                     AS HUGEINT)) AS sgm_q
                        FROM m)
             SELECT k, nn AS n,
                    round((CAST(sgm_q AS DOUBLE) / 1000000.0

@@ -71,8 +71,10 @@ object StatsMlOps {
   // Spearman rank correlation (quantity vs extended price per return flag).
   // Tied ranks use the textbook AVERAGE-rank convention, kept integral by
   // doubling: 2·avgrank = 2·RANK() + tiecount − 1 (RANK is the tie group's
-  // min rank; avg = min + (cnt−1)/2). All five moment sums are exact
-  // BIGINTs (max term ≈ (2n)² · n ≈ 3e16 at sf0.1 — no overflow); the
+  // min rank; avg = min + (cnt−1)/2). The three second-moment sums are
+  // exact DECIMAL(38,0)/HUGEINT (max sum ≈ (2n)²·n ≈ 3e19 at sf1 — a
+  // BIGINT overflows past n ≈ 1.3M/group, caught by the round-9 sf1 scale
+  // run; first moments stay BIGINT at 2n·n); the
   // Pearson-on-ranks combination happens in double AFTER the exact sums,
   // so the result is bit-stable across partitionings. Cost: two windows
   // over the same (flag) partitioning — ONE shuffle, two in-partition
@@ -97,9 +99,9 @@ object StatsMlOps {
              m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
                           CAST(SUM(rx) AS BIGINT) AS sx,
                           CAST(SUM(ry) AS BIGINT) AS sy,
-                          CAST(SUM(rx * rx) AS BIGINT) AS sxx,
-                          CAST(SUM(ry * ry) AS BIGINT) AS syy,
-                          CAST(SUM(rx * ry) AS BIGINT) AS sxy
+                          SUM(CAST(rx AS DECIMAL(19,0)) * rx) AS sxx,
+                          SUM(CAST(ry AS DECIMAL(19,0)) * ry) AS syy,
+                          SUM(CAST(rx AS DECIMAL(19,0)) * ry) AS sxy
                    FROM r GROUP BY g)
         SELECT g AS l_returnflag, n,
                round((CAST(sxy AS DOUBLE)
@@ -126,9 +128,9 @@ object StatsMlOps {
                  m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
                               CAST(SUM(rx) AS BIGINT) AS sx,
                               CAST(SUM(ry) AS BIGINT) AS sy,
-                              CAST(SUM(rx * rx) AS BIGINT) AS sxx,
-                              CAST(SUM(ry * ry) AS BIGINT) AS syy,
-                              CAST(SUM(rx * ry) AS BIGINT) AS sxy
+                              SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+                              SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+                              SUM(CAST(rx AS HUGEINT) * ry) AS sxy
                        FROM r GROUP BY g)
             SELECT g AS l_returnflag, n,
                    round((CAST(sxy AS DOUBLE)
