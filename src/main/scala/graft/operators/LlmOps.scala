@@ -2899,7 +2899,10 @@ object LlmOps {
   // work: no shuffle at all except the output sort; at 100 TB this is a
   // single codegen'd scan, the same discipline as text_quality /
   // text_sentence_stats (whose tokenization it reuses verbatim so the
-  // per-doc word counts agree across the text family).
+  // per-doc word counts agree across the text family). Scores cross the
+  // compare boundary under the floor(x*1e4+0.5)/1e4 protocol (§7.6.2):
+  // engine round() implementations disagreed on one half-way doc at
+  // sf0.1 (caught by the round-9 sf1/sf0.1 compare).
   private val textReadability = Op(
     "text_readability",
     (s, d) => {
@@ -2915,9 +2918,11 @@ object LlmOps {
                    FROM docs_fre)
         SELECT doc_id, ns AS n_sentences, nw AS n_words,
                sy AS n_syllables,
-               round(206.835D - 1.015D * nw / ns - 84.6D * sy / nw, 4)
+               floor((206.835D - 1.015D * nw / ns - 84.6D * sy / nw)
+                     * 10000.0D + 0.5D) / 10000.0D
                  AS flesch_ease,
-               round(0.39D * nw / ns + 11.8D * sy / nw - 15.59D, 4)
+               floor((0.39D * nw / ns + 11.8D * sy / nw - 15.59D)
+                     * 10000.0D + 0.5D) / 10000.0D
                  AS fk_grade
         FROM c ORDER BY doc_id""")
     },
@@ -2934,9 +2939,16 @@ object LlmOps {
                        FROM documents)
             SELECT doc_id, ns AS n_sentences, nw AS n_words,
                    sy AS n_syllables,
-                   round(206.835 - 1.015 * nw / ns - 84.6 * sy / nw, 4)
+                   -- ::DOUBLE on every literal: DuckDB parses 0.39 as
+                   -- DECIMAL(3,2), and decimal-lane arithmetic lands one
+                   -- ulp away from Spark's all-double evaluation
+                   floor((206.835::DOUBLE - 1.015::DOUBLE * nw / ns
+                          - 84.6::DOUBLE * sy / nw)
+                         * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
                      AS flesch_ease,
-                   round(0.39 * nw / ns + 11.8 * sy / nw - 15.59, 4)
+                   floor((0.39::DOUBLE * nw / ns + 11.8::DOUBLE * sy / nw
+                          - 15.59::DOUBLE)
+                         * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
                      AS fk_grade
             FROM c ORDER BY doc_id"""))
 

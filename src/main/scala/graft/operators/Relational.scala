@@ -287,7 +287,13 @@ object Relational {
         col("user_id"), col("ts"), col("event_id").as("click_id"),
         lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value"),
         lit(1).as("side"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      // (ts, side, event_id) is a TOTAL order: same-timestamp purchases
+      // exist in real event streams, and without the id tiebreak "last"
+      // is engine-dependent (caught by the round-9 sf1 scale run, where
+      // replicated facts planted duplicate timestamps). Ties resolve to
+      // the LARGEST purchase id — latest-writer-wins, engine-exact.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), coalesce(col("p_id"), col("click_id")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       purchases.unionByName(clicks)
         .withColumn("asof_id", last(col("p_id"), ignoreNulls = true).over(w))
@@ -306,10 +312,12 @@ object Relational {
             w AS (
               SELECT *,
                 last_value(p_id IGNORE NULLS) OVER
-                  (PARTITION BY user_id ORDER BY ts, side
+                  (PARTITION BY user_id
+                   ORDER BY ts, side, COALESCE(p_id, click_id)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
                 last_value(p_value IGNORE NULLS) OVER
-                  (PARTITION BY user_id ORDER BY ts, side
+                  (PARTITION BY user_id
+                   ORDER BY ts, side, COALESCE(p_id, click_id)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
               FROM u)
             SELECT click_id, user_id, asof_id, asof_value FROM w WHERE side = 1
@@ -335,7 +343,10 @@ object Relational {
         col("user_id"), col("ts"), col("event_id").as("click_id"),
         lit(null).cast("long").as("p_id"),
         lit(null).cast("double").as("p_value"), lit(1).as("side"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      // total order (see join_asof): forward ties resolve to the SMALLEST
+      // purchase id — first-writer-wins, engine-exact
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), coalesce(col("p_id"), col("click_id")))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       purchases.unionByName(clicks)
         .withColumn("next_id", first(col("p_id"), ignoreNulls = true).over(w))
@@ -355,11 +366,13 @@ object Relational {
             w AS (
               SELECT *,
                 first_value(p_id IGNORE NULLS) OVER
-                  (PARTITION BY user_id ORDER BY ts, side
+                  (PARTITION BY user_id
+                   ORDER BY ts, side, COALESCE(p_id, click_id)
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                   AS next_id,
                 first_value(p_value IGNORE NULLS) OVER
-                  (PARTITION BY user_id ORDER BY ts, side
+                  (PARTITION BY user_id
+                   ORDER BY ts, side, COALESCE(p_id, click_id)
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                   AS next_value
               FROM u)
@@ -385,7 +398,9 @@ object Relational {
         col("event_id").as("click_id"),
         lit(null).cast("long").as("p_id"), lit(null).cast("long").as("p_ts"),
         lit(1).as("side"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      // total order (see join_asof); ties to the largest purchase id
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("side"), coalesce(col("p_id"), col("click_id")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       purchases.unionByName(clicks)
         .withColumn("asof_id", last(col("p_id"), ignoreNulls = true).over(w))
@@ -408,10 +423,12 @@ object Relational {
             w AS (
               SELECT *,
                 last_value(p_id IGNORE NULLS) OVER
-                  (PARTITION BY user_id ORDER BY ts, side
+                  (PARTITION BY user_id
+                   ORDER BY ts, side, COALESCE(p_id, click_id)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
                 ts_ms - last_value(p_ts IGNORE NULLS) OVER
-                  (PARTITION BY user_id ORDER BY ts, side
+                  (PARTITION BY user_id
+                   ORDER BY ts, side, COALESCE(p_id, click_id)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gap_ms
               FROM u)
             SELECT click_id, user_id,
@@ -1167,6 +1184,13 @@ object Relational {
   // free). Determinism: quantities sum as BIGINT, money in DECIMAL (the
   // 3-factor charge product stays exact — scale 6 ≤ decimal(38,6)), and
   // every avg divides an exact sum by an exact count in float64 once.
+  // The scale-6 money sums exceed double precision at sf1 (17 sig digits
+  // — the decimal→double conversions diverged by 1 ulp between engines,
+  // and decimal half-rounding modes differ too: Spark casts HALF_UP,
+  // DuckDB HALF_EVEN; both caught by the round-9 sf1 run). They now round
+  // to cents in EXACT integer arithmetic — micro-units as BIGINT,
+  // (x + 5000) div 10000 half-up — and convert once, a correctly-rounded
+  // 13-digit parse identical on both engines.
   private val sqlTpchQ1 = Op(
     "sql_tpch_q1",
     (s, d) => {
@@ -1176,12 +1200,16 @@ object Relational {
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        * 1000000 AS BIGINT) + 5000) DIV 10000 AS DOUBLE)
+                 / 100.0D
                  AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                         (1 - CAST(l_discount AS DECIMAL(18,2))) *
-                        (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+                        (1 + CAST(l_tax AS DECIMAL(18,2))))
+                        * 1000000 AS BIGINT) + 5000) DIV 10000 AS DOUBLE)
+                 / 100.0D
                  AS sum_charge,
                round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                      / COUNT(*), 4) AS avg_qty,
@@ -1199,12 +1227,16 @@ object Relational {
               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                 AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                       (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+              CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (1 - CAST(l_discount AS DECIMAL(18,2))))
+                       * 1000000 AS BIGINT) + 5000) // 10000 AS DOUBLE)
+                / 100.0
                 AS sum_disc_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
                        (1 - CAST(l_discount AS DECIMAL(18,2))) *
-                       (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+                       (1 + CAST(l_tax AS DECIMAL(18,2))))
+                       * 1000000 AS BIGINT) + 5000) // 10000 AS DOUBLE)
+                / 100.0
                 AS sum_charge,
               round(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
                     / COUNT(*), 4) AS avg_qty,

@@ -158,7 +158,7 @@ object StreamOps {
       s.read.parquet(out).orderBy("user_id", "ss_ms")
     },
     Some("""WITH g AS (
-              SELECT user_id, epoch_ms(ts) AS ms,
+              SELECT user_id, event_id, epoch_ms(ts) AS ms,
                 CASE WHEN lag(epoch_ms(ts)) OVER
                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                      OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
@@ -166,8 +166,12 @@ object StreamOps {
                      THEN 1 ELSE 0 END AS new_sess
               FROM events),
             sess AS (
+              -- the running sum MUST use the same total order as the lag
+              -- above: ordering by ms alone misassigns session ids under
+              -- duplicate timestamps (overlapping phantom sessions)
               SELECT user_id, ms,
-                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ms, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               FROM g),
             agg AS (
