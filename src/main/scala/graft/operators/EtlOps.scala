@@ -1095,21 +1095,35 @@ object EtlOps {
     "profile_stats_approx",
     (s, d) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      // sketch pass: nulls + HLL + min/max for all columns in ONE scan
+      // (fixed-size buffers, NO multi-distinct Expand — this is the shape
+      // that runs on the full corpus). The exact-distinct AUDIT side runs
+      // as one single-distinct aggregate per column: a single distinct
+      // rewrites to a plain two-phase group-by; folding all four exact
+      // distincts into the sketch aggregate re-introduced the 5× Expand
+      // and cost 22 s at sf0.1 vs ~1 s split.
+      val base = t(s, d, "orders")
       val aggs = cols.flatMap { c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__ndx"),
         approx_count_distinct(col(c), 0.02).as(s"${c}__nde"),
         min(col(c).cast("string")).as(s"${c}__mn"),
         max(col(c).cast("string")).as(s"${c}__mx"))
       }
-      val one = t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+      val one = base.agg(aggs.head, aggs.tail: _*)
       val stacked = cols.map(c =>
-        s"'$c', ${c}__nn, ${c}__ndx, " +
-          s"CAST(abs(${c}__nde - ${c}__ndx) <= 0.05D * ${c}__ndx AS BOOLEAN), " +
-          s"${c}__mn, ${c}__mx").mkString(", ")
-      one.selectExpr(
+        s"'$c', ${c}__nn, ${c}__nde, ${c}__mn, ${c}__mx").mkString(", ")
+      val sketch = one.selectExpr(
         s"stack(${cols.size}, $stacked) AS (column_name, n_null, " +
-          "n_distinct, est_within_5pct, min_s, max_s)")
+          "nde, min_s, max_s)")
+      val exact = cols.map(c => base
+          .agg(countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("column_name"), col("n_distinct")))
+        .reduce(_.unionByName(_))
+      sketch.join(broadcast(exact), "column_name")
+        .select(col("column_name"), col("n_null"), col("n_distinct"),
+          (abs(col("nde") - col("n_distinct")) <=
+            lit(0.05) * col("n_distinct")).as("est_within_5pct"),
+          col("min_s"), col("max_s"))
         .orderBy("column_name")
     },
     Some("""WITH a AS (

@@ -847,36 +847,47 @@ object Relational {
     * interpolation itself is the standard type-7 rule both engines use:
     * pos = p·(n−1), v_lo + frac·(v_hi − v_lo). Input df: (g, v) rows with
     * v exact at 2 decimals. */
-  private def interpPercentileByGroup(
-      df: DataFrame, p: Double, out: String): DataFrame = {
+  /** Input df: (g, metric, p, v) rows — all requested (group, metric)
+    * percentiles ride ONE collapse + CDF pass, keyed by (g, metric); `p`
+    * must be constant per (g, metric). Returns (g, metric, pct). */
+  private def interpPercentileByGroup(df: DataFrame): DataFrame = {
+    val gm = Seq("g", "metric")
     val g = df
-      .select(col("g"), round(col("v") * 100).cast("long").as("x"))
-      .groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+      .select(col("g"), col("metric"), col("p"),
+        round(col("v") * 100).cast("long").as("x"))
+      .groupBy("g", "metric", "x")
+      .agg(count(lit(1)).as("cnt"), first("p").as("p"))
       .withColumn("bucket", expr("x div 1000"))
-    val w = Window.partitionBy("g", "bucket").orderBy("x")
+    val w = Window.partitionBy("g", "metric", "bucket").orderBy("x")
     val within = g.withColumn("cum_in", sum("cnt").over(w))
-    val counts = g.groupBy("g", "bucket").agg(sum("cnt").as("bt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"),
-        col("a.g") === col("b.g") && col("b.bucket") < col("a.bucket"),
-        "left")
-      .groupBy(col("a.g").as("g"), col("a.bucket").as("bucket"))
-      .agg(coalesce(sum(col("b.bt")), lit(0L)).as("off"))
-    val tot = g.groupBy("g").agg(sum("cnt").as("n"))
-    within.join(broadcast(offsets), Seq("g", "bucket"))
+    val counts = g.groupBy("g", "metric", "bucket").agg(sum("cnt").as("bt"))
+    // per-bucket offsets as a WINDOW over the tiny counts relation (one
+    // row per bucket), not a triangular self-join: with a wide value
+    // domain (l_extendedprice → ~10k cent-buckets per group) the b<a
+    // join is O(buckets²) — measured 27 s at sf0.1 vs ~1 s windowed. The
+    // window partitions by (g, metric) over O(buckets) rows, so the BIG
+    // relation still never passes through a single partition.
+    val wOff = Window.partitionBy("g", "metric").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("bt").over(wOff), lit(0L)))
+      .select("g", "metric", "bucket", "off")
+    val tot = g.groupBy("g", "metric").agg(sum("cnt").as("n"))
+    within.join(broadcast(offsets), gm :+ "bucket")
       .withColumn("cum", col("off") + col("cum_in"))
-      .join(broadcast(tot), Seq("g"))
+      .join(broadcast(tot), gm)
       .withColumn("k",
-        floor(lit(p) * (col("n") - 1).cast("double")).cast("long"))
-      .groupBy("g", "n", "k")
+        floor(col("p") * (col("n") - 1).cast("double")).cast("long"))
+      .groupBy("g", "metric", "n", "k")
       .agg(min(when(col("cum") >= col("k") + 1, col("x"))).as("xlo"),
-        min(when(col("cum") >= col("k") + 2, col("x"))).as("xhi"))
-      .select(col("g"),
+        min(when(col("cum") >= col("k") + 2, col("x"))).as("xhi"),
+        first("p").as("p"))
+      .select(col("g"), col("metric"),
         round(col("xlo").cast("double") / 100.0 +
-          (lit(p) * (col("n") - 1).cast("double") -
+          (col("p") * (col("n") - 1).cast("double") -
             col("k").cast("double")) *
           (coalesce(col("xhi"), col("xlo")).cast("double") -
-            col("xlo").cast("double")) / 100.0, 4).as(out))
+            col("xlo").cast("double")) / 100.0, 4).as("pct"))
   }
 
   // Exact linear-interpolation percentiles per group; rounded at the
@@ -887,15 +898,16 @@ object Relational {
   private val aggPercentile = Op(
     "agg_percentile",
     (s, d) => {
-      val li = t(s, d, "lineitem")
-      val p50 = interpPercentileByGroup(
-        li.select(col("l_returnflag").as("g"), col("l_quantity").as("v")),
-        0.5, "p50_qty")
-      val p90 = interpPercentileByGroup(
-        li.select(col("l_returnflag").as("g"),
-          col("l_extendedprice").as("v")),
-        0.9, "p90_price")
-      p50.join(p90, "g")
+      // both (metric, p) pairs ride ONE scan + one collapse shuffle:
+      // stack() expands each row map-side into its two metric rows
+      val stacked = t(s, d, "lineitem").selectExpr(
+        "l_returnflag AS g",
+        "stack(2, 'qty', 0.5D, l_quantity, 'price', 0.9D, l_extendedprice)" +
+          " AS (metric, p, v)")
+      interpPercentileByGroup(stacked)
+        .groupBy("g")
+        .agg(max(when(col("metric") === "qty", col("pct"))).as("p50_qty"),
+          max(when(col("metric") === "price", col("pct"))).as("p90_price"))
         .select(col("g").as("l_returnflag"), col("p50_qty"),
           col("p90_price"))
         .orderBy("l_returnflag")
