@@ -2797,31 +2797,19 @@ object LlmOps {
   private val textFingerprintMd5 = Op(
     "text_fingerprint_md5",
     (s, d) => {
-      t(s, d, "documents").createOrReplaceTempView("docs_fpm")
-      // the transform(array(X), x -> ...) wrappers are LET-BINDINGS, not
-      // decoration: Catalyst's CollapseProject inlines subquery columns
-      // into lambda bodies, so a naive `slice(hs, w, 4)` re-evaluates the
-      // ENTIRE md5 gram array once per window — O(len²) md5 calls per doc
-      // (measured 185 s for 500 docs). Binding hs/fps as lambda variables
-      // pins one evaluation each; the whole op is back to one linear pass.
-      s.sql("""
-        SELECT doc_id, r.n_fp AS n_fp, r.fp_min AS fp_min,
-               r.fp_max AS fp_max
-        FROM (
-          SELECT doc_id,
-                 element_at(transform(
-                   array(transform(sequence(1, length(text) - 7),
-                     i -> CAST(conv(substr(md5(CAST(substr(text, i, 8)
-                            AS BINARY)), 1, 8), 16, 10) AS BIGINT))),
-                   hs -> element_at(transform(
-                     array(transform(sequence(1, size(hs) - 3),
-                       w -> array_min(slice(hs, w, 4)))),
-                     fps -> named_struct(
-                       'n_fp', CAST(size(array_distinct(fps)) AS INT),
-                       'fp_min', array_min(fps),
-                       'fp_max', array_max(fps))), 1)), 1) AS r
-          FROM docs_fpm WHERE length(text) >= 11)
-        ORDER BY doc_id""")
+      // native Md5Winnow expression — one primitive loop per row, output
+      // bit-identical to the HOF SQL spelling (equivalence asserted in
+      // TextWinnowSpec; the HOF chain pays an interpreted lambda frame +
+      // hex round-trip per gram: 6.8 s vs ~1.5 s at sf0.1 — and a naive
+      // un-let-bound HOF was O(len²) md5 calls from CollapseProject
+      // inlining, 185 s for 500 docs)
+      graft.functions.Md5Winnow.register(s)
+      t(s, d, "documents")
+        .where(length(col("text")) >= 11)
+        .select(col("doc_id"), expr("graft_md5_winnow(text)").as("w"))
+        .select(col("doc_id"), col("w.n_fp").as("n_fp"),
+          col("w.fp_min").as("fp_min"), col("w.fp_max").as("fp_max"))
+        .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
                    CAST(len(list_distinct(fps)) AS INT) AS n_fp,

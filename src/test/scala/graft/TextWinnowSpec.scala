@@ -28,6 +28,45 @@ class TextWinnowSpec extends AnyFunSuite {
     assert(native.toSeq === ref.toSeq)
   }
 
+  private def md5HofReference(d: String) =
+    Tables.load(spark, d, "documents")
+      .where(length(col("text")) >= 11)
+      .withColumn("hs", expr(
+        "transform(sequence(1, length(text) - 7), i -> " +
+          "CAST(conv(substr(md5(CAST(substring(text, i, 8) AS BINARY)), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("fps", expr(
+        "transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))"))
+      .select(col("doc_id"),
+        size(array_distinct(col("fps"))).as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+      .orderBy("doc_id")
+
+  test("native md5 winnow equals the HOF formulation on the documents table") {
+    val native = SparkEntry.queries("text_fingerprint_md5")(spark, sfDir)
+      .collect()
+    val ref = md5HofReference(sfDir).collect()
+    assert(native.toSeq === ref.toSeq)
+  }
+
+  test("md5 winnow: multi-byte grams hash their UTF-8 bytes, short is null") {
+    import spark.implicits._
+    graft.functions.Md5Winnow.register(spark)
+    val df = Seq("the quick brown fox jumps", "héllo wörld, 你好世界你好世界",
+      "exactly11ch", "short").toDF("text")
+    val got = df.select(expr("graft_md5_winnow(text)").as("w")).collect()
+    assert(got(3).isNullAt(0), "sub-threshold text must be null")
+    // cross-check one value against the SQL md5 spelling
+    val sqlRef = df.where(length(col("text")) >= 11)
+      .withColumn("hs", expr(
+        "transform(sequence(1, length(text) - 7), i -> " +
+          "CAST(conv(substr(md5(CAST(substring(text, i, 8) AS BINARY)), 1, 8), 16, 10) AS BIGINT))"))
+      .selectExpr("array_min(transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))) AS mn")
+      .collect().map(_.getLong(0))
+    val nativeMin = got.take(3).map(_.getStruct(0).getLong(1))
+    assert(nativeMin.toSeq === sqlRef.toSeq)
+  }
+
   test("interpreted eval equals codegen, and multi-byte text is walked by codepoints") {
     import spark.implicits._
     graft.functions.TextWinnow.register(spark)
