@@ -58,9 +58,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val loadEnd = loadAvg()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":${loadAvg()}}}"""
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd}}"""
+    // stdout gets ONLY the compact summary (no per-query map): the gate
+    // keeps a bounded tail of stdout, and the full 422-key line blows past
+    // it — truncated JSON parsed as null. The complete record (with the
+    // per-query map) always lands in bench_result.json.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd}}""")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

@@ -483,8 +483,11 @@ object LlmOps {
   // explode + 64-column codegen'd hash aggregate (partial map-side combine,
   // one shuffle on doc_id) — an order of magnitude faster than per-bit
   // interpreted HOF passes over the token array. Then the 16-bit-chunk band
-  // join (pigeonhole: hamming ≤ 6 pairs must collide on ≥1 of 4 chunks),
-  // frequency-capped via simhashCandidatePairs.
+  // join (pigeonhole over 4 chunks: hamming ≤ 3 pairs MUST collide on ≥1
+  // chunk; 4–6 best-effort — they can spread 2+2+1+1 and miss, the
+  // standard banded-LSH recall tradeoff, stated the same way at
+  // Multimodal.phashPairsFrom), frequency-capped via
+  // simhashCandidatePairs.
   private val dedupSimhash = Op(
     "dedup_simhash",
     (s, d) => {
@@ -2772,7 +2775,9 @@ object LlmOps {
   // xxhash64 per token, which no oracle can replay; this twin derives the
   // per-token 64-bit hash from md5 — 4×16-bit hex chunks — which both
   // engines produce bit-identically, so tokenize → per-bit majority →
-  // 4×16-bit chunk banding (pigeonhole: hamming ≤ 6 collides on ≥1 chunk)
+  // 4×16-bit chunk banding (pigeonhole: hamming ≤ 3 GUARANTEED to collide
+  // on ≥1 chunk; 4–6 best-effort — such pairs can spread 2+2+1+1 across
+  // all four chunks and miss, identically in both engines)
   // → frequency-capped candidate join → hamming verify hash-matches
   // DuckDB end to end). Same plan constant factor as the production key:
   // one md5 per distinct (doc, token), 64 bit-majority sums in ONE

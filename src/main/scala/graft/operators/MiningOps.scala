@@ -448,10 +448,11 @@ object MiningOps {
                      FROM b),
              bt AS (SELECT bu, CAST(COUNT(*) AS BIGINT) AS c
                     FROM b GROUP BY 1),
-             off AS (SELECT a.bu,
-                            CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS o
-                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
-                     GROUP BY a.bu),
+             off AS (SELECT bu,
+                            CAST(COALESCE(SUM(c) OVER (ORDER BY bu
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS o
+                     FROM bt),
              nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bt),
              dec AS (SELECT win.doc_id,
                             CAST(((win.rin + off.o - 1) * 10) div nn.n
@@ -1026,7 +1027,7 @@ object MiningOps {
   // INTEGER cross-multiplications against the total (cum·10 ≤ tot·8,
   // cum·20 ≤ tot·19) so no float share ever decides a boundary row. The
   // cumulative runs BUCKET-PARTITIONED (per revenue-range bucket, lifted
-  // by broadcast offsets — the agg_ks_test two-phase pattern): the part
+  // by per-bucket offsets windowed over the tiny counts relation): the part
   // domain GROWS with data volume, so a global single-partition window
   // would be the 100 TB bottleneck. The oracle keeps the plain global
   // spelling — identical cumulative, independently derived.
@@ -1047,11 +1048,11 @@ object MiningOps {
                      FROM bkt),
              bt AS (SELECT bu, CAST(SUM(r) AS BIGINT) AS sb
                     FROM bkt GROUP BY 1),
-             off AS (SELECT a.bu,
-                            CAST(COALESCE(SUM(x.sb), 0) AS BIGINT)
-                              AS o
-                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
-                     GROUP BY a.bu),
+             off AS (SELECT bu,
+                            CAST(COALESCE(SUM(sb) OVER (ORDER BY bu
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS o
+                     FROM bt),
              c AS (SELECT win.pk, win.r,
                           CAST(win.cin + off.o AS BIGINT) AS cum
                    FROM win JOIN off ON win.bu = off.bu),
@@ -1233,11 +1234,12 @@ object MiningOps {
                      FROM bkt),
              bt AS (SELECT half, bu, CAST(COUNT(*) AS BIGINT) AS c
                     FROM bkt GROUP BY 1, 2),
-             off AS (SELECT a.half, a.bu,
-                            CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS o
-                     FROM bt a LEFT JOIN bt x
-                       ON a.half = x.half AND x.bu < a.bu
-                     GROUP BY a.half, a.bu),
+             off AS (SELECT half, bu,
+                            CAST(COALESCE(SUM(c) OVER (
+                              PARTITION BY half ORDER BY bu
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS o
+                     FROM bt),
              rk AS (SELECT win.pk, win.half, win.r,
                            CAST(win.rin + off.o AS BIGINT) AS rnk
                     FROM win JOIN off
@@ -1821,11 +1823,11 @@ object MiningOps {
                      FROM bkt),
              bt AS (SELECT bu, CAST(SUM(r) AS BIGINT) AS sb
                     FROM bkt GROUP BY 1),
-             off AS (SELECT a.bu,
-                            CAST(COALESCE(SUM(x.sb), 0) AS BIGINT)
-                              AS o
-                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
-                     GROUP BY a.bu),
+             off AS (SELECT bu,
+                            CAST(COALESCE(SUM(sb) OVER (ORDER BY bu
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS o
+                     FROM bt),
              cum AS (SELECT win.pk, win.r,
                             CAST(win.cin + off.o AS BIGINT) AS cr
                      FROM win JOIN off ON win.bu = off.bu),

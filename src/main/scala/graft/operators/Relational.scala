@@ -683,14 +683,18 @@ object Relational {
   // sketch-family upgrade): the engine-specific HLL++ estimate stays out
   // of the compared columns — the output is the exact per-type profile
   // (plain SQL in DuckDB) plus `est_within_5pct`, computed by Spark from
-  // the real estimate (default rsd 0.05) and asserted TRUE by the oracle.
-  // A drifted sketch flips the boolean and fails the hash compare; the
-  // per-row estimate itself stays covered by the rel-err unit test.
+  // the real estimate and asserted TRUE by the oracle. The sketch runs at
+  // an EXPLICIT rsd 0.01 so the 5% verdict is a ~5σ bound (the default
+  // 0.05 would make the bound one standard deviation — a coin-flip on a
+  // new dataset, per round-9 ADVICE). A drifted sketch flips the boolean
+  // and fails the hash compare; the per-row estimate itself stays covered
+  // by the rel-err unit test.
   private val aggApproxDistinct = Op(
     "agg_approx_distinct",
     (s, d) => t(s, d, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).cast("double").as("est"),
+      .agg(approx_count_distinct(col("user_id"), 0.01)
+        .cast("double").as("est"),
         countDistinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n"))
       .select(col("event_type"), col("n_users_exact"), col("n"),

@@ -545,10 +545,11 @@ object StatsMlOps {
                      FROM bkt),
              bt AS (SELECT bu, CAST(COUNT(*) AS BIGINT) AS c
                     FROM bkt GROUP BY 1),
-             off AS (SELECT a.bu,
-                            CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS o
-                     FROM bt a LEFT JOIN bt x ON x.bu < a.bu
-                     GROUP BY a.bu),
+             off AS (SELECT bu,
+                            CAST(COALESCE(SUM(c) OVER (ORDER BY bu
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS o
+                     FROM bt),
              nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bt),
              rk AS (SELECT win.rev,
                            CAST(win.rin + off.o AS BIGINT) AS rn,

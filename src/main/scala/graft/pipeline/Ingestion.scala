@@ -479,13 +479,17 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     // matching target row is dropped by the anti join and an unmatched
     // tombstone is a no-op); deleteNotMatchedBySource filters the
     // surviving-target branch. Both are filters on existing branches —
-    // the plan keeps the single shuffle on the merge keys.
+    // the plan keeps the single shuffle on the merge keys. `IS NOT TRUE`
+    // (not `NOT`) so a NULL-valued predicate means clause-not-satisfied —
+    // the row upserts/survives, matching Delta's `WHEN … AND <cond> THEN
+    // DELETE` semantics; a bare NOT would silently delete NULL rows.
     val upserts = m.deleteOnMatch
-      .map(cond => source.filter(s"NOT ($cond)")).getOrElse(source)
+      .map(cond => source.filter(s"($cond) IS NOT TRUE")).getOrElse(source)
     val survivors0 =
       target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val survivors = m.deleteNotMatchedBySource
-      .map(cond => survivors0.filter(s"NOT ($cond)")).getOrElse(survivors0)
+      .map(cond => survivors0.filter(s"($cond) IS NOT TRUE"))
+      .getOrElse(survivors0)
     val merged = upserts.unionByName(survivors, allowMissingColumns = true)
     val partitioned = isPartitionedTable(c)
     var staged: Path = null

@@ -142,9 +142,22 @@ object Versioned {
     * history (NOT re-read at claim time): a slow writer that passed fence 1
     * before a faster sibling's pointer swap still aims at the SAME
     * successor slot and collides with the winner's marker. Markers are one
-    * tiny file per committed version and are never GC'd — same unbounded-
-    * but-negligible growth as the `_history` log itself (deleting a marker
-    * would re-open its slot to exactly the slow-writer race it fences). */
+    * tiny file per committed version and are kept after commit — same
+    * unbounded-but-negligible growth as the `_history` log itself (deleting
+    * a committed marker would re-open its slot to exactly the slow-writer
+    * race it fences).
+    *
+    * Crash recovery: a writer that dies BETWEEN marker creation and commit
+    * must not wedge the ordinal forever. On collision, the marker is
+    * reclaimable iff its recorded owner is provably dead — the owner name
+    * is absent from `_history` AND its staged dir is gone (a live claimant's
+    * staged dir exists for the whole life of the attempt; a crashed one's
+    * is GC'd by the next vacuum). Reclaim overwrites the marker and
+    * re-reads it: of two concurrent reclaimers the last write wins and the
+    * other sees a foreign name on the read-back and throws — the residual
+    * read-after-write window is the object-store-overwrite caveat Delta
+    * documents for non-conditional-put stores, and strictly better than a
+    * permanently wedged table. */
   def commitExclusive(root: Path, dir: Path, conf: Configuration,
       expectedParent: Option[String], keepVersions: Int = 1): Unit = {
     val f = fs(root, conf)
@@ -175,12 +188,60 @@ object Versioned {
       val in = f.open(claim)
       val owner =
         try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-      if (owner != dir.getName)
-        throw new CommitConflictException(
-          s"concurrent write at $root: version ordinal $ordinal already " +
-            s"claimed by $owner")
+      if (owner != dir.getName) {
+        val ownerDead =
+          !hist.contains(owner) && !f.exists(new Path(root, owner))
+        if (!ownerDead)
+          throw new CommitConflictException(
+            s"concurrent write at $root: version ordinal $ordinal already " +
+              s"claimed by $owner")
+        // the recorded owner never reached _history and its staged dir is
+        // gone: it crashed between marker and commit. Reclaim the slot
+        // (see scaladoc) — overwrite, then read back to settle concurrent
+        // reclaimers.
+        val out = f.create(claim, true)
+        try out.write(dir.getName.getBytes("UTF-8")) finally out.close()
+        val in2 = f.open(claim)
+        val now =
+          try new String(in2.readAllBytes(), "UTF-8").trim finally in2.close()
+        if (now != dir.getName)
+          throw new CommitConflictException(
+            s"concurrent write at $root: version ordinal $ordinal " +
+              s"reclaimed by $now")
+      }
     }
     commit(root, dir, conf, keepVersions)
+  }
+
+  /** Delta `RESTORE TABLE … TO VERSION n` analog: re-commit the nth
+    * version's CONTENT as a NEW head version. History stays linear and
+    * append-only — restore is a fresh version, exactly as in Delta, so the
+    * intermediate versions remain time-travel readable and the `_history`
+    * audit shows the restore as its own commit.
+    *
+    * The caller materializes the content into the fresh staged dir via
+    * `restage(from, to)` — typically a distributed parquet read+write.
+    * (Delta restore re-REFERENCES the old data files in a new commit; a
+    * dir-per-version protocol cannot alias two history entries to one dir,
+    * so it re-stages — documented divergence, cost one distributed copy of
+    * one version.) The commit goes through [[commitExclusive]] fenced on
+    * the head observed here, so a concurrent writer's commit makes the
+    * restore throw [[CommitConflictException]] instead of silently
+    * clobbering it. Returns the new head dir. */
+  def restore(root: Path, n: Int, conf: Configuration,
+      restage: (Path, Path) => Unit, keepVersions: Int = 1): Path = {
+    val src = versionDir(root, n, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $n of $root is not restorable: not in history or vacuumed"))
+    val parent = current(root, conf).map(_.getName)
+    // deterministic per (n, head): an at-least-once replay of the SAME
+    // restore re-commits idempotently; a later restore (different head)
+    // gets a fresh name and a fresh history entry
+    val staged = stagePath(root,
+      Some(s"restore_${n}_of_${parent.getOrElse("none")}"))
+    restage(src, staged)
+    commitExclusive(root, staged, conf, parent, keepVersions)
+    staged
   }
 
   /** Delete every version dir under `root` except the newest `keepVersions`

@@ -151,6 +151,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() === 3)
   }
 
+  test("merge treats a NULL delete predicate as not-satisfied (Delta clause semantics)") {
+    import spark.implicits._
+    val db = "graft_it"; val tbl = s"$db.merge_nullpred"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val src1 = tmp("g_mnp1_")
+    Seq((1, "a", Some(10)), (2, "b", Option.empty[Int]), (3, "c", Some(20)))
+      .toDF("k", "s", "v").write.mode("overwrite").parquet(src1)
+    val boot = IngestionConfig(db, "merge_nullpred", src1,
+      writeMode = WriteMode.Merge(Seq("k")))
+    assert(new IngestionRunner(spark, boot).run() === Right(3L))
+    // batch 2: k=1 arrives with v NULL — its deleteOnMatch predicate
+    // (v < 0) evaluates NULL, which Delta treats as clause-NOT-satisfied:
+    // the row must UPSERT, not silently delete. Unmatched target k=2 has
+    // v NULL, so deleteNotMatchedBySource (v < 15) is NULL too — it must
+    // SURVIVE. k=3 (v=20) survives the purge on plain false.
+    val src2 = tmp("g_mnp2_")
+    Seq((1, "A2", Option.empty[Int]))
+      .toDF("k", "s", "v").write.mode("overwrite").parquet(src2)
+    val cfg2 = boot.copy(sourcePath = src2,
+      writeMode = WriteMode.Merge(Seq("k"),
+        deleteOnMatch = Some("v < 0"),
+        deleteNotMatchedBySource = Some("v < 15")))
+    assert(new IngestionRunner(spark, cfg2).run() === Right(3L))
+    val rows = spark.table(tbl).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows === Set((1, "A2"), (2, "b"), (3, "c")))
+  }
+
   test("merge commit fences on the version it read (writer conflict)") {
     val db = "graft_it"; val tbl = s"$db.merge_race"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")

@@ -656,18 +656,42 @@ class PlanSpec extends AnyFunSuite {
   test("volume-scaled rankings run two-phase, bucket-partitioned") {
     // the ABC cumulatives, the Lorenz/gain/eval deciles: their rank domain
     // (parts, customers, events, docs) GROWS with volume, so each runs the
-    // bucket-partitioned two-phase rank with broadcast offsets. Assert the
-    // rank/cumsum window is partitioned on the bucket column — the
-    // partition-less spelling (which serializes the domain through one
+    // bucket-partitioned two-phase rank, lifted by per-bucket offsets
+    // computed as a cumulative window over the tiny counts relation (one
+    // row per bucket — r10 rewrite off the O(buckets²) triangular join).
+    // Assert the rank/cumsum window is partitioned on the bucket column —
+    // the partition-less spelling (which serializes the domain through one
     // task) prints windowspecdefinition WITHOUT the bu partition key. The
-    // remaining SinglePartition exchanges are the O(1)-row scalar
-    // readouts (totals), which is the documented exception.
+    // remaining SinglePartition exchanges are the O(1)-row scalar readouts
+    // (totals) and the O(buckets)-row offset window, the documented
+    // exceptions.
     for (k <- Seq("agg_abc_class", "agg_abc_xyz", "agg_lorenz",
                   "agg_gain_chart", "corpus_eval_sample")) {
       val p = SparkEntry.queries(k)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(p.contains("windowspecdefinition(bu#"), s"$k: " + p.take(800))
     }
+  }
+
+  test("no triangular bucket-offset self-join remains in engine SQL") {
+    // the O(buckets²) `bt a LEFT JOIN bt x ON x.bu < a.bu` offset idiom —
+    // measured at 27 s / 10k buckets inside agg_percentile and replaced by
+    // a cumulative window over the tiny per-bucket counts relation
+    // (Relational.scala interpPercentileByGroup pattern) — must not come
+    // back in any engine-side SQL. Lint all operator sources for it.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    val hits = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val src = new String(Files.readAllBytes(p), "UTF-8")
+        if (src.contains("< a.bu") || src.contains("x.bu <"))
+          Some(p.toString)
+        else None
+      }
+      .toList
+    assert(hits.isEmpty, s"triangular bu-offset join found in: $hits")
   }
 
   test("agg_ols_multi collects all nine moments in one scan") {

@@ -120,9 +120,12 @@ class VersionedSpec extends AnyFunSuite {
   test("commitExclusive: marker collision fences a slow writer that passed the pointer check") {
     // simulate the narrow race: writer B read current == 'base', then A
     // claimed the successor slot; B must collide on the marker even though
-    // _current has not moved yet (we claim A's marker by hand)
+    // _current has not moved yet (we claim A's marker by hand). A's staged
+    // dir exists — a faithful LIVE claimant, so the dead-owner reclaim must
+    // NOT fire.
     val root = freshRoot()
     Versioned.commit(root, mkVersion(root, "base"), conf, keepVersions = 5)
+    mkVersion(root, "wa") // A staged before claiming — alive mid-commit
     val f = root.getFileSystem(conf)
     val out = f.create(new Path(root, "_commit_00001"), false)
     try out.write("wa".getBytes("UTF-8")) finally out.close()
@@ -144,6 +147,27 @@ class VersionedSpec extends AnyFunSuite {
     intercept[Versioned.CommitConflictException] {
       Versioned.commitExclusive(root, mkVersion(root, "v1b"), conf, None,
         keepVersions = 5)
+    }
+  }
+
+  test("commitExclusive: a crashed claimant's marker is reclaimed, not a wedge") {
+    // writer A claimed the successor slot then died before commit; its
+    // staged dir was since GC'd by a vacuum. A new writer from the same
+    // parent must reclaim the ordinal (owner absent from _history AND its
+    // dir gone = provably dead) instead of the table being wedged forever.
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "base"), conf, keepVersions = 5)
+    val f = root.getFileSystem(conf)
+    val out = f.create(new Path(root, "_commit_00001"), false)
+    try out.write("dead_wa".getBytes("UTF-8")) finally out.close()
+    val b = mkVersion(root, "wb")
+    Versioned.commitExclusive(root, b, conf, Some("base"), keepVersions = 5)
+    assert(Versioned.current(root, conf).map(_.getName) === Some("wb"))
+    assert(Versioned.history(root, conf) === Seq("base", "wb"))
+    // the reclaimed marker now fences the slot for its new owner
+    intercept[Versioned.CommitConflictException] {
+      Versioned.commitExclusive(root, mkVersion(root, "wc"), conf,
+        Some("base"), keepVersions = 5)
     }
   }
 
