@@ -950,6 +950,64 @@ object EtlOps {
     },
     None)
 
+  // Delta `RESTORE TABLE … TO VERSION n` analog over the same protocol
+  // (the history surface next to framework.py:345's change feed): three
+  // committed rewrites, then a restore of version 0 — a NEW head commit
+  // carrying v0's content, history linear and append-only, and (restore's
+  // keep-everything retention default) every prior version dir still
+  // time-travel readable. The result is read back through the `_current`
+  // pointer, so a restore that resolved to the wrong head (e.g. left the
+  // pointer on v2, whose statuses are mutated) fails the oracle hash; the
+  // layout invariants are `require`d in-op and re-asserted in
+  // VersionedSpec. At scale the restage is one distributed parquet
+  // copy of one version — the documented divergence from Delta's
+  // file-re-referencing restore.
+  private val maintenanceRestore = Op(
+    "maintenance_restore",
+    (s, d) => {
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new HPath(tmp("graft_rst_"))
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val v0 = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .select(cols.map(col): _*)
+      val d0 = Versioned.stagePath(root, Some("v0"))
+      v0.write.mode("overwrite").parquet(d0.toString)
+      Versioned.commit(root, d0, conf, keepVersions = 4)
+      // two rewrites head past v0: statuses mutated, then prices zeroed
+      val v1 = v0.withColumn("o_orderstatus",
+        when(col("o_orderkey") % 3 === 0, lit("U"))
+          .otherwise(col("o_orderstatus")))
+      val d1 = Versioned.stagePath(root, Some("v1"))
+      v1.write.mode("overwrite").parquet(d1.toString)
+      Versioned.commit(root, d1, conf, keepVersions = 4)
+      val v2 = v1.withColumn("o_totalprice", lit(0.0))
+      val d2 = Versioned.stagePath(root, Some("v2"))
+      v2.write.mode("overwrite").parquet(d2.toString)
+      Versioned.commit(root, d2, conf, keepVersions = 4)
+      val restored = Versioned.restore(root, 0, conf, (from, to) =>
+        s.read.parquet(from.toString)
+          .write.mode("overwrite").parquet(to.toString))
+      // restore is a fresh commit, not a pointer rewind: the audit log
+      // keeps all four entries and no prior dir was vacuumed
+      require(Versioned.history(root, conf) ==
+        Seq("v0", "v1", "v2", restored.getName),
+        "restore must append one linear history entry")
+      val fsys = root.getFileSystem(conf)
+      for (n <- Seq("v0", "v1", "v2"))
+        require(fsys.exists(new HPath(root, n)),
+          s"restore must not vacuum prior version $n")
+      val head = Versioned.current(root, conf)
+        .getOrElse(sys.error("no current version after restore"))
+      require(head.getName == restored.getName,
+        "restore must move the _current pointer to the restored commit")
+      s.read.parquet(head.toString)
+        .select(cols.map(col): _*)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+            ORDER BY o_orderkey"""))
+
   // In-flight pipeline metrics via Dataset.observe — data-quality counters
   // (row count, control total, negative-value count) accumulate ON the
   // ingest pass itself instead of a second scan: at 100 TB the difference
@@ -1478,7 +1536,7 @@ object EtlOps {
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, joinTemporalDim, resampleZerofill,
     scanOrcRoundtrip, scanTextLines, checksumTable, profileStats, joinDpp, scanMergeSchema,
-    scanTimeTravel, maintenanceVacuum, maintenanceCompact,
+    scanTimeTravel, maintenanceVacuum, maintenanceCompact, maintenanceRestore,
     aggIncrementalMerge, scanZoneMap,
     scanCorruptQuarantine, scanObserveMetrics)
 }

@@ -28,8 +28,9 @@ object Versioned {
 
   /** Thrown when [[commitExclusive]] loses the optimistic-concurrency race:
     * another writer committed between this writer's stage and commit. The
-    * loser's staged dir is untouched (and GC'd by the next vacuum); no
-    * committed data is lost. */
+    * loser's staged dir is untouched (GC'd by the next successful commit's
+    * tail vacuum, or by a manual [[vacuum]] — see the recovery note on
+    * [[commitExclusive]]); no committed data is lost. */
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
 
@@ -150,14 +151,33 @@ object Versioned {
     * Crash recovery: a writer that dies BETWEEN marker creation and commit
     * must not wedge the ordinal forever. On collision, the marker is
     * reclaimable iff its recorded owner is provably dead — the owner name
-    * is absent from `_history` AND its staged dir is gone (a live claimant's
-    * staged dir exists for the whole life of the attempt; a crashed one's
-    * is GC'd by the next vacuum). Reclaim overwrites the marker and
-    * re-reads it: of two concurrent reclaimers the last write wins and the
-    * other sees a foreign name on the read-back and throws — the residual
-    * read-after-write window is the object-store-overwrite caveat Delta
-    * documents for non-conditional-put stores, and strictly better than a
-    * permanently wedged table. */
+    * is absent from `_history` AND its staged dir is gone. Both facts are
+    * re-read FRESH at verdict time (not the snapshots fence 1 took): a
+    * checker that stalls after fence 1 while the owner commits — and a
+    * later vacuum GCs the owner's now-superseded dir — would otherwise
+    * judge a COMMITTED owner provably dead and overwrite its history.
+    * Reclaim overwrites the marker and re-reads it: of two concurrent
+    * reclaimers the last write wins and the other sees a foreign name on
+    * the read-back and throws. Every path then re-validates the parent
+    * fence one final time immediately before [[commit]], so a sibling that
+    * committed during the claim/read-back window conflicts instead of
+    * being silently overwritten. The residual window — a sibling commit
+    * landing between that last read and the `_current` rename — is the
+    * object-store-overwrite caveat Delta documents for
+    * non-conditional-put stores, and strictly better than a permanently
+    * wedged table.
+    *
+    * NOTE on dead-claimant cleanup: the automatic [[vacuum]] runs only at
+    * the tail of a SUCCESSFUL commit, and a crashed claimant's marker
+    * blocks every commitExclusive at its ordinal — so under pure
+    * multi-writer usage the crashed claimant's staged dir is never
+    * auto-GC'd and the slot stays wedged until an operator runs a manual
+    * [[vacuum]] (or a plain single-writer [[commit]] lands). Run that
+    * manual vacuum only with exclusive writers quiesced: vacuum cannot
+    * distinguish a live claimant's staged dir from a crashed one's, so
+    * vacuuming a root with in-flight exclusive writers can delete a live
+    * claimant's stage (the claimant then fails its write, and a later
+    * writer may legitimately reclaim its marker). */
   def commitExclusive(root: Path, dir: Path, conf: Configuration,
       expectedParent: Option[String], keepVersions: Int = 1): Unit = {
     val f = fs(root, conf)
@@ -167,6 +187,7 @@ object Versioned {
         s"concurrent write at $root: staged from parent " +
           s"${expectedParent.getOrElse("<none>")} but current is now " +
           s"${cur.getOrElse("<none>")}")
+    onAfterFence()
     val hist = history(root, conf)
     val ordinal = expectedParent match {
       case None => 0
@@ -189,8 +210,18 @@ object Versioned {
       val owner =
         try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
       if (owner != dir.getName) {
-        val ownerDead =
-          !hist.contains(owner) && !f.exists(new Path(root, owner))
+        // Verdict-time re-read — NOT the fence-1 snapshots. Between fence 1
+        // and here the marker owner may have committed (and a later
+        // commit's vacuum GC'd its superseded dir); the stale snapshot
+        // would judge that committed owner dead and reclaim over it.
+        val curNow = current(root, conf).map(_.getName)
+        if (curNow != expectedParent && curNow != Some(dir.getName))
+          throw new CommitConflictException(
+            s"concurrent write at $root: staged from parent " +
+              s"${expectedParent.getOrElse("<none>")} but current is now " +
+              s"${curNow.getOrElse("<none>")}")
+        val ownerDead = !history(root, conf).contains(owner) &&
+          !f.exists(new Path(root, owner))
         if (!ownerDead)
           throw new CommitConflictException(
             s"concurrent write at $root: version ordinal $ordinal already " +
@@ -210,8 +241,30 @@ object Versioned {
               s"reclaimed by $now")
       }
     }
+    onBeforeCommit()
+    // final fence, re-read immediately before the commit: two reclaimers
+    // whose write+read-back pairs did not interleave both pass the
+    // read-back — whichever commits second must see the first's commit
+    // here and conflict rather than OVERWRITE-rename `_current` over it.
+    val curFinal = current(root, conf).map(_.getName)
+    if (curFinal != expectedParent && curFinal != Some(dir.getName))
+      throw new CommitConflictException(
+        s"concurrent write at $root: parent " +
+          s"${expectedParent.getOrElse("<none>")} was superseded by " +
+          s"${curFinal.getOrElse("<none>")} before the commit")
     commit(root, dir, conf, keepVersions)
   }
+
+  /** Test seams for the two race windows the protocol fences (no-ops in
+    * production): [[onAfterFence]] fires between fence 1 and the marker
+    * claim — the stall window in which a marker owner can commit and be
+    * vacuumed; [[onBeforeCommit]] fires after the claim/read-back, before
+    * the final fence — the window in which a sibling's commit must turn
+    * this writer into a conflict, not a lost update. VersionedSpec drives
+    * both deterministically (no thread interleaving needed) and resets
+    * them to no-ops. */
+  private[graft] var onAfterFence: () => Unit = () => ()
+  private[graft] var onBeforeCommit: () => Unit = () => ()
 
   /** Delta `RESTORE TABLE … TO VERSION n` analog: re-commit the nth
     * version's CONTENT as a NEW head version. History stays linear and
@@ -227,9 +280,18 @@ object Versioned {
     * one version.) The commit goes through [[commitExclusive]] fenced on
     * the head observed here, so a concurrent writer's commit makes the
     * restore throw [[CommitConflictException]] instead of silently
-    * clobbering it. Returns the new head dir. */
+    * clobbering it. Returns the new head dir.
+    *
+    * Retention: `keepVersions` defaults to KEEP EVERYTHING — Delta RESTORE
+    * never deletes files, and the commit's tail vacuum would otherwise
+    * (at the protocol's usual space-frugal default of 1) GC every other
+    * version dir, including the source just restored from and all
+    * intermediates, contradicting the time-travel promise above. Pass an
+    * explicit smaller value only if you want the restore to double as a
+    * vacuum; the source version's dir survives either way only if it is
+    * within that retention window. */
   def restore(root: Path, n: Int, conf: Configuration,
-      restage: (Path, Path) => Unit, keepVersions: Int = 1): Path = {
+      restage: (Path, Path) => Unit, keepVersions: Int = Int.MaxValue): Path = {
     val src = versionDir(root, n, conf).getOrElse(
       throw new IllegalArgumentException(
         s"version $n of $root is not restorable: not in history or vacuumed"))

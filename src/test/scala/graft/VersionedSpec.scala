@@ -171,6 +171,123 @@ class VersionedSpec extends AnyFunSuite {
     }
   }
 
+  test("reclaim race: a committed-then-vacuumed owner is NOT judged dead") {
+    // The round-10 ADVICE scenario: checker C passes fence 1, stalls; the
+    // marker owner O commits; a later commit's vacuum (keepVersions=1) GCs
+    // O's now-superseded dir. C resumes and finds the marker taken by O —
+    // with O absent from C's STALE history snapshot and O's dir gone, the
+    // old code judged O provably dead, reclaimed the slot, and commit()
+    // OVERWRITE-renamed _current over committed versions. The verdict-time
+    // re-read must see O committed and conflict instead. Driven
+    // deterministically through the onAfterFence test seam.
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "base"), conf, keepVersions = 5)
+    val c = mkVersion(root, "wc")
+    Versioned.onAfterFence = () => {
+      // O claims the successor marker, commits, and a follow-up commit's
+      // vacuum at keepVersions=1 GCs O's dir — all while C is stalled
+      Versioned.onAfterFence = () => ()
+      Versioned.commitExclusive(root, mkVersion(root, "wo"), conf,
+        Some("base"), keepVersions = 5)
+      Versioned.commit(root, mkVersion(root, "w2"), conf, keepVersions = 1)
+      assert(!root.getFileSystem(conf).exists(new Path(root, "wo")))
+    }
+    try {
+      intercept[Versioned.CommitConflictException] {
+        Versioned.commitExclusive(root, c, conf, Some("base"), keepVersions = 5)
+      }
+    } finally Versioned.onAfterFence = () => ()
+    // nothing lost: the stalled checker changed neither pointer nor log
+    assert(Versioned.current(root, conf).map(_.getName) === Some("w2"))
+    assert(Versioned.history(root, conf) === Seq("base", "wo", "w2"))
+  }
+
+  test("reclaim race: second reclaimer conflicts at the final fence, no lost update") {
+    // Two reclaimers of the same dead marker whose write+read-back pairs do
+    // NOT interleave both pass the read-back; whichever commits second must
+    // see the first's commit at the final pre-commit fence and throw —
+    // driven by having R1's full commit land inside R2's onBeforeCommit
+    // window (after R2 won the marker read-back).
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "base"), conf, keepVersions = 5)
+    val f = root.getFileSystem(conf)
+    val out = f.create(new Path(root, "_commit_00001"), false)
+    try out.write("dead_w".getBytes("UTF-8")) finally out.close()
+    val r2 = mkVersion(root, "r2")
+    Versioned.onBeforeCommit = () => {
+      Versioned.onBeforeCommit = () => ()
+      // R1 judged the same dead owner and passed its own write+read-back
+      // BEFORE R2's overwrite (the non-interleaved pair from the ADVICE
+      // finding) — so nothing stops R1's commit, which lands here, inside
+      // R2's post-read-back window. Modeled as the commit itself; R2 must
+      // now conflict at the final fence instead of overwriting r1.
+      Versioned.commit(root, mkVersion(root, "r1"), conf, keepVersions = 5)
+    }
+    try {
+      intercept[Versioned.CommitConflictException] {
+        Versioned.commitExclusive(root, r2, conf, Some("base"), keepVersions = 5)
+      }
+    } finally Versioned.onBeforeCommit = () => ()
+    assert(Versioned.current(root, conf).map(_.getName) === Some("r1"))
+    assert(Versioned.history(root, conf) === Seq("base", "r1"))
+  }
+
+  test("restore recommits old content as a new head and keeps all versions by default") {
+    val root = freshRoot()
+    for (n <- Seq("v0", "v1", "v2"))
+      Versioned.commit(root, mkVersion(root, n), conf, keepVersions = 5)
+    val restored = Versioned.restore(root, 0, conf, (from, to) => {
+      val f = from.getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(f, from, f, to, false, conf)
+      ()
+    })
+    assert(restored.getName === "restore_0_of_v2")
+    assert(Versioned.current(root, conf).map(_.getName) === Some(restored.getName))
+    // history stays linear and append-only; restore is its own commit
+    assert(Versioned.history(root, conf) ===
+      Seq("v0", "v1", "v2", restored.getName))
+    // Delta RESTORE never deletes files: the default retention must keep
+    // the source version AND the intermediates time-travel readable
+    val f = root.getFileSystem(conf)
+    for (n <- Seq("v0", "v1", "v2"))
+      assert(f.exists(new Path(root, n)), s"$n must survive the restore")
+    // the restored head carries version-0 content
+    val in = f.open(new Path(restored, "part-0"))
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(content === "v0")
+  }
+
+  test("restore of a vacuumed version fails fast") {
+    val root = freshRoot()
+    for (n <- Seq("v0", "v1"))
+      Versioned.commit(root, mkVersion(root, n), conf, keepVersions = 1)
+    // keepVersions=1 GC'd v0; it stays in the audit log but is not restorable
+    assert(Versioned.history(root, conf) === Seq("v0", "v1"))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.restore(root, 0, conf, (_, _) => fail("restage must not run"))
+    }
+    assert(e.getMessage.contains("not restorable"))
+  }
+
+  test("restore conflicts with a concurrent commit instead of clobbering it") {
+    val root = freshRoot()
+    for (n <- Seq("v0", "v1"))
+      Versioned.commit(root, mkVersion(root, n), conf, keepVersions = 5)
+    intercept[Versioned.CommitConflictException] {
+      Versioned.restore(root, 0, conf, (from, to) => {
+        val f = from.getFileSystem(conf)
+        org.apache.hadoop.fs.FileUtil.copy(f, from, f, to, false, conf)
+        // a sibling writer commits while the restore is re-staging — the
+        // restore's commitExclusive is fenced on the head it observed (v1)
+        // and must throw, not overwrite the sibling
+        Versioned.commit(root, mkVersion(root, "sibling"), conf,
+          keepVersions = 5)
+      })
+    }
+    assert(Versioned.current(root, conf).map(_.getName) === Some("sibling"))
+    assert(Versioned.history(root, conf) === Seq("v0", "v1", "sibling"))
+  }
+
   test("commitExclusive: stale parent fast-fails before touching the claim") {
     val root = freshRoot()
     Versioned.commit(root, mkVersion(root, "p1"), conf, keepVersions = 5)
