@@ -1291,6 +1291,79 @@ object EtlOps {
                    round((checked - violations) * 1.0 / checked, 6) AS pass_rate
             FROM r ORDER BY rule"""))
 
+  // Write-time constraint enforcement (Delta NOT NULL / CHECK rejection —
+  // the enforcement half of framework.py:15's schema promise): an ingest
+  // whose config carries `constraints` gates every incoming row BEFORE
+  // anything commits. Planted violations: every 97th order key's price is
+  // negated (violates `price_positive`); every 101st status is NULLed —
+  // the domain predicate then evaluates UNKNOWN, which SATISFIES a CHECK
+  // constraint (SQL/Delta three-valued semantics), so those rows MUST
+  // commit. Quarantine mode routes the violating rows to a parquet
+  // quarantine dir and commits only clean rows; the result summarizes
+  // both relations (counts + exact cents control totals + null-status
+  // counts proving the UNKNOWN-satisfies rule), and the oracle recomputes
+  // the same split from the predicates themselves. The gate rides the
+  // write pass (raise_error guard) or the incoming batch (quarantine
+  // split) — never a second scan of the target. PipelineSpec covers the
+  // reject path (job fails, nothing commits).
+  private val dqWriteGate = Op(
+    "dq_write_gate",
+    (s, d) => {
+      import graft.pipeline._
+      val src = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 101 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+      val landing = tmp("graft_wg_src_")
+      src.write.mode("overwrite").parquet(landing)
+      val target = tmp("graft_wg_tgt_") + "/t"
+      val qdir = tmp("graft_wg_qr_") + "/quarantine"
+      // fresh external location per run: drop any stale registration so the
+      // catalog never points a rerun at a previous run's tmp dir
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_wg")
+      s.sql("DROP TABLE IF EXISTS graft_wg.orders_gated")
+      val cfg = IngestionConfig("graft_wg", "orders_gated", landing,
+        writeMode = WriteMode.Overwrite, targetPath = Some(target),
+        constraints = Seq(
+          Constraint("price_positive", "o_totalprice > 0"),
+          Constraint("status_domain", "o_orderstatus IN ('O','F','P')")),
+        onViolation = ViolationAction.Quarantine(qdir))
+      new IngestionRunner(s, cfg).run().fold(sys.error, identity)
+      def summarize(df: DataFrame, rel: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("sum_cents"),
+          count(when(col("o_orderstatus").isNull, 1)).as("n_null_status"))
+          .select(lit(rel).as("relation"), col("n_rows"), col("sum_cents"),
+            col("n_null_status"))
+      summarize(s.table("graft_wg.orders_gated"), "committed")
+        .unionAll(summarize(
+          s.read.parquet(qdir).where(col("graft_violations").isNotNull),
+          "quarantined"))
+        .orderBy("relation")
+    },
+    Some("""WITH src AS (
+              SELECT CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                          ELSE o_totalprice END AS price,
+                     CASE WHEN o_orderkey % 101 = 0 THEN NULL
+                          ELSE o_orderstatus END AS status
+              FROM orders),
+            split AS (
+              SELECT CASE WHEN (price > 0) IS FALSE
+                            OR (status IN ('O','F','P')) IS FALSE
+                          THEN 'quarantined' ELSE 'committed' END AS relation,
+                     price, status
+              FROM src)
+            SELECT relation, count(*) AS n_rows,
+                   CAST(SUM(CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   count(CASE WHEN status IS NULL THEN 1 END) AS n_null_status
+            FROM split GROUP BY relation ORDER BY relation"""))
+
   // Linear-interpolation gap fill on the calendar grid (the numeric sibling
   // of resample_zerofill): missing (day × event_type) cells take the
   // straight line between the nearest present neighbors, edges extend
@@ -1527,7 +1600,7 @@ object EtlOps {
             FROM dg GROUP BY digit ORDER BY digit"""))
 
   val ops: Seq[Op] = Seq(
-    auditFk, dqExpectations, resampleInterpolate, resampleOhlc, dqAnomalyIqr,
+    auditFk, dqExpectations, dqWriteGate, resampleInterpolate, resampleOhlc, dqAnomalyIqr,
     resampleSeasonality, dqBenford,
     profileStatsApprox,
     ingestRoundtrip, scanCsvInfer, scanJsonInfer, scanJsonMultiline,

@@ -1,8 +1,8 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Config-driven ingestion pipelines — the reference framework's design
@@ -46,6 +46,37 @@ object WriteMode {
       deleteNotMatchedBySource: Option[String] = None) extends WriteMode
 }
 
+/** Write-time data constraint (the enforcement half of the reference's
+  * Delta surface: NOT NULL / `CHECK` rejection at write,
+  * framework.py:15's schema-evolution promise implies it): `predicate` is
+  * a SQL boolean over the incoming batch's columns, checked on EVERY
+  * batch, merge, and stream write before anything commits.
+  *
+  * A row VIOLATES iff the predicate evaluates FALSE. NULL/UNKNOWN
+  * SATISFIES — the SQL-standard CHECK (and Delta) semantics, the same
+  * three-valued discipline as the merge clauses' `IS NOT TRUE`; express
+  * non-nullability as `col IS NOT NULL`, which is never UNKNOWN. */
+final case class Constraint(name: String, predicate: String)
+
+/** What a constrained write does with violating rows. */
+sealed trait ViolationAction
+object ViolationAction {
+  /** Reject the batch: the first violating row fails the write job (a
+    * row-level guard inside the write projection — no pre-scan), the file
+    * committer discards every task's uncommitted output, and the error
+    * carries the rule name plus the violating row as JSON. Delta CHECK
+    * behavior. Nothing of the failed batch becomes visible; the
+    * stronger whole-table atomicity on overwrite remains the versioned
+    * rewrite paths' job, as everywhere else. */
+  case object Fail extends ViolationAction
+  /** Route violating rows (tagged with the violated rule names in a
+    * `graft_violations` column) to a parquet quarantine dir for replay /
+    * debugging, and commit only the clean rows — the managed
+    * badRecordsPath shape, applied to semantic rules instead of parse
+    * errors. */
+  final case class Quarantine(path: String) extends ViolationAction
+}
+
 sealed trait IngestMode
 object IngestMode {
   case object Batch extends IngestMode
@@ -80,7 +111,11 @@ final case class IngestionConfig(
     retainVersions: Int = 1,
     // top namespace level (framework.py:53's `catalog`); None = the plain
     // 2-level `database.table` identity used before round 6
-    catalog: Option[String] = None) {
+    catalog: Option[String] = None,
+    // write-time constraints over the incoming batch (see [[Constraint]]);
+    // every batch/merge/stream write is gated before anything commits
+    constraints: Seq[Constraint] = Nil,
+    onViolation: ViolationAction = ViolationAction.Fail) {
 
   /** The Spark-side database this config's 3-part name flattens into. */
   def qualifiedDatabase: String =
@@ -114,7 +149,16 @@ final case class IngestionConfig(
       },
       Option.when(!Set("parquet", "json", "csv").contains(sourceFormat))(
         s"unsupported format: $sourceFormat"),
-      Option.when(retainVersions < 1)("retainVersions must be >= 1")
+      Option.when(retainVersions < 1)("retainVersions must be >= 1"),
+      Option.when(constraints.exists(k => k.name.isEmpty || k.predicate.isEmpty))(
+        "constraints require non-empty name and predicate"),
+      Option.when(constraints.map(_.name).distinct.size != constraints.size)(
+        "constraint names must be unique"),
+      onViolation match {
+        case ViolationAction.Quarantine(p) if p.isEmpty =>
+          Some("quarantine requires a non-empty path")
+        case _ => None
+      }
     ).flatten
     if (errs.isEmpty) Right(this) else Left(errs.mkString("; "))
   }
@@ -133,12 +177,22 @@ final case class IngestionConfig(
       case IngestMode.Batch => "batch"
       case IngestMode.Stream(cp) => s"stream (checkpoint=$cp)"
     }
+    val gate =
+      if (constraints.isEmpty) ""
+      else {
+        val action = onViolation match {
+          case ViolationAction.Fail => "fail"
+          case ViolationAction.Quarantine(p) => s"quarantine @ $p"
+        }
+        s"  gate   : ${constraints.map(k => s"${k.name} [${k.predicate}]")
+          .mkString(", ")} (on violation: $action)\n"
+      }
     s"""Ingestion plan
        |  source : $sourceFormat @ $sourcePath ${if (options.nonEmpty) options else ""}
        |  target : $displayName${targetPath.map(p => s" (external @ $p)").getOrElse(" (managed)")}
        |  mode   : $ingest / $mode
        |  layout : partitionBy=${partitionBy.mkString(",")} clusterBy=${clusterBy.mkString(",")}
-       |""".stripMargin
+       |""".stripMargin + gate
   }
 }
 
@@ -222,7 +276,10 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     ensureDatabase(c)
     c.ingestMode match {
       case IngestMode.Batch =>
-        val df = readBatch(c)
+        // constraints gate the INCOMING batch — for a merge that is the
+        // source relation (surviving target rows were gated at their own
+        // write time), exactly Delta's per-written-row CHECK scope
+        val df = applyConstraints(c, readBatch(c))
         c.writeMode match {
           case m: WriteMode.Merge => Right(mergeInto(c, df, m))
           case m => Right(writeBatch(c, df, m))
@@ -230,6 +287,48 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       case IngestMode.Stream(cp) => Right(writeStream(c, cp))
     }
   }
+
+  /** True for rows violating ANY constraint. Per-rule `IS FALSE` keeps the
+    * three-valued CHECK semantics (UNKNOWN satisfies) and makes the OR
+    * null-free, so the clean-side negation is exact. */
+  private def violatedAny(ks: Seq[Constraint]): Column =
+    ks.map(k => expr(s"(${k.predicate}) IS FALSE")).reduce(_ || _)
+
+  /** Write-time constraint gate (see [[Constraint]]/[[ViolationAction]]).
+    *
+    * Fail mode adds ONE row-level guard inside the write projection — the
+    * first violating row `raise_error`s with the rule name and the row as
+    * JSON, the write job fails, and the file committer discards every
+    * task's uncommitted output. Zero extra scans: at 100 TB the gate rides
+    * the write pass itself (the same discipline as the observe metrics),
+    * never a validation pre-pass that would double the read cost.
+    *
+    * Quarantine mode appends violating rows — tagged with the violated
+    * rule names — to the quarantine dir and returns only clean rows. Two
+    * passes over the INCOMING batch (quarantine write + main write), never
+    * over the target; the incoming batch is the small side of an ingest.
+    * Works on batch relations; the streaming path routes through
+    * foreachBatch (see [[writeStream]]) since a streaming plan cannot
+    * fork two sinks from one writer. */
+  private def applyConstraints(c: IngestionConfig, df: DataFrame): DataFrame =
+    if (c.constraints.isEmpty) df
+    else c.onViolation match {
+      case ViolationAction.Fail =>
+        val gate = c.constraints.foldRight(lit(true): Column) { (k, acc) =>
+          when(expr(s"(${k.predicate}) IS FALSE"),
+            raise_error(concat(
+              lit(s"graft constraint '${k.name}' (${k.predicate}) violated by row "),
+              to_json(struct(col("*")))))).otherwise(acc)
+        }
+        df.where(gate)
+      case ViolationAction.Quarantine(qPath) =>
+        val tags = array(c.constraints.map(k =>
+          when(expr(s"(${k.predicate}) IS FALSE"), lit(k.name))): _*)
+        df.filter(violatedAny(c.constraints))
+          .withColumn("graft_violations", concat_ws(",", tags))
+          .write.mode("append").parquet(qPath)
+        df.filter(!violatedAny(c.constraints))
+    }
 
   /** Hadoop FS handle for a path — checkpoints and targets are HDFS/S3
     * URIs in production; java.io.File would silently resolve them against
@@ -522,17 +621,53 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
         s"/${c.qualifiedDatabase}.db/${c.table}")
     val schema = c.schema.getOrElse(trackedSchema(c, checkpoint))
-    val q = spark.readStream.options(c.options).schema(schema)
+    val source = spark.readStream.options(c.options).schema(schema)
       .format(c.sourceFormat).load(c.sourcePath)
-      .writeStream.format("parquet").option("path", target)
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // rows appended by THIS drain, summed from the run's progress events —
-    // not a rescan of the whole target. recentProgress retains the last
-    // ~100 micro-batches; a long-running production stream would accumulate
-    // through a StreamingQueryListener instead of a bounded drain.
-    val appended = q.recentProgress.map(_.numInputRows).sum
+    val appended: Long = c.onViolation match {
+      case ViolationAction.Quarantine(_) if c.constraints.nonEmpty =>
+        // a streaming plan cannot fork two sinks from one writer — route
+        // each micro-batch through the batch gate (quarantine write +
+        // clean append). The batch is persisted so the landing files are
+        // scanned once, not once per sink. foreachBatch replays are
+        // at-least-once on crash recovery: the quarantine dir is a
+        // debugging/replay aid and may hold duplicates of a batch whose
+        // commit raced a crash — same contract as a managed badRecordsPath.
+        // The committed count comes from an Observation riding the clean
+        // write (consistent with the batch path's written-rows return),
+        // not numInputRows, which counts quarantined rows too.
+        val cleanRows = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q = source.writeStream
+          .option("checkpointLocation", checkpoint)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.persist()
+            try {
+              val obs = new org.apache.spark.sql.Observation()
+              applyConstraints(c, b)
+                .observe(obs, count(lit(1)).as("n"))
+                .write.mode("append").parquet(target)
+              cleanRows.addAndGet(obs.get("n").asInstanceOf[Long])
+              ()
+            } finally b.unpersist()
+          }.start()
+        q.awaitTermination()
+        cleanRows.get
+      case _ =>
+        // Fail mode (or no constraints): the raise_error gate is a plain
+        // row expression — it rides the streaming plan itself, failing the
+        // micro-batch before its sink commit
+        val q = applyConstraints(c, source)
+          .writeStream.format("parquet").option("path", target)
+          .option("checkpointLocation", checkpoint)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // rows appended by THIS drain, summed from the run's progress
+        // events — not a rescan of the whole target. recentProgress
+        // retains the last ~100 micro-batches; a long-running production
+        // stream would accumulate through a StreamingQueryListener
+        // instead of a bounded drain.
+        q.recentProgress.map(_.numInputRows).sum
+    }
     registerExternal(c, target, Some(schema))
     applyMetadata(c)
     appended

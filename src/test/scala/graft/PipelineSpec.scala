@@ -270,6 +270,115 @@ class PipelineSpec extends AnyFunSuite {
     assert(new IngestionRunner(spark, cfg).run() === Right(ev.count()))
   }
 
+  test("write gate rejects a batch with a violating row; nothing commits") {
+    import spark.implicits._
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.gated_fail")
+    val land = tmp("g_gate_land_")
+    Seq((1L, 10.0), (2L, -5.0), (3L, 7.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(land)
+    val tgt = tmp("g_gate_tgt_") + "/t"
+    val cfg = IngestionConfig(db, "gated_fail", land,
+      targetPath = Some(tgt),
+      constraints = Seq(Constraint("v_positive", "v > 0")))
+    val e = intercept[Exception] { new IngestionRunner(spark, cfg).run() }
+    // the error names the rule and carries the violating row
+    def msgs(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msgs(x.getCause)).getOrElse("")
+    assert(msgs(e).contains("v_positive"))
+    // the failed job committed nothing: no data files at the target, and
+    // the catalog registration never happened
+    val tdir = new java.io.File(tgt)
+    assert(!tdir.exists() ||
+      Option(tdir.listFiles()).getOrElse(Array.empty)
+        .forall(f => !f.getName.startsWith("part-")),
+      "a rejected batch must not leave committed data files")
+    assert(!spark.catalog.tableExists(s"$db.gated_fail"))
+  }
+
+  test("write gate: NULL predicate satisfies (CHECK three-valued semantics)") {
+    import spark.implicits._
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.gated_null")
+    val land = tmp("g_gate_land_")
+    // v = NULL makes `v > 0` UNKNOWN — the row must COMMIT (SQL standard
+    // CHECK / Delta semantics); only v = -5 violates
+    Seq((1L, Some(10.0)), (2L, None), (3L, Some(-5.0)))
+      .toDF("k", "v").write.mode("overwrite").parquet(land)
+    val qdir = tmp("g_gate_q_") + "/q"
+    val cfg = IngestionConfig(db, "gated_null", land,
+      writeMode = WriteMode.Overwrite,
+      targetPath = Some(tmp("g_gate_tgt_") + "/t"),
+      constraints = Seq(Constraint("v_positive", "v > 0")),
+      onViolation = ViolationAction.Quarantine(qdir))
+    assert(new IngestionRunner(spark, cfg).run() === Right(2L))
+    val committed = spark.table(s"$db.gated_null").select("k")
+      .collect().map(_.getLong(0)).sorted
+    assert(committed.toSeq === Seq(1L, 2L), "NULL predicate row must commit")
+    val quarantined = spark.read.parquet(qdir)
+    assert(quarantined.count() === 1L)
+    val row = quarantined.collect().head
+    assert(row.getAs[Long]("k") === 3L)
+    assert(row.getAs[String]("graft_violations") === "v_positive")
+  }
+
+  test("write gate applies to the merge source and tags every violated rule") {
+    import spark.implicits._
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.gated_m")
+    val tgt = tmp("g_gate_tgt_") + "/t"
+    // bootstrap a clean target
+    val land0 = tmp("g_gate_land_")
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "s")
+      .write.mode("overwrite").parquet(land0)
+    val base = IngestionConfig(db, "gated_m", land0,
+      writeMode = WriteMode.Merge(Seq("k")), targetPath = Some(tgt),
+      constraints = Seq(
+        Constraint("v_positive", "v > 0"),
+        Constraint("s_known", "s IN ('a','b')")),
+      onViolation = ViolationAction.Quarantine(tmp("g_gate_q_") + "/q"))
+    assert(new IngestionRunner(spark, base).run() === Right(2L))
+    // merge batch: k=2 updates cleanly, k=9 violates BOTH rules and must be
+    // quarantined (double-tagged) instead of inserted
+    val land1 = tmp("g_gate_land_")
+    Seq((2L, 25.0, "b"), (9L, -1.0, "zzz")).toDF("k", "v", "s")
+      .write.mode("overwrite").parquet(land1)
+    val qdir = tmp("g_gate_q_") + "/q"
+    assert(new IngestionRunner(spark,
+      base.copy(sourcePath = land1,
+        onViolation = ViolationAction.Quarantine(qdir))).run() === Right(2L))
+    val after = spark.table(s"$db.gated_m").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(after.toSeq === Seq((1L, 10.0), (2L, 25.0)),
+      "clean update lands, violating insert does not")
+    val q = spark.read.parquet(qdir).collect()
+    assert(q.length === 1 && q.head.getAs[Long]("k") === 9L)
+    assert(q.head.getAs[String]("graft_violations") === "v_positive,s_known")
+  }
+
+  test("write gate quarantines on the streaming path through foreachBatch") {
+    import spark.implicits._
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.gated_s")
+    val land = tmp("g_gate_land_")
+    Seq((1L, 1.0), (2L, -2.0), (3L, 3.0), (4L, -4.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(land)
+    val qdir = tmp("g_gate_q_") + "/q"
+    val tgt = tmp("g_gate_tgt_")
+    val cfg = IngestionConfig(db, "gated_s", land,
+      ingestMode = IngestMode.Stream(tmp("g_gate_ck_")),
+      targetPath = Some(tgt),
+      schema = Some(spark.read.parquet(land).schema),
+      constraints = Seq(Constraint("v_positive", "v > 0")),
+      onViolation = ViolationAction.Quarantine(qdir))
+    // the drain reports COMMITTED (clean) rows; the split is asserted on disk
+    assert(new IngestionRunner(spark, cfg).run() === Right(2L))
+    assert(spark.table(s"$db.gated_s").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    assert(spark.read.parquet(qdir).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 4L))
+  }
+
   test("table properties are applied and visible (A10)") {
     val db = "graft_it"
     spark.sql(s"DROP TABLE IF EXISTS $db.region_p")
