@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults through sbt's logger, which prefixes every
+// line with `[info] ` — that made the driver's JSON parse of graft.Bench's
+// summary line come back null. StdoutOutput hands the forked JVM the real
+// stdout/stderr, so the one-line bench JSON arrives unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -679,18 +679,29 @@ class PlanSpec extends AnyFunSuite {
     // a cumulative window over the tiny per-bucket counts relation
     // (Relational.scala interpPercentileByGroup pattern) — must not come
     // back in any engine-side SQL. Lint all operator sources for it.
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
-    val root = Paths.get("src/main/scala/graft")
-    val hits = Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
+    import scala.util.Using
+    // resolve the source root by walking up from the test JVM's CWD (sbt
+    // forks with CWD = baseDirectory, but a different runner must not make
+    // the lint silently scan nothing and pass vacuously)
+    val root = Iterator.iterate(Paths.get(sys.props("user.dir")).toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .map(_.resolve("src/main/scala/graft"))
+      .find(Files.isDirectory(_))
+      .getOrElse(fail("cannot locate src/main/scala/graft from " +
+        sys.props("user.dir")))
+    val (scanned, hits) = Using.resource(Files.walk(root)) { walk =>
+      val sources = walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala")).toList
+      (sources.size, sources.flatMap { p: Path =>
         val src = new String(Files.readAllBytes(p), "UTF-8")
         if (src.contains("< a.bu") || src.contains("x.bu <"))
           Some(p.toString)
         else None
-      }
-      .toList
+      })
+    }
+    assert(scanned > 0, s"lint scanned no .scala files under $root — vacuous")
     assert(hits.isEmpty, s"triangular bu-offset join found in: $hits")
   }
 
