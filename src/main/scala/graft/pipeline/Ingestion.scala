@@ -67,13 +67,33 @@ object ViolationAction {
     * carries the rule name plus the violating row as JSON. Delta CHECK
     * behavior. Nothing of the failed batch becomes visible; the
     * stronger whole-table atomicity on overwrite remains the versioned
-    * rewrite paths' job, as everywhere else. */
+    * rewrite paths' job, as everywhere else.
+    *
+    * "Nothing becomes visible" relies on a JOB-atomic committer: with
+    * `mapreduce.fileoutputcommitter.algorithm.version=2` (or direct-write
+    * cloud committers) tasks publish their part-files as they finish, so
+    * tasks that completed before the violating row surfaced would leave
+    * partial batch data in an append-mode target. Gated direct batch
+    * appends therefore force algorithm v1 on the write
+    * ([[IngestionRunner.writeBatch]]); the merge/optimize paths are immune
+    * regardless — they stage into a fresh unreferenced dir and publish by
+    * pointer swap. */
   case object Fail extends ViolationAction
   /** Route violating rows (tagged with the violated rule names in a
     * `graft_violations` column) to a parquet quarantine dir for replay /
     * debugging, and commit only the clean rows — the managed
     * badRecordsPath shape, applied to semantic rules instead of parse
-    * errors. */
+    * errors.
+    *
+    * Publish order (batch and merge): violations are STAGED during the
+    * gate but only become readable at `path` AFTER the main write/merge
+    * commits — a batch whose commit fails (or loses a commitExclusive
+    * race) publishes nothing, so a retry cannot duplicate quarantine rows
+    * for a batch that never landed. Delivery is at-least-once, not
+    * exactly-once: a crash between the main commit and the publish (or,
+    * on the streaming path, between the micro-batch's writes and its
+    * checkpoint commit) replays the batch and re-quarantines its
+    * violations — the same contract as a managed badRecordsPath. */
   final case class Quarantine(path: String) extends ViolationAction
 }
 
@@ -237,8 +257,18 @@ object SourceKind {
     else Local
 }
 
+/** A constraint-gated batch: the clean relation to write, a `publish`
+  * hook the caller runs AFTER the main write commits (moves staged
+  * quarantine files into the quarantine dir — no-op for Fail mode), and
+  * a `release` hook for the finally path (unpersists the batch snapshot
+  * and sweeps an unpublished staging dir). */
+private[graft] final case class GatedBatch(clean: DataFrame,
+    publish: () => Unit, release: () => Unit)
+
 /** A14 (framework.py:93-108): validate → plan/dry-run → DDL → read → write. */
 final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
+
+  private val ungated: () => Unit = () => ()
 
   // every pipeline session gets the curated-dimension auto-broadcast rule
   // (graft.plans.BroadcastDimensionsRule) — idempotent, hint-respecting
@@ -279,11 +309,18 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
         // constraints gate the INCOMING batch — for a merge that is the
         // source relation (surviving target rows were gated at their own
         // write time), exactly Delta's per-written-row CHECK scope
-        val df = applyConstraints(c, readBatch(c))
-        c.writeMode match {
-          case m: WriteMode.Merge => Right(mergeInto(c, df, m))
-          case m => Right(writeBatch(c, df, m))
-        }
+        val gated = gateConstraints(c, readBatch(c))
+        try {
+          val n = c.writeMode match {
+            case m: WriteMode.Merge => mergeInto(c, gated.clean, m)
+            case m => writeBatch(c, gated.clean, m)
+          }
+          // quarantined rows publish only AFTER the main commit (see
+          // [[ViolationAction.Quarantine]]): a failed/conflicted write
+          // reaches the finally below with nothing published
+          gated.publish()
+          Right(n)
+        } finally gated.release()
       case IngestMode.Stream(cp) => Right(writeStream(c, cp))
     }
   }
@@ -294,40 +331,75 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
   private def violatedAny(ks: Seq[Constraint]): Column =
     ks.map(k => expr(s"(${k.predicate}) IS FALSE")).reduce(_ || _)
 
-  /** Write-time constraint gate (see [[Constraint]]/[[ViolationAction]]).
-    *
-    * Fail mode adds ONE row-level guard inside the write projection — the
-    * first violating row `raise_error`s with the rule name and the row as
-    * JSON, the write job fails, and the file committer discards every
+  /** The Fail-mode row guard: ONE expression inside the write projection —
+    * the first violating row `raise_error`s with the rule name and the row
+    * as JSON, the write job fails, and the file committer discards every
     * task's uncommitted output. Zero extra scans: at 100 TB the gate rides
     * the write pass itself (the same discipline as the observe metrics),
-    * never a validation pre-pass that would double the read cost.
+    * never a validation pre-pass that would double the read cost. Used by
+    * both the batch gate below and the streaming plan directly. */
+  private def failGate(c: IngestionConfig): Column =
+    c.constraints.foldRight(lit(true): Column) { (k, acc) =>
+      when(expr(s"(${k.predicate}) IS FALSE"),
+        raise_error(concat(
+          lit(s"graft constraint '${k.name}' (${k.predicate}) violated by row "),
+          to_json(struct(col("*")))))).otherwise(acc)
+    }
+
+  /** Write-time constraint gate (see [[Constraint]]/[[ViolationAction]]).
     *
-    * Quarantine mode appends violating rows — tagged with the violated
-    * rule names — to the quarantine dir and returns only clean rows. Two
-    * passes over the INCOMING batch (quarantine write + main write), never
-    * over the target; the incoming batch is the small side of an ingest.
-    * Works on batch relations; the streaming path routes through
-    * foreachBatch (see [[writeStream]]) since a streaming plan cannot
-    * fork two sinks from one writer. */
-  private def applyConstraints(c: IngestionConfig, df: DataFrame): DataFrame =
-    if (c.constraints.isEmpty) df
+    * Quarantine mode tags the batch once and persists the tagged snapshot,
+    * so the landing files are listed and scanned exactly ONCE (the staging
+    * write below materializes the cache; the clean-side main write rides
+    * it) — the previous two-filter spelling re-read the unpersisted source
+    * per side, so a landing file arriving between the two jobs could land
+    * in both relations or neither. Violations go to a HIDDEN staging dir
+    * under the quarantine path (invisible to `spark.read.parquet(qPath)`)
+    * and are renamed into the quarantine dir only by `publish()` — i.e.
+    * only after the main write commits (see [[ViolationAction.Quarantine]]
+    * for the at-least-once contract). Works on batch relations; the
+    * streaming path routes each micro-batch through this gate via
+    * foreachBatch (see [[writeStream]]) since a streaming plan cannot fork
+    * two sinks from one writer. */
+  private def gateConstraints(c: IngestionConfig, df: DataFrame): GatedBatch =
+    if (c.constraints.isEmpty) GatedBatch(df, ungated, ungated)
     else c.onViolation match {
       case ViolationAction.Fail =>
-        val gate = c.constraints.foldRight(lit(true): Column) { (k, acc) =>
-          when(expr(s"(${k.predicate}) IS FALSE"),
-            raise_error(concat(
-              lit(s"graft constraint '${k.name}' (${k.predicate}) violated by row "),
-              to_json(struct(col("*")))))).otherwise(acc)
-        }
-        df.where(gate)
+        GatedBatch(df.where(failGate(c)), ungated, ungated)
       case ViolationAction.Quarantine(qPath) =>
         val tags = array(c.constraints.map(k =>
           when(expr(s"(${k.predicate}) IS FALSE"), lit(k.name))): _*)
-        df.filter(violatedAny(c.constraints))
-          .withColumn("graft_violations", concat_ws(",", tags))
-          .write.mode("append").parquet(qPath)
-        df.filter(!violatedAny(c.constraints))
+        val tagged = df.withColumn("graft_violations", concat_ws(",", tags))
+          .persist()
+        val qDir = new Path(qPath)
+        val staging =
+          new Path(qDir, s".staging_${java.util.UUID.randomUUID()}")
+        tagged.filter(violatedAny(c.constraints))
+          .write.mode("overwrite").parquet(staging.toString)
+        val clean = tagged.filter(!violatedAny(c.constraints))
+          .drop("graft_violations")
+        val fs = fsFor(qDir)
+        GatedBatch(
+          clean,
+          publish = () => {
+            // move staged part-files into the quarantine dir. Spark part
+            // names carry the write's job UUID, so they never collide with
+            // earlier published batches (append semantics preserved)
+            fs.mkdirs(qDir)
+            fs.listStatus(staging).iterator
+              .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+                && !st.getPath.getName.startsWith("."))
+              .foreach(st =>
+                fs.rename(st.getPath, new Path(qDir, st.getPath.getName)))
+            fs.delete(staging, true); ()
+          },
+          release = () => {
+            tagged.unpersist()
+            // unpublished staging (main write failed/conflicted): sweep it;
+            // the retry regenerates its own staging from the re-read batch
+            try { if (fs.exists(staging)) fs.delete(staging, true) }
+            catch { case _: Exception => () }
+          })
     }
 
   /** Hadoop FS handle for a path — checkpoints and targets are HDFS/S3
@@ -411,6 +483,14 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     val mode = if (m == WriteMode.Overwrite) "overwrite" else "append"
     var w = df.write.format("parquet").mode(mode)
     if (c.partitionBy.nonEmpty) w = w.partitionBy(c.partitionBy: _*)
+    // Fail-gated DIRECT writes need a job-atomic committer: algorithm v2
+    // (and direct-write cloud committers) publish part-files per task, so
+    // tasks finishing before the raise_error would leave partial batch
+    // data visible in an append target. The option lands in this write's
+    // hadoop conf only; the versioned merge/optimize paths don't need it
+    // (fresh-dir stage + pointer-swap publish).
+    if (c.constraints.nonEmpty && c.onViolation == ViolationAction.Fail)
+      w = w.option("mapreduce.fileoutputcommitter.algorithm.version", "1")
     val n = withWrittenRowCount {
       c.targetPath match {
         case Some(p) =>
@@ -626,10 +706,10 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
     val appended: Long = c.onViolation match {
       case ViolationAction.Quarantine(_) if c.constraints.nonEmpty =>
         // a streaming plan cannot fork two sinks from one writer — route
-        // each micro-batch through the batch gate (quarantine write +
-        // clean append). The batch is persisted so the landing files are
-        // scanned once, not once per sink. foreachBatch replays are
-        // at-least-once on crash recovery: the quarantine dir is a
+        // each micro-batch through the batch gate (staged quarantine +
+        // clean append; the gate persists the tagged batch, so the landing
+        // files are scanned once, not once per sink). foreachBatch replays
+        // are at-least-once on crash recovery: the quarantine dir is a
         // debugging/replay aid and may hold duplicates of a batch whose
         // commit raced a crash — same contract as a managed badRecordsPath.
         // The committed count comes from an Observation riding the clean
@@ -640,15 +720,18 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
           .option("checkpointLocation", checkpoint)
           .outputMode("append").trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val b = batch.persist()
+            val gated = gateConstraints(c, batch)
             try {
               val obs = new org.apache.spark.sql.Observation()
-              applyConstraints(c, b)
+              gated.clean
                 .observe(obs, count(lit(1)).as("n"))
                 .write.mode("append").parquet(target)
               cleanRows.addAndGet(obs.get("n").asInstanceOf[Long])
-              ()
-            } finally b.unpersist()
+              // publish after the clean append, inside the micro-batch —
+              // the batch's checkpoint commit still follows, hence the
+              // documented at-least-once quarantine delivery
+              gated.publish()
+            } finally gated.release()
           }.start()
         q.awaitTermination()
         cleanRows.get
@@ -656,7 +739,9 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
         // Fail mode (or no constraints): the raise_error gate is a plain
         // row expression — it rides the streaming plan itself, failing the
         // micro-batch before its sink commit
-        val q = applyConstraints(c, source)
+        val gatedSource =
+          if (c.constraints.isEmpty) source else source.where(failGate(c))
+        val q = gatedSource
           .writeStream.format("parquet").option("path", target)
           .option("checkpointLocation", checkpoint)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -262,9 +262,21 @@ object Versioned {
     * the final fence — the window in which a sibling's commit must turn
     * this writer into a conflict, not a lost update. VersionedSpec drives
     * both deterministically (no thread interleaving needed) and resets
-    * them to no-ops. */
-  private[graft] var onAfterFence: () => Unit = () => ()
-  private[graft] var onBeforeCommit: () => Unit = () => ()
+    * them to no-ops.
+    *
+    * ThreadLocal, not a plain var on this singleton: every commitExclusive
+    * in the JVM shares this object, so a global seam installed by one test
+    * would fire inside OTHER threads' commits (parallel suites, the
+    * concurrent writers the protocol itself exists for) — and the
+    * finally-reset pattern cannot protect across threads. A seam now fires
+    * only in the installing thread; commits on any other thread always see
+    * the no-op initial value. */
+  private[graft] val onAfterFenceSeam: ThreadLocal[() => Unit] =
+    ThreadLocal.withInitial(() => () => ())
+  private[graft] val onBeforeCommitSeam: ThreadLocal[() => Unit] =
+    ThreadLocal.withInitial(() => () => ())
+  private def onAfterFence(): Unit = onAfterFenceSeam.get()()
+  private def onBeforeCommit(): Unit = onBeforeCommitSeam.get()()
 
   /** Delta `RESTORE TABLE … TO VERSION n` analog: re-commit the nth
     * version's CONTENT as a NEW head version. History stays linear and
@@ -296,6 +308,11 @@ object Versioned {
       throw new IllegalArgumentException(
         s"version $n of $root is not restorable: not in history or vacuumed"))
     val parent = current(root, conf).map(_.getName)
+    // restoring the version that is ALREADY head is an idempotent no-op:
+    // no restage, no duplicate history entry (Delta's RESTORE TO the
+    // current version likewise commits nothing new) — the returned dir is
+    // the head itself
+    if (parent.contains(src.getName)) return src
     // deterministic per (n, head): an at-least-once replay of the SAME
     // restore re-commits idempotently; a later restore (different head)
     // gets a fresh name and a fresh history entry

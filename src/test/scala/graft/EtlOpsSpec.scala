@@ -120,6 +120,41 @@ class EtlOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("current") === "v_compact")
   }
 
+  test("restore after vacuum surfaces IllegalArgumentException through the runner path") {
+    // the maintenance_restore op commits at keepVersions=4 so all versions
+    // stay restorable; this variant commits space-frugally (keepVersions=1,
+    // vacuuming v0) and asserts the op's exact restore call — same parquet
+    // restage lambda, uncaught on the runner path — fails fast with the
+    // not-restorable IllegalArgumentException instead of restaging garbage
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(java.nio.file.Files
+      .createTempDirectory("graft_rstv_").toString)
+    val v0 = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val d0 = graft.pipeline.Versioned.stagePath(root, Some("v0"))
+    v0.write.mode("overwrite").parquet(d0.toString)
+    graft.pipeline.Versioned.commit(root, d0, conf, keepVersions = 1)
+    val d1 = graft.pipeline.Versioned.stagePath(root, Some("v1"))
+    v0.withColumn("o_totalprice", lit(0.0))
+      .write.mode("overwrite").parquet(d1.toString)
+    graft.pipeline.Versioned.commit(root, d1, conf, keepVersions = 1)
+    // keepVersions=1 GC'd v0's dir; the audit log still lists it
+    assert(graft.pipeline.Versioned.history(root, conf) === Seq("v0", "v1"))
+    assert(!root.getFileSystem(conf).exists(d0))
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Versioned.restore(root, 0, conf, (from, to) =>
+        spark.read.parquet(from.toString)
+          .write.mode("overwrite").parquet(to.toString))
+    }
+    assert(e.getMessage.contains("not restorable"))
+    // the failed restore changed nothing: head and history intact
+    assert(graft.pipeline.Versioned.current(root, conf)
+      .map(_.getName) === Some("v1"))
+    assert(graft.pipeline.Versioned.history(root, conf) === Seq("v0", "v1"))
+  }
+
   test("zone map is persisted at commit: repeat queries never re-derive it") {
     // first call builds + commits the layout and its zone-map side table
     SparkEntry.queries("scan_zone_map")(spark, sfDir).collect()

@@ -356,6 +356,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(q.head.getAs[String]("graft_violations") === "v_positive,s_known")
   }
 
+  test("quarantine publishes only after the main write commits") {
+    import spark.implicits._
+    val db = "graft_it"
+    spark.sql(s"DROP TABLE IF EXISTS $db.gated_pub")
+    val land = tmp("g_gate_land_")
+    Seq((1L, 1.0), (2L, -2.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(land)
+    val qdir = tmp("g_gate_q_") + "/q"
+    // partitionBy names a column that doesn't exist: the gate stages its
+    // violations fine, then the MAIN write throws — the r11 ADVICE
+    // scenario (eager quarantine side effect surviving a failed commit)
+    val cfg = IngestionConfig(db, "gated_pub", land,
+      targetPath = Some(tmp("g_gate_tgt_") + "/t"),
+      partitionBy = Seq("no_such_col"),
+      constraints = Seq(Constraint("v_positive", "v > 0")),
+      onViolation = ViolationAction.Quarantine(qdir))
+    intercept[Exception] { new IngestionRunner(spark, cfg).run() }
+    // nothing published for the failed batch, and the staging dir is swept
+    val leftovers = Option(new java.io.File(qdir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    assert(leftovers.isEmpty,
+      s"failed batch must publish no quarantine output: ${leftovers.mkString(",")}")
+    // the retry (layout fixed) commits the clean row and publishes exactly
+    // the violating one — no duplicates from the failed attempt
+    assert(new IngestionRunner(spark,
+      cfg.copy(partitionBy = Seq.empty)).run() === Right(1L))
+    assert(spark.read.parquet(qdir).select("k")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("write gate quarantines on the streaming path through foreachBatch") {
     import spark.implicits._
     val db = "graft_it"

@@ -183,20 +183,22 @@ class VersionedSpec extends AnyFunSuite {
     val root = freshRoot()
     Versioned.commit(root, mkVersion(root, "base"), conf, keepVersions = 5)
     val c = mkVersion(root, "wc")
-    Versioned.onAfterFence = () => {
+    Versioned.onAfterFenceSeam.set(() => {
       // O claims the successor marker, commits, and a follow-up commit's
-      // vacuum at keepVersions=1 GCs O's dir — all while C is stalled
-      Versioned.onAfterFence = () => ()
+      // vacuum at keepVersions=1 GCs O's dir — all while C is stalled.
+      // The seam is ThreadLocal, so O's nested commitExclusive on THIS
+      // thread would re-fire it — remove before committing as O.
+      Versioned.onAfterFenceSeam.remove()
       Versioned.commitExclusive(root, mkVersion(root, "wo"), conf,
         Some("base"), keepVersions = 5)
       Versioned.commit(root, mkVersion(root, "w2"), conf, keepVersions = 1)
       assert(!root.getFileSystem(conf).exists(new Path(root, "wo")))
-    }
+    })
     try {
       intercept[Versioned.CommitConflictException] {
         Versioned.commitExclusive(root, c, conf, Some("base"), keepVersions = 5)
       }
-    } finally Versioned.onAfterFence = () => ()
+    } finally Versioned.onAfterFenceSeam.remove()
     // nothing lost: the stalled checker changed neither pointer nor log
     assert(Versioned.current(root, conf).map(_.getName) === Some("w2"))
     assert(Versioned.history(root, conf) === Seq("base", "wo", "w2"))
@@ -214,20 +216,20 @@ class VersionedSpec extends AnyFunSuite {
     val out = f.create(new Path(root, "_commit_00001"), false)
     try out.write("dead_w".getBytes("UTF-8")) finally out.close()
     val r2 = mkVersion(root, "r2")
-    Versioned.onBeforeCommit = () => {
-      Versioned.onBeforeCommit = () => ()
+    Versioned.onBeforeCommitSeam.set(() => {
+      Versioned.onBeforeCommitSeam.remove()
       // R1 judged the same dead owner and passed its own write+read-back
       // BEFORE R2's overwrite (the non-interleaved pair from the ADVICE
       // finding) — so nothing stops R1's commit, which lands here, inside
       // R2's post-read-back window. Modeled as the commit itself; R2 must
       // now conflict at the final fence instead of overwriting r1.
       Versioned.commit(root, mkVersion(root, "r1"), conf, keepVersions = 5)
-    }
+    })
     try {
       intercept[Versioned.CommitConflictException] {
         Versioned.commitExclusive(root, r2, conf, Some("base"), keepVersions = 5)
       }
-    } finally Versioned.onBeforeCommit = () => ()
+    } finally Versioned.onBeforeCommitSeam.remove()
     assert(Versioned.current(root, conf).map(_.getName) === Some("r1"))
     assert(Versioned.history(root, conf) === Seq("base", "r1"))
   }
@@ -255,6 +257,41 @@ class VersionedSpec extends AnyFunSuite {
     val in = f.open(new Path(restored, "part-0"))
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     assert(content === "v0")
+  }
+
+  test("restore of the current head is an idempotent no-op, not a duplicate entry") {
+    val root = freshRoot()
+    for (n <- Seq("v0", "v1"))
+      Versioned.commit(root, mkVersion(root, n), conf, keepVersions = 5)
+    // n = head: nothing to do — no restage, no new history entry, pointer
+    // unchanged; the returned dir is the head itself
+    val restored = Versioned.restore(root, 1, conf,
+      (_, _) => fail("restage must not run for a restore of the head"))
+    assert(restored.getName === "v1")
+    assert(Versioned.current(root, conf).map(_.getName) === Some("v1"))
+    assert(Versioned.history(root, conf) === Seq("v0", "v1"))
+  }
+
+  test("test seams are thread-local: a seam installed here never fires in another thread") {
+    // the ADVICE finding: a global mutable seam on the production singleton
+    // let one test's closure fire inside a concurrent suite's (or writer's)
+    // commitExclusive. With ThreadLocal seams, a commit on a different
+    // thread must see the no-op initial value.
+    val root = freshRoot()
+    Versioned.commit(root, mkVersion(root, "base"), conf, keepVersions = 5)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Versioned.onAfterFenceSeam.set(() => fired.set(true))
+    try {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try Versioned.commitExclusive(root, mkVersion(root, "w1"), conf,
+          Some("base"), keepVersions = 5)
+        catch { case e: Throwable => err.set(e) })
+      t.start(); t.join()
+      assert(err.get() === null, s"commit on the other thread failed: ${err.get()}")
+      assert(!fired.get(), "seam leaked into another thread's commit")
+      assert(Versioned.current(root, conf).map(_.getName) === Some("w1"))
+    } finally Versioned.onAfterFenceSeam.remove()
   }
 
   test("restore of a vacuumed version fails fast") {

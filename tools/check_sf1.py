@@ -39,36 +39,51 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 # keys compared by multiset signature instead of full-frame hash
 SIGNATURE_KEYS = {"fn_math", "join_inner_shuffle"}
 
+# Why stage at the PAIRS level (the raw grouped 4-table join), not und/
+# edges: DuckDB 1.0.0's optimizer hangs (>180 s, tens of GB RSS) whenever
+# a DISTINCT or filter layer sits directly over the grouped 4-table join
+# in one statement — bisected 2026-08-15: the aggregate alone runs 0.2 s
+# (625 groups), CREATE TEMP of it 0.1 s, DISTINCT least/greatest from the
+# materialized table 0.0 s (77 rows), but the FUSED statement was killed
+# at 180 s (graph_reciprocity's filter+self-join spelling hangs the same
+# way). Several graph oracles inline their own und/edges variants (`ed`/
+# UNION ALL in modularity, weighted `wedges` in sssp, a de self-join in
+# reciprocity), so stubbing the one shared `pairs` definition fixes every
+# variant at once: everything downstream operates on 625 materialized
+# rows, where even per-reference CTE re-evaluation is trivial.
 EDGE_STAGE = [
-    """CREATE TEMP TABLE und AS
-  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
-  FROM (
-    SELECT CAST(c_nationkey AS BIGINT) AS a,
-           CAST(s_nationkey AS BIGINT) AS b, count(*) AS w
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    GROUP BY 1, 2)
-  WHERE w % 7 = 0 AND a <> b""",
-    """CREATE TEMP TABLE edges AS
-  SELECT u AS src, v AS dst FROM und
-  UNION SELECT v, u FROM und""",
+    """CREATE TEMP TABLE pair_w AS
+  SELECT CAST(c_nationkey AS BIGINT) AS a,
+         CAST(s_nationkey AS BIGINT) AS b, count(*) AS w
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2""",
 ]
 
 
-def stub_edge_cte(sql: str) -> str:
-    """Replace the embedded pairs/und/edges CTE definitions with a stub so
-    `und`/`edges` resolve to the staged temp tables. Anchors on the exact
-    rendered text (from GraphOps.oracleEdgeCte); a miss means the oracle
-    does not embed the shared CTE and runs unmodified."""
+def stub_edge_cte(sql: str, key: str = "?") -> str:
+    """Replace the embedded `pairs` CTE body (the grouped 4-table join —
+    the expensive part AND the DuckDB-1.0.0 planner-hang trigger, see
+    EDGE_STAGE) with a read of the staged `pair_w` temp table. Anchors on
+    the CTE's opening text and its closing `GROUP BY 1, 2)`; oracles
+    without an embedded `pairs` CTE (pagerank's directed edges,
+    triangles' basket graph) run unmodified by design — cheap single
+    evaluations. A `pairs` CTE whose rendering drifted past the anchors
+    is reported loudly instead of running silently slow."""
     start = sql.find("pairs AS (")
-    tail_marker = "UNION SELECT v, u FROM und)"
-    end = sql.find(tail_marker)
-    if start < 0 or end < 0:
+    if start < 0:
+        return sql  # no shared pair derivation embedded — nothing to stub
+    end_marker = "GROUP BY 1, 2)"
+    end = sql.find(end_marker, start)
+    if end < 0:
+        log(f"WARNING {key}: pairs-CTE stub anchors did not match "
+            f"(oracle rendering drifted?) — oracle runs UNMODIFIED "
+            f"and may hang DuckDB 1.0.0's planner")
         return sql
-    return sql[:start] + "__edge_stub AS (SELECT 1 AS one)" + \
-        sql[end + len(tail_marker):]
+    return sql[:start] + "pairs AS (SELECT a, b, w FROM pair_w)" + \
+        sql[end + len(end_marker):]
 
 
 def signature(con, relation_sql: str, cols_types):
@@ -114,7 +129,7 @@ def main():
                     con.execute(stmt)
                 staged = True
                 log(f"... staged ({time.time()-t0:.1f}s)")
-            sql = stub_edge_cte(sql)
+            sql = stub_edge_cte(sql, k)
         try:
             if k in SIGNATURE_KEYS:
                 spark_rel = f"SELECT * FROM read_parquet({files!r})"
