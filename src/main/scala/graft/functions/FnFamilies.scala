@@ -407,8 +407,48 @@ object FnFamilies {
                    CAST(f[3] AS DOUBLE) AS c, f[4] AS d
             FROM p ORDER BY a, b, c, d"""))
 
+  // XML extraction family: XPath scalar extraction (`xpath_string`/`_long`/
+  // `_int`/`_double`/`_boolean` — including XPath-side comparison and
+  // arithmetic, which evaluate inside the XPath engine, not Catalyst) plus
+  // structured `from_xml` parsing with field access. The XML documents are
+  // built row-side from supplier columns so the DuckDB oracle can mirror
+  // every extraction with regexp_extract over the identically-concatenated
+  // string — same construction, two independent parsers, equal values.
+  // The xpath_* functions are Hive-interop UDFs (not codegen'd); fine here
+  // because the key exercises the function surface, not a hot scan path —
+  // bulk XML decode at scale goes through the `scan_xml_roundtrip` source.
+  private val fnXml = Op(
+    "fn_xml",
+    (s, d) => t(s, d, "supplier")
+      .select(col("s_suppkey"),
+        concat(lit("<s><k>"), col("s_suppkey"), lit("</k><n>"), col("s_name"),
+          lit("</n><nk>"), col("s_nationkey"), lit("</nk></s>")).as("xml"))
+      .select(
+        col("s_suppkey"),
+        expr("xpath_long(xml, '/s/k/text()')").as("xk"),
+        expr("xpath_string(xml, '/s/n/text()')").as("xn"),
+        expr("xpath_int(xml, '/s/nk/text()')").as("xnk"),
+        expr("xpath_boolean(xml, '/s/nk > 10')").as("xb"),
+        expr("xpath_double(xml, '/s/k div 4')").as("xd"),
+        expr("from_xml(xml, 'k BIGINT, n STRING, nk INT').n").as("fxn"))
+      .orderBy("s_suppkey"),
+    Some("""WITH x AS (
+              SELECT s_suppkey,
+                     '<s><k>' || s_suppkey || '</k><n>' || s_name ||
+                     '</n><nk>' || s_nationkey || '</nk></s>' AS xml
+              FROM supplier)
+            SELECT s_suppkey,
+                   CAST(regexp_extract(xml, '<k>([0-9]+)</k>', 1) AS BIGINT) AS xk,
+                   regexp_extract(xml, '<n>(.*)</n>', 1) AS xn,
+                   CAST(regexp_extract(xml, '<nk>([0-9]+)</nk>', 1) AS INT) AS xnk,
+                   CAST(regexp_extract(xml, '<nk>([0-9]+)</nk>', 1) AS INT) > 10 AS xb,
+                   CAST(regexp_extract(xml, '<k>([0-9]+)</k>', 1) AS DOUBLE) / 4 AS xd,
+                   regexp_extract(xml, '<n>(.*)</n>', 1) AS fxn
+            FROM x ORDER BY s_suppkey"""))
+
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
     fnHash, fnEncode, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot,
-    aggPivotDynamic, aggMinMaxBy, fnStruct, fnMap, fnUrl, fnCsv, fnVariant)
+    aggPivotDynamic, aggMinMaxBy, fnStruct, fnMap, fnUrl, fnCsv, fnVariant,
+    fnXml)
 }

@@ -595,6 +595,25 @@ object EtlOps {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  // XML source/sink roundtrip (the XML data source is in-box since Spark 4,
+  // SPARK-44265): write rows as <r> elements, read them back through schema
+  // inference, and prove value preservation against the parquet oracle.
+  // Inference widens integers to LONG, so the read side casts back to the
+  // parquet column types before the compare — the cast is part of what the
+  // key checks (a lossy roundtrip would not survive it).
+  private val scanXmlRoundtrip = Op(
+    "scan_xml_roundtrip",
+    (s, d) => {
+      val out = tmp("graft_xml_")
+      t(s, d, "nation").write.mode("overwrite")
+        .option("rowTag", "r").format("xml").save(out)
+      s.read.option("rowTag", "r").format("xml").load(out)
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+          col("n_regionkey").cast("int"))
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+
   /** Portable 32-bit value of the first 8 hex chars of an md5 hex string —
     * hex→int arithmetic spelled out digit by digit because neither engine's
     * native conversion exists in the other (Spark `conv` / DuckDB
@@ -1608,7 +1627,7 @@ object EtlOps {
     topkLatest, partitionedWrite, layoutCluster, joinBucketed,
     bucketAggTumbling, sessionizeBatch,
     cdcApplyChangelog, cdcEmitChanges, scd2History, joinTemporalDim, resampleZerofill,
-    scanOrcRoundtrip, scanTextLines, checksumTable, profileStats, joinDpp, scanMergeSchema,
+    scanOrcRoundtrip, scanXmlRoundtrip, scanTextLines, checksumTable, profileStats, joinDpp, scanMergeSchema,
     scanTimeTravel, maintenanceVacuum, maintenanceCompact, maintenanceRestore,
     aggIncrementalMerge, scanZoneMap,
     scanCorruptQuarantine, scanObserveMetrics)

@@ -843,11 +843,64 @@ object StreamOps {
             FROM seq WHERE event_type = 'purchase'
             GROUP BY user_id ORDER BY user_id"""))
 
+  // A6's FILE-NOTIFICATION discovery mode (framework.py:180-181,
+  // `cloudFiles.useNotifications = "true"`): the scale problem with the
+  // directory-listing stream (`stream_file_append`) is the per-micro-batch
+  // LISTING — O(total files ever landed) against a 100 M-file landing zone,
+  // every trigger. Notification mode inverts it: the bucket's event queue
+  // says WHICH files arrived, so per-trigger discovery is O(new arrivals).
+  // No cloud queue exists in this environment, so the queue is modeled by
+  // its open on-disk analog — a text manifest journal the producer appends
+  // one landed path per line to; the stream sources the MANIFEST (tiny,
+  // checkpointed, exactly-once over journal files) and never lists the data
+  // dir at all. Paths — not data — come to the driver (bounded by arrivals
+  // per trigger, the same contract as a real SQS/Event Grid consumer);
+  // per-batch `distinct` absorbs at-least-once queue duplicates; the data
+  // files themselves are read DISTRIBUTED with the explicit landing schema
+  // and appended through a file sink. Resume-without-reprocessing (a new
+  // notification after a drain ingests only the new file) is asserted in
+  // StreamingSpec.
+  private val streamManifestIngest = Op(
+    "stream_manifest_ingest",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val land = tmp("graft_smi_land_"); val man = tmp("graft_smi_man_")
+      val out = tmp("graft_smi_out_"); val ck = tmp("graft_smi_ck_")
+      ev.repartition(4).write.mode("overwrite").parquet(land)
+      val parts = new java.io.File(land).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      // producer-side notifications: two journal appends, split arrivals
+      val (first, rest) = parts.splitAt(parts.length / 2)
+      Files.write(java.nio.file.Paths.get(man, "notify-000.txt"),
+        first.mkString("\n").getBytes("UTF-8"))
+      Files.write(java.nio.file.Paths.get(man, "notify-001.txt"),
+        rest.mkString("\n").getBytes("UTF-8"))
+      val schema = ev.schema
+      val q = s.readStream.text(man)
+        .writeStream.option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val paths = batch.distinct().collect()
+            .map(_.getString(0)).filter(_.nonEmpty)
+          if (paths.nonEmpty)
+            s.read.schema(schema).parquet(paths.toIndexedSeq: _*)
+              .write.mode("append").parquet(out)
+          ()
+        }.start()
+      drain(q)
+      s.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), msCol("ts").as("ts_ms"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
+            FROM events ORDER BY event_id"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
     streamDedupState, streamCustomState, streamCdcFeed,
     streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
-    streamSequenceMatch)
+    streamSequenceMatch, streamManifestIngest)
 }

@@ -45,6 +45,59 @@ class StreamingSpec extends AnyFunSuite {
       batch.select(sum("event_id")).first().getLong(0))
   }
 
+  test("manifest ingest resumes on new notifications only, never listing the data dir") {
+    // the notification-mode contract (StreamOps.streamManifestIngest): the
+    // stream's checkpointed source is the manifest journal, so a resumed run
+    // ingests exactly the files of NEW notifications — including files that
+    // were already sitting in the data dir but not yet notified, which a
+    // listing stream would have swept up early
+    val land = tmp("g_man_land_"); val man = tmp("g_man_man_")
+    val out = tmp("g_man_out_"); val ck = tmp("g_man_ck_")
+    val t0 = 1700000000000L
+    def landOne(name: String, rows: Seq[(Long, Long, Long, Double)]): String = {
+      val dir = tmp("g_man_part_")
+      mkEvents(rows).coalesce(1).write.mode("overwrite").parquet(dir)
+      val f = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(land, name)
+      java.nio.file.Files.copy(f.toPath, dst)
+      dst.toString
+    }
+    def runManifest(): Unit = {
+      val q = spark.readStream.text(man)
+        .writeStream.option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val paths = batch.distinct().collect()
+            .map(_.getString(0)).filter(_.nonEmpty)
+          if (paths.nonEmpty)
+            spark.read.schema(schema).parquet(paths.toIndexedSeq: _*)
+              .write.mode("append").parquet(out)
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    // two files land, only ONE is notified — the un-notified file must stay
+    // invisible (exactly the listing-vs-notification difference)
+    val p1 = landOne("a.parquet", Seq((1L, 1L, t0, 1.0)))
+    val p2 = landOne("b.parquet", Seq((2L, 1L, t0 + 1000, 2.0)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(man, "n0.txt"),
+      p1.getBytes("UTF-8"))
+    runManifest()
+    assert(spark.read.parquet(out).count() === 1, "un-notified file leaked in")
+    // the late notification arrives (duplicated — at-least-once queue):
+    // resume ingests exactly the new file, once
+    java.nio.file.Files.write(java.nio.file.Paths.get(man, "n1.txt"),
+      (p2 + "\n" + p2).getBytes("UTF-8"))
+    runManifest()
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L), "resume must add exactly the notified file")
+    // silent resume: no new notifications, no re-ingestion
+    runManifest()
+    assert(spark.read.parquet(out).count() === 2, "empty resume re-ingested")
+  }
+
   test("checkpoint resume processes only newly-arrived files") {
     val in = tmp("g_ck_in_"); val out = tmp("g_ck_out_"); val ck = tmp("g_ck_ck_")
     val t0 = 1700000000000L

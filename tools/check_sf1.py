@@ -182,6 +182,11 @@ def main():
         log(f"PASS {k}: {m}")
     for k, m in fail:
         log(f"FAIL {k}: {m}")
+    # machine-readable record next to the Spark outputs it verified,
+    # citable from BASELINE.md without quoting the whole log
+    with open(f"{out}/sf1_results.json", "w") as f:
+        json.dump({"sf_dir": sf, "out_dir": out,
+                   "pass": dict(ok), "fail": dict(fail)}, f, indent=1)
     print(f"\n{len(ok)} pass, {len(fail)} fail")
     sys.exit(1 if fail else 0)
 
