@@ -1098,6 +1098,48 @@ object EtlOps {
               AS t(id, v, quarantined)
             ORDER BY quarantined, id NULLS FIRST"""))
 
+  // Rescued-data scan — the other half of ingestion hygiene, complementary
+  // to [[scanCorruptQuarantine]]: that key handles MALFORMED lines; this one
+  // handles WELL-FORMED rows carrying fields the declared schema doesn't
+  // know about (a producer added a column), which a plain schema'd read
+  // silently drops — the Auto Loader `_rescued_data` contract
+  // (framework.py:15 "ingestion with schema evolution" is this surface).
+  // One pass over the landing text: the declared struct and a
+  // map<string,string> view are both parsed from the same value column
+  // (map-side only, no shuffle), and the rescued column is the map minus
+  // the declared keys. Undeclared values are carried as raw JSON text and
+  // proven LOSSLESS by casting them back to the parquet column types for
+  // the oracle compare — a rescue that mangled a value would not survive
+  // the round trip.
+  private val scanJsonRescue = Op(
+    "scan_json_rescue",
+    (s, d) => {
+      val dir = tmp("graft_rescue_")
+      // the landing zone: supplier rows serialized with ALL fields, while
+      // the consumer's declared schema knows only (s_suppkey, s_name)
+      t(s, d, "supplier").write.mode("overwrite").json(dir)
+      s.read.text(dir)
+        .select(
+          from_json(col("value"), "s_suppkey BIGINT, s_name STRING",
+            Map.empty[String, String]).as("r"),
+          from_json(col("value"), "map<string,string>",
+            Map.empty[String, String]).as("m"))
+        .select(col("r.s_suppkey").as("s_suppkey"), col("r.s_name").as("s_name"),
+          expr("map_filter(m, (k, v) -> k NOT IN ('s_suppkey', 's_name'))")
+            .as("rescued"))
+        .select(col("s_suppkey"), col("s_name"),
+          expr("array_join(array_sort(map_keys(rescued)), ',')")
+            .as("rescued_keys"),
+          col("rescued")("s_nationkey").cast("int").as("rescued_nationkey"),
+          col("rescued")("s_acctbal").cast("double").as("rescued_acctbal"))
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name,
+                   's_acctbal,s_nationkey' AS rescued_keys,
+                   s_nationkey AS rescued_nationkey,
+                   s_acctbal AS rescued_acctbal
+            FROM supplier ORDER BY s_suppkey"""))
+
   // File-level data skipping over per-file min/max stats — the zone-map /
   // stats-pruning pattern (Delta/Iceberg data skipping) for predicates on
   // UNPARTITIONED columns, where Hive-style partition pruning can't help.
@@ -1630,5 +1672,5 @@ object EtlOps {
     scanOrcRoundtrip, scanXmlRoundtrip, scanTextLines, checksumTable, profileStats, joinDpp, scanMergeSchema,
     scanTimeTravel, maintenanceVacuum, maintenanceCompact, maintenanceRestore,
     aggIncrementalMerge, scanZoneMap,
-    scanCorruptQuarantine, scanObserveMetrics)
+    scanCorruptQuarantine, scanJsonRescue, scanObserveMetrics)
 }

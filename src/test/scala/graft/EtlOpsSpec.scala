@@ -399,6 +399,23 @@ class EtlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_json_rescue captures undeclared fields losslessly and only those") {
+    val df = SparkEntry.queries("scan_json_rescue")(spark, sfDir).cache()
+    val sup = Tables.load(spark, sfDir, "supplier")
+    assert(df.count() === sup.count())
+    // every row rescued exactly the two undeclared fields — never a
+    // declared one, never nothing
+    assert(df.filter(col("rescued_keys") =!= "s_acctbal,s_nationkey")
+      .count() === 0)
+    // undeclared values survive the text round trip bit-exactly
+    val mismatch = df.join(sup, "s_suppkey")
+      .filter(col("rescued_nationkey") =!= col("s_nationkey") ||
+        col("rescued_acctbal") =!= col("s_acctbal") ||
+        df("s_name") =!= sup("s_name"))
+    assert(mismatch.count() === 0)
+    df.unpersist()
+  }
+
   test("dq_anomaly_iqr fences bound a minority of each group") {
     val rows = SparkEntry.queries("dq_anomaly_iqr")(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
