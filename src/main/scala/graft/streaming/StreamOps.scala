@@ -896,11 +896,124 @@ object StreamOps {
     Some("""SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms
             FROM events ORDER BY event_id"""))
 
+  // transformWithState exercise: two deterministic micro-batches (even
+  // event_ids land first, odd second — file mtimes + maxFilesPerTrigger=1)
+  // so both state variables genuinely carry across batches; update-mode
+  // emissions upsert into a versioned target, so the final state per user is
+  // what the oracle sees. The RocksDB state store provider is required by
+  // the API and is scoped to this query (session conf restored after the
+  // drain — provider choice binds at query start).
+  private val streamTwsState = Op(
+    "stream_tws_state",
+    (s, d) => {
+      import s.implicits._
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val land = tmp("graft_tws_land_")
+      val out = tmp("graft_tws_out_"); val ck = tmp("graft_tws_ck_")
+      val ev = Tables.load(s, d, "events")
+      def landHalf(parity: Int, name: String, mtime: Long): Unit = {
+        val stage = tmp(s"graft_tws_b$parity")
+        ev.where(col("event_id") % 2 === parity).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(land, name)
+        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      landHalf(0, "b0.parquet", t0)
+      landHalf(1, "b1.parquet", t0 + 10000)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+          .select(col("user_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+            col("event_type"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new UserTypeStatsProcessor(),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n", "sum_cents", "n_types", "max_type_n")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            upsertParquet(b, Seq("user_id"), out)
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        drain(q)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+      s.read.parquet(currentVersionDir(s, out).get).orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+                 per AS (SELECT user_id, event_type,
+                                count(*) AS tn, CAST(sum(cents) AS BIGINT) AS tc
+                         FROM e GROUP BY user_id, event_type)
+            SELECT user_id,
+                   CAST(sum(tn) AS BIGINT) AS n,
+                   CAST(sum(tc) AS BIGINT) AS sum_cents,
+                   count(*) AS n_types,
+                   CAST(max(tn) AS BIGINT) AS max_type_n
+            FROM per GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
     streamDedupState, streamCustomState, streamCdcFeed,
     streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
-    streamSequenceMatch, streamManifestIngest)
+    streamSequenceMatch, streamManifestIngest, streamTwsState)
+}
+
+/** Per-user stats over MULTIPLE independent typed state variables — the
+  * capability `transformWithState` (Spark 4's arbitrary-stateful-processing
+  * API, SPARK-46815) adds over `mapGroupsWithState`'s single state object: a
+  * ValueState for the running (count, cents) totals next to a MapState for
+  * per-event-type counts, each read/updated/evicted independently by the
+  * state store (RocksDB provider required). State shuffles on the grouping
+  * key exactly like mapGroupsWithState — per-key state is the bounded
+  * quantity at 100 TB, and the MapState's key space (event types) is
+  * domain-bounded. Top-level class (not nested in the ops object) so the
+  * serialized processor carries no `$outer` module reference. */
+private class UserTypeStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, String), (Long, Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig,
+    TimeMode, TimerValues, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var totals: ValueState[(Long, Long)] = _
+  @transient private var typeCounts: MapState[String, Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    totals = getHandle.getValueState("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    typeCounts = getHandle.getMapState("typeCounts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+    var (n, c) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, cents, typ) =>
+      n += 1; c += cents
+      val t = if (typeCounts.containsKey(typ)) typeCounts.getValue(typ) else 0L
+      typeCounts.updateValue(typ, t + 1)
+    }
+    totals.update((n, c))
+    var nTypes = 0L; var maxType = 0L
+    typeCounts.values().foreach { v =>
+      nTypes += 1; if (v > maxType) maxType = v
+    }
+    Iterator.single((key, n, c, nTypes, maxType))
+  }
 }

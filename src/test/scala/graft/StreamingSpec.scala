@@ -98,6 +98,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 2, "empty resume re-ingested")
   }
 
+  test("transformWithState carries per-key state across checkpointed runs") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.Encoders
+    val in = tmp("g_tws_in_"); val out = tmp("g_tws_out_"); val ck = tmp("g_tws_ck_")
+    val t0 = 1700000000000L
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(in)
+          .select(col("user_id"))
+          .as[Long](Encoders.scalaLong)
+          .groupByKey(identity)(Encoders.scalaLong)
+          .transformWithState(new CountingProcessor(),
+            TimeMode.None(), OutputMode.Update())(
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+          .toDF("user_id", "n")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // run 1: u1 twice, u2 once
+      mkEvents(Seq((1L, 1L, t0, 1.0), (2L, 1L, t0 + 1, 1.0),
+        (3L, 2L, t0 + 2, 1.0))).coalesce(1)
+        .write.mode("append").parquet(in)
+      run()
+      // run 2 on the same checkpoint: u1 once more, u3 appears — u1's
+      // ValueState must resume at 2, not restart at 0
+      mkEvents(Seq((4L, 1L, t0 + 3, 1.0), (5L, 3L, t0 + 4, 1.0)))
+        .coalesce(1).write.mode("append").parquet(in)
+      run()
+      val finalN = spark.read.parquet(out).groupBy("user_id")
+        .agg(max("n").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalN === Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
+        s"state did not carry across runs: $finalN")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("checkpoint resume processes only newly-arrived files") {
     val in = tmp("g_ck_in_"); val out = tmp("g_ck_out_"); val ck = tmp("g_ck_ck_")
     val t0 = 1700000000000L
@@ -419,5 +469,23 @@ class StreamingSpec extends AnyFunSuite {
       "pattern state (last_view) lost across the checkpointed restart")
     assert(byUser(8L) === ((1L, 0L)),
       "an error between view and purchase must block the match")
+  }
+}
+
+/** Minimal ValueState counter for the transformWithState resume test —
+  * top-level so the serialized processor carries no `$outer` reference. */
+private class CountingProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+    TimerValues, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var n: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState("n", Encoders.scalaLong, TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timers: TimerValues): Iterator[(Long, Long)] = {
+    val c = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(c)
+    Iterator.single((key, c))
   }
 }
