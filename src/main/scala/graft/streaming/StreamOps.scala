@@ -968,13 +968,116 @@ object StreamOps {
                    CAST(max(tn) AS BIGINT) AS max_type_n
             FROM per GROUP BY user_id ORDER BY user_id"""))
 
+  // The TIMER surface of transformWithState: event-time-timer gap
+  // sessionization — the custom-state spelling of `stream_session_window`'s
+  // built-in session_window agg, and the capability (register/delete/expire
+  // per-key timers) that mapGroupsWithState only approximated with a single
+  // timeout. A session closes either when a later in-stream event exceeds
+  // the 30-min gap (emitted from handleInputRows) or when the WATERMARK
+  // passes last_event + gap (emitted from handleExpiredTimer); both paths
+  // produce identical rows, so emission order doesn't matter to the oracle.
+  //
+  // Determinism against the batch oracle needs two landing choices:
+  // (1) the two data files split by TIME, not id-parity — so cross-batch
+  //     within-user disorder is zero and nothing is ever watermark-late;
+  // (2) watermark delay == gap — then a timer can never fire while its
+  //     session could still receive events: a straddling session's last
+  //     first-half event L satisfies L > mid - gap, so its timer L+gap+1
+  //     exceeds the first batch's closing watermark mid - gap.
+  // Three far-future sentinel rows (user -1, ignored by the processor)
+  // advance the watermark past every live timer so ALL sessions flush
+  // before the AvailableNow drain ends.
+  private val streamTwsTimers = Op(
+    "stream_tws_timers",
+    (s, d) => {
+      import s.implicits._
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val land = tmp("graft_twt_land_")
+      val out = tmp("graft_twt_out_"); val ck = tmp("graft_twt_ck_")
+      val ev = Tables.load(s, d, "events")
+      val gapMs = 1800000L
+      val Array(minMs, maxMs) = ev
+        .agg(expr("min(unix_micros(ts) div 1000)"),
+          expr("max(unix_micros(ts) div 1000)"))
+        .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val midMs = (minMs + maxMs) / 2
+      def landFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = tmp("graft_twt_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(land, name)
+        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime)
+      }
+      def sentinel(ms: Long): DataFrame = ev.limit(1)
+        .select(lit(-1L).as("event_id"), expr(s"timestamp_millis(${ms}L)").as("ts"),
+          lit(-1L).as("user_id"), lit("noop").as("event_type"),
+          lit(0.0).as("value"), lit("").as("props"))
+        .select(ev.columns.map(col).toIndexedSeq: _*)
+      val t0 = System.currentTimeMillis() - 60000
+      landFile(ev.where(expr(s"unix_micros(ts) div 1000 < ${midMs}L")),
+        "b0.parquet", t0)
+      landFile(ev.where(expr(s"unix_micros(ts) div 1000 >= ${midMs}L")),
+        "b1.parquet", t0 + 10000)
+      landFile(sentinel(maxMs + 3 * gapMs), "s1.parquet", t0 + 20000)
+      landFile(sentinel(maxMs + 6 * gapMs), "s2.parquet", t0 + 30000)
+      landFile(sentinel(maxMs + 9 * gapMs), "s3.parquet", t0 + 40000)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+          .withWatermark("ts", "30 minutes")
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts) div 1000").as("ms"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor(gapMs),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "start_ms", "end_ms", "n", "sum_cents")
+          .writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        drain(q)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+      s.read.parquet(out).orderBy("user_id", "start_ms")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+                 f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                                        OR ms - lag(ms) OVER w > 1800000
+                                      THEN 1 ELSE 0 END AS new_sess
+                       FROM e WINDOW w AS (PARTITION BY user_id
+                                           ORDER BY ms, event_id)),
+                 g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM f)
+            SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+                   count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
     streamDedupState, streamCustomState, streamCdcFeed,
     streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
-    streamSequenceMatch, streamManifestIngest, streamTwsState)
+    streamSequenceMatch, streamManifestIngest, streamTwsState,
+    streamTwsTimers)
 }
 
 /** Per-user stats over MULTIPLE independent typed state variables — the
@@ -1015,5 +1118,66 @@ private class UserTypeStatsProcessor
       nTypes += 1; if (v > maxType) maxType = v
     }
     Iterator.single((key, n, c, nTypes, maxType))
+  }
+}
+
+/** Gap-sessionization with per-key EVENT-TIME timers (the
+  * `stream_tws_timers` processor): state is one open session per user —
+  * (start_ms, last_ms, n, sum_cents, registered_timer_expiry) — closed
+  * either by a later in-stream event exceeding the gap or by the watermark
+  * passing last + gap (the timer path). Every input batch deletes the old
+  * timer and registers the new one, so a fired timer always matches the
+  * stored expiry; the guard keeps a stale double-fire harmless anyway.
+  * Sentinel rows (key -1) exist only to advance the watermark and are
+  * ignored. Top-level class: no `$outer` reference when serialized. */
+private class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, Long), (Long, Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TTLConfig, TimeMode, TimerValues, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var sess: ValueState[(Long, Long, Long, Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+    if (key == -1L) return Iterator.empty // watermark sentinel
+    val closed =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    // batch arrival order is arbitrary; session order is (ms, event_id) —
+    // the same total order the batch oracle uses
+    val evs = rows.toArray.sortBy(r => (r._3, r._2))
+    var cur: Option[(Long, Long, Long, Long)] =
+      if (sess.exists()) {
+        val (st0, last, n, c, exp) = sess.get()
+        getHandle.deleteTimer(exp)
+        Some((st0, last, n, c))
+      } else None
+    evs.foreach { case (_, _, ms, cents) =>
+      cur = cur match {
+        case Some((st0, last, n, c)) if ms - last > gapMs =>
+          closed += ((key, st0, last, n, c))
+          Some((ms, ms, 1L, cents))
+        case Some((st0, last, n, c)) =>
+          Some((st0, math.max(last, ms), n + 1, c + cents))
+        case None => Some((ms, ms, 1L, cents))
+      }
+    }
+    val (st0, last, n, c) = cur.get
+    val expiry = last + gapMs + 1
+    getHandle.registerTimer(expiry)
+    sess.update((st0, last, n, c, expiry))
+    closed.iterator
+  }
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long)] = {
+    if (!sess.exists()) return Iterator.empty
+    val (st0, last, n, c, exp) = sess.get()
+    if (expired.getExpiryTimeInMs != exp) Iterator.empty // stale fire
+    else { sess.clear(); Iterator.single((key, st0, last, n, c)) }
   }
 }
