@@ -55,6 +55,100 @@ object Relational {
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10"""))
 
+  // SQL pipe syntax (SPARK-49555, in-box since Spark 4): the |>-chained
+  // spelling of scan → filter → aggregate → having → sort. Same Catalyst
+  // plan as the ANSI form — the parser rewrites pipe operators away — so
+  // the key proves the surface parses and plans identically to the oracle's
+  // classic spelling (which IS the same query in ANSI form).
+  private val sqlPipeSyntax = Op(
+    "sql_pipe_syntax",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_p")
+      s.sql("""
+        FROM lineitem_p
+        |> WHERE l_quantity >= 5
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_price
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 10
+        |> ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM lineitem WHERE l_quantity >= 5
+            GROUP BY l_returnflag, l_linestatus
+            HAVING COUNT(*) > 10
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  // Declarative SQL UDFs (SPARK-44076, in-box since Spark 4): CREATE
+  // TEMPORARY FUNCTION ... RETURNS ... RETURN <expr> — the function body is
+  // INLINED by the analyzer (ResolveSQLFunctions) into the calling plan, so
+  // unlike a JVM UDF it stays inside codegen and Catalyst can push/fold
+  // through it. The oracle spells the bodies out by hand — equal results
+  // prove the inlining preserved the semantics.
+  private val fnSqlUdf = Op(
+    "fn_sql_udf",
+    (s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+                 p DECIMAL(18,2), disc DECIMAL(18,2))
+               RETURNS DECIMAL(38,6) RETURN p * (1 - disc)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_band(q DOUBLE)
+               RETURNS STRING
+               RETURN CASE WHEN q < 10 THEN 'low'
+                           WHEN q < 30 THEN 'mid' ELSE 'high' END""")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_f")
+      s.sql("""
+        SELECT graft_band(l_quantity) AS band, COUNT(*) AS n,
+               CAST(SUM(graft_disc_price(
+                 CAST(l_extendedprice AS DECIMAL(18,2)),
+                 CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem_f GROUP BY graft_band(l_quantity) ORDER BY band""")
+    },
+    Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                        WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            GROUP BY CASE WHEN l_quantity < 10 THEN 'low'
+                          WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END
+            ORDER BY band"""))
+
+  // String collations (SPARK-46830, in-box since Spark 4): equality and
+  // GROUP BY under UTF8_LCASE — collation-aware comparison happens in the
+  // ENGINE (hash/sort keys derive from the collation), not via an
+  // expression rewrite. The fixture mixes case deterministically by key
+  // parity; the CI grouping must fuse both spellings back together. The
+  // emitted group label is min(lower(..)) — deterministic — because the
+  // collated group-by value itself keeps an arbitrary representative's
+  // casing. DuckDB mirrors with lower() grouping (equivalent to UTF8_LCASE
+  // on this ASCII domain).
+  private val fnCollation = Op(
+    "fn_collation",
+    (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_c")
+      s.sql("""
+        SELECT min(lower(segm)) AS seg, COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS bal_cents
+        FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                          ELSE lower(c_mktsegment) END AS segm, c_acctbal
+              FROM customer_c)
+        GROUP BY collate(segm, 'UTF8_LCASE')
+        ORDER BY seg""")
+    },
+    Some("""SELECT lower(segm) AS seg, COUNT(*) AS n,
+                   CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS bal_cents
+            FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                              ELSE lower(c_mktsegment) END AS segm, c_acctbal
+                  FROM customer)
+            GROUP BY lower(segm)
+            ORDER BY seg"""))
+
   // ---------------------------------------------------------------- sources
   private val scanParquet = Op(
     "scan_parquet",
@@ -1600,7 +1694,8 @@ object Relational {
 
   val ops: Seq[Op] = Seq(
     joinMultiwayStar, subqueryDecorrelate,
-    scanParquet, scanPruned, sqlEntryQ3, aggRegression, windowMedian,
+    scanParquet, scanPruned, sqlEntryQ3, sqlPipeSyntax, fnSqlUdf,
+    fnCollation, aggRegression, windowMedian,
     projectExpr, filterPred, filterNullSemantics, filterInLike,
     joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinRightOuter, joinFullOuter, joinSkewSalted,
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,

@@ -34,6 +34,21 @@ class PlanSpec extends AnyFunSuite {
       "PushedFilters list is empty")
   }
 
+  test("SQL UDFs inline into the plan — no ScalaUDF/codegen fence") {
+    // the point of declarative SQL UDFs over JVM UDFs: the analyzer
+    // rewrites the call into its body, so the plan is plain expressions
+    val p = plan("fn_sql_udf")
+    assert(!p.contains("ScalaUDF"), p.take(600))
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("pipe-syntax WHERE is pushed into the parquet scan") {
+    // |> WHERE before AGGREGATE must reach the scan like classic SQL
+    val p = plan("sql_pipe_syntax")
+    assert(p.contains("PushedFilters: ["), p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_quantity"), p.take(1200))
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     assert(plan("limit_topk").contains("TakeOrderedAndProject"))
     assert(plan("sim_cosine_topk").contains("TakeOrderedAndProject"))
