@@ -149,6 +149,57 @@ object Relational {
             GROUP BY lower(segm)
             ORDER BY seg"""))
 
+  // Parameterized SQL (SPARK-44066): named-parameter binding via
+  // spark.sql(text, args) — literals arrive as TYPED parameters, not by
+  // string interpolation (the SQL-injection-safe and plan-cache-friendly
+  // spelling a query service uses). The oracle bakes the same constants in.
+  private val sqlParameterized = Op(
+    "sql_parameterized",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_prm")
+      s.sql(
+        """SELECT o_orderstatus, COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total
+           FROM orders_prm
+           WHERE o_totalprice >= :min_price AND o_orderstatus <> :excluded
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        Map("min_price" -> 1000.0, "excluded" -> "X"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total
+            FROM orders
+            WHERE o_totalprice >= 1000.0 AND o_orderstatus <> 'X'
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // SQL session variables (SPARK-46908): DECLARE / SET VAR / reference in a
+  // query — session-scoped typed state the engine resolves at analysis
+  // time (the scripting surface for multi-statement jobs). The variable is
+  // set from a scalar SUBQUERY over the data, so the key proves the full
+  // loop: compute → store in variable → drive a second query with it.
+  private val sqlSessionVariables = Op(
+    "sql_session_variables",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_sv")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_qty_cut DOUBLE DEFAULT 0.0")
+      s.sql("""SET VAR graft_qty_cut =
+                 (SELECT CAST(avg(l_quantity) AS DOUBLE) FROM lineitem_sv)""")
+      s.sql("""
+        SELECT l_returnflag, COUNT(*) AS n_above,
+               CAST(ROUND(min(l_quantity) - graft_qty_cut, 4) AS DOUBLE)
+                 AS min_gap
+        FROM lineitem_sv WHERE l_quantity > graft_qty_cut
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""WITH cut AS (SELECT CAST(avg(l_quantity) AS DOUBLE) AS c
+                         FROM lineitem)
+            SELECT l_returnflag, COUNT(*) AS n_above,
+                   CAST(ROUND(min(l_quantity) - (SELECT c FROM cut), 4)
+                     AS DOUBLE) AS min_gap
+            FROM lineitem WHERE l_quantity > (SELECT c FROM cut)
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ---------------------------------------------------------------- sources
   private val scanParquet = Op(
     "scan_parquet",
@@ -1695,7 +1746,8 @@ object Relational {
   val ops: Seq[Op] = Seq(
     joinMultiwayStar, subqueryDecorrelate,
     scanParquet, scanPruned, sqlEntryQ3, sqlPipeSyntax, fnSqlUdf,
-    fnCollation, aggRegression, windowMedian,
+    fnCollation, sqlParameterized, sqlSessionVariables,
+    aggRegression, windowMedian,
     projectExpr, filterPred, filterNullSemantics, filterInLike,
     joinInnerBroadcast, joinInnerShuffle, joinLeftOuter, joinRightOuter, joinFullOuter, joinSkewSalted,
     joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange, joinAsof,

@@ -1070,6 +1070,74 @@ object StreamOps {
                    count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
             FROM g GROUP BY user_id, sid ORDER BY user_id, start_ms"""))
 
+  // State BOOTSTRAP (StatefulProcessorWithInitialState): how a running
+  // pipeline's accumulated state migrates into a NEW streaming job — the
+  // operational move behind re-keying, topology changes, or engine
+  // upgrades, where replaying 100 TB of history to rebuild counters is not
+  // an option. The initial state is a per-user totals RELATION (here: the
+  // even-event_id half of events, standing in for "everything the old job
+  // had absorbed"), handed to transformWithState as a keyed Dataset; the
+  // stream then delivers only the odd half. handleInitialState seeds each
+  // user's ValueState before any input row; emissions (update mode, upsert
+  // sink) therefore equal FULL-history totals for every user the stream
+  // touches — which is exactly what the oracle checks.
+  private val streamTwsInitState = Op(
+    "stream_tws_init_state",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val land = tmp("graft_twi_land_")
+      val out = tmp("graft_twi_out_"); val ck = tmp("graft_twi_ck_")
+      val ev = Tables.load(s, d, "events")
+        .withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      val initial = ev.where(col("event_id") % 2 === 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+        .select(col("user_id"), col("n"), col("c"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, n, c) => (n, c) }
+      ev.where(col("event_id") % 2 === 1)
+        .select("user_id", "cents").coalesce(1)
+        .write.mode("overwrite").parquet(land)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val q = s.readStream
+          .schema("user_id BIGINT, cents BIGINT").parquet(land)
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new BootstrappedTotalsProcessor(),
+            TimeMode.None(), OutputMode.Update(), initial)
+          .toDF("user_id", "n", "sum_cents")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            upsertParquet(b, Seq("user_id"), out)
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        drain(q)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+      s.read.parquet(currentVersionDir(s, out).get).orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+                 tot AS (SELECT user_id, count(*) AS n,
+                                CAST(sum(cents) AS BIGINT) AS sum_cents
+                         FROM e GROUP BY user_id),
+                 act AS (SELECT DISTINCT user_id FROM e WHERE event_id % 2 = 1)
+            SELECT t.user_id, t.n, t.sum_cents
+            FROM tot t JOIN act USING (user_id) ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
@@ -1077,7 +1145,7 @@ object StreamOps {
     streamDedupState, streamCustomState, streamCdcFeed,
     streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
     streamSequenceMatch, streamManifestIngest, streamTwsState,
-    streamTwsTimers)
+    streamTwsTimers, streamTwsInitState)
 }
 
 /** Per-user stats over MULTIPLE independent typed state variables — the
@@ -1179,5 +1247,32 @@ private class SessionTimerProcessor(gapMs: Long)
     val (st0, last, n, c, exp) = sess.get()
     if (expired.getExpiryTimeInMs != exp) Iterator.empty // stale fire
     else { sess.clear(); Iterator.single((key, st0, last, n, c)) }
+  }
+}
+
+/** Bootstrapped running totals (the `stream_tws_init_state` processor):
+  * handleInitialState seeds each key's ValueState from the migrated
+  * relation BEFORE any stream row arrives; handleInputRows then extends the
+  * same state — totals emitted over the stream are full-history totals.
+  * Top-level class: no `$outer` reference when serialized. */
+private class BootstrappedTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, (Long, Long), (Long, Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+    TimerValues, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var totals: ValueState[(Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+  override def handleInitialState(key: Long, initial: (Long, Long),
+      timers: TimerValues): Unit =
+    totals.update(initial)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, c) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, cents) => n += 1; c += cents }
+    totals.update((n, c))
+    Iterator.single((key, n, c))
   }
 }
