@@ -1138,6 +1138,47 @@ object StreamOps {
             SELECT t.user_id, t.n, t.sum_cents
             FROM tot t JOIN act USING (user_id) ORDER BY user_id"""))
 
+  // State-store DATA SOURCE (SPARK-45511, in-box since Spark 4): a drained
+  // streaming aggregation's checkpoint read back as a DataFrame — the
+  // operational window into live state (debugging a wedged stateful query,
+  // auditing what a checkpoint actually holds, sizing state before a
+  // migration) without touching the running job. The stream's sink output
+  // is deliberately DISCARDED: everything the oracle checks arrives through
+  // the state reader, proving the checkpoint itself carries the full
+  // aggregation state. Value-struct field names are engine-internal buffer
+  // names, so they're bound positionally (count buffer, then sum buffer —
+  // the agg declaration order) and re-aliased.
+  private val scanStateStore = Op(
+    "scan_state_store",
+    (s, d) => {
+      val ck = tmp("graft_sss_ck_")
+      val q = landAndStream(s, d)
+        .withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .writeStream.outputMode("update")
+        // sink output discarded — but every partition must still be
+        // materialized or the state stores never commit (the engine
+        // validates per-partition commits for exactly this mistake)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.format("noop").mode("overwrite").save(); ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      val st = s.read.format("statestore").load(ck)
+      val vals = st.select("value.*").columns
+      st.select(col("key.user_id").as("user_id"),
+          col(s"value.`${vals(0)}`").cast("long").as("n"),
+          col(s"value.`${vals(1)}`").cast("long").as("sum_cents"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n,
+              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
@@ -1145,7 +1186,7 @@ object StreamOps {
     streamDedupState, streamCustomState, streamCdcFeed,
     streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
     streamSequenceMatch, streamManifestIngest, streamTwsState,
-    streamTwsTimers, streamTwsInitState)
+    streamTwsTimers, streamTwsInitState, scanStateStore)
 }
 
 /** Per-user stats over MULTIPLE independent typed state variables — the
