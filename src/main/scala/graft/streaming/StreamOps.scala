@@ -1179,6 +1179,75 @@ object StreamOps {
                 AS BIGINT) AS sum_cents
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  // The third transformWithState state type, ListState, as a BOUNDED
+  // per-key buffer: the last-3 events per user (by event time, ties by
+  // event_id), maintained across micro-batches by merge-sort-truncate —
+  // the recent-activity / feature-window shape a serving pipeline keeps
+  // per entity. The two batches split by event_id PARITY, so batch 2
+  // delivers events OLDER than batch 1's for most users — the buffer
+  // merge handles out-of-order arrival without any watermark (TimeMode
+  // .None), which is the point: state is capped at k entries per key no
+  // matter how disordered or voluminous the stream.
+  private val streamTwsListState = Op(
+    "stream_tws_list_state",
+    (s, d) => {
+      import s.implicits._
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val land = tmp("graft_twl_land_")
+      val out = tmp("graft_twl_out_"); val ck = tmp("graft_twl_ck_")
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 1000").as("ms"),
+          col("event_id"))
+      def landHalf(parity: Int, name: String, mtime: Long): Unit = {
+        val stage = tmp(s"graft_twl_b$parity")
+        ev.where(col("event_id") % 2 === parity).coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(land, name)
+        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      landHalf(0, "b0.parquet", t0)
+      landHalf(1, "b1.parquet", t0 + 10000)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val q = s.readStream
+          .schema("user_id BIGINT, ms BIGINT, event_id BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(land)
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new RecentEventsProcessor(3),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "recent_ids", "last_ms")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            upsertParquet(b, Seq("user_id"), out)
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        drain(q)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+      s.read.parquet(currentVersionDir(s, out).get).orderBy("user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+                       FROM events)
+            SELECT user_id,
+                   (list(event_id ORDER BY ms DESC, event_id DESC))[1:3]
+                     AS recent_ids,
+                   max(ms) AS last_ms
+            FROM e GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
@@ -1186,7 +1255,8 @@ object StreamOps {
     streamDedupState, streamCustomState, streamCdcFeed,
     streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
     streamSequenceMatch, streamManifestIngest, streamTwsState,
-    streamTwsTimers, streamTwsInitState, scanStateStore)
+    streamTwsTimers, streamTwsInitState, scanStateStore,
+    streamTwsListState)
 }
 
 /** Per-user stats over MULTIPLE independent typed state variables — the
@@ -1315,5 +1385,31 @@ private class BootstrappedTotalsProcessor
     rows.foreach { case (_, cents) => n += 1; c += cents }
     totals.update((n, c))
     Iterator.single((key, n, c))
+  }
+}
+
+/** Bounded recent-events buffer on ListState (the `stream_tws_list_state`
+  * processor): merge the stored ≤k entries with the batch's arrivals, sort
+  * by (ms, event_id) descending, keep k — per-key state never exceeds k
+  * entries regardless of stream volume or disorder. Top-level class: no
+  * `$outer` reference when serialized. */
+private class RecentEventsProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Seq[Long], Long)] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TTLConfig,
+    TimeMode, TimerValues}
+  import org.apache.spark.sql.Encoders
+  @transient private var recent: ListState[(Long, Long)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState("recent",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Seq[Long], Long)] = {
+    val existing = if (recent.exists()) recent.get().toArray
+                   else Array.empty[(Long, Long)]
+    val merged = (existing ++ rows.map(r => (r._2, r._3)))
+      .sortBy { case (ms, id) => (-ms, -id) }.take(k)
+    recent.put(merged)
+    Iterator.single((key, merged.map(_._2).toSeq, merged.head._1))
   }
 }

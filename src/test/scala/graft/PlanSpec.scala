@@ -49,6 +49,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_quantity"), p.take(1200))
   }
 
+  test("scan_json_rescue derives struct and rescue map from ONE text scan") {
+    // the documented single-pass claim: two from_json over the same value
+    // column must not re-scan the landing files
+    val p = SparkEntry.queries("scan_json_rescue")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("FileScan text".r.findAllIn(p).length === 1, p.take(800))
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     assert(plan("limit_topk").contains("TakeOrderedAndProject"))
     assert(plan("sim_cosine_topk").contains("TakeOrderedAndProject"))
