@@ -1238,13 +1238,20 @@ object StreamOps {
           case None    => s.conf.unset(provKey)
         }
       }
-      s.read.parquet(currentVersionDir(s, out).get).orderBy("user_id")
+      // driver-boundary contract (RegistrySpec): result columns must be
+      // scalar — the list is emitted as a comma-joined string
+      s.read.parquet(currentVersionDir(s, out).get)
+        .select(col("user_id"),
+          expr("array_join(recent_ids, ',')").as("recent_ids"),
+          col("last_ms"))
+        .orderBy("user_id")
     },
     Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
                        FROM events)
             SELECT user_id,
-                   (list(event_id ORDER BY ms DESC, event_id DESC))[1:3]
-                     AS recent_ids,
+                   array_to_string(
+                     (list(event_id ORDER BY ms DESC, event_id DESC))[1:3],
+                     ',') AS recent_ids,
                    max(ms) AS last_ms
             FROM e GROUP BY user_id ORDER BY user_id"""))
 
