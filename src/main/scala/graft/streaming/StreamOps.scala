@@ -1255,6 +1255,59 @@ object StreamOps {
                    max(ms) AS last_ms
             FROM e GROUP BY user_id ORDER BY user_id"""))
 
+  // The state reader over a transformWithState checkpoint: custom typed
+  // state is addressed by VARIABLE NAME (`stateVarName`) — a processor
+  // holds many independent variables, and each reads back as its own
+  // relation. Here the multi-variable UserTypeStatsProcessor runs a drain
+  // whose sink is discarded, then the "totals" ValueState is read back and
+  // hash-checked against the batch totals — the same audit-the-checkpoint
+  // operational move as `scan_state_store`, now for arbitrary custom state.
+  private val scanStateStoreTws = Op(
+    "scan_state_store_tws",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val ck = tmp("graft_sst_ck_")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val q = landAndStream(s, d)
+          .select(col("user_id"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+            col("event_type"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new UserTypeStatsProcessor(),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n", "sum_cents", "n_types", "max_type_n")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.format("noop").mode("overwrite").save(); ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        drain(q)
+        val st = s.read.format("statestore")
+          .option("stateVarName", "totals").load(ck)
+        val vals = st.select("value.*").columns
+        st.select(col("key.value").cast("long").as("user_id"),
+            col(s"value.`${vals(0)}`").cast("long").as("n"),
+            col(s"value.`${vals(1)}`").cast("long").as("sum_cents"))
+          .orderBy("user_id")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None    => s.conf.unset(provKey)
+        }
+      }
+    },
+    Some("""SELECT user_id, count(*) AS n,
+              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val ops: Seq[Op] = Seq(
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
@@ -1263,7 +1316,7 @@ object StreamOps {
     streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
     streamSequenceMatch, streamManifestIngest, streamTwsState,
     streamTwsTimers, streamTwsInitState, scanStateStore,
-    streamTwsListState)
+    streamTwsListState, scanStateStoreTws)
 }
 
 /** Per-user stats over MULTIPLE independent typed state variables — the
