@@ -1388,7 +1388,10 @@ private class SessionTimerProcessor(gapMs: Long)
     val closed =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
     // batch arrival order is arbitrary; session order is (ms, event_id) —
-    // the same total order the batch oracle uses
+    // the same total order the batch oracle uses. The sort materializes
+    // ONE key's ONE-trigger arrivals (TWS does not deliver per-key rows
+    // ordered), so memory is bounded by per-key ingest rate × trigger
+    // interval — not by history, which lives in the O(1) session state.
     val evs = rows.toArray.sortBy(r => (r._3, r._2))
     var cur: Option[(Long, Long, Long, Long)] =
       if (sess.exists()) {
