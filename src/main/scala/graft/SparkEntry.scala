@@ -24,6 +24,11 @@ object SparkEntry {
     ops
   }
 
+  /** Registered op count BEFORE the Map construction of [[queries]] — lets
+    * tests assert no key was silently shadowed (Map dedupes; the require
+    * above fires first, this keeps the guard visible at the test layer). */
+  private[graft] def opCount: Int = all.size
+
   /** Flagship query (TPC-H-Q1-shaped pricing summary, SURVEY.md §7.3) on
     * sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

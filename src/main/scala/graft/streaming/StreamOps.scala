@@ -55,6 +55,36 @@ object StreamOps {
 
   private def msCol(c: String) = expr(s"unix_micros($c) div 1000")
 
+  /** Runs `body` with the RocksDB state store provider (required by
+    * transformWithState) set on the session, restoring the previous
+    * provider afterwards — provider choice binds at query start, so the
+    * scope covers exactly the queries started inside. */
+  private[graft] def withRocksDbProvider[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(k)
+    s.conf.set(k, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(k, v)
+      case None    => s.conf.unset(k)
+    }
+  }
+
+  /** Stages `df` as ONE parquet file at `land/name` with a forced mtime —
+    * the deterministic-micro-batch fixture (file source orders by mtime;
+    * maxFilesPerTrigger=1 then yields one batch per staged file). */
+  private def landOne(df: DataFrame, land: String, name: String,
+      mtime: Long): Unit = {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val stage = tmp("graft_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = Paths.get(land, name)
+    JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(mtime)
+  }
+
   // A6 open equivalent: watch dir → append new files to a parquet sink with a
   // checkpoint; resume-without-reprocessing asserted in StreamingSpec.
   private val streamFileAppend = Op(
@@ -330,23 +360,13 @@ object StreamOps {
   private val streamCdcFeed = Op(
     "stream_cdc_feed",
     (s, d) => {
-      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
       val land = tmp("graft_scf_land_"); val feed = tmp("graft_scf_feed_")
       val out = tmp("graft_scf_tgt_"); val ck = tmp("graft_scf_ck_")
       val ev = Tables.load(s, d, "events")
-      def landHalf(parity: Int, name: String, mtime: Long): Unit = {
-        val stage = tmp(s"graft_scf_b$parity")
-        ev.where(col("event_id") % 2 === parity).coalesce(1)
-          .write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = Paths.get(land, name)
-        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-        dst.toFile.setLastModified(mtime)
-      }
       val t0 = System.currentTimeMillis() - 60000
-      landHalf(0, "b0.parquet", t0)
-      landHalf(1, "b1.parquet", t0 + 10000)
+      landOne(ev.where(col("event_id") % 2 === 0), land, "b0.parquet", t0)
+      landOne(ev.where(col("event_id") % 2 === 1), land, "b1.parquet",
+        t0 + 10000)
       cdcFeedDrain(s, ev.schema, land, feed, out, ck)
       // partition discovery adds the batch column; the feed rows themselves
       // are the contract
@@ -490,23 +510,13 @@ object StreamOps {
   private val streamObserveMetrics = Op(
     "stream_observe_metrics",
     (s, d) => {
-      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
       val land = tmp("graft_som_land_"); val ck = tmp("graft_som_ck_")
       val sink = tmp("graft_som_sink_")
       val ev = Tables.load(s, d, "events")
-      def landHalf(parity: Int, name: String, mtime: Long): Unit = {
-        val stage = tmp(s"graft_som_b$parity")
-        ev.where(col("event_id") % 2 === parity).coalesce(1)
-          .write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = Paths.get(land, name)
-        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-        dst.toFile.setLastModified(mtime)
-      }
       val t0 = System.currentTimeMillis() - 60000
-      landHalf(0, "b0.parquet", t0)
-      landHalf(1, "b1.parquet", t0 + 10000)
+      landOne(ev.where(col("event_id") % 2 === 0), land, "b0.parquet", t0)
+      landOne(ev.where(col("event_id") % 2 === 1), land, "b1.parquet",
+        t0 + 10000)
       val q = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(land)
         .observe("batch_metrics",
@@ -549,23 +559,15 @@ object StreamOps {
   private val streamWatermarkAudit = Op(
     "stream_watermark_audit",
     (s, d) => {
-      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
       val land = tmp("graft_sld_land_"); val ck = tmp("graft_sld_ck_")
       val sink = tmp("graft_sld_sink_")
       val ev = Tables.load(s, d, "events")
       val cutoff = "TIMESTAMP '2024-01-15 00:00:00'"
-      def landPart(pred: org.apache.spark.sql.Column, name: String, mtime: Long): Unit = {
-        val stage = tmp("graft_sld_b")
-        ev.where(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = Paths.get(land, name)
-        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-        dst.toFile.setLastModified(mtime)
-      }
       val t0 = System.currentTimeMillis() - 60000
-      landPart(expr(s"ts >= $cutoff"), "b0.parquet", t0)      // recent half first
-      landPart(expr(s"ts < $cutoff"), "b1.parquet", t0 + 10000) // old half = late
+      landOne(ev.where(expr(s"ts >= $cutoff")), land,
+        "b0.parquet", t0)                                        // recent half first
+      landOne(ev.where(expr(s"ts < $cutoff")), land,
+        "b1.parquet", t0 + 10000)                                // old half = late
       val q = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(land)
         .withWatermark("ts", "10 minutes")
@@ -843,6 +845,35 @@ object StreamOps {
             FROM seq WHERE event_type = 'purchase'
             GROUP BY user_id ORDER BY user_id"""))
 
+  /** One AvailableNow drain of the notification-mode ingest over `man`:
+    * the checkpointed text-journal stream is deduplicated ACROSS batches by
+    * stateful dropDuplicates on the path — the SQS-consumer dedup ledger
+    * (state is one row per notified FILE, bounded by file count, never data
+    * volume), so a queue redelivering a path in a LATER journal file still
+    * ingests it once. Each micro-batch's arrivals are read distributed and
+    * written to an OVERWRITTEN per-batchId slice, so an at-least-once
+    * foreachBatch replay rewrites its own slice instead of appending
+    * duplicates. Shared by the `stream_manifest_ingest` op and the
+    * StreamingSpec notification-contract test — the spec exercises THIS
+    * code path, not a copy. */
+  private[graft] def manifestIngestDrain(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      man: String, out: String, ck: String): Unit = {
+    val q = s.readStream.text(man)
+      .dropDuplicates("value")
+      .writeStream.option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val paths = batch.distinct().collect()
+          .map(_.getString(0)).filter(_.nonEmpty)
+        if (paths.nonEmpty)
+          s.read.schema(schema).parquet(paths.toIndexedSeq: _*)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        ()
+      }.start()
+    drain(q)
+  }
+
   // A6's FILE-NOTIFICATION discovery mode (framework.py:180-181,
   // `cloudFiles.useNotifications = "true"`): the scale problem with the
   // directory-listing stream (`stream_file_append`) is the per-micro-batch
@@ -854,12 +885,12 @@ object StreamOps {
   // one landed path per line to; the stream sources the MANIFEST (tiny,
   // checkpointed, exactly-once over journal files) and never lists the data
   // dir at all. Paths — not data — come to the driver (bounded by arrivals
-  // per trigger, the same contract as a real SQS/Event Grid consumer);
-  // per-batch `distinct` absorbs at-least-once queue duplicates; the data
-  // files themselves are read DISTRIBUTED with the explicit landing schema
-  // and appended through a file sink. Resume-without-reprocessing (a new
-  // notification after a drain ingests only the new file) is asserted in
-  // StreamingSpec.
+  // per trigger, the same contract as a real SQS/Event Grid consumer); the
+  // data files themselves are read DISTRIBUTED with the explicit landing
+  // schema. Dedup/idempotence semantics live in [[manifestIngestDrain]];
+  // the notification contract (un-notified file invisible, same-batch AND
+  // cross-batch redelivery ingests once, empty resume re-ingests nothing)
+  // is asserted in StreamingSpec against the same code path.
   private val streamManifestIngest = Op(
     "stream_manifest_ingest",
     (s, d) => {
@@ -869,25 +900,15 @@ object StreamOps {
       ev.repartition(4).write.mode("overwrite").parquet(land)
       val parts = new java.io.File(land).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
-      // producer-side notifications: two journal appends, split arrivals
+      // producer-side notifications: two journal appends, split arrivals;
+      // the second journal REDELIVERS the first's paths (at-least-once
+      // queue) — the cross-batch dedup must absorb them
       val (first, rest) = parts.splitAt(parts.length / 2)
       Files.write(java.nio.file.Paths.get(man, "notify-000.txt"),
         first.mkString("\n").getBytes("UTF-8"))
       Files.write(java.nio.file.Paths.get(man, "notify-001.txt"),
-        rest.mkString("\n").getBytes("UTF-8"))
-      val schema = ev.schema
-      val q = s.readStream.text(man)
-        .writeStream.option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val paths = batch.distinct().collect()
-            .map(_.getString(0)).filter(_.nonEmpty)
-          if (paths.nonEmpty)
-            s.read.schema(schema).parquet(paths.toIndexedSeq: _*)
-              .write.mode("append").parquet(out)
-          ()
-        }.start()
-      drain(q)
+        (rest ++ first).mkString("\n").getBytes("UTF-8"))
+      manifestIngestDrain(s, ev.schema, man, out, ck)
       s.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), msCol("ts").as("ts_ms"))
@@ -907,29 +928,15 @@ object StreamOps {
     "stream_tws_state",
     (s, d) => {
       import s.implicits._
-      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val land = tmp("graft_tws_land_")
       val out = tmp("graft_tws_out_"); val ck = tmp("graft_tws_ck_")
       val ev = Tables.load(s, d, "events")
-      def landHalf(parity: Int, name: String, mtime: Long): Unit = {
-        val stage = tmp(s"graft_tws_b$parity")
-        ev.where(col("event_id") % 2 === parity).coalesce(1)
-          .write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = Paths.get(land, name)
-        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-        dst.toFile.setLastModified(mtime)
-      }
       val t0 = System.currentTimeMillis() - 60000
-      landHalf(0, "b0.parquet", t0)
-      landHalf(1, "b1.parquet", t0 + 10000)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(provKey)
-      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      landOne(ev.where(col("event_id") % 2 === 0), land, "b0.parquet", t0)
+      landOne(ev.where(col("event_id") % 2 === 1), land, "b1.parquet",
+        t0 + 10000)
+      withRocksDbProvider(s) {
         val q = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
           .select(col("user_id"),
@@ -947,11 +954,6 @@ object StreamOps {
           .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
         drain(q)
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(provKey, v)
-          case None    => s.conf.unset(provKey)
-        }
       }
       s.read.parquet(currentVersionDir(s, out).get).orderBy("user_id")
     },
@@ -991,7 +993,6 @@ object StreamOps {
     "stream_tws_timers",
     (s, d) => {
       import s.implicits._
-      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val land = tmp("graft_twt_land_")
       val out = tmp("graft_twt_out_"); val ck = tmp("graft_twt_ck_")
@@ -1002,33 +1003,20 @@ object StreamOps {
           expr("max(unix_micros(ts) div 1000)"))
         .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
       val midMs = (minMs + maxMs) / 2
-      def landFile(df: DataFrame, name: String, mtime: Long): Unit = {
-        val stage = tmp("graft_twt_stage_")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = Paths.get(land, name)
-        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-        dst.toFile.setLastModified(mtime)
-      }
       def sentinel(ms: Long): DataFrame = ev.limit(1)
         .select(lit(-1L).as("event_id"), expr(s"timestamp_millis(${ms}L)").as("ts"),
           lit(-1L).as("user_id"), lit("noop").as("event_type"),
           lit(0.0).as("value"), lit("").as("props"))
         .select(ev.columns.map(col).toIndexedSeq: _*)
       val t0 = System.currentTimeMillis() - 60000
-      landFile(ev.where(expr(s"unix_micros(ts) div 1000 < ${midMs}L")),
-        "b0.parquet", t0)
-      landFile(ev.where(expr(s"unix_micros(ts) div 1000 >= ${midMs}L")),
-        "b1.parquet", t0 + 10000)
-      landFile(sentinel(maxMs + 3 * gapMs), "s1.parquet", t0 + 20000)
-      landFile(sentinel(maxMs + 6 * gapMs), "s2.parquet", t0 + 30000)
-      landFile(sentinel(maxMs + 9 * gapMs), "s3.parquet", t0 + 40000)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(provKey)
-      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      landOne(ev.where(expr(s"unix_micros(ts) div 1000 < ${midMs}L")),
+        land, "b0.parquet", t0)
+      landOne(ev.where(expr(s"unix_micros(ts) div 1000 >= ${midMs}L")),
+        land, "b1.parquet", t0 + 10000)
+      landOne(sentinel(maxMs + 3 * gapMs), land, "s1.parquet", t0 + 20000)
+      landOne(sentinel(maxMs + 6 * gapMs), land, "s2.parquet", t0 + 30000)
+      landOne(sentinel(maxMs + 9 * gapMs), land, "s3.parquet", t0 + 40000)
+      withRocksDbProvider(s) {
         val q = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
           .withWatermark("ts", "30 minutes")
@@ -1041,19 +1029,19 @@ object StreamOps {
             TimeMode.EventTime(), OutputMode.Append())
           .toDF("user_id", "start_ms", "end_ms", "n", "sum_cents")
           .writeStream.outputMode("append")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out); ()
+          // per-batchId OVERWRITTEN slice: an at-least-once foreachBatch
+          // replay rewrites its own slice instead of appending duplicate
+          // session rows (the idempotent-sink discipline of cdcFeedDrain)
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/batch=$batchId"); ()
           }
           .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
         drain(q)
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(provKey, v)
-          case None    => s.conf.unset(provKey)
-        }
       }
-      s.read.parquet(out).orderBy("user_id", "start_ms")
+      s.read.parquet(out)
+        .select("user_id", "start_ms", "end_ms", "n", "sum_cents")
+        .orderBy("user_id", "start_ms")
     },
     Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -1101,11 +1089,7 @@ object StreamOps {
       ev.where(col("event_id") % 2 === 1)
         .select("user_id", "cents").coalesce(1)
         .write.mode("overwrite").parquet(land)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(provKey)
-      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      withRocksDbProvider(s) {
         val q = s.readStream
           .schema("user_id BIGINT, cents BIGINT").parquet(land)
           .as[(Long, Long)]
@@ -1120,11 +1104,6 @@ object StreamOps {
           .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
         drain(q)
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(provKey, v)
-          case None    => s.conf.unset(provKey)
-        }
       }
       s.read.parquet(currentVersionDir(s, out).get).orderBy("user_id")
     },
@@ -1192,31 +1171,17 @@ object StreamOps {
     "stream_tws_list_state",
     (s, d) => {
       import s.implicits._
-      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val land = tmp("graft_twl_land_")
       val out = tmp("graft_twl_out_"); val ck = tmp("graft_twl_ck_")
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), expr("unix_micros(ts) div 1000").as("ms"),
           col("event_id"))
-      def landHalf(parity: Int, name: String, mtime: Long): Unit = {
-        val stage = tmp(s"graft_twl_b$parity")
-        ev.where(col("event_id") % 2 === parity).coalesce(1)
-          .write.mode("overwrite").parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = Paths.get(land, name)
-        JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-        dst.toFile.setLastModified(mtime)
-      }
       val t0 = System.currentTimeMillis() - 60000
-      landHalf(0, "b0.parquet", t0)
-      landHalf(1, "b1.parquet", t0 + 10000)
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(provKey)
-      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      landOne(ev.where(col("event_id") % 2 === 0), land, "b0.parquet", t0)
+      landOne(ev.where(col("event_id") % 2 === 1), land, "b1.parquet",
+        t0 + 10000)
+      withRocksDbProvider(s) {
         val q = s.readStream
           .schema("user_id BIGINT, ms BIGINT, event_id BIGINT")
           .option("maxFilesPerTrigger", "1").parquet(land)
@@ -1232,11 +1197,6 @@ object StreamOps {
           .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
         drain(q)
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(provKey, v)
-          case None    => s.conf.unset(provKey)
-        }
       }
       // driver-boundary contract (RegistrySpec): result columns must be
       // scalar — the list is emitted as a comma-joined string
@@ -1268,11 +1228,7 @@ object StreamOps {
       import s.implicits._
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val ck = tmp("graft_sst_ck_")
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(provKey)
-      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-        "state.RocksDBStateStoreProvider")
-      try {
+      withRocksDbProvider(s) {
         val q = landAndStream(s, d)
           .select(col("user_id"),
             (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
@@ -1296,11 +1252,6 @@ object StreamOps {
             col(s"value.`${vals(0)}`").cast("long").as("n"),
             col(s"value.`${vals(1)}`").cast("long").as("sum_cents"))
           .orderBy("user_id")
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set(provKey, v)
-          case None    => s.conf.unset(provKey)
-        }
       }
     },
     Some("""SELECT user_id, count(*) AS n,

@@ -10,6 +10,10 @@ class RegistrySpec extends AnyFunSuite {
   test("all keys unique and oracle keys registered") {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
+    // Map construction silently dedupes — compare against the raw op count
+    // so an accidentally reused key can't shadow an existing op unnoticed
+    // (SparkEntry's require fires first; this keeps the guard test-visible)
+    assert(qs.size === SparkEntry.opCount, "a duplicate key shadowed an op")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
   }
 

@@ -46,11 +46,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("manifest ingest resumes on new notifications only, never listing the data dir") {
-    // the notification-mode contract (StreamOps.streamManifestIngest): the
-    // stream's checkpointed source is the manifest journal, so a resumed run
-    // ingests exactly the files of NEW notifications — including files that
-    // were already sitting in the data dir but not yet notified, which a
-    // listing stream would have swept up early
+    // the notification-mode contract, exercised against the OP's own drain
+    // code path (StreamOps.manifestIngestDrain), not a re-implementation:
+    // the stream's checkpointed source is the manifest journal, so a
+    // resumed run ingests exactly the files of NEW notifications —
+    // including files already sitting in the data dir but not yet
+    // notified, which a listing stream would have swept up early
     val land = tmp("g_man_land_"); val man = tmp("g_man_man_")
     val out = tmp("g_man_out_"); val ck = tmp("g_man_ck_")
     val t0 = 1700000000000L
@@ -63,20 +64,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.copy(f.toPath, dst)
       dst.toString
     }
-    def runManifest(): Unit = {
-      val q = spark.readStream.text(man)
-        .writeStream.option("checkpointLocation", ck)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val paths = batch.distinct().collect()
-            .map(_.getString(0)).filter(_.nonEmpty)
-          if (paths.nonEmpty)
-            spark.read.schema(schema).parquet(paths.toIndexedSeq: _*)
-              .write.mode("append").parquet(out)
-          ()
-        }.start()
-      q.awaitTermination()
-    }
+    def runManifest(): Unit =
+      graft.streaming.StreamOps.manifestIngestDrain(spark, schema, man, out, ck)
     // two files land, only ONE is notified — the un-notified file must stay
     // invisible (exactly the listing-vs-notification difference)
     val p1 = landOne("a.parquet", Seq((1L, 1L, t0, 1.0)))
@@ -85,14 +74,22 @@ class StreamingSpec extends AnyFunSuite {
       p1.getBytes("UTF-8"))
     runManifest()
     assert(spark.read.parquet(out).count() === 1, "un-notified file leaked in")
-    // the late notification arrives (duplicated — at-least-once queue):
-    // resume ingests exactly the new file, once
+    // the late notification arrives (duplicated IN ONE delivery — the
+    // same-batch at-least-once case): resume ingests exactly the new file
     java.nio.file.Files.write(java.nio.file.Paths.get(man, "n1.txt"),
       (p2 + "\n" + p2).getBytes("UTF-8"))
     runManifest()
     val ids = spark.read.parquet(out).select("event_id")
       .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
     assert(ids.toSeq === Seq(1L, 2L), "resume must add exactly the notified file")
+    // CROSS-BATCH redelivery (the realistic at-least-once case): the queue
+    // redelivers BOTH already-ingested paths in a later journal file — the
+    // stateful path dedup must drop them, ingesting nothing
+    java.nio.file.Files.write(java.nio.file.Paths.get(man, "n2.txt"),
+      (p1 + "\n" + p2).getBytes("UTF-8"))
+    runManifest()
+    assert(spark.read.parquet(out).count() === 2,
+      "cross-batch redelivered notification re-ingested")
     // silent resume: no new notifications, no re-ingestion
     runManifest()
     assert(spark.read.parquet(out).count() === 2, "empty resume re-ingested")
@@ -103,11 +100,7 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.Encoders
     val in = tmp("g_tws_in_"); val out = tmp("g_tws_out_"); val ck = tmp("g_tws_ck_")
     val t0 = 1700000000000L
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try {
+    graft.streaming.StreamOps.withRocksDbProvider(spark) {
       def run(): Unit = {
         val q = spark.readStream.schema(schema).parquet(in)
           .select(col("user_id"))
@@ -140,11 +133,6 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(finalN === Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
         s"state did not carry across runs: $finalN")
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None    => spark.conf.unset(provKey)
-      }
     }
   }
 
