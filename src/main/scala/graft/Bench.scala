@@ -70,6 +70,18 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
+    // round-stamped per-key copy (SPARK_GRAFT_BENCH_TAG=r13 → tools/
+    // bench_perkey_r13.json): bench_result.json is overwritten every run
+    // and the gate's BENCH_r{N}.json drops the per-key map, so this is the
+    // artifact that makes round-over-round per-key regression diffs
+    // machine-checkable (tools/bench_diff.py) instead of prose
+    sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach { tag =>
+      val dir = java.nio.file.Paths.get("tools")
+      val p = (if (java.nio.file.Files.isDirectory(dir)) dir
+               else java.nio.file.Paths.get("."))
+        .resolve(s"bench_perkey_$tag.json")
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -662,9 +662,38 @@ object LlmOps {
       lcg(j + 42L).take(64).map(h => ((h >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1).toSeq)
   }
 
+  /** DuckDB replay of the seeded sign-LSH: the LCG hyperplanes are
+    * deterministic doubles, so the oracle inlines them as literals
+    * (`Double.toString` emits the shortest string that round-trips, and
+    * DuckDB's parser resolves it to the identical IEEE double) and
+    * recomputes each dot product as an explicit LEFT-ASSOCIATED 64-term
+    * sum — the same evaluation order as the Spark-side
+    * `aggregate(..., 0D, (a, x) -> a + x)` fold, so every partial sum and
+    * hence every sign test agrees bit-for-bit (the leading `0D +` differs
+    * only in the sign of a zero, which `>= 0` cannot observe). */
+  private lazy val lshOracle: String = {
+    def dot(p: Seq[Double]): String =
+      p.zipWithIndex.map { case (h, i) => s"v[${i + 1}] * $h" }
+        .mkString(" + ")
+    val bucket = hyperplanes.zipWithIndex.map { case (p, j) =>
+      s"${1 << (7 - j)} * (CASE WHEN ${dot(p)} >= 0 THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+        p AS (SELECT v AS vb, bucket AS pbucket FROM b WHERE vec_id = 0)
+        SELECT b.vec_id,
+               round(list_cosine_similarity(b.v, p.vb), 6) AS cos_sim
+        FROM b JOIN p ON b.bucket = p.pbucket
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id LIMIT 10"""
+  }
+
   // ANN scale path: sign-LSH over 8 fixed hyperplanes buckets the corpus
-  // (256 buckets); search touches only the probe's bucket. Seeded planes →
-  // test-only; recall vs the brute-force baseline asserted in ScalaTest.
+  // (256 buckets); search touches only the probe's bucket. The seeded
+  // planes are deterministic, so the oracle replays them as inline
+  // literals (lshOracle above); recall vs the brute-force baseline is
+  // additionally asserted in ScalaTest.
   private val simAnnLsh = Op(
     "sim_ann_lsh",
     (s, d) => {
@@ -687,7 +716,7 @@ object LlmOps {
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     },
-    None)
+    Some(lshOracle))
 
   // IVF-style ANN: vectors 1..8 serve as deterministic coarse "centroids"
   // (leaders); every vector is assigned map-side to its nearest leader

@@ -374,11 +374,21 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
         val qDir = new Path(qPath)
         val staging =
           new Path(qDir, s".staging_${java.util.UUID.randomUUID()}")
-        tagged.filter(violatedAny(c.constraints))
+        val fs = fsFor(qDir)
+        // the staging write runs during gate construction, BEFORE the
+        // caller holds a GatedBatch whose release() could clean up — so a
+        // failed write must unpersist the snapshot and sweep the partial
+        // staging dir here, or both leak for the life of the session
+        try tagged.filter(violatedAny(c.constraints))
           .write.mode("overwrite").parquet(staging.toString)
+        catch { case e: Throwable =>
+          tagged.unpersist()
+          try { if (fs.exists(staging)) fs.delete(staging, true) }
+          catch { case _: Exception => () }
+          throw e
+        }
         val clean = tagged.filter(!violatedAny(c.constraints))
           .drop("graft_violations")
-        val fs = fsFor(qDir)
         GatedBatch(
           clean,
           publish = () => {
@@ -389,8 +399,17 @@ final class IngestionRunner(spark: SparkSession, cfg: IngestionConfig) {
             fs.listStatus(staging).iterator
               .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
                 && !st.getPath.getName.startsWith("."))
-              .foreach(st =>
-                fs.rename(st.getPath, new Path(qDir, st.getPath.getName)))
+              .foreach { st =>
+                val dst = new Path(qDir, st.getPath.getName)
+                // rename returns false instead of throwing on most Hadoop
+                // filesystems; a silent false here would drop quarantined
+                // rows (the next line deletes staging) — fail loudly and
+                // leave staging intact for replay
+                if (!fs.rename(st.getPath, dst))
+                  throw new java.io.IOException(
+                    s"quarantine publish: rename ${st.getPath} -> $dst " +
+                      "failed; staging retained for replay")
+              }
             fs.delete(staging, true); ()
           },
           release = () => {

@@ -39,14 +39,17 @@ object StreamOps {
 
   /** Land events (µs-truncated ts, FIXTURES.md §A) as ONE parquet file and
     * open an explicit-schema stream over the landing dir. */
-  private def landAndStream(s: SparkSession, d: String): DataFrame = {
+  private def landAndStream(s: SparkSession, d: String,
+      streamOn: SparkSession = null): DataFrame = {
     val ev = Tables.load(s, d, "events")
     val in = landed.computeIfAbsent((s, d), { _ =>
       val dir = tmp("graft_land_")
       ev.coalesce(1).write.mode("overwrite").parquet(dir)
       dir
     })
-    s.readStream.schema(ev.schema).parquet(in)
+    // streamOn: open the stream on a scoped clone (withRocksDbProvider)
+    // while the landing cache stays keyed by the caller's shared session
+    Option(streamOn).getOrElse(s).readStream.schema(ev.schema).parquet(in)
   }
 
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -55,19 +58,27 @@ object StreamOps {
 
   private def msCol(c: String) = expr(s"unix_micros($c) div 1000")
 
-  /** Runs `body` with the RocksDB state store provider (required by
-    * transformWithState) set on the session, restoring the previous
-    * provider afterwards — provider choice binds at query start, so the
-    * scope covers exactly the queries started inside. */
-  private[graft] def withRocksDbProvider[T](s: SparkSession)(body: => T): T = {
-    val k = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(k)
-    s.conf.set(k, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => s.conf.set(k, v)
-      case None    => s.conf.unset(k)
+  /** Runs `body` against a CLONED session whose state store provider is
+    * RocksDB (required by transformWithState) — provider choice binds at
+    * query start, so the scope covers exactly the queries started on the
+    * clone. A clone, not set-then-restore on the shared session: any
+    * streaming query another thread starts during a mutate/restore window
+    * would bind the wrong provider or race the restore (parallel suites
+    * run ops concurrently on one session). The clone shares the
+    * SparkContext and cached data; its conf starts from the context conf,
+    * so the parent's RUNTIME conf (shuffle partitions, session timezone)
+    * is copied over first — static entries can't be re-set and keep their
+    * context values. */
+  private[graft] def withRocksDbProvider[T](s: SparkSession)(
+      body: SparkSession => T): T = {
+    val rs = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try rs.conf.set(k, v) catch { case _: Exception => () }
     }
+    rs.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+    body(rs)
   }
 
   /** Stages `df` as ONE parquet file at `land/name` with a forced mtime —
@@ -936,8 +947,8 @@ object StreamOps {
       landOne(ev.where(col("event_id") % 2 === 0), land, "b0.parquet", t0)
       landOne(ev.where(col("event_id") % 2 === 1), land, "b1.parquet",
         t0 + 10000)
-      withRocksDbProvider(s) {
-        val q = s.readStream.schema(ev.schema)
+      withRocksDbProvider(s) { rs =>
+        val q = rs.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
           .select(col("user_id"),
             (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
@@ -1016,8 +1027,8 @@ object StreamOps {
       landOne(sentinel(maxMs + 3 * gapMs), land, "s1.parquet", t0 + 20000)
       landOne(sentinel(maxMs + 6 * gapMs), land, "s2.parquet", t0 + 30000)
       landOne(sentinel(maxMs + 9 * gapMs), land, "s3.parquet", t0 + 40000)
-      withRocksDbProvider(s) {
-        val q = s.readStream.schema(ev.schema)
+      withRocksDbProvider(s) { rs =>
+        val q = rs.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
           .withWatermark("ts", "30 minutes")
           .select(col("user_id"), col("event_id"),
@@ -1089,8 +1100,8 @@ object StreamOps {
       ev.where(col("event_id") % 2 === 1)
         .select("user_id", "cents").coalesce(1)
         .write.mode("overwrite").parquet(land)
-      withRocksDbProvider(s) {
-        val q = s.readStream
+      withRocksDbProvider(s) { rs =>
+        val q = rs.readStream
           .schema("user_id BIGINT, cents BIGINT").parquet(land)
           .as[(Long, Long)]
           .groupByKey(_._1)
@@ -1181,8 +1192,8 @@ object StreamOps {
       landOne(ev.where(col("event_id") % 2 === 0), land, "b0.parquet", t0)
       landOne(ev.where(col("event_id") % 2 === 1), land, "b1.parquet",
         t0 + 10000)
-      withRocksDbProvider(s) {
-        val q = s.readStream
+      withRocksDbProvider(s) { rs =>
+        val q = rs.readStream
           .schema("user_id BIGINT, ms BIGINT, event_id BIGINT")
           .option("maxFilesPerTrigger", "1").parquet(land)
           .as[(Long, Long, Long)]
@@ -1228,8 +1239,8 @@ object StreamOps {
       import s.implicits._
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val ck = tmp("graft_sst_ck_")
-      withRocksDbProvider(s) {
-        val q = landAndStream(s, d)
+      withRocksDbProvider(s) { rs =>
+        val q = landAndStream(s, d, rs)
           .select(col("user_id"),
             (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
             col("event_type"))
@@ -1245,7 +1256,9 @@ object StreamOps {
           .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
         drain(q)
-        val st = s.read.format("statestore")
+        // read back on the clone too: the state source resolves the store
+        // provider from the SESSION conf, and this checkpoint is RocksDB
+        val st = rs.read.format("statestore")
           .option("stateVarName", "totals").load(ck)
         val vals = st.select("value.*").columns
         st.select(col("key.value").cast("long").as("user_id"),

@@ -100,9 +100,9 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.Encoders
     val in = tmp("g_tws_in_"); val out = tmp("g_tws_out_"); val ck = tmp("g_tws_ck_")
     val t0 = 1700000000000L
-    graft.streaming.StreamOps.withRocksDbProvider(spark) {
+    graft.streaming.StreamOps.withRocksDbProvider(spark) { rs =>
       def run(): Unit = {
-        val q = spark.readStream.schema(schema).parquet(in)
+        val q = rs.readStream.schema(schema).parquet(in)
           .select(col("user_id"))
           .as[Long](Encoders.scalaLong)
           .groupByKey(identity)(Encoders.scalaLong)
