@@ -58,14 +58,44 @@ object LlmOps {
     * applies the same cap so both engines stay in lockstep at any scale. */
   private[graft] val MaxShingleDf = 64
 
-  /** Embeddings with float64 vector + 4-bit leading-sign bucket (sign-LSH
-    * blocking key: shuffle partitions by bucket, never all-pairs). */
-  private def signBucketed(s: SparkSession, d: String): DataFrame =
+  /** Corpus-size cache for the adaptive sign-LSH width (one count per
+    * (session, data dir) — a parquet count(*) is metadata-cheap). */
+  private val embCount = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Long]()
+
+  /** Adaptive sign-LSH width: smallest bit count b (floored at 4, capped
+    * at 16) with 2^b buckets >= n/256 — expected bucket occupancy stays
+    * <= ~256 vectors, so the within-bucket candidate join grows ~O(n·256)
+    * with the corpus instead of O(n²/16) at a fixed width (the r13 sf10
+    * probe measured the fixed 4-bit spelling at 106× wall for 20× corpus —
+    * exactly the quadratic shape this removes). Deterministic: a pure
+    * function of the corpus row count. Every oracle-checked scale ships
+    * <= 2000 vectors, where the formula resolves to the same 4 bits as the
+    * static oracle replays, so oracle outputs are byte-identical there;
+    * the sf10 gate (tools/check_sf10.py) exercises the widened instance.
+    * Exact duplicates agree on EVERY sign bit, so widening never separates
+    * them — the recall floor the dedup keys rely on. */
+  private[graft] def signBits(n: Long): Int = {
+    val target = (n + 255) / 256
+    var b = 4
+    while (b < 16 && (1L << b) < target) b += 1
+    b
+  }
+
+  /** Embeddings with float64 vector + leading-sign bucket (sign-LSH
+    * blocking key: shuffle partitions by bucket, never all-pairs; width
+    * adapts to corpus size via [[signBits]]). */
+  private def signBucketed(s: SparkSession, d: String): DataFrame = {
+    val n = embCount.computeIfAbsent((s, d),
+      _ => java.lang.Long.valueOf(t(s, d, "embeddings").count())).longValue()
+    val bits = signBits(n)
+    val bkExpr = (0 until bits)
+      .map(i => s"${1L << (bits - 1 - i)} * IF(v[$i] >= 0D, 1, 0)")
+      .mkString(" + ")
     t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bk", expr(
-        """8 * IF(v[0] >= 0D, 1, 0) + 4 * IF(v[1] >= 0D, 1, 0) +
-          |2 * IF(v[2] >= 0D, 1, 0) + IF(v[3] >= 0D, 1, 0)""".stripMargin))
+      .withColumn("bk", expr(bkExpr))
+  }
 
   /** Codegen'd native cosine (graft.functions.CosineSimilarity) — same term
     * order as DuckDB's list_cosine_similarity, compiled into the join stage. */

@@ -597,6 +597,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum === distinctShingles)
   }
 
+  test("signBits adapts the LSH width to corpus size, pinned at test scales") {
+    import graft.operators.LlmOps.signBits
+    // every oracle-checked scale ships <= 2000 vectors -> 4 bits, so the
+    // static 4-bit oracle replays stay exact (the invariant the adaptive
+    // width must never break)
+    assert(signBits(0) === 4)
+    assert(signBits(500) === 4)
+    assert(signBits(2000) === 4)
+    assert(signBits(4096) === 4)     // target 16 <= 2^4
+    assert(signBits(40000) === 8)    // the sf10 probe instance
+    assert(signBits(1000000) === 12)
+    assert(signBits(1L << 40) === 16) // capped: dim budget, not unbounded
+    // occupancy contract: 2^bits buckets keep expected occupancy <= 256
+    // until the cap; monotone in n
+    var prev = 4
+    for (n <- Seq(1L, 100L, 5000L, 100000L, 10000000L, 1L << 35)) {
+      val b = signBits(n)
+      assert(b >= prev, s"signBits not monotone at n=$n")
+      if (b < 16) assert(n <= (1L << b) * 256L, s"occupancy > 256 at n=$n")
+      prev = b
+    }
+  }
+
   test("text_sentence_stats ratio is consistent with its own counts") {
     val rows = SparkEntry.queries("text_sentence_stats")(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""sf10 invariant gate (dev tool): compares two graft.ScaleProbe records —
+a reference run (sf0.1) and a scaled run (facts x100, corpus x20 via
+tools/gen_sf.py --rep 100 --rep-corpus 20) — against per-key recurrence
+rules DERIVED from the replication structure, not from re-running an
+oracle. Replication is exact (every fact row repeats with only its
+first-column key shifted; dims are untouched), so:
+
+  - group-by-dimension aggregates keep their row count; SUM/COUNT columns
+    scale by the replication factor; AVG / normalized columns are invariant
+    (pagerank: weights scale uniformly -> same transition matrix);
+  - per-fact-row outputs scale rows by the factor;
+  - the nation-level graph topology is invariant (same 625 weighted pairs);
+  - corpus replicas are EXACT near-duplicates: every doc gains rep-1 exact
+    copies, so dedup must cluster each replica group (cluster_size >= 20)
+    and idf is invariant (N and df both x20);
+  - overflow canaries: any NaN/Inf min/max, or a negative bound on a
+    declared nonneg column (a wrapped BIGINT sum), fails the key.
+
+Quadratic-pair keys (minhash/simhash pair listings) have no closed-form
+count under the band-bucket caps — they assert growth floors and record.
+
+Usage: python3 tools/check_sf10.py /tmp/scaleprobe_ref.json \
+           /tmp/scaleprobe_sf10.json [--facts 100] [--corpus 20]
+"""
+import argparse
+import json
+import sys
+
+F, C = 100, 20  # overwritten from args in main()
+
+def rules():
+    # rows: ("==",) same count | ("x", factor) exact scale |
+    #       (">=", n) floor | ("record",) no assertion
+    # cols: {col: ("x", factor, reltol) | ("==", reltol)} on min AND max
+    # nonneg: columns whose min must stay >= 0 (overflow canary)
+    return {
+        "sql_tpch_q1": {"rows": ("==",), "cols": {
+            "sum_qty": ("x", F, 1e-9), "sum_base_price": ("x", F, 1e-9),
+            "sum_disc_price": ("x", F, 1e-9), "sum_charge": ("x", F, 1e-9),
+            "avg_qty": ("==", 1e-9), "avg_price": ("==", 1e-9),
+            "avg_disc": ("==", 1e-9), "count_order": ("x", F, 0)},
+            "nonneg": ["sum_qty", "count_order"]},
+        "agg_hash_group": {"rows": ("==",), "cols": {
+            "sum_qty": ("x", F, 1e-9), "sum_base_price": ("x", F, 1e-9),
+            "sum_disc_price": ("x", F, 1e-9), "avg_qty": ("==", 1e-9),
+            "n": ("x", F, 0)}, "nonneg": ["n", "sum_qty"]},
+        # interpolated percentiles of a replicated multiset can move one
+        # inter-point gap at the boundary — tolerance, not exact
+        "agg_percentile": {"rows": ("==",), "cols": {
+            "p50_qty": ("==", 0.01), "p90_price": ("==", 0.01)}},
+        "agg_salted_twophase": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_value": ("x", F, 1e-9)},
+            "nonneg": ["n", "sum_value"]},
+        # user ids repeat across replicas -> distinct users invariant; the
+        # HLL sees the identical value set -> identical registers. n is the
+        # raw per-type event count and scales with the facts
+        "agg_approx_distinct": {"rows": ("==",), "cols": {
+            "n_users_exact": ("==", 0), "n": ("x", F, 0)},
+            "nonneg": ["n", "n_users_exact"]},
+        "join_skew_salted": {"rows": ("x", F), "nonneg": ["o_orderkey"]},
+        "join_range_binned": {"rows": ("x", F), "nonneg": ["n_ship"]},
+        "join_bucketed": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "revenue": ("x", F, 1e-9)},
+            "nonneg": ["n", "revenue"]},
+        # replicas land at identical timestamps -> same session boundaries,
+        # one output row per event
+        "sessionize_batch": {"rows": ("x", F), "nonneg": ["session_seq"]},
+        "event_funnel": {"rows": ("==",), "cols": {
+            "v_ms": ("==", 0), "c_ms": ("==", 0), "p_ms": ("==", 0)}},
+        "event_sequence_match": {"rows": ("==",),
+            "nonneg": ["n_purchases", "n_converted"]},
+        "interval_merge": {"rows": ("==",), "cols": {
+            "span_start_ms": ("==", 0), "span_end_ms": ("==", 0),
+            "n_events": ("x", F, 0)}, "nonneg": ["n_events"]},
+        "merge_upsert": {"rows": ("x", F), "nonneg": ["o_totalprice"]},
+        "window_median": {"rows": ("x", F), "cols": {
+            "med_30d": ("==", 0.01)}},
+        "graph_components": {"rows": ("==",), "cols": {
+            "vid": ("==", 0), "comp": ("==", 0)}},
+        # edge weights scale uniformly -> normalized transition matrix and
+        # hence the stationary ranks are invariant
+        "graph_pagerank": {"rows": ("==",), "cols": {"rank": ("==", 1e-6)}},
+        # basket co-occurrence graph with an ABSOLUTE support>=2 filter:
+        # exact x100 replication multiplies every pair's support by 100, so
+        # the threshold stops filtering and the edge set explodes by design
+        # (3573 -> ~1.2M edges at x100). No closed-form counts — the gate
+        # asserts the run COMPLETES with sane bounds (the wedge join must
+        # survive the 335x edge blowup without degenerating), which is the
+        # scale stress this key is in the set for
+        "graph_triangles": {"rows": ("==",),
+            "nonneg": ["n_nodes", "n_edges", "n_triangles"]},
+        "dedup_exact": {"rows": ("==",), "cols": {
+            "n_copies": ("x", C, 0)}, "nonneg": ["n_copies"]},
+        "dedup_survivor": {"rows": ("x", C)},
+        "dedup_minhash_md5": {"rows": (">=", 100000),
+            "nonneg": ["n_match"]},
+        "dedup_simhash_md5": {"rows": (">=", 100000), "nonneg": ["hamming"]},
+        "dedup_ngram_jaccard": {"rows": (">=", 1000)},
+        # every replica group is fully connected (exact copies share all
+        # their surviving shingles) -> max cluster size >= rep-corpus
+        "dedup_clusters": {"rows": (">=", 1000), "colmax": {
+            "cluster_size": (">=", C)}},
+        "corpus_build": {"rows": (">=", 1)},
+        # N and df both scale by C -> idf and hence tfidf invariant
+        "text_tfidf": {"rows": ("x", C), "cols": {
+            "tfidf": ("==", 1e-9), "rn": ("==", 0)}},
+        "emb_knn_graph": {"rows": ("x", C), "colmax": {
+            "cos_sim": (">=", 0.999999)}},
+        # the probe vector gained C-1 exact copies -> the whole top-10 is
+        # cosine 1.0
+        "sim_ann_persisted": {"rows": ("==",), "colmin": {
+            "cos_sim": (">=", 0.999999)}},
+        "pack_sequences": {"rows": (">=", 1), "nonneg": ["n_tokens"]},
+    }
+
+
+def is_bad_float(v):
+    return isinstance(v, str) or (v is not None and (v != v))
+
+
+def main():
+    global F, C
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ref")
+    ap.add_argument("scaled")
+    ap.add_argument("--facts", type=int, default=100)
+    ap.add_argument("--corpus", type=int, default=20)
+    a = ap.parse_args()
+    F, C = a.facts, a.corpus
+    ref = json.load(open(a.ref))
+    big = json.load(open(a.scaled))
+    R = rules()
+    ok, fail = [], []
+    for k in ref:
+        notes = []
+        bad = []
+        r, b = ref.get(k), big.get(k)
+        if not b:
+            fail.append((k, ["missing from scaled run"])); continue
+        if not b.get("ok"):
+            fail.append((k, [f"scaled run FAILED: {b.get('error')}"]))
+            continue
+        if not r.get("ok"):
+            fail.append((k, [f"reference run FAILED: {r.get('error')}"]))
+            continue
+        rule = R.get(k, {})
+        # overflow canaries first — they apply to every numeric column
+        for c, st in b.get("cols", {}).items():
+            for bound in ("min", "max"):
+                if is_bad_float(st[bound]):
+                    bad.append(f"col {c} {bound} is {st[bound]!r} "
+                               "(NaN/Inf canary)")
+        for c in rule.get("nonneg", []):
+            st = b["cols"].get(c)
+            if st and st["min"] is not None and st["min"] < 0:
+                bad.append(f"col {c} min {st['min']} < 0 (overflow canary)")
+        rr = rule.get("rows", ("record",))
+        if rr[0] == "==" and b["rows"] != r["rows"]:
+            bad.append(f"rows {b['rows']} != ref {r['rows']}")
+        elif rr[0] == "x" and b["rows"] != r["rows"] * rr[1]:
+            bad.append(f"rows {b['rows']} != ref {r['rows']} x{rr[1]}")
+        elif rr[0] == ">=" and b["rows"] < rr[1]:
+            bad.append(f"rows {b['rows']} < floor {rr[1]}")
+        for c, (op, *rest) in rule.get("cols", {}).items():
+            for bound in ("min", "max"):
+                rv, bv = r["cols"][c][bound], b["cols"][c][bound]
+                if is_bad_float(rv) or is_bad_float(bv):
+                    continue  # already flagged above
+                if rv is None or bv is None:
+                    if rv != bv:
+                        bad.append(f"col {c} {bound}: {bv} vs ref {rv}")
+                    continue
+                want = rv * rest[0] if op == "x" else rv
+                tol = rest[-1]
+                lim = tol * max(abs(want), 1e-12)
+                if abs(bv - want) > lim:
+                    bad.append(f"col {c} {bound}: {bv} != {want} "
+                               f"(ref {rv}, rule {op}{rest})")
+        for fld, key in (("colmin", "min"), ("colmax", "max")):
+            for c, (op, thr) in rule.get(fld, {}).items():
+                v = b["cols"][c][key]
+                if is_bad_float(v) or v is None or v < thr:
+                    bad.append(f"col {c} {key} {v} < {thr}")
+        notes.append(f"{r['secs']:.1f}s -> {b['secs']:.1f}s "
+                     f"({b['secs'] / max(r['secs'], 1e-9):.1f}x wall), "
+                     f"rows {r['rows']} -> {b['rows']}")
+        if bad:
+            fail.append((k, bad + notes))
+        else:
+            ok.append((k, notes[0]))
+    for k, m in ok:
+        print(f"PASS {k}: {m}")
+    for k, ms in fail:
+        print(f"FAIL {k}: " + "; ".join(ms))
+    print(f"\n{len(ok)} pass, {len(fail)} fail")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
