@@ -132,10 +132,31 @@ object AnalyticsOps {
   private val sampleStratified = Op(
     "sample_stratified",
     (s, d) => {
+      // GUARDED HASH-PREFIX PRUNE: the sample is the 100 hash-smallest
+      // rows per stratum, and md5 is uniform, so the winners almost surely
+      // sit under a tiny hash prefix — keep only h < "01" (1/256 of rows)
+      // and the 60 M-row shuffle into the THREE returnflag partitions
+      // (179 s at the r13 sf10 probe; 118 s even salted two-phase, the
+      // shuffle itself was the cost) collapses to a ~0.4%-selectivity
+      // map-side filter + a small window. EXACT, not probabilistic: the
+      // prune is used only after counting that every stratum keeps >= 100
+      // pruned rows (then its top-100 provably all satisfy h < "01");
+      // otherwise — tiny inputs — fall back to the unpruned window. The
+      // guard is one map-side-combinable count, the same
+      // adapt-the-plan-to-measured-data move AQE makes.
       val h = md5(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("h", h)
+      val pre = base.where(col("h") < "01")
+      val strata = base.select("l_returnflag").distinct().count()
+      val preCounts = pre.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("c")).collect()
+      val pruneSafe = preCounts.length == strata &&
+        preCounts.forall(_.getLong(1) >= 100)
       val w = Window.partitionBy("l_returnflag")
-        .orderBy(h, col("l_orderkey"), col("l_linenumber"))
-      t(s, d, "lineitem")
+        .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+      (if (pruneSafe) pre else base)
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 100)
         .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_linenumber"))
@@ -1105,15 +1126,24 @@ object AnalyticsOps {
   private val aggWeightedPercentile = Op(
     "agg_weighted_percentile",
     (s, d) => {
+      // DOMAIN COLLAPSE first: the weighted-median PRICE depends only on
+      // per-(rf, price) weight mass, so the cumulative window runs over
+      // the distinct-price relation (bounded by the price domain), never
+      // the raw rows — the row-level spelling sorted 60 M rows into the
+      // THREE returnflag partitions (230 s at the r13 sf10 probe); the
+      // collapsed one is a map-side-combinable groupBy + a small window.
+      // Exactness: the first ROW whose running weight crosses totw/2 lies
+      // inside the first PRICE whose group-cumulative crosses it (row
+      // cumw increases within a price up to the group cumulative), so the
+      // selected price — the only thing emitted — is identical.
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("p"),
-          col("l_quantity").cast("long").as("wt"),
-          col("l_orderkey"), col("l_linenumber"))
-      val wOrd = Window.partitionBy("rf")
-        .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+          col("l_quantity").cast("long").as("wt"))
+      val byPrice = li.groupBy("rf", "p").agg(sum("wt").as("gw"))
+      val wOrd = Window.partitionBy("rf").orderBy("p")
       val wAll = Window.partitionBy("rf")
-      li.withColumn("cumw", sum(col("wt")).over(wOrd))
-        .withColumn("totw", sum(col("wt")).over(wAll))
+      byPrice.withColumn("cumw", sum(col("gw")).over(wOrd))
+        .withColumn("totw", sum(col("gw")).over(wAll))
         .where(col("cumw") * 2 >= col("totw"))
         .withColumn("rn", row_number().over(wOrd))
         .where(col("rn") === 1)

@@ -668,19 +668,23 @@ object EtlOps {
   private val profileStats = Op(
     "profile_stats",
     (s, d) => {
+      // One aggregate PER COLUMN, unioned — not one aggregate with four
+      // DISTINCT columns: Catalyst plans multiple distinct aggregates as a
+      // 4-way Expand (every input row duplicated once per distinct column
+      // through a single exchange — 245 s over 15 M orders at the r13 sf10
+      // probe). Per-column jobs each scan ONE pruned parquet column and
+      // run the ordinary two-phase distinct (partial dedup map-side);
+      // union of 4 one-row relations. Same rows, same order.
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-      val aggs = cols.flatMap { c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c).cast("string")).as(s"${c}__mn"),
-        max(col(c).cast("string")).as(s"${c}__mx"))
-      }
-      val one = t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
-      val stacked = cols.map(c =>
-        s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
-      one.selectExpr(
-        s"stack(${cols.size}, $stacked) AS (column_name, n_null, n_distinct, min_s, max_s)")
-        .orderBy("column_name")
+      cols.map { c =>
+        t(s, d, "orders").agg(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c).cast("string")).as("min_s"),
+            max(col(c).cast("string")).as("max_s"))
+          .select(lit(c).as("column_name"), col("n_null"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      }.reduce(_.unionAll(_)).orderBy("column_name")
     },
     Some("""WITH a AS (
               SELECT

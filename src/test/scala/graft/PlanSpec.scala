@@ -696,6 +696,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("low-cardinality-stratum windows run over collapsed relations") {
+    // the r13 sf10 probe caught four keys whose window partitioned on the
+    // 3-value returnflag over RAW rows (3 sort partitions × 20 M rows each
+    // at sf10: 179-259 s). Pin the scale-safe rewrites:
+    //  - agg_weighted_percentile / agg_spearman: a domain-collapse
+    //    HashAggregate (keys = stratum + value) sits below the window, so
+    //    the window input is bounded by the value domain, not the rows
+    //  - profile_stats: per-column unioned aggregates — the 4-way Expand
+    //    that a single multi-DISTINCT aggregate plans (row count ×4
+    //    through one exchange) must not come back
+    //  - sample_stratified: the guarded hash-prefix prune (h < "01")
+    //    reaches the plan, so the stratum window sorts ~0.4% of the rows
+    val wp = SparkEntry.queries("agg_weighted_percentile")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(wp.contains("HashAggregate(keys=[rf#"), wp.take(800))
+    val sp = SparkEntry.queries("agg_spearman")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("HashAggregate(keys=[g#"), sp.take(800))
+    val ps = SparkEntry.queries("profile_stats")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("Expand"), ps.take(800))
+    // sample_stratified's guard only engages the prune when every stratum
+    // keeps >= 100 pruned rows (~25.6k rows/stratum) — plan at sf0.1,
+    // where it does; at the tiny sfDir the unpruned fallback is correct
+    val ss = SparkEntry.queries("sample_stratified")(spark, "/root/testdata/sf0.1")
+      .queryExecution.executedPlan.toString
+    assert(ss.contains("< 01"), ss.take(800))
+  }
+
   test("no triangular bucket-offset self-join remains in engine SQL") {
     // the O(buckets²) `bt a LEFT JOIN bt x ON x.bu < a.bu` offset idiom —
     // measured at 27 s / 10k buckets inside agg_percentile and replaced by

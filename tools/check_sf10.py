@@ -112,6 +112,71 @@ def rules():
         "sim_ann_persisted": {"rows": ("==",), "colmin": {
             "cos_sim": (">=", 0.999999)}},
         "pack_sequences": {"rows": (">=", 1), "nonneg": ["n_tokens"]},
+        # ---- batch 2 (round 13): graph family, seeded dedup spellings,
+        # rank/sketch aggs as overflow canaries ----
+        # the nation-graph edge filter is `w % 7 = 0`; gcd(100,7)=1 so the
+        # x100-scaled weights satisfy it iff the originals did -> the edge
+        # SET (and every unweighted graph output) is invariant
+        "graph_bfs_hops": {"rows": ("==",), "cols": {
+            "vid": ("==", 0), "hops": ("==", 0)}},
+        "graph_clustering_coeff": {"rows": ("==",), "cols": {
+            "vid": ("==", 0), "deg": ("==", 0), "triangles": ("==", 0),
+            "coeff": ("==", 1e-9)}},
+        "graph_link_predict": {"rows": ("==",), "cols": {
+            "cn": ("==", 0), "jaccard": ("==", 1e-9)}},
+        "graph_assortativity": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "assortativity": ("==", 1e-6)}},
+        # sssp weights are (w div 7) % 10 + 1 — NOT scale-invariant by
+        # design, so distances legitimately change; topology (row set) holds
+        "graph_sssp_weighted": {"rows": ("==",), "cols": {
+            "vid": ("==", 0)}, "nonneg": ["dist"]},
+        # tie-averaged ranks transform affinely under exact replication
+        # (r -> 100r - 49.5), and Spearman is Pearson on ranks -> invariant
+        "agg_spearman": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "spearman": ("==", 1e-6)},
+            "nonneg": ["n"]},
+        # revenue SHARES are invariant under uniform x100 -> same A/B/C
+        # (and CV-based X/Y/Z) class per part
+        "agg_abc_class": {"rows": ("==",), "cols": {
+            "n_parts": ("==", 0), "revenue_cents": ("x", F, 0)},
+            "nonneg": ["n_parts", "revenue_cents"]},
+        "agg_abc_xyz": {"rows": ("==",), "cols": {"n_parts": ("==", 0)},
+            "nonneg": ["n_parts"]},
+        # pair counts scale x100; support/confidence/lift are count RATIOS
+        # -> invariant, so the ranked listing is stable
+        "agg_market_basket": {"rows": ("==",), "cols": {
+            "c_ab": ("x", F, 0), "support": ("==", 1e-6),
+            "confidence": ("==", 1e-6), "lift": ("==", 1e-6)},
+            "nonneg": ["c_ab"]},
+        # seeded production spellings under band-bucket cap pressure at x20
+        # replica density: replica-pair floors only (buckets shared by >= 4
+        # originals legitimately cross MaxBandBucket and drop)
+        "dedup_simhash": {"rows": (">=", 100000), "nonneg": ["hamming"]},
+        "dedup_minhash": {"rows": (">=", 100000)},
+        "dedup_substring": {"rows": ("x", C),
+            "nonneg": ["n_spans", "n_dup_spans"]},
+        # every replica pair shares all sign bits and has cosine 1.0 >= 0.4
+        # -> at least C(20,2) x 2000 = 380k pairs regardless of how the
+        # adaptive width splits the original near-dup pairs
+        "dedup_embedding": {"rows": (">=", 380000)},
+        "dedup_embedding_clusters": {"rows": ("x", C), "colmax": {
+            "cluster_size": (">=", C)}},
+        "text_bigram_lm_score": {"rows": (">=", 10),
+            "nonneg": ["n_docs"]},
+        # KMV sketches the DISTINCT user set, which is invariant (user ids
+        # repeat across replicas) -> exact and estimated intersections equal
+        "agg_kmv_intersect": {"rows": ("==",), "cols": {
+            "exact_inter": ("==", 0), "kmv_inter": ("==", 0)},
+            "nonneg": ["exact_inter", "kmv_inter"]},
+        "profile_stats": {"rows": ("==",), "cols": {
+            "n_null": ("x", F, 0)}, "nonneg": ["n_null", "n_distinct"]},
+        "agg_weighted_percentile": {"rows": ("==",), "cols": {
+            "wmedian_price": ("==", 0.01), "totw": ("x", F, 1e-9)},
+            "nonneg": ["totw"]},
+        # fixed-size per-stratum sample: the count contract survives scale
+        "sample_stratified": {"rows": ("==",), "nonneg": ["rn"]},
+        "agg_approx_quantile": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0)}, "nonneg": ["n"]},
     }
 
 
