@@ -89,14 +89,37 @@ object AnalyticsOps {
   private val windowCumeDist = Op(
     "window_cume_dist",
     (s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, d, "orders")
+      // bucket-partitioned two-phase spelling (see window_percent_rank):
+      // the 5-value priority partitioning would sort a fifth of the table
+      // per task. The total order makes peer groups single-row, so
+      // cume_dist == pos/n, and nth_value(price, 3) over the RUNNING frame
+      // == the group's rank-3 price for pos >= 3, NULL before — the rank-3
+      // anchor relation is 5 rows, broadcast back.
+      val base = t(s, d, "orders")
         .where(col("o_orderkey") % 7 === 0)
-        .select(
-          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-          cume_dist().over(w).as("cd"),
-          nth_value(col("o_totalprice"), 3).over(w).as("third_lowest"))
+        .select(col("o_orderkey"), col("o_orderpriority").as("g"),
+          col("o_totalprice").as("p"))
+        .withColumn("bu", expr("CAST(floor(p / 1000) AS BIGINT)"))
+      val wIn = Window.partitionBy("g", "bu")
+        .orderBy(col("p"), col("o_orderkey"))
+      val win = base.withColumn("rin", row_number().over(wIn).cast("long"))
+      val bt = base.groupBy("g", "bu").agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy("g").orderBy("bu")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bt
+        .withColumn("o", coalesce(sum("c").over(wOff), lit(0L)))
+        .withColumn("n", sum("c").over(Window.partitionBy("g")))
+        .select("g", "bu", "o", "n")
+      val ranked = win.join(off, Seq("g", "bu"))
+        .withColumn("pos", col("rin") + col("o"))
+      val third = broadcast(ranked.where(col("pos") === 3)
+        .select(col("g"), col("p").as("p3")))
+      ranked.join(third, Seq("g"), "left")
+        .select(col("o_orderkey"), col("g").as("o_orderpriority"),
+          col("p").as("o_totalprice"),
+          (col("pos").cast("double") / col("n")).as("cd"),
+          when(col("pos") >= 3, col("p3")).otherwise(lit(null))
+            .as("third_lowest"))
         .orderBy("o_orderpriority", "o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -758,12 +781,17 @@ object AnalyticsOps {
     (s, d) => {
       // events.value is the one heavy-tailed column in the fixture (the
       // TPC-H money columns are bounded-uniform: max |z| ≈ √3 < any useful
-      // threshold, so they can never produce an outlier)
-      val w = Window.partitionBy("event_type")
-      t(s, d, "events")
-        .withColumn("z", round(
-          (col("value") - avg(col("value")).over(w)) /
-            stddev_samp(col("value")).over(w), 4))
+      // threshold, so they can never produce an outlier).
+      // groupBy + broadcast-join-back, NOT a whole-partition window: the
+      // unordered window shuffled every event into the 5 event_type
+      // partitions just to attach two scalars; the groupBy is map-side-
+      // combinable and the 5-row stats relation broadcasts, leaving the
+      // z-score and filter fully map-side.
+      val ev = t(s, d, "events")
+      val stats = ev.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
         .where(abs(col("z")) >= 2.5)
         .select(col("event_type"), col("event_id"), col("value"), col("z"))
         .orderBy("event_type", "event_id")

@@ -947,16 +947,37 @@ object Relational {
             ORDER BY o_orderkey"""))
 
   // Relative-position window functions; exact rational doubles, rounded at
-  // the boundary per §7.6.2.
+  // the boundary per §7.6.2. Spelled as the bucket-partitioned TWO-PHASE
+  // rank (the ABC/eval-sample recipe): the partition key (orderpriority)
+  // has 5 values, so the direct window sorts a fifth of the table per task
+  // — instead, row_number runs inside (priority, price-bucket) partitions
+  // and is lifted by per-bucket offsets from a cumulative window over the
+  // tiny counts relation. The order (price, orderkey) is total, so
+  // rank == position and percent_rank/cume_dist are the same (pos-1)/(n-1)
+  // and pos/n double divisions the builtin computes — bit-identical.
   private val windowPercentRank = Op(
     "window_percent_rank",
     (s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("g"),
+          col("o_totalprice").as("p"))
+        .withColumn("bu", expr("CAST(floor(p / 1000) AS BIGINT)"))
+      val wIn = Window.partitionBy("g", "bu")
+        .orderBy(col("p"), col("o_orderkey"))
+      val win = base.withColumn("rin", row_number().over(wIn).cast("long"))
+      val bt = base.groupBy("g", "bu").agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy("g").orderBy("bu")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bt
+        .withColumn("o", coalesce(sum("c").over(wOff), lit(0L)))
+        .withColumn("n", sum("c").over(Window.partitionBy("g")))
+        .select("g", "bu", "o", "n")
+      win.join(off, Seq("g", "bu"))
+        .select(col("o_orderkey"), col("g").as("o_orderpriority"),
+          round((col("rin") + col("o") - 1).cast("double") /
+            (col("n") - 1), 6).as("pct_rank"),
+          round((col("rin") + col("o")).cast("double") / col("n"), 6)
+            .as("cume"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderpriority,

@@ -177,6 +177,18 @@ def rules():
         "sample_stratified": {"rows": ("==",), "nonneg": ["rn"]},
         "agg_approx_quantile": {"rows": ("==",), "cols": {
             "n": ("x", F, 0)}, "nonneg": ["n"]},
+        # ---- batch 3 (round 13): the remaining low-cardinality-stratum
+        # windows, rewritten to two-phase / broadcast-stats shapes ----
+        "window_percent_rank": {"rows": ("x", F), "colmax": {
+            "pct_rank": (">=", 0.999999), "cume": (">=", 0.999999)}},
+        # the %7 orderkey filter interacts with the replication key shift
+        # (residues rotate), so the count is ~x100, not exact
+        "window_cume_dist": {"rows": (">=", 1000000), "colmax": {
+            "cd": (">=", 0.999999)}},
+        # mu is invariant; stddev_samp's (n-1) denominator shifts by
+        # ~1/(100n) under replication, which can flip a 4dp-rounded z on a
+        # boundary — floor, not exact x100
+        "agg_zscore_outliers": {"rows": (">=", 100000)},
     }
 
 
