@@ -189,6 +189,28 @@ def rules():
         # ~1/(100n) under replication, which can flip a 4dp-rounded z on a
         # boundary — floor, not exact x100
         "agg_zscore_outliers": {"rows": (">=", 100000)},
+        # ---- batch 4 (round 13): ETL/CDC/as-of/top-k breadth ----
+        "audit_fk": {"rows": ("==",)},
+        "cdc_apply_changelog": {"rows": ("==",)},
+        "cdc_emit_changes": {"rows": ("x", F)},
+        "scd2_history": {"rows": ("x", F)},
+        # per-group top-k: groups (custkeys) are invariant and already held
+        # >= k orders each, so the listing size is stable
+        "topk_per_group": {"rows": ("==",)},
+        "join_asof": {"rows": ("x", F)},
+        "event_markov": {"rows": ("==",)},
+        "event_rfm": {"rows": ("==",)},
+        "resample_zerofill": {"rows": ("==",)},
+        "corpus_epoch_shuffle": {"rows": ("x", C)},
+        "corpus_shard_balance": {"rows": ("==",)},
+        "agg_quantile_exact": {"rows": ("==",)},
+        # id-adjacency islands: the replication key shift breaks adjacency
+        # at replica boundaries, so the count is ~x100 minus edge effects
+        "window_gap_islands": {"rows": (">=", 1000000)},
+        "event_path_analysis": {"rows": ("==",)},
+        "dq_expectations": {"rows": ("==",), "cols": {
+            "checked": ("x", F, 0), "violations": ("x", F, 0)},
+            "nonneg": ["checked", "violations"]},
     }
 
 
