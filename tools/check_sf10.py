@@ -211,6 +211,24 @@ def rules():
         "dq_expectations": {"rows": ("==",), "cols": {
             "checked": ("x", F, 0), "violations": ("x", F, 0)},
             "nonneg": ["checked", "violations"]},
+        # ---- batch 5 (round 13): resample/window/text/emb/corpus breadth
+        "resample_ohlc": {"rows": ("==",)},
+        "resample_seasonal_decompose": {"rows": ("==",)},
+        "resample_locf": {"rows": ("==",)},
+        "window_ewma": {"rows": ("x", F)},
+        # frame-boundary rows don't replicate exactly — floors
+        "window_rolling_quantile": {"rows": (">=", 10000000)},
+        "window_rolling_corr": {"rows": (">=", 500000)},
+        "window_streak": {"rows": ("==",)},
+        "text_langid": {"rows": ("x", C)},
+        "text_quality": {"rows": ("x", C)},
+        "text_readability": {"rows": ("x", C)},
+        "text_novelty": {"rows": ("x", C)},
+        "emb_kmeans": {"rows": ("x", C)},
+        "emb_product_quantize": {"rows": ("x", C)},
+        "corpus_filter_sweep": {"rows": ("==",)},
+        "corpus_curriculum": {"rows": ("x", C)},
+        "event_churn_hazard": {"rows": ("==",)},
     }
 
 
