@@ -165,18 +165,24 @@ object AnalyticsOps {
       // prune is used only after counting that every stratum keeps >= 100
       // pruned rows (then its top-100 provably all satisfy h < "01");
       // otherwise — tiny inputs — fall back to the unpruned window. The
-      // guard is one map-side-combinable count, the same
-      // adapt-the-plan-to-measured-data move AQE makes.
+      // guard is ONE map-side-combinable aggregation (per-stratum pruned
+      // counts over a single scan; every stratum of base appears as a
+      // group, so "each group keeps >= 100 pruned rows" is the whole
+      // condition — no separate distinct-strata scan), the same
+      // adapt-the-plan-to-measured-data move AQE makes. NOTE: building
+      // this Op therefore EXECUTES a job (one guard scan) before the
+      // returned plan ever runs — plan-only inspection (EXPLAIN/PlanSpec)
+      // pays it too, deliberately, because the returned plan's shape is a
+      // function of measured data.
       val h = md5(concat_ws("-", col("l_orderkey"), col("l_linenumber")))
       val base = t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
         .withColumn("h", h)
       val pre = base.where(col("h") < "01")
-      val strata = base.select("l_returnflag").distinct().count()
-      val preCounts = pre.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("c")).collect()
-      val pruneSafe = preCounts.length == strata &&
-        preCounts.forall(_.getLong(1) >= 100)
+      val pruneSafe = base.groupBy("l_returnflag")
+        .agg(sum(when(col("h") < "01", 1L).otherwise(0L)).as("c"))
+        .collect()
+        .forall(r => !r.isNullAt(1) && r.getLong(1) >= 100)
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
       (if (pruneSafe) pre else base)
@@ -786,7 +792,13 @@ object AnalyticsOps {
       // unordered window shuffled every event into the 5 event_type
       // partitions just to attach two scalars; the groupBy is map-side-
       // combinable and the 5-row stats relation broadcasts, leaving the
-      // z-score and filter fully map-side.
+      // z-score and filter fully map-side. Float caveat (r13 ADVICE): the
+      // map-side partial aggregation combines doubles in a different order
+      // than the old whole-partition window, so a row whose ROUNDED 4-dp z
+      // sits exactly on a rounding or the 2.5 boundary could in principle
+      // flip vs the oracle; no fixture row does (sf1-gated). If one ever
+      // appears, compute mu/sd from exact decimal sums (sum + sum of
+      // squares over decimal cents) instead of double aggregates.
       val ev = t(s, d, "events")
       val stats = ev.groupBy("event_type")
         .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))

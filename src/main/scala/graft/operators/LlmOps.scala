@@ -58,10 +58,22 @@ object LlmOps {
     * applies the same cap so both engines stay in lockstep at any scale. */
   private[graft] val MaxShingleDf = 64
 
-  /** Corpus-size cache for the adaptive sign-LSH width (one count per
-    * (session, data dir) — a parquet count(*) is metadata-cheap). */
-  private val embCount = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), java.lang.Long]()
+  /** Corpus-size cache for the adaptive sign-LSH width, keyed by data dir
+    * ONLY (the count is a property of the parquet files, not of the session
+    * reading them) and bounded as a 64-entry LRU — no SparkSession is ever
+    * retained, and an unbounded dir set cannot accrete. Staleness caveat,
+    * by design: the cache assumes the embeddings parquet under a dir is
+    * immutable for the life of this process (true of the driver testdata
+    * and of any versioned corpus commit, which lands under a NEW path); a
+    * same-path rewrite mid-process would pin the previous LSH width until
+    * the entry ages out of the LRU. */
+  private val embCount: java.util.Map[String, java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > 64
+      })
 
   /** Adaptive sign-LSH width: smallest bit count b (floored at 4, capped
     * at 16) with 2^b buckets >= n/256 — expected bucket occupancy stays
@@ -82,11 +94,42 @@ object LlmOps {
     b
   }
 
+  /** DuckDB spelling of [[signBits]]: clamp(ceil(log2(ceil(n/256))), 4, 16).
+    * Exactness: for the loop above, b = max(4, min(16, ceil(log2(target))))
+    * — log2 of these small integers is exact-enough in IEEE doubles that
+    * ceil never misrounds (verified against the Scala loop for every n in
+    * 0..70k and the 2^16·256 boundary). Lets the oracles below follow the
+    * engine's adaptive LSH width at ANY corpus size instead of assuming the
+    * <=4096-vector 4-bit regime (the r13 ADVICE medium finding). */
+  private val bkBitsSql =
+    "GREATEST(4, LEAST(16, CAST(CEIL(LOG2(GREATEST(" +
+      "CAST(CEIL(count(*) / 256.0) AS BIGINT), 1))) AS INT)))"
+
+  /** Fixed 16-bit leading-sign code: the top [[signBits]] bits of this code
+    * ARE the adaptive bucket (the engine weights dim i by 2^(b-1-i), i.e.
+    * takes the b leading bits), so one static 16-term sum plus a right
+    * shift by (16 - b) reproduces the bucket at every width — no SQL needs
+    * regenerating per data dir. Embeddings are 64-dim, so 16 dims always
+    * exist. */
+  private val bk16Sql = (0 until 16)
+    .map(i => s"${1 << (15 - i)} * (CASE WHEN embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  /** Shared oracle CTE prefix: `nb` (the adaptive bit width) + a bucketed
+    * vector relation named `$rel` — the SQL twin of [[signBucketed]]. */
+  private def bkRelSql(rel: String): String =
+    s"""nb AS (SELECT $bkBitsSql AS b FROM embeddings),
+       |            $rel AS (
+       |              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |                     (($bk16Sql)
+       |                      >> (16 - (SELECT b FROM nb))) AS bk
+       |              FROM embeddings)""".stripMargin
+
   /** Embeddings with float64 vector + leading-sign bucket (sign-LSH
     * blocking key: shuffle partitions by bucket, never all-pairs; width
     * adapts to corpus size via [[signBits]]). */
   private def signBucketed(s: SparkSession, d: String): DataFrame = {
-    val n = embCount.computeIfAbsent((s, d),
+    val n = embCount.computeIfAbsent(d,
       _ => java.lang.Long.valueOf(t(s, d, "embeddings").count())).longValue()
     val bits = signBits(n)
     val bkExpr = (0 until bits)
@@ -541,7 +584,8 @@ object LlmOps {
     },
     None)
 
-  // Embedding near-dup: sign-LSH blocking (4 leading-sign bits) then exact
+  // Embedding near-dup: sign-LSH blocking (signBits(n) leading-sign bits,
+  // 4 at every oracle-checked scale) then exact
   // cosine ≥ 0.4 inside each bucket. Both blocking and cosine are plain
   // deterministic arithmetic → oracle-checkable, unlike the seeded ops.
   // Norms are precomputed once per vector BEFORE the self-join (the oracle's
@@ -574,13 +618,7 @@ object LlmOps {
         .select("vec_a", "rnk", "vec_b", "cos_sim")
         .orderBy("vec_a", "rnk")
     },
-    Some("""WITH v AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                     8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-                   + 4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
-                   + 2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
-                   +     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
-              FROM embeddings),
+    Some(s"""WITH ${bkRelSql("v")},
             p AS (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
@@ -607,13 +645,7 @@ object LlmOps {
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     },
-    Some("""WITH v AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                     8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-                   + 4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
-                   + 2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
-                   +     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
-              FROM embeddings)
+    Some(s"""WITH ${bkRelSql("v")}
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
             FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id
@@ -822,8 +854,9 @@ object LlmOps {
   // contains NO signature recompute for the corpus — even the probe's own
   // bucket comes from the index — and PlanSpec pins that the probe reads
   // only index files, never the raw embeddings table. The bucket is the
-  // 4 leading sign bits (the same engine-portable key dedup_embedding
-  // blocks on), so unlike the seeded-hyperplane sim_ann_lsh this key is
+  // signBits(n) leading sign bits (the same engine-portable key
+  // dedup_embedding blocks on), so unlike the seeded-hyperplane
+  // sim_ann_lsh this key is
   // oracle-checked end-to-end: DuckDB recomputes buckets from the raw
   // embeddings and must land on the identical top-10. At 100 TB the index
   // shards by bucket and a rebuild is an explicit maintenance commit, not
@@ -850,12 +883,7 @@ object LlmOps {
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     },
-    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
-                   4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) +
-                   2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) +
-                       (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
-                 FROM embeddings),
+    Some(s"""WITH ${bkRelSql("e")},
             p AS (SELECT v AS vb, bk AS pbk FROM e WHERE vec_id = 0)
             SELECT e.vec_id, round(list_cosine_similarity(e.v, p.vb), 6) AS cos_sim
             FROM e JOIN p ON e.bk = p.pbk
@@ -1716,13 +1744,7 @@ object LlmOps {
           (col("vec_id") === col("cluster_rep")).cast("boolean"))
         .orderBy("vec_id")
     },
-    Some("""WITH RECURSIVE vv AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                     8 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-                   + 4 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
-                   + 2 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
-                   +     (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END) AS bk
-              FROM embeddings),
+    Some(s"""WITH RECURSIVE ${bkRelSql("vv")},
             p AS (
               SELECT a.vec_id AS pu, b.vec_id AS pv
               FROM vv a JOIN vv b ON a.bk = b.bk AND a.vec_id < b.vec_id

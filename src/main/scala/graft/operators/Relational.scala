@@ -974,8 +974,13 @@ object Relational {
         .select("g", "bu", "o", "n")
       win.join(off, Seq("g", "bu"))
         .select(col("o_orderkey"), col("g").as("o_orderpriority"),
-          round((col("rin") + col("o") - 1).cast("double") /
-            (col("n") - 1), 6).as("pct_rank"),
+          // single-row partition: the builtin percent_rank defines 0.0
+          // where (pos-1)/(n-1) would be 0/0 = NaN — guard it (unreachable
+          // on the 5 well-populated priorities, but a latent divergence on
+          // any future 1-row stratum). cume's pos/n is safe: n >= 1.
+          round(when(col("n") === 1, lit(0.0)).otherwise(
+            (col("rin") + col("o") - 1).cast("double") /
+              (col("n") - 1)), 6).as("pct_rank"),
           round((col("rin") + col("o")).cast("double") / col("n"), 6)
             .as("cume"))
         .orderBy("o_orderkey")
