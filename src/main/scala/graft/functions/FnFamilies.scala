@@ -446,9 +446,83 @@ object FnFamilies {
                    regexp_extract(xml, '<n>(.*)</n>', 1) AS fxn
             FROM x ORDER BY s_suppkey"""))
 
+  // ANSI-safe arithmetic (the try_* family): under ANSI mode (Spark 4's
+  // default) a div-by-zero / overflow / bad cast THROWS and kills the whole
+  // 100 TB job — try_* turns exactly that row's result into NULL and keeps
+  // the job alive, which is the production posture for dirty landing-zone
+  // data. All codegen'd; the oracle replays each NULL condition as an
+  // explicit CASE (DuckDB never throws on these, so the CASE is the
+  // semantics, not a workaround). Long.MaxValue multiply/add overflow rows
+  // are the canary that try_* really intercepted the ANSI error path.
+  private val fnTryArith = Op(
+    "fn_try_arith",
+    (s, d) => t(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      try_divide(col("l_extendedprice"), col("l_quantity") - 17).as("td"),
+      try_multiply(col("l_orderkey"), lit(Long.MaxValue)).as("tm"),
+      try_add(lit(9223372036854775800L), col("l_orderkey")).as("ta"),
+      try_element_at(array(col("l_quantity"), col("l_extendedprice")),
+        col("l_linenumber")).as("te"),
+      expr("try_cast(concat(l_returnflag, l_partkey) AS INT)").as("tc"),
+      expr("try_to_number(cast(l_partkey AS STRING), '999999999')")
+        .cast("long").as("tn"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "td", "tn"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+              CASE WHEN l_quantity = 17 THEN NULL
+                   ELSE l_extendedprice / (l_quantity - 17) END AS td,
+              CASE WHEN l_orderkey = 0 THEN 0
+                   WHEN l_orderkey = 1 THEN 9223372036854775807
+                   ELSE NULL END AS tm,
+              CASE WHEN l_orderkey <= 7 THEN 9223372036854775800 + l_orderkey
+                   ELSE NULL END AS ta,
+              CASE WHEN l_linenumber = 1 THEN l_quantity
+                   WHEN l_linenumber = 2 THEN l_extendedprice
+                   ELSE NULL END AS te,
+              TRY_CAST(concat(l_returnflag, l_partkey) AS INT) AS tc,
+              CAST(l_partkey AS BIGINT) AS tn
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_quantity, td, tn"""))
+
+  // Timezone-aware timestamp surface: from/to_utc_timestamp,
+  // convert_timezone, make_timestamp — the functions a multi-region event
+  // pipeline needs to normalize wall-clock data to instants. All map-side
+  // codegen'd expressions; both engines resolve zones from IANA tzdata, so
+  // DST transitions agree. Session TZ is pinned UTC (Verify/Bench), which
+  // is what makes the naive<->instant round-trips below engine-portable.
+  private val fnDatetimeTz = Op(
+    "fn_datetime_tz",
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").as("ts0"))
+      .select(
+        col("o_orderkey"),
+        from_utc_timestamp(col("ts0"), "America/New_York").as("ny_wall"),
+        to_utc_timestamp(col("ts0"), "Asia/Tokyo").as("tokyo_utc"),
+        convert_timezone(lit("UTC"), lit("Europe/Paris"), col("ts0"))
+          .as("paris_wall"),
+        make_timestamp(year(col("ts0")), month(col("ts0")),
+          dayofmonth(col("ts0")), lit(12), lit(30),
+          lit(java.math.BigDecimal.valueOf(45))).as("made"),
+        hour(from_utc_timestamp(col("ts0"), "America/New_York")).as("ny_hour"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+              timezone('America/New_York',
+                CAST(CAST(o_orderdate AS TIMESTAMP) AS TIMESTAMPTZ)) AS ny_wall,
+              CAST(timezone('Asia/Tokyo',
+                CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS tokyo_utc,
+              timezone('Europe/Paris',
+                CAST(CAST(o_orderdate AS TIMESTAMP) AS TIMESTAMPTZ)) AS paris_wall,
+              make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                CAST(month(o_orderdate) AS BIGINT),
+                CAST(day(o_orderdate) AS BIGINT), 12, 30, 45) AS made,
+              CAST(hour(timezone('America/New_York',
+                CAST(CAST(o_orderdate AS TIMESTAMP) AS TIMESTAMPTZ))) AS INT)
+                AS ny_hour
+            FROM orders ORDER BY o_orderkey"""))
+
   val ops: Seq[Op] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnConditional, fnArray, fnJson,
     fnHash, fnEncode, fnBitwise, fnLevenshtein, aggStringConcat, aggPivot,
     aggPivotDynamic, aggMinMaxBy, fnStruct, fnMap, fnUrl, fnCsv, fnVariant,
-    fnXml)
+    fnXml, fnTryArith, fnDatetimeTz)
 }

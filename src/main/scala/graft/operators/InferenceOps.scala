@@ -1440,7 +1440,13 @@ object InferenceOps {
         SELECT CAST(100 AS BIGINT) AS k,
                round(CAST(SUM(lq) AS DOUBLE) / 99 / 1000000000.0D, 6)
                  AS hill_h,
-               round(99 * 1000000000.0D / CAST(SUM(lq) AS DOUBLE), 6)
+               -- all-ties top-k (H = 0): the Hill alpha is undefined —
+               -- publish NULL instead of dividing by zero (ANSI mode
+               -- throws; heavy duplication makes this REACHABLE on real
+               -- data — the r14 sf10 probe hit it when replication put 100
+               -- copies of the max in the top-100)
+               round(99 * 1000000000.0D /
+                     NULLIF(CAST(SUM(lq) AS DOUBLE), 0.0D), 6)
                  AS tail_alpha
         FROM q""")
     },
@@ -1462,7 +1468,8 @@ object InferenceOps {
             SELECT CAST(100 AS BIGINT) AS k,
                    round(CAST(SUM(lq) AS DOUBLE) / 99 / 1000000000.0,
                          6) AS hill_h,
-                   round(99 * 1000000000.0 / CAST(SUM(lq) AS DOUBLE),
+                   round(99 * 1000000000.0 /
+                         NULLIF(CAST(SUM(lq) AS DOUBLE), 0.0),
                          6) AS tail_alpha
             FROM q"""))
 

@@ -3262,7 +3262,51 @@ object LlmOps {
                      AS cv
             FROM m"""))
 
+  // Model-based quality scoring — the fasttext-classifier-gate shape every
+  // production corpus pipeline runs (CCNet/DCLM-style): extract per-doc
+  // features map-side, apply a PUBLISHED fixed-weight logistic model, gate
+  // on the score. The model here is a deterministic stand-in (hand-set
+  // weights over the same features text_quality publishes) — the Spark
+  // side (feature extraction → dot product → sigmoid → gate, all codegen'd
+  // scalar math, zero shuffles) is the real 100 TB plumbing; swapping in
+  // learned weights is a literal swap. Score published at a floor-rounded
+  // 4 dp (§7.6.2 tie protocol); the keep flag compares the ROUNDED score
+  // so the gate is bit-identical cross-engine.
+  private val qualityLogisticScore = Op(
+    "quality_logistic_score",
+    (s, d) => t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("nt", size(col("tk")).cast("double"))
+      .withColumn("stop_ratio", expr(
+        "size(filter(tk, t -> t IN ('the', 'a', 'of', 'and'))) / CAST(size(tk) AS DOUBLE)"))
+      .withColumn("uniq_ratio", size(array_distinct(col("tk"))) / col("nt"))
+      .withColumn("z",
+        lit(-3.0) + log(col("nt")) * 0.8 + col("stop_ratio") * 2.5 +
+          col("uniq_ratio") * 1.5)
+      .withColumn("score",
+        floor(lit(10000.0) / (lit(1.0) + exp(-col("z"))) + 0.5) / 10000.0)
+      .select(col("doc_id"), col("score"),
+        (col("score") >= 0.5).as("keep"))
+      .orderBy("doc_id"),
+    Some("""WITH f AS (
+              SELECT doc_id,
+                CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS DOUBLE) AS nt,
+                len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+                CAST(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS DOUBLE) AS n_uniq
+              FROM documents),
+            z AS (
+              SELECT doc_id,
+                -3.0 + ln(nt) * 0.8 + (n_stop / nt) * 2.5 +
+                  (n_uniq / nt) * 1.5 AS z
+              FROM f)
+            SELECT doc_id,
+              floor(10000.0 / (1.0 + exp(-z)) + 0.5) / 10000.0 AS score,
+              floor(10000.0 / (1.0 + exp(-z)) + 0.5) / 10000.0 >= 0.5 AS keep
+            FROM z ORDER BY doc_id"""))
+
   val ops: Seq[Op] = Seq(
+    qualityLogisticScore,
     textReadability, corpusFilterSweep, textHeapsFit, corpusShardBalance,
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,
     simPqAdc, textSentenceStats, joinKnnGrid, corpusE2ePipeline,

@@ -668,8 +668,44 @@ object MetricsOps {
                    round(CAST(COUNT(*) AS DOUBLE) / 10.0, 6) AS recall
             FROM ex JOIN ap ON ex.vec_id = ap.vec_id"""))
 
+  // Apdex (Application Performance Index): per event_type, treating
+  // events.value as a latency — satisfied (<= T), tolerating (<= 4T),
+  // frustrated (rest); apdex = (satisfied + tolerating/2) / n. The standard
+  // SRE satisfaction score over a latency stream. One map-side-combinable
+  // aggregate (three conditional counts), ratio formed per group from
+  // exact integers and rounded once — no float enters before the final
+  // division, so the 4-dp publish is engine-stable. T = 50 (value units).
+  private val aggApdex = Op(
+    "agg_apdex",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("value") <= 50.0, 1L).otherwise(0L)).as("satisfied"),
+          sum(when(col("value") > 50.0 && col("value") <= 200.0, 1L)
+            .otherwise(0L)).as("tolerating"),
+          count(lit(1)).as("n"))
+        .withColumn("apdex",
+          round((col("satisfied") * 2 + col("tolerating")).cast("double") /
+            (col("n") * 2), 4))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+              CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS satisfied,
+              CAST(sum(CASE WHEN value > 50.0 AND value <= 200.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+              CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) * 2
+                       + sum(CASE WHEN value > 50.0 AND value <= 200.0
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                    / (count(*) * 2), 4) AS apdex
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val ops: Seq[Op] =
     Seq(windowVwap, aggOlsMulti, aggPowerMeans, dqFreshness,
       sampleReservoir, eventDauWau, aggAnova, windowSmaCross,
-      aggTheilIndex, privacySuppressCells, corpusDupStats, embRecallAtK)
+      aggTheilIndex, privacySuppressCells, corpusDupStats, embRecallAtK,
+      aggApdex)
 }

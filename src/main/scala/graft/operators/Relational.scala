@@ -1769,7 +1769,72 @@ object Relational {
               WHERE o2.o_custkey = o.o_custkey)
             ORDER BY o.o_orderkey"""))
 
+  // Multiple COUNT(DISTINCT ...) in ONE aggregate — Catalyst plans this as
+  // an Expand (each input row replicated once per distinct column, tagged
+  // by grouping id) feeding a single two-phase aggregate. That's the right
+  // trade when the distinct column SET is small and you need the counts
+  // together atomically (the Expand's ×3 row blowup rides one exchange);
+  // the opposite trade — per-column independent jobs, each reading ONE
+  // pruned parquet column — is profile_stats' shape, right when the table
+  // is wide and the scans dominate. Both are deliberate, PlanSpec pins the
+  // Expand here.
+  private val aggMultiDistinct = Op(
+    "agg_multi_distinct",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+              CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // Join-strategy HINTS: the same order-lineitem join aggregated under an
+  // explicit SHUFFLE_HASH and an explicit MERGE hint — the steering wheel
+  // for the cases where Catalyst's size estimate picks wrong at 100 TB
+  // (e.g. forcing shuffle-hash when one side is known-small-per-partition
+  // but stats say otherwise, or forcing sort-merge to avoid hash-build OOM
+  // on a skewed build side). Results are identical by construction — the
+  // hint changes the physical strategy only (PlanSpec pins
+  // ShuffledHashJoin vs SortMergeJoin per branch); the oracle replays the
+  // aggregate once per label.
+  private val joinHintedStrategies = Op(
+    "join_hinted_strategies",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      def agg(o: DataFrame, label: String) =
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("price")).cast("double").as("revenue"))
+          .select(lit(label).as("strategy"), col("o_orderpriority"),
+            col("n"), col("revenue"))
+      agg(ord.hint("shuffle_hash"), "shuffle_hash")
+        .unionAll(agg(ord.hint("merge"), "merge"))
+        .orderBy("strategy", "o_orderpriority")
+    },
+    Some("""WITH a AS (
+              SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority)
+            SELECT 'shuffle_hash' AS strategy, o_orderpriority, n, revenue FROM a
+            UNION ALL
+            SELECT 'merge' AS strategy, o_orderpriority, n, revenue FROM a
+            ORDER BY strategy, o_orderpriority"""))
+
   val ops: Seq[Op] = Seq(
+    aggMultiDistinct, joinHintedStrategies,
     joinMultiwayStar, subqueryDecorrelate,
     scanParquet, scanPruned, sqlEntryQ3, sqlPipeSyntax, fnSqlUdf,
     fnCollation, sqlParameterized, sqlSessionVariables,

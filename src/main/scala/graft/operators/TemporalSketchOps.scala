@@ -541,38 +541,48 @@ object TemporalSketchOps {
   // that scales: instead of resampling n rows with replacement (which
   // needs global coordination), each row draws a Poisson(1) weight per
   // replicate from a deterministic md5 hash, so all B=32 replicates
-  // accumulate in ONE map-side-combinable pass of exact BIGINT (Σw, Σw·x)
-  // partials. The Poisson inverse-CDF thresholds are exact 60-bit integer
-  // constants, so the weight draw is bit-identical on any engine. The 32
-  // replicate means sort once (a 32-row relation) and the 5%/50%/95%
-  // order statistics read out by rank.
+  // accumulate in ONE map-side-combinable pass of exact integer (Σw, Σw·x)
+  // partials (Σw·x in DECIMAL(38,0) — overflow-proof at any scale). The
+  // Poisson inverse-CDF thresholds are exact 32-bit integer constants and
+  // each md5 digest feeds FOUR replicates (4 x 8-hex chunks), so the
+  // per-row hash cost is 8 digests, not 32. The 32 replicate means sort
+  // once (a 32-row relation) and the 5%/50%/95% order statistics read out
+  // by rank.
   private val aggBootstrapCi = Op(
     "agg_bootstrap_ci",
     (s, d) => {
       t(s, d, "events").createOrReplaceTempView("events_bs")
+      // One LATERAL expression derives all 32 draws from EIGHT md5 calls
+      // per row (4 x 32-bit chunks per digest; the naive spelling paid 32
+      // md5/row and was the whole 124 s cost at the r14 sf10 probe). The
+      // inner transform(array(md5(..)), h -> ..) let-binds the digest so
+      // CollapseProject cannot inline it per chunk (the text_fingerprint
+      // O(len^2) lesson). Thresholds are the Poisson(1) inverse CDF at
+      // 32-bit precision: floor(CDF_k * 2^32) — exact integer compares,
+      // bit-identical on any engine.
       s.sql("""
-        WITH rep AS (SELECT id AS b FROM range(0, 32)),
-             w AS (SELECT rep.b,
-                          CAST(round(e.value * 100) AS BIGINT) AS x,
-                          CASE WHEN hv < 424136118829305344L THEN 0L
-                               WHEN hv < 848272237658610688L THEN 1L
-                               WHEN hv < 1060340297073263360L THEN 2L
-                               WHEN hv < 1131029650211480960L THEN 3L
-                               WHEN hv < 1148701988496035328L THEN 4L
-                               ELSE 5L END AS wt
-                   FROM (SELECT value,
-                                CAST(conv(substring(md5(concat(
-                                  CAST(event_id AS STRING), ':',
-                                  CAST(rep2.b AS STRING))), 1, 15), 16, 10)
-                                  AS BIGINT) AS hv,
-                                rep2.b
-                         FROM events_bs
-                         CROSS JOIN (SELECT id AS b FROM range(0, 32)) rep2
-                         WHERE event_type = 'purchase') e
-                   JOIN rep ON rep.b = e.b),
+        WITH w AS (
+          SELECT st.b AS b,
+                 CAST(round(value * 100) AS BIGINT) AS x,
+                 CASE WHEN st.hv < 1580030168L THEN 0L
+                      WHEN st.hv < 3160060337L THEN 1L
+                      WHEN st.hv < 3950075421L THEN 2L
+                      WHEN st.hv < 4213413783L THEN 3L
+                      WHEN st.hv < 4279248373L THEN 4L
+                      ELSE 5L END AS wt
+          FROM events_bs
+          LATERAL VIEW explode(
+            flatten(transform(sequence(0, 7), g ->
+              transform(array(md5(concat(CAST(event_id AS STRING), ':',
+                                         CAST(g AS STRING)))), h ->
+                transform(sequence(0, 3), c -> named_struct(
+                  'b', g * 4 + c,
+                  'hv', CAST(conv(substring(h, 1 + 8 * c, 8), 16, 10)
+                             AS BIGINT))))[0]))) t AS st
+          WHERE event_type = 'purchase'),
              means AS (SELECT b,
-                              round(CAST(SUM(wt * x) AS DOUBLE) / SUM(wt), 6)
-                                AS m
+                              round(CAST(SUM(CAST(wt AS DECIMAL(38,0)) * x)
+                                         AS DOUBLE) / SUM(wt), 6) AS m
                        FROM w GROUP BY b),
              ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn
                         FROM means)
@@ -582,36 +592,29 @@ object TemporalSketchOps {
                CAST(COUNT(*) AS BIGINT) AS n_boot
         FROM ranked""")
     },
-    Some("""WITH w AS (SELECT b2.b,
-                              CAST(round(e.value * 100) AS BIGINT) AS x,
-                              CASE WHEN ('0x' || substr(md5(
-                                     CAST(e.event_id AS VARCHAR) || ':' ||
-                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
-                                     < 424136118829305344 THEN 0
-                                   WHEN ('0x' || substr(md5(
-                                     CAST(e.event_id AS VARCHAR) || ':' ||
-                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
-                                     < 848272237658610688 THEN 1
-                                   WHEN ('0x' || substr(md5(
-                                     CAST(e.event_id AS VARCHAR) || ':' ||
-                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
-                                     < 1060340297073263360 THEN 2
-                                   WHEN ('0x' || substr(md5(
-                                     CAST(e.event_id AS VARCHAR) || ':' ||
-                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
-                                     < 1131029650211480960 THEN 3
-                                   WHEN ('0x' || substr(md5(
-                                     CAST(e.event_id AS VARCHAR) || ':' ||
-                                     CAST(b2.b AS VARCHAR)), 1, 15))::BIGINT
-                                     < 1148701988496035328 THEN 4
-                                   ELSE 5 END AS wt
-                       FROM events e,
-                            (SELECT unnest(range(0, 32)) AS b) b2
-                       WHERE e.event_type = 'purchase'),
+    Some("""WITH e AS (SELECT event_id,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events WHERE event_type = 'purchase'),
+                 h AS (SELECT x, g.g AS g,
+                              md5(CAST(event_id AS VARCHAR) || ':' ||
+                                  CAST(g.g AS VARCHAR)) AS h
+                       FROM e, (SELECT unnest(range(0, 8)) AS g) g),
+                 w AS (SELECT g * 4 + c.c AS b, x,
+                              ('0x' || substr(h, 1 + 8 * c.c, 8))::BIGINT
+                                AS hv
+                       FROM h, (SELECT unnest(range(0, 4)) AS c) c),
+                 ww AS (SELECT b, x,
+                               CASE WHEN hv < 1580030168 THEN 0
+                                    WHEN hv < 3160060337 THEN 1
+                                    WHEN hv < 3950075421 THEN 2
+                                    WHEN hv < 4213413783 THEN 3
+                                    WHEN hv < 4279248373 THEN 4
+                                    ELSE 5 END AS wt
+                       FROM w),
                  means AS (SELECT b,
                                   round(CAST(SUM(wt * x) AS DOUBLE)
                                         / SUM(wt), 6) AS m
-                           FROM w GROUP BY b),
+                           FROM ww GROUP BY b),
                  ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rn
                             FROM means)
             SELECT round(MAX(CASE WHEN rn = 2 THEN m END), 6) AS ci_lo,

@@ -319,6 +319,39 @@ object StreamOps {
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             ORDER BY p_id, c_id"""))
 
+  // dropDuplicatesWithinWatermark — the Spark 3.5+/4 dedup API whose state
+  // is EVICTABLE even when the dedup key carries no event-time: rows with
+  // the same key are deduped only if they arrive within the watermark
+  // delay of each other, and each key's state expires once the watermark
+  // passes it. That bounded-state contract is what makes exactly-once-ish
+  // dedup of an at-least-once queue viable on an UNBOUNDED stream —
+  // `dropDuplicates` (stream_dedup_state) keeps every key forever unless
+  // event-time is in the key. Harness: the landing dir gets the events
+  // file twice; every duplicate pair arrives in the same micro-batch (well
+  // within the delay), so the output is exactly the distinct event set and
+  // the oracle is plain DISTINCT.
+  private val streamDedupWithinWatermark = Op(
+    "stream_dedup_within_watermark",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val in = tmp("graft_sdw_in_")
+      val out = tmp("graft_sdw_out_"); val ck = tmp("graft_sdw_ck_")
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      ev.coalesce(1).write.mode("append").parquet(in)
+      val q = s.readStream.schema(ev.schema).parquet(in)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          msCol("ts").as("ts_ms"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      drain(q)
+      s.read.parquet(out).orderBy("event_id")
+    },
+    Some("""SELECT DISTINCT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+            FROM events ORDER BY event_id"""))
+
   // Stateful dedup within the watermark: the landing dir gets the events file
   // TWICE (two files → duplicate arrivals); `dropDuplicates` keyed state emits
   // each event_id once. Output = the distinct event set.
@@ -1306,7 +1339,8 @@ object StreamOps {
     streamThrottledBackfill, streamUpsertSink,
     streamFileAppend, streamTumblingAgg, streamSlidingAgg,
     streamSessionWindow, streamJoinStatic, streamStreamJoin,
-    streamDedupState, streamCustomState, streamCdcFeed,
+    streamDedupState, streamDedupWithinWatermark, streamCustomState,
+    streamCdcFeed,
     streamObserveMetrics, streamWatermarkAudit, streamChainedWindows,
     streamSequenceMatch, streamManifestIngest, streamTwsState,
     streamTwsTimers, streamTwsInitState, scanStateStore,

@@ -757,6 +757,36 @@ class PlanSpec extends AnyFunSuite {
     assert(hits.isEmpty, s"triangular bu-offset join found in: $hits")
   }
 
+  test("agg_multi_distinct plans the multi-count-distinct Expand") {
+    // the deliberate contrast to profile_stats: three distinct columns
+    // wanted ATOMICALLY per group ride one Expand (row ×3 through one
+    // exchange) instead of three scans — pin that Catalyst still picks it
+    val p = SparkEntry.queries("agg_multi_distinct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p.take(800))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans\n" + p.take(800))
+  }
+
+  test("join_hinted_strategies honors both join-strategy hints") {
+    // one branch must plan ShuffledHashJoin, the other SortMergeJoin —
+    // if Catalyst ever starts ignoring either hint (or broadcast sneaks
+    // in under the sf0.001 threshold) the key loses its point
+    val p = SparkEntry.queries("join_hinted_strategies")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+    assert(p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("agg_gini ranks inside (prio, price-bucket) partitions") {
+    // the r14 sf10 probe caught the direct PARTITION BY prio spelling
+    // (3 M-row sorts per task + BIGINT overflow of Σ rank·cents); the
+    // two-phase rewrite must keep the bucket term in the window partition
+    val p = SparkEntry.queries("agg_gini")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("div 100000"), p.take(1200))
+  }
+
   test("agg_ols_multi collects all nine moments in one scan") {
     // a single partial→final aggregate pair over one FileScan — the fit is
     // free next to the scan; a second scan or join would break the shape
