@@ -1522,7 +1522,69 @@ object AnalyticsOps {
     "window_spc_rule",
     (s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_spc")
-      s.sql("""
+      // GUARDED HALO-BUCKET two-phase (r14 sf10 probe: the PARTITION BY
+      // prio sliding window sorted 3 M rows per task). The 20-row frame is
+      // BOUNDED, so each (prio, quarter) partition can compute its rows'
+      // frames locally if it also holds the previous quarter's rows as
+      // read-only history ("halo"): every row is unioned into its own
+      // bucket and, tagged halo, into the next one; sliding sums run
+      // inside (prio, quarter) partitions; halo rows supply frame history
+      // and are dropped after. The global row number rebuilds from bucket
+      // offsets (rn = off + rin - c_prev, halo rows all sort first). This
+      // is EXACT iff no 20-row frame reaches past the previous quarter —
+      // guarded by one aggregation: every (prio, quarter) must hold >= 19
+      // rows with no gap quarters, else the direct window runs (tiny
+      // inputs, where direct is the right plan anyway; quarter buckets —
+      // not months — so the halo path already engages, and is
+      // oracle-checked, at sf0.01). Building this Op therefore executes
+      // one guard job, like sample_stratified.
+      val guard = s.sql("""
+        SELECT min(c) AS mn,
+               min(CAST(nb = span AS INT)) AS contiguous
+        FROM (SELECT prio, COUNT(*) AS nb,
+                     MAX(bu) - MIN(bu) + 1 AS span, MIN(c) AS c
+              FROM (SELECT o_orderpriority AS prio,
+                           year(o_orderdate) * 4 + quarter(o_orderdate) AS bu,
+                           COUNT(*) AS c
+                    FROM orders_spc GROUP BY 1, 2)
+              GROUP BY prio)""").first()
+      val haloSafe = !guard.isNullAt(0) && guard.getLong(0) >= 19 &&
+        guard.getInt(1) == 1
+      if (haloSafe) s.sql("""
+        WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
+                          o_orderkey AS ok,
+                          year(o_orderdate) * 4 + quarter(o_orderdate) AS bu,
+                          CAST(round(o_totalprice) AS BIGINT) AS v
+                   FROM orders_spc),
+             u AS (SELECT prio, od, ok, v, bu, 0 AS halo FROM o
+                   UNION ALL
+                   SELECT prio, od, ok, v, bu + 1 AS bu, 1 AS halo FROM o),
+             w AS (SELECT prio, bu, v, halo,
+                          SUM(v) OVER win AS s1,
+                          SUM(v * v) OVER win AS s2,
+                          ROW_NUMBER() OVER (PARTITION BY prio, bu
+                                             ORDER BY od, ok) AS rin
+                   FROM u
+                   WINDOW win AS (PARTITION BY prio, bu ORDER BY od, ok
+                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+             oc AS (SELECT prio, bu, COUNT(*) AS c FROM o GROUP BY prio, bu),
+             off AS (SELECT prio, bu, c,
+                            COALESCE(SUM(c) OVER (PARTITION BY prio
+                              ORDER BY bu ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0L) AS o_,
+                            COALESCE(LAG(c) OVER (PARTITION BY prio
+                              ORDER BY bu), 0L) AS cprev
+                     FROM oc),
+             r AS (SELECT w.prio, w.v, w.s1, w.s2,
+                          off.o_ + w.rin - off.cprev AS rn
+                   FROM w JOIN off ON w.prio = off.prio AND w.bu = off.bu
+                   WHERE w.halo = 0)
+        SELECT prio, COUNT(*) AS n_windows,
+               CAST(COUNT_IF((20*v - s1)*(20*v - s1)
+                             > 9*(20*s2 - s1*s1)) AS BIGINT) AS n_violations
+        FROM r WHERE rn >= 20
+        GROUP BY prio ORDER BY prio""")
+      else s.sql("""
         WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
                           o_orderkey AS ok,
                           CAST(round(o_totalprice) AS BIGINT) AS v
@@ -1921,20 +1983,39 @@ object AnalyticsOps {
     "window_drawdown",
     (s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_dd")
+      // TWO-PHASE max-drawdown (r14 sf10 probe: the PARTITION BY prio
+      // running max sorted 3 M rows per task — the low-cardinality-stratum
+      // disease). Running max decomposes EXACTLY across time buckets:
+      // true_runmax_i = max(prefix_bucket_max, in_bucket_runmax_i), so
+      //   dd = max_b max( max_i(m_i - x_i),  pmax_b - min_b x )
+      // — the in-bucket windows partition on (prio, month) and the prefix
+      // chain is a window over the tiny per-bucket relation. Exact integer
+      // algebra, unconditionally (no guard needed: UNBOUNDED PRECEDING
+      // frames never truncate), bit-identical to the oracle's global
+      // spelling.
       s.sql("""
         WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
                           o_orderkey AS ok,
+                          (year(o_orderdate) * 12 + month(o_orderdate)) AS bu,
                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
                    FROM orders_dd),
-             w AS (SELECT prio, cents,
-                          MAX(cents) OVER (PARTITION BY prio ORDER BY od, ok
-                                           ROWS UNBOUNDED PRECEDING)
-                            AS runmax
-                   FROM o)
-        SELECT prio, CAST(MAX(runmax - cents) AS BIGINT) AS max_dd_cents,
-               round(CAST(MAX(runmax - cents) AS DOUBLE) / 100.0, 2)
-                 AS max_dd
-        FROM w GROUP BY prio ORDER BY prio""")
+             w AS (SELECT prio, bu, cents,
+                          MAX(cents) OVER (PARTITION BY prio, bu
+                                           ORDER BY od, ok
+                                           ROWS UNBOUNDED PRECEDING) AS m
+                   FROM o),
+             g AS (SELECT prio, bu, MAX(m - cents) AS dd_in,
+                          MAX(cents) AS bmax, MIN(cents) AS bmin
+                   FROM w GROUP BY prio, bu),
+             p AS (SELECT prio, dd_in, bmin,
+                          MAX(bmax) OVER (PARTITION BY prio ORDER BY bu
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS pmax
+                   FROM g),
+             c AS (SELECT prio, GREATEST(dd_in, pmax - bmin) AS dd FROM p)
+        SELECT prio, CAST(MAX(dd) AS BIGINT) AS max_dd_cents,
+               round(CAST(MAX(dd) AS DOUBLE) / 100.0, 2) AS max_dd
+        FROM c GROUP BY prio ORDER BY prio""")
     },
     Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS od,
                               o_orderkey AS ok,

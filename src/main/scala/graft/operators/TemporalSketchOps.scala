@@ -32,36 +32,44 @@ object TemporalSketchOps {
   private val joinIntervalOverlap = Op(
     "join_interval_overlap",
     (s, d) => {
-      val binSec = 16L * 86400L
+      // DAY-COLLAPSE rewrite (r14 sf10 probe: the bin-join spelling
+      // enumerated every overlapping pair — the pair set grows with
+      // density SQUARED (x10^4 at facts x100) and ran 600+ s; at 100 TB
+      // it would simply never finish). The intervals are fixed 10-day
+      // spans anchored on day-granular starts, so every pair aggregate
+      // factors through (a_day, b_day): collapse each side to per-day
+      // counts FIRST (map-side-combinable), then pair the two
+      // CALENDAR-BOUNDED day relations (<= 366 rows each, independent of
+      // data volume) under |da - db| < 10 days and weight by ca*cb:
+      //   n_pairs      = SUM ca*cb
+      //   overlap_days = SUM ca*cb*(10 - |da - db|)
+      // — exact pair-sums with no pair enumeration, bit-identical to the
+      // oracle's JOIN..GROUP BY replay. Sums ride DECIMAL(38,0).
+      val span = 10L * 86400L
       def side(prio: String, pfx: String) =
         t(s, d, "orders")
           .where(col("o_orderpriority") === prio &&
             col("o_orderdate") >= expr("TIMESTAMP '1996-01-01'") &&
             col("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
-          .select(
-            unix_timestamp(col("o_orderdate")).as(s"${pfx}_start"),
-            (unix_timestamp(col("o_orderdate")) + 10L * 86400L).as(s"${pfx}_end"))
-      // intervals replicate to first & last touchable bin (distinct: an
-      // interval shorter than the bin usually touches just one)
+          .groupBy(unix_timestamp(col("o_orderdate")).as(s"${pfx}_start"))
+          .agg(count(lit(1)).as(s"${pfx}_n"))
       val a = side("1-URGENT", "a")
-        .withColumn("bin", explode(array_distinct(array(
-          floor(col("a_start") / binSec), floor((col("a_end") - 1) / binSec)))))
       val b = side("5-LOW", "b")
-        .withColumn("bin", explode(array_distinct(array(
-          floor(col("b_start") / binSec), floor((col("b_end") - 1) / binSec)))))
-      a.join(b, Seq("bin"))
-        .where(col("a_start") < col("b_end") && col("b_start") < col("a_end") &&
-          // canonical bin: count the pair only where the overlap starts
-          col("bin") === floor(greatest(col("a_start"), col("b_start")) / binSec))
+      a.join(broadcast(b),
+          col("a_start") < col("b_start") + span &&
+            col("b_start") < col("a_start") + span)
         .select(
           date_trunc("month",
             timestamp_seconds(greatest(col("a_start"), col("b_start"))))
             .as("ov_month"),
-          ((least(col("a_end"), col("b_end")) -
-            greatest(col("a_start"), col("b_start"))) / 86400L).cast("long")
-            .as("ov_days"))
+          (col("a_n") * col("b_n")).cast("decimal(38,0)").as("pairs"),
+          (col("a_n") * col("b_n") *
+            ((least(col("a_start"), col("b_start")) + span -
+              greatest(col("a_start"), col("b_start"))) / 86400L)
+              .cast("long")).cast("decimal(38,0)").as("ovd"))
         .groupBy("ov_month")
-        .agg(count(lit(1)).as("n_pairs"), sum("ov_days").as("overlap_days"))
+        .agg(sum("pairs").cast("long").as("n_pairs"),
+          sum("ovd").cast("long").as("overlap_days"))
         .orderBy("ov_month")
     },
     Some("""WITH a AS (SELECT o_orderdate AS a_start,

@@ -787,6 +787,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("div 100000"), p.take(1200))
   }
 
+  test("stratum windows stay bucket-partitioned (r14 rewrites)") {
+    // window_drawdown's running max and window_spc_rule's sliding frame
+    // both partitioned on the 5-value priority over RAW orders before r14
+    // (3 M-row sorts per task at sf10); pin the month-bucket term (bu) in
+    // drawdown's window and the halo column in spc's engaged two-phase
+    val dd = SparkEntry.queries("window_drawdown")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(dd.contains("bu#"), dd.take(1000))
+    val spc = SparkEntry.queries("window_spc_rule")(spark, "/root/testdata/sf0.1")
+      .queryExecution.executedPlan.toString
+    assert(spc.contains("halo#"), spc.take(1000))
+    // join_interval_overlap: the day-collapse aggregate sits below the
+    // pair join, so the join inputs are the calendar-bounded day relations
+    val ov = SparkEntry.queries("join_interval_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(ov.contains("a_n#") && ov.contains("b_n#"), ov.take(1200))
+  }
+
   test("agg_ols_multi collects all nine moments in one scan") {
     // a single partial→final aggregate pair over one FileScan — the fit is
     // free next to the scan; a second scan or join would break the shape

@@ -58,7 +58,9 @@ object ScaleProbe {
             val mn = if (r.isNullAt(base)) "null" else r.getDouble(base).toString
             val mx = if (r.isNullAt(base + 1)) "null"
                      else r.getDouble(base + 1).toString
-            val nn = r.getLong(base + 2)
+            // sum() over an EMPTY result is NULL (a 0-row key is legal —
+            // window_sma_cross legitimately has zero crossings at sf10)
+            val nn = if (r.isNullAt(base + 2)) 0L else r.getLong(base + 2)
             s""""$c":{"min":${jNum(mn)},"max":${jNum(mx)},"nulls":$nn}"""
           }.mkString(",")
           s"""{"ok":true,"secs":${f(secs)},"rows":${r.getLong(0)},""" +

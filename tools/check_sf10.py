@@ -229,6 +229,131 @@ def rules():
         "corpus_filter_sweep": {"rows": ("==",)},
         "corpus_curriculum": {"rows": ("x", C)},
         "event_churn_hazard": {"rows": ("==",)},
+        # ---- batch 6 (round 14): the stats/ML agg family. Derivations:
+        # replication repeats every fact row with only its id shifted, so
+        # distinct-entity sets (users, custkeys, days, value domains) are
+        # INVARIANT, raw-row counts scale xF, count-share-based statistics
+        # (entropy, JSD, PSI, MI, AUC, KM survival, Lorenz shares) are
+        # invariant, and (n-1)-corrected moments move by O(1/n) — pinned at
+        # 1e-2/1e-3. Test statistics that scale with n (F, chi2, t, U, H)
+        # are pinned only where the scaling is exact (chi2 xF, F xF with
+        # a small df-correction tolerance); t/U/H/z are recorded, not
+        # asserted, because their sqrt(n)-ish growth has no closed form
+        # under the df shifts. ----
+        "agg_anova": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "f_stat": ("x", F, 0.02)},
+            "nonneg": ["n", "f_stat"]},
+        "agg_auc_roc": {"rows": ("==",), "cols": {
+            "n_pos": ("x", F, 0), "n_neg": ("x", F, 0),
+            "auc": ("==", 1e-6)}},
+        "agg_autocorr": {"rows": ("==",)},
+        "agg_block_maxima": {"rows": ("==",), "cols": {
+            "n_blocks": ("==", 0), "gumbel_mu_usd": ("==", 1e-6),
+            "return_level_100_usd": ("==", 1e-6)}},
+        # per-replicate Poisson draws hash the SHIFTED ids, so each
+        # replicate resamples a different multiset — the CI recenters
+        # within its own width; n_boot is the structural contract
+        "agg_bootstrap_ci": {"rows": ("==",), "cols": {
+            "n_boot": ("==", 0)}},
+        "agg_changepoint_binary": {"rows": ("==",), "cols": {
+            "n_days": ("==", 0), "change_epoch_day": ("==", 0)}},
+        "agg_chi_square": {"rows": ("==",), "cols": {
+            "n_cells": ("==", 0), "chi2": ("x", F, 1e-6)},
+            "nonneg": ["chi2"]},
+        "agg_cohort_ltv": {"rows": ("==",), "cols": {
+            "rev": ("x", F, 1e-9), "cum_rev": ("x", F, 1e-9)},
+            "nonneg": ["rev", "cum_rev"]},
+        "agg_count_min": {"rows": ("==",), "cols": {
+            "n_exact": ("x", F, 0), "est": ("x", F, 0),
+            "overcount": ("x", F, 0)}, "nonneg": ["overcount"]},
+        "agg_cov_matrix": {"rows": ("==",), "cols": {
+            "corr": ("==", 1e-3), "cov": ("==", 1e-2)}},
+        "agg_cuped": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "theta": ("==", 1e-6),
+            "var_reduction": ("==", 1e-6)}},
+        "agg_gain_chart": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "cum_gain": ("==", 1e-6),
+            "lift": ("==", 1e-6)}},
+        "agg_group_entropy": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "n_types": ("==", 0),
+            "entropy": ("==", 1e-6)}},
+        "agg_heavy_hitters": {"rows": ("==",), "cols": {
+            "exact_count": ("x", F, 0)}},
+        "agg_histogram": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "total": ("x", F, 1e-9)},
+            "nonneg": ["n", "total"]},
+        "agg_histogram_quantile": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "median_bin": ("==", 0),
+            "median_lo": ("==", 1e-6)}},
+        "agg_hll_partial_merge": {"rows": ("==",), "cols": {
+            "n_days": ("==", 0), "n_users_exact": ("==", 0)}},
+        "agg_hurst_exponent": {"rows": ("==",), "cols": {
+            "hurst": ("==", 1e-6)}},
+        "agg_jackknife": {"rows": ("==",), "cols": {
+            "n_groups": ("==", 0), "mean_usd": ("==", 1e-6),
+            "jackknife_se_usd": ("==", 1e-6)}},
+        "agg_js_divergence": {"rows": ("==",), "cols": {
+            "n_types": ("==", 0), "jsd": ("==", 1e-6)}},
+        "agg_kruskal_wallis": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0)}},
+        "agg_ks_test": {"rows": ("==",), "cols": {
+            "ks_d": ("==", 1e-6), "n_a": ("x", F, 0),
+            "n_b": ("x", F, 0)}},
+        "agg_log_histogram": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "lo": ("==", 1e-9), "hi": ("==", 1e-9)}},
+        "agg_lorenz": {"rows": ("==",), "cols": {
+            "n_cust": ("==", 0), "rev_share": ("==", 1e-6),
+            "cum_share": ("==", 1e-6)}},
+        "agg_mad_robust": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "med": ("==", 0.01), "mad": ("==", 0.01)}},
+        "agg_mann_kendall": {"rows": ("==",), "cols": {
+            "n_days": ("==", 0), "s_stat": ("==", 0), "z": ("==", 1e-3)}},
+        "agg_mann_whitney": {"rows": ("==",), "cols": {
+            "n_a": ("x", F, 0), "n_b": ("x", F, 0)}},
+        "agg_mode": {"rows": ("==",), "cols": {"n": ("x", C, 0)}},
+        "agg_mutual_info": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "mi": ("==", 1e-6), "h_x": ("==", 1e-6),
+            "h_y": ("==", 1e-6)}},
+        "agg_ols_multi": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "b0": ("==", 1e-6), "b1": ("==", 1e-6),
+            "b2": ("==", 1e-6)}},
+        "agg_psi_drift": {"rows": ("==",), "cols": {
+            "n_bins": ("==", 0), "psi": ("==", 1e-6)}},
+        "agg_regression": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "slope": ("==", 1e-6),
+            "icept": ("==", 1e-6), "r2": ("==", 1e-6)}},
+        "agg_retention_cohort": {"rows": ("==",), "cols": {
+            "active_users": ("==", 0)}},
+        # adjacent exact copies cannot open or close a sign run -> r holds
+        "agg_runs_test": {"rows": ("==",), "cols": {
+            "n1": ("x", F, 0), "n2": ("x", F, 0), "r": ("==", 0)}},
+        "agg_skew_kurtosis": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "mean_usd": ("==", 1e-6),
+            "skewness": ("==", 1e-3), "ex_kurtosis": ("==", 1e-3)}},
+        "agg_skyline_2d": {"rows": ("==",), "cols": {
+            "price_usd": ("==", 0), "day_idx": ("==", 0)}},
+        "agg_stats_corr": {"rows": ("==",), "cols": {
+            "corr_qp": ("==", 1e-3), "covar_qp": ("==", 1e-2),
+            "std_q": ("==", 1e-2)}},
+        "agg_survival_km": {"rows": ("==",), "cols": {
+            "duration_h": ("==", 0), "n_risk": ("==", 0),
+            "d_events": ("==", 0), "survival": ("==", 1e-6)}},
+        "agg_theil_index": {"rows": ("==",), "cols": {
+            "n_customers": ("==", 0), "theil_t": ("==", 1e-6)}},
+        # day-level collapse: pairs are day pairs (invariant); the slopes
+        # ride day VOLUME sums, which scale xF
+        "agg_theil_sen": {"rows": ("==",), "cols": {
+            "n_pairs": ("==", 0), "sen_slope_per_day": ("x", F, 1e-6)}},
+        "agg_ttest": {"rows": ("==",), "cols": {
+            "na": ("x", F, 0), "nb": ("x", F, 0)}},
+        "agg_winsorized_mean": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "lo": ("==", 0.01), "hi": ("==", 0.01),
+            "winsorized_mean": ("==", 0.01)}},
+        "agg_gini": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "gini": ("==", 1e-3)}, "nonneg": ["n"]},
+        # all-ties top-k at x100 replication -> alpha is legitimately NULL
+        # (the guard the probe forced); only the k contract is structural
+        "agg_hill_tail": {"rows": ("==",), "cols": {"k": ("==", 0)}},
     }
 
 
