@@ -354,6 +354,97 @@ def rules():
         # all-ties top-k at x100 replication -> alpha is legitimately NULL
         # (the guard the probe forced); only the k contract is structural
         "agg_hill_tail": {"rows": ("==",), "cols": {"k": ("==", 0)}},
+        # ---- batch 7 (round 14): joins + windows. Join row counts follow
+        # which side(s) replicate (fact-fact xF, fact-dim xF, dim-dim ==,
+        # corpus-corpus xC); as-of/nearest matches keep their VALUES
+        # because the match set per probe row is id-shifted copies of the
+        # same original. Windows over per-user/per-part keys scale rows xF
+        # with invariant value domains; frame-boundary-sensitive keys get
+        # floors. ----
+        "join_asof_forward": {"rows": ("x", F), "cols": {
+            "next_value": ("==", 0)}},
+        "join_asof_nearest": {"rows": ("x", F), "cols": {
+            "dt_us": ("==", 0)}},
+        "join_asof_tolerance": {"rows": ("x", F), "cols": {
+            "gap_ms": ("==", 0)}},
+        "join_cross": {"rows": ("==",)},
+        "join_dpp": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "max_value": ("==", 0)}},
+        "join_full_outer": {"rows": ("==",), "cols": {
+            "n_orders": ("x", F, 0), "total_spent": ("x", F, 1e-9)}},
+        "join_fuzzy": {"rows": ("==",), "cols": {
+            "dist": ("==", 0), "n_a": ("==", 0), "n_b": ("==", 0)}},
+        "join_inner_broadcast": {"rows": ("==",)},
+        "join_inner_shuffle": {"rows": ("x", F)},
+        # pair sums over day-count products: both sides xF -> xF^2, exact
+        "join_interval_overlap": {"rows": ("==",), "cols": {
+            "n_pairs": ("x", F * F, 0), "overlap_days": ("x", F * F, 0)},
+            "nonneg": ["n_pairs", "overlap_days"]},
+        # adaptive-width grid: block occupancy (not topology) drives the
+        # candidate listing -> growth floor only
+        "join_knn_grid": {"rows": (">=", 100000)},
+        "join_lateral_topk": {"rows": ("x", F)},
+        "join_left_anti": {"rows": ("==",)},
+        "join_left_outer": {"rows": ("x", F)},
+        "join_left_semi": {"rows": ("==",)},
+        "join_multiway_star": {"rows": ("==",), "cols": {
+            "revenue": ("x", F, 1e-9), "n_lines": ("x", F, 0)},
+            "nonneg": ["revenue", "n_lines"]},
+        "join_nearest_value": {"rows": ("x", F)},
+        "join_null_safe": {"rows": ("==",)},
+        "join_runtime_bloom": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_qty": ("x", F, 1e-9)}},
+        "join_spatial_grid": {"rows": ("x", C)},
+        "join_temporal_dim": {"rows": ("x", F), "cols": {
+            "dim_value": ("==", 0)}},
+        "join_theta_range": {"rows": ("x", F)},
+        "limit_topk": {"rows": ("==",)},
+        "sort_multi": {"rows": ("==",), "cols": {
+            "c_custkey": ("==", 0), "c_acctbal": ("==", 0)}},
+        "subquery_decorrelate": {"rows": ("x", F), "cols": {
+            "o_totalprice": ("==", 0)}},
+        "window_bollinger": {"rows": ("x", F)},
+        "window_cusum": {"rows": ("==",), "cols": {
+            "n_events": ("x", F, 0), "max_s": ("x", F, 1e-9)}},
+        "window_drawdown": {"rows": ("==",), "cols": {
+            "max_dd_cents": ("==", 0), "max_dd": ("==", 1e-9)},
+            "nonneg": ["max_dd_cents"]},
+        "window_first_last": {"rows": ("x", F)},
+        "window_holt": {"rows": ("x", F)},
+        "window_lag_lead": {"rows": ("x", F), "cols": {
+            "value": ("==", 0)}},
+        "window_log_returns": {"rows": ("==",), "cols": {
+            "n_rets": ("==", 0), "realized_vol": ("==", 1e-6)}},
+        "window_ntile": {"rows": ("x", F), "cols": {
+            "quartile": ("==", 0)}},
+        "window_range_frame": {"rows": ("x", F), "cols": {
+            "n_30d": ("x", F, 0), "sum_30d": ("x", F, 1e-9)}},
+        "window_rank": {"rows": ("x", F)},
+        "window_rank_change": {"rows": ("==",), "cols": {
+            "rank_early": ("==", 0), "rank_late": ("==", 0),
+            "rank_gain": ("==", 0)}},
+        "window_rolling_distinct": {"rows": ("==",), "cols": {
+            "wau": ("==", 0)}},
+        "window_rolling_slope": {"rows": ("x", F), "cols": {
+            "n": ("==", 0)}},
+        # 14-row frame straddles replica-group boundaries -> ~xF floor
+        "window_rsi": {"rows": (">=", 900000)},
+        "window_running": {"rows": ("x", F)},
+        # n_windows = (100n - 19) per prio vs (n - 19)x100 — off by the
+        # warm-up rows, no closed form; completion + nonneg is the gate
+        "window_spc_rule": {"rows": ("==",),
+            "nonneg": ["n_windows", "n_violations"]},
+        # exact replication forces every 5/20-SMA sign flip through 0
+        # (sgn*psgn = -1 never fires) -> ZERO crossings is the CORRECT
+        # scaled output; completion is the contract
+        "window_sma_cross": {"rows": ("record",)},
+        "window_time_decay": {"rows": ("x", F)},
+        "window_time_range": {"rows": ("x", F), "cols": {
+            "trailing_7d": ("x", F, 1e-9)}},
+        "window_twap": {"rows": ("==",), "cols": {
+            "n_spans": ("==", 0), "twap": ("==", 1e-6)}},
+        "window_vwap": {"rows": ("x", F), "cols": {
+            "vwap": ("==", 0)}},
     }
 
 
