@@ -459,11 +459,25 @@ object FnFamilies {
     (s, d) => t(s, d, "lineitem").select(
       col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
       try_divide(col("l_extendedprice"), col("l_quantity") - 17).as("td"),
-      try_multiply(col("l_orderkey"), lit(Long.MaxValue)).as("tm"),
-      try_add(lit(9223372036854775800L), col("l_orderkey")).as("ta"),
+      // same rarity rule as tc below: overflow rows are 1-in-1000 (an
+      // always-overflowing spelling paid the exception cost on EVERY row
+      // — 13 s per 600 k rows, measured)
+      try_multiply(col("l_orderkey"),
+        when(col("l_orderkey") % 1000 === 0, lit(Long.MaxValue))
+          .otherwise(lit(2L))).as("tm"),
+      try_add(col("l_orderkey"),
+        when(col("l_orderkey") % 1000 === 500, lit(9223372036854775800L))
+          .otherwise(lit(1000L))).as("ta"),
       try_element_at(array(col("l_quantity"), col("l_extendedprice")),
         col("l_linenumber")).as("te"),
-      expr("try_cast(concat(l_returnflag, l_partkey) AS INT)").as("tc"),
+      // failures must be RARE for try_cast to be cheap: Spark's TryEval
+      // wraps the ANSI error path, so every failing row pays a Java
+      // exception construction (~10 us/row measured — an always-failing
+      // spelling cost 20x the whole rest of the query). 1-in-1000 bad
+      // rows is the production shape AND exercises both outcomes.
+      expr("""try_cast(IF(l_orderkey % 1000 = 0,
+                          concat(l_returnflag, l_partkey),
+                          CAST(l_partkey AS STRING)) AS INT)""").as("tc"),
       expr("try_to_number(cast(l_partkey AS STRING), '999999999')")
         .cast("long").as("tn"))
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "td", "tn"),
@@ -471,14 +485,16 @@ object FnFamilies {
               CASE WHEN l_quantity = 17 THEN NULL
                    ELSE l_extendedprice / (l_quantity - 17) END AS td,
               CASE WHEN l_orderkey = 0 THEN 0
-                   WHEN l_orderkey = 1 THEN 9223372036854775807
-                   ELSE NULL END AS tm,
-              CASE WHEN l_orderkey <= 7 THEN 9223372036854775800 + l_orderkey
-                   ELSE NULL END AS ta,
+                   WHEN l_orderkey % 1000 = 0 THEN NULL
+                   ELSE l_orderkey * 2 END AS tm,
+              CASE WHEN l_orderkey % 1000 = 500 THEN NULL
+                   ELSE l_orderkey + 1000 END AS ta,
               CASE WHEN l_linenumber = 1 THEN l_quantity
                    WHEN l_linenumber = 2 THEN l_extendedprice
                    ELSE NULL END AS te,
-              TRY_CAST(concat(l_returnflag, l_partkey) AS INT) AS tc,
+              TRY_CAST(CASE WHEN l_orderkey % 1000 = 0
+                            THEN concat(l_returnflag, l_partkey)
+                            ELSE CAST(l_partkey AS VARCHAR) END AS INT) AS tc,
               CAST(l_partkey AS BIGINT) AS tn
             FROM lineitem
             ORDER BY l_orderkey, l_linenumber, l_quantity, td, tn"""))

@@ -1807,15 +1807,21 @@ object Relational {
   private val joinHintedStrategies = Op(
     "join_hinted_strategies",
     (s, d) => {
+      // partial-aggregate BEFORE the hinted join (the 100 TB discipline):
+      // revenue and line counts collapse to one row per orderkey first, so
+      // the forced sort-merge sorts 15 M pre-aggregated rows, not 60 M raw
+      // lines (the r14 sf10 probe priced the raw spelling at 206 s).
       val li = t(s, d, "lineitem")
-        .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev"),
+          count(lit(1)).as("nl"))
       val ord = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
       def agg(o: DataFrame, label: String) =
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"),
-            sum(col("price")).cast("double").as("revenue"))
+          .agg(sum(col("nl")).as("n"),
+            sum(col("rev")).cast("double").as("revenue"))
           .select(lit(label).as("strategy"), col("o_orderpriority"),
             col("n"), col("revenue"))
       agg(ord.hint("shuffle_hash"), "shuffle_hash")

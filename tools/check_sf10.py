@@ -445,6 +445,104 @@ def rules():
             "n_spans": ("==", 0), "twap": ("==", 1e-6)}},
         "window_vwap": {"rows": ("x", F), "cols": {
             "vwap": ("==", 0)}},
+        # ---- batch 8 (round 14): TPC-H + relational/set/fn surface.
+        # Fixed-domain group sets keep row counts; SUM/COUNT measures xF;
+        # AVG/share measures invariant; distinct-entity outputs invariant.
+        # Top-k listings ranked by xF-scaled measures keep their SIZE and
+        # their max (the scaled top), but replica tie-breaking reshuffles
+        # which id-shifted copies fill the tail -> rows rules only. ----
+        "sql_entry_q3": {"rows": ("==",)},
+        "sql_tpch_q4": {"rows": ("==",), "cols": {
+            "order_count": ("x", F, 0)}},
+        "sql_tpch_q5": {"rows": ("==",), "cols": {
+            "revenue": ("x", F, 1e-9)}},
+        "sql_tpch_q6": {"rows": ("==",), "cols": {
+            "revenue": ("x", F, 1e-9), "n_lines": ("x", F, 0)}},
+        "sql_tpch_q7": {"rows": ("==",), "cols": {
+            "l_year": ("==", 0), "revenue": ("x", F, 1e-9)}},
+        "sql_tpch_q8": {"rows": ("==",), "cols": {
+            "o_year": ("==", 0), "mkt_share": ("==", 1e-6)}},
+        "sql_tpch_q9": {"rows": ("==",), "cols": {
+            "o_year": ("==", 0), "sum_profit": ("x", F, 1e-9)}},
+        "sql_tpch_q10": {"rows": ("==",), "cols": {
+            "revenue": ("x", F, 1e-9), "c_acctbal": ("==", 0)}},
+        "sql_tpch_q11": {"rows": ("==",), "cols": {
+            "part_value": ("x", F, 1e-9)}},
+        "sql_tpch_q12": {"rows": ("==",), "cols": {
+            "high_line_count": ("x", F, 0), "low_line_count": ("x", F, 0)}},
+        "sql_tpch_q13": {"rows": ("==",), "cols": {
+            "custdist": ("==", 0)}},
+        "sql_tpch_q14": {"rows": ("==",), "cols": {
+            "promo_revenue": ("==", 1e-6), "n_lines": ("x", F, 0)}},
+        "sql_tpch_q15": {"rows": ("==",), "cols": {
+            "s_suppkey": ("==", 0), "total_revenue": ("x", F, 1e-9)}},
+        "sql_tpch_q16": {"rows": ("==",), "cols": {
+            "supplier_cnt": ("==", 0)}},
+        "sql_tpch_q17": {"rows": ("==",), "cols": {
+            "n_small": ("x", F, 0), "avg_yearly": ("x", F, 1e-9)}},
+        "sql_tpch_q18": {"rows": ("==",)},
+        "sql_tpch_q19": {"rows": ("==",), "cols": {
+            "revenue": ("x", F, 1e-9), "n_lines": ("x", F, 0)}},
+        "sql_tpch_q20": {"rows": ("==",), "cols": {
+            "s_suppkey": ("==", 0)}},
+        "sql_tpch_q21": {"rows": ("==",), "cols": {
+            "numwait": ("x", F, 0)}},
+        "sql_tpch_q22": {"rows": ("==",), "cols": {
+            "numcust": ("==", 0), "totacctbal": ("==", 1e-9)}},
+        "agg_cube": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "total": ("x", F, 1e-9)}},
+        "agg_rollup": {"rows": ("==",), "cols": {
+            "sum_qty": ("x", F, 1e-9), "n": ("x", F, 0)}},
+        "agg_grouping_sets": {"rows": ("==",), "cols": {
+            "sum_qty": ("x", F, 1e-9), "n": ("x", F, 0)}},
+        "agg_distinct": {"rows": ("==",), "cols": {
+            "l_quantity": ("==", 0)}},
+        "agg_bool": {"rows": ("==",), "cols": {"n": ("x", F, 0)}},
+        "agg_multi_stats": {"rows": ("==",), "cols": {
+            "min_price": ("==", 0), "max_price": ("==", 0),
+            "avg_price": ("==", 1e-6), "n_cust": ("==", 0),
+            "n": ("x", F, 0)}},
+        "agg_collect_sorted": {"rows": ("==",)},
+        "agg_count_if": {"rows": ("==",), "cols": {
+            "n_discounted": ("x", F, 0), "n_bulk": ("x", F, 0),
+            "n": ("x", F, 0)}},
+        "agg_min_max_by": {"rows": ("==",), "cols": {
+            "first_value": ("==", 0), "n": ("x", F, 0)}},
+        "agg_string_concat": {"rows": ("==",)},
+        "agg_pivot": {"rows": ("==",), "cols": {
+            "F": ("x", F, 0), "O": ("x", F, 0), "P": ("x", F, 0)}},
+        "agg_pivot_dynamic": {"rows": ("==",), "cols": {
+            "click": ("x", F, 0), "purchase": ("x", F, 0),
+            "view": ("x", F, 0)}},
+        "set_union_all": {"rows": ("==",)},
+        "set_intersect": {"rows": ("==",)},
+        "set_except": {"rows": ("==",)},
+        "set_intersect_all": {"rows": ("x", F)},
+        "set_except_all": {"rows": ("x", F)},
+        "filter_pred": {"rows": ("x", F), "cols": {
+            "l_quantity": ("==", 0), "l_discount": ("==", 0)}},
+        "filter_null_semantics": {"rows": ("==",)},
+        "filter_in_like": {"rows": ("==",)},
+        "project_expr": {"rows": ("x", F), "cols": {
+            "net_price": ("==", 0), "tax_amt": ("==", 0)}},
+        "scan_parquet": {"rows": ("==",)},
+        "scan_pruned": {"rows": ("x", F)},
+        "topk_latest": {"rows": ("==",), "cols": {
+            "value": ("==", 0), "ts_ms": ("==", 0)}},
+        "agg_multi_distinct": {"rows": ("==",), "cols": {
+            "n_parts": ("==", 0), "n_supps": ("==", 0),
+            "n_orders": ("x", F, 0), "n_rows": ("x", F, 0)}},
+        "join_hinted_strategies": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "revenue": ("x", F, 1e-9)}},
+        "fn_try_arith": {"rows": ("x", F), "cols": {
+            "td": ("==", 0), "te": ("==", 0), "tn": ("==", 0)}},
+        "fn_datetime_tz": {"rows": ("x", F), "cols": {
+            "ny_hour": ("==", 0)}},
+        "agg_apdex": {"rows": ("==",), "cols": {
+            "satisfied": ("x", F, 0), "tolerating": ("x", F, 0),
+            "n": ("x", F, 0), "apdex": ("==", 1e-6)}},
+        "quality_logistic_score": {"rows": ("x", C), "cols": {
+            "score": ("==", 1e-6)}},
     }
 
 
