@@ -543,6 +543,120 @@ def rules():
             "n": ("x", F, 0), "apdex": ("==", 1e-6)}},
         "quality_logistic_score": {"rows": ("x", C), "cols": {
             "score": ("==", 1e-6)}},
+        # ---- batch 9 (round 14): events/resample/dq/privacy/sample/graph
+        # breadth. Same derivation discipline; distinct-user measures and
+        # share/ratio diagnostics invariant, raw counts xF; hash samples
+        # get near-xF floors (md5 over SHIFTED ids resamples the subset). ----
+        "bucket_agg_tumbling": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_value": ("x", F, 1e-9)}},
+        # full-scan fingerprint: xor over an even replica count cancels
+        # pairwise per original row, so only counts are structural
+        "checksum_table": {"rows": ("==",), "cols": {
+            "n_rows": ("x", F, 0)}},
+        "dq_anomaly_iqr": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "n_outliers": ("==", 0),
+            "q1": ("==", 0.01), "q3": ("==", 0.01)}},
+        "dq_benford": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "share": ("==", 1e-6),
+            "benford_p": ("==", 1e-6)}},
+        "dq_benford_mad": {"rows": ("==",), "cols": {"mad": ("==", 1e-6)}},
+        "dq_duplicate_keys": {"rows": ("==",), "cols": {
+            "n_keys": ("x", F, 0), "n_rows": ("x", F, 0)}},
+        "dq_freshness": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "last_s": ("==", 0), "lag_min": ("==", 0),
+            "stale": ("==", 0)}},
+        "dq_srm_check": {"rows": ("==",), "cols": {
+            "n0": ("==", 0), "n1": ("==", 0), "chi2": ("==", 1e-6),
+            "srm_alarm": ("==", 0)}},
+        "dq_volume_drift": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "rel_change": ("==", 1e-6),
+            "alarm": ("==", 0)}},
+        "event_attribution": {"rows": ("==",), "cols": {
+            "n_prior": ("x", F, 0)}},
+        "event_burstiness": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "fano": ("x", F, 1e-6)}},
+        "event_churn_hazard": {"rows": ("==",), "cols": {
+            "ended": ("==", 0), "censored": ("==", 0),
+            "at_risk": ("==", 0), "hazard": ("==", 1e-6)}},
+        "event_conversion_lag": {"rows": ("==",), "cols": {
+            "n_converted": ("==", 0), "med_lag_s": ("==", 0),
+            "p90_lag_s": ("==", 0)}},
+        "event_cooccurrence": {"rows": ("==",), "cols": {
+            "n_both": ("==", 0), "n_a": ("==", 0), "n_b": ("==", 0),
+            "support": ("==", 1e-6), "lift": ("==", 1e-6)}},
+        "event_dau_wau": {"rows": ("==",), "cols": {
+            "dau": ("==", 0), "wau": ("==", 0),
+            "stickiness": ("==", 1e-6)}},
+        "event_heatmap_hod_dow": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0)}},
+        "event_hod_divergence": {"rows": ("==",), "cols": {
+            "js_divergence_bits": ("==", 1e-6),
+            "js_distance": ("==", 1e-6)}},
+        # gaps between ADJACENT events shrink to 0 inside replica groups
+        # (identical ts) -> only the max-gap envelope is structural
+        "event_interarrival": {"rows": ("==",), "cols": {
+            "max_gap": ("==", 0)}},
+        "event_lifecycle_stages": {"rows": ("==",), "cols": {
+            "n_users": ("==", 0)}},
+        "event_markov_entropy": {"rows": ("==",)},
+        "event_seq_pairs": {"rows": ("==",), "cols": {
+            "sup": ("==", 0), "support": ("==", 1e-6)}},
+        "event_spike_detect": {"rows": ("==",), "cols": {
+            "c": ("x", F, 0)}},
+        "event_transition_time": {"rows": ("==",), "cols": {
+            "min_gap_s": ("==", 0), "max_gap_s": ("==", 0)}},
+        "graph_degree_dist": {"rows": ("==",), "cols": {
+            "degree": ("==", 0), "n_nodes": ("==", 0)}},
+        "graph_modularity": {"rows": ("==",), "cols": {
+            "n_communities": ("==", 0), "modularity": ("==", 1e-6)}},
+        "graph_reciprocity": {"rows": ("==",), "cols": {
+            "n_edges": ("==", 0), "n_recip": ("==", 0),
+            "reciprocity": ("==", 1e-6)}},
+        "privacy_dp_count": {"rows": ("==",), "cols": {
+            "nk": ("==", 0), "n": ("==", 0), "dp_count": ("==", 0)}},
+        "privacy_generalize": {"rows": ("==",), "cols": {
+            "published_n": ("==", 0)}},
+        "privacy_kanon": {"rows": ("==",), "cols": {"n": ("==", 0)}},
+        "privacy_ldiversity": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "l_div": ("==", 0)}},
+        "privacy_pseudonymize": {"rows": ("==",)},
+        "privacy_risk_curve": {"rows": ("==",), "cols": {
+            "rows_at_risk": ("==", 0), "risk_share": ("==", 1e-6)}},
+        "privacy_suppress_cells": {"rows": ("==",), "cols": {
+            "published": ("==", 0), "suppressed": ("==", 0)}},
+        "privacy_tcloseness": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "t_closeness": ("==", 1e-6)}},
+        "profile_skew": {"rows": ("==",), "cols": {
+            "cnt": ("x", F, 0), "share": ("==", 1e-6),
+            "skew_vs_uniform": ("==", 1e-6)}},
+        "profile_stats_approx": {"rows": ("==",), "cols": {
+            "n_null": ("==", 0)}},
+        "resample_atr": {"rows": ("==",), "cols": {
+            "atr_microusd": ("==", 0)}},
+        "resample_deseasonalize": {"rows": ("==",), "cols": {
+            "cnt": ("x", F, 0), "deseasonalized": ("x", F, 1e-6)}},
+        "resample_forecast_naive": {"rows": ("==",), "cols": {
+            "n_hours": ("==", 0), "smape": ("==", 1e-6)}},
+        "resample_interpolate": {"rows": ("==",), "cols": {
+            "filled": ("==", 0)}},
+        "resample_lttb": {"rows": ("==",), "cols": {
+            "cnt": ("x", F, 0)}},
+        "resample_minmax_decimate": {"rows": ("==",), "cols": {
+            "value_usd": ("==", 0)}},
+        "resample_ohlc_volatility": {"rows": ("==",), "cols": {
+            "n_bars": ("==", 0), "parkinson_vol": ("==", 1e-6)}},
+        "resample_seasonal_strength": {"rows": ("==",), "cols": {
+            "seasonal_strength": ("==", 1e-6)}},
+        "resample_seasonality": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "idx": ("==", 1e-6)}},
+        # md5 over SHIFTED ids -> each replica independently resamples;
+        # expectation 1/256 of rows, so a generous near-xF band
+        "sample_hash": {"rows": (">=", 9000000)},
+        "sample_reservoir": {"rows": ("==",), "cols": {"rn": ("==", 0)}},
+        "sample_split": {"rows": ("==",)},
+        "sample_weighted": {"rows": (">=", 45000)},
+        "unpivot_long": {"rows": ("x", F), "cols": {
+            "value": ("==", 0)}},
     }
 
 
