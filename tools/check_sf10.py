@@ -657,6 +657,112 @@ def rules():
         "sample_weighted": {"rows": (">=", 45000)},
         "unpivot_long": {"rows": ("x", F), "cols": {
             "value": ("==", 0)}},
+        # ---- batch 10 (round 14): text/corpus/emb/dedup breadth. Corpus
+        # replication (xC): per-doc rows scale xC with invariant per-doc
+        # values; corpus-level diagnostics (entropy, PMI, Zipf/Heaps fits,
+        # JSD, recall) are count-share-based and invariant; top-k listings
+        # over replica-tied scores keep SIZE only. ----
+        "text_stats": {"rows": ("x", C), "cols": {
+            "n_chars": ("==", 0), "n_tokens": ("==", 0),
+            "n_uniq": ("==", 0), "avg_token_len": ("==", 0)}},
+        "text_token_bpe": {"rows": ("x", C), "cols": {
+            "n_tokens": ("==", 0), "n_uniq": ("==", 0)}},
+        "text_repetition": {"rows": ("x", C), "cols": {
+            "rep_ratio": ("==", 0)}},
+        "text_entropy": {"rows": ("x", C), "cols": {
+            "char_entropy": ("==", 0)}},
+        "text_lm_score": {"rows": ("x", C), "cols": {
+            "n_tokens": ("==", 0), "lm_score": ("==", 0)}},
+        "text_vocab_coverage": {"rows": ("x", C), "cols": {
+            "coverage_pm": ("==", 0)}},
+        "text_hash_features": {"rows": ("x", C), "cols": {
+            "n_buckets": ("==", 0), "top_cnt": ("==", 0)}},
+        "text_sentence_stats": {"rows": ("x", C), "cols": {
+            "n_sentences": ("==", 0), "n_words": ("==", 0)}},
+        "text_chunk_overlap": {"rows": ("x", C), "cols": {
+            "n_tok": ("==", 0)}},
+        "text_bigram_entropy": {"rows": ("==",), "cols": {
+            "n_bigrams": ("==", 0), "cond_entropy": ("==", 1e-6)}},
+        "text_bpe_train": {"rows": ("==",), "cols": {
+            "freq": ("x", C, 0)}},
+        "text_collocations": {"rows": ("==",), "cols": {
+            "n_pair": ("x", C, 0), "pmi": ("==", 1e-6)}},
+        "text_coverage_curve": {"rows": ("==",), "cols": {
+            "covered": ("x", C, 0), "total": ("x", C, 0),
+            "vocab": ("==", 0), "coverage": ("==", 1e-6)}},
+        "text_hapax_ratio": {"rows": ("==",), "cols": {
+            "vocab": ("==", 0), "hapax": ("==", 0),
+            "tokens": ("x", C, 0), "hapax_vocab_share": ("==", 1e-6)}},
+        "text_heaps_fit": {"rows": ("==",), "cols": {
+            "vocab_size": ("==", 0), "heaps_beta": ("==", 1e-6),
+            "heaps_k": ("==", 1e-6)}},
+        "text_langid_confusion": {"rows": ("==",), "cols": {
+            "n": ("x", C, 0), "recall": ("==", 1e-6)}},
+        "text_langid_kappa": {"rows": ("==",), "cols": {
+            "n_docs": ("x", C, 0), "accuracy": ("==", 1e-6),
+            "kappa": ("==", 1e-6)}},
+        "text_pii_mask": {"rows": ("==",), "cols": {
+            "n_pii": ("==", 0)}},
+        "text_script_detect": {"rows": ("==",), "cols": {
+            "chars": ("x", C, 0), "cjk_share": ("==", 1e-6)}},
+        "text_simpson_diversity": {"rows": ("==",), "cols": {
+            "n": ("x", C, 0), "vocab": ("==", 0)}},
+        "text_topterms": {"rows": ("==",), "cols": {
+            "cnt": ("x", C, 0), "rn": ("==", 0)}},
+        "text_zipf_fit": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "zipf_slope": ("==", 1e-6)}},
+        "corpus_dup_stats": {"rows": ("==",), "cols": {
+            "docs": ("x", C, 0), "distinct_texts": ("==", 0)}},
+        "corpus_e2e_pipeline": {"rows": ("==",), "cols": {
+            "n_chars": ("==", 0), "rk": ("==", 0)}},
+        "corpus_eval_sample": {"rows": ("==",), "cols": {
+            "rn": ("==", 0)}},
+        "corpus_length_histogram": {"rows": ("==",), "cols": {
+            "docs": ("x", C, 0)}},
+        # per-source budget caps interact with replica ties -> near-xC
+        "corpus_mix": {"rows": (">=", 60000)},
+        "corpus_mix_temperature": {"rows": ("==",), "cols": {
+            "n": ("x", C, 0), "alloc_docs": ("==", 0)}},
+        "corpus_shard_write": {"rows": ("==",), "cols": {
+            "n_langs": ("==", 0), "min_doc": ("==", 0)}},
+        "corpus_source_divergence": {"rows": ("==",), "cols": {
+            "n_words": ("==", 0), "jsd_vs_corpus": ("==", 1e-6)}},
+        "corpus_source_overlap": {"rows": ("==",), "cols": {
+            "v1": ("==", 0), "v2": ("==", 0), "jaccard": ("==", 1e-6)}},
+        # budget cutoffs move when every doc gains 19 same-score twins
+        "corpus_token_budget": {"rows": (">=", 939)},
+        # replicas can share MORE eval n-grams than xC exactly
+        "decontam_check": {"rows": (">=", 33760)},
+        "dedup_containment": {"rows": (">=", 256)},
+        "dedup_incremental": {"rows": ("x", C)},
+        "dedup_prefix": {"rows": (">=", 202), "colmax": {
+            "n_docs": (">=", 20)}},
+        "emb_centroid_assign": {"rows": (">=", 39000), "cols": {
+            "centroid_id": ("==", 0)}},
+        # replicas fill BOTH id-halves with the same vector set -> zero
+        # drift is the correct scaled answer; only the label set holds
+        "emb_centroid_drift": {"rows": ("==",), "cols": {
+            "label": ("==", 0)}},
+        "emb_dim_reduce": {"rows": ("x", C), "cols": {
+            "r0": ("==", 0), "r1": ("==", 0), "r2": ("==", 0),
+            "r3": ("==", 0)}},
+        "emb_knn_classify": {"rows": ("==",)},
+        "emb_norm_histogram": {"rows": ("==",), "cols": {
+            "norm_bucket_01": ("==", 0), "n_vectors": ("x", C, 0)}},
+        "emb_normalize": {"rows": ("x", C)},
+        "emb_outlier_distance": {"rows": ("==",)},
+        # the probe vector gains C-1 exact twins -> they fill the top-10
+        "emb_prefix_recall": {"rows": ("==",), "cols": {
+            "prefix_dims": ("==", 0)}},
+        "emb_quantize": {"rows": ("x", C)},
+        "emb_recall_at_k": {"rows": ("==",), "cols": {"k": ("==", 0)}},
+        "emb_triplet_mining": {"rows": ("==",), "cols": {
+            "a_id": ("==", 0), "pos_cos": ("==", 1e-6),
+            "neg_cos": ("==", 1e-6)}},
+        "sim_cosine_topk": {"rows": ("==",)},
+        "sim_pq_adc": {"rows": ("==",)},
+        "sim_topk_batch": {"rows": ("==",), "cols": {
+            "rank": ("==", 0)}},
     }
 
 
