@@ -580,12 +580,18 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
-  test("join_interval_overlap is a bin equi-join, never a nested loop") {
-    // the dual-bin replication turns the interval×interval overlap into a
-    // hash equi-join on the bin key with the range test as residual
+  test("join_interval_overlap pairs day-COUNT relations, not rows") {
+    // r14 rewrite: the bin equi-join enumerated every overlapping pair
+    // (density-squared — 665 s at the sf10 probe); now both sides collapse
+    // to per-day counts FIRST, and the |da-db| < 10d pairing is a
+    // BroadcastNestedLoopJoin over two CALENDAR-BOUNDED (<= 366-row)
+    // relations — the one place a nested loop is the right plan, because
+    // its inputs cannot grow with data volume. Pin that the aggregates sit
+    // BELOW the join (a_n/b_n count columns feed it), so a regression back
+    // to row-level pairing fails here.
     val p = plan("join_interval_overlap")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("a_n#") && p.contains("b_n#"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
   test("event_sequence_match runs the whole pattern in one window pass") {
