@@ -763,6 +763,126 @@ def rules():
         "sim_pq_adc": {"rows": ("==",)},
         "sim_topk_batch": {"rows": ("==",), "cols": {
             "rank": ("==", 0)}},
+        # ---- batch 11 (round 14, final): inference/mining aggs + typed
+        # Dataset/UDx + fn representatives. Same derivations; test
+        # statistics (z/t/q), CI widths, and distribution FITS over
+        # xF-scaled counts are recorded, not asserted. ----
+        "agg_backlog_aging": {"rows": ("==",), "cols": {
+            "n_orders": ("x", F, 0)}},
+        "agg_benjamini_hochberg": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "p_rank": ("==", 0),
+            "bh_threshold": ("==", 1e-6)}},
+        "agg_bitmap_distinct": {"rows": ("==",), "cols": {
+            "nd": ("==", 0)}},
+        "agg_brier_score": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "brier": ("==", 1e-6)}},
+        "agg_calibration_bins": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "mean_score": ("==", 1e-6),
+            "pos_rate": ("==", 1e-6)}},
+        "agg_capture_recapture": {"rows": ("==",), "cols": {
+            "n1": ("==", 0), "n2": ("==", 0), "m": ("==", 0),
+            "n_true": ("==", 0), "lp_estimate": ("==", 1e-6),
+            "chapman_estimate": ("==", 1e-6)}},
+        "agg_circular_mean": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "mean_dir_deg": ("==", 1e-6),
+            "resultant_len": ("==", 1e-6)}},
+        "agg_cochran_armitage": {"rows": ("==",), "cols": {
+            "n_users": ("==", 0), "n_conv": ("==", 0),
+            "trend_z": ("==", 1e-6)}},
+        "agg_cohens_d": {"rows": ("==",), "cols": {
+            "n1": ("x", F, 0), "n0": ("x", F, 0),
+            "cohens_d": ("==", 1e-3)}},
+        "agg_concurrency_sweep": {"rows": ("==",), "cols": {
+            "max_open": ("x", F, 0)}},
+        "agg_cramers_v": {"rows": ("==",), "cols": {
+            "chi2": ("x", F, 1e-6), "cramers_v": ("==", 1e-3)}},
+        "agg_diff_in_diff": {"rows": ("==",), "cols": {
+            "n00": ("x", F, 0), "n11": ("x", F, 0),
+            "did_usd": ("==", 1e-6)}},
+        "agg_hhi": {"rows": ("==",), "cols": {
+            "n_firms": ("==", 0), "hhi": ("==", 1e-6)}},
+        "agg_incremental_merge": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_value": ("x", F, 1e-9),
+            "min_v": ("==", 0), "max_v": ("==", 0),
+            "avg_value": ("==", 1e-6)}},
+        "agg_james_stein": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "raw_mean": ("==", 1e-6)}},
+        "agg_kmv_difference": {"rows": ("==",), "cols": {
+            "kmv_diff": ("==", 0), "exact_diff": ("==", 0)}},
+        "agg_negbin_fit": {"rows": ("==",), "cols": {
+            "n_days": ("==", 0), "mean_daily": ("x", F, 1e-6)}},
+        "agg_newsvendor": {"rows": ("==",), "cols": {
+            "critical_fractile": ("==", 1e-6),
+            "stock_level": ("x", F, 0.01)}},
+        "agg_odds_ratio": {"rows": ("==",), "cols": {
+            "a": ("x", F, 0), "d": ("x", F, 0),
+            "odds_ratio": ("==", 1e-6)}},
+        "agg_power_analysis": {"rows": ("==",), "cols": {
+            "mde_pct": ("==", 0), "baseline_rate": ("==", 1e-6),
+            "n_per_arm": ("==", 0)}},
+        "agg_power_means": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "mean_usd": ("==", 1e-6),
+            "gmean_usd": ("==", 1e-6), "hmean_usd": ("==", 1e-6)}},
+        "agg_price_elasticity": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "elasticity": ("==", 1e-6)}},
+        "agg_rare_collapse": {"rows": ("==",), "cols": {
+            "n_rows": ("==", 0), "n_source_cats": ("==", 0),
+            "share": ("==", 1e-6)}},
+        "agg_ratio_delta_ci": {"rows": ("==",), "cols": {
+            "n_users": ("==", 0), "ratio_usd": ("==", 1e-6)}},
+        "agg_revenue_bridge": {"rows": ("==",), "cols": {
+            "q0": ("x", F, 0), "q1": ("x", F, 0),
+            "delta_rev_usd": ("x", F, 1e-6)}},
+        "agg_sequential_peeking": {"rows": ("==",), "cols": {
+            "n0": ("x", F, 0), "c0": ("x", F, 0),
+            "obf_bound": ("==", 1e-6)}},
+        "agg_simpson_paradox": {"rows": ("==",), "cols": {
+            "n_segments_reversed": ("==", 0)}},
+        "agg_stump_split": {"rows": ("==",), "cols": {
+            "threshold_usd": ("==", 0), "gini": ("==", 1e-6),
+            "n_left": ("x", F, 0), "n_right": ("x", F, 0)}},
+        "agg_supplier_risk": {"rows": ("==",), "cols": {
+            "n_suppliers": ("==", 0), "revenue_cents": ("x", F, 0),
+            "revenue_share": ("==", 1e-6)}},
+        "agg_theil_decompose": {"rows": ("==",), "cols": {
+            "theil_within": ("==", 1e-6), "revenue_share": ("==", 1e-6)}},
+        "agg_tukey_hsd": {"rows": ("==",), "cols": {
+            "mean_a": ("==", 1e-6), "mean_b": ("==", 1e-6),
+            "diff": ("==", 1e-6)}},
+        "agg_two_proportion_z": {"rows": ("==",), "cols": {
+            "n0": ("==", 0), "c0": ("==", 0), "rate0": ("==", 1e-6),
+            "z": ("==", 1e-6)}},
+        "agg_weibull_fit": {"rows": ("==",), "cols": {
+            "n_points": ("==", 0), "weibull_shape": ("==", 1e-6),
+            "weibull_scale_h": ("==", 1e-6)}},
+        "agg_wilson_ci": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "k": ("x", F, 0),
+            "p_hat": ("==", 1e-6)}},
+        "dq_write_gate": {"rows": ("==",), "nonneg": ["n_rows"]},
+        "ds_typed_ops": {"rows": ("==",), "cols": {
+            "n_orders": ("x", F, 0), "max_price": ("==", 0)}},
+        "fn_hash": {"rows": ("==",)},
+        "fn_math": {"rows": ("x", F), "cols": {
+            "price_r1": ("==", 0), "p2": ("==", 0)}},
+        "fn_time_bucket": {"rows": ("==",), "cols": {
+            "q15_start_s": ("==", 0), "b4h_start_s": ("==", 0)}},
+        "fn_uuid_ns": {"rows": ("==",)},
+        "join_right_outer": {"rows": (">=", 3000000)},
+        "quality_gate": {"rows": ("x", C), "cols": {
+            "stop_ratio": ("==", 0), "uniq_ratio": ("==", 0)}},
+        "sim_ann_ivf": {"rows": ("==",)},
+        "sim_ann_lsh": {"rows": (">=", 8)},
+        "sql_tpch_q2": {"rows": ("==",), "cols": {
+            "min_cost": ("==", 0)}},
+        "text_fingerprint": {"rows": ("x", C), "cols": {
+            "n_fp": ("==", 0), "fp_min": ("==", 0), "fp_max": ("==", 0)}},
+        "text_fingerprint_md5": {"rows": ("x", C), "cols": {
+            "n_fp": ("==", 0), "fp_min": ("==", 0), "fp_max": ("==", 0)}},
+        "udaf_typed": {"rows": ("==",), "cols": {
+            "weighted_avg_price": ("==", 1e-6), "n": ("==", 0)}},
+        "udf_scalar": {"rows": ("==",)},
+        "udtf_generate": {"rows": ("x", C), "cols": {
+            "pos": ("==", 0), "v": ("==", 0)}},
     }
 
 
