@@ -65,14 +65,28 @@ object Bench {
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val loadEnd = loadAvg()
+    // Contention self-labeling (the r14 lesson: a load-5.5 driver run
+    // recorded 1534.8 s for a tree that benches 400.5 s quiet — a 3.8×
+    // inflation indistinguishable from a code regression unless the
+    // record says so). A start load past 2.0 on this box means another
+    // multi-core job owned part of the CPU while we timed: the run is
+    // flagged `contended: true` so no reader can mistake it for a perf
+    // record. The flag is advisory, not a refusal — the driver's bench
+    // step must still produce a JSON line either way.
+    // (start-only: end load includes the bench's own executor threads,
+    // which is work, not contention)
+    val contended = loadStart >= 2.0
+    if (contended) System.err.println(
+      s"BENCH CONTENDED: loadavg start=$loadStart end=$loadEnd — timings " +
+        "are inflated by host contention; do not use as a perf record")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd},"contended":$contended}"""
     // stdout gets ONLY the compact summary (no per-query map): the gate
     // keeps a bounded tail of stdout, and the full 422-key line blows past
     // it — truncated JSON parsed as null. The complete record (with the
     // per-query map) always lands in bench_result.json.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd},"contended":$contended}""")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

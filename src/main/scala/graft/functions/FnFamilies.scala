@@ -478,7 +478,11 @@ object FnFamilies {
       expr("""try_cast(IF(l_orderkey % 1000 = 0,
                           concat(l_returnflag, l_partkey),
                           CAST(l_partkey AS STRING)) AS INT)""").as("tc"),
-      expr("try_to_number(cast(l_partkey AS STRING), '999999999')")
+      // 12-digit format: partkey tops out at 9 digits even at sf100
+      // (2e8·4), so to_number never fails and the oracle's plain CAST is
+      // exact at ANY plausible scale — a 9-digit format would have made
+      // the engine NULL (and the oracle diverge) past sf ~0.5e3
+      expr("try_to_number(cast(l_partkey AS STRING), '999999999999')")
         .cast("long").as("tn"))
       .orderBy("l_orderkey", "l_linenumber", "l_quantity", "td", "tn"),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity,

@@ -129,8 +129,16 @@ object LlmOps {
     * blocking key: shuffle partitions by bucket, never all-pairs; width
     * adapts to corpus size via [[signBits]]). */
   private def signBucketed(s: SparkSession, d: String): DataFrame = {
-    val n = embCount.computeIfAbsent(d,
-      _ => java.lang.Long.valueOf(t(s, d, "embeddings").count())).longValue()
+    // The count() Spark job runs OUTSIDE the map's mutex: computeIfAbsent
+    // on a synchronizedMap would hold the single lock for the whole job,
+    // blocking every concurrent cache read (even for other dirs) for its
+    // duration. A racing miss on the same dir just recomputes the same
+    // immutable value — last write wins, both are identical.
+    val n = Option(embCount.get(d)).getOrElse {
+      val c = java.lang.Long.valueOf(t(s, d, "embeddings").count())
+      embCount.put(d, c) // LRU trim stays inside the map's own sync
+      c
+    }.longValue()
     val bits = signBits(n)
     val bkExpr = (0 until bits)
       .map(i => s"${1L << (bits - 1 - i)} * IF(v[$i] >= 0D, 1, 0)")
@@ -3270,8 +3278,12 @@ object LlmOps {
   // side (feature extraction → dot product → sigmoid → gate, all codegen'd
   // scalar math, zero shuffles) is the real 100 TB plumbing; swapping in
   // learned weights is a literal swap. Score published at a floor-rounded
-  // 4 dp (§7.6.2 tie protocol); the keep flag compares the ROUNDED score
-  // so the gate is bit-identical cross-engine.
+  // 4 dp (§7.6.2 tie protocol); the keep flag compares the ROUNDED score,
+  // which removes most cross-engine noise but is NOT a bit-identity
+  // guarantee: z feeds libm exp/ln, whose ULP differences between the JVM
+  // and DuckDB can in principle flip the floor(x*10000+0.5) rounding — and
+  // hence keep at the exact 0.5 boundary — the same boundary class as the
+  // agg_zscore_outliers caveat. No test-scale doc sits on that boundary.
   private val qualityLogisticScore = Op(
     "quality_logistic_score",
     (s, d) => t(s, d, "documents")

@@ -62,11 +62,18 @@ object TemporalSketchOps {
           date_trunc("month",
             timestamp_seconds(greatest(col("a_start"), col("b_start"))))
             .as("ov_month"),
-          (col("a_n") * col("b_n")).cast("decimal(38,0)").as("pairs"),
-          (col("a_n") * col("b_n") *
+          // operands cast to DECIMAL(38,0) BEFORE the multiply: a BIGINT
+          // a_n*b_n product would itself overflow (ANSI abort) near ~3e9
+          // rows/day/side, defeating the point of decimal sums — the
+          // product, not just the sum, must be overflow-proof
+          (col("a_n").cast("decimal(38,0)") *
+            col("b_n").cast("decimal(38,0)")).cast("decimal(38,0)")
+            .as("pairs"),
+          (col("a_n").cast("decimal(38,0)") *
+            col("b_n").cast("decimal(38,0)") *
             ((least(col("a_start"), col("b_start")) + span -
               greatest(col("a_start"), col("b_start"))) / 86400L)
-              .cast("long")).cast("decimal(38,0)").as("ovd"))
+              .cast("decimal(38,0)")).cast("decimal(38,0)").as("ovd"))
         .groupBy("ov_month")
         .agg(sum("pairs").cast("long").as("n_pairs"),
           sum("ovd").cast("long").as("overlap_days"))
