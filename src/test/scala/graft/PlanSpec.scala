@@ -811,6 +811,28 @@ class PlanSpec extends AnyFunSuite {
     assert(ov.contains("a_n#") && ov.contains("b_n#"), ov.take(1200))
   }
 
+  test("fn_try_arith failure rows stay rare (TryEval exception pricing)") {
+    // Each failing try_* row constructs a Java exception inside TryEval
+    // (~10 us/row — the r14 sf10 probe priced an always-failing spelling
+    // at 1230 s where the 1-in-1000 shape runs 9.8 s, a 125× tax on code
+    // that LOOKS free in the plan). Pin the discipline: the canary
+    // failure columns must keep failures ~1-in-1000, never a
+    // constant-failure spelling; and tn (12-digit to_number over a
+    // <=9-digit partkey at any plausible sf) must never fail at all.
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("fn_try_arith")(spark, sfDir).cache()
+    try {
+      val n = df.count()
+      for (c <- Seq("tm", "ta", "tc")) {
+        val fails = df.where(col(c).isNull).count()
+        assert(fails * 200 <= n,
+          s"$c fails $fails of $n rows — TryEval pricing requires ~1e-3")
+      }
+      assert(df.where(col("tn").isNull).count() === 0L,
+        "tn (try_to_number) must never fail: format must cover partkey")
+    } finally df.unpersist()
+  }
+
   test("agg_ols_multi collects all nine moments in one scan") {
     // a single partial→final aggregate pair over one FileScan — the fit is
     // free next to the scan; a second scan or join would break the shape
