@@ -20,6 +20,18 @@ first-column key shifted; dims are untouched), so:
 Quadratic-pair keys (minhash/simhash pair listings) have no closed-form
 count under the band-bucket caps — they assert growth floors and record.
 
+TIMING DISCIPLINE (r14 lesson — the invariants above are contention-proof,
+the `secs` fields are NOT): a ScaleProbe run only produces trustworthy
+wall-clocks when it is the ONLY Spark JVM on the box. The r14 record shows
+what violating that costs: `join_multiway_star` read 169 s in a probe that
+shared the box with a second batch, 13.3 s solo — a 12.7× inflation on
+unchanged code. Rules: (1) never launch two ScaleProbe/Verify/Bench JVMs
+concurrently; (2) check `/proc/loadavg` < ~2 before a timing run; (3) any
+`secs` meant to be quoted as a scale result must come from a solo run —
+re-measure suspicious outliers solo before optimizing against them
+(tools/scaleprobe_r15_solo_sf10.json is the r15 solo re-measurement of the
+r14 top wall-clocks).
+
 Usage: python3 tools/check_sf10.py /tmp/scaleprobe_ref.json \
            /tmp/scaleprobe_sf10.json [--facts 100] [--corpus 20]
 """

@@ -1,9 +1,11 @@
 #!/usr/bin/env bash
 # Standing sf1 scale gate (VERDICT r12 #3): regenerates /tmp/graft_sf1 if
 # absent, dumps Spark results for (a) the keys named on the command line
-# (this round's NEW/CHANGED keys) plus (b) a fixed 20-key rotating sample
+# (this round's NEW/CHANGED keys) plus (b) a fixed 50-key rotating sample
 # of the rest (rotation indexed by GRAFT_SF1_ROTATION, default = number of
-# CORRECTNESS_r*.json files, so it advances one window per round), then
+# CORRECTNESS_r*.json files, so it advances one window per round; width
+# raised 20 -> 50 in r15 so the full registry re-proves in ~9 rounds
+# instead of ~22 — the gate runs in minutes either way), then
 # oracle-compares with tools/check_sf1.py and tees the log for check-in.
 #
 # Usage: tools/gate_sf1.sh [new_or_changed_key ...]
@@ -23,8 +25,8 @@ if [ ! -f "$SF_DIR/lineitem.parquet" ]; then
   python3 tools/gen_sf.py --out "$SF_DIR" --rep 10
 fi
 
-# rotation sample: 20 keys from the sorted oracle-checked registry,
-# window advanced per round — over ~22 rounds every key re-proves at sf1
+# rotation sample: 50 keys from the sorted oracle-checked registry,
+# window advanced per round — over ~9 rounds every key re-proves at sf1
 ROT="${GRAFT_SF1_ROTATION:-$(ls CORRECTNESS_r*.json 2>/dev/null | wc -l)}"
 mkdir -p "$OUT"
 # dump oracle_sql.json first (cheap single-key Verify run) so the sample
@@ -37,8 +39,9 @@ out, rot = sys.argv[1], int(sys.argv[2])
 explicit = set(sys.argv[3:])
 keys = sorted(json.load(open(f"{out}/oracle_sql.json")))
 n = len(keys)
-start = (rot * 20) % n
-sample = [keys[(start + i) % n] for i in range(20)]
+W = 50
+start = (rot * W) % n
+sample = [keys[(start + i) % n] for i in range(W)]
 print(",".join(sorted(set(sample) | explicit)))
 EOF
 )
