@@ -895,6 +895,192 @@ def rules():
         "udf_scalar": {"rows": ("==",)},
         "udtf_generate": {"rows": ("x", C), "cols": {
             "pos": ("==", 0), "v": ("==", 0)}},
+        # ---- r15 closure batch: the last 75 keys (fn/scan/etl/mm/sql/
+        # stream families). Replication recap that justifies the rules:
+        # dims copy as-is (dim-only keys are output-IDENTICAL); fact rows
+        # repeat xF with ONLY the lead key shifted (payload-derived
+        # columns keep their min/max; key-derived maxima grow, so no rule);
+        # the orderkey/event_id shift constants (150000 / 100000 at the
+        # sf0.1 source) are divisible by 2 and 1000, so every %2/%1000
+        # fixture filter replicates exactly; corpus docs repeat xC with
+        # identical text, so byte-derived stats are invariant and per-doc
+        # outputs scale xC. Stream keys: replicas land at IDENTICAL
+        # timestamps, so window/session/sequence boundaries are invariant
+        # (rows ==) while per-group counts/sums scale xF; detail re-emits
+        # scale xF; the purchase-click stream-stream join pairs replicas
+        # on both sides -> exactly xF^2.
+        "fn_array": {"rows": ("x", C), "cols": {
+            "dim": ("==", 0), "first_elem": ("==", 1e-9)}, "nonneg": ["dim"]},
+        "fn_bitwise": {"rows": ("x", F), "nonneg": ["low_byte"]},
+        "fn_collation": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "bal_cents": ("==", 0)}},
+        "fn_conditional": {"rows": ("x", F), "cols": {
+            "at_least": ("==", 1e-9), "at_most": ("==", 1e-9)}},
+        "fn_csv": {"rows": ("x", F), "cols": {
+            "b": ("==", 0), "c": ("==", 1e-9)}, "nonneg": ["a", "b"]},
+        "fn_date": {"rows": ("x", F), "cols": {
+            "y": ("==", 0), "m": ("==", 0), "dom": ("==", 0),
+            "days_since": ("==", 0)}},
+        "fn_encode": {"rows": ("==",), "cols": {"c_custkey": ("==", 0)}},
+        "fn_json": {"rows": ("x", F), "cols": {"k_val": ("==", 0)}},
+        "fn_levenshtein": {"rows": ("==",), "cols": {
+            "p_partkey": ("==", 0), "brand_type_dist": ("==", 0),
+            "case_dist": ("==", 0)}},
+        "fn_map": {"rows": ("x", F)},
+        "fn_regex": {"rows": ("==",), "cols": {"p_partkey": ("==", 0)}},
+        "fn_sql_udf": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "revenue": ("x", F, 1e-9)}, "nonneg": ["n"]},
+        "fn_string": {"rows": ("==",), "cols": {
+            "c_custkey": ("==", 0), "len": ("==", 0)}},
+        "fn_struct": {"rows": ("x", F)},
+        "fn_url": {"rows": ("x", C)},
+        "fn_variant": {"rows": ("x", F), "cols": {
+            "k_val": ("==", 0), "miss_val": ("==", 0)}},
+        "fn_xml": {"rows": ("==",), "cols": {
+            "s_suppkey": ("==", 0), "xk": ("==", 0), "xnk": ("==", 0),
+            "xd": ("==", 1e-9)}},
+        "ingest_roundtrip": {"rows": ("==",), "cols": {
+            "r_regionkey": ("==", 0)}},
+        "layout_zorder": {"rows": ("==",), "cols": {
+            "zbucket": ("==", 0), "n": ("x", F, 0), "min_a": ("==", 0),
+            "max_a": ("==", 0), "min_b": ("==", 0), "max_b": ("==", 0)},
+            "nonneg": ["n"]},
+        "layout_cluster": {"rows": ("==",), "cols": {
+            "total_rows": ("x", F, 0)}, "nonneg": ["n_files", "total_rows"]},
+        "maintenance_restore": {"rows": ("x", F), "cols": {
+            "o_totalprice": ("==", 1e-9)}, "nonneg": ["o_orderkey"]},
+        "maintenance_vacuum": {"rows": ("==",), "cols": {
+            "version": ("==", 0)}},
+        # n_files_before is the fixed 64-way small-file fixture; the
+        # packed count follows total bytes (~linear, no closed form)
+        "maintenance_compact": {"rows": ("==",), "cols": {
+            "n_files_before": ("==", 0)}, "nonneg": ["n_files_after"]},
+        "merge_upsert_delete": {"rows": ("x", F), "cols": {
+            "o_totalprice": ("==", 1e-9)}, "nonneg": ["o_orderkey"]},
+        "merge_upsert_evolve": {"rows": ("x", F), "cols": {
+            "o_totalprice": ("==", 1e-9)}, "nonneg": ["o_orderkey"]},
+        "mm_audio_window": {"rows": ("x", C), "cols": {
+            "win_id": ("==", 0), "win_sum": ("==", 0), "win_max": ("==", 0)},
+            "nonneg": ["win_sum"]},
+        # banded phash pairs: every doc gains C-1 exact copies (all four
+        # band chunks equal), so intra-group pairs alone put a hard floor
+        # under the pair count; hot buckets past the 256 cap drop by
+        # design, so no closed-form total (same posture as dedup_minhash)
+        "mm_dedup_phash": {"rows": (">=", 10000), "nonneg": ["hamming"]},
+        "mm_dedup_phash_hex": {"rows": (">=", 10000), "nonneg": ["hamming"]},
+        "mm_feature_extract": {"rows": ("x", C), "cols": {
+            "n_bytes": ("==", 0)}},
+        "mm_frame_sample": {"rows": ("x", C), "cols": {
+            "n_frames": ("==", 0), "n_sampled": ("==", 0)}},
+        "mm_meta": {"rows": ("x", C), "cols": {"n_bytes": ("==", 0)}},
+        "mm_resize": {"rows": ("x", C), "cols": {"orig_bytes": ("==", 0)}},
+        "mm_video_scene": {"rows": ("x", C), "cols": {
+            "n_frames": ("==", 0), "n_scenes": ("==", 0)}},
+        "partition_overwrite_dynamic": {"rows": ("x", F), "cols": {
+            "value": ("==", 1e-9)}},
+        "partitioned_write": {"rows": ("x", F), "cols": {
+            "value": ("==", 1e-9)}},
+        "scan_binary_files": {"rows": ("==",), "cols": {
+            "length": ("==", 0)}},
+        "scan_corrupt_quarantine": {"rows": ("==",), "cols": {
+            "id": ("==", 0)}},
+        "scan_csv_infer": {"rows": ("==",), "cols": {
+            "r_regionkey": ("==", 0)}},
+        "scan_file_metadata": {"rows": ("==",), "cols": {
+            "n_rows": ("x", F, 0), "min_key": ("==", 0)},
+            "nonneg": ["n_rows"]},
+        "scan_json_infer": {"rows": ("==",), "cols": {
+            "c_custkey": ("==", 0), "c_acctbal": ("==", 1e-9)}},
+        "scan_json_multiline": {"rows": ("==",), "cols": {
+            "c_custkey": ("==", 0), "c_acctbal": ("==", 1e-9)}},
+        "scan_json_rescue": {"rows": ("==",), "cols": {
+            "s_suppkey": ("==", 0), "rescued_nationkey": ("==", 0),
+            "rescued_acctbal": ("==", 1e-9)}},
+        "scan_merge_schema": {"rows": ("==",), "cols": {
+            "c_custkey": ("==", 0)}},
+        "scan_observe_metrics": {"rows": ("==",), "cols": {
+            "n_rows": ("x", F, 0), "sum_cents": ("x", F, 0),
+            "n_negative": ("x", F, 0)}, "nonneg": ["n_rows", "sum_cents"]},
+        "scan_orc_roundtrip": {"rows": ("==",), "cols": {
+            "n_nationkey": ("==", 0), "n_regionkey": ("==", 0)}},
+        "scan_state_store": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_cents": ("x", F, 0)},
+            "nonneg": ["n", "sum_cents"]},
+        "scan_state_store_tws": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_cents": ("x", F, 0)},
+            "nonneg": ["n", "sum_cents"]},
+        "scan_text_lines": {"rows": ("==",), "cols": {
+            "n_nationkey": ("==", 0), "n_regionkey": ("==", 0)}},
+        "scan_time_travel": {"rows": ("x", F), "cols": {
+            "o_totalprice": ("==", 1e-9)}, "nonneg": ["o_orderkey"]},
+        "scan_xml_roundtrip": {"rows": ("==",), "cols": {
+            "n_nationkey": ("==", 0), "n_regionkey": ("==", 0)}},
+        "scan_zone_map": {"rows": ("==",), "cols": {
+            "n_rows": ("x", F, 0), "sum_qty": ("x", F, 1e-9),
+            "min_ok": ("==", 0)}, "nonneg": ["n_rows"]},
+        "sql_parameterized": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "total": ("x", F, 1e-9)}, "nonneg": ["n"]},
+        "sql_pipe_syntax": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_price": ("x", F, 1e-9)}, "nonneg": ["n"]},
+        "sql_session_variables": {"rows": ("==",), "cols": {
+            "n_above": ("x", F, 0), "min_gap": ("==", 1e-6)},
+            "nonneg": ["n_above"]},
+        "stream_cdc_feed": {"rows": ("==",), "cols": {
+            "before_n": ("x", F, 0), "after_n": ("x", F, 0),
+            "before_cents": ("x", F, 0), "after_cents": ("x", F, 0)}},
+        "stream_chained_windows": {"rows": ("==",), "cols": {
+            "ws_ms": ("==", 0), "n15": ("x", F, 0), "n_sub": ("==", 0)},
+            "nonneg": ["n15", "n_sub"]},
+        "stream_custom_state": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_cents": ("x", F, 0)},
+            "nonneg": ["n", "sum_cents"]},
+        "stream_dedup_state": {"rows": ("x", F), "cols": {
+            "ts_ms": ("==", 0)}, "nonneg": ["event_id"]},
+        "stream_dedup_within_watermark": {"rows": ("x", F), "cols": {
+            "ts_ms": ("==", 0)}, "nonneg": ["event_id"]},
+        "stream_file_append": {"rows": ("x", F), "cols": {
+            "value": ("==", 1e-9), "ts_ms": ("==", 0)}},
+        "stream_join_static": {"rows": ("x", F), "cols": {
+            "value": ("==", 1e-9)}},
+        "stream_manifest_ingest": {"rows": ("x", F), "cols": {
+            "value": ("==", 1e-9), "ts_ms": ("==", 0)}},
+        "stream_observe_metrics": {"rows": ("==",), "cols": {
+            "batch_id": ("==", 0), "n_rows": ("x", F, 0),
+            "sum_cents": ("x", F, 0)}, "nonneg": ["n_rows"]},
+        "stream_sequence_match": {"rows": ("==",), "cols": {
+            "n_purchases": ("x", F, 0), "n_converted": ("x", F, 0)},
+            "nonneg": ["n_purchases", "n_converted"]},
+        "stream_session_window": {"rows": ("==",), "cols": {
+            "ss_ms": ("==", 0), "se_ms": ("==", 0), "n": ("x", F, 0)},
+            "nonneg": ["n"]},
+        "stream_sliding_agg": {"rows": ("==",), "cols": {
+            "ws_ms": ("==", 0), "n": ("x", F, 0)}, "nonneg": ["n"]},
+        # replicas pair on BOTH sides at identical timestamps -> xF^2
+        "stream_stream_join": {"rows": ("x", F * F), "cols": {
+            "p_ms": ("==", 0), "c_ms": ("==", 0)}},
+        "stream_throttled_backfill": {"rows": ("x", F), "cols": {
+            "value": ("==", 1e-9), "ts_ms": ("==", 0)}},
+        "stream_tumbling_agg": {"rows": ("==",), "cols": {
+            "ws_ms": ("==", 0), "n": ("x", F, 0),
+            "sum_value": ("x", F, 1e-9)}, "nonneg": ["n"]},
+        "stream_tws_init_state": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_cents": ("x", F, 0)},
+            "nonneg": ["n", "sum_cents"]},
+        "stream_tws_list_state": {"rows": ("==",), "cols": {
+            "last_ms": ("==", 0)}},
+        "stream_tws_state": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "sum_cents": ("x", F, 0),
+            "n_types": ("==", 0), "max_type_n": ("x", F, 0)},
+            "nonneg": ["n", "sum_cents"]},
+        "stream_tws_timers": {"rows": ("==",), "cols": {
+            "start_ms": ("==", 0), "end_ms": ("==", 0), "n": ("x", F, 0),
+            "sum_cents": ("x", F, 0)}, "nonneg": ["n", "sum_cents"]},
+        "stream_upsert_sink": {"rows": ("==",), "cols": {
+            "n_events": ("x", F, 0), "last_value": ("==", 1e-9)},
+            "nonneg": ["n_events"]},
+        "stream_watermark_audit": {"rows": ("==",), "cols": {
+            "batch_id": ("==", 0), "input_rows": ("x", F, 0),
+            "wm_ms": ("==", 0)}, "nonneg": ["input_rows"]},
     }
 
 
