@@ -955,8 +955,13 @@ def rules():
         # packed count follows total bytes (~linear, no closed form)
         "maintenance_compact": {"rows": ("==",), "cols": {
             "n_files_before": ("==", 0)}, "nonneg": ["n_files_after"]},
-        "merge_upsert_delete": {"rows": ("x", F), "cols": {
-            "o_totalprice": ("==", 1e-9)}, "nonneg": ["o_orderkey"]},
+        # the %9 is_del condition is NOT replica-invariant (the orderkey
+        # shift 150000 = 6 mod 9, so the delete set rotates through the
+        # residue cycle {0,6,3} across replicas) -> no exact xF row count
+        # and the surviving min-price row differs per replica; the floor
+        # is the %2 target half that can never be deleted below
+        "merge_upsert_delete": {"rows": (">=", 70 * F * 1000),
+            "nonneg": ["o_orderkey"]},
         "merge_upsert_evolve": {"rows": ("x", F), "cols": {
             "o_totalprice": ("==", 1e-9)}, "nonneg": ["o_orderkey"]},
         "mm_audio_window": {"rows": ("x", C), "cols": {
