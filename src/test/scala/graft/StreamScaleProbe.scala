@@ -47,7 +47,8 @@ object StreamScaleProbe {
       ckPrefix: String,
       stateVars: Seq[String],   // empty => default (unnamed) operator state
       rocksDb: Boolean,
-      readTimers: Boolean)
+      readTimers: Boolean,
+      joinSides: Boolean = false) // stream-stream join: read left/right buffers
 
   private val specs = Seq(
     KeySpec("stream_dedup_within_watermark", "graft_sdw_ck_",
@@ -61,7 +62,20 @@ object StreamScaleProbe {
     KeySpec("stream_tws_timers", "graft_twt_ck_",
       Seq("sess"), rocksDb = true, readTimers = true),
     KeySpec("stream_tws_list_state", "graft_twl_ck_",
-      Seq("recent"), rocksDb = true, readTimers = false))
+      Seq("recent"), rocksDb = true, readTimers = false),
+    // r15 extension: the remaining stateful families
+    KeySpec("stream_tumbling_agg", "graft_sta_ck_",
+      Seq(""), rocksDb = false, readTimers = false),
+    KeySpec("stream_sliding_agg", "graft_ssa_ck_",
+      Seq(""), rocksDb = false, readTimers = false),
+    KeySpec("stream_session_window", "graft_ssw_ck_",
+      Seq(""), rocksDb = false, readTimers = false),
+    KeySpec("stream_custom_state", "graft_scs_ck_",
+      Seq(""), rocksDb = false, readTimers = false),
+    KeySpec("stream_tws_init_state", "graft_twi_ck_",
+      Seq("totals"), rocksDb = true, readTimers = false),
+    KeySpec("stream_stream_join", "graft_ssj_ck_",
+      Seq(), rocksDb = false, readTimers = false, joinSides = true))
 
   def main(args: Array[String]): Unit = {
     val Array(dir, outFile) = args
@@ -77,12 +91,14 @@ object StreamScaleProbe {
 
     // entity cardinalities the bounded-state assertions compare against
     val ev = Tables.load(spark, dir, "events")
-    val Seq(nEvents, nUsers, nUserTypes) = Seq(
+    val Seq(nEvents, nUsers, nUserTypes, nPurch, nClick) = Seq(
       ev.count(),
       ev.select("user_id").distinct().count(),
-      ev.select("user_id", "event_type").distinct().count())
+      ev.select("user_id", "event_type").distinct().count(),
+      ev.where(col("event_type") === "purchase").count(),
+      ev.where(col("event_type") === "click").count())
     System.err.println(s"[streamprobe] events=$nEvents users=$nUsers " +
-      s"userTypes=$nUserTypes")
+      s"userTypes=$nUserTypes purchases=$nPurch clicks=$nClick")
 
     val tmpRoot = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
@@ -124,6 +140,15 @@ object StreamScaleProbe {
               rs.read.format("statestore")
                 .option("readRegisteredTimers", "true").load(ck).count()
             })
+          // stream-stream join: per-side buffered-row counts (the state
+          // the watermark + interval bounds must keep evicting)
+          val joinBuf: Option[(Long, Long)] =
+            if (!sp.joinSides) None
+            else Some((
+              spark.read.format("statestore").option("joinSide", "left")
+                .load(ck).count(),
+              spark.read.format("statestore").option("joinSide", "right")
+                .load(ck).count()))
           // per-key list occupancy for the bounded-buffer assertion
           val maxListPerKey: Option[Long] =
             if (sp.key != "stream_tws_list_state") None
@@ -158,6 +183,36 @@ object StreamScaleProbe {
             case "stream_dedup_state" => Seq(
               s"state_rows==distinct_keys($nEvents) (keeps every key)" ->
                 (stateRows("state") == nEvents))
+            // 5-min tumbling / 10-min sliding windows under a 10-min
+            // watermark: residual state is only the windows whose end the
+            // final watermark hasn't passed — a CONSTANT (<=4/6 windows at
+            // the stream tail), independent of volume
+            case "stream_tumbling_agg" => Seq(
+              "residual_windows<=4" -> (stateRows("state") <= 4L))
+            case "stream_sliding_agg" => Seq(
+              "residual_windows<=6" -> (stateRows("state") <= 6L))
+            // session state: only sessions still open inside the watermark
+            // horizon survive — bounded by the concurrently-active users
+            // at the stream tail, never by history
+            case "stream_session_window" => Seq(
+              s"residual_sessions<=users($nUsers)" ->
+                (stateRows("state") <= nUsers))
+            case "stream_custom_state" => Seq(
+              s"state_rows==distinct_users($nUsers)" ->
+                (stateRows("state") == nUsers))
+            case "stream_tws_init_state" => Seq(
+              s"totals_rows==distinct_users($nUsers)" ->
+                (stateRows("totals") == nUsers))
+            // interval join buffers: the 2 h watermarks + the 1 h interval
+            // bound evict both sides as the stream advances — residual is
+            // the tail window (~3 h of a 30-day stream), so <= 5% of each
+            // side's arrivals proves eviction engages (the unbounded-state
+            // failure mode would hold 100%)
+            case "stream_stream_join" => Seq(
+              s"left_buffer<=5%_of_purchases($nPurch)" ->
+                joinBuf.exists(_._1 <= nPurch / 20),
+              s"right_buffer<=5%_of_clicks($nClick)" ->
+                joinBuf.exists(_._2 <= nClick / 20))
             case _ => Seq.empty
           }
           asserts.filterNot(_._2).foreach { case (a, _) =>
@@ -170,7 +225,9 @@ object StreamScaleProbe {
             .map { case (a, ok) => s"${jStr(a)}:$ok" }.mkString("{", ",", "}")
           val extras = List(
             pendingTimers.map(t => s""""pending_timers":$t"""),
-            maxListPerKey.map(m => s""""max_list_per_key":$m""")
+            maxListPerKey.map(m => s""""max_list_per_key":$m"""),
+            joinBuf.map { case (l, r) =>
+              s""""join_buffer":{"left":$l,"right":$r}""" }
           ).flatten match { case Nil => ""; case xs => xs.mkString(",", ",", "") }
           s"""{"ok":true,"secs":${f((System.nanoTime() - t0) / 1e9)},""" +
             s""""drain_secs":${f(secs)},"rows":$rows,""" +
