@@ -17,6 +17,7 @@ object SparkEntry {
       operators.InferenceOps.ops ++
       operators.AnalyticsOps.ops ++
       operators.GraphOps.ops ++ operators.EtlOps.ops ++
+      operators.SignalOps.ops ++
       operators.LlmOps.ops ++ operators.Multimodal.ops ++
       streaming.StreamOps.ops ++
       functions.FnFamilies.ops ++ functions.UdfOps.ops

@@ -447,7 +447,68 @@ object GraphOps {
                      AS assortativity
             FROM m"""))
 
+  // 2-core membership by 4-round degeneracy peeling: each round drops
+  // vertices whose degree over the SURVIVING subgraph fell below 2, then
+  // recounts. The round count is a fixed part of the operator's contract
+  // (a bounded-peel, like graph_bfs_hops' bounded radius) so both engines
+  // run the identical algebra — no fixpoint detection to diverge on; four
+  // rounds fully peels every tree tail of depth ≤ 4 hanging off the core.
+  // Each round is one semi-join of edges against the alive set (alive is
+  // one row per vertex — broadcast-sized at any real scale) plus one
+  // map-side-combinable degree count; lineage stays 4 joins deep, no
+  // driver loop state. Output: every nation vertex with its post-peel
+  // core membership flag (isolated vertices never enter the edge relation
+  // and publish 0 via the left join).
+  private val graphKcore = Op(
+    "graph_kcore",
+    (s, d) => {
+      val edges = supplyEdges(s, d)
+      var alive = edges.select(col("src").as("vid")).distinct()
+      for (_ <- 1 to 4) {
+        val e2 = edges
+          .join(broadcast(alive.withColumnRenamed("vid", "sv")),
+            col("src") === col("sv"))
+          .join(broadcast(alive.withColumnRenamed("vid", "dv")),
+            col("dst") === col("dv"))
+          .select("src", "dst")
+        alive = e2.groupBy(col("src").as("vid"))
+          .agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 2)
+          .select("vid")
+      }
+      nodes(s, d)
+        .join(alive.withColumn("in_core", lit(1)), Seq("vid"), "left")
+        .select(col("vid"),
+          coalesce(col("in_core"), lit(0)).cast("int").as("in_core"))
+        .orderBy("vid")
+    },
+    Some(s"""WITH $oracleEdgeCte,
+             a0 AS (SELECT DISTINCT src AS vid FROM edges),
+             e1 AS (SELECT e.src, e.dst FROM edges e
+                    JOIN a0 s ON e.src = s.vid JOIN a0 t ON e.dst = t.vid),
+             a1 AS (SELECT src AS vid FROM e1
+                    GROUP BY src HAVING count(*) >= 2),
+             e2 AS (SELECT e.src, e.dst FROM edges e
+                    JOIN a1 s ON e.src = s.vid JOIN a1 t ON e.dst = t.vid),
+             a2 AS (SELECT src AS vid FROM e2
+                    GROUP BY src HAVING count(*) >= 2),
+             e3 AS (SELECT e.src, e.dst FROM edges e
+                    JOIN a2 s ON e.src = s.vid JOIN a2 t ON e.dst = t.vid),
+             a3 AS (SELECT src AS vid FROM e3
+                    GROUP BY src HAVING count(*) >= 2),
+             e4 AS (SELECT e.src, e.dst FROM edges e
+                    JOIN a3 s ON e.src = s.vid JOIN a3 t ON e.dst = t.vid),
+             a4 AS (SELECT src AS vid FROM e4
+                    GROUP BY src HAVING count(*) >= 2),
+             nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS vid
+                       FROM nation)
+             SELECT n.vid,
+                    CAST(CASE WHEN a4.vid IS NOT NULL THEN 1 ELSE 0 END
+                      AS INT) AS in_core
+             FROM nodes n LEFT JOIN a4 ON n.vid = a4.vid
+             ORDER BY n.vid"""))
+
   val ops: Seq[Op] = Seq(graphComponents, graphBfsHops, graphLinkPredict,
     graphClusteringCoeff, graphSsspWeighted, graphDegreeDist,
-    graphReciprocity, graphAssortativity)
+    graphReciprocity, graphAssortativity, graphKcore)
 }

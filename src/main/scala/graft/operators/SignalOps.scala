@@ -1,0 +1,503 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-15 extension batch: trading-signal windows (MACD / stochastic /
+  * Donchian), two-phase systematic sampling, a DP histogram release,
+  * corpus language balancing, embedding hubness, and per-language text
+  * profiles — the remaining everyday shapes a reference user
+  * (framework.py:310-349 delegates transforms to engine SQL) reaches for
+  * that had no registry spelling yet.
+  *
+  * Engine-determinism follows the repo protocol (core.scala): every value
+  * crossing the DuckDB boundary is an exact integer (cents / basis points,
+  * quantized per row BEFORE any aggregate), divisions are integer `div`
+  * (Spark) ≡ `//` (DuckDB) over strictly non-negative operands (the MACD
+  * signal recursion rides a +2^30 even bias so floor-vs-truncate division
+  * semantics can never split the engines on negatives), and floats appear
+  * only in bounded per-group expressions rounded once at the boundary.
+  */
+object SignalOps {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Whitespace-normalized lowercase tokens (the LlmOps dedup key spelling,
+    * restated locally — DuckDB mirror: string_split of the same regex). */
+  private def tokens(c: Column): Column =
+    split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")
+
+  // MACD (moving-average convergence/divergence) per user over the event
+  // value series — fast EMA (dyadic α=1/2), slow EMA (α=1/4), signal EMA
+  // (α=1/2 of the MACD line), histogram = macd − signal. The dyadic
+  // smoothing keeps the whole recursion in exact BIGINT cents — the same
+  // integer-EWMA discipline as window_ewma — so ANY engine reproduces it
+  // bit-for-bit. The signal recursion's input (macd) can be negative, and
+  // Spark `div` truncates toward zero while DuckDB `//` floors; the
+  // recursion therefore rides a +2^30 bias (even, so
+  // floor((x+s+2B)/2) = floor((x+s)/2)+B exactly) keeping every divided
+  // quantity positive in both engines. Scale shape: one hash partition on
+  // user_id, one sort within partitions, O(1) state per row streamed by
+  // mapPartitions — no window buffering, no driver state; at 100 TB the
+  // series key spreads across the cluster exactly like window_ewma.
+  private val windowMacd = Op(
+    "window_macd",
+    (s, d) => {
+      import s.implicits._
+      val B = 1L << 30
+      t(s, d, "events")
+        .where(col("user_id") % 10 === 1)
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("ts"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("cents"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var fast = 0L; var slow = 0L; var sgb = 0L
+          it.map { case (u, e, c) =>
+            if (u != curUser) { fast = c; slow = c; sgb = B; curUser = u }
+            else {
+              fast = (c + fast) / 2
+              slow = (c + 3 * slow) / 4
+              sgb = ((fast - slow) + B + sgb) / 2
+            }
+            (u, e, fast, slow, fast - slow, sgb - B)
+          }
+        }
+        .toDF("user_id", "event_id", "fast_c", "slow_c", "macd_c", "signal_c")
+        .withColumn("hist_c", col("macd_c") - col("signal_c"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT user_id, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events WHERE user_id % 10 = 1),
+            r(user_id, event_id, rn, f, sl, sgb) AS (
+              SELECT user_id, event_id, rn, cents, cents,
+                     CAST(1073741824 AS BIGINT)
+              FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.event_id, e.rn,
+                     (e.cents + r.f) // 2,
+                     (e.cents + 3 * r.sl) // 4,
+                     (((e.cents + r.f) // 2) - ((e.cents + 3 * r.sl) // 4)
+                      + 1073741824 + r.sgb) // 2
+              FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+            SELECT user_id, event_id, f AS fast_c, sl AS slow_c,
+                   f - sl AS macd_c, sgb - 1073741824 AS signal_c,
+                   (f - sl) - (sgb - 1073741824) AS hist_c
+            FROM r ORDER BY user_id, event_id"""))
+
+  // Stochastic oscillator per user over the event value series: %K = the
+  // current value's position inside the trailing-14 min/max range, %D = the
+  // 3-period mean of %K — both published in exact basis points via integer
+  // division (flat windows publish 10000 by convention, not a 0/0 NULL).
+  // Three frames share ONE (user_id / ts,event_id) sort — a single shuffle;
+  // every frame is ROWS-bounded so per-row state is O(14) regardless of
+  // volume, and user_id spreads the sort across the cluster at 100 TB.
+  private val windowStochastic = Op(
+    "window_stochastic",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_sg")
+      s.sql("""
+        WITH b AS (SELECT user_id, event_id, ts,
+                          CAST(round(value * 100) AS BIGINT) AS c
+                   FROM events_sg WHERE user_id % 10 = 2),
+             w AS (SELECT user_id, event_id, ts, c,
+                          MIN(c) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS mn,
+                          MAX(c) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS mx
+                   FROM b),
+             k AS (SELECT user_id, event_id, ts,
+                          CASE WHEN mx > mn
+                               THEN ((c - mn) * 10000) div (mx - mn)
+                               ELSE CAST(10000 AS BIGINT) END AS k_bp
+                   FROM w)
+        SELECT user_id, event_id, k_bp,
+               CAST(SUM(k_bp) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               div COUNT(*) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS d_bp
+        FROM k ORDER BY user_id, event_id""")
+    },
+    Some("""WITH b AS (SELECT user_id, event_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events WHERE user_id % 10 = 2),
+                 w AS (SELECT user_id, event_id, ts, c,
+                              MIN(c) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                                AS mn,
+                              MAX(c) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                                AS mx
+                       FROM b),
+                 k AS (SELECT user_id, event_id, ts,
+                              CASE WHEN mx > mn
+                                   THEN ((c - mn) * 10000) // (mx - mn)
+                                   ELSE CAST(10000 AS BIGINT) END AS k_bp
+                       FROM w)
+            SELECT user_id, event_id, k_bp,
+                   CAST(SUM(k_bp) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   // COUNT(*) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS d_bp
+            FROM k ORDER BY user_id, event_id"""))
+
+  // Donchian channel per part over its price history: trailing-20 high/low
+  // (EXCLUDING the current row — the breakout definition) plus up/down
+  // breakout flags. First rows publish NULL bounds and 0 flags. Everything
+  // is exact BIGINT cents; two ROWS-bounded frames share one
+  // (l_partkey / shipdate,orderkey,linenumber) sort — a single shuffle,
+  // O(20) state per row, partition key spreads at scale (same shape
+  // window_vwap carries).
+  private val windowDonchian = Op(
+    "window_donchian",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_sg")
+      s.sql("""
+        WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                   FROM lineitem_sg WHERE l_partkey <= 100),
+             w AS (SELECT l_partkey, l_orderkey, l_linenumber, c,
+                          MAX(c) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                            AS upper_c,
+                          MIN(c) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                            AS lower_c
+                   FROM b)
+        SELECT l_partkey, l_orderkey, l_linenumber, c, upper_c, lower_c,
+               CASE WHEN upper_c IS NOT NULL AND c > upper_c THEN 1 ELSE 0
+                 END AS brk_up,
+               CASE WHEN lower_c IS NOT NULL AND c < lower_c THEN 1 ELSE 0
+                 END AS brk_dn
+        FROM w ORDER BY l_partkey, l_orderkey, l_linenumber""")
+    },
+    Some("""WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber,
+                              l_shipdate,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c
+                       FROM lineitem WHERE l_partkey <= 100),
+                 w AS (SELECT l_partkey, l_orderkey, l_linenumber, c,
+                              MAX(c) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                                AS upper_c,
+                              MIN(c) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+                                AS lower_c
+                       FROM b)
+            SELECT l_partkey, l_orderkey, l_linenumber, c, upper_c, lower_c,
+                   CASE WHEN upper_c IS NOT NULL AND c > upper_c THEN 1
+                     ELSE 0 END AS brk_up,
+                   CASE WHEN lower_c IS NOT NULL AND c < lower_c THEN 1
+                     ELSE 0 END AS brk_dn
+            FROM w ORDER BY l_partkey, l_orderkey, l_linenumber"""))
+
+  // Systematic (every-kth-by-rank) sampling per stratum — the survey-
+  // sampling sibling of sample_hash (arithmetic on keys) and
+  // sample_stratified (per-stratum fractions): rank rows within each
+  // order-priority stratum by key and keep ranks 1, 26, 51, …. The rank is
+  // NOT one window per stratum (5 strata → 5 tasks sorting n/5 rows each —
+  // the low-cardinality-stratum shape the sf10 probe kills): rows bucket by
+  // o_orderkey div 8192, rank locally inside (stratum, bucket), and a tiny
+  // per-bucket count relation carries cumulative offsets back via a window
+  // over BUCKETS (thousands of rows at any SF), exactly the two-phase
+  // decomposition agg_gini / window_drawdown ride. Bucket-by-key-range
+  // preserves the global key order, so local rank + offset ≡ the global
+  // row_number the oracle computes.
+  private val sampleSystematic = Op(
+    "sample_systematic",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_sg")
+      s.sql("""
+        WITH b AS (SELECT o_orderkey, o_orderpriority,
+                          o_orderkey div 8192 AS bk
+                   FROM orders_sg),
+             loc AS (SELECT o_orderkey, o_orderpriority, bk,
+                            row_number() OVER (PARTITION BY o_orderpriority,
+                              bk ORDER BY o_orderkey) AS rl
+                     FROM b),
+             cnt AS (SELECT o_orderpriority, bk,
+                            CAST(COUNT(*) AS BIGINT) AS c
+                     FROM b GROUP BY 1, 2),
+             off AS (SELECT o_orderpriority, bk,
+                            CAST(SUM(c) OVER (PARTITION BY o_orderpriority
+                              ORDER BY bk ROWS UNBOUNDED PRECEDING) - c
+                              AS BIGINT) AS o
+                     FROM cnt)
+        SELECT loc.o_orderkey, loc.o_orderpriority,
+               CAST(off.o + loc.rl AS BIGINT) AS rn
+        FROM loc JOIN off ON loc.o_orderpriority = off.o_orderpriority
+                         AND loc.bk = off.bk
+        WHERE (off.o + loc.rl - 1) % 25 = 0
+        ORDER BY o_orderpriority, rn""")
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_orderpriority,
+                              row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderkey) AS rn
+                       FROM orders)
+            SELECT o_orderkey, o_orderpriority, CAST(rn AS BIGINT) AS rn
+            FROM r WHERE (rn - 1) % 25 = 0
+            ORDER BY o_orderpriority, rn"""))
+
+  // Differentially-private histogram release: fixed 50k-wide buckets of
+  // order value (exact-cents bucketing — no float division enters), one
+  // partial→final count per bucket, Laplace(1/ε)-shaped noise derived from
+  // the md5 of the bucket id (the privacy_dp_count draw recipe: uniform in
+  // (−½,½) from 60 hash bits → inverse-CDF, quantized to 1e-6 before the
+  // add so both engines publish identical releases). NOTE (same as
+  // dp_count): a seeded repeatable draw is deliberately NOT a privacy
+  // mechanism — determinism is what the correctness gate needs; a CSPRNG
+  // swap is the one-line production change. O(buckets) noise math.
+  private val privacyDpHistogram = Op(
+    "privacy_dp_histogram",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_dph")
+      s.sql("""
+        WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                            div 5000000 AS bucket,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM orders_dph GROUP BY 1),
+             u AS (SELECT bucket, n,
+                          CAST(CAST(conv(substring(md5(concat('dph:',
+                            CAST(bucket AS STRING))), 1, 15), 16, 10)
+                            AS BIGINT) AS DOUBLE)
+                            / 1152921504606846976.0D - 0.5D AS up
+                   FROM h),
+             nz AS (SELECT bucket, n,
+                           CAST(round(-sign(up) *
+                             ln(GREATEST(1.0D - 2.0D*abs(up), 1e-18D))
+                             * 1000000) AS BIGINT) AS noise_q
+                    FROM u)
+        SELECT bucket, n,
+               round(n + CAST(noise_q AS DOUBLE)/1000000.0D, 6) AS dp_n
+        FROM nz ORDER BY bucket""")
+    },
+    Some("""WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                // 5000000 AS bucket,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1),
+                 u AS (SELECT bucket, n,
+                              CAST(('0x' || substr(md5('dph:' || bucket),
+                                   1, 15))::BIGINT AS DOUBLE)
+                              / 1152921504606846976.0 - 0.5 AS up
+                       FROM h),
+                 nz AS (SELECT bucket, n,
+                               CAST(round(-sign(up) *
+                                 ln(GREATEST(1.0 - 2.0*abs(up), 1e-18))
+                                 * 1000000) AS BIGINT) AS noise_q
+                        FROM u)
+            SELECT bucket, n,
+                   round(n + CAST(noise_q AS DOUBLE)/1000000.0, 6) AS dp_n
+            FROM nz ORDER BY bucket"""))
+
+  // Corpus language balancing: each language's document share vs a uniform
+  // target, plus the integer resampling factor (bp) a mixture pass would
+  // apply to rebalance — the planning step before corpus_mix/sample_weighted
+  // execute the resample. One partial→final count per lang, a 1-row totals
+  // relation broadcast back; all ratios are exact basis-point integers
+  // (n·10⁴ div total), so the plan is two tiny aggregates at any volume.
+  private val corpusLangBalance = Op(
+    "corpus_lang_balance",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val per = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val tot = docs.agg(count(lit(1)).as("total"),
+        countDistinct(col("lang")).as("nl"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          expr("n * 10000 div total").as("share_bp"),
+          expr("10000 div nl").as("target_bp"),
+          expr("(10000 div nl) * 10000 div (n * 10000 div total)")
+            .as("factor_bp"))
+        .orderBy("lang")
+    },
+    Some("""WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                         FROM documents GROUP BY 1),
+                 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                                CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl
+                         FROM documents)
+            SELECT lang, n,
+                   n * 10000 // total AS share_bp,
+                   10000 // nl AS target_bp,
+                   (10000 // nl) * 10000 // (n * 10000 // total)
+                     AS factor_bp
+            FROM per CROSS JOIN tot ORDER BY lang"""))
+
+  // Embedding hubness: how often each vector appears in OTHER vectors'
+  // top-3 neighbor lists (k-occurrence) — the classic high-dimensional
+  // pathology metric (hub vectors poison kNN-based dedup and retrieval;
+  // this is the audit that finds them). Exact over a bounded probe set
+  // (vec_id < 200; ranks on round-6 cosine with vec_id tie-break, the
+  // repo's cross-engine ranking protocol). The production path at corpus
+  // scale swaps the bounded self-join for the sim_ann_lsh sign-bucket
+  // blocking and counts occurrences the same way — the count/rank algebra
+  // here is the whole operator.
+  private val embHubness = Op(
+    "emb_hubness",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = t(s, d, "embeddings").where(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val pairs = e.as("a")
+        .crossJoin(broadcast(e.as("b")))
+        .where(col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+          round(expr("graft_cosine(a.v, b.v)"), 6).as("cs"))
+      val w = Window.partitionBy("src").orderBy(desc("cs"), asc("nbr"))
+      val top = pairs.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+      val kocc = top.groupBy(col("nbr").as("vec_id"))
+        .agg(count(lit(1)).as("k_occ"))
+      e.select("vec_id").join(kocc, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("k_occ"), lit(0L)).as("k_occ"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 200),
+                 p AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+                              round(list_cosine_similarity(a.v, b.v), 6)
+                                AS cs
+                       FROM e a CROSS JOIN e b
+                       WHERE a.vec_id <> b.vec_id),
+                 r AS (SELECT src, nbr,
+                              row_number() OVER (PARTITION BY src
+                                ORDER BY cs DESC, nbr) AS rnk
+                       FROM p),
+                 k AS (SELECT nbr AS vec_id,
+                              CAST(COUNT(*) AS BIGINT) AS k_occ
+                       FROM r WHERE rnk <= 3 GROUP BY 1)
+            SELECT e.vec_id, COALESCE(k.k_occ, 0) AS k_occ
+            FROM e LEFT JOIN k ON e.vec_id = k.vec_id
+            ORDER BY e.vec_id"""))
+
+  /** Cross-language stopword list for the profile op — top function words
+    * of the corpus's five languages (placeholder-sized, like the
+    * text_langid markers; swap for full lists in production — the
+    * explode→isin→ratio plumbing is the operator). */
+  private val stopwords = Seq(
+    "the", "a", "of", "and", "to",
+    "der", "die", "und", "le", "la",
+    "et", "el", "los", "de", "que")
+
+  // Per-language stopword profile: corpus-level stopword token share in
+  // exact basis points (function-word density separates natural prose from
+  // boilerplate/lists — a standard pretraining quality axis, here profiled
+  // per language rather than gated per document like quality_gate). One
+  // explode → two partial→final aggregates on lang; the stopword list
+  // broadcasts inside the isin literal. Exact integers end to end.
+  private val textStopwordProfile = Op(
+    "text_stopword_profile",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("lang"), col("doc_id"),
+        explode(tokens(col("text"))).as("tk"))
+      tk.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("tk").isin(stopwords: _*), 1L).otherwise(0L))
+            .as("n_stop"))
+        .withColumn("stop_bp", expr("n_stop * 10000 div n_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH toks AS (
+              SELECT lang, doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS tk
+              FROM documents)
+            SELECT lang,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN tk IN (${stopwords
+                     .map(w => s"'$w'").mkString(", ")})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                   CAST(SUM(CASE WHEN tk IN (${stopwords
+                     .map(w => s"'$w'").mkString(", ")})
+                     THEN 1 ELSE 0 END) AS BIGINT) * 10000
+                     // CAST(COUNT(*) AS BIGINT) AS stop_bp
+            FROM toks GROUP BY lang ORDER BY lang"""))
+
+  // Per-language character-class profile: letters / digits / whitespace /
+  // punctuation-or-other shares in exact basis points — the script-level
+  // quality signal (alpha ratio and punctuation density) aggregated per
+  // language rather than gated per document. Character classes come from
+  // length deltas of regexp_replace (identical regex semantics both
+  // engines); every count is an exact per-row integer summed
+  // partial→final, ratios form once per lang.
+  private val textPunctProfile = Op(
+    "text_punct_profile",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      docs.select(col("lang"),
+          length(col("text")).cast("long").as("chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", "")))
+            .cast("long").as("letters"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("long").as("digits"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\s", "")))
+            .cast("long").as("spaces"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("chars"),
+          sum(col("letters")).as("letters"),
+          sum(col("digits")).as("digits"),
+          sum(col("spaces")).as("spaces"))
+        .select(col("lang"), col("n_docs"), col("chars"),
+          expr("letters * 10000 div chars").as("alpha_bp"),
+          expr("digits * 10000 div chars").as("digit_bp"),
+          expr("spaces * 10000 div chars").as("space_bp"),
+          expr("(chars - letters - digits - spaces) * 10000 div chars")
+            .as("punct_bp"))
+        .orderBy("lang")
+    },
+    Some("""WITH c AS (SELECT lang,
+                              CAST(length(text) AS BIGINT) AS chars,
+                              CAST(length(text) - length(regexp_replace(
+                                text, '[A-Za-z]', '', 'g')) AS BIGINT)
+                                AS letters,
+                              CAST(length(text) - length(regexp_replace(
+                                text, '[0-9]', '', 'g')) AS BIGINT)
+                                AS digits,
+                              CAST(length(text) - length(regexp_replace(
+                                text, '\s', '', 'g')) AS BIGINT) AS spaces
+                       FROM documents)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(chars) AS BIGINT) AS chars,
+                   CAST(SUM(letters) AS BIGINT) * 10000
+                     // CAST(SUM(chars) AS BIGINT) AS alpha_bp,
+                   CAST(SUM(digits) AS BIGINT) * 10000
+                     // CAST(SUM(chars) AS BIGINT) AS digit_bp,
+                   CAST(SUM(spaces) AS BIGINT) * 10000
+                     // CAST(SUM(chars) AS BIGINT) AS space_bp,
+                   CAST(SUM(chars - letters - digits - spaces) AS BIGINT)
+                     * 10000 // CAST(SUM(chars) AS BIGINT) AS punct_bp
+            FROM c GROUP BY lang ORDER BY lang"""))
+
+  val ops: Seq[Op] =
+    Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
+      privacyDpHistogram, corpusLangBalance, embHubness,
+      textStopwordProfile, textPunctProfile)
+}

@@ -841,4 +841,44 @@ class PlanSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected 1 parquet scan, got $scans\n" + p.take(800))
   }
+
+  test("sample_systematic ranks inside (priority, key-bucket) partitions") {
+    // the local rank window must carry the bucket column — a rank
+    // partitioned on o_orderpriority alone serializes n/5 rows through
+    // one task at scale (the low-cardinality-stratum shape); the offset
+    // window rides the tiny per-bucket counts relation
+    val p = SparkEntry.queries("sample_systematic")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(o_orderpriority"), p.take(800))
+    assert(p.contains("bk#"), p.take(800))
+  }
+
+  test("stochastic/donchian frames share one sort per series") {
+    // %K min/max (+ the %D running mean after one re-sort of the derived
+    // column) and the Donchian high/low ride the SAME window spec — at
+    // most one hash exchange per series key, never one per frame
+    for ((k, maxEx) <- Seq("window_stochastic" -> 2, "window_donchian" -> 1)) {
+      val p = SparkEntry.queries(k)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= maxEx,
+        s"$k: expected <= $maxEx hash exchanges, got $exchanges\n" +
+          p.take(800))
+    }
+  }
+
+  test("emb_hubness broadcasts the probe side of the pair join") {
+    val p = SparkEntry.queries("emb_hubness")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("graph_kcore peels with broadcast semi-joins, no shuffle of edges") {
+    // each round's alive set is one row per vertex — it must broadcast
+    // onto the cached edge relation, not shuffle it
+    val p = SparkEntry.queries("graph_kcore")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }

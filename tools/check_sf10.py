@@ -1086,6 +1086,48 @@ def rules():
         "stream_watermark_audit": {"rows": ("==",), "cols": {
             "batch_id": ("==", 0), "input_rows": ("x", F, 0),
             "wm_ms": ("==", 0)}, "nonneg": ["input_rows"]},
+        # ---- r15b signal/profile batch (10 keys). Derivations:
+        # window_macd/stochastic/donchian: per-fact-row windows -> rows xF;
+        # EMA/range states are convex integer combos bounded by the cents
+        # domain (nonneg); macd/signal/k_bp interleave differently under
+        # replication (same-ts replicas sort into id-blocks), so values
+        # record.
+        "window_macd": {"rows": ("x", F), "nonneg": ["fast_c", "slow_c"]},
+        "window_stochastic": {"rows": ("x", F), "nonneg": ["k_bp", "d_bp"]},
+        "window_donchian": {"rows": ("x", F),
+            "nonneg": ["c", "brk_up", "brk_dn"]},
+        # every-25th rank per stratum: scaled stratum sizes are 100*n_s and
+        # 25 | 100*n_s exactly, so the sample is exactly 4*n_s per stratum =
+        # orders_total/25 = 600000 at rep=100 over sf0.1's 150k orders
+        "sample_systematic": {"rows": (">=", 600000),
+            "nonneg": ["rn", "o_orderkey"]},
+        # totalprice values repeat verbatim -> identical bucket set, counts
+        # xF; the seeded per-bucket noise does NOT scale (dp_n records)
+        "privacy_dp_histogram": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "bucket": ("==", 0)}, "nonneg": ["n", "bucket"]},
+        # corpus replicates xC with lang/text verbatim: shares/targets are
+        # floor-division-invariant ((C*n*1e4) div (C*T) == (n*1e4) div T)
+        "corpus_lang_balance": {"rows": ("==",), "cols": {
+            "n": ("x", C, 0), "share_bp": ("==", 0), "target_bp": ("==", 0),
+            "factor_bp": ("==", 0)}, "nonneg": ["n", "share_bp"]},
+        # replica vec_ids shift above the vec_id<200 probe window -> the
+        # probe set is the untouched originals, output byte-identical
+        "emb_hubness": {"rows": ("==",), "cols": {
+            "k_occ": ("==", 0)}, "nonneg": ["k_occ"]},
+        "text_stopword_profile": {"rows": ("==",), "cols": {
+            "n_docs": ("x", C, 0), "n_tokens": ("x", C, 0),
+            "n_stop": ("x", C, 0), "stop_bp": ("==", 0)},
+            "nonneg": ["n_stop", "stop_bp"]},
+        "text_punct_profile": {"rows": ("==",), "cols": {
+            "n_docs": ("x", C, 0), "chars": ("x", C, 0),
+            "alpha_bp": ("==", 0), "digit_bp": ("==", 0),
+            "space_bp": ("==", 0), "punct_bp": ("==", 0)},
+            "nonneg": ["chars", "alpha_bp"]},
+        # per-pair join counts scale x100 = 2 (mod 7), and 2w = 0 (mod 7)
+        # iff w = 0 (7 prime) -> the sparsified edge set is EXACTLY
+        # invariant (same argument as graph_components) -> identical cores
+        "graph_kcore": {"rows": ("==",), "cols": {
+            "in_core": ("==", 0)}, "nonneg": ["in_core", "vid"]},
     }
 
 
