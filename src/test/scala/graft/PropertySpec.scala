@@ -254,4 +254,93 @@ class PropertySpec extends AnyFunSuite {
         graft.functions.MortonCode.interleave(hi, b))
     }
   }
+
+  test("MACD bias lemma: floor((x+s+2B)/2) == floor((x+s)/2)+B, and the " +
+    "biased recursion keeps operands positive (truncate-div == floor-div)") {
+    // window_macd's signal EMA divides the (possibly negative) MACD line;
+    // Spark `div` truncates toward zero, DuckDB `//` floors — they differ
+    // on negatives. The +2^30 even bias makes both (a) exact: adding 2B
+    // commutes with floor-halving, and (b) safe: every divided quantity is
+    // positive, where truncate == floor. Check both on signed inputs.
+    val B = 1L << 30
+    def floorDiv2(x: Long): Long = Math.floorDiv(x, 2L)
+    val macdGen: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.chooseNum(-5000000L, 5000000L))
+    forAll(macdGen) { macds =>
+      // (a) the bias commutes with floor-halving for any signed sum: the
+      //     recursion's two B's are (macd + B) + (sigb = sig + B), so the
+      //     divided quantity is (macd + sig) + 2B and
+      //     floor((y + 2B)/2) = floor(y/2) + B since 2B is even
+      macds.foreach { y =>
+        assert(floorDiv2(y + B + B) === floorDiv2(y) + B,
+          s"even-bias identity broke at y=$y")
+      }
+      // (b) run the biased recursion exactly as window_macd does (Scala /
+      //     = truncate) and the floor spelling (DuckDB //) — identical
+      def run(div: Long => Long): List[Long] =
+        macds.tail.scanLeft(macds.head + B)((s, m) => div(m + B + s))
+          .map(_ - B)
+      val trunc = run(x => x / 2)     // Spark div on positives
+      val floor = run(floorDiv2)      // DuckDB //
+      assert(trunc === floor,
+        "biased recursion must be division-semantics-independent")
+      // operands really were positive throughout
+      macds.tail.scanLeft(macds.head + B)((s, m) =>
+        { assert(m + B + s > 0L, "operand went non-positive"); (m + B + s) / 2 })
+    }
+  }
+
+  test("systematic-sample bucket decomposition equals the global rank") {
+    // sample_systematic's two-phase rank (local rank inside key-range
+    // buckets + cumulative bucket offsets) must equal a plain global
+    // row_number per stratum for ANY key distribution, because bucketing
+    // by key range preserves the global key order
+    val rows: Gen[List[(Long, String)]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 100000L),
+        Gen.oneOf("a", "b", "c")))
+    forAll(rows) { r =>
+      val df = r.distinct.toDF("k", "g")
+      val global = df.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("k")))
+      val bucketed = {
+        val b = df.withColumn("bk", expr("k div 8192"))
+        val loc = b.withColumn("rl", row_number().over(
+          Window.partitionBy("g", "bk").orderBy("k")))
+        val off = b.groupBy("g", "bk").agg(count(lit(1)).as("c"))
+          .withColumn("o", sum("c").over(
+            Window.partitionBy("g").orderBy("bk")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("c"))
+        loc.join(off, Seq("g", "bk"))
+          .select(col("k"), col("g"), (col("o") + col("rl")).cast("int").as("rn"))
+      }
+      assert(global.select("k", "g", "rn").exceptAll(bucketed).isEmpty &&
+        bucketed.exceptAll(global.select("k", "g", "rn")).isEmpty,
+        "two-phase rank diverged from the global rank")
+    }
+  }
+
+  test("k-core peel is monotone and a fixpoint once stable") {
+    // the bounded 4-round peel's alive sets shrink monotonically, and if
+    // round r changes nothing, no later round can (peeling is a closure
+    // operator) — so the fixed round count only ever UNDER-peels, never
+    // oscillates. Pure Scala model of the same algebra.
+    val edgesGen: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+        .map(_.filter { case (a, b) => a != b }
+          .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct)
+    def peel(alive: Set[Long], edges: List[(Long, Long)]): Set[Long] =
+      edges.filter { case (s, t) => alive(s) && alive(t) }
+        .groupBy(_._1).collect { case (v, es) if es.size >= 2 => v }.toSet
+    forAll(edgesGen) { edges =>
+      val a0 = edges.map(_._1).toSet
+      val rounds = Iterator.iterate(a0)(peel(_, edges)).take(8).toList
+      rounds.sliding(2).foreach { case List(prev, next) =>
+        assert(next.subsetOf(prev), "peel must be monotone decreasing")
+        if (next == prev) assert(peel(next, edges) == next,
+          "a stable round must be a fixpoint")
+      case _ => ()
+      }
+    }
+  }
 }
