@@ -496,8 +496,253 @@ object SignalOps {
                      * 10000 // CAST(SUM(chars) AS BIGINT) AS punct_bp
             FROM c GROUP BY lang ORDER BY lang"""))
 
+  // Hodges–Lehmann pseudomedian per event type — the rank-based location
+  // estimator (median of all pairwise means x_i+x_j)/2, i<j) that tolerates
+  // ~29% contamination where the mean tolerates none. The naive spelling is
+  // O(n²) pairs of ROWS; this one collapses to the quantized VALUE domain
+  // first (distinct integer units + multiplicities — the agg_spearman
+  // domain-collapse discipline), so the pair relation is bounded by
+  // domain², volume-independent: distinct-value pairs carry weight w₁·w₂,
+  // same-value pairs w·(w−1)/2, and the lower weighted median of the exact
+  // pair-SUM domain (cum weight ≥ ⌈total/2⌉) halves once at the boundary.
+  // Counts and cumulative weights are exact BIGINTs at any volume.
+  private val aggHodgesLehmann = Op(
+    "agg_hodges_lehmann",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_hl")
+      s.sql("""
+        WITH v AS (SELECT event_type, CAST(round(value) AS BIGINT) AS v,
+                          CAST(COUNT(*) AS BIGINT) AS w
+                   FROM events_hl GROUP BY 1, 2),
+             p AS (SELECT a.event_type, a.v + b.v AS s2, a.w * b.w AS pw
+                   FROM v a JOIN v b ON a.event_type = b.event_type
+                                    AND a.v < b.v
+                   UNION ALL
+                   SELECT event_type, v + v AS s2, w * (w - 1) div 2 AS pw
+                   FROM v WHERE w >= 2),
+             c AS (SELECT event_type, s2,
+                          CAST(SUM(pw) AS BIGINT) AS pw
+                   FROM p GROUP BY 1, 2),
+             r AS (SELECT event_type, s2,
+                          SUM(pw) OVER (PARTITION BY event_type
+                            ORDER BY s2 ROWS UNBOUNDED PRECEDING) AS cw,
+                          SUM(pw) OVER (PARTITION BY event_type) AS tw
+                   FROM c)
+        SELECT event_type,
+               CAST(MIN(CASE WHEN 2 * cw >= tw + (tw % 2) THEN s2 END)
+                 AS BIGINT) AS hl_x2,
+               CAST(MIN(CASE WHEN 2 * cw >= tw + (tw % 2) THEN s2 END)
+                 AS DOUBLE) / 2.0D AS hl
+        FROM r GROUP BY event_type ORDER BY event_type""")
+    },
+    Some("""WITH v AS (SELECT event_type, CAST(round(value) AS BIGINT) AS v,
+                              CAST(COUNT(*) AS BIGINT) AS w
+                       FROM events GROUP BY 1, 2),
+                 p AS (SELECT a.event_type, a.v + b.v AS s2,
+                              a.w * b.w AS pw
+                       FROM v a JOIN v b ON a.event_type = b.event_type
+                                        AND a.v < b.v
+                       UNION ALL
+                       SELECT event_type, v + v AS s2,
+                              w * (w - 1) // 2 AS pw
+                       FROM v WHERE w >= 2),
+                 c AS (SELECT event_type, s2,
+                              CAST(SUM(pw) AS BIGINT) AS pw
+                       FROM p GROUP BY 1, 2),
+                 r AS (SELECT event_type, s2,
+                              CAST(SUM(pw) OVER (PARTITION BY event_type
+                                ORDER BY s2 ROWS UNBOUNDED PRECEDING)
+                                AS BIGINT) AS cw,
+                              CAST(SUM(pw) OVER (PARTITION BY event_type)
+                                AS BIGINT) AS tw
+                       FROM c)
+            SELECT event_type,
+                   CAST(MIN(CASE WHEN 2 * cw >= tw + (tw % 2) THEN s2 END)
+                     AS BIGINT) AS hl_x2,
+                   CAST(MIN(CASE WHEN 2 * cw >= tw + (tw % 2) THEN s2 END)
+                     AS DOUBLE) / 2.0 AS hl
+            FROM r GROUP BY event_type ORDER BY event_type"""))
+
+  // Maximum-inner-product top-k (the recommender/retrieval scoring where
+  // vector NORM carries signal — popularity-weighted item embeddings —
+  // so cosine's normalization is wrong): one broadcast probe, one
+  // map-side codegen'd HOF dot product (zip_with→aggregate folds left in
+  // index order, matching DuckDB's list_inner_product term order),
+  // TakeOrderedAndProject picks top-k. Same 100 TB shape as
+  // sim_cosine_topk: candidates stream once, nothing shuffles but k rows.
+  // The MIPS→cosine norm-augmentation reduction (add one dimension
+  // carrying sqrt(M²−‖x‖²)) is what plugs this into the sim_ann_lsh /
+  // IVF index path at corpus scale.
+  private val simMipsTopk = Op(
+    "sim_mips_topk",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
+      val probe = broadcast(e.where(col("vec_id") === 1)
+        .select(col("va").as("vb")))
+      e.where(col("vec_id") =!= 1)
+        .crossJoin(probe)
+        .select(col("vec_id"),
+          round(expr(
+            "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"),
+            6).as("dot"))
+        .orderBy(desc("dot"), asc("vec_id"))
+        .limit(10)
+    },
+    Some("""SELECT vec_id,
+                   round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 1)), 6) AS dot
+            FROM embeddings WHERE vec_id <> 1
+            ORDER BY dot DESC, vec_id LIMIT 10"""))
+
+  // DP top-k selection (exponential mechanism via the Gumbel trick):
+  // release the k=3 most frequent event types by count + Gumbel(2/ε)
+  // noise — selection, the other half of a DP release suite next to the
+  // counting keys (privacy_dp_count/histogram). The Gumbel draw
+  // −ln(−ln(u)) comes from the same seeded 60-bit md5 uniform recipe,
+  // quantized to 1e-6 before the add so both engines select identically.
+  // Same caveat as dp_count: seeded = gate-deterministic, NOT private;
+  // CSPRNG swap is the production change. One partial→final count, then
+  // O(types) noise math and a top-k over a value-domain-bounded relation.
+  private val privacyDpTopk = Op(
+    "privacy_dp_topk",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_dpt")
+      s.sql("""
+        WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events_dpt GROUP BY 1),
+             u AS (SELECT event_type, n,
+                          (CAST(CAST(conv(substring(md5(concat('dpt:',
+                            event_type)), 1, 15), 16, 10) AS BIGINT)
+                            AS DOUBLE) + 0.5D) / 1152921504606846976.0D AS up
+                   FROM c),
+             g AS (SELECT event_type, n,
+                          CAST(round(-ln(-ln(up)) * 1000000) AS BIGINT)
+                            AS gum_q
+                   FROM u),
+             r AS (SELECT event_type, n, gum_q,
+                          row_number() OVER (ORDER BY
+                            n + CAST(gum_q AS DOUBLE)/1000000.0D DESC,
+                            event_type) AS rk
+                   FROM g)
+        SELECT CAST(rk AS BIGINT) AS rk, event_type, n,
+               round(n + CAST(gum_q AS DOUBLE)/1000000.0D, 6) AS noisy
+        FROM r WHERE rk <= 3 ORDER BY rk""")
+    },
+    Some("""WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+                 u AS (SELECT event_type, n,
+                              (CAST(('0x' || substr(md5('dpt:' ||
+                                event_type), 1, 15))::BIGINT AS DOUBLE)
+                                + 0.5) / 1152921504606846976.0 AS up
+                       FROM c),
+                 g AS (SELECT event_type, n,
+                              CAST(round(-ln(-ln(up)) * 1000000) AS BIGINT)
+                                AS gum_q
+                       FROM u),
+                 r AS (SELECT event_type, n, gum_q,
+                              row_number() OVER (ORDER BY
+                                n + CAST(gum_q AS DOUBLE)/1000000.0 DESC,
+                                event_type) AS rk
+                       FROM g)
+            SELECT CAST(rk AS BIGINT) AS rk, event_type, n,
+                   round(n + CAST(gum_q AS DOUBLE)/1000000.0, 6) AS noisy
+            FROM r WHERE rk <= 3 ORDER BY rk"""))
+
+  // Seasonal exponential smoothing: a dyadic-integer EWMA per
+  // (user, hour-of-day) slot — each slot's state updates only when its
+  // season recurs (the seasonal component of Holt–Winters, isolated) —
+  // plus the deseasonalized residual. Complements resample_deseasonalize
+  // (windowed-mean seasonal) with the recursive/adaptive spelling, kept
+  // exact by the window_ewma integer discipline. One hash partition on
+  // the composite (user, slot) key — at 100 TB the season multiplies the
+  // series-key cardinality ×24, which only spreads the sort WIDER.
+  private val windowSeasonalEwma = Op(
+    "window_seasonal_ewma",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .where(col("user_id") % 10 === 3)
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 3600 % 24").as("slot"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("ts"), col("event_id"))
+        .repartition(col("user_id"), col("slot"))
+        .sortWithinPartitions("user_id", "slot", "ts", "event_id")
+        .select(col("user_id"), col("slot"), col("event_id"), col("cents"))
+        .as[(Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          var curUser = Long.MinValue; var curSlot = Long.MinValue
+          var state = 0L
+          it.map { case (u, sl, e, c) =>
+            state =
+              if (u != curUser || sl != curSlot) c else (c + state) / 2
+            curUser = u; curSlot = sl
+            (u, sl, e, state, c - state)
+          }
+        }
+        .toDF("user_id", "slot", "event_id", "sea_c", "resid_c")
+        .orderBy("user_id", "slot", "event_id")
+    },
+    Some("""WITH RECURSIVE e AS (
+              SELECT user_id,
+                     (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24
+                       AS slot,
+                     event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                     row_number() OVER (PARTITION BY user_id,
+                       (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24
+                       ORDER BY ts, event_id) AS rn
+              FROM events WHERE user_id % 10 = 3),
+            r(user_id, slot, event_id, rn, st) AS (
+              SELECT user_id, slot, event_id, rn, cents FROM e WHERE rn = 1
+              UNION ALL
+              SELECT e.user_id, e.slot, e.event_id, e.rn,
+                     (e.cents + r.st) // 2
+              FROM e JOIN r ON e.user_id = r.user_id AND e.slot = r.slot
+                           AND e.rn = r.rn + 1)
+            SELECT r.user_id, r.slot, r.event_id, r.st AS sea_c,
+                   e.cents - r.st AS resid_c
+            FROM r JOIN e ON e.user_id = r.user_id AND e.slot = r.slot
+                         AND e.rn = r.rn
+            ORDER BY r.user_id, r.slot, r.event_id"""))
+
+  // Per-source document cap — the anti-domination gate every corpus mix
+  // applies before weighting (no single crawl/source may exceed K docs):
+  // deterministic hash-order rank per source, keep rank ≤ K. The rank ≤ K
+  // filter triggers Spark's WindowGroupLimit pushdown (the
+  // sample_reservoir shape): map tasks pre-limit to their local top-K
+  // before the exchange, so the shuffle carries O(sources·K) rows at any
+  // corpus size, never the corpus.
+  private val corpusSourceCap = Op(
+    "corpus_source_cap",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_sc")
+      s.sql("""
+        WITH h AS (SELECT source, doc_id,
+                          md5(CAST(doc_id AS STRING)) AS hk
+                   FROM documents_sc),
+             r AS (SELECT source, doc_id,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY hk, doc_id) AS rk
+                   FROM h)
+        SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+        FROM r WHERE rk <= 15 ORDER BY source, rk""")
+    },
+    Some("""WITH h AS (SELECT source, doc_id,
+                              md5(CAST(doc_id AS VARCHAR)) AS hk
+                       FROM documents),
+                 r AS (SELECT source, doc_id,
+                              ROW_NUMBER() OVER (PARTITION BY source
+                                                 ORDER BY hk, doc_id)
+                                AS rk
+                       FROM h)
+            SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+            FROM r WHERE rk <= 15 ORDER BY source, rk"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
-      textStopwordProfile, textPunctProfile)
+      textStopwordProfile, textPunctProfile, aggHodgesLehmann,
+      simMipsTopk, privacyDpTopk, windowSeasonalEwma, corpusSourceCap)
 }

@@ -881,4 +881,34 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("agg_hodges_lehmann pairs the VALUE domain, not rows") {
+    // the pairwise-mean relation must be built from the quantized
+    // distinct-value aggregate (HashAggregate below the self-join) — a
+    // row-level self-join is O(n²) and unrunnable at scale
+    val df = SparkEntry.queries("agg_hodges_lehmann")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, p.take(400))
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.substring(joinIdx).contains("HashAggregate"),
+      "domain-collapse aggregate must sit below the pair join\n" +
+        p.take(1200))
+  }
+
+  test("corpus_source_cap rank filter pushes a WindowGroupLimit") {
+    // rank <= K must pre-limit map-side (the sample_reservoir shape) so
+    // the exchange carries O(sources*K) rows at any corpus size
+    val p = SparkEntry.queries("corpus_source_cap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("sim_mips_topk broadcasts the probe and take-orders the top-k") {
+    val p = SparkEntry.queries("sim_mips_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
 }

@@ -1128,6 +1128,30 @@ def rules():
         # invariant (same argument as graph_components) -> identical cores
         "graph_kcore": {"rows": ("==",), "cols": {
             "in_core": ("==", 0)}, "nonneg": ["in_core", "vid"]},
+        # ---- r15b second batch (5 keys). Derivations:
+        # HL pseudomedian: the value domain repeats verbatim; cross-value
+        # pair masses scale xF^2 but same-value masses scale w(w-1)/2 ->
+        # Fw(Fw-1)/2 (not xF^2), so the weighted median can move one
+        # domain gap at a boundary — 1% tolerance, one gap is ~0.2%
+        "agg_hodges_lehmann": {"rows": ("==",), "cols": {
+            "hl_x2": ("==", 0.01), "hl": ("==", 0.01)},
+            "nonneg": ["hl_x2"]},
+        # corpus replicas carry IDENTICAL payloads at shifted vec_ids, so
+        # the scaled top-10 is the ref top-ranks' replica copies — row
+        # count pinned, dot values recorded (max equals ref by construction
+        # but the rule grammar asserts min AND max together)
+        "sim_mips_topk": {"rows": ("==",)},
+        # always a k=3 release; counts xF widen the gaps so the seeded
+        # Gumbel perturbation flips selection with lower, not higher,
+        # probability — selection recorded, rank domain pinned
+        "privacy_dp_topk": {"rows": ("==",), "cols": {
+            "rk": ("==", 0)}, "nonneg": ["n", "rk"]},
+        "window_seasonal_ewma": {"rows": ("x", F), "cols": {
+            "slot": ("==", 0)}, "nonneg": ["sea_c", "slot"]},
+        # 20 sources x K=15 survivors at any corpus size; the hash-order
+        # winners legitimately change under xC (new doc_ids) — rk pinned
+        "corpus_source_cap": {"rows": ("==",), "cols": {
+            "rk": ("==", 0)}, "nonneg": ["rk", "doc_id"]},
     }
 
 
