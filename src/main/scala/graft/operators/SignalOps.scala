@@ -740,9 +740,306 @@ object SignalOps {
             SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
             FROM r WHERE rk <= 15 ORDER BY source, rk"""))
 
+  // Day-over-day movers report: the top-5 (event_type, day) cells by
+  // absolute count change vs the previous day — the "what changed
+  // yesterday" ops report. Daily counts collapse first (one partial→final
+  // aggregate — the lag window rides the tiny (type, day) relation,
+  // bounded by the calendar × type domain, never rows), change published
+  // as exact integers + one basis-point ratio.
+  private val eventDodMovers = Op(
+    "event_dod_movers",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_ddm")
+      s.sql("""
+        WITH dc AS (SELECT event_type,
+                           unix_timestamp(ts) div 86400 AS day,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM events_ddm GROUP BY 1, 2),
+             lg AS (SELECT event_type, day, n,
+                           LAG(n) OVER (PARTITION BY event_type
+                             ORDER BY day) AS prev_n
+                    FROM dc),
+             ch AS (SELECT event_type, CAST(day AS BIGINT) AS day, n,
+                           prev_n, n - prev_n AS chg,
+                           abs(n - prev_n) AS achg
+                    FROM lg WHERE prev_n IS NOT NULL),
+             rk AS (SELECT *, row_number() OVER (ORDER BY achg DESC,
+                             event_type, day) AS rn
+                    FROM ch)
+        SELECT CAST(rn AS BIGINT) AS rn, event_type, day, n,
+               CAST(prev_n AS BIGINT) AS prev_n, CAST(chg AS BIGINT) AS chg,
+               CAST(achg * 10000 AS BIGINT) div prev_n AS achg_bp
+        FROM rk WHERE rn <= 5 ORDER BY rn""")
+    },
+    Some("""WITH dc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+                 lg AS (SELECT event_type, day, n,
+                               LAG(n) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS prev_n
+                        FROM dc),
+                 ch AS (SELECT event_type, CAST(day AS BIGINT) AS day, n,
+                               prev_n, n - prev_n AS chg,
+                               abs(n - prev_n) AS achg
+                        FROM lg WHERE prev_n IS NOT NULL),
+                 rk AS (SELECT *, row_number() OVER (ORDER BY achg DESC,
+                                 event_type, day) AS rn
+                        FROM ch)
+            SELECT CAST(rn AS BIGINT) AS rn, event_type, day, n,
+                   CAST(prev_n AS BIGINT) AS prev_n,
+                   CAST(chg AS BIGINT) AS chg,
+                   CAST(achg * 10000 AS BIGINT) // prev_n AS achg_bp
+            FROM rk WHERE rn <= 5 ORDER BY rn"""))
+
+  // Candidate-key discovery over the orders schema: for each declared
+  // candidate column set, one COUNT(DISTINCT …) vs COUNT(*) uniqueness
+  // ratio plus the is-key verdict — the schema-profiling step a warehouse
+  // runs before declaring constraints. Each candidate is one partial→final
+  // aggregate over hashed composites (no row explosion); candidates UNION
+  // into one report. Exact integers, one bp ratio.
+  private val dqKeyDiscovery = Op(
+    "dq_key_discovery",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_kd")
+      s.sql("""
+        WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders_kd)
+        SELECT c.candidate, c.n_distinct, t.n,
+               c.n_distinct * 10000 div t.n AS uniq_bp,
+               CAST(CASE WHEN c.n_distinct = t.n THEN 1 ELSE 0 END AS INT)
+                 AS is_key
+        FROM (
+          SELECT 'o_orderkey' AS candidate,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+          FROM orders_kd
+          UNION ALL
+          SELECT 'o_custkey',
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders_kd
+          UNION ALL
+          SELECT 'o_custkey+o_orderdate',
+                 CAST(COUNT(DISTINCT concat(CAST(o_custkey AS STRING), '|',
+                   CAST(unix_timestamp(o_orderdate) AS STRING))) AS BIGINT)
+          FROM orders_kd
+          UNION ALL
+          SELECT 'o_orderstatus+o_orderpriority',
+                 CAST(COUNT(DISTINCT concat(o_orderstatus, '|',
+                   o_orderpriority)) AS BIGINT) FROM orders_kd
+        ) c CROSS JOIN t
+        ORDER BY candidate""")
+    },
+    Some("""WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+            SELECT c.candidate, c.n_distinct, t.n,
+                   c.n_distinct * 10000 // t.n AS uniq_bp,
+                   CAST(CASE WHEN c.n_distinct = t.n THEN 1 ELSE 0 END
+                     AS INT) AS is_key
+            FROM (
+              SELECT 'o_orderkey' AS candidate,
+                     CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_distinct
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey',
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT 'o_custkey+o_orderdate',
+                     CAST(COUNT(DISTINCT (CAST(o_custkey AS VARCHAR) || '|'
+                       || CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                               AS VARCHAR))) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus+o_orderpriority',
+                     CAST(COUNT(DISTINCT (o_orderstatus || '|' ||
+                       o_orderpriority)) AS BIGINT) FROM orders
+            ) c CROSS JOIN t
+            ORDER BY candidate"""))
+
+  // Local-DP randomized response: each row's sensitive bit (is this a
+  // high-value order?) flips with p=1/4 decided by a SEEDED md5 of the row
+  // key, and the unbiased de-biasing estimator recovers the population
+  // rate: p̂ = (observed − p·n)/(1 − 2p). The LOCAL-privacy counterpart of
+  // the central-DP keys (dp_count/histogram/topk): noise enters per ROW
+  // before aggregation, the aggregate is plain exact counting. Same gate
+  // caveat as the rest of the suite: seeded = deterministic for the
+  // correctness gate, a CSPRNG per row is the production change. Flip
+  // decisions are map-side hash math; one partial→final count.
+  private val privacyRandomizedResponse = Op(
+    "privacy_randomized_response",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_rr")
+      s.sql("""
+        WITH b AS (SELECT o_orderpriority,
+                          CASE WHEN o_totalprice >= 250000 THEN 1 ELSE 0
+                            END AS truth,
+                          CASE WHEN CAST(conv(substring(md5(concat('rr:',
+                            CAST(o_orderkey AS STRING))), 1, 15), 16, 10)
+                            AS BIGINT) % 4 = 0 THEN 1 ELSE 0 END AS flip
+                   FROM orders_rr),
+             o AS (SELECT o_orderpriority,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(truth) AS BIGINT) AS true_cnt,
+                          CAST(SUM(CASE WHEN flip = 1 THEN 1 - truth
+                                        ELSE truth END) AS BIGINT) AS obs
+                   FROM b GROUP BY 1)
+        SELECT o_orderpriority, n, true_cnt, obs,
+               round((obs - 0.25D * n) / (0.5D * n), 6) AS est_rate,
+               round(CAST(true_cnt AS DOUBLE) / n, 6) AS true_rate
+        FROM o ORDER BY o_orderpriority""")
+    },
+    Some("""WITH b AS (SELECT o_orderpriority,
+                              CASE WHEN o_totalprice >= 250000 THEN 1
+                                ELSE 0 END AS truth,
+                              CASE WHEN ('0x' || substr(md5('rr:' ||
+                                CAST(o_orderkey AS VARCHAR)), 1, 15))
+                                ::BIGINT % 4 = 0 THEN 1 ELSE 0 END AS flip
+                       FROM orders),
+                 o AS (SELECT o_orderpriority,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(truth) AS BIGINT) AS true_cnt,
+                              CAST(SUM(CASE WHEN flip = 1 THEN 1 - truth
+                                            ELSE truth END) AS BIGINT)
+                                AS obs
+                       FROM b GROUP BY 1)
+            SELECT o_orderpriority, n, true_cnt, obs,
+                   round((obs - 0.25 * n) / (0.5 * n), 6) AS est_rate,
+                   round(CAST(true_cnt AS DOUBLE) / n, 6) AS true_rate
+            FROM o ORDER BY o_orderpriority"""))
+
+  // Cross-source duplication matrix: for every unordered source pair, how
+  // many normalized texts appear in BOTH — the "which crawls duplicate
+  // each other" contamination audit that decides source-level dedup
+  // ordering. Collapses to DISTINCT (norm-text-hash, source) first (the
+  // dedup_exact key), so the pair join runs on text-group survivors with
+  // per-text source lists bounded by the source count — never a row-level
+  // self-join. Exact counts only.
+  private val dedupCrossSourceMatrix = Op(
+    "dedup_cross_source_matrix",
+    (s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("documents_xs")
+      // the full unordered-pair grid publishes (zero-filled) so the report
+      // is a complete matrix at every SF — absence of contamination is a
+      // result, not an empty relation
+      s.sql("""
+        WITH g AS (SELECT DISTINCT
+                          md5(trim(regexp_replace(lower(text), '\\s+', ' ')))
+                            AS h,
+                          source
+                   FROM documents_xs),
+             srcs AS (SELECT DISTINCT source FROM documents_xs),
+             grid AS (SELECT a.source AS src_a, b.source AS src_b
+                      FROM srcs a JOIN srcs b ON a.source < b.source),
+             hit AS (SELECT a.source AS src_a, b.source AS src_b,
+                            CAST(COUNT(*) AS BIGINT) AS shared_texts
+                     FROM g a JOIN g b ON a.h = b.h
+                                      AND a.source < b.source
+                     GROUP BY 1, 2)
+        SELECT grid.src_a, grid.src_b,
+               COALESCE(hit.shared_texts, CAST(0 AS BIGINT))
+                 AS shared_texts
+        FROM grid LEFT JOIN hit ON grid.src_a = hit.src_a
+                               AND grid.src_b = hit.src_b
+        ORDER BY src_a, src_b""")
+    },
+    Some("""WITH g AS (SELECT DISTINCT
+                              md5(trim(regexp_replace(lower(text), '\s+',
+                                ' ', 'g'))) AS h,
+                              source
+                       FROM documents),
+                 srcs AS (SELECT DISTINCT source FROM documents),
+                 grid AS (SELECT a.source AS src_a, b.source AS src_b
+                          FROM srcs a JOIN srcs b ON a.source < b.source),
+                 hit AS (SELECT a.source AS src_a, b.source AS src_b,
+                                CAST(COUNT(*) AS BIGINT) AS shared_texts
+                         FROM g a JOIN g b ON a.h = b.h
+                                          AND a.source < b.source
+                         GROUP BY 1, 2)
+            SELECT grid.src_a, grid.src_b,
+                   COALESCE(hit.shared_texts, CAST(0 AS BIGINT))
+                     AS shared_texts
+            FROM grid LEFT JOIN hit ON grid.src_a = hit.src_a
+                                   AND grid.src_b = hit.src_b
+            ORDER BY grid.src_a, grid.src_b"""))
+
+  // Keltner-style channel per part: dyadic-integer EMA centerline ± 2 ×
+  // trailing-14 mean absolute move (the true-range analog for a
+  // single-price series) — the volatility-banded sibling of
+  // window_donchian's range channel and window_bollinger's ±σ. The EMA
+  // runs in the window_ewma integer recursion (mapPartitions, O(1)
+  // state); the band math is one ROWS-bounded frame over the SAME sort,
+  // published as exact integer cents via floor division.
+  private val windowKeltner = Op(
+    "window_keltner",
+    (s, d) => {
+      import s.implicits._
+      // the band frame, the EMA recursion, and the output all ride ONE
+      // total order (shipdate, orderkey, linenumber) — (orderkey,
+      // linenumber) alone is NOT unique in the synthetic lineitem, and a
+      // ROWS frame over a non-total order is engine-nondeterministic. rn
+      // pins that order once; every later sort/frame keys on it.
+      val base = t(s, d, "lineitem")
+        .where(col("l_partkey") <= 100)
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")))
+        .select(col("l_partkey"), col("rn"), col("c"))
+        .repartition(col("l_partkey"))
+        .sortWithinPartitions("l_partkey", "rn")
+        .as[(Long, Int, Long)]
+        .mapPartitions { it =>
+          var curPart = Long.MinValue
+          var ema = 0L; var prev = 0L
+          it.map { case (p, rn, c) =>
+            val tr = if (p != curPart) 0L else math.abs(c - prev)
+            ema = if (p != curPart) c else (c + ema) / 2
+            curPart = p; prev = c
+            (p, rn, c, ema, tr)
+          }
+        }
+        .toDF("l_partkey", "rn", "c", "ema_c", "tr")
+      base.createOrReplaceTempView("keltner_base")
+      s.sql("""
+        SELECT l_partkey, CAST(rn AS BIGINT) AS rn, c, ema_c,
+               ema_c + 2 * (CAST(SUM(tr) OVER w AS BIGINT)
+                 div COUNT(*) OVER w) AS upper_c,
+               ema_c - 2 * (CAST(SUM(tr) OVER w AS BIGINT)
+                 div COUNT(*) OVER w) AS lower_c
+        FROM keltner_base
+        WINDOW w AS (PARTITION BY l_partkey ORDER BY rn
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ORDER BY l_partkey, rn""")
+    },
+    Some("""WITH RECURSIVE b AS (
+              SELECT l_partkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                     row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+              FROM lineitem WHERE l_partkey <= 100),
+            r(l_partkey, rn, c, ema, tr) AS (
+              SELECT l_partkey, rn, c, c, CAST(0 AS BIGINT)
+              FROM b WHERE rn = 1
+              UNION ALL
+              SELECT b.l_partkey, b.rn, b.c,
+                     (b.c + r.ema) // 2, abs(b.c - r.c)
+              FROM b JOIN r ON b.l_partkey = r.l_partkey
+                           AND b.rn = r.rn + 1)
+            SELECT l_partkey, CAST(rn AS BIGINT) AS rn, c, ema AS ema_c,
+                   ema + 2 * (CAST(SUM(tr) OVER w AS BIGINT)
+                     // COUNT(*) OVER w) AS upper_c,
+                   ema - 2 * (CAST(SUM(tr) OVER w AS BIGINT)
+                     // COUNT(*) OVER w) AS lower_c
+            FROM r
+            WINDOW w AS (PARTITION BY l_partkey ORDER BY rn
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+            ORDER BY l_partkey, rn"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
       textStopwordProfile, textPunctProfile, aggHodgesLehmann,
-      simMipsTopk, privacyDpTopk, windowSeasonalEwma, corpusSourceCap)
+      simMipsTopk, privacyDpTopk, windowSeasonalEwma, corpusSourceCap,
+      eventDodMovers, dqKeyDiscovery, privacyRandomizedResponse,
+      dedupCrossSourceMatrix, windowKeltner)
 }

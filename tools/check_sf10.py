@@ -1152,6 +1152,32 @@ def rules():
         # winners legitimately change under xC (new doc_ids) — rk pinned
         "corpus_source_cap": {"rows": ("==",), "cols": {
             "rk": ("==", 0)}, "nonneg": ["rk", "doc_id"]},
+        # ---- r15b third batch (5 keys). Derivations:
+        # daily counts scale xF uniformly -> same top-5 cells, counts xF,
+        # achg_bp floor-division-invariant ((F*a*1e4) div (F*p))
+        "event_dod_movers": {"rows": ("==",), "cols": {
+            "rn": ("==", 0), "day": ("==", 0), "n": ("x", F, 0),
+            "prev_n": ("x", F, 0), "chg": ("x", F, 0),
+            "achg_bp": ("==", 0)}, "nonneg": ["n", "prev_n"]},
+        # orderkey distinct scales xF (shifted keys stay distinct) while
+        # custkey/date/status candidates are replica-invariant -> min/max
+        # of n_distinct mix both behaviors; row count and key verdicts pin
+        "dq_key_discovery": {"rows": ("==",), "cols": {
+            "is_key": ("==", 0)}, "nonneg": ["n_distinct", "uniq_bp"]},
+        # flips key on md5(o_orderkey) and replicas get NEW orderkeys ->
+        # obs/est re-randomize (recorded); truth repeats verbatim
+        "privacy_randomized_response": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "true_cnt": ("x", F, 0),
+            "true_rate": ("==", 1e-9)},
+            "nonneg": ["n", "true_cnt", "obs"]},
+        # text/source payloads repeat verbatim -> the distinct
+        # (text-hash, source) relation and hence the matrix are identical
+        "dedup_cross_source_matrix": {"rows": ("==",), "cols": {
+            "shared_texts": ("==", 0)}, "nonneg": ["shared_texts"]},
+        # per-fact-row channel: rows xF; ema is a convex integer combo of
+        # cents (nonneg); lower_c may legitimately go negative (band wider
+        # than the price floor), so only the centerline is a canary
+        "window_keltner": {"rows": ("x", F), "nonneg": ["c", "ema_c", "rn"]},
     }
 
 
