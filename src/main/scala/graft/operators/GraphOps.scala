@@ -467,19 +467,7 @@ object GraphOps {
       // 42 s vs 10 s at sf10) — checkpoint cuts the loop's lineage to the
       // ~|V|-row cached edge relation, the graph_bfs_hops discipline
       val edges = supplyEdges(s, d).localCheckpoint()
-      var alive = edges.select(col("src").as("vid")).distinct()
-      for (_ <- 1 to 4) {
-        val e2 = edges
-          .join(broadcast(alive.withColumnRenamed("vid", "sv")),
-            col("src") === col("sv"))
-          .join(broadcast(alive.withColumnRenamed("vid", "dv")),
-            col("dst") === col("dv"))
-          .select("src", "dst")
-        alive = e2.groupBy(col("src").as("vid"))
-          .agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= 2)
-          .select("vid")
-      }
+      val alive = peelSurvivors(edges, 2)
       nodes(s, d)
         .join(alive.withColumn("in_core", lit(1)), Seq("vid"), "left")
         .select(col("vid"),
@@ -512,7 +500,79 @@ object GraphOps {
              FROM nodes n LEFT JOIN a4 ON n.vid = a4.vid
              ORDER BY n.vid"""))
 
+  /** 4-round k-peel survivors over a checkpointed edge relation (the
+    * graph_kcore inner loop, parameterized by k). */
+  private def peelSurvivors(edges: DataFrame, k: Int): DataFrame = {
+    var alive = edges.select(col("src").as("vid")).distinct()
+    for (_ <- 1 to 4) {
+      val e2 = edges
+        .join(broadcast(alive.withColumnRenamed("vid", "sv")),
+          col("src") === col("sv"))
+        .join(broadcast(alive.withColumnRenamed("vid", "dv")),
+          col("dst") === col("dv"))
+        .select("src", "dst")
+      alive = e2.groupBy(col("src").as("vid"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select("vid")
+    }
+    alive
+  }
+
+  /** Unrolled 4-round k-peel as DuckDB CTEs named `<p>4` over `edges`. */
+  private def peelCtes(p: String, k: Int): String = {
+    val rounds = (1 to 4).map { i =>
+      val prev = if (i == 1) s"${p}0" else s"$p${i - 1}"
+      s"""${p}e$i AS (SELECT e.src, e.dst FROM edges e
+         JOIN $prev s ON e.src = s.vid JOIN $prev t ON e.dst = t.vid),
+         $p$i AS (SELECT src AS vid FROM ${p}e$i
+                  GROUP BY src HAVING count(*) >= $k)"""
+    }.mkString(",\n")
+    s"""${p}0 AS (SELECT DISTINCT src AS vid FROM edges),
+       $rounds"""
+  }
+
+  // Core decomposition (bounded): each vertex's core NUMBER capped at 3 —
+  // the max k ∈ {1,2,3} whose 4-round k-peel it survives (0 = isolated).
+  // The coreness label orders dedup/sampling priority in graph-shaped
+  // corpora the way quality scores do in text ones. Three independent
+  // bounded peels over ONE checkpointed edge relation (each round a
+  // broadcast semi-join + map-side degree count); the label assembles from
+  // nested left joins. Same bounded-algebra contract as graph_kcore: both
+  // engines run identical round counts, no fixpoint detection.
+  private val graphCoreDecompose = Op(
+    "graph_core_decompose",
+    (s, d) => {
+      val edges = supplyEdges(s, d).localCheckpoint()
+      val c1 = peelSurvivors(edges, 1).withColumn("k1", lit(1))
+      val c2 = peelSurvivors(edges, 2).withColumn("k2", lit(1))
+      val c3 = peelSurvivors(edges, 3).withColumn("k3", lit(1))
+      nodes(s, d)
+        .join(c1, Seq("vid"), "left").join(c2, Seq("vid"), "left")
+        .join(c3, Seq("vid"), "left")
+        .select(col("vid"),
+          (coalesce(col("k1"), lit(0)) + coalesce(col("k2"), lit(0)) +
+            coalesce(col("k3"), lit(0))).cast("int").as("core"))
+        .orderBy("vid")
+    },
+    Some(s"""WITH $oracleEdgeCte,
+             ${peelCtes("ca", 1)},
+             ${peelCtes("cb", 2)},
+             ${peelCtes("cc", 3)},
+             nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS vid
+                       FROM nation)
+             SELECT n.vid,
+                    CAST((CASE WHEN ca4.vid IS NOT NULL THEN 1 ELSE 0 END)
+                       + (CASE WHEN cb4.vid IS NOT NULL THEN 1 ELSE 0 END)
+                       + (CASE WHEN cc4.vid IS NOT NULL THEN 1 ELSE 0 END)
+                      AS INT) AS core
+             FROM nodes n
+             LEFT JOIN ca4 ON n.vid = ca4.vid
+             LEFT JOIN cb4 ON n.vid = cb4.vid
+             LEFT JOIN cc4 ON n.vid = cc4.vid
+             ORDER BY n.vid"""))
+
   val ops: Seq[Op] = Seq(graphComponents, graphBfsHops, graphLinkPredict,
     graphClusteringCoeff, graphSsspWeighted, graphDegreeDist,
-    graphReciprocity, graphAssortativity, graphKcore)
+    graphReciprocity, graphAssortativity, graphKcore, graphCoreDecompose)
 }

@@ -3317,7 +3317,44 @@ object LlmOps {
               floor(10000.0 / (1.0 + exp(-z)) + 0.5) / 10000.0 >= 0.5 AS keep
             FROM z ORDER BY doc_id"""))
 
+  // Near-dup threshold calibration sweep: how many candidate pairs clear
+  // each Jaccard cutoff 0.5..1.0 — the report that decides WHERE to set
+  // the dedup threshold before committing to a corpus-wide pass (too low
+  // deletes paraphrases, too high keeps templates). Rides the SAME capped
+  // shared-shingle candidate join as dedup_ngram_jaccard (one cached
+  // materialization per session, MaxShingleDf skew guard), so the sweep
+  // costs one groupBy more than the pair listing. Jaccard quantizes to an
+  // exact integer bp (round-4 × 10⁴) before the threshold compare — no
+  // float boundary can split the engines; thresholds left-join so a
+  // clean corpus publishes zeros, not an empty relation.
+  private val dedupThresholdSweep = Op(
+    "dedup_threshold_sweep",
+    (s, d) => {
+      val j = shingleIntersectionsFrom(t(s, d, "documents"))
+        .select(expr("CAST(round(round(i / CAST(ns_a + ns_b - i AS DOUBLE)"
+          + ", 4) * 10000) AS BIGINT)").as("j_bp"))
+      val th = s.range(5, 11).select((col("id") * 1000).as("t_bp"))
+      th.join(j, col("j_bp") >= col("t_bp"), "left")
+        .groupBy("t_bp")
+        .agg(sum(when(col("j_bp").isNotNull, 1L).otherwise(0L))
+          .as("n_pairs_ge"))
+        .orderBy("t_bp")
+    },
+    Some(s"""WITH $jaccardCtes,
+            jall AS (SELECT CAST(round(round(i * 1.0 / (na.ns + nb.ns - i),
+                            4) * 10000) AS BIGINT) AS j_bp
+                     FROM inter
+                     JOIN sizes na ON na.doc_id = doc_a
+                     JOIN sizes nb ON nb.doc_id = doc_b),
+            th AS (SELECT unnest(range(5, 11)) * 1000 AS t_bp)
+            SELECT CAST(t_bp AS BIGINT) AS t_bp,
+                   CAST(SUM(CASE WHEN j.j_bp IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pairs_ge
+            FROM th LEFT JOIN jall j ON j.j_bp >= th.t_bp
+            GROUP BY t_bp ORDER BY t_bp"""))
+
   val ops: Seq[Op] = Seq(
+    dedupThresholdSweep,
     qualityLogisticScore,
     textReadability, corpusFilterSweep, textHeapsFit, corpusShardBalance,
     corpusEpochShuffle, textVocabCoverage, embProductQuantize,

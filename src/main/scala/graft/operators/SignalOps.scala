@@ -1035,11 +1035,142 @@ object SignalOps {
                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
             ORDER BY l_partkey, rn"""))
 
+  // Iterative proportional fitting (raking) of the (status × priority)
+  // contingency table to uniform target margins — the survey-weighting /
+  // post-stratification step, run as TWO unrolled row-scale→column-scale
+  // rounds. Weights quantize to exact 1e-6 BIGINTs after EVERY scaling
+  // (the privacy-suite discipline), so the fixed-round algebra is
+  // bit-identical on both engines — no convergence detection to diverge
+  // on. The cell table is bounded by the category domain (|status|×|prio|),
+  // so after one partial→final count the whole fit is O(cells).
+  private val aggRakingIpf = Op(
+    "agg_raking_ipf",
+    (s, d) => {
+      // ONE orders scan: Spark re-derives a CTE per reference, and the
+      // raking SQL references the cell/total relations six times — the
+      // 15-row cell table materializes once (localCheckpoint) and the SQL
+      // runs over it, O(cells) from there
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+        .createOrReplaceTempView("ipf_cells")
+      s.sql("""
+        WITH c AS (SELECT st, pr, n FROM ipf_cells),
+             tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                            CAST(COUNT(DISTINCT st) AS BIGINT) AS ns,
+                            CAST(COUNT(DISTINCT pr) AS BIGINT) AS np
+                     FROM c),
+             w0 AS (SELECT st, pr, n * 1000000 AS wq FROM c),
+             r1 AS (SELECT st, pr,
+                           CAST(round(wq * (CAST(t AS DOUBLE) / ns)
+                             / CAST(SUM(wq) OVER (PARTITION BY st)
+                                    AS DOUBLE)) AS BIGINT) AS wq
+                    FROM w0 CROSS JOIN tot),
+             c1 AS (SELECT st, pr,
+                           CAST(round(wq * (CAST(t AS DOUBLE) / np)
+                             / CAST(SUM(wq) OVER (PARTITION BY pr)
+                                    AS DOUBLE)) AS BIGINT) AS wq
+                    FROM r1 CROSS JOIN tot),
+             r2 AS (SELECT st, pr,
+                           CAST(round(wq * (CAST(t AS DOUBLE) / ns)
+                             / CAST(SUM(wq) OVER (PARTITION BY st)
+                                    AS DOUBLE)) AS BIGINT) AS wq
+                    FROM c1 CROSS JOIN tot),
+             c2 AS (SELECT st, pr,
+                           CAST(round(wq * (CAST(t AS DOUBLE) / np)
+                             / CAST(SUM(wq) OVER (PARTITION BY pr)
+                                    AS DOUBLE)) AS BIGINT) AS wq
+                    FROM r2 CROSS JOIN tot)
+        SELECT c2.st, c2.pr, c.n, c2.wq AS weight_q
+        FROM c2 JOIN c ON c.st = c2.st AND c.pr = c2.pr
+        ORDER BY c2.st, c2.pr""")
+    },
+    Some("""WITH c AS (SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1, 2),
+                 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+                                CAST(COUNT(DISTINCT st) AS BIGINT) AS ns,
+                                CAST(COUNT(DISTINCT pr) AS BIGINT) AS np
+                         FROM c),
+                 w0 AS (SELECT st, pr, n * 1000000 AS wq FROM c),
+                 r1 AS (SELECT st, pr,
+                               CAST(round(wq * (CAST(t AS DOUBLE) / ns)
+                                 / CAST(SUM(wq) OVER (PARTITION BY st)
+                                        AS DOUBLE)) AS BIGINT) AS wq
+                        FROM w0 CROSS JOIN tot),
+                 c1 AS (SELECT st, pr,
+                               CAST(round(wq * (CAST(t AS DOUBLE) / np)
+                                 / CAST(SUM(wq) OVER (PARTITION BY pr)
+                                        AS DOUBLE)) AS BIGINT) AS wq
+                        FROM r1 CROSS JOIN tot),
+                 r2 AS (SELECT st, pr,
+                               CAST(round(wq * (CAST(t AS DOUBLE) / ns)
+                                 / CAST(SUM(wq) OVER (PARTITION BY st)
+                                        AS DOUBLE)) AS BIGINT) AS wq
+                        FROM c1 CROSS JOIN tot),
+                 c2 AS (SELECT st, pr,
+                               CAST(round(wq * (CAST(t AS DOUBLE) / np)
+                                 / CAST(SUM(wq) OVER (PARTITION BY pr)
+                                        AS DOUBLE)) AS BIGINT) AS wq
+                        FROM r2 CROSS JOIN tot)
+            SELECT c2.st, c2.pr, c.n, c2.wq AS weight_q
+            FROM c2 JOIN c ON c.st = c2.st AND c.pr = c2.pr
+            ORDER BY c2.st, c2.pr"""))
+
+  // Triangular-weighted moving average of daily event counts per type
+  // (weights 7..1 over the trailing week — the lag-k spelling, all seven
+  // lags sharing ONE sort): numerator exact BIGINT, published in exact
+  // milli-units via floor division by the weight sum 28. Rows before a
+  // full 7-day history drop (the standard WMA warm-up convention). The
+  // lag window rides the collapsed calendar×type domain, never rows.
+  private val resampleWma = Op(
+    "resample_wma",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_wma")
+      s.sql("""
+        WITH dc AS (SELECT event_type,
+                           unix_timestamp(ts) div 86400 AS day,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM events_wma GROUP BY 1, 2),
+             lg AS (SELECT event_type, CAST(day AS BIGINT) AS day, n,
+                           LAG(n, 1) OVER w AS n1, LAG(n, 2) OVER w AS n2,
+                           LAG(n, 3) OVER w AS n3, LAG(n, 4) OVER w AS n4,
+                           LAG(n, 5) OVER w AS n5, LAG(n, 6) OVER w AS n6
+                    FROM dc
+                    WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        SELECT event_type, day, n,
+               (7*n + 6*n1 + 5*n2 + 4*n3 + 3*n4 + 2*n5 + 1*n6) * 1000
+                 div 28 AS wma_milli
+        FROM lg WHERE n6 IS NOT NULL
+        ORDER BY event_type, day""")
+    },
+    Some("""WITH dc AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                 AS day,
+                               CAST(COUNT(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+                 lg AS (SELECT event_type, CAST(day AS BIGINT) AS day, n,
+                               LAG(n, 1) OVER w AS n1,
+                               LAG(n, 2) OVER w AS n2,
+                               LAG(n, 3) OVER w AS n3,
+                               LAG(n, 4) OVER w AS n4,
+                               LAG(n, 5) OVER w AS n5,
+                               LAG(n, 6) OVER w AS n6
+                        FROM dc
+                        WINDOW w AS (PARTITION BY event_type ORDER BY day))
+            SELECT event_type, day, n,
+                   (7*n + 6*n1 + 5*n2 + 4*n3 + 3*n4 + 2*n5 + 1*n6) * 1000
+                     // 28 AS wma_milli
+            FROM lg WHERE n6 IS NOT NULL
+            ORDER BY event_type, day"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
       textStopwordProfile, textPunctProfile, aggHodgesLehmann,
       simMipsTopk, privacyDpTopk, windowSeasonalEwma, corpusSourceCap,
       eventDodMovers, dqKeyDiscovery, privacyRandomizedResponse,
-      dedupCrossSourceMatrix, windowKeltner)
+      dedupCrossSourceMatrix, windowKeltner, aggRakingIpf, resampleWma)
 }

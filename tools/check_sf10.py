@@ -1178,6 +1178,27 @@ def rules():
         # cents (nonneg); lower_c may legitimately go negative (band wider
         # than the price floor), so only the centerline is a canary
         "window_keltner": {"rows": ("x", F), "nonneg": ["c", "ema_c", "rn"]},
+        # ---- r15b fourth batch (4 keys). Derivations:
+        # corpus xC multiplies shingle df past the MaxShingleDf cap, so the
+        # candidate pair set legitimately changes (the same reason the
+        # minhash pair keys carry floors) — the 6 threshold rows pin
+        "dedup_threshold_sweep": {"rows": ("==",), "cols": {
+            "t_bp": ("==", 0)}, "nonneg": ["n_pairs_ge", "t_bp"]},
+        # edge set invariant (the mod-7 argument) -> identical core labels
+        "graph_core_decompose": {"rows": ("==",), "cols": {
+            "core": ("==", 0)}, "nonneg": ["core", "vid"]},
+        # cell counts xF; raking ratios are scale-invariant, so quantized
+        # weights scale xF up to the re-quantization error — which is
+        # ABSOLUTE (±0.5 micro-unit per scaling round, 4 rounds), so on
+        # ~1e4-scale weights the relative tolerance is ~2e-4, not 1e-6
+        "agg_raking_ipf": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "weight_q": ("x", F, 1e-3)},
+            "nonneg": ["n", "weight_q"]},
+        # daily counts xF; floor-by-28 introduces <= 1 milli absolute vs a
+        # ~1e6 value at sf10 -> 1e-4 relative covers it
+        "resample_wma": {"rows": ("==",), "cols": {
+            "day": ("==", 0), "n": ("x", F, 0),
+            "wma_milli": ("x", F, 1e-4)}, "nonneg": ["n", "wma_milli"]},
     }
 
 
