@@ -1166,11 +1166,57 @@ object SignalOps {
             FROM lg WHERE n6 IS NOT NULL
             ORDER BY event_type, day"""))
 
+  // SQL scripting (Spark 4.1 BEGIN…END procedural blocks): DECLARE'd
+  // variables + a WHILE loop with a scalar-subquery assignment, finding
+  // the smallest 50k price threshold whose exceedance share drops below
+  // 10% — the grid-search shape analysts write procedurally. The loop
+  // body scans a PRE-AGGREGATED 10-row bucket histogram (one
+  // partial→final pass over orders happens ONCE, before the script), so
+  // the procedural iteration costs O(grid · buckets) regardless of
+  // volume — the only scale-safe way to put a loop around big data.
+  // The oracle replays the loop's fixpoint declaratively (first grid
+  // point satisfying the exit condition — identical by construction).
+  private val sqlScripting = Op(
+    "sql_scripting",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_scr")
+      s.sql("""
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) div 5000000 AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders_scr GROUP BY 1""").createOrReplaceTempView("orders_hist")
+      s.sql("""
+        BEGIN
+          DECLARE t BIGINT DEFAULT -1;
+          DECLARE share BIGINT DEFAULT 10000;
+          WHILE share >= 1000 DO
+            SET t = t + 1;
+            SET share = (SELECT COALESCE(SUM(CASE WHEN b > t THEN n
+                                ELSE 0 END), 0) * 10000 div SUM(n)
+                         FROM orders_hist);
+          END WHILE;
+          SELECT t * 50000 AS threshold, share AS share_bp;
+        END""")
+    },
+    Some("""WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                // 5000000 AS b,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1),
+                 grid AS (SELECT unnest(range(0, 20)) AS t),
+                 sh AS (SELECT g.t,
+                               CAST(COALESCE(SUM(CASE WHEN h.b > g.t
+                                 THEN h.n ELSE 0 END), 0) * 10000 AS BIGINT)
+                                 // (SELECT CAST(SUM(n) AS BIGINT) FROM h)
+                                 AS share_bp
+                        FROM grid g CROSS JOIN h GROUP BY g.t)
+            SELECT CAST(t * 50000 AS BIGINT) AS threshold, share_bp
+            FROM sh WHERE share_bp < 1000 ORDER BY t LIMIT 1"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
       textStopwordProfile, textPunctProfile, aggHodgesLehmann,
       simMipsTopk, privacyDpTopk, windowSeasonalEwma, corpusSourceCap,
       eventDodMovers, dqKeyDiscovery, privacyRandomizedResponse,
-      dedupCrossSourceMatrix, windowKeltner, aggRakingIpf, resampleWma)
+      dedupCrossSourceMatrix, windowKeltner, aggRakingIpf, resampleWma,
+      sqlScripting)
 }

@@ -1199,6 +1199,11 @@ def rules():
         "resample_wma": {"rows": ("==",), "cols": {
             "day": ("==", 0), "n": ("x", F, 0),
             "wma_milli": ("x", F, 1e-4)}, "nonneg": ["n", "wma_milli"]},
+        # totalprice repeats verbatim -> bucket shares are floor-division-
+        # invariant -> the scripted grid search exits at the same threshold
+        "sql_scripting": {"rows": ("==",), "cols": {
+            "threshold": ("==", 0), "share_bp": ("==", 0)},
+            "nonneg": ["threshold", "share_bp"]},
     }
 
 
