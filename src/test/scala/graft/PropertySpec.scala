@@ -343,4 +343,78 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("HL pseudomedian: domain-collapsed weighted median equals the " +
+    "naive all-pairs computation") {
+    // agg_hodges_lehmann never enumerates row pairs — it pairs the
+    // distinct-value domain with multiplicities (cross pairs w1·w2,
+    // same-value pairs w(w−1)/2) and takes the lower weighted median of
+    // pair SUMS. Prove the collapse is exact against the naive O(n²)
+    // spelling on generated multisets.
+    val xs: Gen[List[Long]] =
+      Gen.listOfN(12, Gen.chooseNum(0L, 9L)).map(_ :+ 3L) // >=2 elems, ties
+    forAll(xs) { vs =>
+      val naive = {
+        val sums = for {
+          i <- vs.indices; j <- vs.indices if i < j
+        } yield vs(i) + vs(j)
+        val sorted = sums.sorted
+        sorted((sorted.size - 1) / 2) // lower median
+      }
+      val collapsed = {
+        val w = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val keys = w.keys.toSeq.sorted
+        val pairs = (for {
+          a <- keys; b <- keys if a < b
+        } yield (a + b, w(a) * w(b))) ++
+          keys.collect { case v if w(v) >= 2 => (v + v, w(v) * (w(v) - 1) / 2) }
+        val grouped = pairs.groupBy(_._1).view
+          .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+        val total = grouped.map(_._2).sum
+        val target = (total + 1) / 2 // cum weight >= ceil(total/2)
+        var cum = 0L
+        grouped.collectFirst {
+          case (s2, pw) if { cum += pw; cum >= target } => s2
+        }.get
+      }
+      assert(collapsed === naive,
+        s"collapse diverged on $vs: $collapsed vs $naive")
+    }
+  }
+
+  test("raking (IPF) weights are scale-invariant up to quantization") {
+    // agg_raking_ipf's sf10 rule asserts weight_q scales xF when every
+    // cell count scales xF — because every scaling ratio in the fixed
+    // 2-round algebra is homogeneous of degree 0. Prove on generated
+    // tables, mirroring the exact quantize-after-every-scaling spelling.
+    val cells: Gen[List[Long]] =
+      Gen.listOfN(6, Gen.chooseNum(1L, 500L)) // 2x3 table, positive cells
+    def rake(ns: List[Long]): List[Long] = {
+      // 2 rows x 3 cols; uniform targets; quantize to 1e-6 after each pass
+      val t = ns.sum.toDouble
+      var w = ns.map(_ * 1000000L)
+      def scale(groups: List[List[Int]], target: Double): Unit = {
+        val sums = groups.map(g => g.map(w(_)).sum.toDouble)
+        val upd = w.zipWithIndex.map { case (x, i) =>
+          val gi = groups.indexWhere(_.contains(i))
+          math.round(x * (target / sums(gi)))
+        }
+        w = upd
+      }
+      scale(List(List(0, 1, 2), List(3, 4, 5)), t / 2 * 1000000) // rows
+      scale(List(List(0, 3), List(1, 4), List(2, 5)), t / 3 * 1000000) // cols
+      scale(List(List(0, 1, 2), List(3, 4, 5)), t / 2 * 1000000)
+      scale(List(List(0, 3), List(1, 4), List(2, 5)), t / 3 * 1000000)
+      w
+    }
+    forAll(cells) { ns =>
+      val w1 = rake(ns)
+      val w100 = rake(ns.map(_ * 100))
+      w1.zip(w100).foreach { case (a, b) =>
+        val dev = math.abs(b - 100L * a).toDouble / math.max(100.0 * a, 1.0)
+        assert(dev <= 1e-3,
+          s"weights not xF-invariant: $a vs $b (dev $dev) on $ns")
+      }
+    }
+  }
 }
