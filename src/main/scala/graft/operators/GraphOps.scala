@@ -125,7 +125,7 @@ object GraphOps {
               coalesce(col("nh"), col("hops"))).as("hops"))
           .localCheckpoint()
         prev = cur
-        val r = dist.agg(count(lit(1)), sum("hops")).head
+        val r = dist.agg(count(lit(1)), sum("hops")).head()
         cur = (r.getLong(0), r.getLong(1))
         it += 1
       }
@@ -307,7 +307,7 @@ object GraphOps {
               coalesce(col("nd"), col("dist"))).as("dist"))
           .localCheckpoint()
         prev = cur
-        val r = dist.agg(count(lit(1)), sum("dist")).head
+        val r = dist.agg(count(lit(1)), sum("dist")).head()
         cur = (r.getLong(0), r.getLong(1))
         it += 1
       }

@@ -1456,7 +1456,7 @@ private class SessionTimerProcessor(gapMs: Long)
       expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long)] = {
     if (!sess.exists()) return Iterator.empty
     val (st0, last, n, c, exp) = sess.get()
-    if (expired.getExpiryTimeInMs != exp) Iterator.empty // stale fire
+    if (expired.getExpiryTimeInMs() != exp) Iterator.empty // stale fire
     else { sess.clear(); Iterator.single((key, st0, last, n, c)) }
   }
 }
