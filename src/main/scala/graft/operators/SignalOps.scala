@@ -1211,6 +1211,120 @@ object SignalOps {
             SELECT CAST(t * 50000 AS BIGINT) AS threshold, share_bp
             FROM sh WHERE share_bp < 1000 ORDER BY t LIMIT 1"""))
 
+  // Exact two-sided 10% trimmed mean per event type — the robust mean
+  // that DROPS the tails (vs agg_winsorized_mean, which clamps them).
+  // Domain-collapsed like the HL key: per-value counts, then the k
+  // lowest/highest UNITS subtract via cumulative-weight partial takes
+  // (LEAST(w, remaining k) at the boundary value) — exact BIGINT cents
+  // end to end, one float division at the boundary. The trim windows
+  // ride the bounded value domain, never rows.
+  private val aggTrimmedMean = Op(
+    "agg_trimmed_mean",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_tm")
+      s.sql("""
+        WITH v AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS v,
+                          CAST(COUNT(*) AS BIGINT) AS w
+                   FROM events_tm GROUP BY 1, 2),
+             c AS (SELECT event_type, v, w,
+                          CAST(SUM(w) OVER (PARTITION BY event_type
+                            ORDER BY v ROWS UNBOUNDED PRECEDING) - w
+                            AS BIGINT) AS cb,
+                          CAST(SUM(w) OVER (PARTITION BY event_type
+                            ORDER BY v DESC ROWS UNBOUNDED PRECEDING) - w
+                            AS BIGINT) AS ca,
+                          CAST(SUM(w) OVER (PARTITION BY event_type)
+                            AS BIGINT) AS n
+                   FROM v),
+             g AS (SELECT event_type, n, n div 10 AS k,
+                          CAST(SUM(v * w) AS BIGINT) AS s,
+                          CAST(SUM(LEAST(w, GREATEST(CAST(0 AS BIGINT),
+                            n div 10 - cb)) * v) AS BIGINT) AS s_lo,
+                          CAST(SUM(LEAST(w, GREATEST(CAST(0 AS BIGINT),
+                            n div 10 - ca)) * v) AS BIGINT) AS s_hi
+                   FROM c GROUP BY event_type, n)
+        SELECT event_type, n, k,
+               round(CAST(s - s_lo - s_hi AS DOUBLE)
+                 / (n - 2 * k) / 100.0D, 6) AS trimmed_mean
+        FROM g ORDER BY event_type""")
+    },
+    Some("""WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v,
+                              CAST(COUNT(*) AS BIGINT) AS w
+                       FROM events GROUP BY 1, 2),
+                 c AS (SELECT event_type, v, w,
+                              CAST(SUM(w) OVER (PARTITION BY event_type
+                                ORDER BY v ROWS UNBOUNDED PRECEDING) - w
+                                AS BIGINT) AS cb,
+                              CAST(SUM(w) OVER (PARTITION BY event_type
+                                ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+                                - w AS BIGINT) AS ca,
+                              CAST(SUM(w) OVER (PARTITION BY event_type)
+                                AS BIGINT) AS n
+                       FROM v),
+                 g AS (SELECT event_type, n, n // 10 AS k,
+                              CAST(SUM(v * w) AS BIGINT) AS s,
+                              CAST(SUM(LEAST(w, GREATEST(CAST(0 AS BIGINT),
+                                n // 10 - cb)) * v) AS BIGINT) AS s_lo,
+                              CAST(SUM(LEAST(w, GREATEST(CAST(0 AS BIGINT),
+                                n // 10 - ca)) * v) AS BIGINT) AS s_hi
+                       FROM c GROUP BY event_type, n)
+            SELECT event_type, n, k,
+                   round(CAST(s - s_lo - s_hi AS DOUBLE)
+                     / (n - 2 * k) / 100.0, 6) AS trimmed_mean
+            FROM g ORDER BY event_type"""))
+
+  // On-balance volume per part: cumulative signed quantity where the sign
+  // follows the price direction (up-tick adds quantity, down-tick
+  // subtracts, flat carries) — the classic volume-flow confirmation
+  // indicator. Rides the SAME pinned-rn total order window_keltner
+  // established; lag + running sum share one (part / rn) sort, all exact
+  // BIGINTs.
+  private val windowObv = Op(
+    "window_obv",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_obv")
+      s.sql("""
+        WITH b AS (SELECT l_partkey,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                          CAST(round(l_quantity) AS BIGINT) AS q,
+                          row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                            AS rn
+                   FROM lineitem_obv WHERE l_partkey <= 100),
+             sg AS (SELECT l_partkey, rn, c, q,
+                           CASE WHEN LAG(c) OVER w IS NULL THEN 0
+                                WHEN c > LAG(c) OVER w THEN q
+                                WHEN c < LAG(c) OVER w THEN -q
+                                ELSE 0 END AS dq
+                    FROM b
+                    WINDOW w AS (PARTITION BY l_partkey ORDER BY rn))
+        SELECT l_partkey, CAST(rn AS BIGINT) AS rn, c,
+               CAST(SUM(dq) OVER (PARTITION BY l_partkey ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+        FROM sg ORDER BY l_partkey, rn""")
+    },
+    Some("""WITH b AS (SELECT l_partkey,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c,
+                              CAST(round(l_quantity) AS BIGINT) AS q,
+                              row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber) AS rn
+                       FROM lineitem WHERE l_partkey <= 100),
+                 sg AS (SELECT l_partkey, rn, c, q,
+                               CASE WHEN LAG(c) OVER w IS NULL THEN 0
+                                    WHEN c > LAG(c) OVER w THEN q
+                                    WHEN c < LAG(c) OVER w THEN -q
+                                    ELSE 0 END AS dq
+                        FROM b
+                        WINDOW w AS (PARTITION BY l_partkey ORDER BY rn))
+            SELECT l_partkey, CAST(rn AS BIGINT) AS rn, c,
+                   CAST(SUM(dq) OVER (PARTITION BY l_partkey ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+            FROM sg ORDER BY l_partkey, rn"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
@@ -1218,5 +1332,5 @@ object SignalOps {
       simMipsTopk, privacyDpTopk, windowSeasonalEwma, corpusSourceCap,
       eventDodMovers, dqKeyDiscovery, privacyRandomizedResponse,
       dedupCrossSourceMatrix, windowKeltner, aggRakingIpf, resampleWma,
-      sqlScripting)
+      sqlScripting, aggTrimmedMean, windowObv)
 }

@@ -1204,6 +1204,14 @@ def rules():
         "sql_scripting": {"rows": ("==",), "cols": {
             "threshold": ("==", 0), "share_bp": ("==", 0)},
             "nonneg": ["threshold", "share_bp"]},
+        # value domain repeats with w xF; k = (F*n) div 10 != F*(n div 10)
+        # unless 10|n, so k records; the trimmed mean itself moves at most
+        # one domain gap at the trim boundary
+        "agg_trimmed_mean": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "trimmed_mean": ("==", 0.01)},
+            "nonneg": ["n", "k"]},
+        # per-fact-row running indicator: rows xF; obv is signed by design
+        "window_obv": {"rows": ("x", F), "nonneg": ["c", "rn"]},
     }
 
 
