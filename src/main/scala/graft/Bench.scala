@@ -79,14 +79,77 @@ object Bench {
     if (contended) System.err.println(
       s"BENCH CONTENDED: loadavg start=$loadStart end=$loadEnd — timings " +
         "are inflated by host contention; do not use as a perf record")
+    // Drift auto-attribution (r15 verdict #3): readers used to hand-diff
+    // this run against the checked-in quiet records with bench_diff.py;
+    // now the record carries the diff. Baseline = per-key MIN across every
+    // NON-CONTENDED tools/bench_perkey_*.json (the quiet floor each key
+    // has ever hit on this box). The summary separates UNIFORM drift
+    // (median ratio inflated — host-shaped: contention/thermal, not code)
+    // from STRUCTURAL drift (median ≈ 1 but specific keys moved — exactly
+    // the keys to read first). Movers list both directions, ≥1.5× or
+    // ≤0.67×, baseline ≥ 0.3 s (below that the micro-batch/JIT floor
+    // wobbles both ways — the r15 stream_* lesson).
+    val drift: String = try {
+      val dir = java.nio.file.Paths.get("tools")
+      val recs =
+        if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.matches("bench_perkey_.*\\.json"))
+            .flatMap { p =>
+              val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+              // same-SF records only: an sf0.001 iteration run must not
+              // ratio itself against the sf0.1 quiet floor
+              if (txt.contains("\"contended\":true") ||
+                !txt.contains("\"sf\":\"" + sfDir + "\"")) None
+              else {
+                val qm = "\"queries\":\\{([^}]*)\\}".r
+                  .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+                val pairs = "\"([^\"]+)\":(-?[0-9.eE+]+)".r
+                  .findAllMatchIn(qm)
+                  .map(m => m.group(1) -> m.group(2).toDouble)
+                  .filter(_._2 >= 0).toMap
+                if (pairs.isEmpty) None
+                else Some(p.getFileName.toString -> pairs)
+              }
+            }.toSeq
+        }
+      if (recs.isEmpty) "null"
+      else {
+        val base = recs.flatMap(_._2).groupMapReduce(_._1)(_._2)(math.min)
+        val cur = results.toMap
+        val ratios = base.toSeq.collect {
+          case (k, b) if b >= 0.3 && cur.getOrElse(k, -1.0) >= 0 =>
+            k -> cur(k) / b
+        }
+        if (ratios.isEmpty) "null"
+        else {
+          val sortedR = ratios.map(_._2).sorted
+          val median = sortedR(sortedR.size / 2)
+          val movers = ratios.filter { case (_, r) => r >= 1.5 || r <= 0.67 }
+            .sortBy { case (_, r) => -math.max(r, 1.0 / r) }.take(8)
+          val kind =
+            if (median >= 1.3) "uniform"
+            else if (movers.nonEmpty) "structural"
+            else "none"
+          val mj = movers.map { case (k, r) =>
+            "\"" + k + "\":" + (math.round(r * 100) / 100.0)
+          }.mkString("{", ",", "}")
+          s"""{"baseline_records":${recs.size},"compared":${ratios.size},""" +
+            s""""median_ratio":${math.round(median * 1000) / 1000.0},""" +
+            s""""kind":"$kind","movers":$mj}"""
+        }
+      }
+    } catch { case _: Throwable => "null" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd},"contended":$contended}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"drift":$drift}"""
     // stdout gets ONLY the compact summary (no per-query map): the gate
     // keeps a bounded tail of stdout, and the full 422-key line blows past
     // it — truncated JSON parsed as null. The complete record (with the
     // per-query map) always lands in bench_result.json.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd},"contended":$contended}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd},"contended":$contended,"drift":$drift}""")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

@@ -1529,49 +1529,66 @@ object Relational {
             GROUP BY c_nationkey
             ORDER BY c_nationkey"""))
 
-  // TPC-H-Q2-shaped "minimum-cost supplier": the correlated scalar MIN over
-  // a DERIVED table (per-part supplier cost from the fact), referenced both
-  // as the join input and inside the correlated subquery. Catalyst
-  // decorrelates the per-row min into one aggregate joined back on partkey
-  // — so the lookup costs two aggregates + hash joins, never a re-scan per
-  // part. Costs quantize to integer cents before MIN, so the "equals the
-  // minimum" predicate is exact on both engines (a float min can differ in
-  // the last ulp and silently drop the matching row).
+  // TPC-H Q2 "minimum-cost supplier" — LITERAL spec over the derived
+  // partsupp (r16 upgrade; the r15- version proxied per-part cost from the
+  // fact): part × supplier × partsupp × nation × region with the published
+  // correlated MIN over the SAME region-sliced partsupp, the spec's
+  // ORDER BY s_acctbal DESC ... LIMIT 100 (total order — p_partkey
+  // tie-breaks), p_type suffix-LIKE and region literal 'EUROPE'
+  // (suffix re-targeted to this generator's type vocabulary; p_size
+  // widened to ≤15 so the slice is non-degenerate at sf0.001's 200 parts;
+  // p_name stands in for the absent p_mfgr/s_address columns). Catalyst
+  // decorrelates the per-part MIN into one aggregate joined back on
+  // partkey — never a re-scan per part; costs are exact integer cents so
+  // the "equals the minimum" test can't drop rows on a float ulp.
   private val sqlTpchQ2 = Op(
     "sql_tpch_q2",
     (s, d) => {
       t(s, d, "part").createOrReplaceTempView("part_q2")
       t(s, d, "supplier").createOrReplaceTempView("supplier_q2")
       t(s, d, "nation").createOrReplaceTempView("nation_q2")
-      t(s, d, "lineitem").createOrReplaceTempView("lineitem_q2")
+      t(s, d, "region").createOrReplaceTempView("region_q2")
+      Partsupp.table(s, d).createOrReplaceTempView("partsupp_q2")
       s.sql("""
-        WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
-                           MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
-                             AS cost
-                    FROM lineitem_q2 GROUP BY 1, 2)
-        SELECT p_partkey, p_name, s_name, n_name,
-               round(CAST(ps.cost AS DOUBLE) / 100.0, 2) AS min_cost
-        FROM part_q2 JOIN ps ON pk = p_partkey
-        JOIN supplier_q2 ON s_suppkey = ps.sk
-        JOIN nation_q2 ON s_nationkey = n_nationkey
-        WHERE p_size <= 10
-          AND ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
-                         WHERE ps2.pk = p_partkey)
-        ORDER BY p_partkey, s_name""")
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(CAST(ps_supplycost_c AS DOUBLE) / 100.0, 2)
+                 AS ps_supplycost
+        FROM part_q2, supplier_q2, partsupp_q2, nation_q2, region_q2
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size <= 15 AND p_type LIKE '%GE'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost_c =
+              (SELECT MIN(ps2.ps_supplycost_c)
+               FROM partsupp_q2 ps2, supplier_q2 s2, nation_q2 n2,
+                    region_q2 r2
+               WHERE ps2.ps_partkey = p_partkey
+                 AND s2.s_suppkey = ps2.ps_suppkey
+                 AND s2.s_nationkey = n2.n_nationkey
+                 AND n2.n_regionkey = r2.r_regionkey
+                 AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
     },
-    Some("""WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
-                               MIN(CAST(round(l_extendedprice * 100)
-                                        AS BIGINT)) AS cost
-                        FROM lineitem GROUP BY 1, 2)
-            SELECT p_partkey, p_name, s_name, n_name,
-                   round(CAST(ps.cost AS DOUBLE) / 100.0, 2) AS min_cost
-            FROM part JOIN ps ON pk = p_partkey
-            JOIN supplier ON s_suppkey = ps.sk
-            JOIN nation ON s_nationkey = n_nationkey
-            WHERE p_size <= 10
-              AND ps.cost = (SELECT MIN(ps2.cost) FROM ps ps2
-                             WHERE ps2.pk = p_partkey)
-            ORDER BY p_partkey, s_name"""))
+    Some(s"""WITH ${Partsupp.oracleCte}
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   round(CAST(ps_supplycost_c AS DOUBLE) / 100.0, 2)
+                     AS ps_supplycost
+            FROM part, supplier, partsupp, nation, region
+            WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+              AND p_size <= 15 AND p_type LIKE '%GE'
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+              AND ps_supplycost_c =
+                  (SELECT MIN(ps2.ps_supplycost_c)
+                   FROM partsupp ps2, supplier s2, nation n2, region r2
+                   WHERE ps2.ps_partkey = p_partkey
+                     AND s2.s_suppkey = ps2.ps_suppkey
+                     AND s2.s_nationkey = n2.n_nationkey
+                     AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'EUROPE')
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100"""))
 
   // Binned interval join — the RANGE-join shape that survives 100 TB when
   // NEITHER side fits in a broadcast (join_theta_range's complement: that key

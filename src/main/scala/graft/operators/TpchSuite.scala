@@ -192,86 +192,102 @@ object TpchSuite {
                     AND o_orderdate < TIMESTAMP '1998-01-01') sq
             GROUP BY o_year ORDER BY o_year"""))
 
-  // Q9 "product type profit": profit = revenue − cost proxy
-  // (p_retailprice·qty stands in for the absent ps_supplycost·qty),
-  // grouped by supplier nation × order year. Both DECIMAL products stay
-  // exact, so the difference is order-independent; the p_name LIKE filter
-  // prunes parts before the fact join; nation broadcasts.
+  // Q9 "product type profit" — LITERAL spec over the derived partsupp
+  // (r16 upgrade; the r8 version proxied ps_supplycost with p_retailprice):
+  // profit = l_extendedprice·(1−l_discount) − ps_supplycost·l_quantity,
+  // lineitem joined to partsupp on BOTH keys exactly as published, grouped
+  // by supplier nation × order year. All money math runs in 10⁻⁴-dollar
+  // BIGINTs (cents × percent-complement; cost-cents × integral qty × 100)
+  // so the sum is exact and order-independent on any engine; one division
+  // at the output boundary. The p_name LIKE filter ('%red%' — this
+  // generator's color vocabulary has no 'green') prunes parts pre-join;
+  // nation broadcasts; partsupp reads from the committed staged parquet.
   private val q9 = Op(
     "sql_tpch_q9",
     (s, d) => {
       Seq("part", "lineitem", "supplier", "orders", "nation")
         .foreach(n => t(s, d, n).createOrReplaceTempView(n + "_q9"))
+      Partsupp.table(s, d).createOrReplaceTempView("partsupp_q9")
       s.sql("""
-        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        SELECT nation, o_year,
+               round(CAST(SUM(amount_4) AS DOUBLE) / 10000.0, 2) AS sum_profit
         FROM (SELECT n_name AS nation,
                      CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-                     CAST(l_extendedprice AS DECIMAL(18,2)) *
-                       (1 - CAST(l_discount AS DECIMAL(18,2)))
-                       - CAST(p_retailprice AS DECIMAL(18,2)) *
-                         CAST(l_quantity AS DECIMAL(18,2)) AS amount
-              FROM part_q9
-              JOIN lineitem_q9 ON p_partkey = l_partkey
-              JOIN supplier_q9 ON s_suppkey = l_suppkey
-              JOIN orders_q9 ON o_orderkey = l_orderkey
-              JOIN nation_q9 ON s_nationkey = n_nationkey
-              WHERE p_name LIKE '%a%') profit
+                     CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       - ps_supplycost_c *
+                         CAST(round(l_quantity) AS BIGINT) * 100 AS amount_4
+              FROM part_q9, supplier_q9, lineitem_q9, partsupp_q9,
+                   orders_q9, nation_q9
+              WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+                AND ps_partkey = l_partkey AND p_partkey = l_partkey
+                AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                AND p_name LIKE '%red%') profit
         GROUP BY nation, o_year
         ORDER BY nation, o_year DESC""")
     },
-    Some("""SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    Some(s"""WITH ${Partsupp.oracleCte}
+            SELECT nation, o_year,
+                   round(CAST(SUM(amount_4) AS DOUBLE) / 10000.0, 2) AS sum_profit
             FROM (SELECT n_name AS nation,
                          CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-                         CAST(l_extendedprice AS DECIMAL(18,2)) *
-                           (1 - CAST(l_discount AS DECIMAL(18,2)))
-                           - CAST(p_retailprice AS DECIMAL(18,2)) *
-                             CAST(l_quantity AS DECIMAL(18,2)) AS amount
-                  FROM part
-                  JOIN lineitem ON p_partkey = l_partkey
-                  JOIN supplier ON s_suppkey = l_suppkey
-                  JOIN orders ON o_orderkey = l_orderkey
-                  JOIN nation ON s_nationkey = n_nationkey
-                  WHERE p_name LIKE '%a%') profit
+                         CAST(round(l_extendedprice * 100) AS BIGINT) *
+                           (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           - ps_supplycost_c *
+                             CAST(round(l_quantity) AS BIGINT) * 100 AS amount_4
+                  FROM part, supplier, lineitem, partsupp, orders, nation
+                  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+                    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+                    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+                    AND p_name LIKE '%red%') profit
             GROUP BY nation, o_year
             ORDER BY nation, o_year DESC"""))
 
-  // Q11 "important stock identification": value concentration — per-part
-  // value (integer cents, exact) from the region-0 supplier slice, kept
-  // when above 2× the average part value. Both thresholds are
-  // uncorrelated scalar subqueries over the same CTE: Catalyst evaluates
-  // each ONCE and broadcasts the literal, and the cross-multiplied
-  // BIGINT comparison (val·n > 2·total) can't drift with float order.
+  // Q11 "important stock identification" — LITERAL spec over the derived
+  // partsupp (r16 upgrade; the r8 version proxied part value from the
+  // fact): per-part Σ(ps_supplycost·ps_availqty) for one nation's
+  // suppliers, kept when above FRACTION (the spec's 0.0001) of the
+  // nation's total. Values are exact BIGINT products of integer cents ×
+  // integer qty; the threshold compares val_c·10000 > total_c with no
+  // float anywhere (val_c·10⁴ ≤ ~5·10¹⁴ ≪ 2⁶³). Both the per-part
+  // aggregate and the total are one partial→final pass over the tiny
+  // staged dim; the scalar subquery evaluates ONCE and broadcasts.
+  // NATION_3 holds suppliers at every SF (the GERMANY analog).
   private val q11 = Op(
     "sql_tpch_q11",
     (s, d) => {
-      Seq("lineitem", "supplier", "nation")
+      Seq("supplier", "nation")
         .foreach(n => t(s, d, n).createOrReplaceTempView(n + "_q11"))
+      Partsupp.table(s, d).createOrReplaceTempView("partsupp_q11")
       s.sql("""
-        WITH pv AS (SELECT l_partkey,
-                           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-                             AS val_c
-                    FROM lineitem_q11
-                    JOIN supplier_q11 ON l_suppkey = s_suppkey
-                    JOIN nation_q11 ON s_nationkey = n_nationkey
-                    WHERE n_regionkey = 0
-                    GROUP BY l_partkey)
-        SELECT l_partkey, round(CAST(val_c AS DOUBLE) / 100.0, 2) AS part_value
-        FROM pv
-        WHERE val_c * (SELECT COUNT(*) FROM pv) > 2 * (SELECT SUM(val_c) FROM pv)
-        ORDER BY part_value DESC, l_partkey""")
+        SELECT ps_partkey, round(CAST(value_c AS DOUBLE) / 100.0, 2) AS part_value
+        FROM (SELECT ps_partkey,
+                     SUM(ps_supplycost_c * ps_availqty) AS value_c
+              FROM partsupp_q11, supplier_q11, nation_q11
+              WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND n_name = 'NATION_3'
+              GROUP BY ps_partkey) v
+        WHERE value_c * 10000 >
+              (SELECT SUM(ps_supplycost_c * ps_availqty)
+               FROM partsupp_q11, supplier_q11, nation_q11
+               WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                 AND n_name = 'NATION_3')
+        ORDER BY part_value DESC, ps_partkey""")
     },
-    Some("""WITH pv AS (SELECT l_partkey,
-                               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-                                 AS val_c
-                        FROM lineitem
-                        JOIN supplier ON l_suppkey = s_suppkey
-                        JOIN nation ON s_nationkey = n_nationkey
-                        WHERE n_regionkey = 0
-                        GROUP BY l_partkey)
-            SELECT l_partkey, round(CAST(val_c AS DOUBLE) / 100.0, 2) AS part_value
-            FROM pv
-            WHERE val_c * (SELECT COUNT(*) FROM pv) > 2 * (SELECT SUM(val_c) FROM pv)
-            ORDER BY part_value DESC, l_partkey"""))
+    Some(s"""WITH ${Partsupp.oracleCte}
+            SELECT ps_partkey, round(CAST(value_c AS DOUBLE) / 100.0, 2) AS part_value
+            FROM (SELECT ps_partkey,
+                         CAST(SUM(ps_supplycost_c * ps_availqty) AS BIGINT) AS value_c
+                  FROM partsupp, supplier, nation
+                  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                    AND n_name = 'NATION_3'
+                  GROUP BY ps_partkey) v
+            WHERE value_c * 10000 >
+                  (SELECT CAST(SUM(ps_supplycost_c * ps_availqty) AS BIGINT)
+                   FROM partsupp, supplier, nation
+                   WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                     AND n_name = 'NATION_3')
+            ORDER BY part_value DESC, ps_partkey"""))
 
   // Q12 "shipping modes / priority": conditional counts per line status
   // (stands in for the absent l_shipmode) — one joined pass, two sibling
@@ -394,26 +410,43 @@ object TpchSuite {
             WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
             ORDER BY s_suppkey"""))
 
-  // Q16 "parts/supplier relationship": COUNT(DISTINCT supplier) per
-  // (brand, type, size) from the fact table (stands in for the absent
-  // partsupp). Spark plans distinct-aggregate as the two-shuffle expand;
-  // the NOT-filters and the size IN-list push into the part scan, and
-  // part is the broadcast side of the fact join.
+  // Q16 "parts/supplier relationship" — LITERAL spec over the derived
+  // partsupp (r16 upgrade; the r8 version counted suppliers from the
+  // fact): COUNT(DISTINCT ps_suppkey) per (brand, type, size) with the
+  // published predicate set — brand exclusion, type NOT LIKE prefix, the
+  // spec's own size IN-list (49,14,23,45,19,3,36,9), and the NOT IN
+  // anti-join excluding flagged suppliers (negative s_acctbal stands in
+  // for the absent s_comment complaint scan; same anti-join shape). Spark
+  // plans the distinct-aggregate as the two-shuffle expand; the NOT
+  // filters and IN-list push into the part scan; part broadcasts onto
+  // the staged dim.
   private val q16 = Op(
     "sql_tpch_q16",
-    (s, d) => t(s, d, "part")
-      .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
-        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
-      .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"))
-      .groupBy("p_brand", "p_type", "p_size")
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-        col("p_size")),
-    Some("""SELECT p_brand, p_type, p_size,
-                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-            FROM part JOIN lineitem ON p_partkey = l_partkey
-            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-              AND p_size IN (1,5,9,13,17,21,25,29)
+    (s, d) => {
+      Seq("part", "supplier")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(n + "_q16"))
+      Partsupp.table(s, d).createOrReplaceTempView("partsupp_q16")
+      s.sql("""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp_q16, part_q16
+        WHERE p_partkey = ps_partkey
+          AND p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+                                 WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    },
+    Some(s"""WITH ${Partsupp.oracleCte}
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+            FROM partsupp, part
+            WHERE p_partkey = ps_partkey
+              AND p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+              AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                     WHERE s_acctbal < 0)
             GROUP BY p_brand, p_type, p_size
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
 
@@ -450,53 +483,55 @@ object TpchSuite {
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND l_quantity BETWEEN 20 AND 40)"""))
 
-  // Q20 "potential part promotion": nested aggregation + IN semi-join —
-  // per-(supplier, part) shipped quantity (exact BIGINT), kept when the
-  // supplier holds >2× the average per-supplier share of a 'red' part
-  // (scale-robust: the share test is relative, so the result stays
-  // non-degenerate at every SF). Catalyst plans the IN as a LEFT SEMI
-  // join; the per-part totals join back on partkey — one extra
-  // aggregate, never a per-row re-scan.
+  // Q20 "potential part promotion" — LITERAL spec over the derived
+  // partsupp (r16 upgrade; the r8 version tested relative per-supplier
+  // share from the fact): suppliers in one nation whose stock of a
+  // 'red%' part exceeds half the 1996 shipped quantity of that exact
+  // (part, supplier) pair — the published nested IN + correlated scalar
+  // SUM, spelled ps_availqty·2 > Σqty so the test is exact BIGINT (a
+  // never-shipped pair's NULL sum excludes it, as in the spec). Catalyst
+  // plans the outer IN as a LEFT SEMI join and decorrelates the scalar
+  // SUM into one aggregate joined back on both keys — never a per-row
+  // re-scan. NATION_8 holds suppliers at every SF (the CANADA analog).
   private val q20 = Op(
     "sql_tpch_q20",
     (s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_q20")
       t(s, d, "supplier").createOrReplaceTempView("supplier_q20")
       t(s, d, "part").createOrReplaceTempView("part_q20")
+      t(s, d, "nation").createOrReplaceTempView("nation_q20")
+      Partsupp.table(s, d).createOrReplaceTempView("partsupp_q20")
       s.sql("""
-        WITH sq AS (SELECT l_suppkey, l_partkey,
-                           SUM(CAST(l_quantity AS BIGINT)) AS qty
-                    FROM lineitem_q20
-                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-                      AND l_shipdate < TIMESTAMP '1997-01-01'
-                    GROUP BY l_suppkey, l_partkey),
-             pt AS (SELECT l_partkey AS pk, SUM(qty) AS tot,
-                           COUNT(*) AS nsupp
-                    FROM sq GROUP BY l_partkey)
-        SELECT s_suppkey, s_name FROM supplier_q20
+        SELECT s_suppkey, s_name
+        FROM supplier_q20, nation_q20
         WHERE s_suppkey IN (
-          SELECT sq.l_suppkey FROM sq
-          JOIN pt ON pt.pk = sq.l_partkey
-          JOIN part_q20 ON p_partkey = sq.l_partkey
-          WHERE p_name LIKE '%red%' AND sq.qty * pt.nsupp > 2 * pt.tot)
-        ORDER BY s_suppkey""")
+            SELECT ps_suppkey FROM partsupp_q20
+            WHERE ps_partkey IN (SELECT p_partkey FROM part_q20
+                                 WHERE p_name LIKE 'red%')
+              AND ps_availqty * 2 >
+                  (SELECT SUM(CAST(round(l_quantity) AS BIGINT))
+                   FROM lineitem_q20
+                   WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                     AND l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1997-01-01'))
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_8'
+        ORDER BY s_name, s_suppkey""")
     },
-    Some("""WITH sq AS (SELECT l_suppkey, l_partkey,
-                               SUM(CAST(l_quantity AS BIGINT)) AS qty
-                        FROM lineitem
-                        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-                          AND l_shipdate < TIMESTAMP '1997-01-01'
-                        GROUP BY l_suppkey, l_partkey),
-                 pt AS (SELECT l_partkey AS pk, SUM(qty) AS tot,
-                               COUNT(*) AS nsupp
-                        FROM sq GROUP BY l_partkey)
-            SELECT s_suppkey, s_name FROM supplier
+    Some(s"""WITH ${Partsupp.oracleCte}
+            SELECT s_suppkey, s_name
+            FROM supplier, nation
             WHERE s_suppkey IN (
-              SELECT sq.l_suppkey FROM sq
-              JOIN pt ON pt.pk = sq.l_partkey
-              JOIN part ON p_partkey = sq.l_partkey
-              WHERE p_name LIKE '%red%' AND sq.qty * pt.nsupp > 2 * pt.tot)
-            ORDER BY s_suppkey"""))
+                SELECT ps_suppkey FROM partsupp
+                WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                     WHERE p_name LIKE 'red%')
+                  AND ps_availqty * 2 >
+                      (SELECT SUM(CAST(round(l_quantity) AS BIGINT))
+                       FROM lineitem
+                       WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                         AND l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1997-01-01'))
+              AND s_nationkey = n_nationkey AND n_name = 'NATION_8'
+            ORDER BY s_name, s_suppkey"""))
 
   val ops: Seq[Op] =
     Seq(q4, q6, q7, q8, q9, q11, q12, q13, q14, q15, q16, q19, q20)
