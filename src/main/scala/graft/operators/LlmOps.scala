@@ -3325,19 +3325,25 @@ object LlmOps {
   // materialization per session, MaxShingleDf skew guard), so the sweep
   // costs one groupBy more than the pair listing. Jaccard quantizes to an
   // exact integer bp (round-4 × 10⁴) before the threshold compare — no
-  // float boundary can split the engines; thresholds left-join so a
-  // clean corpus publishes zeros, not an empty relation.
+  // float boundary can split the engines. The pair relation FIRST
+  // collapses to per-j_bp counts — a ≤10001-row relation bounded by the
+  // bp DOMAIN, not the corpus — and only that collapsed relation meets
+  // the 6-row threshold grid in the ≥ theta join, so the
+  // BroadcastNestedLoopJoin's build side can never grow with data volume
+  // (the r15 spelling theta-joined the UNBOUNDED pair relation — ADVICE
+  // r15 item 3). Thresholds left-join so a clean corpus publishes zeros,
+  // not an empty relation.
   private val dedupThresholdSweep = Op(
     "dedup_threshold_sweep",
     (s, d) => {
-      val j = shingleIntersectionsFrom(t(s, d, "documents"))
+      val jc = shingleIntersectionsFrom(t(s, d, "documents"))
         .select(expr("CAST(round(round(i / CAST(ns_a + ns_b - i AS DOUBLE)"
           + ", 4) * 10000) AS BIGINT)").as("j_bp"))
+        .groupBy("j_bp").agg(count(lit(1)).as("n"))
       val th = s.range(5, 11).select((col("id") * 1000).as("t_bp"))
-      th.join(j, col("j_bp") >= col("t_bp"), "left")
+      th.join(jc, col("j_bp") >= col("t_bp"), "left")
         .groupBy("t_bp")
-        .agg(sum(when(col("j_bp").isNotNull, 1L).otherwise(0L))
-          .as("n_pairs_ge"))
+        .agg(sum(coalesce(col("n"), lit(0L))).as("n_pairs_ge"))
         .orderBy("t_bp")
     },
     Some(s"""WITH $jaccardCtes,
@@ -3346,11 +3352,12 @@ object LlmOps {
                      FROM inter
                      JOIN sizes na ON na.doc_id = doc_a
                      JOIN sizes nb ON nb.doc_id = doc_b),
+            jc AS (SELECT j_bp, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM jall GROUP BY 1),
             th AS (SELECT unnest(range(5, 11)) * 1000 AS t_bp)
             SELECT CAST(t_bp AS BIGINT) AS t_bp,
-                   CAST(SUM(CASE WHEN j.j_bp IS NOT NULL THEN 1 ELSE 0 END)
-                     AS BIGINT) AS n_pairs_ge
-            FROM th LEFT JOIN jall j ON j.j_bp >= th.t_bp
+                   CAST(SUM(COALESCE(jc.n, 0)) AS BIGINT) AS n_pairs_ge
+            FROM th LEFT JOIN jc ON jc.j_bp >= th.t_bp
             GROUP BY t_bp ORDER BY t_bp"""))
 
   val ops: Seq[Op] = Seq(

@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * Engine-determinism follows the repo protocol (core.scala): every value
   * crossing the DuckDB boundary is an exact integer (cents / basis points,
   * quantized per row BEFORE any aggregate), divisions are integer `div`
-  * (Spark) ≡ `//` (DuckDB) over strictly non-negative operands (the MACD
-  * signal recursion rides a +2^30 even bias so floor-vs-truncate division
-  * semantics can never split the engines on negatives), and floats appear
-  * only in bounded per-group expressions rounded once at the boundary.
+  * (Spark) ≡ `//` (DuckDB) — both truncate toward zero for integer
+  * operands on ANY sign (empirically pinned; the "`//` floors" folklore is
+  * false for integers), so signed recursions like the MACD signal EMA need
+  * no bias or domain bound — and floats appear only in bounded per-group
+  * expressions rounded once at the boundary.
   */
 object SignalOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
@@ -33,19 +34,21 @@ object SignalOps {
   // (α=1/2 of the MACD line), histogram = macd − signal. The dyadic
   // smoothing keeps the whole recursion in exact BIGINT cents — the same
   // integer-EWMA discipline as window_ewma — so ANY engine reproduces it
-  // bit-for-bit. The signal recursion's input (macd) can be negative, and
-  // Spark `div` truncates toward zero while DuckDB `//` floors; the
-  // recursion therefore rides a +2^30 bias (even, so
-  // floor((x+s+2B)/2) = floor((x+s)/2)+B exactly) keeping every divided
-  // quantity positive in both engines. Scale shape: one hash partition on
-  // user_id, one sort within partitions, O(1) state per row streamed by
-  // mapPartitions — no window buffering, no driver state; at 100 TB the
-  // series key spreads across the cluster exactly like window_ewma.
+  // bit-for-bit. Every division is Java's truncating `/` on the Scala
+  // side ≡ DuckDB's integer `//` — BOTH truncate toward zero for ANY
+  // operand sign (verified: duckdb (-3)//2 = -1, not -2; the "// floors"
+  // folklore is false for integer operands) — so no bias and no domain
+  // assumption is needed (the r15 spelling rode a +2^30 bias that
+  // silently required |macd|+|signal| < ~2^30 and non-negative cents;
+  // ADVICE r15 item 1). Scale shape: one hash partition on user_id, one
+  // sort within
+  // partitions, O(1) state per row streamed by mapPartitions — no window
+  // buffering, no driver state; at 100 TB the series key spreads across
+  // the cluster exactly like window_ewma.
   private val windowMacd = Op(
     "window_macd",
     (s, d) => {
       import s.implicits._
-      val B = 1L << 30
       t(s, d, "events")
         .where(col("user_id") % 10 === 1)
         .select(col("user_id"),
@@ -57,15 +60,15 @@ object SignalOps {
         .as[(Long, Long, Long)]
         .mapPartitions { it =>
           var curUser = Long.MinValue
-          var fast = 0L; var slow = 0L; var sgb = 0L
+          var fast = 0L; var slow = 0L; var sig = 0L
           it.map { case (u, e, c) =>
-            if (u != curUser) { fast = c; slow = c; sgb = B; curUser = u }
+            if (u != curUser) { fast = c; slow = c; sig = 0L; curUser = u }
             else {
               fast = (c + fast) / 2
               slow = (c + 3 * slow) / 4
-              sgb = ((fast - slow) + B + sgb) / 2
+              sig = ((fast - slow) + sig) / 2
             }
-            (u, e, fast, slow, fast - slow, sgb - B)
+            (u, e, fast, slow, fast - slow, sig)
           }
         }
         .toDF("user_id", "event_id", "fast_c", "slow_c", "macd_c", "signal_c")
@@ -78,20 +81,20 @@ object SignalOps {
                      row_number() OVER
                        (PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM events WHERE user_id % 10 = 1),
-            r(user_id, event_id, rn, f, sl, sgb) AS (
+            r(user_id, event_id, rn, f, sl, sg) AS (
               SELECT user_id, event_id, rn, cents, cents,
-                     CAST(1073741824 AS BIGINT)
+                     CAST(0 AS BIGINT)
               FROM e WHERE rn = 1
               UNION ALL
               SELECT e.user_id, e.event_id, e.rn,
                      (e.cents + r.f) // 2,
                      (e.cents + 3 * r.sl) // 4,
                      (((e.cents + r.f) // 2) - ((e.cents + 3 * r.sl) // 4)
-                      + 1073741824 + r.sgb) // 2
+                      + r.sg) // 2
               FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
             SELECT user_id, event_id, f AS fast_c, sl AS slow_c,
-                   f - sl AS macd_c, sgb - 1073741824 AS signal_c,
-                   (f - sl) - (sgb - 1073741824) AS hist_c
+                   f - sl AS macd_c, sg AS signal_c,
+                   (f - sl) - sg AS hist_c
             FROM r ORDER BY user_id, event_id"""))
 
   // Stochastic oscillator per user over the event value series: %K = the
@@ -316,6 +319,10 @@ object SignalOps {
   // execute the resample. One partial→final count per lang, a 1-row totals
   // relation broadcast back; all ratios are exact basis-point integers
   // (n·10⁴ div total), so the plan is two tiny aggregates at any volume.
+  // The factor's denominator saturates at 1 bp (GREATEST): a language
+  // holding under one basis point of the corpus gets the 1-bp-share factor
+  // (the cap), never a NULL — rare languages are exactly the rows the
+  // rebalance plan must not silently drop (ADVICE r15 item 2).
   private val corpusLangBalance = Op(
     "corpus_lang_balance",
     (s, d) => {
@@ -327,7 +334,8 @@ object SignalOps {
         .select(col("lang"), col("n"),
           expr("n * 10000 div total").as("share_bp"),
           expr("10000 div nl").as("target_bp"),
-          expr("(10000 div nl) * 10000 div (n * 10000 div total)")
+          expr("""(10000 div nl) * 10000
+                  div GREATEST(n * 10000 div total, CAST(1 AS BIGINT))""")
             .as("factor_bp"))
         .orderBy("lang")
     },
@@ -339,7 +347,8 @@ object SignalOps {
             SELECT lang, n,
                    n * 10000 // total AS share_bp,
                    10000 // nl AS target_bp,
-                   (10000 // nl) * 10000 // (n * 10000 // total)
+                   (10000 // nl) * 10000
+                     // GREATEST(n * 10000 // total, CAST(1 AS BIGINT))
                      AS factor_bp
             FROM per CROSS JOIN tot ORDER BY lang"""))
 
@@ -1175,7 +1184,11 @@ object SignalOps {
   // the procedural iteration costs O(grid · buckets) regardless of
   // volume — the only scale-safe way to put a loop around big data.
   // The oracle replays the loop's fixpoint declaratively (first grid
-  // point satisfying the exit condition — identical by construction).
+  // point satisfying the exit condition). Degenerate inputs agree on both
+  // sides by construction (ADVICE r15 item 4): the loop is bounded by the
+  // oracle's own grid cap (t < 19 — if no threshold under $1M satisfies,
+  // both publish the t=19 row), and an empty orders table COALESCEs the
+  // share to 0 on both engines (both publish threshold 0, share 0).
   private val sqlScripting = Op(
     "sql_scripting",
     (s, d) => {
@@ -1188,11 +1201,12 @@ object SignalOps {
         BEGIN
           DECLARE t BIGINT DEFAULT -1;
           DECLARE share BIGINT DEFAULT 10000;
-          WHILE share >= 1000 DO
+          WHILE share >= 1000 AND t < 19 DO
             SET t = t + 1;
-            SET share = (SELECT COALESCE(SUM(CASE WHEN b > t THEN n
-                                ELSE 0 END), 0) * 10000 div SUM(n)
-                         FROM orders_hist);
+            SET share = COALESCE(
+              (SELECT SUM(CASE WHEN b > t THEN n ELSE 0 END) * 10000
+                        div SUM(n)
+               FROM orders_hist), 0);
           END WHILE;
           SELECT t * 50000 AS threshold, share AS share_bp;
         END""")
@@ -1203,13 +1217,14 @@ object SignalOps {
                        FROM orders GROUP BY 1),
                  grid AS (SELECT unnest(range(0, 20)) AS t),
                  sh AS (SELECT g.t,
-                               CAST(COALESCE(SUM(CASE WHEN h.b > g.t
+                               COALESCE(CAST(COALESCE(SUM(CASE WHEN h.b > g.t
                                  THEN h.n ELSE 0 END), 0) * 10000 AS BIGINT)
-                                 // (SELECT CAST(SUM(n) AS BIGINT) FROM h)
-                                 AS share_bp
-                        FROM grid g CROSS JOIN h GROUP BY g.t)
+                                 // (SELECT CAST(SUM(n) AS BIGINT) FROM h),
+                                 0) AS share_bp
+                        FROM grid g LEFT JOIN h ON true GROUP BY g.t)
             SELECT CAST(t * 50000 AS BIGINT) AS threshold, share_bp
-            FROM sh WHERE share_bp < 1000 ORDER BY t LIMIT 1"""))
+            FROM sh WHERE share_bp < 1000 OR t = 19
+            ORDER BY t LIMIT 1"""))
 
   // Exact two-sided 10% trimmed mean per event type — the robust mean
   // that DROPS the tails (vs agg_winsorized_mean, which clamps them).

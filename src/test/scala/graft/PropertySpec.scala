@@ -255,38 +255,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("MACD bias lemma: floor((x+s+2B)/2) == floor((x+s)/2)+B, and the " +
-    "biased recursion keeps operands positive (truncate-div == floor-div)") {
-    // window_macd's signal EMA divides the (possibly negative) MACD line;
-    // Spark `div` truncates toward zero, DuckDB `//` floors — they differ
-    // on negatives. The +2^30 even bias makes both (a) exact: adding 2B
-    // commutes with floor-halving, and (b) safe: every divided quantity is
-    // positive, where truncate == floor. Check both on signed inputs.
-    val B = 1L << 30
-    def floorDiv2(x: Long): Long = Math.floorDiv(x, 2L)
-    val macdGen: Gen[List[Long]] =
-      Gen.nonEmptyListOf(Gen.chooseNum(-5000000L, 5000000L))
-    forAll(macdGen) { macds =>
-      // (a) the bias commutes with floor-halving for any signed sum: the
-      //     recursion's two B's are (macd + B) + (sigb = sig + B), so the
-      //     divided quantity is (macd + sig) + 2B and
-      //     floor((y + 2B)/2) = floor(y/2) + B since 2B is even
-      macds.foreach { y =>
-        assert(floorDiv2(y + B + B) === floorDiv2(y) + B,
-          s"even-bias identity broke at y=$y")
+  test("MACD truncation lemma: the unbiased EMA recursion is magnitude-" +
+    "bounded by its inputs (no overflow at any domain, any sign)") {
+    // window_macd's r16 spelling runs Java's truncating `/` on the Scala
+    // side against DuckDB's integer `//`, which ALSO truncates toward zero
+    // for integer operands (verified: (-3)//2 = -1) — so the engines share
+    // division semantics directly and the r15 +2^30 bias (and its silent
+    // |macd|+|signal| < 2^30 domain bound) is gone. The property the new
+    // spelling relies on instead: every state variable of the recursion is
+    // bounded by the running max input magnitude — |fast|,|slow| ≤ max|c|
+    // and |sig| ≤ |macd| ≤ 2·max|c| — so the recursion cannot overflow
+    // int64 for ANY input domain that itself fits (cents of a double do).
+    val centsGen: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue / 8, Long.MaxValue / 8))
+    forAll(centsGen) { cs =>
+      var fast = cs.head; var slow = cs.head; var sig = 0L
+      var maxAbs = math.abs(cs.head)
+      cs.tail.foreach { c =>
+        maxAbs = math.max(maxAbs, math.abs(c))
+        fast = (c + fast) / 2
+        slow = (c + 3 * slow) / 4
+        sig = ((fast - slow) + sig) / 2
+        assert(math.abs(fast) <= maxAbs, s"fast escaped input bound at c=$c")
+        assert(math.abs(slow) <= maxAbs, s"slow escaped input bound at c=$c")
+        assert(math.abs(sig) <= 2 * maxAbs, s"sig escaped 2x input bound")
       }
-      // (b) run the biased recursion exactly as window_macd does (Scala /
-      //     = truncate) and the floor spelling (DuckDB //) — identical
-      def run(div: Long => Long): List[Long] =
-        macds.tail.scanLeft(macds.head + B)((s, m) => div(m + B + s))
-          .map(_ - B)
-      val trunc = run(x => x / 2)     // Spark div on positives
-      val floor = run(floorDiv2)      // DuckDB //
-      assert(trunc === floor,
-        "biased recursion must be division-semantics-independent")
-      // operands really were positive throughout
-      macds.tail.scanLeft(macds.head + B)((s, m) =>
-        { assert(m + B + s > 0L, "operand went non-positive"); (m + B + s) / 2 })
     }
   }
 
