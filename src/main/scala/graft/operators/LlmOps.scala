@@ -176,6 +176,36 @@ object LlmOps {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     jaccardPairsFrom(t(s, d, "documents"))
 
+  /** Exact-duplicate STAR edges: each document points at the MIN doc_id of
+    * its normalized-text group (md5-keyed groupBy — one linear aggregate,
+    * |group| edges per group, never |group|²). Unioned into the CLUSTERING
+    * keys' edge sets so cluster recall survives ANY duplication factor:
+    * the r16 corpus-×200 probe showed that once a duplicate group outgrows
+    * MaxShingleDf/MaxBandBucket (64), every similarity-path candidate for
+    * it is (by design) capped away — the caps bound quadratic candidate
+    * work, and byte-identical collapse is exactly the case a linear exact
+    * pass covers for free. Near-identical-but-not-exact groups larger than
+    * the caps remain the similarity path's documented recall boundary
+    * (`dedup_minhash_md5` demonstrates the uncapped alternative: 128.9 M
+    * pairs / 380 s at 1 M docs). */
+  private def exactStarEdges(s: SparkSession, d: String): DataFrame = {
+    val g = t(s, d, "documents")
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+    val m = g.groupBy("h").agg(min(col("doc_id")).as("m"))
+    g.join(m, "h").where(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("u"), col("m").as("v"))
+  }
+
+  /** DuckDB CTE body mirroring [[exactStarEdges]] (same md5-of-normalized-
+    * text grouping), for the clustering oracles. */
+  private val exactStarCtes =
+    raw"""exg AS (SELECT doc_id,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+         FROM documents),
+       exm AS (SELECT h, MIN(doc_id) AS m FROM exg GROUP BY h),
+       exe AS (SELECT g.doc_id AS u, x.m AS v
+               FROM exg g JOIN exm x USING (h) WHERE g.doc_id <> x.m)"""
+
   /** df-capped shingle set, shared by the Jaccard and containment keys.
     * The cap is applied skew-safely: a partial (map-side-combined) hash
     * aggregate counts each shingle's df — hot shingles collapse to one row
@@ -382,15 +412,18 @@ object LlmOps {
   // Dedup CLUSTERS — the shape that actually scales: pair listing is
   // quadratic inside a near-dup cluster, so the 100 TB dedup path assigns
   // every document to a connected component of the similarity graph and
-  // keeps one representative (min doc_id) per component. Components come
-  // from large-star/small-star contraction; the oracle replays them with a
-  // recursive transitive-closure CTE (fine at test scale, not the cluster
-  // algorithm).
+  // keeps one representative (min doc_id) per component. The edge set is
+  // the Jaccard pairs UNION the linear exact-duplicate star edges
+  // ([[exactStarEdges]] — the r16 fix for duplicate groups past the df
+  // cap). Components come from large-star/small-star contraction; the
+  // oracle replays them with a recursive transitive-closure CTE (fine at
+  // test scale, not the cluster algorithm).
   private val dedupClusters = Op(
     "dedup_clusters",
     (s, d) => {
       val labels = connectedComponents(
-        jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+        jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionByName(exactStarEdges(s, d)))
       val size = Window.partitionBy("cluster_rep")
       labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
         .withColumn("cluster_size", count(lit(1)).over(size))
@@ -398,8 +431,11 @@ object LlmOps {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $jaccardCtes,
+            $exactStarCtes,
             e AS (SELECT doc_a AS u, doc_b AS v FROM jp
-                  UNION ALL SELECT doc_b, doc_a FROM jp),
+                  UNION ALL SELECT doc_b, doc_a FROM jp
+                  UNION ALL SELECT u, v FROM exe
+                  UNION ALL SELECT v, u FROM exe),
             reach(u, v) AS (
               SELECT u, v FROM e
               UNION
@@ -422,7 +458,8 @@ object LlmOps {
     "dedup_survivor",
     (s, d) => {
       val labels = connectedComponents(
-        jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v")))
+        jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .unionByName(exactStarEdges(s, d)))
       val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
       val w = Window.partitionBy("cluster_rep")
         .orderBy(desc("n_chars"), asc("doc_id"))
@@ -433,8 +470,11 @@ object LlmOps {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $jaccardCtes,
+            $exactStarCtes,
             e AS (SELECT doc_a AS u, doc_b AS v FROM jp
-                  UNION ALL SELECT doc_b, doc_a FROM jp),
+                  UNION ALL SELECT doc_b, doc_a FROM jp
+                  UNION ALL SELECT u, v FROM exe
+                  UNION ALL SELECT v, u FROM exe),
             reach(u, v) AS (
               SELECT u, v FROM e
               UNION

@@ -1340,6 +1340,394 @@ object SignalOps {
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
             FROM sg ORDER BY l_partkey, rn"""))
 
+  // ---------------- round-16 batch: concordance, process capability, and
+  // the remaining classic technical-indicator windows (Ichimoku, floor-
+  // trader pivots, Aroon, MFI) — each exact-integer end to end.
+
+  // Kendall's tau-b between quantity and discount per return flag — the
+  // rank-concordance complement of agg_spearman. DOMAIN COLLAPSE makes the
+  // O(n²) pair statistic scale-free: lineitem collapses to joint
+  // (qty, disc%) cells (≤ 50×11 per group — bounded by the value DOMAINS,
+  // never volume), and concordant/discordant counts are one self-join over
+  // that tiny cell relation with w_a·w_b products — exact BIGINT. Tie
+  // corrections come from the x/y marginals; tau_b = 2(C−D) /
+  // (√A2·√B2) with A2 = n(n−1) − Σtx(tx−1) evaluated as one float
+  // expression over exact integers at the boundary.
+  private val aggKendallTau = Op(
+    "agg_kendall_tau",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_kt")
+      s.sql("""
+        WITH cells AS (SELECT l_returnflag AS g,
+                              CAST(round(l_quantity) AS BIGINT) AS x,
+                              CAST(round(l_discount * 100) AS BIGINT) AS y,
+                              CAST(COUNT(*) AS BIGINT) AS w
+                       FROM lineitem_kt GROUP BY 1, 2, 3),
+             pairs AS (SELECT a.g,
+                              SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                                         OR (a.x > b.x AND a.y > b.y)
+                                       THEN a.w * b.w ELSE 0L END) AS c2,
+                              SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                                         OR (a.x > b.x AND a.y < b.y)
+                                       THEN a.w * b.w ELSE 0L END) AS d2
+                       FROM cells a JOIN cells b ON a.g = b.g
+                       GROUP BY a.g),
+             mx AS (SELECT g, SUM(wx * (wx - 1)) AS tx2
+                    FROM (SELECT g, x, SUM(w) AS wx
+                          FROM cells GROUP BY g, x) GROUP BY g),
+             my AS (SELECT g, SUM(wy * (wy - 1)) AS ty2
+                    FROM (SELECT g, y, SUM(w) AS wy
+                          FROM cells GROUP BY g, y) GROUP BY g),
+             mn AS (SELECT g, SUM(w) AS n FROM cells GROUP BY g)
+        SELECT mn.g AS returnflag, mn.n AS n,
+               pairs.c2 div 2 AS concordant, pairs.d2 div 2 AS discordant,
+               round((pairs.c2 - pairs.d2) /
+                 sqrt(CAST(mn.n * (mn.n - 1) - mx.tx2 AS DOUBLE)) /
+                 sqrt(CAST(mn.n * (mn.n - 1) - my.ty2 AS DOUBLE)), 6)
+                 AS tau_b
+        FROM mn JOIN pairs ON pairs.g = mn.g
+        JOIN mx ON mx.g = mn.g JOIN my ON my.g = mn.g
+        ORDER BY returnflag""")
+    },
+    Some("""WITH cells AS (SELECT l_returnflag AS g,
+                                  CAST(round(l_quantity) AS BIGINT) AS x,
+                                  CAST(round(l_discount * 100) AS BIGINT) AS y,
+                                  CAST(COUNT(*) AS BIGINT) AS w
+                           FROM lineitem GROUP BY 1, 2, 3),
+                 pairs AS (SELECT a.g,
+                                  CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                                             OR (a.x > b.x AND a.y > b.y)
+                                           THEN a.w * b.w ELSE 0 END)
+                                       AS BIGINT) AS c2,
+                                  CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                                             OR (a.x > b.x AND a.y < b.y)
+                                           THEN a.w * b.w ELSE 0 END)
+                                       AS BIGINT) AS d2
+                           FROM cells a JOIN cells b ON a.g = b.g
+                           GROUP BY a.g),
+                 mx AS (SELECT g, CAST(SUM(wx * (wx - 1)) AS BIGINT) AS tx2
+                        FROM (SELECT g, x, CAST(SUM(w) AS BIGINT) AS wx
+                              FROM cells GROUP BY g, x) GROUP BY g),
+                 my AS (SELECT g, CAST(SUM(wy * (wy - 1)) AS BIGINT) AS ty2
+                        FROM (SELECT g, y, CAST(SUM(w) AS BIGINT) AS wy
+                              FROM cells GROUP BY g, y) GROUP BY g),
+                 mn AS (SELECT g, CAST(SUM(w) AS BIGINT) AS n
+                        FROM cells GROUP BY g)
+            SELECT mn.g AS returnflag, mn.n AS n,
+                   pairs.c2 // 2 AS concordant, pairs.d2 // 2 AS discordant,
+                   round((pairs.c2 - pairs.d2) /
+                     sqrt(CAST(mn.n * (mn.n - 1) - mx.tx2 AS DOUBLE)) /
+                     sqrt(CAST(mn.n * (mn.n - 1) - my.ty2 AS DOUBLE)), 6)
+                     AS tau_b
+            FROM mn JOIN pairs ON pairs.g = mn.g
+            JOIN mx ON mx.g = mn.g JOIN my ON my.g = mn.g
+            ORDER BY returnflag"""))
+
+  // Process capability (Cp / Cpk) per event type against fixed spec limits
+  // [0, 50000] cents — the SPC summary next to window_spc_rule's control
+  // chart. One partial→final pass of exact BIGINT moments (n, Σx, Σx²);
+  // mean/stddev evaluate once per group in float64 from those exact
+  // integers, Cp = (USL−LSL)/6σ and Cpk = min(USL−μ, μ−LSL)/3σ round to
+  // 6 dp at the boundary. σ = 0 groups publish NULL via NULLIF (a
+  // zero-variance process has undefined capability).
+  private val aggCpk = Op(
+    "agg_cpk",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_cpk")
+      s.sql("""
+        WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS s1,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT) *
+                                   CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS s2
+                   FROM events_cpk GROUP BY 1),
+             st AS (SELECT event_type, n,
+                           CAST(s1 AS DOUBLE) / n AS mu,
+                           sqrt((s2 - CAST(s1 AS DOUBLE) / n * s1)
+                                / (n - 1)) AS sigma
+                    FROM m WHERE n > 1)
+        SELECT event_type, n,
+               round(50000.0 / (6.0 * NULLIF(sigma, 0.0D)), 6) AS cp,
+               round(LEAST(50000.0 - mu, mu - 0.0) /
+                     (3.0 * NULLIF(sigma, 0.0D)), 6) AS cpk
+        FROM st ORDER BY event_type""")
+    },
+    Some("""WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS s1,
+                              CAST(SUM(CAST(round(value * 100) AS BIGINT) *
+                                       CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS s2
+                       FROM events GROUP BY 1),
+                 st AS (SELECT event_type, n,
+                               CAST(s1 AS DOUBLE) / n AS mu,
+                               sqrt((s2 - CAST(s1 AS DOUBLE) / n * s1)
+                                    / (n - 1)) AS sigma
+                        FROM m WHERE n > 1)
+            SELECT event_type, n,
+                   round(50000.0 / (6.0 * NULLIF(sigma, 0.0)), 6) AS cp,
+                   round(LEAST(50000.0 - mu, mu - 0.0) /
+                         (3.0 * NULLIF(sigma, 0.0)), 6) AS cpk
+            FROM st ORDER BY event_type"""))
+
+  // Ichimoku cloud per part over the lineitem price series: tenkan (9),
+  // kijun (26), senkou A (their mean), senkou B (52) — published in
+  // SCALED integers (×2 / ×4 cents) so the /2 midpoints never divide:
+  // tenkan2 = max9+min9, kijun2 = max26+min26, span_a4 = tenkan2+kijun2,
+  // span_b2 = max52+min52 — exact BIGINT end to end, nothing to round.
+  // All four trailing frames share ONE (part / shipdate,key) sort — a
+  // single shuffle; per-row state is O(52) regardless of volume. The sort
+  // includes the price so full-duplicate keys stay frame-deterministic.
+  private val windowIchimoku = Op(
+    "window_ichimoku",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_ich")
+      s.sql("""
+        WITH b AS (SELECT l_partkey AS pk,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                          l_shipdate AS sd, l_orderkey AS ok,
+                          l_linenumber AS ln
+                   FROM lineitem_ich WHERE l_partkey % 97 = 0),
+             w AS (SELECT pk, c,
+                          CAST(row_number() OVER o AS BIGINT) AS rn,
+                          MAX(c) OVER o9 + MIN(c) OVER o9 AS tenkan2,
+                          MAX(c) OVER o26 + MIN(c) OVER o26 AS kijun2,
+                          MAX(c) OVER o52 + MIN(c) OVER o52 AS span_b2
+                   FROM b
+                   WINDOW o AS (PARTITION BY pk ORDER BY sd, ok, ln, c),
+                          o9 AS (PARTITION BY pk ORDER BY sd, ok, ln, c
+                            ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+                          o26 AS (PARTITION BY pk ORDER BY sd, ok, ln, c
+                            ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+                          o52 AS (PARTITION BY pk ORDER BY sd, ok, ln, c
+                            ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+        SELECT pk, rn, c, tenkan2, kijun2,
+               tenkan2 + kijun2 AS span_a4, span_b2
+        FROM w ORDER BY pk, rn""")
+    },
+    Some("""WITH b AS (SELECT l_partkey AS pk,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c,
+                              l_shipdate AS sd, l_orderkey AS ok,
+                              l_linenumber AS ln
+                       FROM lineitem WHERE l_partkey % 97 = 0),
+                 w AS (SELECT pk, c,
+                              CAST(row_number() OVER o AS BIGINT) AS rn,
+                              MAX(c) OVER o9 + MIN(c) OVER o9 AS tenkan2,
+                              MAX(c) OVER o26 + MIN(c) OVER o26 AS kijun2,
+                              MAX(c) OVER o52 + MIN(c) OVER o52 AS span_b2
+                       FROM b
+                       WINDOW o AS (PARTITION BY pk
+                                    ORDER BY sd, ok, ln, c),
+                              o9 AS (PARTITION BY pk
+                                ORDER BY sd, ok, ln, c
+                                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+                              o26 AS (PARTITION BY pk
+                                ORDER BY sd, ok, ln, c
+                                ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+                              o52 AS (PARTITION BY pk
+                                ORDER BY sd, ok, ln, c
+                                ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+            SELECT pk, rn, c, tenkan2, kijun2,
+                   tenkan2 + kijun2 AS span_a4, span_b2
+            FROM w ORDER BY pk, rn"""))
+
+  // Floor-trader pivot points per part per day from the PREVIOUS day's
+  // (H, L, C) bar — P = (H+L+C)/3, R1 = 2P−L, S1 = 2P−H, R2 = P+(H−L),
+  // S2 = P−(H−L) — all published at ×3 scale (triple cents) so the /3
+  // never divides: exact BIGINT, breakout flags compare 3·H_today against
+  // R1×3 exactly. The close is the argmax pick on the unique
+  // (orderkey, linenumber, cents) struct order (the resample_ohlc
+  // protocol); daily bars collapse map-side, the lag is one sort over the
+  // bounded calendar×part domain.
+  private val windowPivotPoints = Op(
+    "window_pivot_points",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_pp")
+      s.sql("""
+        WITH b AS (SELECT l_partkey AS pk,
+                          unix_timestamp(CAST(l_shipdate AS TIMESTAMP))
+                            div 86400 AS day,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                          l_orderkey AS ok, l_linenumber AS ln
+                   FROM lineitem_pp WHERE l_partkey % 25 = 3),
+             daily AS (SELECT pk, day, MAX(c) AS h, MIN(c) AS l,
+                              max(named_struct('ok', ok, 'ln', ln,
+                                               'c', c)).c AS cl
+                       FROM b GROUP BY pk, day),
+             lg AS (SELECT pk, day, h, l, cl,
+                           LAG(h) OVER w AS ph, LAG(l) OVER w AS pl,
+                           LAG(cl) OVER w AS pcl
+                    FROM daily
+                    WINDOW w AS (PARTITION BY pk ORDER BY day))
+        SELECT pk, day, h, l, cl,
+               ph + pl + pcl AS p3,
+               2 * (ph + pl + pcl) - 3 * pl AS r1_3,
+               2 * (ph + pl + pcl) - 3 * ph AS s1_3,
+               (ph + pl + pcl) + 3 * (ph - pl) AS r2_3,
+               (ph + pl + pcl) - 3 * (ph - pl) AS s2_3,
+               3 * h > 2 * (ph + pl + pcl) - 3 * pl AS breakout,
+               3 * l < 2 * (ph + pl + pcl) - 3 * ph AS breakdown
+        FROM lg WHERE ph IS NOT NULL
+        ORDER BY pk, day""")
+    },
+    Some("""WITH b AS (SELECT l_partkey AS pk,
+                              CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                                // 86400 AS day,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c,
+                              l_orderkey AS ok, l_linenumber AS ln
+                       FROM lineitem WHERE l_partkey % 25 = 3),
+                 daily AS (SELECT pk, day, MAX(c) AS h, MIN(c) AS l,
+                                  (max({'ok': ok, 'ln': ln, 'c': c})).c
+                                    AS cl
+                           FROM b GROUP BY pk, day),
+                 lg AS (SELECT pk, day, h, l, cl,
+                               LAG(h) OVER w AS ph, LAG(l) OVER w AS pl,
+                               LAG(cl) OVER w AS pcl
+                        FROM daily
+                        WINDOW w AS (PARTITION BY pk ORDER BY day))
+            SELECT pk, day, h, l, cl,
+                   ph + pl + pcl AS p3,
+                   2 * (ph + pl + pcl) - 3 * pl AS r1_3,
+                   2 * (ph + pl + pcl) - 3 * ph AS s1_3,
+                   (ph + pl + pcl) + 3 * (ph - pl) AS r2_3,
+                   (ph + pl + pcl) - 3 * (ph - pl) AS s2_3,
+                   3 * h > 2 * (ph + pl + pcl) - 3 * pl AS breakout,
+                   3 * l < 2 * (ph + pl + pcl) - 3 * ph AS breakdown
+            FROM lg WHERE ph IS NOT NULL
+            ORDER BY pk, day"""))
+
+  // Aroon oscillator per user over the event value series: bars-since-high
+  // and bars-since-low inside the trailing 25 rows via the ARGMAX-IN-FRAME
+  // struct-max trick — max(struct(c, rn)) over the frame yields the row
+  // number of the most recent maximum (ties break to the latest, the Aroon
+  // convention) with NO self-join and O(frame) state. aroon_up/down are
+  // exact basis points by integer division over the effective period
+  // (LEAST(rn, 25) — warm-up rows use the available history, the standard
+  // convention). One (user / ts,event_id) sort; event_id is unique so the
+  // frame contents are total-order deterministic.
+  private val windowAroon = Op(
+    "window_aroon",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_ar")
+      s.sql("""
+        WITH b AS (SELECT user_id AS u, event_id AS e,
+                          CAST(round(value * 100) AS BIGINT) AS c, ts
+                   FROM events_ar WHERE user_id % 10 = 3),
+             r AS (SELECT u, e, c,
+                          CAST(row_number() OVER o AS BIGINT) AS rn
+                   FROM b WINDOW o AS (PARTITION BY u ORDER BY ts, e)),
+             f AS (SELECT u, e, c, rn,
+                          max(named_struct('c', c, 'rn', rn)) OVER o25
+                            AS hi,
+                          max(named_struct('c', -c, 'rn', rn)) OVER o25
+                            AS lo
+                   FROM r WINDOW o25 AS (PARTITION BY u ORDER BY rn
+                     ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+        SELECT u AS user_id, e AS event_id, rn, c,
+               (LEAST(rn, 25L) - (rn - hi.rn)) * 10000
+                 div LEAST(rn, 25L) AS aroon_up_bp,
+               (LEAST(rn, 25L) - (rn - lo.rn)) * 10000
+                 div LEAST(rn, 25L) AS aroon_down_bp
+        FROM f ORDER BY user_id, rn""")
+    },
+    Some("""WITH b AS (SELECT user_id AS u, event_id AS e,
+                              CAST(round(value * 100) AS BIGINT) AS c, ts
+                       FROM events WHERE user_id % 10 = 3),
+                 r AS (SELECT u, e, c,
+                              CAST(row_number() OVER o AS BIGINT) AS rn
+                       FROM b WINDOW o AS (PARTITION BY u ORDER BY ts, e)),
+                 f AS (SELECT u, e, c, rn,
+                              max({'c': c, 'rn': rn}) OVER o25 AS hi,
+                              max({'c': -c, 'rn': rn}) OVER o25 AS lo
+                       FROM r WINDOW o25 AS (PARTITION BY u ORDER BY rn
+                         ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+            SELECT u AS user_id, e AS event_id, rn, c,
+                   (LEAST(rn, 25) - (rn - hi.rn)) * 10000
+                     // LEAST(rn, 25) AS aroon_up_bp,
+                   (LEAST(rn, 25) - (rn - lo.rn)) * 10000
+                     // LEAST(rn, 25) AS aroon_down_bp
+            FROM f ORDER BY user_id, rn"""))
+
+  // Money Flow Index per part over daily (H, L, C, volume) bars: typical
+  // price at ×3 scale (tp3 = H+L+C, exact), raw money flow = tp3 ×
+  // Σquantity (BIGINT), split positive/negative by tp3 vs the prior day
+  // (equal days contribute to neither, the MFI convention), trailing-14-day
+  // sums, mfi_bp = pos·10⁴ div (pos+neg) exact with a GREATEST(·,1)
+  // saturation for all-flat windows. The daily collapse happens map-side;
+  // the lag + frame ride the bounded calendar×part domain, never rows.
+  private val windowMfi = Op(
+    "window_mfi",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_mfi")
+      s.sql("""
+        WITH b AS (SELECT l_partkey AS pk,
+                          unix_timestamp(CAST(l_shipdate AS TIMESTAMP))
+                            div 86400 AS day,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                          CAST(round(l_quantity) AS BIGINT) AS q,
+                          l_orderkey AS ok, l_linenumber AS ln
+                   FROM lineitem_mfi WHERE l_partkey % 25 = 7),
+             daily AS (SELECT pk, day,
+                              MAX(c) + MIN(c) +
+                                max(named_struct('ok', ok, 'ln', ln,
+                                                 'c', c)).c AS tp3,
+                              CAST(SUM(q) AS BIGINT) AS vol
+                       FROM b GROUP BY pk, day),
+             dirs AS (SELECT pk, day, tp3, vol,
+                             CAST(row_number() OVER w AS BIGINT) AS rn,
+                             CASE WHEN tp3 > LAG(tp3) OVER w
+                                  THEN tp3 * vol ELSE 0L END AS pos_flow,
+                             CASE WHEN tp3 < LAG(tp3) OVER w
+                                  THEN tp3 * vol ELSE 0L END AS neg_flow
+                      FROM daily
+                      WINDOW w AS (PARTITION BY pk ORDER BY day)),
+             fr AS (SELECT pk, day, tp3, vol, rn,
+                           CAST(SUM(pos_flow) OVER w14 AS BIGINT) AS pos,
+                           CAST(SUM(neg_flow) OVER w14 AS BIGINT) AS neg
+                    FROM dirs
+                    WINDOW w14 AS (PARTITION BY pk ORDER BY rn
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT pk, day, tp3, vol, pos, neg,
+               pos * 10000 div GREATEST(pos + neg, 1L) AS mfi_bp
+        FROM fr WHERE rn >= 15 ORDER BY pk, day""")
+    },
+    Some("""WITH b AS (SELECT l_partkey AS pk,
+                              CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                                // 86400 AS day,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c,
+                              CAST(round(l_quantity) AS BIGINT) AS q,
+                              l_orderkey AS ok, l_linenumber AS ln
+                       FROM lineitem WHERE l_partkey % 25 = 7),
+                 daily AS (SELECT pk, day,
+                                  MAX(c) + MIN(c) +
+                                    (max({'ok': ok, 'ln': ln, 'c': c})).c
+                                    AS tp3,
+                                  CAST(SUM(q) AS BIGINT) AS vol
+                           FROM b GROUP BY pk, day),
+                 dirs AS (SELECT pk, day, tp3, vol,
+                                 CAST(row_number() OVER w AS BIGINT) AS rn,
+                                 CASE WHEN tp3 > LAG(tp3) OVER w
+                                      THEN tp3 * vol ELSE 0 END AS pos_flow,
+                                 CASE WHEN tp3 < LAG(tp3) OVER w
+                                      THEN tp3 * vol ELSE 0 END AS neg_flow
+                          FROM daily
+                          WINDOW w AS (PARTITION BY pk ORDER BY day)),
+                 fr AS (SELECT pk, day, tp3, vol, rn,
+                               CAST(SUM(pos_flow) OVER w14 AS BIGINT)
+                                 AS pos,
+                               CAST(SUM(neg_flow) OVER w14 AS BIGINT)
+                                 AS neg
+                        FROM dirs
+                        WINDOW w14 AS (PARTITION BY pk ORDER BY rn
+                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+            SELECT pk, day, tp3, vol, pos, neg,
+                   pos * 10000 // GREATEST(pos + neg, 1) AS mfi_bp
+            FROM fr WHERE rn >= 15 ORDER BY pk, day"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
@@ -1347,5 +1735,7 @@ object SignalOps {
       simMipsTopk, privacyDpTopk, windowSeasonalEwma, corpusSourceCap,
       eventDodMovers, dqKeyDiscovery, privacyRandomizedResponse,
       dedupCrossSourceMatrix, windowKeltner, aggRakingIpf, resampleWma,
-      sqlScripting, aggTrimmedMean, windowObv)
+      sqlScripting, aggTrimmedMean, windowObv,
+      aggKendallTau, aggCpk, windowIchimoku, windowPivotPoints,
+      windowAroon, windowMfi)
 }

@@ -187,6 +187,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false)))
   }
 
+  // r16: a duplicate group larger than MaxShingleDf (64) loses EVERY
+  // shingle to the df cap, so the jaccard path alone cannot cluster it —
+  // the linear exact-duplicate star edges must (the corpus-x200 probe's
+  // finding). 70 byte-identical docs + 1 unique: all 70 cluster under the
+  // min id with size 70; the unique doc stays out of the edge set.
+  test("dedup_clusters clusters identical crowds past the df cap") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g_cl_crowd_").toString
+    val crowd = (1 to 70).map(i =>
+      (i.toLong, "en", (1 to 40).map(j => s"w$j").mkString(" ")))
+    (crowd :+ ((999L, "en", "totally different text here")))
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
+    assert(rows.length === 70, s"expected the 70-crowd, got ${rows.length}")
+    assert(rows.forall(_.getLong(1) == 1L), "all must label under doc 1")
+    assert(rows.forall(_.getLong(2) == 70L), "cluster_size must be 70")
+  }
+
   test("dedup_exact keeps one survivor per duplicated text") {
     import spark.implicits._
     val dir = Files.createTempDirectory("g_exact_").toString

@@ -1215,6 +1215,21 @@ def rules():
     }
 
 
+# Corpus replication past the MaxShingleDf / MaxBandBucket skew caps (64)
+# flips the similarity-path expectations BY DESIGN (r16 corpus-x200 probe):
+# every shingle/band bucket of a >64-way duplicate group exceeds the cap,
+# so the capped candidate paths emit EXACTLY zero pairs for it (asserting 0
+# proves the cap engages cleanly instead of going quadratic), while the
+# CLUSTERING keys keep full recall through the linear exact-duplicate star
+# edges (LlmOps.exactStarEdges) and must still cluster every replica group.
+def cap_overrides(r):
+    for k in ("dedup_ngram_jaccard", "dedup_containment", "dedup_minhash"):
+        r[k] = {"rows": ("==0",)}
+    r["dedup_clusters"] = {"rows": (">=", 100000), "colmax": {
+        "cluster_size": (">=", C)}}
+    return r
+
+
 def is_bad_float(v):
     return isinstance(v, str) or (v is not None and (v != v))
 
@@ -1231,6 +1246,8 @@ def main():
     ref = json.load(open(a.ref))
     big = json.load(open(a.scaled))
     R = rules()
+    if C > 64:  # past MaxShingleDf / MaxBandBucket — see cap_overrides
+        R = cap_overrides(R)
     ok, fail = [], []
     for k in ref:
         notes = []
@@ -1256,7 +1273,9 @@ def main():
             if st and st["min"] is not None and st["min"] < 0:
                 bad.append(f"col {c} min {st['min']} < 0 (overflow canary)")
         rr = rule.get("rows", ("record",))
-        if rr[0] == "==" and b["rows"] != r["rows"]:
+        if rr[0] == "==0" and b["rows"] != 0:
+            bad.append(f"rows {b['rows']} != 0 (cap must engage cleanly)")
+        elif rr[0] == "==" and b["rows"] != r["rows"]:
             bad.append(f"rows {b['rows']} != ref {r['rows']}")
         elif rr[0] == "x" and b["rows"] != r["rows"] * rr[1]:
             bad.append(f"rows {b['rows']} != ref {r['rows']} x{rr[1]}")
