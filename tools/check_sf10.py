@@ -1212,6 +1212,42 @@ def rules():
             "nonneg": ["n", "k"]},
         # per-fact-row running indicator: rows xF; obv is signed by design
         "window_obv": {"rows": ("x", F), "nonneg": ["c", "rn"]},
+        # ---- round-16 batch ----
+        # joint cells keep their row set with w xF -> pair products
+        # (concordant/discordant) scale xF^2 EXACTLY; tau's tie terms are
+        # O(1/n) off exact scaling -> tight tolerance, not equality
+        "agg_kendall_tau": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "concordant": ("x", F * F, 0),
+            "discordant": ("x", F * F, 0), "tau_b": ("==", 1e-3)},
+            "nonneg": ["n", "concordant", "discordant"]},
+        # mu invariant; sample sigma's (n-1) denominator shifts O(1/n)
+        "agg_cpk": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "cp": ("==", 1e-4), "cpk": ("==", 1e-4)},
+            "nonneg": ["n"]},
+        # per-fact-row dump: replicas interleave inside the trailing frames
+        # (shifted orderkeys at equal shipdates) so frame mins/maxes move;
+        # the price domain itself is invariant
+        "window_ichimoku": {"rows": ("x", F), "cols": {"c": ("==", 0)},
+            "nonneg": ["c", "rn", "tenkan2", "kijun2", "span_a4",
+                       "span_b2"]},
+        # daily H/L/C bars are invariant under exact replication (the close
+        # argmax lands on a replica of the original argmax row, same value)
+        # -> every pivot level byte-identical
+        "window_pivot_points": {"rows": ("==",), "cols": {
+            "h": ("==", 0), "l": ("==", 0), "cl": ("==", 0),
+            "p3": ("==", 0), "r1_3": ("==", 0), "s1_3": ("==", 0),
+            "r2_3": ("==", 0), "s2_3": ("==", 0)},
+            "nonneg": ["h", "l", "cl"]},
+        # replicas at identical ts interleave in the row frames -> aroon
+        # values move; bp stays in [0, 10000] and the value domain holds
+        "window_aroon": {"rows": ("x", F), "cols": {"c": ("==", 0)},
+            "nonneg": ["c", "rn", "aroon_up_bp", "aroon_down_bp"]},
+        # daily bars invariant, volume xF, and floor(F*a/(F*b)) == floor(a/b)
+        # -> mfi_bp byte-identical while the flows scale exactly
+        "window_mfi": {"rows": ("==",), "cols": {
+            "tp3": ("==", 0), "vol": ("x", F, 0), "pos": ("x", F, 0),
+            "neg": ("x", F, 0), "mfi_bp": ("==", 0)},
+            "nonneg": ["tp3", "vol", "pos", "neg", "mfi_bp"]},
     }
 
 
