@@ -1728,6 +1728,372 @@ object SignalOps {
                    pos * 10000 // GREATEST(pos + neg, 1) AS mfi_bp
             FROM fr WHERE rn >= 15 ORDER BY pk, day"""))
 
+  // Exact Shapley-value channel attribution: which pre-purchase channels
+  // (click/error/signup/view) deserve credit for conversions. Users
+  // collapse to a 4-bit channel-set mask (≤16 distinct) with converted
+  // counts; coalition values v(S) = converted users whose set ⊆ S come
+  // from one 16×16 subset-test join over that TINY relation — the
+  // exponential Shapley lattice is bounded by the CHANNEL count, never by
+  // volume (the user collapse is one partial→final aggregate). Shapley
+  // weights at n=4 are |S|!·(3−|S|)!, so 24·φ is an exact BIGINT
+  // combination of the v's — published as phi_q24 with ONE division at
+  // the boundary. Efficiency property Σφ = v(N) − v(∅) holds exactly in
+  // the quantized integers.
+  private val aggShapleyAttribution = Op(
+    "agg_shapley_attribution",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_shap")
+      s.sql("""
+        WITH u AS (SELECT user_id,
+                          CAST(MAX(CASE WHEN event_type = 'click' THEN 1
+                                   ELSE 0 END) * 1
+                             + MAX(CASE WHEN event_type = 'error' THEN 1
+                                   ELSE 0 END) * 2
+                             + MAX(CASE WHEN event_type = 'signup' THEN 1
+                                   ELSE 0 END) * 4
+                             + MAX(CASE WHEN event_type = 'view' THEN 1
+                                   ELSE 0 END) * 8 AS INT) AS m,
+                          MAX(CASE WHEN event_type = 'purchase' THEN 1
+                              ELSE 0 END) AS conv
+                   FROM events_shap GROUP BY user_id),
+             mc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS w
+                    FROM u WHERE conv = 1 GROUP BY m),
+             co AS (SELECT explode(sequence(0, 15)) AS sc),
+             v AS (SELECT co.sc,
+                          CAST(COALESCE(SUM(CASE WHEN (mc.m & co.sc) = mc.m
+                            THEN mc.w END), 0) AS BIGINT) AS v
+                   FROM co LEFT JOIN mc ON true GROUP BY co.sc),
+             ch AS (SELECT explode(array(1, 2, 4, 8)) AS c)
+        SELECT CASE ch.c WHEN 1 THEN 'click' WHEN 2 THEN 'error'
+                         WHEN 4 THEN 'signup' ELSE 'view' END AS channel,
+               CAST(SUM((CASE bit_count(sv.sc) WHEN 0 THEN 6 WHEN 1 THEN 2
+                         WHEN 2 THEN 2 ELSE 6 END)
+                        * (vi.v - sv.v)) AS BIGINT) AS phi_q24,
+               round(SUM((CASE bit_count(sv.sc) WHEN 0 THEN 6 WHEN 1 THEN 2
+                          WHEN 2 THEN 2 ELSE 6 END)
+                         * (vi.v - sv.v)) / 24.0D, 6) AS shapley
+        FROM ch JOIN v sv ON (sv.sc & ch.c) = 0
+        JOIN v vi ON vi.sc = (sv.sc | ch.c)
+        GROUP BY ch.c ORDER BY channel""")
+    },
+    Some("""WITH u AS (SELECT user_id,
+                              CAST(MAX(CASE WHEN event_type = 'click' THEN 1
+                                       ELSE 0 END) * 1
+                                 + MAX(CASE WHEN event_type = 'error' THEN 1
+                                       ELSE 0 END) * 2
+                                 + MAX(CASE WHEN event_type = 'signup' THEN 1
+                                       ELSE 0 END) * 4
+                                 + MAX(CASE WHEN event_type = 'view' THEN 1
+                                       ELSE 0 END) * 8 AS INT) AS m,
+                              MAX(CASE WHEN event_type = 'purchase' THEN 1
+                                  ELSE 0 END) AS conv
+                       FROM events GROUP BY user_id),
+                 mc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS w
+                        FROM u WHERE conv = 1 GROUP BY m),
+                 co AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS sc),
+                 v AS (SELECT co.sc,
+                              CAST(COALESCE(SUM(CASE WHEN (mc.m & co.sc) = mc.m
+                                THEN mc.w END), 0) AS BIGINT) AS v
+                       FROM co LEFT JOIN mc ON true GROUP BY co.sc),
+                 ch AS (SELECT unnest([1, 2, 4, 8]) AS c)
+            SELECT CASE ch.c WHEN 1 THEN 'click' WHEN 2 THEN 'error'
+                             WHEN 4 THEN 'signup' ELSE 'view' END AS channel,
+                   CAST(SUM((CASE bit_count(sv.sc) WHEN 0 THEN 6 WHEN 1 THEN 2
+                             WHEN 2 THEN 2 ELSE 6 END)
+                            * (vi.v - sv.v)) AS BIGINT) AS phi_q24,
+                   round(SUM((CASE bit_count(sv.sc) WHEN 0 THEN 6 WHEN 1 THEN 2
+                              WHEN 2 THEN 2 ELSE 6 END)
+                             * (vi.v - sv.v)) / 24.0, 6) AS shapley
+            FROM ch JOIN v sv ON (sv.sc & ch.c) = 0
+            JOIN v vi ON vi.sc = (sv.sc | ch.c)
+            GROUP BY ch.c ORDER BY channel"""))
+
+  // Differentially-private mean release per order priority: value clamped
+  // to [0, $50k] cents (the DP sensitivity bound), Laplace noise on BOTH
+  // the clamped sum (scale = sensitivity/ε) and the count (scale = 1/ε)
+  // from the same md5 inverse-CDF draw privacy_dp_histogram uses (noise
+  // quantized to 1e-6 BEFORE the add so both engines publish identical
+  // releases; a seeded draw is the gate's determinism requirement, not a
+  // privacy mechanism — the CSPRNG swap is one line). O(groups) noise
+  // math after one partial→final clamped-moments pass.
+  private val privacyDpMean = Op(
+    "privacy_dp_mean",
+    (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_dpm")
+      s.sql("""
+        WITH m AS (SELECT o_orderpriority AS prio,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(LEAST(CAST(round(o_totalprice * 100)
+                            AS BIGINT), 5000000L)) AS BIGINT) AS s_c
+                   FROM orders_dpm GROUP BY 1),
+             u AS (SELECT prio, n, s_c,
+                          CAST(CAST(conv(substring(md5(concat('dpms:',
+                            prio)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)
+                            / 1152921504606846976.0D - 0.5D AS us,
+                          CAST(CAST(conv(substring(md5(concat('dpmn:',
+                            prio)), 1, 15), 16, 10) AS BIGINT) AS DOUBLE)
+                            / 1152921504606846976.0D - 0.5D AS un
+                   FROM m),
+             nz AS (SELECT prio, n, s_c,
+                           CAST(round(-sign(us) *
+                             ln(GREATEST(1.0D - 2.0D*abs(us), 1e-18D))
+                             * 5000000.0D * 1000000) AS BIGINT) AS zs_q,
+                           CAST(round(-sign(un) *
+                             ln(GREATEST(1.0D - 2.0D*abs(un), 1e-18D))
+                             * 1000000) AS BIGINT) AS zn_q
+                    FROM u)
+        SELECT prio, n,
+               round((s_c + zs_q / 1000000.0D) /
+                     GREATEST(n + zn_q / 1000000.0D, 1.0D) / 100.0D, 6)
+                 AS dp_mean
+        FROM nz ORDER BY prio""")
+    },
+    Some("""WITH m AS (SELECT o_orderpriority AS prio,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(LEAST(CAST(round(o_totalprice * 100)
+                                AS BIGINT), 5000000)) AS BIGINT) AS s_c
+                       FROM orders GROUP BY 1),
+                 u AS (SELECT prio, n, s_c,
+                              CAST(('0x' || substr(md5('dpms:' || prio),
+                                   1, 15))::BIGINT AS DOUBLE)
+                              / 1152921504606846976.0 - 0.5 AS us,
+                              CAST(('0x' || substr(md5('dpmn:' || prio),
+                                   1, 15))::BIGINT AS DOUBLE)
+                              / 1152921504606846976.0 - 0.5 AS un
+                       FROM m),
+                 nz AS (SELECT prio, n, s_c,
+                               CAST(round(-sign(us) *
+                                 ln(GREATEST(1.0 - 2.0*abs(us), 1e-18))
+                                 * 5000000.0 * 1000000) AS BIGINT) AS zs_q,
+                               CAST(round(-sign(un) *
+                                 ln(GREATEST(1.0 - 2.0*abs(un), 1e-18))
+                                 * 1000000) AS BIGINT) AS zn_q
+                        FROM u)
+            SELECT prio, n,
+                   round((s_c + zs_q / 1000000.0) /
+                         GREATEST(n + zn_q / 1000000.0, 1.0) / 100.0, 6)
+                     AS dp_mean
+            FROM nz ORDER BY prio"""))
+
+  // McNemar's test for paired binary outcomes: did per-user conversion
+  // CHANGE between the first and second half of the observation window?
+  // (outcome = a high-value signup — rare enough that the discordant
+  // cells are populated; an always-on outcome like any-purchase makes
+  // b = c = 0 at every SF)
+  // Each user collapses to (converted in p1, converted in p2) — one
+  // partial→final pass — and the test reads only the discordant counts
+  // b (yes→no) and c (no→yes): χ² = (b−c)²/(b+c), exact BIGINTs until
+  // the one division, NULL when b+c = 0 (no discordance — test
+  // undefined). The classic before/after experiment readout.
+  private val aggMcnemar = Op(
+    "agg_mcnemar",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_mcn")
+      s.sql("""
+        WITH u AS (SELECT user_id,
+                          MAX(CASE WHEN event_type = 'signup'
+                               AND value > 300
+                               AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                              THEN 1 ELSE 0 END) AS p1,
+                          MAX(CASE WHEN event_type = 'signup'
+                               AND value > 300
+                               AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                              THEN 1 ELSE 0 END) AS p2
+                   FROM events_mcn GROUP BY user_id),
+             t AS (SELECT
+                     CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1
+                              ELSE 0 END) AS BIGINT) AS b,
+                     CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1
+                              ELSE 0 END) AS BIGINT) AS c,
+                     CAST(COUNT(*) AS BIGINT) AS n_users
+                   FROM u)
+        SELECT n_users, b, c,
+               round((b - c) * (b - c) /
+                     CAST(NULLIF(b + c, 0) AS DOUBLE), 6) AS chi2
+        FROM t""")
+    },
+    Some("""WITH u AS (SELECT user_id,
+                              MAX(CASE WHEN event_type = 'signup'
+                                   AND value > 300
+                                   AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                                  THEN 1 ELSE 0 END) AS p1,
+                              MAX(CASE WHEN event_type = 'signup'
+                                   AND value > 300
+                                   AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                  THEN 1 ELSE 0 END) AS p2
+                       FROM events GROUP BY user_id),
+                 t AS (SELECT
+                         CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1
+                                  ELSE 0 END) AS BIGINT) AS b,
+                         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1
+                                  ELSE 0 END) AS BIGINT) AS c,
+                         CAST(COUNT(*) AS BIGINT) AS n_users
+                       FROM u)
+            SELECT n_users, b, c,
+                   round((b - c) * (b - c) /
+                         CAST(NULLIF(b + c, 0) AS DOUBLE), 6) AS chi2
+            FROM t"""))
+
+  // ADX (average directional index) per event type over hourly OHLC bars —
+  // the directional-strength indicator completing the resample_atr family.
+  // TR/+DM/−DM come from one lag pass; the THREE Wilder smoothings
+  // (S_t = S_{t−1} − S_{t−1} div 14 + x_t, a genuine recursion) and the
+  // ADX recursion run in the documented secondary-sort mapPartitions scan
+  // (one shuffle on event_type, O(1) state per row) in exact BIGINT cents;
+  // DI/DX/ADX are exact basis points by integer division over strictly
+  // non-negative operands. The oracle replays the identical integer
+  // recursion breadth-first with a recursive CTE (the window_cusum
+  // protocol). Warm-up convention: seeds at bar 14 (Σ of the first 14
+  // TR/DM), ADX seeds at bar 27 (mean of the first 14 DX) — rows publish
+  // from bar 27 on.
+  private val windowAdx = Op(
+    "window_adx",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "events").createOrReplaceTempView("events_adx")
+      val bars = s.sql("""
+        SELECT event_type,
+               unix_timestamp(ts) div 3600 AS h,
+               CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hi,
+               CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS lo,
+               CAST(MAX(struct(ts, event_id,
+                    CAST(round(value * 100) AS BIGINT))).col3 AS BIGINT) AS cl
+        FROM events_adx GROUP BY 1, 2""")
+      bars.select("event_type", "h", "hi", "lo", "cl")
+        .as[(String, Long, Long, Long, Long)]
+        .repartition(col("event_type"))
+        .sortWithinPartitions("event_type", "h")
+        .mapPartitions { it =>
+          var et = ""; var have = false
+          var phi = 0L; var plo = 0L; var pcl = 0L
+          var k = 0L
+          var str = 0L; var sdp = 0L; var sdm = 0L
+          var dxacc = 0L; var adx = 0L
+          it.flatMap { case (t, h, hi, lo, cl) =>
+            if (t != et) { et = t; have = false; k = 0L
+              str = 0L; sdp = 0L; sdm = 0L; dxacc = 0L; adx = 0L }
+            val out =
+              if (!have) { have = true; None }
+              else {
+                val tr = math.max(hi - lo,
+                  math.max(math.abs(hi - pcl), math.abs(lo - pcl)))
+                val up = hi - phi; val dn = plo - lo
+                val dmp = if (up > dn && up > 0L) up else 0L
+                val dmm = if (dn > up && dn > 0L) dn else 0L
+                k += 1
+                if (k <= 14L) { str += tr; sdp += dmp; sdm += dmm }
+                else {
+                  str = str - str / 14L + tr
+                  sdp = sdp - sdp / 14L + dmp
+                  sdm = sdm - sdm / 14L + dmm
+                }
+                if (k < 14L) None
+                else {
+                  val dip = 10000L * sdp / math.max(str, 1L)
+                  val dim = 10000L * sdm / math.max(str, 1L)
+                  val dx = 10000L * math.abs(dip - dim) /
+                    math.max(dip + dim, 1L)
+                  if (k <= 27L) dxacc += dx
+                  if (k == 27L) adx = dxacc / 14L
+                  else if (k > 27L) adx = (adx * 13L + dx) / 14L
+                  if (k >= 27L) Some((et, h, dip, dim, dx, adx)) else None
+                }
+              }
+            phi = hi; plo = lo; pcl = cl
+            out
+          }
+        }
+        .toDF("event_type", "hour_idx", "di_plus_bp", "di_minus_bp",
+          "dx_bp", "adx_bp")
+        .orderBy("event_type", "hour_idx")
+    },
+    Some("""WITH RECURSIVE bar AS (
+              SELECT event_type AS et,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                     CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS hi,
+                     CAST(MIN(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS lo,
+                     (MAX({'ts': ts, 'eid': event_id,
+                           'c': CAST(round(value * 100) AS BIGINT)})).c
+                       AS cl
+              FROM events GROUP BY 1, 2),
+            tdm AS (
+              SELECT et, h,
+                     ROW_NUMBER() OVER w - 1 AS k,
+                     GREATEST(hi - lo, abs(hi - lag(cl) OVER w),
+                              abs(lo - lag(cl) OVER w)) AS tr,
+                     CASE WHEN hi - lag(hi) OVER w > lag(lo) OVER w - lo
+                           AND hi - lag(hi) OVER w > 0
+                          THEN hi - lag(hi) OVER w ELSE 0 END AS dmp,
+                     CASE WHEN lag(lo) OVER w - lo > hi - lag(hi) OVER w
+                           AND lag(lo) OVER w - lo > 0
+                          THEN lag(lo) OVER w - lo ELSE 0 END AS dmm
+              FROM bar
+              WINDOW w AS (PARTITION BY et ORDER BY h)),
+            seed AS (
+              SELECT et, CAST(SUM(tr) AS BIGINT) AS str,
+                     CAST(SUM(dmp) AS BIGINT) AS sdp,
+                     CAST(SUM(dmm) AS BIGINT) AS sdm
+              FROM tdm WHERE k BETWEEN 1 AND 14 GROUP BY et
+              HAVING COUNT(*) = 14),
+            r(et, k, str, sdp, sdm, dxacc, adx) AS (
+              SELECT et, CAST(14 AS BIGINT), str, sdp, sdm,
+                     10000 * abs(10000 * sdp // GREATEST(str, 1)
+                               - 10000 * sdm // GREATEST(str, 1))
+                       // GREATEST(10000 * sdp // GREATEST(str, 1)
+                                 + 10000 * sdm // GREATEST(str, 1), 1),
+                     CAST(0 AS BIGINT)
+              FROM seed
+              UNION ALL
+              SELECT r.et, r.k + 1,
+                     r.str - r.str // 14 + t.tr,
+                     r.sdp - r.sdp // 14 + t.dmp,
+                     r.sdm - r.sdm // 14 + t.dmm,
+                     CASE WHEN r.k + 1 <= 27 THEN r.dxacc +
+                       10000 * abs(10000 * (r.sdp - r.sdp // 14 + t.dmp)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1)
+                                 - 10000 * (r.sdm - r.sdm // 14 + t.dmm)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1))
+                         // GREATEST(10000 * (r.sdp - r.sdp // 14 + t.dmp)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1)
+                                   + 10000 * (r.sdm - r.sdm // 14 + t.dmm)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1), 1)
+                     ELSE r.dxacc END,
+                     CASE WHEN r.k + 1 < 27 THEN CAST(0 AS BIGINT)
+                          WHEN r.k + 1 = 27 THEN (r.dxacc +
+                       10000 * abs(10000 * (r.sdp - r.sdp // 14 + t.dmp)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1)
+                                 - 10000 * (r.sdm - r.sdm // 14 + t.dmm)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1))
+                         // GREATEST(10000 * (r.sdp - r.sdp // 14 + t.dmp)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1)
+                                   + 10000 * (r.sdm - r.sdm // 14 + t.dmm)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1), 1)) // 14
+                     ELSE (r.adx * 13 +
+                       10000 * abs(10000 * (r.sdp - r.sdp // 14 + t.dmp)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1)
+                                 - 10000 * (r.sdm - r.sdm // 14 + t.dmm)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1))
+                         // GREATEST(10000 * (r.sdp - r.sdp // 14 + t.dmp)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1)
+                                   + 10000 * (r.sdm - r.sdm // 14 + t.dmm)
+                                     // GREATEST(r.str - r.str // 14 + t.tr, 1), 1)) // 14
+                     END
+              FROM r JOIN tdm t ON t.et = r.et AND t.k = r.k + 1)
+            SELECT r.et AS event_type, t.h AS hour_idx,
+                   10000 * r.sdp // GREATEST(r.str, 1) AS di_plus_bp,
+                   10000 * r.sdm // GREATEST(r.str, 1) AS di_minus_bp,
+                   10000 * abs(10000 * r.sdp // GREATEST(r.str, 1)
+                             - 10000 * r.sdm // GREATEST(r.str, 1))
+                     // GREATEST(10000 * r.sdp // GREATEST(r.str, 1)
+                               + 10000 * r.sdm // GREATEST(r.str, 1), 1)
+                     AS dx_bp,
+                   r.adx AS adx_bp
+            FROM r JOIN tdm t ON t.et = r.et AND t.k = r.k
+            WHERE r.k >= 27
+            ORDER BY event_type, hour_idx"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
@@ -1737,5 +2103,6 @@ object SignalOps {
       dedupCrossSourceMatrix, windowKeltner, aggRakingIpf, resampleWma,
       sqlScripting, aggTrimmedMean, windowObv,
       aggKendallTau, aggCpk, windowIchimoku, windowPivotPoints,
-      windowAroon, windowMfi)
+      windowAroon, windowMfi,
+      aggShapleyAttribution, privacyDpMean, aggMcnemar, windowAdx)
 }

@@ -580,6 +580,38 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  // ---- round-16 batch ----
+
+  test("agg_kendall_tau self-joins the collapsed cell relation, not rows") {
+    // the concordance pair compute must sit ABOVE the (g,x,y) cell
+    // aggregate: partial+final HashAggregates below the join, so the
+    // self-join input is domain-bounded (<=550 cells/group) at any volume
+    val p = plan("agg_kendall_tau")
+    assert(p.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("agg_shapley_attribution collapses users before the 16-row lattice") {
+    // the only non-bounded work is the per-user mask aggregate; the
+    // coalition lattice joins 16-row relations (a nested loop THERE is the
+    // right plan and cannot grow with volume)
+    val p = plan("agg_shapley_attribution")
+    assert(p.sliding("HashAggregate".length)
+      .count(_ == "HashAggregate") >= 2, p.take(800))
+  }
+
+  test("window_adx runs the Wilder recursion join-free") {
+    // one bar aggregate + one mapPartitions scan: no join anywhere in the
+    // physical plan (a per-step self-join would be quadratic in bars)
+    val p = plan("window_adx")
+    assert(!p.contains("Join"), p.take(800))
+    // the bar rollup carries a struct-max (argmax close), which plans as a
+    // SortAggregate — either aggregate flavor is the bounded one-pass shape
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(800))
+  }
+
   test("join_interval_overlap pairs day-COUNT relations, not rows") {
     // r14 rewrite: the bin equi-join enumerated every overlapping pair
     // (density-squared — 665 s at the sf10 probe); now both sides collapse

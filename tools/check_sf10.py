@@ -1248,6 +1248,28 @@ def rules():
             "tp3": ("==", 0), "vol": ("x", F, 0), "pos": ("x", F, 0),
             "neg": ("x", F, 0), "mfi_bp": ("==", 0)},
             "nonneg": ["tp3", "vol", "pos", "neg", "mfi_bp"]},
+        # ---- round-16 second batch ----
+        # replication repeats each user's events (same user_id, same types)
+        # -> channel sets, conversions, coalition values, and phi all
+        # byte-identical; marginals are monotone so phi >= 0
+        "agg_shapley_attribution": {"rows": ("==",), "cols": {
+            "phi_q24": ("==", 0), "shapley": ("==", 0)},
+            "nonneg": ["phi_q24"]},
+        # per-group noise is a function of the group key alone (same draw);
+        # moments scale xF so the noise's relative weight shrinks -> the
+        # release converges toward the true mean, never away
+        "privacy_dp_mean": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "dp_mean": ("==", 0.05)}, "nonneg": ["n"]},
+        # per-user paired outcomes are invariant under exact replication
+        "agg_mcnemar": {"rows": ("==",), "cols": {
+            "n_users": ("==", 0), "b": ("==", 0), "c": ("==", 0),
+            "chi2": ("==", 1e-9)}, "nonneg": ["n_users", "b", "c"]},
+        # hourly bars (hi/lo/argmax-close) are invariant under exact
+        # replication -> the whole Wilder recursion is byte-identical
+        "window_adx": {"rows": ("==",), "cols": {
+            "di_plus_bp": ("==", 0), "di_minus_bp": ("==", 0),
+            "dx_bp": ("==", 0), "adx_bp": ("==", 0)},
+            "nonneg": ["di_plus_bp", "di_minus_bp", "dx_bp", "adx_bp"]},
     }
 
 
