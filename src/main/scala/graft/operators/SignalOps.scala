@@ -2094,6 +2094,250 @@ object SignalOps {
             WHERE r.k >= 27
             ORDER BY event_type, hour_idx"""))
 
+  // Friedman test (nonparametric repeated-measures ANOVA over blocks):
+  // does per-user spend RANK differently across the k=5 event types? Each
+  // COMPLETE block (user with all 5 types) contributes one rank
+  // permutation — ranks assigned on the exact (Σcents, type) total order
+  // (deterministic tie-break by type name, the repo's ranking convention —
+  // exact-integer spend makes true ties measure-zero-rare anyway). Blocks
+  // collapse map-side; ranks are a ≤5-row window per block; the statistic
+  // χ²_F = 12·ΣR²/(n·k·(k+1)) − 3·n·(k+1) evaluates once from exact
+  // BIGINTs. Output: per-type rank sums + the global statistic.
+  private val aggFriedmanTest = Op(
+    "agg_friedman_test",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_fr")
+      s.sql("""
+        WITH b AS (SELECT user_id, event_type,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS spend
+                   FROM events_fr GROUP BY 1, 2),
+             cb AS (SELECT user_id FROM b GROUP BY user_id
+                    HAVING COUNT(*) = 5),
+             r AS (SELECT b.user_id, b.event_type,
+                          CAST(row_number() OVER (PARTITION BY b.user_id
+                            ORDER BY b.spend, b.event_type) AS BIGINT)
+                            AS rnk
+                   FROM b JOIN cb ON b.user_id = cb.user_id),
+             rs AS (SELECT event_type,
+                           CAST(SUM(rnk) AS BIGINT) AS rank_sum,
+                           CAST(COUNT(*) AS BIGINT) AS n_blocks
+                    FROM r GROUP BY event_type),
+             st AS (SELECT CAST(SUM(rank_sum * rank_sum) AS BIGINT) AS ssq,
+                           MAX(n_blocks) AS n
+                    FROM rs)
+        SELECT rs.event_type, rs.rank_sum, rs.n_blocks,
+               round(12.0D * st.ssq / (st.n * 5 * 6) - 3.0D * st.n * 6, 6)
+                 AS chi2_f
+        FROM rs CROSS JOIN st
+        ORDER BY rs.event_type""")
+    },
+    Some("""WITH b AS (SELECT user_id, event_type,
+                              CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS spend
+                       FROM events GROUP BY 1, 2),
+                 cb AS (SELECT user_id FROM b GROUP BY user_id
+                        HAVING COUNT(*) = 5),
+                 r AS (SELECT b.user_id, b.event_type,
+                              CAST(row_number() OVER (PARTITION BY b.user_id
+                                ORDER BY b.spend, b.event_type) AS BIGINT)
+                                AS rnk
+                       FROM b JOIN cb ON b.user_id = cb.user_id),
+                 rs AS (SELECT event_type,
+                               CAST(SUM(rnk) AS BIGINT) AS rank_sum,
+                               CAST(COUNT(*) AS BIGINT) AS n_blocks
+                        FROM r GROUP BY event_type),
+                 st AS (SELECT CAST(SUM(rank_sum * rank_sum) AS BIGINT)
+                                 AS ssq,
+                               MAX(n_blocks) AS n
+                        FROM rs)
+            SELECT rs.event_type, rs.rank_sum, rs.n_blocks,
+                   round(12.0 * st.ssq / (st.n * 5 * 6) - 3.0 * st.n * 6, 6)
+                     AS chi2_f
+            FROM rs CROSS JOIN st
+            ORDER BY rs.event_type"""))
+
+  // ZigZag pivot detection per part over daily closes — the swing-point
+  // extractor charting pipelines run before pattern matching. Genuinely
+  // path-dependent (a pivot confirms only when price RETRACES ≥ 10% from
+  // the running extreme, and the reversal flips the tracked direction), so
+  // it runs in the documented secondary-sort mapPartitions scan: O(1)
+  // state (direction + running low/high extremes), one shuffle on the
+  // part key. All compares are exact integer cross-multiplications
+  // ((ext−c)·10⁴ ≥ 1000·ext); ambiguous double-trigger rows in the
+  // undecided phase resolve DOWN-first (documented, replicated exactly in
+  // the oracle's breadth-first recursive replay).
+  private val windowZigzag = Op(
+    "window_zigzag",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_zz")
+      val daily = s.sql("""
+        SELECT l_partkey AS pk,
+               unix_timestamp(CAST(l_shipdate AS TIMESTAMP)) div 86400
+                 AS day,
+               CAST(MAX(named_struct('ok', l_orderkey, 'ln', l_linenumber,
+                    'c', CAST(round(l_extendedprice * 100) AS BIGINT))).c
+                    AS BIGINT) AS c
+        FROM lineitem_zz WHERE l_partkey % 25 = 19
+        GROUP BY 1, 2""")
+      daily.select("pk", "day", "c").as[(Long, Long, Long)]
+        .repartition(col("pk"))
+        .sortWithinPartitions("pk", "day")
+        .mapPartitions { it =>
+          var pk = Long.MinValue
+          var started = false; var dir = 0
+          var lov = 0L; var lod = 0L; var hiv = 0L; var hid = 0L
+          it.flatMap { case (p, day, c) =>
+            if (p != pk) { pk = p; started = false; dir = 0 }
+            if (!started) {
+              started = true; lov = c; lod = day; hiv = c; hid = day
+              None
+            } else if (dir == 0) {
+              if ((hiv - c) * 10000L >= 1000L * hiv) {
+                dir = -1; val out = (pk, hid, hiv, "high")
+                lov = c; lod = day; Some(out)
+              } else if ((c - lov) * 10000L >= 1000L * lov) {
+                dir = 1; val out = (pk, lod, lov, "low")
+                hiv = c; hid = day; Some(out)
+              } else {
+                if (c > hiv) { hiv = c; hid = day }
+                if (c < lov) { lov = c; lod = day }
+                None
+              }
+            } else if (dir == 1) {
+              if (c > hiv) { hiv = c; hid = day; None }
+              else if ((hiv - c) * 10000L >= 1000L * hiv) {
+                dir = -1; val out = (pk, hid, hiv, "high")
+                lov = c; lod = day; Some(out)
+              } else None
+            } else {
+              if (c < lov) { lov = c; lod = day; None }
+              else if ((c - lov) * 10000L >= 1000L * lov) {
+                dir = 1; val out = (pk, lod, lov, "low")
+                hiv = c; hid = day; Some(out)
+              } else None
+            }
+          }
+        }
+        .toDF("pk", "pivot_day", "pivot_c", "kind")
+        .orderBy("pk", "pivot_day", "kind")
+    },
+    Some("""WITH RECURSIVE daily AS (
+              SELECT l_partkey AS pk,
+                     CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400
+                       AS day,
+                     (MAX({'ok': l_orderkey, 'ln': l_linenumber,
+                           'c': CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)})).c AS c
+              FROM lineitem WHERE l_partkey % 25 = 19
+              GROUP BY 1, 2),
+            seq AS (SELECT pk, day, c,
+                           row_number() OVER (PARTITION BY pk
+                             ORDER BY day) AS rn
+                    FROM daily),
+            z(pk, rn, dir, lov, lod, hiv, hid, ev, ed, ekind) AS (
+              SELECT pk, CAST(1 AS BIGINT), 0, c, day, c, day,
+                     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                     CAST(NULL AS VARCHAR)
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT z.pk, z.rn + 1,
+                     CASE WHEN z.dir = 0 THEN
+                            CASE WHEN (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                                 THEN -1
+                                 WHEN (s.c - z.lov) * 10000 >= 1000 * z.lov
+                                 THEN 1 ELSE 0 END
+                          WHEN z.dir = 1 AND s.c <= z.hiv
+                           AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                          THEN -1
+                          WHEN z.dir = -1 AND s.c >= z.lov
+                           AND (s.c - z.lov) * 10000 >= 1000 * z.lov
+                          THEN 1
+                          ELSE z.dir END,
+                     CASE WHEN z.dir = 0 THEN
+                            CASE WHEN (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                                 THEN s.c
+                                 WHEN (s.c - z.lov) * 10000 >= 1000 * z.lov
+                                 THEN z.lov
+                                 WHEN s.c < z.lov THEN s.c ELSE z.lov END
+                          WHEN z.dir = 1 THEN
+                            CASE WHEN s.c <= z.hiv
+                                  AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                                 THEN s.c ELSE z.lov END
+                          ELSE CASE WHEN s.c < z.lov THEN s.c
+                                    ELSE z.lov END END,
+                     CASE WHEN z.dir = 0 THEN
+                            CASE WHEN (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                                 THEN s.day
+                                 WHEN (s.c - z.lov) * 10000 >= 1000 * z.lov
+                                 THEN z.lod
+                                 WHEN s.c < z.lov THEN s.day ELSE z.lod END
+                          WHEN z.dir = 1 THEN
+                            CASE WHEN s.c <= z.hiv
+                                  AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                                 THEN s.day ELSE z.lod END
+                          ELSE CASE WHEN s.c < z.lov THEN s.day
+                                    ELSE z.lod END END,
+                     CASE WHEN z.dir = 0 THEN
+                            CASE WHEN (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                                 THEN z.hiv
+                                 WHEN (s.c - z.lov) * 10000 >= 1000 * z.lov
+                                 THEN s.c
+                                 WHEN s.c > z.hiv THEN s.c ELSE z.hiv END
+                          WHEN z.dir = -1 THEN
+                            CASE WHEN s.c >= z.lov
+                                  AND (s.c - z.lov) * 10000 >= 1000 * z.lov
+                                 THEN s.c ELSE z.hiv END
+                          ELSE CASE WHEN s.c > z.hiv THEN s.c
+                                    ELSE z.hiv END END,
+                     CASE WHEN z.dir = 0 THEN
+                            CASE WHEN (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                                 THEN z.hid
+                                 WHEN (s.c - z.lov) * 10000 >= 1000 * z.lov
+                                 THEN s.day
+                                 WHEN s.c > z.hiv THEN s.day ELSE z.hid END
+                          WHEN z.dir = -1 THEN
+                            CASE WHEN s.c >= z.lov
+                                  AND (s.c - z.lov) * 10000 >= 1000 * z.lov
+                                 THEN s.day ELSE z.hid END
+                          ELSE CASE WHEN s.c > z.hiv THEN s.day
+                                    ELSE z.hid END END,
+                     CASE WHEN (z.dir = 0 OR z.dir = 1)
+                           AND NOT (z.dir = 1 AND s.c > z.hiv)
+                           AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                          THEN z.hiv
+                          WHEN (z.dir = 0 OR z.dir = -1)
+                           AND NOT (z.dir = -1 AND s.c < z.lov)
+                           AND NOT ((z.dir = 0)
+                             AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv)
+                           AND (s.c - z.lov) * 10000 >= 1000 * z.lov
+                          THEN z.lov ELSE NULL END,
+                     CASE WHEN (z.dir = 0 OR z.dir = 1)
+                           AND NOT (z.dir = 1 AND s.c > z.hiv)
+                           AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                          THEN z.hid
+                          WHEN (z.dir = 0 OR z.dir = -1)
+                           AND NOT (z.dir = -1 AND s.c < z.lov)
+                           AND NOT ((z.dir = 0)
+                             AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv)
+                           AND (s.c - z.lov) * 10000 >= 1000 * z.lov
+                          THEN z.lod ELSE NULL END,
+                     CASE WHEN (z.dir = 0 OR z.dir = 1)
+                           AND NOT (z.dir = 1 AND s.c > z.hiv)
+                           AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv
+                          THEN 'high'
+                          WHEN (z.dir = 0 OR z.dir = -1)
+                           AND NOT (z.dir = -1 AND s.c < z.lov)
+                           AND NOT ((z.dir = 0)
+                             AND (z.hiv - s.c) * 10000 >= 1000 * z.hiv)
+                           AND (s.c - z.lov) * 10000 >= 1000 * z.lov
+                          THEN 'low' ELSE NULL END
+              FROM z JOIN seq s ON s.pk = z.pk AND s.rn = z.rn + 1)
+            SELECT pk, ed AS pivot_day, ev AS pivot_c, ekind AS kind
+            FROM z WHERE ekind IS NOT NULL
+            ORDER BY pk, pivot_day, kind"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
@@ -2104,5 +2348,6 @@ object SignalOps {
       sqlScripting, aggTrimmedMean, windowObv,
       aggKendallTau, aggCpk, windowIchimoku, windowPivotPoints,
       windowAroon, windowMfi,
-      aggShapleyAttribution, privacyDpMean, aggMcnemar, windowAdx)
+      aggShapleyAttribution, privacyDpMean, aggMcnemar, windowAdx,
+      aggFriedmanTest, windowZigzag)
 }

@@ -1270,6 +1270,17 @@ def rules():
             "di_plus_bp": ("==", 0), "di_minus_bp": ("==", 0),
             "dx_bp": ("==", 0), "adx_bp": ("==", 0)},
             "nonneg": ["di_plus_bp", "di_minus_bp", "dx_bp", "adx_bp"]},
+        # per-user spend scales xF uniformly -> within-block rank order
+        # (and the type tie-break) is preserved -> ranks, rank sums, and
+        # the statistic are all byte-identical
+        "agg_friedman_test": {"rows": ("==",), "cols": {
+            "rank_sum": ("==", 0), "n_blocks": ("==", 0),
+            "chi2_f": ("==", 1e-9)}, "nonneg": ["rank_sum", "n_blocks"]},
+        # daily argmax closes are invariant -> the pivot path replays
+        # identically
+        "window_zigzag": {"rows": ("==",), "cols": {
+            "pivot_day": ("==", 0), "pivot_c": ("==", 0)},
+            "nonneg": ["pivot_c"]},
     }
 
 
