@@ -2338,6 +2338,208 @@ object SignalOps {
             FROM z WHERE ekind IS NOT NULL
             ORDER BY pk, pivot_day, kind"""))
 
+  // Gage R&R (measurement-system analysis) on a BALANCED crossed design:
+  // 3 operators (supplier mod) × 5 parts (part mod) × exactly r=10
+  // repeats — each cell keeps its first 10 measurements on the total
+  // (orderkey, linenumber, cents) order so the design is balanced by
+  // construction and the shortcut SS formulas divide by CONSTANTS.
+  // Everything reduces to a handful of exact BIGINT totals (T, T_o, T_p,
+  // T_cell, Σx²); SS/MS/variance components evaluate once per query in
+  // float64 from those integers (the agg_anova discipline), negatives
+  // clamp to 0 per the EMS convention, %GRR = (repeat+operator+interaction)
+  // / total. One wide deterministic row.
+  private val aggGageRr = Op(
+    "agg_gage_rr",
+    (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_grr")
+      s.sql("""
+        WITH b AS (SELECT CAST(l_suppkey % 3 AS INT) AS op,
+                          CAST(l_partkey % 5 AS INT) AS pt,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+                          row_number() OVER (PARTITION BY l_suppkey % 3,
+                            l_partkey % 5 ORDER BY l_orderkey,
+                            l_linenumber,
+                            CAST(round(l_extendedprice * 100) AS BIGINT))
+                            AS rn
+                   FROM lineitem_grr),
+             k AS (SELECT op, pt, x FROM b WHERE rn <= 10),
+             cell AS (SELECT op, pt, CAST(SUM(x) AS BIGINT) AS t,
+                             CAST(SUM(x * x) AS BIGINT) AS sxx,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM k GROUP BY op, pt),
+             tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
+                            CAST(150 * SUM(sxx) AS BIGINT) AS sxx150,
+                            CAST(SUM(n) AS BIGINT) AS nn,
+                            CAST(15 * SUM(t * t) AS BIGINT) AS scell15
+                     FROM cell),
+             om AS (SELECT CAST(3 * SUM(to2 * to2) AS BIGINT) AS so3
+                    FROM (SELECT CAST(SUM(t) AS BIGINT) AS to2
+                          FROM cell GROUP BY op)),
+             pm AS (SELECT CAST(5 * SUM(tp2 * tp2) AS BIGINT) AS sp5
+                    FROM (SELECT CAST(SUM(t) AS BIGINT) AS tp2
+                          FROM cell GROUP BY pt)),
+             ss AS (SELECT tot.nn,
+                           (tot.sxx150 - tot.tt * tot.tt) / 150.0D
+                             AS ss_total,
+                           (om.so3 - tot.tt * tot.tt) / 150.0D AS ss_op,
+                           (pm.sp5 - tot.tt * tot.tt) / 150.0D AS ss_pt,
+                           (tot.scell15 - tot.tt * tot.tt) / 150.0D
+                             AS ss_cell
+                    FROM tot CROSS JOIN om CROSS JOIN pm),
+             msv AS (SELECT nn, ss_op / 2 AS ms_op, ss_pt / 4 AS ms_pt,
+                            (ss_cell - ss_op - ss_pt) / 8 AS ms_int,
+                            (ss_total - ss_cell) / (nn - 15) AS ms_e,
+                            ss_total, ss_op, ss_pt,
+                            ss_cell - ss_op - ss_pt AS ss_int,
+                            ss_total - ss_cell AS ss_e
+                     FROM ss),
+             vc AS (SELECT nn, ss_total, ss_op, ss_pt, ss_int, ss_e,
+                           GREATEST(ms_e, 0.0D) AS v_rep,
+                           GREATEST((ms_int - ms_e) / 10, 0.0D) AS v_int,
+                           GREATEST((ms_op - ms_int) / 50, 0.0D) AS v_op,
+                           GREATEST((ms_pt - ms_int) / 30, 0.0D) AS v_pt
+                    FROM msv)
+        SELECT nn AS n, round(ss_op, 4) AS ss_operator,
+               round(ss_pt, 4) AS ss_part,
+               round(ss_int, 4) AS ss_interaction,
+               round(ss_e, 4) AS ss_repeat,
+               round((v_rep + v_op + v_int) /
+                     NULLIF(v_rep + v_op + v_int + v_pt, 0.0D), 6)
+                 AS pct_grr
+        FROM vc""")
+    },
+    Some("""WITH b AS (SELECT CAST(l_suppkey % 3 AS INT) AS op,
+                              CAST(l_partkey % 5 AS INT) AS pt,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS x,
+                              row_number() OVER (PARTITION BY l_suppkey % 3,
+                                l_partkey % 5 ORDER BY l_orderkey,
+                                l_linenumber,
+                                CAST(round(l_extendedprice * 100) AS BIGINT))
+                                AS rn
+                       FROM lineitem),
+                 k AS (SELECT op, pt, x FROM b WHERE rn <= 10),
+                 cell AS (SELECT op, pt, CAST(SUM(x) AS BIGINT) AS t,
+                                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                                 CAST(COUNT(*) AS BIGINT) AS n
+                          FROM k GROUP BY op, pt),
+                 tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
+                                CAST(150 * SUM(sxx) AS BIGINT) AS sxx150,
+                                CAST(SUM(n) AS BIGINT) AS nn,
+                                CAST(15 * SUM(t * t) AS BIGINT) AS scell15
+                         FROM cell),
+                 om AS (SELECT CAST(3 * SUM(to2 * to2) AS BIGINT) AS so3
+                        FROM (SELECT CAST(SUM(t) AS BIGINT) AS to2
+                              FROM cell GROUP BY op)),
+                 pm AS (SELECT CAST(5 * SUM(tp2 * tp2) AS BIGINT) AS sp5
+                        FROM (SELECT CAST(SUM(t) AS BIGINT) AS tp2
+                              FROM cell GROUP BY pt)),
+                 ss AS (SELECT tot.nn,
+                               (tot.sxx150 - tot.tt * tot.tt) / 150.0
+                                 AS ss_total,
+                               (om.so3 - tot.tt * tot.tt) / 150.0 AS ss_op,
+                               (pm.sp5 - tot.tt * tot.tt) / 150.0 AS ss_pt,
+                               (tot.scell15 - tot.tt * tot.tt) / 150.0
+                                 AS ss_cell
+                        FROM tot CROSS JOIN om CROSS JOIN pm),
+                 msv AS (SELECT nn, ss_op / 2 AS ms_op, ss_pt / 4 AS ms_pt,
+                                (ss_cell - ss_op - ss_pt) / 8 AS ms_int,
+                                (ss_total - ss_cell) / (nn - 15) AS ms_e,
+                                ss_total, ss_op, ss_pt,
+                                ss_cell - ss_op - ss_pt AS ss_int,
+                                ss_total - ss_cell AS ss_e
+                         FROM ss),
+                 vc AS (SELECT nn, ss_total, ss_op, ss_pt, ss_int, ss_e,
+                               GREATEST(ms_e, 0.0) AS v_rep,
+                               GREATEST((ms_int - ms_e) / 10, 0.0) AS v_int,
+                               GREATEST((ms_op - ms_int) / 50, 0.0) AS v_op,
+                               GREATEST((ms_pt - ms_int) / 30, 0.0) AS v_pt
+                        FROM msv)
+            SELECT nn AS n, round(ss_op, 4) AS ss_operator,
+                   round(ss_pt, 4) AS ss_part,
+                   round(ss_int, 4) AS ss_interaction,
+                   round(ss_e, 4) AS ss_repeat,
+                   round((v_rep + v_op + v_int) /
+                         NULLIF(v_rep + v_op + v_int + v_pt, 0.0), 6)
+                     AS pct_grr
+            FROM vc"""))
+
+  // TOST equivalence test (two one-sided t-tests): are 'view' and 'click'
+  // mean values EQUIVALENT within ±$5? The inferential complement of
+  // agg_ttest — significance can never prove similarity; TOST can. Both
+  // one-sided statistics come from the same exact BIGINT moment partials
+  // (n, Σx, Σx² per arm, map-side combinable), Welch SE, margin in exact
+  // cents; equivalence = min(t_lower, t_upper) > 1.645 (z approximation,
+  // stated). Float math runs once at the boundary, round 6.
+  private val aggTostEquivalence = Op(
+    "agg_tost_equivalence",
+    (s, d) => {
+      t(s, d, "events").createOrReplaceTempView("events_tost")
+      s.sql("""
+        WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS sx,
+                          CAST(SUM(CAST(round(value * 100) AS BIGINT) *
+                                   CAST(round(value * 100) AS BIGINT))
+                               AS BIGINT) AS sxx
+                   FROM events_tost
+                   WHERE event_type IN ('view', 'click') GROUP BY 1),
+             w AS (SELECT
+                     MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+                     MAX(CASE WHEN event_type = 'view' THEN sx END) AS s1,
+                     MAX(CASE WHEN event_type = 'view' THEN sxx END) AS q1,
+                     MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+                     MAX(CASE WHEN event_type = 'click' THEN sx END) AS s2,
+                     MAX(CASE WHEN event_type = 'click' THEN sxx END) AS q2
+                   FROM m),
+             st AS (SELECT n1, n2,
+                           CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2
+                             AS diff_c,
+                           sqrt((q1 - CAST(s1 AS DOUBLE) / n1 * s1)
+                                  / (n1 - 1) / n1
+                              + (q2 - CAST(s2 AS DOUBLE) / n2 * s2)
+                                  / (n2 - 1) / n2) AS se_c
+                    FROM w)
+        SELECT n1, n2, round(diff_c / 100.0D, 6) AS mean_diff,
+               round(se_c / 100.0D, 6) AS se,
+               round((diff_c + 500.0D) / se_c, 6) AS t_lower,
+               round((500.0D - diff_c) / se_c, 6) AS t_upper,
+               LEAST((diff_c + 500.0D) / se_c,
+                     (500.0D - diff_c) / se_c) > 1.645D AS equivalent
+        FROM st""")
+    },
+    Some("""WITH m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS sx,
+                              CAST(SUM(CAST(round(value * 100) AS BIGINT) *
+                                       CAST(round(value * 100) AS BIGINT))
+                                   AS BIGINT) AS sxx
+                       FROM events
+                       WHERE event_type IN ('view', 'click') GROUP BY 1),
+                 w AS (SELECT
+                         MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+                         MAX(CASE WHEN event_type = 'view' THEN sx END) AS s1,
+                         MAX(CASE WHEN event_type = 'view' THEN sxx END) AS q1,
+                         MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+                         MAX(CASE WHEN event_type = 'click' THEN sx END) AS s2,
+                         MAX(CASE WHEN event_type = 'click' THEN sxx END) AS q2
+                       FROM m),
+                 st AS (SELECT n1, n2,
+                               CAST(s1 AS DOUBLE) / n1
+                                 - CAST(s2 AS DOUBLE) / n2 AS diff_c,
+                               sqrt((q1 - CAST(s1 AS DOUBLE) / n1 * s1)
+                                      / (n1 - 1) / n1
+                                  + (q2 - CAST(s2 AS DOUBLE) / n2 * s2)
+                                      / (n2 - 1) / n2) AS se_c
+                        FROM w)
+            SELECT n1, n2, round(diff_c / 100.0, 6) AS mean_diff,
+                   round(se_c / 100.0, 6) AS se,
+                   round((diff_c + 500.0) / se_c, 6) AS t_lower,
+                   round((500.0 - diff_c) / se_c, 6) AS t_upper,
+                   LEAST((diff_c + 500.0) / se_c,
+                         (500.0 - diff_c) / se_c) > 1.645 AS equivalent
+            FROM st"""))
+
   val ops: Seq[Op] =
     Seq(windowMacd, windowStochastic, windowDonchian, sampleSystematic,
       privacyDpHistogram, corpusLangBalance, embHubness,
@@ -2349,5 +2551,5 @@ object SignalOps {
       aggKendallTau, aggCpk, windowIchimoku, windowPivotPoints,
       windowAroon, windowMfi,
       aggShapleyAttribution, privacyDpMean, aggMcnemar, windowAdx,
-      aggFriedmanTest, windowZigzag)
+      aggFriedmanTest, windowZigzag, aggGageRr, aggTostEquivalence)
 }

@@ -1281,6 +1281,19 @@ def rules():
         "window_zigzag": {"rows": ("==",), "cols": {
             "pivot_day": ("==", 0), "pivot_c": ("==", 0)},
             "nonneg": ["pivot_c"]},
+        # each cell keeps its FIRST 10 measurements by (orderkey, lineno, x)
+        # and replicas carry strictly larger orderkeys -> the kept design is
+        # byte-identical under replication, hence so is the whole table
+        "agg_gage_rr": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "ss_operator": ("==", 1e-9),
+            "ss_part": ("==", 1e-9), "ss_interaction": ("==", 1e-9),
+            "ss_repeat": ("==", 1e-9), "pct_grr": ("==", 1e-9)},
+            "nonneg": ["n", "ss_repeat"]},
+        # moments scale xF: means invariant, SE shrinks ~1/sqrt(F) so the
+        # TOST statistics legitimately grow — only the means are pinned
+        "agg_tost_equivalence": {"rows": ("==",), "cols": {
+            "n1": ("x", F, 0), "n2": ("x", F, 0),
+            "mean_diff": ("==", 1e-6)}, "nonneg": ["n1", "n2", "se"]},
     }
 
 
