@@ -79,17 +79,34 @@ object Bench {
     if (contended) System.err.println(
       s"BENCH CONTENDED: loadavg start=$loadStart end=$loadEnd — timings " +
         "are inflated by host contention; do not use as a perf record")
-    // Drift auto-attribution (r15 verdict #3): readers used to hand-diff
-    // this run against the checked-in quiet records with bench_diff.py;
-    // now the record carries the diff. Baseline = per-key MIN across every
-    // NON-CONTENDED tools/bench_perkey_*.json (the quiet floor each key
-    // has ever hit on this box). The summary separates UNIFORM drift
-    // (median ratio inflated — host-shaped: contention/thermal, not code)
-    // from STRUCTURAL drift (median ≈ 1 but specific keys moved — exactly
-    // the keys to read first). Movers list both directions, ≥1.5× or
-    // ≤0.67×, baseline ≥ 0.3 s (below that the micro-batch/JIT floor
-    // wobbles both ways — the r15 stream_* lesson).
+    // Drift auto-attribution (r15 verdict #3, burst-aware since r17 —
+    // VERDICT r16 #2): readers used to hand-diff this run against the
+    // checked-in quiet records with bench_diff.py; now the record carries
+    // the diff AND self-adjudicates it. Baseline = per-key MIN across
+    // every NON-CONTENDED same-SF tools/bench_perkey_*.json, except that
+    // keys whose DEFINITION changed in round R only baseline against
+    // records tagged rR+ (ADVICE r16: a legitimate code-shape change must
+    // not be reported as drift against its own obsolete floor). Movers
+    // (≥1.5× or ≤0.67×, baseline ≥ 0.3 s — below that the micro-batch/JIT
+    // floor wobbles both ways) are then SOLO RE-MEASURED once, after the
+    // timed loop: a transient host burst (the r16 dq_* segment) won't
+    // reproduce, a real regression will. Classification:
+    //   uniform    — median ratio ≥ 1.3: host-shaped, whole-run
+    //   structural — ≥1 mover reproduces its slowdown on re-measure
+    //   host-burst — movers don't reproduce AND they cluster contiguously
+    //                in the alphabetical execution order (or the run
+    //                self-labeled contended): a transient load phase hit
+    //                consecutive keys, not code
+    //   transient  — movers don't reproduce, no burst shape
     val drift: String = try {
+      // key → first round whose floors are valid for it (the round the
+      // key's semantics last changed); earlier records are excluded
+      val redefinedSince = Map(
+        "window_macd" -> 16, "dedup_threshold_sweep" -> 16,
+        "sql_tpch_q2" -> 16, "sql_tpch_q9" -> 16, "sql_tpch_q11" -> 16,
+        "sql_tpch_q16" -> 16, "sql_tpch_q20" -> 16,
+        // r17: hot-star verified anchor edges added to the cluster keys
+        "dedup_clusters" -> 17, "dedup_survivor" -> 17)
       val dir = java.nio.file.Paths.get("tools")
       val recs =
         if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
@@ -104,14 +121,19 @@ object Bench {
               if (txt.contains("\"contended\":true") ||
                 !txt.contains("\"sf\":\"" + sfDir + "\"")) None
               else {
+                val name = p.getFileName.toString
+                val round = "bench_perkey_r(\\d+)".r
+                  .findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
                 val qm = "\"queries\":\\{([^}]*)\\}".r
                   .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
                 val pairs = "\"([^\"]+)\":(-?[0-9.eE+]+)".r
                   .findAllMatchIn(qm)
                   .map(m => m.group(1) -> m.group(2).toDouble)
-                  .filter(_._2 >= 0).toMap
+                  .filter { case (k, v) =>
+                    v >= 0 && round >= redefinedSince.getOrElse(k, 0) }
+                  .toMap
                 if (pairs.isEmpty) None
-                else Some(p.getFileName.toString -> pairs)
+                else Some(name -> pairs)
               }
             }.toSeq
         }
@@ -129,16 +151,40 @@ object Bench {
           val median = sortedR(sortedR.size / 2)
           val movers = ratios.filter { case (_, r) => r >= 1.5 || r <= 0.67 }
             .sortBy { case (_, r) => -math.max(r, 1.0 / r) }.take(8)
+          // solo re-measure of SLOW movers only (speedups need no
+          // adjudication): one extra noop-write per mover, ≤ 8 keys
+          val recheck: Map[String, Double] = movers.collect {
+            case (k, r) if r >= 1.5 =>
+              val t0 = System.nanoTime()
+              val ok = try {
+                SparkEntry.queries(k)(spark, sfDir)
+                  .write.format("noop").mode("overwrite").save(); true
+              } catch { case _: Throwable => false }
+              k -> (if (ok) (System.nanoTime() - t0) / 1e9 / base(k) else -1.0)
+          }.toMap
+          val reproduced = recheck.filter { case (_, r2) => r2 < 0 || r2 >= 1.3 }
+          // burst shape: ≥3 slow movers packed into a contiguous-ish span
+          // of the alphabetical execution order (span ≤ 2× their count)
+          val order = selected.map(_._1).zipWithIndex.toMap
+          val slowIdx = movers.collect {
+            case (k, r) if r >= 1.5 && order.contains(k) => order(k) }
+          val clustered = slowIdx.size >= 3 &&
+            (slowIdx.max - slowIdx.min + 1) <= 2 * slowIdx.size
           val kind =
             if (median >= 1.3) "uniform"
-            else if (movers.nonEmpty) "structural"
-            else "none"
+            else if (movers.isEmpty) "none"
+            else if (reproduced.nonEmpty) "structural"
+            else if (clustered || contended) "host-burst"
+            else "transient"
           val mj = movers.map { case (k, r) =>
-            "\"" + k + "\":" + (math.round(r * 100) / 100.0)
+            val r2 = recheck.get(k)
+              .map(v => s""","recheck":${math.round(v * 100) / 100.0}""")
+              .getOrElse("")
+            "\"" + k + "\":{\"ratio\":" + (math.round(r * 100) / 100.0) + r2 + "}"
           }.mkString("{", ",", "}")
           s"""{"baseline_records":${recs.size},"compared":${ratios.size},""" +
             s""""median_ratio":${math.round(median * 1000) / 1000.0},""" +
-            s""""kind":"$kind","movers":$mj}"""
+            s""""kind":"$kind","clustered_movers":$clustered,"movers":$mj}"""
         }
       }
     } catch { case _: Throwable => "null" }

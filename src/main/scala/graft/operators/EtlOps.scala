@@ -276,10 +276,11 @@ object EtlOps {
             WHERE event_type = 'purchase' ORDER BY event_id"""))
 
   /** Deterministic per-source-dir root for the shared clustered layout and
-    * its committed zone-map side table (build-once-serve-many). */
-  private def zoneRoot(d: String): HPath =
-    new HPath(System.getProperty("java.io.tmpdir"),
-      "graft_zl1_" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    * its committed zone-map side table (build-once-serve-many) —
+    * conf-driven base + input content fingerprint via
+    * [[graft.pipeline.Versioned.stageRoot]]. */
+  private def zoneRoot(s: SparkSession, d: String): HPath =
+    Versioned.stageRoot(s, "zl1", d, Seq("lineitem"))
 
   /** A11 OPTIMIZE/ZORDER layout with its zone map PERSISTED AT COMMIT TIME:
     * cluster lineitem on (l_shipdate, l_orderkey), derive the per-file
@@ -291,7 +292,7 @@ object EtlOps {
     * (dataDir, zoneMapDir) of the current committed version. */
   private[graft] def zoneMappedLayout(s: SparkSession, d: String): (String, String) = {
     val conf = s.sparkContext.hadoopConfiguration
-    val root = zoneRoot(d)
+    val root = zoneRoot(s, d)
     if (Versioned.current(root, conf).isEmpty) {
       val dir = Versioned.stagePath(root, Some("v_layout"))
       t(s, d, "lineitem")

@@ -2347,7 +2347,13 @@ object SignalOps {
   // T_cell, Σx²); SS/MS/variance components evaluate once per query in
   // float64 from those integers (the agg_anova discipline), negatives
   // clamp to 0 per the EMS convention, %GRR = (repeat+operator+interaction)
-  // / total. One wide deterministic row.
+  // / total. One wide deterministic row — published ONLY when the design
+  // is actually balanced (ADVICE r16: `rn <= 10` caps cells at 10 but a
+  // sparse input can undershoot, silently breaking the constant divisors;
+  // nn=15 even zeroes the error dof). The readout therefore gates on
+  // ncell=15 ∧ min(n)=max(n)=10 and NULLIFs the error dof on BOTH
+  // engines: degenerate inputs publish an EMPTY relation, never a wrong
+  // or engine-split row.
   private val aggGageRr = Op(
     "agg_gage_rr",
     (s, d) => {
@@ -2370,6 +2376,9 @@ object SignalOps {
              tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
                             CAST(150 * SUM(sxx) AS BIGINT) AS sxx150,
                             CAST(SUM(n) AS BIGINT) AS nn,
+                            CAST(COUNT(*) AS BIGINT) AS ncell,
+                            CAST(MIN(n) AS BIGINT) AS nmin,
+                            CAST(MAX(n) AS BIGINT) AS nmax,
                             CAST(15 * SUM(t * t) AS BIGINT) AS scell15
                      FROM cell),
              om AS (SELECT CAST(3 * SUM(to2 * to2) AS BIGINT) AS so3
@@ -2378,7 +2387,7 @@ object SignalOps {
              pm AS (SELECT CAST(5 * SUM(tp2 * tp2) AS BIGINT) AS sp5
                     FROM (SELECT CAST(SUM(t) AS BIGINT) AS tp2
                           FROM cell GROUP BY pt)),
-             ss AS (SELECT tot.nn,
+             ss AS (SELECT tot.nn, tot.ncell, tot.nmin, tot.nmax,
                            (tot.sxx150 - tot.tt * tot.tt) / 150.0D
                              AS ss_total,
                            (om.so3 - tot.tt * tot.tt) / 150.0D AS ss_op,
@@ -2386,14 +2395,17 @@ object SignalOps {
                            (tot.scell15 - tot.tt * tot.tt) / 150.0D
                              AS ss_cell
                     FROM tot CROSS JOIN om CROSS JOIN pm),
-             msv AS (SELECT nn, ss_op / 2 AS ms_op, ss_pt / 4 AS ms_pt,
+             msv AS (SELECT nn, ncell, nmin, nmax,
+                            ss_op / 2 AS ms_op, ss_pt / 4 AS ms_pt,
                             (ss_cell - ss_op - ss_pt) / 8 AS ms_int,
-                            (ss_total - ss_cell) / (nn - 15) AS ms_e,
+                            (ss_total - ss_cell)
+                              / NULLIF(nn - 15, 0) AS ms_e,
                             ss_total, ss_op, ss_pt,
                             ss_cell - ss_op - ss_pt AS ss_int,
                             ss_total - ss_cell AS ss_e
                      FROM ss),
-             vc AS (SELECT nn, ss_total, ss_op, ss_pt, ss_int, ss_e,
+             vc AS (SELECT nn, ncell, nmin, nmax,
+                           ss_total, ss_op, ss_pt, ss_int, ss_e,
                            GREATEST(ms_e, 0.0D) AS v_rep,
                            GREATEST((ms_int - ms_e) / 10, 0.0D) AS v_int,
                            GREATEST((ms_op - ms_int) / 50, 0.0D) AS v_op,
@@ -2406,7 +2418,8 @@ object SignalOps {
                round((v_rep + v_op + v_int) /
                      NULLIF(v_rep + v_op + v_int + v_pt, 0.0D), 6)
                  AS pct_grr
-        FROM vc""")
+        FROM vc
+        WHERE ncell = 15 AND nmin = 10 AND nmax = 10""")
     },
     Some("""WITH b AS (SELECT CAST(l_suppkey % 3 AS INT) AS op,
                               CAST(l_partkey % 5 AS INT) AS pt,
@@ -2426,6 +2439,9 @@ object SignalOps {
                  tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
                                 CAST(150 * SUM(sxx) AS BIGINT) AS sxx150,
                                 CAST(SUM(n) AS BIGINT) AS nn,
+                                CAST(COUNT(*) AS BIGINT) AS ncell,
+                                CAST(MIN(n) AS BIGINT) AS nmin,
+                                CAST(MAX(n) AS BIGINT) AS nmax,
                                 CAST(15 * SUM(t * t) AS BIGINT) AS scell15
                          FROM cell),
                  om AS (SELECT CAST(3 * SUM(to2 * to2) AS BIGINT) AS so3
@@ -2434,7 +2450,7 @@ object SignalOps {
                  pm AS (SELECT CAST(5 * SUM(tp2 * tp2) AS BIGINT) AS sp5
                         FROM (SELECT CAST(SUM(t) AS BIGINT) AS tp2
                               FROM cell GROUP BY pt)),
-                 ss AS (SELECT tot.nn,
+                 ss AS (SELECT tot.nn, tot.ncell, tot.nmin, tot.nmax,
                                (tot.sxx150 - tot.tt * tot.tt) / 150.0
                                  AS ss_total,
                                (om.so3 - tot.tt * tot.tt) / 150.0 AS ss_op,
@@ -2442,14 +2458,17 @@ object SignalOps {
                                (tot.scell15 - tot.tt * tot.tt) / 150.0
                                  AS ss_cell
                         FROM tot CROSS JOIN om CROSS JOIN pm),
-                 msv AS (SELECT nn, ss_op / 2 AS ms_op, ss_pt / 4 AS ms_pt,
+                 msv AS (SELECT nn, ncell, nmin, nmax,
+                                ss_op / 2 AS ms_op, ss_pt / 4 AS ms_pt,
                                 (ss_cell - ss_op - ss_pt) / 8 AS ms_int,
-                                (ss_total - ss_cell) / (nn - 15) AS ms_e,
+                                (ss_total - ss_cell)
+                                  / NULLIF(nn - 15, 0) AS ms_e,
                                 ss_total, ss_op, ss_pt,
                                 ss_cell - ss_op - ss_pt AS ss_int,
                                 ss_total - ss_cell AS ss_e
                          FROM ss),
-                 vc AS (SELECT nn, ss_total, ss_op, ss_pt, ss_int, ss_e,
+                 vc AS (SELECT nn, ncell, nmin, nmax,
+                               ss_total, ss_op, ss_pt, ss_int, ss_e,
                                GREATEST(ms_e, 0.0) AS v_rep,
                                GREATEST((ms_int - ms_e) / 10, 0.0) AS v_int,
                                GREATEST((ms_op - ms_int) / 50, 0.0) AS v_op,
@@ -2462,7 +2481,8 @@ object SignalOps {
                    round((v_rep + v_op + v_int) /
                          NULLIF(v_rep + v_op + v_int + v_pt, 0.0), 6)
                      AS pct_grr
-            FROM vc"""))
+            FROM vc
+            WHERE ncell = 15 AND nmin = 10 AND nmax = 10"""))
 
   // TOST equivalence test (two one-sided t-tests): are 'view' and 'click'
   // mean values EQUIVALENT within ±$5? The inferential complement of

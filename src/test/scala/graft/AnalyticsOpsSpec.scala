@@ -517,4 +517,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(out(id) === brute.toLong, s"vec $id")
     }
   }
+
+  // ADVICE r16: agg_gage_rr's shortcut SS math assumes the balanced
+  // 3x5x10 design its cell-capping constructs — an input too sparse to
+  // fill every cell must publish an EMPTY relation (identically on the
+  // oracle side), never a row computed with the wrong constant divisors.
+  test("agg_gage_rr publishes nothing when the design cannot balance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g_grr_").toString
+    // 30 rows: every (op, pt) cell has at most 2 measurements (< 10)
+    (1 to 30).map(i => (i.toLong, i, i.toLong % 7, i % 4, 100.0 + i))
+      .toDF("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+        "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(SparkEntry.queries("agg_gage_rr")(spark, dir).count() === 0L)
+    // the shipped test data DOES balance: exactly one readout row
+    assert(SparkEntry.queries("agg_gage_rr")(spark, sfDir).count() === 1L)
+  }
 }

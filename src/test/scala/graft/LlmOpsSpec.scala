@@ -206,6 +206,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) == 70L), "cluster_size must be 70")
   }
 
+  // r17: a NEAR-identical (not byte-identical) crowd past the df cap — the
+  // one recall hole r16 left open. Every shared shingle is hot (df=70>64)
+  // so the capped jaccard path emits nothing, and the texts differ so the
+  // exact-star pass can't collapse them either. The hot-star pass must:
+  // elect the bucket anchor (min doc), emit one bounded candidate per
+  // member, verify it at full-shingle-set Jaccard (38/40 = 0.95), and
+  // cluster all 70 — while a boilerplate co-occupant of one hot bucket
+  // (candidate generated, Jaccard fails) must stay out.
+  test("dedup_clusters clusters PERTURBED crowds past the df cap (hot-star)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("g_cl_pcrowd_").toString
+    val base = (1 to 40).map(j => s"w$j").mkString(" ")
+    val crowd = (1 to 70).map(i => (i.toLong, "en", s"$base uq$i"))
+    // shares the (hot) "w1 w2 w3" shingle but nothing else similar
+    val boiler = (999L, "en", "w1 w2 w3 " + (1 to 40).map(j => s"z$j").mkString(" "))
+    (crowd :+ boiler)
+      .toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
+    val inCrowd = rows.filter(_.getLong(0) <= 70L)
+    assert(inCrowd.length === 70, s"expected the 70-crowd, got ${inCrowd.length}")
+    assert(inCrowd.forall(_.getLong(1) == 1L), "all must label under doc 1")
+    assert(inCrowd.forall(_.getLong(2) == 70L), "cluster_size must be 70")
+    assert(!rows.exists(_.getLong(0) == 999L),
+      "boilerplate co-occupant must fail verification and stay unclustered")
+  }
+
+  // Precision unit for the hot-star pass itself: candidates are capped per
+  // doc and verification uses FULL shingle sets, so the emitted edge list
+  // is exactly crowd→anchor and nothing else.
+  test("hotStarEdgesFrom links perturbed crowds to the anchor, rejects boilerplate") {
+    import spark.implicits._
+    val base = (1 to 40).map(j => s"w$j").mkString(" ")
+    val docs = ((1 to 70).map(i => (i.toLong, "en", s"$base uq$i")) :+
+      ((999L, "en", "w1 w2 w3 " + (1 to 40).map(j => s"z$j").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val edges = operators.LlmOps.hotStarEdgesFrom(docs, 64, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === (2 to 70).map(i => (i.toLong, 1L)).toSet,
+      s"expected the 69 crowd→anchor edges only, got ${edges.size}")
+  }
+
   test("dedup_exact keeps one survivor per duplicated text") {
     import spark.implicits._
     val dir = Files.createTempDirectory("g_exact_").toString

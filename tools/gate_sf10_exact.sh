@@ -75,7 +75,11 @@ for k in $(echo "$SAMPLE" | tr ',' ' '); do
   rc=$?
   set -e
   if [ $rc -eq 0 ]; then
-    PASS=$((PASS+1)); grep "^PASS" /tmp/gate_sf10_key.log | tee -a "$LOG"
+    # `|| echo`: under set -e a checker that exits 0 without printing a
+    # PASS line must still record the result, not abort the rotation
+    # (ADVICE r16)
+    PASS=$((PASS+1))
+    { grep "^PASS" /tmp/gate_sf10_key.log || echo "PASS $k (exit 0, no PASS line)"; } | tee -a "$LOG"
   elif [ $rc -eq 124 ]; then
     TMO=$((TMO+1)); echo "ORACLE_TIMEOUT $k (600s — Spark-verified-only at sf10)" | tee -a "$LOG"
   else
@@ -84,4 +88,8 @@ for k in $(echo "$SAMPLE" | tr ',' ' '); do
   fi
 done
 echo "[gate_sf10] $PASS pass, $FAIL fail, $TMO oracle_timeout" | tee -a "$LOG"
+# cumulative exact-value sf10 coverage across every rotation log so far
+CUM=$(grep -h "^PASS " tools/gate_sf10_exact*.log 2>/dev/null \
+  | awk '{print $2}' | sed 's/:.*//' | sort -u | wc -l)
+echo "[gate_sf10] cumulative exact-matched keys across rotations: $CUM" | tee -a "$LOG"
 [ $FAIL -eq 0 ]

@@ -18,8 +18,14 @@ ANN bucket occupancy scales with N: exactly the MaxBandBucket / skew-cap
 pressure the sf10 proof is after. Keep --rep-corpus 0 (default) for the
 oracle-matched sf1 fixture, where the corpus must stay byte-identical.
 
+With --perturb-corpus, replica r>0 of each document additionally gets a
+one-token suffix ' zv<r>' — NEAR-identical, never byte-identical crowds
+(full-shingle Jaccard (t-2)/(t-1) ~= 0.98 between crowd members), so the
+md5 exact-dup path cannot collapse them: the r17 probe that exercises the
+hot-star bounded-recall path past the df/band caps specifically.
+
 Usage: python3 tools/gen_sf.py --out /tmp/graft_sf1 [--rep 10]
-           [--rep-corpus 0] [--src /root/testdata/sf0.1]
+           [--rep-corpus 0] [--perturb-corpus] [--src /root/testdata/sf0.1]
 """
 import argparse
 import os
@@ -39,6 +45,7 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--rep", type=int, default=10)
     ap.add_argument("--rep-corpus", type=int, default=0)
+    ap.add_argument("--perturb-corpus", action="store_true")
     a = ap.parse_args()
     os.makedirs(a.out, exist_ok=True)
     con = duckdb.connect()
@@ -52,10 +59,20 @@ def main():
         f"SELECT MAX(event_id)+1 FROM '{a.src}/events.parquet'").fetchone()[0]
     shift = {"orders": mok, "lineitem": mok, "events": mev}
 
-    def replicate(t, key, rep):
+    def replicate(t, key, rep, perturb=False):
+        # perturbed documents: replica r>0 gains a ' zv<r>' suffix token so
+        # crowds are near-identical, never byte-identical (r17 hot-star probe)
+        # text is documents' second physical column, so keeping it second
+        # preserves the original column order
+        sel = (f"""SELECT {key} + rep*{shift[t]} AS {key},
+                          CASE WHEN rep = 0 THEN text
+                               ELSE text || ' zv' || rep END AS text,
+                          t.* EXCLUDE ({key}, text)"""
+               if perturb and t == "documents" else
+               f"""SELECT {key} + rep*{shift[t]} AS {key},
+                          t.* EXCLUDE ({key})""")
         con.sql(f"""
-            COPY (SELECT {key} + rep*{shift[t]} AS {key},
-                         t.* EXCLUDE ({key})
+            COPY ({sel}
                   FROM '{a.src}/{t}.parquet' t
                   CROSS JOIN (SELECT unnest(range({rep})) AS rep)
                   ORDER BY {key})
@@ -70,7 +87,7 @@ def main():
             mx = con.sql(f"SELECT MAX({key})+1 "
                          f"FROM '{a.src}/{t}.parquet'").fetchone()[0]
             shift[t] = mx
-            replicate(t, key, a.rep_corpus)
+            replicate(t, key, a.rep_corpus, perturb=a.perturb_corpus)
         else:
             shutil.copyfile(f"{a.src}/{t}.parquet", f"{a.out}/{t}.parquet")
 
