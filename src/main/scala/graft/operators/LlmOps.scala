@@ -185,10 +185,10 @@ object LlmOps {
     * it is (by design) capped away — the caps bound quadratic candidate
     * work, and byte-identical collapse is exactly the case a linear exact
     * pass covers for free. Near-identical-but-not-exact groups larger than
-    * the caps are covered by the companion [[hotStarEdgesFrom]] pass (r17:
-    * verified anchor stars over the saturated buckets, O(k·N) work —
-    * `dedup_minhash_md5` demonstrates what the caps avoid: 128.9 M
-    * uncapped pairs / 380 s at 1 M docs). */
+    * the caps are covered by the companion [[minhashStarEdgesFrom]] pass
+    * (r17: verified anchor stars over saturated minhash-band buckets,
+    * O(N) work — `dedup_minhash_md5` demonstrates what the caps avoid:
+    * 128.9 M uncapped pairs / 380 s at 1 M docs). */
   private def exactStarEdges(s: SparkSession, d: String): DataFrame = {
     val g = t(s, d, "documents")
       .select(col("doc_id"), md5(normText(col("text"))).as("h"))
@@ -207,52 +207,58 @@ object LlmOps {
        exe AS (SELECT g.doc_id AS u, x.m AS v
                FROM exg g JOIN exm x USING (h) WHERE g.doc_id <> x.m)"""
 
-  /** Per-document cap on verified hot-bucket anchor candidates — the
-    * bounded-recall fallback past [[MaxShingleDf]] (VERDICT r16 #1). Every
-    * document occurring in saturated shingle buckets emits at most this
-    * many (doc → bucket-anchor) candidate pairs, ranked by how many hot
-    * buckets the pair co-occupies (a direct similarity signal: a true
-    * near-dup crowd shares ~every shingle, boilerplate co-occupants share
-    * one or two), so total candidate work is O(k·N) regardless of bucket
-    * sizes — while a crowd of ANY size is guaranteed a full verified star
-    * to its min member (every crowd bucket's anchor IS that min member). */
-  private[graft] val MaxHotAnchors = 4
-
-  /** Bounded-recall candidate+verify pass over the shingles the df cap
-    * REMOVES from the similarity path. The r16 corpus-×200 probe proved
-    * that near-identical (not byte-identical) crowds larger than
-    * [[MaxShingleDf]] lose every capped-path candidate; this pass restores
-    * them with strictly linear work:
-    *   1. hot buckets (df > `dfCap`) each elect a deterministic anchor
-    *      (min doc_id) — one linear aggregate;
-    *   2. every other occupant emits (doc, anchor), deduped and capped at
-    *      `kAnchors` anchors per doc ranked by shared-hot-bucket count
-    *      (desc, anchor asc tie-break) — ≤ k·N candidates total, never
-    *      |bucket|² (the bound the caps exist for);
+  /** Bounded-recall fallback past the similarity caps (VERDICT r16 #1):
+    * anchor stars over SATURATED MINHASH-BAND buckets. The r16 corpus-×200
+    * probe proved near-identical (not byte-identical) crowds larger than
+    * [[MaxShingleDf]]/[[MaxBandBucket]] lose every capped-path candidate;
+    * r17's first cut anchored on saturated SHINGLE buckets, but the driver
+    * corpus is template-heavy (measured: 4793 of 5000 sf0.1 docs have ZERO
+    * df=1 shingle), so a local-context anchor cannot guarantee a crowd
+    * edge. Minhash bands are GLOBAL content fingerprints — a perturbed
+    * replica shares a 2-rotation band with its crowd w.p.
+    * 1−(1−((t−2)/(t−1))²)⁴ ≈ 1, while two UNRELATED docs share one w.p.
+    * ≈ jaccard² per band (the classic minhash collision law — squaring is
+    * what keeps template-corpus buckets pure, the failure mode that sank
+    * the shingle-anchor first cut). The pass:
+    *   1. 8 rotated md5 minhashes per doc (ONE md5 per distinct shingle,
+    *      the 8 permutations by hex rotation — the proven
+    *      `dedup_minhash_md5` idiom, bit-identical in DuckDB), banded
+    *      4 × 2 exactly like that key;
+    *   2. every (band, value-pair) bucket larger than `bucketCap` —
+    *      exactly the buckets the capped pair paths must drop — elects its
+    *      min doc_id as anchor, and every other occupant emits
+    *      (doc, anchor): ≤ 4 candidates per doc, |bucket| per bucket,
+    *      never |bucket|²;
     *   3. candidates verify by EXACT Jaccard over the FULL (uncapped)
-    *      shingle sets of just the paired docs — only genuinely-similar
-    *      pairs (≥ 0.8, the capped path's own threshold) survive, so
-    *      boilerplate buckets at planet scale contribute candidates but
-    *      never edges.
-    * Returns verified (u, v, jaccard). The shingle scan is plan-keyed to
-    * the same cached DataFrame the capped path materializes, so the fan-in
-    * costs no second explode. */
-  private[graft] def hotStarEdgesFrom(
-      docs: DataFrame, dfCap: Int, kAnchors: Int): DataFrame = {
+    *      shingle sets of just the paired docs, ≥ 0.8 (the pair path's own
+    *      threshold) — a saturated bucket of genuinely-dissimilar docs
+    *      contributes candidates but never edges.
+    * Returns verified (u, v, jaccard). Work is O(N) candidates + O(N·k)
+    * verification rows regardless of crowd size; recall is a full star per
+    * crowd. The shingle scan is plan-keyed to the cached DataFrame the
+    * capped path materializes, so the fan-in costs no second explode. */
+  private[graft] def minhashStarEdgesFrom(
+      docs: DataFrame, bucketCap: Int): DataFrame = {
     val sh = shinglesFrom(docs).cache()
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
-      .where(col("dfc") > dfCap)
-      .select("s")
-    val hocc = sh.join(hot, Seq("s"))
-    val anch = hocc.groupBy("s").agg(min(col("doc_id")).as("anchor"))
-    val cand0 = hocc.join(anch, "s")
+    val hm = sh.select(col("doc_id"), md5(col("s").cast("binary")).as("m"))
+    val rots = (0 until 8).map { i =>
+      val rot = if (i == 0) col("m")
+        else concat(expr(s"substr(m, ${4 * i + 1})"), expr(s"substr(m, 1, ${4 * i})"))
+      min(rot).as(s"h$i")
+    }
+    val sig = hm.groupBy("doc_id").agg(rots.head, rots.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("b"),
+        col(s"h${2 * b}").as("b1"), col(s"h${2 * b + 1}").as("b2"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.b"), col("bb.b1"), col("bb.b2"))
+    val hot = bands.groupBy("b", "b1", "b2")
+      .agg(min(col("doc_id")).as("anchor"), count(lit(1)).as("bf"))
+      .where(col("bf") > bucketCap)
+      .select("b", "b1", "b2", "anchor")
+    val cand = bands.join(hot, Seq("b", "b1", "b2"))
       .where(col("doc_id") =!= col("anchor"))
-      .groupBy(col("doc_id").as("u"), col("anchor").as("v"))
-      .agg(count(lit(1)).as("nb"))
-    val w = Window.partitionBy("u").orderBy(desc("nb"), asc("v"))
-    val cand = cand0.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= kAnchors)
-      .select("u", "v")
+      .select(col("doc_id").as("u"), col("anchor").as("v"))
+      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     cand
       .join(sh.as("x"), col("u") === col("x.doc_id"))
@@ -266,35 +272,45 @@ object LlmOps {
       .where(col("jaccard") >= 0.8)
   }
 
-  /** Production hot-star edges at the clustering keys' caps. */
-  private def hotStarEdges(s: SparkSession, d: String): DataFrame =
-    hotStarEdgesFrom(t(s, d, "documents"), MaxShingleDf, MaxHotAnchors)
+  /** Production minhash-star edges at the clustering keys' cap. */
+  private def minhashStarEdges(s: SparkSession, d: String): DataFrame =
+    minhashStarEdgesFrom(t(s, d, "documents"), MaxBandBucket)
       .select("u", "v")
 
-  /** DuckDB CTE body mirroring [[hotStarEdgesFrom]]; assumes `sh0` (the
-    * distinct doc_id→shingle relation) is already in scope. */
-  private def hotStarCtes(dfCap: Int, kAnchors: Int): String =
-    s"""hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $dfCap),
-       hocc AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN hot USING (s)),
-       hanch AS (SELECT s, MIN(doc_id) AS anchor FROM hocc GROUP BY s),
-       hc0 AS (SELECT o.doc_id AS u, a.anchor AS v, count(*) AS nb
-               FROM hocc o JOIN hanch a USING (s)
-               WHERE o.doc_id <> a.anchor GROUP BY 1, 2),
-       hcand AS (SELECT u, v FROM (
-                 SELECT u, v, row_number() OVER (PARTITION BY u
-                          ORDER BY nb DESC, v) AS rn
-                 FROM hc0) WHERE rn <= $kAnchors),
-       hsz AS (SELECT doc_id, count(*) AS ns FROM sh0 GROUP BY doc_id),
-       hint AS (SELECT c.u, c.v, count(*) AS i
-                FROM hcand c
+  /** DuckDB CTE body mirroring [[minhashStarEdgesFrom]]; assumes `sh0`
+    * (the distinct doc_id→shingle relation) is already in scope. Ends in
+    * `hse` (the verified edge set). */
+  private def minhashStarCtes(bucketCap: Int): String =
+    s"""mhm AS (SELECT doc_id, md5(s) AS m FROM sh0),
+       msig AS (SELECT doc_id, MIN(m) AS h0,
+                       MIN(substr(m, 5)  || substr(m, 1, 4))  AS h1,
+                       MIN(substr(m, 9)  || substr(m, 1, 8))  AS h2,
+                       MIN(substr(m, 13) || substr(m, 1, 12)) AS h3,
+                       MIN(substr(m, 17) || substr(m, 1, 16)) AS h4,
+                       MIN(substr(m, 21) || substr(m, 1, 20)) AS h5,
+                       MIN(substr(m, 25) || substr(m, 1, 24)) AS h6,
+                       MIN(substr(m, 29) || substr(m, 1, 28)) AS h7
+                FROM mhm GROUP BY doc_id),
+       marr AS (SELECT doc_id, [h0, h1, h2, h3, h4, h5, h6, h7] AS sg
+                FROM msig),
+       mbands AS (SELECT doc_id, b, sg[2 * b + 1] AS b1, sg[2 * b + 2] AS b2
+                  FROM marr CROSS JOIN (SELECT unnest(range(4)) AS b)),
+       mhot AS (SELECT b, b1, b2, MIN(doc_id) AS anchor
+                FROM mbands GROUP BY 1, 2, 3 HAVING COUNT(*) > $bucketCap),
+       mcand AS (SELECT DISTINCT mb.doc_id AS u, mh.anchor AS v
+                 FROM mbands mb JOIN mhot mh USING (b, b1, b2)
+                 WHERE mb.doc_id <> mh.anchor),
+       msz AS (SELECT doc_id, count(*) AS ns FROM sh0 GROUP BY doc_id),
+       mint AS (SELECT c.u, c.v, count(*) AS i
+                FROM mcand c
                 JOIN sh0 x ON x.doc_id = c.u
                 JOIN sh0 y ON y.doc_id = c.v AND y.s = x.s
                 GROUP BY 1, 2),
        hse AS (SELECT h.u, h.v,
                       round(h.i * 1.0 / (su.ns + sv.ns - h.i), 4) AS jaccard
-               FROM hint h
-               JOIN hsz su ON su.doc_id = h.u
-               JOIN hsz sv ON sv.doc_id = h.v
+               FROM mint h
+               JOIN msz su ON su.doc_id = h.u
+               JOIN msz sv ON sv.doc_id = h.v
                WHERE round(h.i * 1.0 / (su.ns + sv.ns - h.i), 4) >= 0.8)"""
 
   /** df-capped shingle set, shared by the Jaccard and containment keys.
@@ -364,6 +380,42 @@ object LlmOps {
       // the pair set is tiny but feeds three keys (pairs/clusters/survivor)
       // — cached so all three share one materialization per session
       .cache()
+
+  /** The CLUSTERING keys' pair edges: same capped-shingle intersections as
+    * the listing keys, but scored against the FULL (uncapped) shingle-set
+    * sizes — a LOWER BOUND on true Jaccard. The distinction only matters
+    * once the df cap engages (at test SFs capped == full, so this is
+    * byte-identical to [[jaccardPairsFrom]]): the r17 perturbed-×200 probe
+    * showed that with nearly every shingle hot, the capped-universe
+    * denominator collapses and two unrelated docs sharing ONE surviving
+    * boundary shingle score 1.0 — junk edges that chained unrelated crowds
+    * into one component. A lower-bound score ≥ 0.8 PROVES true Jaccard
+    * ≥ 0.8, so no false edge can enter a cluster; recall past the caps is
+    * [[minhashStarEdgesFrom]]'s job. The listing keys keep the
+    * capped-universe score on purpose — their contract is bounded
+    * candidate WORK and they mirror their oracle exactly either way. */
+  private[graft] def jaccardLowerPairsFrom(docs: DataFrame): DataFrame = {
+    val full = shinglesFrom(docs).groupBy("doc_id").agg(count(lit(1)).as("fns"))
+    shingleIntersectionsFrom(docs)
+      .join(full.as("fa"), col("doc_a") === col("fa.doc_id"))
+      .join(full.as("fb"), col("doc_b") === col("fb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (col("fa.fns") + col("fb.fns") - col("i")), 4).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+      // feeds both clustering keys — one materialization per session
+      .cache()
+  }
+
+  /** DuckDB CTEs mirroring [[jaccardLowerPairsFrom]] (assumes the
+    * [[jaccardCtes]] relations are in scope); ends in `jplow`. */
+  private val jaccardLowCtes =
+    """fsz AS (SELECT doc_id, count(*) AS ns FROM sh0 GROUP BY doc_id),
+       jplow AS (SELECT doc_a, doc_b
+                 FROM inter
+                 JOIN fsz fa ON fa.doc_id = doc_a
+                 JOIN fsz fb ON fb.doc_id = doc_b
+                 WHERE round(i * 1.0 / (fa.ns + fb.ns - i), 4) >= 0.8)"""
 
   /** Shared DuckDB CTE body for the Jaccard pair set (kept in lockstep with
     * [[jaccardPairs]]). */
@@ -507,20 +559,23 @@ object LlmOps {
   // quadratic inside a near-dup cluster, so the 100 TB dedup path assigns
   // every document to a connected component of the similarity graph and
   // keeps one representative (min doc_id) per component. The edge set is
-  // the Jaccard pairs UNION the linear exact-duplicate star edges
-  // ([[exactStarEdges]] — the r16 fix for BYTE-IDENTICAL groups past the
-  // df cap) UNION the verified hot-bucket anchor stars
-  // ([[hotStarEdgesFrom]] — the r17 fix for NEAR-identical groups past
-  // the cap). Components come from large-star/small-star contraction; the
+  // the LOWER-BOUND Jaccard pairs ([[jaccardLowerPairsFrom]] — no false
+  // edge can enter a cluster once the caps engage) UNION the linear
+  // exact-duplicate star edges ([[exactStarEdges]] — the r16 fix for
+  // BYTE-IDENTICAL groups past the df cap) UNION the verified
+  // saturated-band anchor stars ([[minhashStarEdgesFrom]] — the r17 fix
+  // for NEAR-identical groups past the caps). Components come from
+  // large-star/small-star contraction; the
   // oracle replays them with a recursive transitive-closure CTE (fine at
   // test scale, not the cluster algorithm).
   private val dedupClusters = Op(
     "dedup_clusters",
     (s, d) => {
       val labels = connectedComponents(
-        jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v"))
+        jaccardLowerPairsFrom(t(s, d, "documents"))
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
           .unionByName(exactStarEdges(s, d))
-          .unionByName(hotStarEdges(s, d)))
+          .unionByName(minhashStarEdges(s, d)))
       val size = Window.partitionBy("cluster_rep")
       labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
         .withColumn("cluster_size", count(lit(1)).over(size))
@@ -528,10 +583,11 @@ object LlmOps {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $jaccardCtes,
+            $jaccardLowCtes,
             $exactStarCtes,
-            ${hotStarCtes(MaxShingleDf, MaxHotAnchors)},
-            e AS (SELECT doc_a AS u, doc_b AS v FROM jp
-                  UNION ALL SELECT doc_b, doc_a FROM jp
+            ${minhashStarCtes(MaxBandBucket)},
+            e AS (SELECT doc_a AS u, doc_b AS v FROM jplow
+                  UNION ALL SELECT doc_b, doc_a FROM jplow
                   UNION ALL SELECT u, v FROM exe
                   UNION ALL SELECT v, u FROM exe
                   UNION ALL SELECT u, v FROM hse
@@ -558,9 +614,10 @@ object LlmOps {
     "dedup_survivor",
     (s, d) => {
       val labels = connectedComponents(
-        jaccardPairs(s, d).select(col("doc_a").as("u"), col("doc_b").as("v"))
+        jaccardLowerPairsFrom(t(s, d, "documents"))
+          .select(col("doc_a").as("u"), col("doc_b").as("v"))
           .unionByName(exactStarEdges(s, d))
-          .unionByName(hotStarEdges(s, d)))
+          .unionByName(minhashStarEdges(s, d)))
       val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
       val w = Window.partitionBy("cluster_rep")
         .orderBy(desc("n_chars"), asc("doc_id"))
@@ -571,10 +628,11 @@ object LlmOps {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $jaccardCtes,
+            $jaccardLowCtes,
             $exactStarCtes,
-            ${hotStarCtes(MaxShingleDf, MaxHotAnchors)},
-            e AS (SELECT doc_a AS u, doc_b AS v FROM jp
-                  UNION ALL SELECT doc_b, doc_a FROM jp
+            ${minhashStarCtes(MaxBandBucket)},
+            e AS (SELECT doc_a AS u, doc_b AS v FROM jplow
+                  UNION ALL SELECT doc_b, doc_a FROM jplow
                   UNION ALL SELECT u, v FROM exe
                   UNION ALL SELECT v, u FROM exe
                   UNION ALL SELECT u, v FROM hse
@@ -3477,27 +3535,28 @@ object LlmOps {
   // (the r15 spelling theta-joined the UNBOUNDED pair relation — ADVICE
   // r15 item 3). Thresholds left-join so a clean corpus publishes zeros,
   // not an empty relation.
-  /** Demo df cap for the standalone hot-star key: the production cap (64)
-    * sits above every test-SF df, which would make the key's oracle a
-    * trivially-empty compare. 4 puts real saturated buckets in play at
-    * sf0.001/sf0.01 (max observed df 9/7) so the anchor election, per-doc
-    * candidate cap, and exact-Jaccard verification are all value-checked
-    * against DuckDB on non-empty relations. */
-  private[graft] val HotStarDemoDf = 4
+  /** Demo bucket cap for the standalone minhash-star key: the production
+    * cap (64) sits above every test-SF bucket occupancy, which would make
+    * the key's oracle a trivially-empty compare. 1 puts every multi-doc
+    * band bucket in play at sf0.001/sf0.01 (measured: 669/679 candidates,
+    * 25/24 verified pairs) so the signature build, bucket-anchor election,
+    * and full-set exact-Jaccard verification are all value-checked against
+    * DuckDB on non-empty relations. */
+  private[graft] val MinhashStarDemoBucket = 1
 
   // The bounded-recall fallback as its own oracle-checked listing key
-  // (VERDICT r16 #1): verified (doc → hot-bucket anchor) near-dup edges at
-  // a demo df cap low enough that test-scale data saturates buckets. The
-  // clustering keys run the identical pass at the production cap
-  // ([[MaxShingleDf]]) via [[hotStarEdges]]; this key proves the mechanism
-  // itself — O(k·N) candidates, full-shingle-set verification — value-exact
-  // against the DuckDB replay.
-  private val dedupHotStar = Op(
-    "dedup_hot_star",
-    (s, d) => hotStarEdgesFrom(t(s, d, "documents"), HotStarDemoDf, MaxHotAnchors)
+  // (VERDICT r16 #1): verified (doc → saturated-band-anchor) near-dup
+  // edges at a demo bucket cap low enough that test-scale data saturates.
+  // The clustering keys run the identical pass at the production cap
+  // ([[MaxBandBucket]]) via [[minhashStarEdges]]; this key proves the
+  // mechanism itself — ≤4 candidates per doc, full-shingle-set
+  // verification — value-exact against the DuckDB replay.
+  private val dedupMinhashStar = Op(
+    "dedup_minhash_star",
+    (s, d) => minhashStarEdgesFrom(t(s, d, "documents"), MinhashStarDemoBucket)
       .orderBy("u", "v"),
     Some(s"""WITH $shingleBaseCtes,
-            ${hotStarCtes(HotStarDemoDf, MaxHotAnchors)}
+            ${minhashStarCtes(MinhashStarDemoBucket)}
             SELECT u, v, jaccard FROM hse ORDER BY u, v"""))
 
   private val dedupThresholdSweep = Op(
@@ -3528,7 +3587,7 @@ object LlmOps {
             GROUP BY t_bp ORDER BY t_bp"""))
 
   val ops: Seq[Op] = Seq(
-    dedupHotStar,
+    dedupMinhashStar,
     dedupThresholdSweep,
     qualityLogisticScore,
     textReadability, corpusFilterSweep, textHeapsFit, corpusShardBalance,

@@ -209,12 +209,13 @@ class LlmOpsSpec extends AnyFunSuite {
   // r17: a NEAR-identical (not byte-identical) crowd past the df cap — the
   // one recall hole r16 left open. Every shared shingle is hot (df=70>64)
   // so the capped jaccard path emits nothing, and the texts differ so the
-  // exact-star pass can't collapse them either. The hot-star pass must:
-  // elect the bucket anchor (min doc), emit one bounded candidate per
-  // member, verify it at full-shingle-set Jaccard (38/40 = 0.95), and
-  // cluster all 70 — while a boilerplate co-occupant of one hot bucket
-  // (candidate generated, Jaccard fails) must stay out.
-  test("dedup_clusters clusters PERTURBED crowds past the df cap (hot-star)") {
+  // exact-star pass can't collapse them either. The minhash-star pass
+  // must: co-bucket the crowd on its rotated-minhash fingerprints, elect
+  // the bucket anchor (min doc), emit one bounded candidate per member,
+  // verify it at full-shingle-set Jaccard (38/40 = 0.95), and cluster all
+  // 70 — while a boilerplate co-occupant sharing a hot shingle (no shared
+  // band, or Jaccard fails) must stay out.
+  test("dedup_clusters clusters PERTURBED crowds past the df cap (minhash-star)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("g_cl_pcrowd_").toString
     val base = (1 to 40).map(j => s"w$j").mkString(" ")
@@ -233,16 +234,16 @@ class LlmOpsSpec extends AnyFunSuite {
       "boilerplate co-occupant must fail verification and stay unclustered")
   }
 
-  // Precision unit for the hot-star pass itself: candidates are capped per
-  // doc and verification uses FULL shingle sets, so the emitted edge list
-  // is exactly crowd→anchor and nothing else.
-  test("hotStarEdgesFrom links perturbed crowds to the anchor, rejects boilerplate") {
+  // Precision unit for the minhash-star pass itself: ≤4 candidates per doc
+  // (one per band) and verification uses FULL shingle sets, so the emitted
+  // edge list is exactly crowd→anchor and nothing else.
+  test("minhashStarEdgesFrom links perturbed crowds to the anchor, rejects boilerplate") {
     import spark.implicits._
     val base = (1 to 40).map(j => s"w$j").mkString(" ")
     val docs = ((1 to 70).map(i => (i.toLong, "en", s"$base uq$i")) :+
       ((999L, "en", "w1 w2 w3 " + (1 to 40).map(j => s"z$j").mkString(" "))))
       .toDF("doc_id", "lang", "text")
-    val edges = operators.LlmOps.hotStarEdgesFrom(docs, 64, 4)
+    val edges = operators.LlmOps.minhashStarEdgesFrom(docs, 64)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edges === (2 to 70).map(i => (i.toLong, 1L)).toSet,
       s"expected the 69 crowd→anchor edges only, got ${edges.size}")
