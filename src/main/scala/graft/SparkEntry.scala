@@ -14,7 +14,7 @@ object SparkEntry {
     val ops = operators.Relational.ops ++ operators.TpchSuite.ops ++
       operators.TemporalSketchOps.ops ++ operators.StatsMlOps.ops ++
       operators.MetricsOps.ops ++ operators.MiningOps.ops ++
-      operators.InferenceOps.ops ++
+      operators.InferenceOps.ops ++ operators.RobustStatsOps.ops ++
       operators.AnalyticsOps.ops ++
       operators.GraphOps.ops ++ operators.EtlOps.ops ++
       operators.SignalOps.ops ++

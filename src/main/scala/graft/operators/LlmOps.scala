@@ -169,6 +169,24 @@ object LlmOps {
             GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
             ORDER BY survivor_id"""))
 
+  // Near-exact dedup: collapse on the ALNUM-ONLY fingerprint (lowercase,
+  // every non-alphanumeric stripped) — catches the re-punctuated /
+  // re-hyphenated / smart-quoted reprints that whitespace normalization
+  // misses, at the same one-linear-groupBy cost as dedup_exact. Sits
+  // between dedup_exact (strictest) and the shingle/minhash near-dup
+  // passes (loosest) in the dedup ladder.
+  private val dedupNearExact = Op(
+    "dedup_near_exact",
+    (s, d) => t(s, d, "documents")
+      .groupBy(regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_variants"))
+      .select("survivor_id", "n_variants")
+      .orderBy("survivor_id"),
+    Some("""SELECT min(doc_id) AS survivor_id, count(*) AS n_variants
+            FROM documents
+            GROUP BY regexp_replace(lower(text), '[^a-z0-9]', '', 'g')
+            ORDER BY survivor_id"""))
+
   /** Near-dup pairs with exact n-gram Jaccard ≥ 0.8: numerator from a
     * shingle-key self-join (only docs sharing a shingle ever meet), sizes
     * from a per-doc count. Feeds both the pair listing and the
@@ -216,18 +234,20 @@ object LlmOps {
     * df=1 shingle), so a local-context anchor cannot guarantee a crowd
     * edge. Minhash bands are GLOBAL content fingerprints — a perturbed
     * replica shares a 2-rotation band with its crowd w.p.
-    * 1−(1−((t−2)/(t−1))²)⁴ ≈ 1, while two UNRELATED docs share one w.p.
-    * ≈ jaccard² per band (the classic minhash collision law — squaring is
-    * what keeps template-corpus buckets pure, the failure mode that sank
-    * the shingle-anchor first cut). The pass:
-    *   1. 8 rotated md5 minhashes per doc (ONE md5 per distinct shingle,
-    *      the 8 permutations by hex rotation — the proven
-    *      `dedup_minhash_md5` idiom, bit-identical in DuckDB), banded
-    *      4 × 2 exactly like that key;
+    * 1−(1−((t−2)/(t−1))²)⁸ (≈ 1−2·10⁻⁶ even for a 10-shingle doc — the
+    * 4-band first cut left ~80 short-doc stragglers of 1 M at ×200),
+    * while two UNRELATED docs share one w.p. ≈ jaccard² per band (the
+    * classic minhash collision law — squaring is what keeps
+    * template-corpus buckets pure, the failure mode that sank the
+    * shingle-anchor first cut). The pass:
+    *   1. 16 rotated md5 minhashes per doc (ONE md5 per distinct shingle,
+    *      the 16 permutations by 2-hex-digit rotation — each rotation is a
+    *      bijection on digests, the proven `dedup_minhash_md5` idiom,
+    *      bit-identical in DuckDB), banded 8 × 2;
     *   2. every (band, value-pair) bucket larger than `bucketCap` —
     *      exactly the buckets the capped pair paths must drop — elects its
     *      min doc_id as anchor, and every other occupant emits
-    *      (doc, anchor): ≤ 4 candidates per doc, |bucket| per bucket,
+    *      (doc, anchor): ≤ 8 candidates per doc, |bucket| per bucket,
     *      never |bucket|²;
     *   3. candidates verify by EXACT Jaccard over the FULL (uncapped)
     *      shingle sets of just the paired docs, ≥ 0.8 (the pair path's own
@@ -241,14 +261,14 @@ object LlmOps {
       docs: DataFrame, bucketCap: Int): DataFrame = {
     val sh = shinglesFrom(docs).cache()
     val hm = sh.select(col("doc_id"), md5(col("s").cast("binary")).as("m"))
-    val rots = (0 until 8).map { i =>
+    val rots = (0 until 16).map { i =>
       val rot = if (i == 0) col("m")
-        else concat(expr(s"substr(m, ${4 * i + 1})"), expr(s"substr(m, 1, ${4 * i})"))
+        else concat(expr(s"substr(m, ${2 * i + 1})"), expr(s"substr(m, 1, ${2 * i})"))
       min(rot).as(s"h$i")
     }
     val sig = hm.groupBy("doc_id").agg(rots.head, rots.tail: _*)
     val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("b"),
+      (0 until 8).map(b => struct(lit(b).as("b"),
         col(s"h${2 * b}").as("b1"), col(s"h${2 * b + 1}").as("b2"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.b"), col("bb.b1"), col("bb.b2"))
     val hot = bands.groupBy("b", "b1", "b2")
@@ -283,18 +303,15 @@ object LlmOps {
   private def minhashStarCtes(bucketCap: Int): String =
     s"""mhm AS (SELECT doc_id, md5(s) AS m FROM sh0),
        msig AS (SELECT doc_id, MIN(m) AS h0,
-                       MIN(substr(m, 5)  || substr(m, 1, 4))  AS h1,
-                       MIN(substr(m, 9)  || substr(m, 1, 8))  AS h2,
-                       MIN(substr(m, 13) || substr(m, 1, 12)) AS h3,
-                       MIN(substr(m, 17) || substr(m, 1, 16)) AS h4,
-                       MIN(substr(m, 21) || substr(m, 1, 20)) AS h5,
-                       MIN(substr(m, 25) || substr(m, 1, 24)) AS h6,
-                       MIN(substr(m, 29) || substr(m, 1, 28)) AS h7
+                       ${(1 until 16).map(i =>
+                         s"MIN(substr(m, ${2 * i + 1}) || substr(m, 1, ${2 * i})) AS h$i")
+                         .mkString(",\n                       ")}
                 FROM mhm GROUP BY doc_id),
-       marr AS (SELECT doc_id, [h0, h1, h2, h3, h4, h5, h6, h7] AS sg
+       marr AS (SELECT doc_id,
+                       [${(0 until 16).map(i => s"h$i").mkString(", ")}] AS sg
                 FROM msig),
        mbands AS (SELECT doc_id, b, sg[2 * b + 1] AS b1, sg[2 * b + 2] AS b2
-                  FROM marr CROSS JOIN (SELECT unnest(range(4)) AS b)),
+                  FROM marr CROSS JOIN (SELECT unnest(range(8)) AS b)),
        mhot AS (SELECT b, b1, b2, MIN(doc_id) AS anchor
                 FROM mbands GROUP BY 1, 2, 3 HAVING COUNT(*) > $bucketCap),
        mcand AS (SELECT DISTINCT mb.doc_id AS u, mh.anchor AS v
@@ -866,6 +883,38 @@ object LlmOps {
   // Brute-force cosine top-k against one probe vector: the probe broadcasts,
   // the corpus is scanned once map-side, TakeOrderedAndProject picks top-k —
   // the exact-baseline every ANN variant is measured against.
+  // Cosine RANGE search (radius query): every corpus vector within a
+  // similarity radius of each of the 3 probe vectors — the retrieval shape
+  // where the caller wants ALL sufficiently-close neighbors, not a fixed
+  // k. The probe set broadcasts (3 rows — the only cross join is
+  // probe-side), the corpus scans once, and the threshold predicate runs
+  // inside the join so non-matches never reach the sort. Output is
+  // radius-bounded, not corpus-bounded.
+  private val simRangeSearch = Op(
+    "sim_range_search",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
+      val probes = broadcast(e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("va").as("vb")))
+      e.crossJoin(probes)
+        .where(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine(s), 6).as("cos_sim"))
+        .where(col("cos_sim") >= 0.25)
+        .orderBy("probe_id", "vec_id")
+    },
+    Some("""SELECT p.vec_id AS probe_id, e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(p.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings e
+            JOIN embeddings p ON p.vec_id < 3 AND e.vec_id <> p.vec_id
+            WHERE round(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]),
+                    CAST(p.embedding AS DOUBLE[])), 6) >= 0.25
+            ORDER BY probe_id, e.vec_id"""))
+
   private val simCosineTopk = Op(
     "sim_cosine_topk",
     (s, d) => {
@@ -3549,7 +3598,7 @@ object LlmOps {
   // edges at a demo bucket cap low enough that test-scale data saturates.
   // The clustering keys run the identical pass at the production cap
   // ([[MaxBandBucket]]) via [[minhashStarEdges]]; this key proves the
-  // mechanism itself — ≤4 candidates per doc, full-shingle-set
+  // mechanism itself — ≤8 candidates per doc, full-shingle-set
   // verification — value-exact against the DuckDB replay.
   private val dedupMinhashStar = Op(
     "dedup_minhash_star",
@@ -3587,7 +3636,7 @@ object LlmOps {
             GROUP BY t_bp ORDER BY t_bp"""))
 
   val ops: Seq[Op] = Seq(
-    dedupMinhashStar,
+    dedupMinhashStar, dedupNearExact, simRangeSearch,
     dedupThresholdSweep,
     qualityLogisticScore,
     textReadability, corpusFilterSweep, textHeapsFit, corpusShardBalance,

@@ -234,7 +234,7 @@ class LlmOpsSpec extends AnyFunSuite {
       "boilerplate co-occupant must fail verification and stay unclustered")
   }
 
-  // Precision unit for the minhash-star pass itself: ≤4 candidates per doc
+  // Precision unit for the minhash-star pass itself: ≤8 candidates per doc
   // (one per band) and verification uses FULL shingle sets, so the emitted
   // edge list is exactly crowd→anchor and nothing else.
   test("minhashStarEdgesFrom links perturbed crowds to the anchor, rejects boilerplate") {

