@@ -1294,6 +1294,57 @@ def rules():
         "agg_tost_equivalence": {"rows": ("==",), "cols": {
             "n1": ("x", F, 0), "n2": ("x", F, 0),
             "mean_diff": ("==", 1e-6)}, "nonneg": ["n1", "n2", "se"]},
+        # ---- batch 11 (round 17): robust-stats module + dedup/sim adds.
+        # Replication multiplies every per-(g,x) count by F: group medians
+        # and deviation VALUES are invariant, moment totals scale xF, so
+        # counts pin xF and the statistics pin nonneg (F-statistics grow
+        # ~xF with N by design — that is the correct sampling behavior,
+        # not drift).
+        "agg_levene_test": {"rows": ("==",), "cols": {
+            "k": ("==", 0), "n": ("x", F, 0)}, "nonneg": ["k", "n", "f_stat"]},
+        "agg_bartlett_test": {"rows": ("==",), "cols": {
+            "k": ("==", 0), "n": ("x", F, 0)}, "nonneg": ["k", "n", "t_stat"]},
+        "agg_cronbach_alpha": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0)}, "nonneg": ["n"]},
+        "agg_icc": {"rows": ("==",), "cols": {
+            "k": ("==", 0), "n": ("x", F, 0)}, "nonneg": ["k", "n"]},
+        # same sampled users; each user's series gains F-1 interleaved
+        # duplicates (zero deltas), so DW legitimately moves — the user
+        # set and positivity are the invariants
+        "agg_durbin_watson": {"rows": ("==",), "cols": {
+            "user_id": ("==", 0)}, "nonneg": ["user_id", "n", "dw"]},
+        # per-user high-value incidence flags are replication-invariant ->
+        # the whole statistic is byte-identical
+        "agg_cochran_q": {"rows": ("==",), "cols": {
+            "blocks": ("==", 0), "q_stat": ("==", 1e-9)},
+            "nonneg": ["blocks", "q_stat"]},
+        "agg_moods_median": {"rows": ("==",), "cols": {
+            "grand_median_c": ("==", 0), "k": ("==", 0)},
+            "nonneg": ["grand_median_c", "k", "chi2"]},
+        # daily maxima are invariant under replication (max of F copies)
+        # -> the whole fit is byte-identical
+        "agg_gumbel_fit": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "mean_max": ("==", 1e-9),
+            "scale_beta": ("==", 1e-9), "loc_mu": ("==", 1e-9),
+            "p99_return_level": ("==", 1e-9)},
+            "nonneg": ["n", "mean_max", "scale_beta"]},
+        "window_williams_r": {"rows": ("x", F), "nonneg": ["c", "hh", "ll"]},
+        # first bar per part drops its lag -> rows = xF minus the part count
+        "window_force_index": {"rows": (">=", 1000), "nonneg": ["c", "v"]},
+        "window_ulcer_index": {"rows": ("x", F), "nonneg": [
+            "c", "peak", "dd_bp", "ulcer_bp"]},
+        # corpus x20 exact replicas: fingerprint GROUPS are unchanged (same
+        # distinct texts), each gains 19 more variants
+        "dedup_near_exact": {"rows": ("==",), "cols": {
+            "n_variants": ("x", C, 0)}, "nonneg": ["n_variants"]},
+        # every base match gains C-1 exact copies and each probe gains its
+        # own C-1 cosine-1.0 replicas
+        "sim_range_search": {"rows": (">=", 600), "colmax": {
+            "cos_sim": (">=", 0.999999)}},
+        # demo cap 1: every exact-replica band bucket saturates; each doc
+        # links to its group anchor at jaccard 1.0
+        "dedup_minhash_star": {"rows": (">=", 1000), "colmax": {
+            "jaccard": (">=", 0.999999)}},
     }
 
 
@@ -1309,6 +1360,10 @@ def cap_overrides(r):
         r[k] = {"rows": ("==0",)}
     r["dedup_clusters"] = {"rows": (">=", 100000), "colmax": {
         "cluster_size": (">=", C)}}
+    # the r17 recall pass must be NON-zero past the caps — that is its job:
+    # every replica links to its group anchor at jaccard 1.0
+    r["dedup_minhash_star"] = {"rows": (">=", 100000), "colmax": {
+        "jaccard": (">=", 0.999999)}}
     return r
 
 
