@@ -732,8 +732,180 @@ object RobustStatsOps {
                      AS ulcer_bp
             FROM dd ORDER BY l_partkey, l_orderkey, l_linenumber"""))
 
+  // Chande momentum oscillator per part: 100·(ΣU − ΣD)/(ΣU + ΣD) over a
+  // 14-delta frame. Up/down moves are exact cent integers, the frame sums
+  // stay integers, one double division per row (NULLIF when the frame is
+  // flat — identical NULL on both engines).
+  private val windowCmo = Op(
+    "window_cmo",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_cmo")
+      s.sql("""
+        WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                          LAG(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            OVER (PARTITION BY l_partkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                            AS pc
+                   FROM lineitem_cmo WHERE l_partkey <= 100),
+             dlt AS (SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                            c,
+                            CASE WHEN c > pc THEN c - pc ELSE 0 END AS up,
+                            CASE WHEN c < pc THEN pc - c ELSE 0 END AS dn
+                     FROM b WHERE pc IS NOT NULL),
+             w AS (SELECT l_partkey, l_orderkey, l_linenumber, c,
+                          CAST(SUM(up) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS su,
+                          CAST(SUM(dn) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS sd
+                   FROM dlt)
+        SELECT l_partkey, l_orderkey, l_linenumber, c, su, sd,
+               round(100.0D * (su - sd) / NULLIF(su + sd, 0), 4) AS cmo
+        FROM w ORDER BY l_partkey, l_orderkey, l_linenumber""")
+    },
+    Some("""WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber,
+                              l_shipdate,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c,
+                              LAG(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT))
+                                OVER (PARTITION BY l_partkey
+                                  ORDER BY l_shipdate, l_orderkey,
+                                           l_linenumber) AS pc
+                       FROM lineitem WHERE l_partkey <= 100),
+                 dlt AS (SELECT l_partkey, l_orderkey, l_linenumber,
+                                l_shipdate, c,
+                                CASE WHEN c > pc THEN c - pc ELSE 0 END
+                                  AS up,
+                                CASE WHEN c < pc THEN pc - c ELSE 0 END
+                                  AS dn
+                         FROM b WHERE pc IS NOT NULL),
+                 w AS (SELECT l_partkey, l_orderkey, l_linenumber, c,
+                              CAST(SUM(up) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber
+                                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                                AS BIGINT) AS su,
+                              CAST(SUM(dn) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber
+                                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                                AS BIGINT) AS sd
+                       FROM dlt)
+            SELECT l_partkey, l_orderkey, l_linenumber, c, su, sd,
+                   round(100.0 * (su - sd) / NULLIF(su + sd, 0), 4) AS cmo
+            FROM w ORDER BY l_partkey, l_orderkey, l_linenumber"""))
+
+  // Detrended price oscillator per part: close minus the 14-bar SMA
+  // shifted back 8 bars (n/2+1) — strips the trend so cycles show. The
+  // shifted frame is expressed directly as ROWS BETWEEN 21 PRECEDING AND
+  // 8 PRECEDING (the same 14 bars both engines see); the SMA is the only
+  // float, derived from an exact integer frame sum.
+  private val windowDpo = Op(
+    "window_dpo",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_dpo")
+      s.sql("""
+        WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                   FROM lineitem_dpo WHERE l_partkey <= 100),
+             w AS (SELECT l_partkey, l_orderkey, l_linenumber, c,
+                          CAST(SUM(c) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 21 PRECEDING AND 8 PRECEDING)
+                            AS BIGINT) AS fs,
+                          CAST(COUNT(*) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 21 PRECEDING AND 8 PRECEDING)
+                            AS BIGINT) AS fn
+                   FROM b)
+        SELECT l_partkey, l_orderkey, l_linenumber, c,
+               round(c - CAST(fs AS DOUBLE) / fn, 4) AS dpo
+        FROM w WHERE fn = 14
+        ORDER BY l_partkey, l_orderkey, l_linenumber""")
+    },
+    Some("""WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber,
+                              l_shipdate,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c
+                       FROM lineitem WHERE l_partkey <= 100),
+                 w AS (SELECT l_partkey, l_orderkey, l_linenumber, c,
+                              CAST(SUM(c) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber
+                                ROWS BETWEEN 21 PRECEDING AND 8 PRECEDING)
+                                AS BIGINT) AS fs,
+                              CAST(COUNT(*) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber
+                                ROWS BETWEEN 21 PRECEDING AND 8 PRECEDING)
+                                AS BIGINT) AS fn
+                       FROM b)
+            SELECT l_partkey, l_orderkey, l_linenumber, c,
+                   round(c - CAST(fs AS DOUBLE) / fn, 4) AS dpo
+            FROM w WHERE fn = 14
+            ORDER BY l_partkey, l_orderkey, l_linenumber"""))
+
+  // Grubbs outlier test per event type: G = max|x − x̄| / s. The max
+  // deviation is the exact integer max|x·n − Σx| (mean cleared by
+  // multiplying through by n), s comes from integer moments, one sqrt and
+  // one division per group row.
+  private val aggGrubbsTest = Op(
+    "agg_grubbs_test",
+    (s, d) => {
+      onEvents(s, d, "events_gb")
+      s.sql("""
+        WITH b AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events_gb),
+             m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                          SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+                   FROM b GROUP BY g),
+             dev AS (SELECT b.g,
+                            MAX(abs(CAST(b.x AS DECIMAL(38,0)) * m.n - m.sx))
+                              AS mdev
+                     FROM b JOIN m ON b.g = m.g GROUP BY b.g),
+             f AS (SELECT m.g, m.n,
+                          CAST(dev.mdev AS DOUBLE) / m.n AS maxdev,
+                          sqrt((m.n * CAST(m.sxx AS DOUBLE)
+                                - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+                               / m.n / (m.n - 1)) AS sd
+                   FROM m JOIN dev ON m.g = dev.g WHERE m.n >= 3)
+        SELECT g AS event_type, n, round(maxdev / 100.0D, 4) AS max_dev,
+               round(maxdev / sd, 6) AS g_stat
+        FROM f ORDER BY event_type""")
+    },
+    Some("""WITH b AS (SELECT event_type AS g,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events),
+                 m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                              SUM(CAST(x AS HUGEINT)) AS sx,
+                              SUM(CAST(x * x AS HUGEINT)) AS sxx
+                       FROM b GROUP BY g),
+                 dev AS (SELECT b.g,
+                                MAX(abs(CAST(b.x AS HUGEINT) * m.n - m.sx))
+                                  AS mdev
+                         FROM b JOIN m ON b.g = m.g GROUP BY b.g),
+                 f AS (SELECT m.g, m.n,
+                              CAST(dev.mdev AS DOUBLE) / m.n AS maxdev,
+                              sqrt((m.n * CAST(m.sxx AS DOUBLE)
+                                    - CAST(m.sx AS DOUBLE)
+                                      * CAST(m.sx AS DOUBLE))
+                                   / m.n / (m.n - 1)) AS sd
+                       FROM m JOIN dev ON m.g = dev.g WHERE m.n >= 3)
+            SELECT g AS event_type, n, round(maxdev / 100.0, 4) AS max_dev,
+                   round(maxdev / sd, 6) AS g_stat
+            FROM f ORDER BY event_type"""))
+
   val ops: Seq[Op] = Seq(
     aggLeveneTest, aggBartlettTest, aggCronbachAlpha, aggIcc,
     aggDurbinWatson, aggCochranQ, aggMoodsMedian, aggGumbelFit,
-    windowWilliamsR, windowForceIndex, windowUlcerIndex)
+    aggGrubbsTest,
+    windowWilliamsR, windowForceIndex, windowUlcerIndex,
+    windowCmo, windowDpo)
 }

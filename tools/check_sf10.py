@@ -1345,6 +1345,14 @@ def rules():
         # links to its group anchor at jaccard 1.0
         "dedup_minhash_star": {"rows": (">=", 1000), "colmax": {
             "jaccard": (">=", 0.999999)}},
+        # first delta per part drops its lag row
+        "window_cmo": {"rows": (">=", 1000), "nonneg": ["c", "su", "sd"]},
+        "window_dpo": {"rows": (">=", 1000), "nonneg": ["c"]},
+        # replication preserves mean and every |x - mean| exactly; the
+        # sample sd moves at the 1/n level so only max_dev pins
+        "agg_grubbs_test": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "max_dev": ("==", 1e-6)},
+            "nonneg": ["n", "max_dev", "g_stat"]},
     }
 
 
