@@ -292,10 +292,13 @@ object LlmOps {
       .where(col("jaccard") >= 0.8)
   }
 
-  /** Production minhash-star edges at the clustering keys' cap. */
+  /** Production minhash-star edges at the clustering keys' cap — cached
+    * (plan-keyed) so dedup_clusters and dedup_survivor share ONE signature
+    * build + verification per session instead of paying it each. */
   private def minhashStarEdges(s: SparkSession, d: String): DataFrame =
     minhashStarEdgesFrom(t(s, d, "documents"), MaxBandBucket)
       .select("u", "v")
+      .cache()
 
   /** DuckDB CTE body mirroring [[minhashStarEdgesFrom]]; assumes `sh0`
     * (the distinct doc_id→shingle relation) is already in scope. Ends in
