@@ -267,10 +267,14 @@ object LlmOps {
       min(rot).as(s"h$i")
     }
     val sig = hm.groupBy("doc_id").agg(rots.head, rots.tail: _*)
+    // tiny (docs × 8 rows) and plan-identical across the demo and
+    // production caps — cached so the 16-min signature aggregate (the
+    // expensive 90% of the pass) runs once per session, not once per key
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 8).map(b => struct(lit(b).as("b"),
         col(s"h${2 * b}").as("b1"), col(s"h${2 * b + 1}").as("b2"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.b"), col("bb.b1"), col("bb.b2"))
+      .cache()
     val hot = bands.groupBy("b", "b1", "b2")
       .agg(min(col("doc_id")).as("anchor"), count(lit(1)).as("bf"))
       .where(col("bf") > bucketCap)

@@ -943,4 +943,35 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p.take(800))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
+
+  test("sim_range_search broadcasts the probe set, never a cartesian") {
+    val p = SparkEntry.queries("sim_range_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  // the r17 recall pass: candidates must come from the band-bucket
+  // EQUI-join (hash-partitioned on the band key) with the saturation
+  // filter on an aggregate — no cartesian, no unblocked self-join
+  test("minhash-star candidates ride a band equi-join, never a cartesian") {
+    val p = operators.LlmOps.minhashStarEdgesFrom(
+      Tables.load(spark, sfDir, "documents"), 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  // domain-collapsed median: the only window runs over the per-VALUE
+  // count relation (bounded by the cent domain), never a per-row sort
+  // of a 5-partition event stream
+  test("agg_levene_test medians ride the domain-collapsed count relation") {
+    val p = SparkEntry.queries("agg_levene_test")(spark, sfDir)
+      .queryExecution.sparkPlan.toString
+    // the window's child must aggregate (g, x) BEFORE the window, so a
+    // HashAggregate appears below the Window in the plan tree
+    val wi = p.indexOf("Window")
+    assert(wi >= 0 && p.indexOf("HashAggregate", wi) >= 0, p.take(1200))
+  }
 }
