@@ -922,6 +922,35 @@ object LlmOps {
                     CAST(p.embedding AS DOUBLE[])), 6) >= 0.25
             ORDER BY probe_id, e.vec_id"""))
 
+  // Cosine-similarity DISTRIBUTION vs the probe vector: the corpus-wide
+  // histogram an ANN deployment reads before choosing its radius/k (where
+  // does the similarity mass sit?). One broadcast probe, one scan, one
+  // bounded groupBy on the 0.1-wide bucket (cosine quantized to exact bp
+  // first — no float boundary can split the engines at a bucket edge).
+  private val embCosineHistogram = Op(
+    "emb_cosine_histogram",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
+      val probe = broadcast(e.where(col("vec_id") === 0).select(col("va").as("vb")))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        // `div` truncates toward zero, exactly like DuckDB BIGINT `//`
+        .select(expr("CAST(round(graft_cosine(va, vb) * 10000) AS BIGINT)" +
+          " div 1000").as("bucket_01"))
+        .groupBy("bucket_01").agg(count(lit(1)).as("n"))
+        .orderBy("bucket_01")
+    },
+    Some("""SELECT CAST(round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 0)) * 10000) AS BIGINT) // 1000
+                     AS bucket_01,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM embeddings e WHERE e.vec_id <> 0
+            GROUP BY 1 ORDER BY bucket_01"""))
+
   private val simCosineTopk = Op(
     "sim_cosine_topk",
     (s, d) => {
@@ -3659,6 +3688,7 @@ object LlmOps {
     dedupEmbedding, qualityGate, textPiiMask, embNormalize,
     dedupEmbeddingClusters, textCollocations, corpusShardWrite, embDimReduce,
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, simAnnPersisted,
+    embCosineHistogram,
     embCentroidAssign,
     embKnnGraph,
     textStats, textTopterms, textLangid, textLangidConfusion,

@@ -902,10 +902,219 @@ object RobustStatsOps {
                    round(maxdev / sd, 6) AS g_stat
             FROM f ORDER BY event_type"""))
 
+  // Paired sign test: per user, is view spend or click spend larger? The
+  // pair compares exact integer cent TOTALS (no division anywhere), ties
+  // drop per the test's definition, and the normal-approximation z runs
+  // once from the two counts.
+  private val aggSignTest = Op(
+    "agg_sign_test",
+    (s, d) => {
+      onEvents(s, d, "events_st")
+      s.sql("""
+        WITH p AS (SELECT user_id,
+                          CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS sv,
+                          CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS sc
+                   FROM events_st GROUP BY user_id),
+             q AS (SELECT CAST(SUM(CASE WHEN sv > sc THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_plus,
+                          CAST(SUM(CASE WHEN sv < sc THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_minus
+                   FROM p)
+        SELECT n_plus, n_minus,
+               round((n_plus - n_minus)
+                     / sqrt(CAST(n_plus + n_minus AS DOUBLE)), 6) AS z
+        FROM q""")
+    },
+    Some("""WITH p AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN event_type = 'view'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS sv,
+                              CAST(SUM(CASE WHEN event_type = 'click'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS sc
+                       FROM events GROUP BY user_id),
+                 q AS (SELECT CAST(SUM(CASE WHEN sv > sc THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_plus,
+                              CAST(SUM(CASE WHEN sv < sc THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_minus
+                       FROM p)
+            SELECT n_plus, n_minus,
+                   round((n_plus - n_minus)
+                         / sqrt(CAST(n_plus + n_minus AS DOUBLE)), 6) AS z
+            FROM q"""))
+
+  // Wilcoxon signed-rank test on the same integer-cent pairs: |d| ranks
+  // with midrank ties kept EXACT by carrying 2·rank = 2·min_rank +
+  // (ties − 1) as an integer (the half never meets a float until the final
+  // z). The rank window runs over USERS — a domain whose cardinality does
+  // not grow with fact volume (replication re-uses user ids), so the
+  // single-partition rank is bounded at any SF, like the other
+  // domain-collapsed spellings.
+  private val aggWilcoxonSignedRank = Op(
+    "agg_wilcoxon_signed_rank",
+    (s, d) => {
+      onEvents(s, d, "events_wsr")
+      s.sql("""
+        WITH p AS (SELECT user_id,
+                          CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT)
+                          - CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS dd
+                   FROM events_wsr GROUP BY user_id),
+             nz AS (SELECT dd, abs(dd) AS ad FROM p WHERE dd <> 0),
+             r AS (SELECT dd,
+                          CAST(RANK() OVER (ORDER BY ad) AS BIGINT) AS rmin,
+                          CAST(COUNT(*) OVER (PARTITION BY ad) AS BIGINT)
+                            AS ties
+                   FROM nz),
+             q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN dd > 0
+                            THEN 2 * rmin + ties - 1 ELSE 0 END)
+                            AS BIGINT) AS w2
+                   FROM r)
+        SELECT n, CAST(w2 AS DOUBLE) / 2.0D AS w_plus,
+               round((CAST(w2 AS DOUBLE) / 2.0D - n * (n + 1) / 4.0D)
+                     / sqrt(n * (n + 1.0D) * (2.0D * n + 1) / 24.0D), 6)
+                 AS z
+        FROM q""")
+    },
+    Some("""WITH p AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN event_type = 'view'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT)
+                              - CAST(SUM(CASE WHEN event_type = 'click'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS dd
+                       FROM events GROUP BY user_id),
+                 nz AS (SELECT dd, abs(dd) AS ad FROM p WHERE dd <> 0),
+                 r AS (SELECT dd,
+                              CAST(RANK() OVER (ORDER BY ad) AS BIGINT)
+                                AS rmin,
+                              CAST(COUNT(*) OVER (PARTITION BY ad)
+                                AS BIGINT) AS ties
+                       FROM nz),
+                 q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CASE WHEN dd > 0
+                                THEN 2 * rmin + ties - 1 ELSE 0 END)
+                                AS BIGINT) AS w2
+                       FROM r)
+            SELECT n, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+                   round((CAST(w2 AS DOUBLE) / 2.0 - n * (n + 1) / 4.0)
+                         / sqrt(n * (n + 1.0) * (2.0 * n + 1) / 24.0), 6)
+                 AS z
+            FROM q"""))
+
+  // Welch's one-way ANOVA — the F to reach for when agg_levene_test /
+  // agg_bartlett_test REJECT variance homogeneity. Per-group weights
+  // w = n/s², weighted means, and the correction term are all quantized
+  // per group (1e6/1e12) into order-independent integer reductions; the
+  // statistic evaluates once from the totals.
+  private val aggWelchAnova = Op(
+    "agg_welch_anova",
+    (s, d) => {
+      onEvents(s, d, "events_wa")
+      s.sql("""
+        WITH b AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events_wa),
+             m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS sx,
+                          CAST(SUM(x * x) AS BIGINT) AS sxx
+                   FROM b GROUP BY g),
+             v AS (SELECT g, n, CAST(sx AS DOUBLE) / n AS mean,
+                          (CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                            / (n - 1) AS s2
+                   FROM m WHERE n >= 2),
+             w AS (SELECT g, n, mean, n / s2 AS wi FROM v),
+             t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                          CAST(SUM(CAST(round(wi * 1000000) AS BIGINT))
+                            AS BIGINT) AS sw_q,
+                          CAST(SUM(CAST(round(wi * mean * 10000) AS BIGINT))
+                            AS BIGINT) AS swm_q
+                   FROM w),
+             c AS (SELECT t.k, t.sw_q, t.swm_q,
+                          CAST(SUM(CAST(round(
+                            wi * (mean - (CAST(swm_q AS DOUBLE) / 10000.0D)
+                                    / (CAST(sw_q AS DOUBLE) / 1000000.0D))
+                               * (mean - (CAST(swm_q AS DOUBLE) / 10000.0D)
+                                    / (CAST(sw_q AS DOUBLE) / 1000000.0D))
+                            * 1000000) AS BIGINT)) AS BIGINT) AS num_q,
+                          CAST(SUM(CAST(round(
+                            (1.0D - (wi * 1000000.0D)
+                                    / CAST(sw_q AS DOUBLE))
+                            * (1.0D - (wi * 1000000.0D)
+                                    / CAST(sw_q AS DOUBLE))
+                            / (n - 1) * 1000000000000.0D) AS BIGINT))
+                            AS BIGINT) AS corr_q
+                   FROM w CROSS JOIN t
+                   GROUP BY t.k, t.sw_q, t.swm_q)
+        SELECT k,
+               round((CAST(num_q AS DOUBLE) / 1000000.0D / (k - 1))
+                     / (1.0D + 2.0D * (k - 2)
+                          / (CAST(k AS DOUBLE) * k - 1)
+                          * CAST(corr_q AS DOUBLE) / 1000000000000.0D),
+                     6) AS f_welch
+        FROM c""")
+    },
+    Some("""WITH b AS (SELECT event_type AS g,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events),
+                 m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(x) AS BIGINT) AS sx,
+                              CAST(SUM(x * x) AS BIGINT) AS sxx
+                       FROM b GROUP BY g),
+                 v AS (SELECT g, n, CAST(sx AS DOUBLE) / n AS mean,
+                              (CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                 / n) / (n - 1) AS s2
+                       FROM m WHERE n >= 2),
+                 w AS (SELECT g, n, mean, n / s2 AS wi FROM v),
+                 t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                              CAST(SUM(CAST(round(wi * 1000000) AS BIGINT))
+                                AS BIGINT) AS sw_q,
+                              CAST(SUM(CAST(round(wi * mean * 10000)
+                                AS BIGINT)) AS BIGINT) AS swm_q
+                       FROM w),
+                 c AS (SELECT t.k, t.sw_q, t.swm_q,
+                              CAST(SUM(CAST(round(
+                                wi * (mean - (CAST(swm_q AS DOUBLE)
+                                        / 10000.0)
+                                        / (CAST(sw_q AS DOUBLE)
+                                           / 1000000.0))
+                                   * (mean - (CAST(swm_q AS DOUBLE)
+                                        / 10000.0)
+                                        / (CAST(sw_q AS DOUBLE)
+                                           / 1000000.0))
+                                * 1000000) AS BIGINT)) AS BIGINT) AS num_q,
+                              CAST(SUM(CAST(round(
+                                (1.0 - (wi * 1000000.0)
+                                        / CAST(sw_q AS DOUBLE))
+                                * (1.0 - (wi * 1000000.0)
+                                        / CAST(sw_q AS DOUBLE))
+                                / (n - 1) * 1000000000000.0) AS BIGINT))
+                                AS BIGINT) AS corr_q
+                       FROM w CROSS JOIN t
+                       GROUP BY t.k, t.sw_q, t.swm_q)
+            SELECT k,
+                   round((CAST(num_q AS DOUBLE) / 1000000.0 / (k - 1))
+                         / (1.0 + 2.0 * (k - 2)
+                              / (CAST(k AS DOUBLE) * k - 1)
+                              * CAST(corr_q AS DOUBLE)
+                              / 1000000000000.0),
+                         6) AS f_welch
+            FROM c"""))
+
   val ops: Seq[Op] = Seq(
     aggLeveneTest, aggBartlettTest, aggCronbachAlpha, aggIcc,
     aggDurbinWatson, aggCochranQ, aggMoodsMedian, aggGumbelFit,
-    aggGrubbsTest,
+    aggGrubbsTest, aggSignTest, aggWilcoxonSignedRank, aggWelchAnova,
     windowWilliamsR, windowForceIndex, windowUlcerIndex,
     windowCmo, windowDpo)
 }

@@ -1353,6 +1353,21 @@ def rules():
         "agg_grubbs_test": {"rows": ("==",), "cols": {
             "n": ("x", F, 0), "max_dev": ("==", 1e-6)},
             "nonneg": ["n", "max_dev", "g_stat"]},
+        # per-user cent totals scale xF uniformly -> every pairwise
+        # comparison, sign, |d| ordering and tie structure is preserved ->
+        # the whole statistic is byte-identical
+        "agg_sign_test": {"rows": ("==",), "cols": {
+            "n_plus": ("==", 0), "n_minus": ("==", 0), "z": ("==", 1e-9)},
+            "nonneg": ["n_plus", "n_minus"]},
+        "agg_wilcoxon_signed_rank": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "w_plus": ("==", 1e-9), "z": ("==", 1e-9)},
+            "nonneg": ["n", "w_plus"]},
+        # means invariant, weights scale ~xF -> F_w legitimately grows
+        "agg_welch_anova": {"rows": ("==",), "cols": {
+            "k": ("==", 0)}, "nonneg": ["k", "f_welch"]},
+        # corpus replicas add exact copies (incl. the probe's own at
+        # cosine 1.0); bucket domain stays [-10, 10]
+        "emb_cosine_histogram": {"rows": (">=", 1), "nonneg": ["n"]},
     }
 
 
