@@ -1111,10 +1111,177 @@ object RobustStatsOps {
                          6) AS f_welch
             FROM c"""))
 
+  // Jarque–Bera normality test per event type: JB = n/6·(S² + K²/4) from
+  // skewness and excess kurtosis. The four raw power sums accumulate as
+  // exact DECIMAL(38,0)/HUGEINT integers (x⁴ at cent scale needs 128-bit
+  // headroom at sf10); the central moments, S, K, and JB evaluate once per
+  // group row.
+  private val aggJarqueBera = Op(
+    "agg_jarque_bera",
+    (s, d) => {
+      onEvents(s, d, "events_jb")
+      s.sql("""
+        WITH b AS (SELECT event_type AS g,
+                          CAST(round(value * 100) AS BIGINT) AS x
+                   FROM events_jb),
+             m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                          SUM(CAST(x AS DECIMAL(38,0))) AS s1,
+                          SUM(CAST(x * x AS DECIMAL(38,0))) AS s2,
+                          SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS s3,
+                          SUM(CAST(x AS DECIMAL(38,0)) * x * x * x) AS s4
+                   FROM b GROUP BY g),
+             c AS (SELECT g, n,
+                          CAST(s1 AS DOUBLE) / n AS mu,
+                          CAST(s2 AS DOUBLE) / n AS r2,
+                          CAST(s3 AS DOUBLE) / n AS r3,
+                          CAST(s4 AS DOUBLE) / n AS r4
+                   FROM m WHERE n >= 4),
+             k AS (SELECT g, n,
+                          r2 - mu * mu AS m2,
+                          r3 - 3.0D * mu * r2 + 2.0D * mu * mu * mu AS m3,
+                          r4 - 4.0D * mu * r3 + 6.0D * mu * mu * r2
+                             - 3.0D * mu * mu * mu * mu AS m4
+                   FROM c)
+        SELECT g AS event_type, n,
+               round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+               round(m4 / (m2 * m2) - 3.0D, 6) AS excess_kurtosis,
+               round(n / 6.0D * ((m3 / sqrt(m2 * m2 * m2))
+                                 * (m3 / sqrt(m2 * m2 * m2))
+                                 + (m4 / (m2 * m2) - 3.0D)
+                                   * (m4 / (m2 * m2) - 3.0D) / 4.0D),
+                     4) AS jb_stat
+        FROM k ORDER BY event_type""")
+    },
+    Some("""WITH b AS (SELECT event_type AS g,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events),
+                 m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                              SUM(CAST(x AS HUGEINT)) AS s1,
+                              SUM(CAST(x * x AS HUGEINT)) AS s2,
+                              SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                              SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+                       FROM b GROUP BY g),
+                 c AS (SELECT g, n,
+                              CAST(s1 AS DOUBLE) / n AS mu,
+                              CAST(s2 AS DOUBLE) / n AS r2,
+                              CAST(s3 AS DOUBLE) / n AS r3,
+                              CAST(s4 AS DOUBLE) / n AS r4
+                       FROM m WHERE n >= 4),
+                 k AS (SELECT g, n,
+                              r2 - mu * mu AS m2,
+                              r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+                                AS m3,
+                              r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                                 - 3.0 * mu * mu * mu * mu AS m4
+                       FROM c)
+            SELECT g AS event_type, n,
+                   round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+                   round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+                   round(n / 6.0 * ((m3 / sqrt(m2 * m2 * m2))
+                                    * (m3 / sqrt(m2 * m2 * m2))
+                                    + (m4 / (m2 * m2) - 3.0)
+                                      * (m4 / (m2 * m2) - 3.0) / 4.0),
+                         4) AS jb_stat
+            FROM k ORDER BY event_type"""))
+
+  // Awesome oscillator per part: SMA5 − SMA34 of the price series, both
+  // frames exact integer sums; emitted only where the long frame is full
+  // so the two averages compare like for like. The subtraction of two
+  // rationals runs once per row.
+  private val windowAwesomeOscillator = Op(
+    "window_awesome_oscillator",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_ao")
+      s.sql("""
+        WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                   FROM lineitem_ao WHERE l_partkey <= 100),
+             w AS (SELECT l_partkey, l_orderkey, l_linenumber, c,
+                          CAST(SUM(c) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS s5,
+                          CAST(SUM(c) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 33 PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS s34,
+                          CAST(COUNT(*) OVER (PARTITION BY l_partkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber
+                            ROWS BETWEEN 33 PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS n34
+                   FROM b)
+        SELECT l_partkey, l_orderkey, l_linenumber, c, s5, s34,
+               round(s5 / 5.0D - s34 / 34.0D, 4) AS ao
+        FROM w WHERE n34 = 34
+        ORDER BY l_partkey, l_orderkey, l_linenumber""")
+    },
+    Some("""WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber,
+                              l_shipdate,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c
+                       FROM lineitem WHERE l_partkey <= 100),
+                 w AS (SELECT l_partkey, l_orderkey, l_linenumber, c,
+                              CAST(SUM(c) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                                AS BIGINT) AS s5,
+                              CAST(SUM(c) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber
+                                ROWS BETWEEN 33 PRECEDING AND CURRENT ROW)
+                                AS BIGINT) AS s34,
+                              CAST(COUNT(*) OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber
+                                ROWS BETWEEN 33 PRECEDING AND CURRENT ROW)
+                                AS BIGINT) AS n34
+                       FROM b)
+            SELECT l_partkey, l_orderkey, l_linenumber, c, s5, s34,
+                   round(s5 / 5.0 - s34 / 34.0, 4) AS ao
+            FROM w WHERE n34 = 34
+            ORDER BY l_partkey, l_orderkey, l_linenumber"""))
+
+  // Price rate of change per part: 100·(c − c₋₁₂)/c₋₁₂ — exact integer
+  // lag and delta, one double division per row (prices are positive so no
+  // sign traps).
+  private val windowPriceRoc = Op(
+    "window_price_roc",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_roc")
+      s.sql("""
+        WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                          LAG(CAST(round(l_extendedprice * 100) AS BIGINT),
+                              12)
+                            OVER (PARTITION BY l_partkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                            AS pc
+                   FROM lineitem_roc WHERE l_partkey <= 100)
+        SELECT l_partkey, l_orderkey, l_linenumber, c, pc,
+               round(100.0D * (c - pc) / pc, 4) AS roc
+        FROM b WHERE pc IS NOT NULL
+        ORDER BY l_partkey, l_orderkey, l_linenumber""")
+    },
+    Some("""WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS c,
+                              LAG(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT), 12)
+                                OVER (PARTITION BY l_partkey
+                                  ORDER BY l_shipdate, l_orderkey,
+                                           l_linenumber) AS pc
+                       FROM lineitem WHERE l_partkey <= 100)
+            SELECT l_partkey, l_orderkey, l_linenumber, c, pc,
+                   round(100.0 * (c - pc) / pc, 4) AS roc
+            FROM b WHERE pc IS NOT NULL
+            ORDER BY l_partkey, l_orderkey, l_linenumber"""))
+
   val ops: Seq[Op] = Seq(
     aggLeveneTest, aggBartlettTest, aggCronbachAlpha, aggIcc,
     aggDurbinWatson, aggCochranQ, aggMoodsMedian, aggGumbelFit,
     aggGrubbsTest, aggSignTest, aggWilcoxonSignedRank, aggWelchAnova,
+    aggJarqueBera,
     windowWilliamsR, windowForceIndex, windowUlcerIndex,
-    windowCmo, windowDpo)
+    windowCmo, windowDpo, windowAwesomeOscillator, windowPriceRoc)
 }

@@ -1368,6 +1368,15 @@ def rules():
         # corpus replicas add exact copies (incl. the probe's own at
         # cosine 1.0); bucket domain stays [-10, 10]
         "emb_cosine_histogram": {"rows": (">=", 1), "nonneg": ["n"]},
+        # raw power sums scale xF exactly -> the moment RATIOS (and hence
+        # S and K) are invariant to float rounding of >2^53 sums; JB
+        # itself legitimately grows xF
+        "agg_jarque_bera": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "skewness": ("==", 1e-4),
+            "excess_kurtosis": ("==", 1e-4)}, "nonneg": ["n", "jb_stat"]},
+        "window_awesome_oscillator": {"rows": (">=", 1000),
+            "nonneg": ["c", "s5", "s34"]},
+        "window_price_roc": {"rows": (">=", 1000), "nonneg": ["c", "pc"]},
     }
 
 
