@@ -927,6 +927,9 @@ object LlmOps {
   // does the similarity mass sit?). One broadcast probe, one scan, one
   // bounded groupBy on the 0.1-wide bucket (cosine quantized to exact bp
   // first — no float boundary can split the engines at a bucket edge).
+  // Buckets use FLOOR division so every bucket spans exactly [k·0.1,
+  // (k+1)·0.1) — truncating division would give bucket 0 a double-width
+  // (−0.1, 0.1) span for negative cosines (ADVICE r17 #3).
   private val embCosineHistogram = Op(
     "emb_cosine_histogram",
     (s, d) => {
@@ -936,17 +939,17 @@ object LlmOps {
       val probe = broadcast(e.where(col("vec_id") === 0).select(col("va").as("vb")))
       e.where(col("vec_id") =!= 0)
         .crossJoin(probe)
-        // `div` truncates toward zero, exactly like DuckDB BIGINT `//`
-        .select(expr("CAST(round(graft_cosine(va, vb) * 10000) AS BIGINT)" +
-          " div 1000").as("bucket_01"))
+        // floor division on both engines: uniform 0.1-wide buckets
+        .select(expr("CAST(floor(CAST(round(graft_cosine(va, vb) * 10000)" +
+          " AS BIGINT) / 1000.0D) AS BIGINT)").as("bucket_01"))
         .groupBy("bucket_01").agg(count(lit(1)).as("n"))
         .orderBy("bucket_01")
     },
-    Some("""SELECT CAST(round(list_cosine_similarity(
+    Some("""SELECT CAST(floor(CAST(round(list_cosine_similarity(
                      CAST(e.embedding AS DOUBLE[]),
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                      WHERE vec_id = 0)) * 10000) AS BIGINT) // 1000
-                     AS bucket_01,
+                      WHERE vec_id = 0)) * 10000) AS BIGINT) / 1000.0)
+                     AS BIGINT) AS bucket_01,
                    CAST(count(*) AS BIGINT) AS n
             FROM embeddings e WHERE e.vec_id <> 0
             GROUP BY 1 ORDER BY bucket_01"""))

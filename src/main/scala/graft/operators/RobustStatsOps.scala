@@ -117,7 +117,10 @@ object RobustStatsOps {
   // the two order-dependent float sums — Σ(n_i−1)·ln(s_i²) and Σ1/(n_i−1)
   // — are quantized per GROUP (1e6 / 1e12) and summed as BIGINTs, so the
   // 5-row reduction is order-independent on both engines; the statistic
-  // evaluates once from the integer totals.
+  // evaluates once from the integer totals. Zero-variance groups (all
+  // cents equal, n≥2) are filtered identically on both engines — ln(0)
+  // is NULL on Spark but an error on DuckDB, so without the s2>0 gate
+  // the engines would split on degenerate input (ADVICE r17 #1).
   private val aggBartlettTest = Op(
     "agg_bartlett_test",
     (s, d) => {
@@ -130,11 +133,13 @@ object RobustStatsOps {
                           CAST(SUM(x) AS BIGINT) AS sx,
                           CAST(SUM(x * x) AS BIGINT) AS sxx
                    FROM b GROUP BY g),
-             v AS (SELECT g, n,
-                          (CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                            / (n - 1) AS s2
-                   FROM m WHERE n >= 2),
+             v AS (SELECT g, n, s2 FROM (
+                     SELECT g, n,
+                            (CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                              / (n - 1) AS s2
+                     FROM m WHERE n >= 2) vv
+                   WHERE s2 > 0),
              q AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                           CAST(SUM(n) AS BIGINT) AS nn,
                           SUM(CAST(round((n - 1) * s2 * 1000000)
@@ -160,11 +165,13 @@ object RobustStatsOps {
                               CAST(SUM(x) AS BIGINT) AS sx,
                               CAST(SUM(x * x) AS BIGINT) AS sxx
                        FROM b GROUP BY g),
-                 v AS (SELECT g, n,
-                              (CAST(sxx AS DOUBLE)
-                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                                 / n) / (n - 1) AS s2
-                       FROM m WHERE n >= 2),
+                 v AS (SELECT g, n, s2 FROM (
+                         SELECT g, n,
+                                (CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                   / n) / (n - 1) AS s2
+                         FROM m WHERE n >= 2) vv
+                       WHERE s2 > 0),
                  q AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                               CAST(SUM(n) AS BIGINT) AS nn,
                               SUM(CAST(round((n - 1) * s2 * 1000000)
@@ -950,7 +957,10 @@ object RobustStatsOps {
   // Wilcoxon signed-rank test on the same integer-cent pairs: |d| ranks
   // with midrank ties kept EXACT by carrying 2·rank = 2·min_rank +
   // (ties − 1) as an integer (the half never meets a float until the final
-  // z). The rank window runs over USERS — a domain whose cardinality does
+  // z). The normal-approximation variance carries the tie correction
+  // −Σ(t³−t)/48 from exact per-|d| tie counts (integer-cent differences
+  // tie heavily; without it z is biased toward 0 — ADVICE r17 #2).
+  // The rank window runs over USERS — a domain whose cardinality does
   // not grow with fact volume (replication re-uses user ids), so the
   // single-partition rank is bounded at any SF, like the other
   // domain-collapsed spellings.
@@ -977,12 +987,17 @@ object RobustStatsOps {
                           CAST(SUM(CASE WHEN dd > 0
                             THEN 2 * rmin + ties - 1 ELSE 0 END)
                             AS BIGINT) AS w2
-                   FROM r)
+                   FROM r),
+             tc AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
+                             AS tt
+                    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                          FROM nz GROUP BY ad) g)
         SELECT n, CAST(w2 AS DOUBLE) / 2.0D AS w_plus,
                round((CAST(w2 AS DOUBLE) / 2.0D - n * (n + 1) / 4.0D)
-                     / sqrt(n * (n + 1.0D) * (2.0D * n + 1) / 24.0D), 6)
+                     / sqrt(n * (n + 1.0D) * (2.0D * n + 1) / 24.0D
+                            - CAST(tt AS DOUBLE) / 48.0D), 6)
                  AS z
-        FROM q""")
+        FROM q CROSS JOIN tc""")
     },
     Some("""WITH p AS (SELECT user_id,
                               CAST(SUM(CASE WHEN event_type = 'view'
@@ -1003,12 +1018,17 @@ object RobustStatsOps {
                               CAST(SUM(CASE WHEN dd > 0
                                 THEN 2 * rmin + ties - 1 ELSE 0 END)
                                 AS BIGINT) AS w2
-                       FROM r)
+                       FROM r),
+                 tc AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0)
+                                 AS BIGINT) AS tt
+                        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                              FROM nz GROUP BY ad) g)
             SELECT n, CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
                    round((CAST(w2 AS DOUBLE) / 2.0 - n * (n + 1) / 4.0)
-                         / sqrt(n * (n + 1.0) * (2.0 * n + 1) / 24.0), 6)
+                         / sqrt(n * (n + 1.0) * (2.0 * n + 1) / 24.0
+                                - CAST(tt AS DOUBLE) / 48.0), 6)
                  AS z
-            FROM q"""))
+            FROM q CROSS JOIN tc"""))
 
   // Welch's one-way ANOVA — the F to reach for when agg_levene_test /
   // agg_bartlett_test REJECT variance homogeneity. Per-group weights
@@ -1027,11 +1047,13 @@ object RobustStatsOps {
                           CAST(SUM(x) AS BIGINT) AS sx,
                           CAST(SUM(x * x) AS BIGINT) AS sxx
                    FROM b GROUP BY g),
-             v AS (SELECT g, n, CAST(sx AS DOUBLE) / n AS mean,
-                          (CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                            / (n - 1) AS s2
-                   FROM m WHERE n >= 2),
+             v AS (SELECT g, n, mean, s2 FROM (
+                     SELECT g, n, CAST(sx AS DOUBLE) / n AS mean,
+                            (CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                              / (n - 1) AS s2
+                     FROM m WHERE n >= 2) vv
+                   WHERE s2 > 0),
              w AS (SELECT g, n, mean, n / s2 AS wi FROM v),
              t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                           CAST(SUM(CAST(round(wi * 1000000) AS BIGINT))
@@ -1070,11 +1092,13 @@ object RobustStatsOps {
                               CAST(SUM(x) AS BIGINT) AS sx,
                               CAST(SUM(x * x) AS BIGINT) AS sxx
                        FROM b GROUP BY g),
-                 v AS (SELECT g, n, CAST(sx AS DOUBLE) / n AS mean,
-                              (CAST(sxx AS DOUBLE)
-                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-                                 / n) / (n - 1) AS s2
-                       FROM m WHERE n >= 2),
+                 v AS (SELECT g, n, mean, s2 FROM (
+                         SELECT g, n, CAST(sx AS DOUBLE) / n AS mean,
+                                (CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                   / n) / (n - 1) AS s2
+                         FROM m WHERE n >= 2) vv
+                       WHERE s2 > 0),
                  w AS (SELECT g, n, mean, n / s2 AS wi FROM v),
                  t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                               CAST(SUM(CAST(round(wi * 1000000) AS BIGINT))

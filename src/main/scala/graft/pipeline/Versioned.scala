@@ -71,11 +71,17 @@ object Versioned {
   /** Deterministic Versioned root for a derived side table (partsupp dim,
     * persisted ANN index, zone-mapped layout, …): under the
     * [[StageRootConf]] base, keyed by the stage name, the sanitized source
-    * dir, and a cheap CONTENT fingerprint of the stage's input tables
-    * (per-file lengths + mtimes — no data read). The fingerprint closes
-    * two ADVICE r16 holes at once: regenerating the data at the same path
-    * yields a NEW root (no stale committed stage can be served), and two
-    * distinct dirs whose names sanitize identically cannot collide. */
+    * dir, and a cheap CONTENT fingerprint of the stage's input tables:
+    * per-file name + length + mtime PLUS a 64-byte tail sample of each
+    * file. The tail sample is the parquet footer (metadata + row-group
+    * stats), which changes on any content change — so an in-place
+    * regeneration producing identical lengths within mtime granularity
+    * (same-second rewrite on a coarse-mtime store, ADVICE r17 #4) still
+    * maps to a NEW root. Cost: one open+seek+read(64B) per part file,
+    * once per stage resolution — no data-page read. The fingerprint also
+    * keeps the two ADVICE r16 guarantees: regenerating at the same path
+    * yields a new root, and two distinct dirs whose names sanitize
+    * identically cannot collide. */
   def stageRoot(s: org.apache.spark.sql.SparkSession, stage: String,
                 sourceDir: String, inputs: Seq[String]): Path = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -92,6 +98,17 @@ object Versioned {
         sts.foreach { st =>
           mix(st.getPath.getName.hashCode.toLong)
           mix(st.getLen); mix(st.getModificationTime)
+          if (st.isFile && st.getLen > 0) {
+            val in = f.open(st.getPath)
+            try {
+              val take = math.min(64L, st.getLen).toInt
+              in.seek(st.getLen - take)
+              val buf = new Array[Byte](take)
+              in.readFully(buf)
+              buf.foreach(b => mix(b.toLong))
+            } catch { case _: java.io.IOException => mix(-1L) }
+            finally in.close()
+          }
         }
       }
     }
