@@ -300,9 +300,26 @@ object LlmOps {
     * (plan-keyed) so dedup_clusters and dedup_survivor share ONE signature
     * build + verification per session instead of paying it each. */
   private def minhashStarEdges(s: SparkSession, d: String): DataFrame =
-    minhashStarEdgesFrom(t(s, d, "documents"), MaxBandBucket)
+    minhashStarEdgesFrom(t(s, d, "documents"), StarBucketCap)
       .select("u", "v")
       .cache()
+
+  /** Hot-bucket threshold for the anchor-star pass — deliberately LOWER
+    * than [[MaxBandBucket]] (r18, the j≈0.8 boundary stress). The pair
+    * path covers crowds ≤ [[MaxShingleDf]] (their common shingles keep
+    * df ≤ 64); a crowd of S > 64 docs at true Jaccard j fills its
+    * per-band mode bucket to only ≈ p²·S where p = P(a member's minhash
+    * is the crowd minimum) — e.g. 2j/(1+j) under disjoint-tail structure,
+    * so a 70-doc j=0.9 crowd reaches ≈ 63 occupants: UNDER a 64 bucket
+    * cap, and the crowd would splinter with both paths blind. At cap 8
+    * every mode bucket of a past-the-df-cap crowd fires (≥ j²·S ≥
+    * 0.64·65 ≈ 41 occupants at the j=0.8 verification floor), while cost
+    * stays O(N): candidates are still ≤ 8 per doc (one anchor per band),
+    * and the exact full-shingle-set Jaccard verification still admits no
+    * false edge, so a lower cap can only ADD true edges. Proven by
+    * tools/probe_boundary.sh (j ∈ {0.78, 0.8, 0.82, 0.9} crowds straddling
+    * the 64 cap, incl. 9-shingle short docs). */
+  private[graft] val StarBucketCap = 8
 
   /** DuckDB CTE body mirroring [[minhashStarEdgesFrom]]; assumes `sh0`
     * (the distinct doc_id→shingle relation) is already in scope. Ends in
@@ -609,7 +626,7 @@ object LlmOps {
     Some(s"""WITH RECURSIVE $jaccardCtes,
             $jaccardLowCtes,
             $exactStarCtes,
-            ${minhashStarCtes(MaxBandBucket)},
+            ${minhashStarCtes(StarBucketCap)},
             e AS (SELECT doc_a AS u, doc_b AS v FROM jplow
                   UNION ALL SELECT doc_b, doc_a FROM jplow
                   UNION ALL SELECT u, v FROM exe
@@ -654,7 +671,7 @@ object LlmOps {
     Some(s"""WITH RECURSIVE $jaccardCtes,
             $jaccardLowCtes,
             $exactStarCtes,
-            ${minhashStarCtes(MaxBandBucket)},
+            ${minhashStarCtes(StarBucketCap)},
             e AS (SELECT doc_a AS u, doc_b AS v FROM jplow
                   UNION ALL SELECT doc_b, doc_a FROM jplow
                   UNION ALL SELECT u, v FROM exe
@@ -3636,7 +3653,7 @@ object LlmOps {
   // (VERDICT r16 #1): verified (doc → saturated-band-anchor) near-dup
   // edges at a demo bucket cap low enough that test-scale data saturates.
   // The clustering keys run the identical pass at the production cap
-  // ([[MaxBandBucket]]) via [[minhashStarEdges]]; this key proves the
+  // ([[StarBucketCap]]) via [[minhashStarEdges]]; this key proves the
   // mechanism itself — ≤8 candidates per doc, full-shingle-set
   // verification — value-exact against the DuckDB replay.
   private val dedupMinhashStar = Op(

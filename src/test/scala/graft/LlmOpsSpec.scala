@@ -237,6 +237,37 @@ class LlmOpsSpec extends AnyFunSuite {
   // Precision unit for the minhash-star pass itself: ≤8 candidates per doc
   // (one per band) and verification uses FULL shingle sets, so the emitted
   // edge list is exactly crowd→anchor and nothing else.
+  // r18 boundary stress (VERDICT r17 #2): a 65-doc crowd at true pairwise
+  // Jaccard 0.82 (84 shared words + 9 unique per member: i = 82, union =
+  // 100) sits past the shingle-df cap (pair path blind) but fills its
+  // per-band mode bucket to only ~p²·65 ≈ 53 occupants (p = 2j/(1+j) =
+  // 0.90) — UNDER a 64 bucket cap. This is why StarBucketCap is 8, not
+  // MaxBandBucket: at cap 64 the star pass emits ZERO edges for this crowd
+  // (both paths blind → splinter); at cap 8 it must connect all 65. Same
+  // corpus, both caps, md5-deterministic.
+  test("65-doc j=0.82 crowd: star pass blind at cap 64, full recall at cap 8") {
+    import spark.implicits._
+    val common = (1 to 84).map(k => s"cw$k").mkString(" ")
+    val docs = (1 to 65).map(i =>
+      (i.toLong, "en", common + " " + (1 to 9).map(k => s"d${i}u$k").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val atPairCap = operators.LlmOps.minhashStarEdgesFrom(docs, 64).count()
+    assert(atPairCap === 0L,
+      s"cap 64 must be blind to the 65-crowd (got $atPairCap edges) — " +
+        "if this starts passing, the mode-bucket math changed")
+    val edges = operators.LlmOps.minhashStarEdgesFrom(docs, operators.LlmOps.StarBucketCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "cap 8 must fire on the mode bucket")
+    // union-find over the star edges: the crowd must be ONE component
+    val parent = scala.collection.mutable.Map((1L to 65L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (u, v) => parent(find(u)) = find(v) }
+    val comps = (1L to 65L).map(find).distinct
+    assert(comps.size === 1,
+      s"all 65 must connect through star edges, got ${comps.size} components")
+  }
+
   test("minhashStarEdgesFrom links perturbed crowds to the anchor, rejects boilerplate") {
     import spark.implicits._
     val base = (1 to 40).map(j => s"w$j").mkString(" ")
