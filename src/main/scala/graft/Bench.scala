@@ -125,8 +125,11 @@ object Bench {
         "window_macd" -> 16, "dedup_threshold_sweep" -> 16,
         "sql_tpch_q2" -> 16, "sql_tpch_q9" -> 16, "sql_tpch_q11" -> 16,
         "sql_tpch_q16" -> 16, "sql_tpch_q20" -> 16,
-        // r17: hot-star verified anchor edges added to the cluster keys
-        "dedup_clusters" -> 17, "dedup_survivor" -> 17)
+        // r18: StarBucketCap lowered the star pass's firing threshold
+        // (more verified star edges for the text cluster keys) and the
+        // embedding cluster key gained the hot-bucket code-rep path
+        "dedup_clusters" -> 18, "dedup_survivor" -> 18,
+        "dedup_embedding_clusters" -> 18)
       val dir = java.nio.file.Paths.get("tools")
       val recs =
         if (!java.nio.file.Files.isDirectory(dir)) Seq.empty

@@ -122,7 +122,8 @@ object LlmOps {
        |            $rel AS (
        |              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |                     (($bk16Sql)
-       |                      >> (16 - (SELECT b FROM nb))) AS bk
+       |                      >> (16 - (SELECT b FROM nb))) AS bk,
+       |                     ($bk16Sql) AS c16
        |              FROM embeddings)""".stripMargin
 
   /** Embeddings with float64 vector + leading-sign bucket (sign-LSH
@@ -140,13 +141,31 @@ object LlmOps {
       c
     }.longValue()
     val bits = signBits(n)
-    val bkExpr = (0 until bits)
-      .map(i => s"${1L << (bits - 1 - i)} * IF(v[$i] >= 0D, 1, 0)")
+    // full 16-bit leading-sign code; the adaptive bucket is its top `bits`
+    // bits (one shift), so bk is IDENTICAL to the old per-width sum while
+    // c16 doubles as the sub-bucket key for the hot-bucket star pass
+    val c16Expr = (0 until 16)
+      .map(i => s"${1L << (15 - i)} * IF(v[$i] >= 0D, 1, 0)")
       .mkString(" + ")
     t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bk", expr(bkExpr))
+      .withColumn("c16", expr(c16Expr))
+      .withColumn("bk", expr(s"c16 >> ${16 - bits}"))
   }
+
+  /** Occupancy cap on the exact within-bucket pair join of the embedding
+    * CLUSTER key (r18, VERDICT r17 #4). [[signBits]] targets a mean bucket
+    * occupancy of ~256, so ≤ 256²/2 ≈ 33k pairs per healthy bucket is the
+    * designed work unit; a bucket past the cap means a near-duplicate
+    * FLOOD (replicated/boilerplate vectors) where all-pairs goes quadratic
+    * at corpus scale (the ×200 probe measured 40 M within-bucket pairs).
+    * Past the cap the key switches to code-rep stars (see the op body) —
+    * same components for floods, never a false edge, O(occ + reps²) work.
+    * At every oracle-checked test SF no bucket is hot, so outputs are
+    * byte-identical to the uncapped path there. */
+  private[graft] val EmbBucketCap = 256
+  // (declared here, above every oracle string that interpolates it —
+  // object-init order renders a later val as 0 inside s"" literals)
 
   /** Codegen'd native cosine (graft.functions.CosineSimilarity) — same term
     * order as DuckDB's list_cosine_similarity, compiled into the join stage. */
@@ -882,6 +901,66 @@ object LlmOps {
             SELECT vec_a, rnk, vec_b, cos_sim
             FROM r WHERE rnk <= 3
             ORDER BY vec_a, rnk"""))
+
+  // Hubness over LSH-BLOCKED candidates — the production swap the exact
+  // emb_hubness key documents (VERDICT r17 #6 gave it its own probed key).
+  // Per vector, candidate neighbors are its sign-bucket co-occupants,
+  // with the neighbor side capped to the bucket's EmbBucketCap lowest
+  // vec_ids (a deterministic roster): candidate count ≤ n·EmbBucketCap —
+  // LINEAR in corpus size — instead of Σ occ² (unbounded under a flood).
+  // At every oracle-checked test SF no bucket exceeds the cap, so the
+  // roster IS the bucket and the key computes plain blocked hubness; the
+  // ×200 corpus probe asserts the bound where floods are real. k-occ
+  // then counts, per roster member, how many co-bucket vectors rank it
+  // in their top-3 (round-6 cosine, vec_id tie-break — the repo's
+  // cross-engine ranking protocol). Readout: top-100 hubs. Caveat by
+  // construction: inside a flood only roster members can ACCUMULATE
+  // k-occ — hub detection (find the poisoners), not exact k-occ for
+  // every flood replica, is the contract.
+  private val embHubnessAnn = Op(
+    "emb_hubness_ann",
+    (s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = signBucketed(s, d)
+      val wRoster = Window.partitionBy("bk").orderBy("vec_id")
+      val roster = e
+        .withColumn("rn", row_number().over(wRoster))
+        .where(col("rn") <= EmbBucketCap)
+        .select(col("bk"), col("vec_id").as("nbr"), col("v").as("vb"))
+      val pairs = e.select(col("bk"), col("vec_id").as("src"), col("v").as("va"))
+        .join(roster, Seq("bk"))
+        .where(col("src") =!= col("nbr"))
+        .select(col("src"), col("nbr"),
+          round(expr("graft_cosine(va, vb)"), 6).as("cs"))
+      val w = Window.partitionBy("src").orderBy(desc("cs"), asc("nbr"))
+      pairs.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .groupBy(col("nbr").as("vec_id"))
+        .agg(count(lit(1)).as("k_occ"))
+        .orderBy(desc("k_occ"), asc("vec_id"))
+        .limit(100)
+    },
+    Some(s"""WITH ${bkRelSql("vv")},
+            ros AS (
+              SELECT bk, vec_id AS nbr, v AS vb
+              FROM (SELECT bk, vec_id, v,
+                           row_number() OVER (PARTITION BY bk
+                             ORDER BY vec_id) AS rn
+                    FROM vv)
+              WHERE rn <= $EmbBucketCap),
+            p AS (
+              SELECT s.vec_id AS src, r.nbr,
+                     round(list_cosine_similarity(s.v, r.vb), 6) AS cs
+              FROM vv s JOIN ros r ON s.bk = r.bk AND s.vec_id <> r.nbr),
+            t3 AS (
+              SELECT src, nbr,
+                     row_number() OVER (PARTITION BY src
+                       ORDER BY cs DESC, nbr) AS rnk
+              FROM p)
+            SELECT nbr AS vec_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+            FROM t3 WHERE rnk <= 3
+            GROUP BY nbr
+            ORDER BY k_occ DESC, vec_id LIMIT 100"""))
 
   private val dedupEmbedding = Op(
     "dedup_embedding",
@@ -2042,10 +2121,37 @@ object LlmOps {
     "dedup_embedding_clusters",
     (s, d) => {
       val e = signBucketed(s, d)
-      val edges = e.as("a").join(e.as("b"),
+      // per-bucket occupancy: tiny (≤ 2^16 rows), broadcast into the probe
+      val occ = broadcast(e.groupBy("bk").agg(count(lit(1)).as("bn")))
+      val eo = e.join(occ, Seq("bk"))
+      // cold buckets (≤ EmbBucketCap): the exact within-bucket pair join —
+      // byte-identical behavior to the uncapped r17 path at every test SF
+      val cold = eo.where(col("bn") <= EmbBucketCap)
+      val coldPairs = cold.as("a").join(cold.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"),
           col("a.v").as("va"), col("b.v").as("vb"))
+      // hot buckets: the minhash-star idiom in embedding space (VERDICT
+      // r17 #4). Sub-bucket by the FULL 16-bit sign code — a saturated
+      // bucket is a near-dup flood, and flood members share all 16 signs —
+      // then (member → code-rep) stars + all-pairs over the code reps:
+      // O(occ) + O(reps²) where reps = distinct codes, instead of O(occ²).
+      // For replica floods the components are IDENTICAL to all-pairs
+      // (members reach their rep at cos 1, reps replay the base-level
+      // pair set); every edge still verifies exact cosine ≥ 0.4, so no
+      // false edge is possible at any occupancy.
+      val hot = eo.where(col("bn") > EmbBucketCap)
+      val reps = hot.groupBy("bk", "c16")
+        .agg(min("vec_id").as("rep"), expr("min_by(v, vec_id)").as("rv"))
+      val star = hot.join(reps, Seq("bk", "c16"))
+        .where(col("vec_id") =!= col("rep"))
+        .select(col("rep").as("u"), col("vec_id").as("v"),
+          col("rv").as("va"), col("v").as("vb"))
+      val repPairs = reps.as("a").join(reps.as("b"),
+          col("a.bk") === col("b.bk") && col("a.rep") < col("b.rep"))
+        .select(col("a.rep").as("u"), col("b.rep").as("v"),
+          col("a.rv").as("va"), col("b.rv").as("vb"))
+      val edges = coldPairs.unionByName(star).unionByName(repPairs)
         .where(round(cosine(s), 6) >= 0.4)
         .select("u", "v")
       val labels = connectedComponents(edges)
@@ -2060,10 +2166,29 @@ object LlmOps {
         .orderBy("vec_id")
     },
     Some(s"""WITH RECURSIVE ${bkRelSql("vv")},
-            p AS (
-              SELECT a.vec_id AS pu, b.vec_id AS pv
+            occ AS (SELECT bk, count(*) AS bn FROM vv GROUP BY bk),
+            cp AS (
+              SELECT a.vec_id AS pu, b.vec_id AS pv, a.v AS av, b.v AS bv
               FROM vv a JOIN vv b ON a.bk = b.bk AND a.vec_id < b.vec_id
-              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+              JOIN occ o ON o.bk = a.bk AND o.bn <= $EmbBucketCap),
+            reps AS (
+              SELECT vv.bk, vv.c16, MIN(vv.vec_id) AS rep
+              FROM vv JOIN occ o ON o.bk = vv.bk AND o.bn > $EmbBucketCap
+              GROUP BY vv.bk, vv.c16),
+            rv AS (SELECT r.bk, r.c16, r.rep, x.v
+                   FROM reps r JOIN vv x ON x.vec_id = r.rep),
+            st AS (
+              SELECT r.rep AS pu, m.vec_id AS pv, r.v AS av, m.v AS bv
+              FROM vv m JOIN rv r ON m.bk = r.bk AND m.c16 = r.c16
+              WHERE m.vec_id <> r.rep),
+            rp AS (
+              SELECT a.rep AS pu, b.rep AS pv, a.v AS av, b.v AS bv
+              FROM rv a JOIN rv b ON a.bk = b.bk AND a.rep < b.rep),
+            p AS (
+              SELECT pu, pv FROM (SELECT * FROM cp
+                                  UNION ALL SELECT * FROM st
+                                  UNION ALL SELECT * FROM rp)
+              WHERE round(list_cosine_similarity(av, bv), 6) >= 0.4),
             e AS (SELECT pu AS u, pv AS v FROM p
                   UNION ALL SELECT pv, pu FROM p),
             reach(u, v) AS (
@@ -3710,7 +3835,7 @@ object LlmOps {
     simCosineTopk, simTopkBatch, simAnnLsh, simAnnIvf, simAnnPersisted,
     embCosineHistogram,
     embCentroidAssign,
-    embKnnGraph,
+    embKnnGraph, embHubnessAnn,
     textStats, textTopterms, textLangid, textLangidConfusion,
     textQuality, textLmScore, textTokenBpe,
     textFingerprint, decontamCheck, packSequences, corpusMix, textChunkOverlap,

@@ -359,8 +359,10 @@ object SignalOps {
   // (vec_id < 200; ranks on round-6 cosine with vec_id tie-break, the
   // repo's cross-engine ranking protocol). The production path at corpus
   // scale swaps the bounded self-join for the sim_ann_lsh sign-bucket
-  // blocking and counts occurrences the same way — the count/rank algebra
-  // here is the whole operator.
+  // blocking and counts occurrences the same way — that swap is its own
+  // oracle-checked, corpus-probed key since r18: `emb_hubness_ann`
+  // (LlmOps), which blocks on the sign bucket with a roster cap so the
+  // candidate count stays ≤ n·EmbBucketCap at any flood.
   private val embHubness = Op(
     "emb_hubness",
     (s, d) => {

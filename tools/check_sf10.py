@@ -1377,6 +1377,9 @@ def rules():
         "window_awesome_oscillator": {"rows": (">=", 1000),
             "nonneg": ["c", "s5", "s34"]},
         "window_price_roc": {"rows": (">=", 1000), "nonneg": ["c", "pc"]},
+        # ---- r18: LSH-blocked hubness (top-100 readout is size-stable;
+        # replica floods re-rank the hubs, so only the shape is invariant)
+        "emb_hubness_ann": {"rows": ("==",), "nonneg": ["k_occ", "vec_id"]},
     }
 
 
