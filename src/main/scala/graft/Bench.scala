@@ -129,7 +129,7 @@ object Bench {
         // (more verified star edges for the text cluster keys) and the
         // embedding cluster key gained the hot-bucket code-rep path
         "dedup_clusters" -> 18, "dedup_survivor" -> 18,
-        "dedup_embedding_clusters" -> 18)
+        "dedup_embedding_clusters" -> 18, "emb_knn_graph" -> 18)
       val dir = java.nio.file.Paths.get("tools")
       val recs =
         if (!java.nio.file.Files.isDirectory(dir)) Seq.empty

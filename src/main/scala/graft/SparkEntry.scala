@@ -15,6 +15,7 @@ object SparkEntry {
       operators.TemporalSketchOps.ops ++ operators.StatsMlOps.ops ++
       operators.MetricsOps.ops ++ operators.MiningOps.ops ++
       operators.InferenceOps.ops ++ operators.RobustStatsOps.ops ++
+      operators.RankStatsOps.ops ++
       operators.AnalyticsOps.ops ++
       operators.GraphOps.ops ++ operators.EtlOps.ops ++
       operators.SignalOps.ops ++

@@ -878,7 +878,16 @@ object LlmOps {
       // NOT re-shuffled for the window; only a partition-local sort runs
       val w = Window.partitionBy(col("bk"), col("vec_a"))
         .orderBy(desc("cos_sim"), asc("vec_b"))
-      e.as("a").join(e.as("b"),
+      // neighbor side capped to the bucket's EmbBucketCap lowest vec_ids
+      // (r18): candidate count ≤ n·cap under any flood. At test SFs no
+      // bucket is hot so the roster IS the bucket (byte-identical output);
+      // in a replica flood the capped top-3 EQUALS the uncapped one — the
+      // (cos desc, vec_b asc) tie-break already picks the lowest ids,
+      // which are exactly the ids the roster keeps.
+      val wr = Window.partitionBy("bk").orderBy("vec_id")
+      val roster = e.withColumn("rn", row_number().over(wr))
+        .where(col("rn") <= EmbBucketCap).drop("rn")
+      e.as("a").join(roster.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.bk").as("bk"), col("a.vec_id").as("vec_a"),
           col("b.vec_id").as("vec_b"), col("a.v").as("va"), col("b.v").as("vb"))
@@ -889,10 +898,17 @@ object LlmOps {
         .orderBy("vec_a", "rnk")
     },
     Some(s"""WITH ${bkRelSql("v")},
+            ros AS (
+              SELECT bk, vec_id, v
+              FROM (SELECT bk, vec_id, v,
+                           row_number() OVER (PARTITION BY bk
+                             ORDER BY vec_id) AS rn
+                    FROM v)
+              WHERE rn <= $EmbBucketCap),
             p AS (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-              FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
+              FROM v a JOIN ros b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
             r AS (
               SELECT vec_a, vec_b, cos_sim,
                      CAST(row_number() OVER (

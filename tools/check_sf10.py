@@ -1380,6 +1380,45 @@ def rules():
         # ---- r18: LSH-blocked hubness (top-100 readout is size-stable;
         # replica floods re-rank the hubs, so only the shape is invariant)
         "emb_hubness_ann": {"rows": ("==",), "nonneg": ["k_occ", "vec_id"]},
+        # ---- r18 rank-test batch: per-user totals scale xF uniformly ->
+        # pooled order, ties, and ranks are preserved -> the statistics
+        # are byte-identical (ansari/cvm/page); jonckheere runs on RAW
+        # event values whose per-value counts scale xF, so 2*JT scales
+        # exactly xF^2 while z legitimately grows ~sqrt(F)
+        "agg_ansari_bradley": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "m": ("==", 0), "ab2": ("==", 0),
+            "z": ("==", 1e-9)}, "nonneg": ["n", "m", "ab2"]},
+        "agg_cvm_test": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "m": ("==", 0), "u4": ("==", 1e-9),
+            "t_stat": ("==", 1e-9)}, "nonneg": ["n", "m", "u4"]},
+        "agg_jonckheere": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "jt2": ("x", F * F, 0)},
+            "nonneg": ["n", "jt2"]},
+        "agg_page_trend": {"rows": ("==",), "cols": {
+            "b": ("==", 0), "k": ("==", 0), "l2": ("==", 0),
+            "z": ("==", 1e-9)}, "nonneg": ["b", "k", "l2"]},
+        # extremes invariant; a singleton extreme may gain F-1 copies, so
+        # the gap ratios legitimately collapse to 0 there
+        "agg_dixon_q": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "min_c": ("==", 0), "max_c": ("==", 0)},
+            "nonneg": ["n"]},
+        # hourly bars are invariant under fact replication (same values,
+        # same hours; the close-struct max shifts only event_id, value
+        # unchanged) -> vortex and mass index are byte-identical
+        "window_vortex": {"rows": ("==",), "cols": {
+            "hour_idx": ("==", 0), "vi_plus": ("==", 1e-9),
+            "vi_minus": ("==", 1e-9)}, "nonneg": ["vi_plus", "vi_minus"]},
+        "window_mass_index": {"rows": ("==",), "cols": {
+            "hour_idx": ("==", 0), "mass_q": ("==", 0),
+            "mass_index": ("==", 1e-9)}, "nonneg": ["mass_q"]},
+        # per-part series grow xF -> different EMA/ROC paths by design
+        "window_coppock": {"rows": (">=", 1000)},
+        "window_trix": {"rows": (">=", 1000), "nonneg": ["e3_c"]},
+        "text_gunning_fog": {"rows": ("x", C), "cols": {
+            "n_sentences": ("==", 0), "n_words": ("==", 0),
+            "n_complex": ("==", 0), "fog_index": ("==", 1e-9)},
+            "nonneg": ["n_sentences", "n_words", "n_complex",
+                       "fog_index"]},
     }
 
 

@@ -16,7 +16,8 @@
 #   - dedup_ngram_jaccard (capped-universe listing, r16 contract) stays
 #     LINEAR in docs — a few boundary-shingle pairs per doc, never the
 #     |crowd|² blowup the caps exist to avoid
-# Record: tools/scaleprobe_r17_perturbed.json
+# Record: tools/scaleprobe_${GRAFT_PROBE_TAG}_perturbed.json
+# (standing per-round gate since r18 — VERDICT r17 #5)
 #
 # Usage: tools/probe_perturbed.sh
 #   env: GRAFT_PERTURB_DIR (default /tmp/graft_perturb200)
@@ -38,13 +39,14 @@ SPARK_GRAFT_VERIFY_KEYS="dedup_clusters,dedup_exact,dedup_ngram_jaccard" \
   sbt -batch "runMain graft.Verify $DIR $OUT" 2>&1 | tail -3
 T1=$(date +%s)
 
-python3 - "$OUT" "$((T1 - T0))" <<'EOF'
+TAG="${GRAFT_PROBE_TAG:-r18}"
+python3 - "$OUT" "$((T1 - T0))" "$TAG" <<'EOF'
 import glob, json, sys
 import duckdb
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
 
-out, secs = sys.argv[1], int(sys.argv[2])
+out, secs, tag = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 REP = 200
 
 def tbl(k):
@@ -107,7 +109,7 @@ rec = {
                for k, v in checks.items()},
     "pass": ok,
 }
-with open("tools/scaleprobe_r17_perturbed.json", "w") as f:
+with open(f"tools/scaleprobe_{tag}_perturbed.json", "w") as f:
     json.dump(rec, f)
     f.write("\n")
 print(json.dumps(rec, indent=1))
