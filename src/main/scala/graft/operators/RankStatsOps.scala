@@ -237,18 +237,19 @@ object RankStatsOps {
              tv AS (SELECT x, CAST(SUM(c) AS BIGINT) AS tc
                     FROM vc GROUP BY x),
              mom AS (SELECT CAST(SUM(tc) AS BIGINT) AS nn,
-                            SUM(CAST(tc * (tc - 1) * (2 * tc + 5)
-                                     AS DECIMAL(38,0))) AS t25,
-                            SUM(CAST(tc * (tc - 1) * (tc - 2)
-                                     AS DECIMAL(38,0))) AS t3,
-                            SUM(CAST(tc * (tc - 1) AS DECIMAL(38,0))) AS t2
+                            SUM(CAST(tc AS DECIMAL(38,0)) * (tc - 1)
+                                * (2 * tc + 5)) AS t25,
+                            SUM(CAST(tc AS DECIMAL(38,0)) * (tc - 1)
+                                * (tc - 2)) AS t3,
+                            SUM(CAST(tc AS DECIMAL(38,0)) * (tc - 1)) AS t2
                      FROM tv),
-             gmom AS (SELECT SUM(CAST(ng * ng AS DECIMAL(38,0))) AS n2,
-                             SUM(CAST(ng * (ng - 1) * (2 * ng + 5)
-                                      AS DECIMAL(38,0))) AS g25,
-                             SUM(CAST(ng * (ng - 1) * (ng - 2)
-                                      AS DECIMAL(38,0))) AS g3,
-                             SUM(CAST(ng * (ng - 1) AS DECIMAL(38,0))) AS g2
+             gmom AS (SELECT SUM(CAST(ng AS DECIMAL(38,0)) * ng) AS n2,
+                             SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1)
+                                 * (2 * ng + 5)) AS g25,
+                             SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1)
+                                 * (ng - 2)) AS g3,
+                             SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1))
+                               AS g2
                       FROM gs)
         SELECT mom.nn AS n, jt.jt2,
                round((CAST(jt.jt2 AS DOUBLE) / 2.0D
@@ -290,18 +291,18 @@ object RankStatsOps {
                  tv AS (SELECT x, CAST(SUM(c) AS BIGINT) AS tc
                         FROM vc GROUP BY x),
                  mom AS (SELECT CAST(SUM(tc) AS BIGINT) AS nn,
-                                SUM(CAST(tc * (tc - 1) * (2 * tc + 5)
-                                         AS HUGEINT)) AS t25,
-                                SUM(CAST(tc * (tc - 1) * (tc - 2)
-                                         AS HUGEINT)) AS t3,
-                                SUM(CAST(tc * (tc - 1) AS HUGEINT)) AS t2
+                                SUM(CAST(tc AS HUGEINT) * (tc - 1)
+                                    * (2 * tc + 5)) AS t25,
+                                SUM(CAST(tc AS HUGEINT) * (tc - 1)
+                                    * (tc - 2)) AS t3,
+                                SUM(CAST(tc AS HUGEINT) * (tc - 1)) AS t2
                          FROM tv),
-                 gmom AS (SELECT SUM(CAST(ng * ng AS HUGEINT)) AS n2,
-                                 SUM(CAST(ng * (ng - 1) * (2 * ng + 5)
-                                          AS HUGEINT)) AS g25,
-                                 SUM(CAST(ng * (ng - 1) * (ng - 2)
-                                          AS HUGEINT)) AS g3,
-                                 SUM(CAST(ng * (ng - 1) AS HUGEINT))
+                 gmom AS (SELECT SUM(CAST(ng AS HUGEINT) * ng) AS n2,
+                                 SUM(CAST(ng AS HUGEINT) * (ng - 1)
+                                     * (2 * ng + 5)) AS g25,
+                                 SUM(CAST(ng AS HUGEINT) * (ng - 1)
+                                     * (ng - 2)) AS g3,
+                                 SUM(CAST(ng AS HUGEINT) * (ng - 1))
                                    AS g2
                           FROM gs)
             SELECT mom.nn AS n, jt.jt2,
