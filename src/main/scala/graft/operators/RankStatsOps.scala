@@ -835,8 +835,512 @@ object RankStatsOps {
             FROM f WHERE rn >= 25
             ORDER BY event_type, hour_idx"""))
 
+  // ------------------------------------------------------------------
+  // Grid-association family: every key below reduces lineitem to the
+  // bounded (quantity × discount-bp) contingency GRID (≤ 50×11 cells at
+  // any SF — the domains are fixed by the generator), then computes the
+  // association measure from exact integer grid moments. Concordant /
+  // discordant pair counts ride one grid self-join (≤ 550² rows — a
+  // constant), never a row-pair join; at 100 TB the only data-sized work
+  // is the first groupBy. 2·C and 2·D are NOT needed: counting strictly
+  // from one side (x'<x ∧ y'<y at the upper cell) counts each unordered
+  // pair exactly once, so C and D are plain BIGINTs.
+
+  // Goodman–Kruskal gamma: (C − D)/(C + D) — ordinal association that
+  // ignores ties entirely.
+  private val aggGkGamma = Op(
+    "agg_gk_gamma",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_gk")
+      s.sql("""
+        WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                          CAST(round(l_discount * 10000) AS BIGINT) AS y,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem_gk GROUP BY 1, 2),
+             cd AS (SELECT
+                      CAST(SUM(a.c * b.c *
+                        CASE WHEN a.x < b.x AND a.y < b.y THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS cc,
+                      CAST(SUM(a.c * b.c *
+                        CASE WHEN a.x < b.x AND a.y > b.y THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS dd
+                    FROM g a CROSS JOIN g b)
+        SELECT CAST(cc AS DOUBLE) AS concordant,
+               CAST(dd AS DOUBLE) AS discordant,
+               round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+                     / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE)), 6)
+                 AS gamma
+        FROM cd""")
+    },
+    Some("""WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                              CAST(round(l_discount * 10000) AS BIGINT)
+                                AS y,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1, 2),
+                 cd AS (SELECT
+                          CAST(SUM(a.c * b.c *
+                            CASE WHEN a.x < b.x AND a.y < b.y
+                                 THEN 1 ELSE 0 END) AS HUGEINT) AS cc,
+                          CAST(SUM(a.c * b.c *
+                            CASE WHEN a.x < b.x AND a.y > b.y
+                                 THEN 1 ELSE 0 END) AS HUGEINT) AS dd
+                        FROM g a CROSS JOIN g b)
+            SELECT CAST(cc AS DOUBLE) AS concordant,
+                   CAST(dd AS DOUBLE) AS discordant,
+                   round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+                         / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE)), 6)
+                 AS gamma
+            FROM cd"""))
+
+  // Somers' d_yx: (C − D)/(C + D + T_y) — gamma's asymmetric sibling,
+  // penalizing pairs tied on the DEPENDENT variable only. T_y = pairs
+  // tied on y but not on x = Σ_y t(t−1)/2 − Σ_cell c(c−1)/2, exact.
+  private val aggSomersD = Op(
+    "agg_somers_d",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_sd")
+      s.sql("""
+        WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                          CAST(round(l_discount * 10000) AS BIGINT) AS y,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem_sd GROUP BY 1, 2),
+             cd AS (SELECT
+                      CAST(SUM(a.c * b.c *
+                        CASE WHEN a.x < b.x AND a.y < b.y THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS cc,
+                      CAST(SUM(a.c * b.c *
+                        CASE WHEN a.x < b.x AND a.y > b.y THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS dd
+                    FROM g a CROSS JOIN g b),
+             ty AS (SELECT
+                      CAST(SUM(ty2) AS DECIMAL(38,0)) AS ypairs2
+                    FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t,
+                                 CAST(SUM(c) * (SUM(c) - 1) AS BIGINT)
+                                   AS ty2
+                          FROM g GROUP BY y)),
+             tc AS (SELECT CAST(SUM(c * (c - 1)) AS DECIMAL(38,0))
+                             AS cellpairs2
+                    FROM g)
+        SELECT CAST(cc AS DOUBLE) AS concordant,
+               CAST(dd AS DOUBLE) AS discordant,
+               round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+                     / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE)
+                        + (CAST(ypairs2 AS DOUBLE)
+                           - CAST(cellpairs2 AS DOUBLE)) / 2.0D), 6)
+                 AS somers_d
+        FROM cd CROSS JOIN ty CROSS JOIN tc""")
+    },
+    Some("""WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                              CAST(round(l_discount * 10000) AS BIGINT)
+                                AS y,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1, 2),
+                 cd AS (SELECT
+                          CAST(SUM(a.c * b.c *
+                            CASE WHEN a.x < b.x AND a.y < b.y
+                                 THEN 1 ELSE 0 END) AS HUGEINT) AS cc,
+                          CAST(SUM(a.c * b.c *
+                            CASE WHEN a.x < b.x AND a.y > b.y
+                                 THEN 1 ELSE 0 END) AS HUGEINT) AS dd
+                        FROM g a CROSS JOIN g b),
+                 ty AS (SELECT CAST(SUM(ty2) AS HUGEINT) AS ypairs2
+                        FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t,
+                                     CAST(SUM(c) * (SUM(c) - 1)
+                                          AS BIGINT) AS ty2
+                              FROM g GROUP BY y)),
+                 tc AS (SELECT CAST(SUM(c * (c - 1)) AS HUGEINT)
+                                 AS cellpairs2
+                        FROM g)
+            SELECT CAST(cc AS DOUBLE) AS concordant,
+                   CAST(dd AS DOUBLE) AS discordant,
+                   round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+                         / (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE)
+                            + (CAST(ypairs2 AS DOUBLE)
+                               - CAST(cellpairs2 AS DOUBLE)) / 2.0), 6)
+                 AS somers_d
+            FROM cd CROSS JOIN ty CROSS JOIN tc"""))
+
+  // Stuart's tau-c: 2m(C − D)/(n²(m − 1)) with m = min(#rows, #cols) —
+  // the rectangular-table correction of Kendall's tau-b.
+  private val aggStuartTauC = Op(
+    "agg_stuart_tau_c",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_tc")
+      s.sql("""
+        WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                          CAST(round(l_discount * 10000) AS BIGINT) AS y,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem_tc GROUP BY 1, 2),
+             cd AS (SELECT
+                      CAST(SUM(a.c * b.c *
+                        CASE WHEN a.x < b.x AND a.y < b.y THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS cc,
+                      CAST(SUM(a.c * b.c *
+                        CASE WHEN a.x < b.x AND a.y > b.y THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS dd
+                    FROM g a CROSS JOIN g b),
+             mm AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                           LEAST(CAST(COUNT(DISTINCT x) AS BIGINT),
+                                 CAST(COUNT(DISTINCT y) AS BIGINT)) AS m
+                    FROM g)
+        SELECT n, m,
+               round(2.0D * m * (CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * n * (m - 1)), 6) AS tau_c
+        FROM cd CROSS JOIN mm""")
+    },
+    Some("""WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                              CAST(round(l_discount * 10000) AS BIGINT)
+                                AS y,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1, 2),
+                 cd AS (SELECT
+                          CAST(SUM(a.c * b.c *
+                            CASE WHEN a.x < b.x AND a.y < b.y
+                                 THEN 1 ELSE 0 END) AS HUGEINT) AS cc,
+                          CAST(SUM(a.c * b.c *
+                            CASE WHEN a.x < b.x AND a.y > b.y
+                                 THEN 1 ELSE 0 END) AS HUGEINT) AS dd
+                        FROM g a CROSS JOIN g b),
+                 mm AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                               LEAST(CAST(COUNT(DISTINCT x) AS BIGINT),
+                                     CAST(COUNT(DISTINCT y) AS BIGINT))
+                                 AS m
+                        FROM g)
+            SELECT n, m,
+                   round(2.0 * m * (CAST(cc AS DOUBLE)
+                                    - CAST(dd AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * n * (m - 1)), 6) AS tau_c
+            FROM cd CROSS JOIN mm"""))
+
+  // Blomqvist's beta (medial correlation): quadrant counts around the
+  // (lower-median x, lower-median y) center — β = (n1+n3−n2−n4)/Σnᵢ,
+  // points ON either median excluded. Medians come from the same
+  // domain-collapsed cumulative the levene family uses.
+  private val aggBlomqvistBeta = Op(
+    "agg_blomqvist_beta",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_bb")
+      s.sql("""
+        WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                          CAST(round(l_discount * 10000) AS BIGINT) AS y
+                   FROM lineitem_bb),
+             mx AS (SELECT MIN(x) AS medx FROM (
+                      SELECT x, SUM(COUNT(*))
+                               OVER (ORDER BY x) AS cc,
+                             SUM(COUNT(*)) OVER () AS n
+                      FROM b GROUP BY x)
+                    WHERE cc >= (n + 1) div 2),
+             my AS (SELECT MIN(y) AS medy FROM (
+                      SELECT y, SUM(COUNT(*))
+                               OVER (ORDER BY y) AS cc,
+                             SUM(COUNT(*)) OVER () AS n
+                      FROM b GROUP BY y)
+                    WHERE cc >= (n + 1) div 2),
+             q AS (SELECT
+                     CAST(SUM(CASE WHEN x > medx AND y > medy
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(SUM(CASE WHEN x < medx AND y > medy
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                     CAST(SUM(CASE WHEN x < medx AND y < medy
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                     CAST(SUM(CASE WHEN x > medx AND y < medy
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                   FROM b CROSS JOIN mx CROSS JOIN my)
+        SELECT n1, n2, n3, n4,
+               round(CAST(n1 + n3 - n2 - n4 AS DOUBLE)
+                     / (n1 + n2 + n3 + n4), 6) AS beta
+        FROM q""")
+    },
+    Some("""WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                              CAST(round(l_discount * 10000) AS BIGINT)
+                                AS y
+                       FROM lineitem),
+                 mx AS (SELECT MIN(x) AS medx FROM (
+                          SELECT x, SUM(COUNT(*)) OVER (ORDER BY x)
+                                   AS cc,
+                                 SUM(COUNT(*)) OVER () AS n
+                          FROM b GROUP BY x)
+                        WHERE cc >= (n + 1) // 2),
+                 my AS (SELECT MIN(y) AS medy FROM (
+                          SELECT y, SUM(COUNT(*)) OVER (ORDER BY y)
+                                   AS cc,
+                                 SUM(COUNT(*)) OVER () AS n
+                          FROM b GROUP BY y)
+                        WHERE cc >= (n + 1) // 2),
+                 q AS (SELECT
+                         CAST(SUM(CASE WHEN x > medx AND y > medy
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                         CAST(SUM(CASE WHEN x < medx AND y > medy
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                         CAST(SUM(CASE WHEN x < medx AND y < medy
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                         CAST(SUM(CASE WHEN x > medx AND y < medy
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n4
+                       FROM b CROSS JOIN mx CROSS JOIN my)
+            SELECT n1, n2, n3, n4,
+                   round(CAST(n1 + n3 - n2 - n4 AS DOUBLE)
+                         / (n1 + n2 + n3 + n4), 6) AS beta
+            FROM q"""))
+
+  // Theil's uncertainty coefficient U(y|x): how much knowing the quantity
+  // reduces discount entropy — (H(x) + H(y) − H(x,y))/H(y). Each H is a
+  // sum of ≤550 per-cell −p·ln p terms, each quantized to 1e12 BEFORE the
+  // sum (the established order-independence idiom), one float readout.
+  private val aggTheilU = Op(
+    "agg_theil_u",
+    (s, d) => {
+      onLineitem(s, d, "lineitem_tu")
+      s.sql("""
+        WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                          CAST(round(l_discount * 10000) AS BIGINT) AS y,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem_tu GROUP BY 1, 2),
+             nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+             hxy AS (SELECT CAST(SUM(CAST(round(
+                       -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                       * 1000000000000.0D) AS BIGINT)) AS BIGINT) AS hq
+                     FROM g CROSS JOIN nn),
+             hx AS (SELECT CAST(SUM(CAST(round(
+                      -(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n)
+                      * 1000000000000.0D) AS BIGINT)) AS BIGINT) AS hq
+                    FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+                          FROM g GROUP BY x) CROSS JOIN nn),
+             hy AS (SELECT CAST(SUM(CAST(round(
+                      -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n)
+                      * 1000000000000.0D) AS BIGINT)) AS BIGINT) AS hq
+                    FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+                          FROM g GROUP BY y) CROSS JOIN nn)
+        SELECT round(hx.hq / 1000000000000.0D, 6) AS h_x,
+               round(hy.hq / 1000000000000.0D, 6) AS h_y,
+               round(hxy.hq / 1000000000000.0D, 6) AS h_xy,
+               round((CAST(hx.hq AS DOUBLE) + hy.hq - hxy.hq)
+                     / hy.hq, 6) AS u_y_given_x
+        FROM hx CROSS JOIN hy CROSS JOIN hxy""")
+    },
+    Some("""WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                              CAST(round(l_discount * 10000) AS BIGINT)
+                                AS y,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1, 2),
+                 nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+                 hxy AS (SELECT CAST(SUM(CAST(round(
+                           -(CAST(c AS DOUBLE) / n)
+                           * ln(CAST(c AS DOUBLE) / n)
+                           * 1000000000000.0) AS BIGINT)) AS BIGINT) AS hq
+                         FROM g CROSS JOIN nn),
+                 hx AS (SELECT CAST(SUM(CAST(round(
+                          -(CAST(cx AS DOUBLE) / n)
+                          * ln(CAST(cx AS DOUBLE) / n)
+                          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS hq
+                        FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+                              FROM g GROUP BY x) CROSS JOIN nn),
+                 hy AS (SELECT CAST(SUM(CAST(round(
+                          -(CAST(cy AS DOUBLE) / n)
+                          * ln(CAST(cy AS DOUBLE) / n)
+                          * 1000000000000.0) AS BIGINT)) AS BIGINT) AS hq
+                        FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+                              FROM g GROUP BY y) CROSS JOIN nn)
+            SELECT round(hx.hq / 1000000000000.0, 6) AS h_x,
+                   round(hy.hq / 1000000000000.0, 6) AS h_y,
+                   round(hxy.hq / 1000000000000.0, 6) AS h_xy,
+                   round((CAST(hx.hq AS DOUBLE) + hy.hq - hxy.hq)
+                         / hy.hq, 6) AS u_y_given_x
+            FROM hx CROSS JOIN hy CROSS JOIN hxy"""))
+
+  // QStick: the 8-bar SMA of (close − open) from the hourly bars — is the
+  // market closing above its opens? open = the struct-MIN close twin of
+  // the bar close; exact integer frame sum, one division per row.
+  private val windowQstick = Op(
+    "window_qstick",
+    (s, d) => {
+      onEvents(s, d, "events_qs")
+      s.sql("""
+        WITH bar AS (SELECT event_type,
+                            unix_timestamp(ts) div 3600 AS h,
+                            CAST(MIN(struct(ts, event_id,
+                                 CAST(round(value * 100) AS BIGINT)))
+                                 .col3 AS BIGINT) AS op,
+                            CAST(MAX(struct(ts, event_id,
+                                 CAST(round(value * 100) AS BIGINT)))
+                                 .col3 AS BIGINT) AS cl
+                     FROM events_qs GROUP BY 1, 2),
+             f AS (SELECT event_type, h,
+                          CAST(SUM(cl - op) OVER fr AS BIGINT) AS s8,
+                          CAST(COUNT(*) OVER fr AS BIGINT) AS n8,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY h) AS rn
+                   FROM bar
+                   WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                                 ROWS 7 PRECEDING))
+        SELECT event_type, h AS hour_idx, s8,
+               round(CAST(s8 AS DOUBLE) / n8, 4) AS qstick_c
+        FROM f WHERE rn >= 8
+        ORDER BY event_type, hour_idx""")
+    },
+    Some("""WITH bar AS (SELECT event_type,
+                                CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                  AS h,
+                                (MIN({'ts': ts, 'eid': event_id,
+                                      'c': CAST(round(value * 100)
+                                               AS BIGINT)})).c AS op,
+                                (MAX({'ts': ts, 'eid': event_id,
+                                      'c': CAST(round(value * 100)
+                                               AS BIGINT)})).c AS cl
+                         FROM events GROUP BY 1, 2),
+                 f AS (SELECT event_type, h,
+                              CAST(SUM(cl - op) OVER fr AS BIGINT) AS s8,
+                              CAST(COUNT(*) OVER fr AS BIGINT) AS n8,
+                              ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn
+                       FROM bar
+                       WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                                     ROWS 7 PRECEDING))
+            SELECT event_type, h AS hour_idx, s8,
+                   round(CAST(s8 AS DOUBLE) / n8, 4) AS qstick_c
+            FROM f WHERE rn >= 8
+            ORDER BY event_type, hour_idx"""))
+
+  // Balance of power: (close − open)/(high − low) per bar quantized once
+  // to 1e6 (identical integer division inputs on both engines; flat bars
+  // publish 0), then the 14-bar SMA as an exact integer frame sum.
+  private val windowBop = Op(
+    "window_bop",
+    (s, d) => {
+      onEvents(s, d, "events_bop")
+      s.sql("""
+        WITH bar AS (SELECT event_type,
+                            unix_timestamp(ts) div 3600 AS h,
+                            CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS hi,
+                            CAST(MIN(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS lo,
+                            CAST(MIN(struct(ts, event_id,
+                                 CAST(round(value * 100) AS BIGINT)))
+                                 .col3 AS BIGINT) AS op,
+                            CAST(MAX(struct(ts, event_id,
+                                 CAST(round(value * 100) AS BIGINT)))
+                                 .col3 AS BIGINT) AS cl
+                     FROM events_bop GROUP BY 1, 2),
+             bq AS (SELECT event_type, h,
+                           CASE WHEN hi = lo THEN 0L
+                                ELSE CAST(floor(CAST(cl - op AS DOUBLE)
+                                           * 1000000.0D / (hi - lo) + 0.5D)
+                                          AS BIGINT) END AS bop_q
+                    FROM bar),
+             f AS (SELECT event_type, h,
+                          CAST(SUM(bop_q) OVER fr AS BIGINT) AS s14,
+                          CAST(COUNT(*) OVER fr AS BIGINT) AS n14,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY h) AS rn
+                   FROM bq
+                   WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                                 ROWS 13 PRECEDING))
+        SELECT event_type, h AS hour_idx, s14,
+               floor(CAST(s14 AS DOUBLE) / n14 / 100.0D + 0.5D)
+                 / 10000.0D AS bop_sma
+        FROM f WHERE rn >= 14
+        ORDER BY event_type, hour_idx""")
+    },
+    Some("""WITH bar AS (SELECT event_type,
+                                CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                  AS h,
+                                CAST(MAX(CAST(round(value * 100)
+                                     AS BIGINT)) AS BIGINT) AS hi,
+                                CAST(MIN(CAST(round(value * 100)
+                                     AS BIGINT)) AS BIGINT) AS lo,
+                                (MIN({'ts': ts, 'eid': event_id,
+                                      'c': CAST(round(value * 100)
+                                               AS BIGINT)})).c AS op,
+                                (MAX({'ts': ts, 'eid': event_id,
+                                      'c': CAST(round(value * 100)
+                                               AS BIGINT)})).c AS cl
+                         FROM events GROUP BY 1, 2),
+                 bq AS (SELECT event_type, h,
+                               CASE WHEN hi = lo THEN 0
+                                    ELSE CAST(floor(CAST(cl - op
+                                               AS DOUBLE) * 1000000.0
+                                               / (hi - lo) + 0.5)
+                                              AS BIGINT) END AS bop_q
+                        FROM bar),
+                 f AS (SELECT event_type, h,
+                              CAST(SUM(bop_q) OVER fr AS BIGINT) AS s14,
+                              CAST(COUNT(*) OVER fr AS BIGINT) AS n14,
+                              ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h) AS rn
+                       FROM bq
+                       WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                                     ROWS 13 PRECEDING))
+            SELECT event_type, h AS hour_idx, s14,
+                   floor(CAST(s14 AS DOUBLE) / n14 / 100.0 + 0.5)
+                     / 10000.0 AS bop_sma
+            FROM f WHERE rn >= 14
+            ORDER BY event_type, hour_idx"""))
+
+  // Elder-ray bull/bear power: hi − EMA13(cl) and lo − EMA13(cl) per bar
+  // with the EMA as the dyadic integer recursion (mass-index machinery) —
+  // entirely exact BIGINT cents, no float anywhere.
+  private val windowElderRay = Op(
+    "window_elder_ray",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      onEvents(s, d, "events_er")
+      val bars = s.sql("""
+        SELECT event_type,
+               unix_timestamp(ts) div 3600 AS h,
+               CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS hi,
+               CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS lo,
+               CAST(MAX(struct(ts, event_id,
+                    CAST(round(value * 100) AS BIGINT))).col3 AS BIGINT)
+                 AS cl
+        FROM events_er GROUP BY 1, 2""")
+      bars
+        .repartition(col("event_type"))
+        .sortWithinPartitions("event_type", "h")
+        .as[(String, Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          var cur = ""
+          var ema = 0L
+          it.map { case (g, h, hi, lo, cl) =>
+            if (g != cur) { ema = cl; cur = g }
+            else ema = (cl + ema) / 2
+            (g, h, ema, hi - ema, lo - ema)
+          }
+        }
+        .toDF("event_type", "hour_idx", "ema_c", "bull_power", "bear_power")
+        .orderBy("event_type", "hour_idx")
+    },
+    Some("""WITH RECURSIVE bar AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                     CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS hi,
+                     CAST(MIN(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS lo,
+                     (MAX({'ts': ts, 'eid': event_id,
+                           'c': CAST(round(value * 100) AS BIGINT)})).c
+                       AS cl,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                       AS rn
+              FROM events GROUP BY 1, 2),
+            r(event_type, h, rn, hi, lo, ema) AS (
+              SELECT event_type, h, rn, hi, lo, cl FROM bar WHERE rn = 1
+              UNION ALL
+              SELECT b.event_type, b.h, b.rn, b.hi, b.lo,
+                     (b.cl + r.ema) // 2
+              FROM bar b JOIN r ON b.event_type = r.event_type
+                               AND b.rn = r.rn + 1)
+            SELECT event_type, h AS hour_idx, ema AS ema_c,
+                   hi - ema AS bull_power, lo - ema AS bear_power
+            FROM r ORDER BY event_type, hour_idx"""))
+
   val ops: Seq[Op] = Seq(
     aggAnsariBradley, aggCvmTest, aggJonckheere, aggPageTrend, aggDixonQ,
+    aggGkGamma, aggSomersD, aggStuartTauC, aggBlomqvistBeta, aggTheilU,
     windowVortex, windowCoppock, windowTrix, windowMassIndex,
+    windowQstick, windowBop, windowElderRay,
     textGunningFog)
 }

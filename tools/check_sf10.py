@@ -1419,6 +1419,43 @@ def rules():
             "n_complex": ("==", 0), "fog_index": ("==", 1e-9)},
             "nonneg": ["n_sentences", "n_words", "n_complex",
                        "fog_index"]},
+        # ---- r18 batch 2: grid-association family — cell counts scale
+        # xF, so C/D pair counts scale exactly xF^2 and every RATIO
+        # measure is invariant (somers' tie term t(t-1) is not an exact
+        # xF^2 scale, so d drifts O(1/(F*t)) — looser tol)
+        "agg_gk_gamma": {"rows": ("==",), "cols": {
+            "concordant": ("x", F * F, 1e-9),
+            "discordant": ("x", F * F, 1e-9), "gamma": ("==", 1e-9)},
+            "nonneg": ["concordant", "discordant"]},
+        "agg_somers_d": {"rows": ("==",), "cols": {
+            "concordant": ("x", F * F, 1e-9),
+            "discordant": ("x", F * F, 1e-9), "somers_d": ("==", 1e-3)},
+            "nonneg": ["concordant", "discordant"]},
+        "agg_stuart_tau_c": {"rows": ("==",), "cols": {
+            "n": ("x", F, 0), "m": ("==", 0), "tau_c": ("==", 1e-9)},
+            "nonneg": ["n", "m"]},
+        "agg_blomqvist_beta": {"rows": ("==",), "cols": {
+            "n1": ("x", F, 0), "n2": ("x", F, 0), "n3": ("x", F, 0),
+            "n4": ("x", F, 0), "beta": ("==", 1e-9)},
+            "nonneg": ["n1", "n2", "n3", "n4"]},
+        # cell probabilities invariant -> per-cell quantized entropy terms
+        # byte-identical -> H and U exact
+        "agg_theil_u": {"rows": ("==",), "cols": {
+            "h_x": ("==", 1e-9), "h_y": ("==", 1e-9),
+            "h_xy": ("==", 1e-9), "u_y_given_x": ("==", 1e-9)},
+            "nonneg": ["h_x", "h_y", "h_xy", "u_y_given_x"]},
+        # hourly bars invariant (open/close struct extremes shift only
+        # event_id, value unchanged) -> byte-identical indicator series
+        "window_qstick": {"rows": ("==",), "cols": {
+            "hour_idx": ("==", 0), "s8": ("==", 0),
+            "qstick_c": ("==", 1e-9)}},
+        "window_bop": {"rows": ("==",), "cols": {
+            "hour_idx": ("==", 0), "s14": ("==", 0),
+            "bop_sma": ("==", 1e-9)}},
+        "window_elder_ray": {"rows": ("==",), "cols": {
+            "hour_idx": ("==", 0), "ema_c": ("==", 0),
+            "bull_power": ("==", 0), "bear_power": ("==", 0)},
+            "nonneg": ["ema_c"]},
     }
 
 
