@@ -1337,9 +1337,349 @@ object RankStatsOps {
                    hi - ema AS bull_power, lo - ema AS bear_power
             FROM r ORDER BY event_type, hour_idx"""))
 
+  // Kendall's W (coefficient of concordance) over complete user blocks —
+  // how consistently do users rank the event types? Reuses the Page-test
+  // block machinery; the tie-corrected form W = (3·ΣR2² − 3b²k(k+1)²) /
+  // (b²k(k²−1) − b·ΣT) with R2_j = Σ_b 2·midrank and T = Σ(t³−t) per
+  // block keeps EVERY term an exact integer (2·midranks again).
+  private val aggKendallW = Op(
+    "agg_kendall_w",
+    (s, d) => {
+      onEvents(s, d, "events_kw")
+      s.sql("""
+        WITH pt AS (SELECT user_id, event_type AS g,
+                           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                AS BIGINT) AS x
+                    FROM events_kw GROUP BY user_id, event_type),
+             kk AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM pt),
+             cb AS (SELECT user_id FROM pt CROSS JOIN kk
+                    GROUP BY user_id, kk.k
+                    HAVING COUNT(*) = MAX(kk.k)),
+             jr AS (SELECT p.user_id, p.g, p.x,
+                           2 * CAST(RANK() OVER (PARTITION BY p.user_id
+                                 ORDER BY p.x) AS BIGINT)
+                             + CAST(COUNT(*) OVER (PARTITION BY p.user_id,
+                                 p.x) AS BIGINT) - 1 AS r2,
+                           CAST(COUNT(*) OVER (PARTITION BY p.user_id,
+                                 p.x) AS BIGINT) AS tsz
+                    FROM pt p JOIN cb ON p.user_id = cb.user_id),
+             rj AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS r2j
+                    FROM jr GROUP BY g),
+             tb AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
+                             AS tt
+                    FROM (SELECT user_id, x,
+                                 CAST(COUNT(*) AS BIGINT) AS t
+                          FROM jr GROUP BY user_id, x)),
+             bq AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM cb),
+             sq AS (SELECT SUM(CAST(r2j * r2j AS DECIMAL(38,0))) AS sr2
+                    FROM rj)
+        SELECT bq.b, kk.k,
+               round((3.0D * CAST(sq.sr2 AS DOUBLE)
+                      - 3.0D * bq.b * bq.b * kk.k
+                        * (kk.k + 1) * (kk.k + 1))
+                     / (CAST(bq.b AS DOUBLE) * bq.b * kk.k
+                          * (kk.k * kk.k - 1)
+                        - CAST(bq.b AS DOUBLE) * tb.tt), 6) AS w
+        FROM bq CROSS JOIN kk CROSS JOIN sq CROSS JOIN tb""")
+    },
+    Some("""WITH pt AS (SELECT user_id, event_type AS g,
+                               CAST(SUM(CAST(round(value * 100)
+                                    AS BIGINT)) AS BIGINT) AS x
+                        FROM events GROUP BY user_id, event_type),
+                 kk AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k
+                        FROM pt),
+                 cb AS (SELECT user_id FROM pt CROSS JOIN kk
+                        GROUP BY user_id, kk.k
+                        HAVING COUNT(*) = MAX(kk.k)),
+                 jr AS (SELECT p.user_id, p.g, p.x,
+                               2 * CAST(RANK() OVER (PARTITION BY
+                                     p.user_id ORDER BY p.x) AS BIGINT)
+                                 + CAST(COUNT(*) OVER (PARTITION BY
+                                     p.user_id, p.x) AS BIGINT) - 1 AS r2
+                        FROM pt p JOIN cb ON p.user_id = cb.user_id),
+                 rj AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS r2j
+                        FROM jr GROUP BY g),
+                 tb AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0)
+                                 AS BIGINT) AS tt
+                        FROM (SELECT user_id, x,
+                                     CAST(COUNT(*) AS BIGINT) AS t
+                              FROM jr GROUP BY user_id, x)),
+                 bq AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM cb),
+                 sq AS (SELECT SUM(CAST(r2j * r2j AS HUGEINT)) AS sr2
+                        FROM rj)
+            SELECT bq.b, kk.k,
+                   round((3.0 * CAST(sq.sr2 AS DOUBLE)
+                          - 3.0 * bq.b * bq.b * kk.k
+                            * (kk.k + 1) * (kk.k + 1))
+                         / (CAST(bq.b AS DOUBLE) * bq.b * kk.k
+                              * (kk.k * kk.k - 1)
+                            - CAST(bq.b AS DOUBLE) * tb.tt), 6) AS w
+            FROM bq CROSS JOIN kk CROSS JOIN sq CROSS JOIN tb"""))
+
+  // Lin's concordance correlation coefficient between paired per-user
+  // view and click cent totals — agreement, not just correlation (a
+  // systematic offset or scale difference costs CCC but not Pearson r).
+  // Every moment is an exact DECIMAL(38,0)/HUGEINT; numerator and
+  // denominator share the n² clearing so CCC is one division.
+  private val aggLinCcc = Op(
+    "agg_lin_ccc",
+    (s, d) => {
+      onEvents(s, d, "events_lc")
+      s.sql("""
+        WITH p AS (SELECT user_id,
+                          CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                          CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+                   FROM events_lc
+                   WHERE event_type IN ('view', 'click')
+                   GROUP BY user_id
+                   HAVING SUM(CASE WHEN event_type = 'view' THEN 1
+                              ELSE 0 END) > 0
+                      AND SUM(CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END) > 0),
+             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                          SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                          SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                          SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                          SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+                   FROM p)
+        SELECT n,
+               round(2.0D * (n * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        + (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                        + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+                          * (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))),
+                     6) AS ccc
+        FROM m""")
+    },
+    Some("""WITH p AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN event_type = 'view'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS x,
+                              CAST(SUM(CASE WHEN event_type = 'click'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS y
+                       FROM events
+                       WHERE event_type IN ('view', 'click')
+                       GROUP BY user_id
+                       HAVING SUM(CASE WHEN event_type = 'view' THEN 1
+                                  ELSE 0 END) > 0
+                          AND SUM(CASE WHEN event_type = 'click' THEN 1
+                                  ELSE 0 END) > 0),
+                 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                              SUM(CAST(x AS HUGEINT)) AS sx,
+                              SUM(CAST(y AS HUGEINT)) AS sy,
+                              SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                              SUM(CAST(y AS HUGEINT) * y) AS syy,
+                              SUM(CAST(x AS HUGEINT) * y) AS sxy
+                       FROM p)
+            SELECT n,
+                   round(2.0 * (n * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE)
+                                  * CAST(sy AS DOUBLE))
+                         / ((n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            + (n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            + (CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))
+                              * (CAST(sx AS DOUBLE)
+                                 - CAST(sy AS DOUBLE))), 6) AS ccc
+            FROM m"""))
+
+  // Bland–Altman agreement bounds on the same pairs: mean difference and
+  // the 95% limits of agreement (±1.96 sd). Σd and Σd² exact; mean, sd,
+  // and the two limits are four float expressions off the integer moments.
+  private val aggBlandAltman = Op(
+    "agg_bland_altman",
+    (s, d) => {
+      onEvents(s, d, "events_ba")
+      s.sql("""
+        WITH p AS (SELECT user_id,
+                          CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT)
+                          - CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS dd
+                   FROM events_ba
+                   WHERE event_type IN ('view', 'click')
+                   GROUP BY user_id
+                   HAVING SUM(CASE WHEN event_type = 'view' THEN 1
+                              ELSE 0 END) > 0
+                      AND SUM(CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END) > 0),
+             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(dd) AS BIGINT) AS sd1,
+                          SUM(CAST(dd AS DECIMAL(38,0)) * dd) AS sd2
+                   FROM p)
+        SELECT n,
+               round(CAST(sd1 AS DOUBLE) / n, 4) AS mean_diff,
+               round(sqrt((n * CAST(sd2 AS DOUBLE)
+                           - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (n - 1))), 4) AS sd_diff,
+               round(CAST(sd1 AS DOUBLE) / n
+                     - 1.96D * sqrt((n * CAST(sd2 AS DOUBLE)
+                                     - CAST(sd1 AS DOUBLE)
+                                       * CAST(sd1 AS DOUBLE))
+                                    / (CAST(n AS DOUBLE) * (n - 1))), 4)
+                 AS loa_low,
+               round(CAST(sd1 AS DOUBLE) / n
+                     + 1.96D * sqrt((n * CAST(sd2 AS DOUBLE)
+                                     - CAST(sd1 AS DOUBLE)
+                                       * CAST(sd1 AS DOUBLE))
+                                    / (CAST(n AS DOUBLE) * (n - 1))), 4)
+                 AS loa_high
+        FROM m""")
+    },
+    Some("""WITH p AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN event_type = 'view'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT)
+                              - CAST(SUM(CASE WHEN event_type = 'click'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS dd
+                       FROM events
+                       WHERE event_type IN ('view', 'click')
+                       GROUP BY user_id
+                       HAVING SUM(CASE WHEN event_type = 'view' THEN 1
+                                  ELSE 0 END) > 0
+                          AND SUM(CASE WHEN event_type = 'click' THEN 1
+                                  ELSE 0 END) > 0),
+                 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(dd) AS BIGINT) AS sd1,
+                              SUM(CAST(dd AS HUGEINT) * dd) AS sd2
+                       FROM p)
+            SELECT n,
+                   round(CAST(sd1 AS DOUBLE) / n, 4) AS mean_diff,
+                   round(sqrt((n * CAST(sd2 AS DOUBLE)
+                               - CAST(sd1 AS DOUBLE)
+                                 * CAST(sd1 AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * (n - 1))), 4)
+                     AS sd_diff,
+                   round(CAST(sd1 AS DOUBLE) / n
+                         - 1.96 * sqrt((n * CAST(sd2 AS DOUBLE)
+                                        - CAST(sd1 AS DOUBLE)
+                                          * CAST(sd1 AS DOUBLE))
+                                       / (CAST(n AS DOUBLE) * (n - 1))),
+                         4) AS loa_low,
+                   round(CAST(sd1 AS DOUBLE) / n
+                         + 1.96 * sqrt((n * CAST(sd2 AS DOUBLE)
+                                        - CAST(sd1 AS DOUBLE)
+                                          * CAST(sd1 AS DOUBLE))
+                                       / (CAST(n AS DOUBLE) * (n - 1))),
+                         4) AS loa_high
+            FROM m"""))
+
+  // Deming regression (errors-in-both-variables, λ=1) on the same pairs —
+  // the method-comparison fit Bland–Altman's bounds complement: slope
+  // β = (Syy−Sxx+√((Syy−Sxx)²+4Sxy²))/(2Sxy), intercept from the means.
+  // The three n²-cleared centered moments are exact integers; β and α
+  // are one float expression each, identically shaped on both engines.
+  private val aggDemingRegression = Op(
+    "agg_deming_regression",
+    (s, d) => {
+      onEvents(s, d, "events_dm")
+      s.sql("""
+        WITH p AS (SELECT user_id,
+                          CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                          CAST(SUM(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+                   FROM events_dm
+                   WHERE event_type IN ('view', 'click')
+                   GROUP BY user_id
+                   HAVING SUM(CASE WHEN event_type = 'view' THEN 1
+                              ELSE 0 END) > 0
+                      AND SUM(CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END) > 0),
+             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                          SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                          SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+                          SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+                          SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+                   FROM p),
+             c AS (SELECT n,
+                          CAST(sx AS DOUBLE) AS sxd,
+                          CAST(sy AS DOUBLE) AS syd,
+                          n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            AS cxx,
+                          n * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                            AS cyy,
+                          n * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                            AS cxy
+                   FROM m)
+        SELECT n,
+               round((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                       + 4.0D * cxy * cxy))
+                     / (2.0D * cxy), 6) AS slope,
+               round((syd - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                              + 4.0D * cxy * cxy))
+                            / (2.0D * cxy) * sxd) / n / 100.0D, 4)
+                 AS intercept_usd
+        FROM c""")
+    },
+    Some("""WITH p AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN event_type = 'view'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS x,
+                              CAST(SUM(CASE WHEN event_type = 'click'
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS y
+                       FROM events
+                       WHERE event_type IN ('view', 'click')
+                       GROUP BY user_id
+                       HAVING SUM(CASE WHEN event_type = 'view' THEN 1
+                                  ELSE 0 END) > 0
+                          AND SUM(CASE WHEN event_type = 'click' THEN 1
+                                  ELSE 0 END) > 0),
+                 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                              SUM(CAST(x AS HUGEINT)) AS sx,
+                              SUM(CAST(y AS HUGEINT)) AS sy,
+                              SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                              SUM(CAST(y AS HUGEINT) * y) AS syy,
+                              SUM(CAST(x AS HUGEINT) * y) AS sxy
+                       FROM p),
+                 c AS (SELECT n,
+                              CAST(sx AS DOUBLE) AS sxd,
+                              CAST(sy AS DOUBLE) AS syd,
+                              n * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                AS cxx,
+                              n * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                AS cyy,
+                              n * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                AS cxy
+                       FROM m)
+            SELECT n,
+                   round((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                           + 4.0 * cxy * cxy))
+                         / (2.0 * cxy), 6) AS slope,
+                   round((syd - (cyy - cxx
+                                 + sqrt((cyy - cxx) * (cyy - cxx)
+                                        + 4.0 * cxy * cxy))
+                                / (2.0 * cxy) * sxd) / n / 100.0, 4)
+                 AS intercept_usd
+            FROM c"""))
+
   val ops: Seq[Op] = Seq(
     aggAnsariBradley, aggCvmTest, aggJonckheere, aggPageTrend, aggDixonQ,
     aggGkGamma, aggSomersD, aggStuartTauC, aggBlomqvistBeta, aggTheilU,
+    aggKendallW, aggLinCcc, aggBlandAltman, aggDemingRegression,
     windowVortex, windowCoppock, windowTrix, windowMassIndex,
     windowQstick, windowBop, windowElderRay,
     textGunningFog)

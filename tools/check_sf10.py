@@ -1456,6 +1456,22 @@ def rules():
             "hour_idx": ("==", 0), "ema_c": ("==", 0),
             "bull_power": ("==", 0), "bear_power": ("==", 0)},
             "nonneg": ["ema_c"]},
+        # ---- r18 batch 3: agreement family on per-user paired totals —
+        # totals scale xF uniformly, so ranks (kendall_w) and every RATIO
+        # (ccc, deming slope) are invariant; absolute-unit outputs
+        # (bland-altman bounds, deming intercept) scale xF
+        "agg_kendall_w": {"rows": ("==",), "cols": {
+            "b": ("==", 0), "k": ("==", 0), "w": ("==", 1e-9)},
+            "nonneg": ["b", "k"]},
+        "agg_lin_ccc": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "ccc": ("==", 1e-9)}, "nonneg": ["n"]},
+        "agg_bland_altman": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "mean_diff": ("x", F, 1e-9),
+            "sd_diff": ("x", F, 1e-9), "loa_low": ("x", F, 1e-9),
+            "loa_high": ("x", F, 1e-9)}, "nonneg": ["n", "sd_diff"]},
+        "agg_deming_regression": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "slope": ("==", 1e-9),
+            "intercept_usd": ("x", F, 1e-9)}, "nonneg": ["n"]},
     }
 
 
