@@ -65,7 +65,12 @@ object Bench {
     // 1-minute load average at start and end: a loaded box inflates
     // per-key wall-clock 2-4× (looks exactly like a code regression), so
     // the record carries the evidence to discount contended runs.
-    val loadStart = loadAvg()
+    // loadStart is the PRE-SESSION sample (`l`, the quiet-gate's own
+    // admission reading): sampling after the 32-thread JIT/RocksDB
+    // warm-ups reads the bench's OWN load (measured 7.6 on an idle box,
+    // r18) and mislabels every run contended — the label must reflect
+    // OTHER work on the box, which is what the pre-session sample sees.
+    val loadStart = l
     var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
