@@ -1676,11 +1676,310 @@ object RankStatsOps {
                  AS intercept_usd
             FROM c"""))
 
+  // Ljung–Box portmanteau test on the corpus-wide DAILY value series —
+  // is the day-total series white noise across the first 10 lags? The
+  // day domain is bounded (~2 years), so everything collapses to one
+  // tiny per-day relation. Exactness: y_t = n·x_t − Σx clears the mean
+  // without division (exact DECIMAL/HUGEINT), each lag's autocovariance
+  // is one offset self-join integer sum, and the 10 per-lag ρ²/(n−k)
+  // terms are quantized to 1e12 BEFORE the final sum so the 10-double
+  // reduction is order-independent.
+  private val aggLjungBox = Op(
+    "agg_ljung_box",
+    (s, d) => {
+      onEvents(s, d, "events_lb")
+      // materialize the ~730-row day relation once: Spark INLINES CTEs,
+      // so without the cache the events scan+aggregate re-runs for every
+      // dy reference (st, y, and the 10-lag join) — 3× the fact scan at
+      // any scale for a relation that fits in one page
+      s.sql("""SELECT unix_timestamp(ts) div 86400 AS day_idx,
+                      CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS x
+               FROM events_lb GROUP BY 1""")
+        .cache().createOrReplaceTempView("lb_dy")
+      s.sql("""
+        WITH dy AS (SELECT day_idx, x FROM lb_dy),
+             st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(x) AS BIGINT) AS sx
+                    FROM dy),
+             y AS (SELECT day_idx,
+                          CAST(st.n AS DECIMAL(38,0)) * dy.x - st.sx AS yv
+                   FROM dy CROSS JOIN st),
+             c0 AS (SELECT SUM(yv * yv) AS v FROM y),
+             ck AS (SELECT k.k,
+                           SUM(a.yv * b.yv) AS v
+                    FROM (SELECT explode(sequence(1, 10)) AS k) k
+                    JOIN y a ON true
+                    JOIN y b ON b.day_idx = a.day_idx + k.k
+                    GROUP BY k.k),
+             terms AS (SELECT ck.k,
+                              CAST(round(
+                                (CAST(ck.v AS DOUBLE) / CAST(c0.v AS DOUBLE))
+                                * (CAST(ck.v AS DOUBLE) / CAST(c0.v AS DOUBLE))
+                                / (st.n - ck.k) * 1000000000000.0D)
+                                AS BIGINT) AS tq
+                       FROM ck CROSS JOIN c0 CROSS JOIN st)
+        SELECT st.n,
+               round(CAST(st.n AS DOUBLE) * (st.n + 2)
+                     * CAST(tsum AS DOUBLE) / 1000000000000.0D, 6)
+                 AS q_stat
+        FROM (SELECT CAST(SUM(tq) AS BIGINT) AS tsum FROM terms)
+        CROSS JOIN st""")
+    },
+    Some("""WITH dy AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                               AS day_idx,
+                               CAST(SUM(CAST(round(value * 100)
+                                    AS BIGINT)) AS BIGINT) AS x
+                        FROM events GROUP BY 1),
+                 st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(x) AS BIGINT) AS sx
+                        FROM dy),
+                 y AS (SELECT day_idx,
+                              CAST(st.n AS HUGEINT) * dy.x - st.sx AS yv
+                       FROM dy CROSS JOIN st),
+                 c0 AS (SELECT SUM(yv * yv) AS v FROM y),
+                 ck AS (SELECT k.k, SUM(a.yv * b.yv) AS v
+                        FROM (SELECT unnest(range(1, 11)) AS k) k
+                        JOIN y a ON true
+                        JOIN y b ON b.day_idx = a.day_idx + k.k
+                        GROUP BY k.k),
+                 terms AS (SELECT ck.k,
+                                  CAST(round(
+                                    (CAST(ck.v AS DOUBLE)
+                                     / CAST(c0.v AS DOUBLE))
+                                    * (CAST(ck.v AS DOUBLE)
+                                       / CAST(c0.v AS DOUBLE))
+                                    / (st.n - ck.k) * 1000000000000.0)
+                                    AS BIGINT) AS tq
+                           FROM ck CROSS JOIN c0 CROSS JOIN st)
+            SELECT st.n,
+                   round(CAST(st.n AS DOUBLE) * (st.n + 2)
+                         * CAST(tsum AS DOUBLE) / 1000000000000.0, 6)
+                 AS q_stat
+            FROM (SELECT CAST(SUM(tq) AS BIGINT) AS tsum FROM terms)
+            CROSS JOIN st"""))
+
+  // Runs-up-and-down (Wallis–Moore) randomness test on the same daily
+  // series: count direction reversals among consecutive nonzero day
+  // deltas; z against E[R] = (2n−1)/3, Var[R] = (16n−29)/90 where n is
+  // the observation count of the zero-collapsed series. Exact integers
+  // until the single z.
+  private val aggRunsUpDown = Op(
+    "agg_runs_up_down",
+    (s, d) => {
+      onEvents(s, d, "events_rud")
+      s.sql("""
+        WITH dy AS (SELECT unix_timestamp(ts) div 86400 AS day_idx,
+                           CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                                AS BIGINT) AS x
+                    FROM events_rud GROUP BY 1),
+             df AS (SELECT day_idx,
+                           x - LAG(x) OVER (ORDER BY day_idx) AS dd
+                    FROM dy),
+             sg AS (SELECT day_idx,
+                           CASE WHEN dd > 0 THEN 1 ELSE -1 END AS sgn
+                    FROM df WHERE dd IS NOT NULL AND dd <> 0),
+             ch0 AS (SELECT sgn,
+                            LAG(sgn) OVER (ORDER BY day_idx) AS prev
+                     FROM sg),
+             ch AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                           CAST(SUM(CASE WHEN prev IS NOT NULL
+                                 AND sgn <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS flips
+                    FROM ch0)
+        SELECT nd + 1 AS n, flips + 1 AS runs,
+               round((flips + 1 - (2.0D * (nd + 1) - 1) / 3.0D)
+                     / sqrt((16.0D * (nd + 1) - 29) / 90.0D), 6) AS z
+        FROM ch""")
+    },
+    Some("""WITH dy AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                               AS day_idx,
+                               CAST(SUM(CAST(round(value * 100)
+                                    AS BIGINT)) AS BIGINT) AS x
+                        FROM events GROUP BY 1),
+                 df AS (SELECT day_idx,
+                               x - LAG(x) OVER (ORDER BY day_idx) AS dd
+                        FROM dy),
+                 sg AS (SELECT day_idx,
+                               CASE WHEN dd > 0 THEN 1 ELSE -1 END AS sgn
+                        FROM df WHERE dd IS NOT NULL AND dd <> 0),
+                 ch0 AS (SELECT sgn,
+                                LAG(sgn) OVER (ORDER BY day_idx) AS prev
+                         FROM sg),
+                 ch AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                               CAST(SUM(CASE WHEN prev IS NOT NULL
+                                     AND sgn <> prev
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                                 AS flips
+                        FROM ch0)
+            SELECT nd + 1 AS n, flips + 1 AS runs,
+                   round((flips + 1 - (2.0 * (nd + 1) - 1) / 3.0)
+                         / sqrt((16.0 * (nd + 1) - 29) / 90.0), 6) AS z
+            FROM ch"""))
+
+  // Chandelier exits from the hourly bars: long = 22-bar rolling high −
+  // 3·ATR22, short = 22-bar rolling low + 3·ATR22, published in exact
+  // micro-units via one truncating division per row (maxhi·1e4·n −
+  // 3·ΣTR·1e4, all integers, div n — Spark `div` ≡ DuckDB `//`).
+  private val windowChandelierExit = Op(
+    "window_chandelier_exit",
+    (s, d) => {
+      onEvents(s, d, "events_ce")
+      s.sql("""
+        WITH bar AS (SELECT event_type,
+                            unix_timestamp(ts) div 3600 AS h,
+                            CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS hi,
+                            CAST(MIN(CAST(round(value * 100) AS BIGINT))
+                                 AS BIGINT) AS lo,
+                            CAST(MAX(struct(ts, event_id,
+                                 CAST(round(value * 100) AS BIGINT)))
+                                 .col3 AS BIGINT) AS cl
+                     FROM events_ce GROUP BY 1, 2),
+             tr AS (SELECT event_type, h, hi, lo,
+                           GREATEST(hi - lo,
+                             abs(hi - lag(cl) OVER w),
+                             abs(lo - lag(cl) OVER w)) AS trng,
+                           ROW_NUMBER() OVER w AS rn
+                    FROM bar
+                    WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+             f AS (SELECT event_type, h, rn,
+                          CAST(MAX(hi) OVER fr AS BIGINT) AS mx22,
+                          CAST(MIN(lo) OVER fr AS BIGINT) AS mn22,
+                          CAST(SUM(trng) OVER fr AS BIGINT) AS s22,
+                          CAST(COUNT(*) OVER fr AS BIGINT) AS n22
+                   FROM tr WHERE trng IS NOT NULL
+                   WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                                 ROWS 21 PRECEDING))
+        SELECT event_type, h AS hour_idx,
+               (mx22 * n22 * 10000 - 3 * s22 * 10000) div n22
+                 AS long_exit_micro,
+               (mn22 * n22 * 10000 + 3 * s22 * 10000) div n22
+                 AS short_exit_micro
+        FROM f WHERE rn >= 22
+        ORDER BY event_type, hour_idx""")
+    },
+    Some("""WITH bar AS (SELECT event_type,
+                                CAST(floor(epoch(ts)) AS BIGINT) // 3600
+                                  AS h,
+                                CAST(MAX(CAST(round(value * 100)
+                                     AS BIGINT)) AS BIGINT) AS hi,
+                                CAST(MIN(CAST(round(value * 100)
+                                     AS BIGINT)) AS BIGINT) AS lo,
+                                (MAX({'ts': ts, 'eid': event_id,
+                                      'c': CAST(round(value * 100)
+                                               AS BIGINT)})).c AS cl
+                         FROM events GROUP BY 1, 2),
+                 tr AS (SELECT event_type, h, hi, lo,
+                               GREATEST(hi - lo,
+                                 abs(hi - lag(cl) OVER w),
+                                 abs(lo - lag(cl) OVER w)) AS trng,
+                               ROW_NUMBER() OVER w AS rn
+                        FROM bar
+                        WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+                 f AS (SELECT event_type, h, rn,
+                              CAST(MAX(hi) OVER fr AS BIGINT) AS mx22,
+                              CAST(MIN(lo) OVER fr AS BIGINT) AS mn22,
+                              CAST(SUM(trng) OVER fr AS BIGINT) AS s22,
+                              CAST(COUNT(*) OVER fr AS BIGINT) AS n22
+                       FROM tr WHERE trng IS NOT NULL
+                       WINDOW fr AS (PARTITION BY event_type ORDER BY h
+                                     ROWS 21 PRECEDING))
+            SELECT event_type, h AS hour_idx,
+                   (mx22 * n22 * 10000 - 3 * s22 * 10000) // n22
+                     AS long_exit_micro,
+                   (mn22 * n22 * 10000 + 3 * s22 * 10000) // n22
+                     AS short_exit_micro
+            FROM f WHERE rn >= 22
+            ORDER BY event_type, hour_idx"""))
+
+  // Heikin-Ashi smoothing of the hourly OHLC bars: ha_close =
+  // (o+h+l+c) div 4 per bar, ha_open the (prev_ha_open + prev_ha_close)
+  // div 2 recursion (seeded (o+c) div 2), ha_high/low the running
+  // GREATEST/LEAST against the smoothed pair — the whole series exact
+  // BIGINT cents via truncating division (the macd recursion idiom; all
+  // quantities positive so `div` ≡ `//` needs no sign care).
+  private val resampleHeikinAshi = Op(
+    "resample_heikin_ashi",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      onEvents(s, d, "events_ha")
+      val bars = s.sql("""
+        SELECT event_type,
+               unix_timestamp(ts) div 3600 AS h,
+               CAST(MIN(struct(ts, event_id,
+                    CAST(round(value * 100) AS BIGINT))).col3 AS BIGINT)
+                 AS op,
+               CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS hi,
+               CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS lo,
+               CAST(MAX(struct(ts, event_id,
+                    CAST(round(value * 100) AS BIGINT))).col3 AS BIGINT)
+                 AS cl
+        FROM events_ha GROUP BY 1, 2""")
+      bars
+        .repartition(col("event_type"))
+        .sortWithinPartitions("event_type", "h")
+        .as[(String, Long, Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          var cur = ""
+          var haO = 0L; var haC = 0L
+          it.map { case (g, h, op, hi, lo, cl) =>
+            val c = (op + hi + lo + cl) / 4
+            if (g != cur) { haO = (op + cl) / 2; cur = g }
+            else haO = (haO + haC) / 2
+            haC = c
+            (g, h, haO, math.max(hi, math.max(haO, haC)),
+              math.min(lo, math.min(haO, haC)), haC)
+          }
+        }
+        .toDF("event_type", "hour_idx", "ha_open", "ha_high", "ha_low",
+          "ha_close")
+        .orderBy("event_type", "hour_idx")
+    },
+    Some("""WITH RECURSIVE bar AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                     (MIN({'ts': ts, 'eid': event_id,
+                           'c': CAST(round(value * 100) AS BIGINT)})).c
+                       AS op,
+                     CAST(MAX(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS hi,
+                     CAST(MIN(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS lo,
+                     (MAX({'ts': ts, 'eid': event_id,
+                           'c': CAST(round(value * 100) AS BIGINT)})).c
+                       AS cl,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                       AS rn
+              FROM events GROUP BY 1, 2),
+            r(event_type, h, rn, hi, lo, ha_open, ha_close) AS (
+              SELECT event_type, h, rn, hi, lo,
+                     (op + cl) // 2,
+                     (op + hi + lo + cl) // 4
+              FROM bar WHERE rn = 1
+              UNION ALL
+              SELECT b.event_type, b.h, b.rn, b.hi, b.lo,
+                     (r.ha_open + r.ha_close) // 2,
+                     (b.op + b.hi + b.lo + b.cl) // 4
+              FROM bar b JOIN r ON b.event_type = r.event_type
+                               AND b.rn = r.rn + 1)
+            SELECT event_type, h AS hour_idx, ha_open,
+                   GREATEST(hi, ha_open, ha_close) AS ha_high,
+                   LEAST(lo, ha_open, ha_close) AS ha_low,
+                   ha_close
+            FROM r ORDER BY event_type, hour_idx"""))
+
   val ops: Seq[Op] = Seq(
     aggAnsariBradley, aggCvmTest, aggJonckheere, aggPageTrend, aggDixonQ,
     aggGkGamma, aggSomersD, aggStuartTauC, aggBlomqvistBeta, aggTheilU,
     aggKendallW, aggLinCcc, aggBlandAltman, aggDemingRegression,
+    aggLjungBox, aggRunsUpDown,
     windowVortex, windowCoppock, windowTrix, windowMassIndex,
-    windowQstick, windowBop, windowElderRay,
+    windowQstick, windowBop, windowElderRay, windowChandelierExit,
+    resampleHeikinAshi,
     textGunningFog)
 }

@@ -1472,6 +1472,24 @@ def rules():
         "agg_deming_regression": {"rows": ("==",), "cols": {
             "n": ("==", 0), "slope": ("==", 1e-9),
             "intercept_usd": ("x", F, 1e-9)}, "nonneg": ["n"]},
+        # ---- r18 batch 4: daily series scale xF uniformly -> mean-cleared
+        # y scales xF, autocovariances xF^2, every rho and hence Q is
+        # invariant; the daily sign sequence is invariant -> runs identical;
+        # hourly bars invariant -> chandelier/heikin-ashi byte-identical
+        "agg_ljung_box": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "q_stat": ("==", 1e-6)},
+            "nonneg": ["n", "q_stat"]},
+        "agg_runs_up_down": {"rows": ("==",), "cols": {
+            "n": ("==", 0), "runs": ("==", 0), "z": ("==", 1e-9)},
+            "nonneg": ["n", "runs"]},
+        "window_chandelier_exit": {"rows": ("==",), "cols": {
+            "hour_idx": ("==", 0), "long_exit_micro": ("==", 0),
+            "short_exit_micro": ("==", 0)}},
+        "resample_heikin_ashi": {"rows": ("==",), "cols": {
+            "hour_idx": ("==", 0), "ha_open": ("==", 0),
+            "ha_high": ("==", 0), "ha_low": ("==", 0),
+            "ha_close": ("==", 0)},
+            "nonneg": ["ha_open", "ha_high", "ha_low", "ha_close"]},
     }
 
 

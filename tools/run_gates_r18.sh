@@ -9,7 +9,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-NEW="emb_hubness_ann,agg_ansari_bradley,agg_cvm_test,agg_jonckheere,agg_page_trend,agg_dixon_q,window_vortex,window_coppock,window_trix,window_mass_index,text_gunning_fog,agg_gk_gamma,agg_somers_d,agg_stuart_tau_c,agg_blomqvist_beta,agg_theil_u,window_qstick,window_bop,window_elder_ray,agg_kendall_w,agg_lin_ccc,agg_bland_altman,agg_deming_regression"
+NEW="emb_hubness_ann,agg_ansari_bradley,agg_cvm_test,agg_jonckheere,agg_page_trend,agg_dixon_q,window_vortex,window_coppock,window_trix,window_mass_index,text_gunning_fog,agg_gk_gamma,agg_somers_d,agg_stuart_tau_c,agg_blomqvist_beta,agg_theil_u,window_qstick,window_bop,window_elder_ray,agg_kendall_w,agg_lin_ccc,agg_bland_altman,agg_deming_regression,agg_ljung_box,agg_runs_up_down,window_chandelier_exit,resample_heikin_ashi"
 CHANGED="dedup_clusters,dedup_survivor,dedup_minhash_star,dedup_embedding_clusters,emb_knn_graph,agg_bartlett_test,agg_welch_anova,agg_wilcoxon_signed_rank,emb_cosine_histogram"
 
 if [ ! -f /tmp/graft_sf10/lineitem.parquet ]; then
