@@ -37,19 +37,65 @@ object StreamOps {
   private val landed =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Landing dir for the shared events fixture (one parquet file), created
+    * once per (session, data dir) — exposed so ops can size their stream
+    * session from the landed bytes before opening the stream. */
+  private def landedDir(s: SparkSession, d: String): String =
+    landed.computeIfAbsent((s, d), { _ =>
+      val dir = tmp("graft_land_")
+      Tables.load(s, d, "events").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Land events (µs-truncated ts, FIXTURES.md §A) as ONE parquet file and
     * open an explicit-schema stream over the landing dir. */
   private def landAndStream(s: SparkSession, d: String,
       streamOn: SparkSession = null): DataFrame = {
     val ev = Tables.load(s, d, "events")
-    val in = landed.computeIfAbsent((s, d), { _ =>
-      val dir = tmp("graft_land_")
-      ev.coalesce(1).write.mode("overwrite").parquet(dir)
-      dir
-    })
-    // streamOn: open the stream on a scoped clone (withRocksDbProvider)
-    // while the landing cache stays keyed by the caller's shared session
+    val in = landedDir(s, d)
+    // streamOn: open the stream on a scoped clone (withRocksDbProvider /
+    // streamSession) while the landing cache stays keyed by the caller's
+    // shared session
     Option(streamOn).getOrElse(s).readStream.schema(ev.schema).parquet(in)
+  }
+
+  /** Shuffle/state partition count for ONE bounded streaming run.
+    * Conf override first (`spark.graft.stream.statePartitions` — the
+    * production knob: a stateful query's partition count is a start-time
+    * choice sized to throughput and keyspace, and repartitioning live state
+    * is a migration), else derived from the landed input bytes (guide §2:
+    * scale-adaptive partitioning, never the session-wide core count). The
+    * r18 opt-round measurement behind this: every stateful key inherited
+    * `spark.sql.shuffle.partitions` = CPUS (32), so each micro-batch paid
+    * 32 state-store opens/commits (32 RocksDB instances for the tws keys)
+    * to hold a few KB of state — the stream group benched 74.4 s of the
+    * 469 s total at sf0.1 with the state-store machinery, not the data,
+    * dominating. One partition per 32 MB of landed input keeps the same
+    * plan shape at every test SF and grows linearly with real volume. */
+  private def statePartitions(s: SparkSession, inputDirs: Seq[String]): Int =
+    s.conf.getOption("spark.graft.stream.statePartitions").map(_.toInt)
+      .getOrElse {
+        val bytes = inputDirs.map { p =>
+          try Option(new java.io.File(p).listFiles())
+            .map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+          catch { case _: Throwable => 0L }
+        }.sum
+        math.max(1L, math.min(4096L, bytes / (32L << 20) + 1L)).toInt
+      }
+
+  /** Clone of `s` for one streaming run with scale-adaptive shuffle/state
+    * partitioning (see [[statePartitions]]). Conf binds at query start, so
+    * it is set on a scoped clone — the shared session's conf is never
+    * mutated (parallel suites run ops concurrently on one session). */
+  private def streamSession(s: SparkSession, inputDirs: Seq[String]): SparkSession = {
+    val rs = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try rs.conf.set(k, v) catch { case _: Exception => () }
+    }
+    rs.conf.set("spark.sql.shuffle.partitions",
+      statePartitions(s, inputDirs).toString)
+    rs
   }
 
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -69,8 +115,8 @@ object StreamOps {
     * so the parent's RUNTIME conf (shuffle partitions, session timezone)
     * is copied over first — static entries can't be re-set and keep their
     * context values. */
-  private[graft] def withRocksDbProvider[T](s: SparkSession)(
-      body: SparkSession => T): T = {
+  private[graft] def withRocksDbProvider[T](s: SparkSession,
+      inputDirs: Seq[String] = Nil)(body: SparkSession => T): T = {
     val rs = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>
       try rs.conf.set(k, v) catch { case _: Exception => () }
@@ -78,6 +124,12 @@ object StreamOps {
     rs.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
+    // callers that pass their landing dirs get scale-adaptive state
+    // partitioning (see statePartitions); no-arg callers keep the session
+    // default untouched
+    if (inputDirs.nonEmpty)
+      rs.conf.set("spark.sql.shuffle.partitions",
+        statePartitions(s, inputDirs).toString)
     body(rs)
   }
 
@@ -92,6 +144,8 @@ object StreamOps {
       import rs.implicits._
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val land = tmp("graft_warm_land_"); val ck = tmp("graft_warm_ck_")
+      // 4 synthetic rows of state: one partition is the right size
+      rs.conf.set("spark.sql.shuffle.partitions", "1")
       rs.range(4)
         .select(col("id"), col("id").as("cents"), lit("t").as("typ"))
         .coalesce(1).write.mode("overwrite").parquet(land)
@@ -157,7 +211,8 @@ object StreamOps {
     "stream_tumbling_agg",
     (s, d) => {
       val out = tmp("graft_sta_out_"); val ck = tmp("graft_sta_ck_")
-      val q = landAndStream(s, d)
+      val rs = streamSession(s, Seq(landedDir(s, d)))
+      val q = landAndStream(s, d, rs)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"))
         .agg(count(lit(1)).as("n"),
@@ -184,7 +239,8 @@ object StreamOps {
     "stream_sliding_agg",
     (s, d) => {
       val out = tmp("graft_ssa_out_"); val ck = tmp("graft_ssa_ck_")
-      val q = landAndStream(s, d)
+      val rs = streamSession(s, Seq(landedDir(s, d)))
+      val q = landAndStream(s, d, rs)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
         .agg(count(lit(1)).as("n"))
@@ -214,7 +270,8 @@ object StreamOps {
     "stream_session_window",
     (s, d) => {
       val out = tmp("graft_ssw_out_"); val ck = tmp("graft_ssw_ck_")
-      val q = landAndStream(s, d)
+      val rs = streamSession(s, Seq(landedDir(s, d)))
+      val q = landAndStream(s, d, rs)
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
@@ -289,11 +346,12 @@ object StreamOps {
     "stream_stream_join",
     (s, d) => {
       val out = tmp("graft_ssj_out_"); val ck = tmp("graft_ssj_ck_")
-      val purchases = landAndStream(s, d)
+      val rs = streamSession(s, Seq(landedDir(s, d)))
+      val purchases = landAndStream(s, d, rs)
         .where(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "2 hours")
-      val clicks = landAndStream(s, d)
+      val clicks = landAndStream(s, d, rs)
         .where(col("event_type") === "click")
         .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
           col("ts").as("c_ts"))
@@ -338,7 +396,8 @@ object StreamOps {
       val out = tmp("graft_sdw_out_"); val ck = tmp("graft_sdw_ck_")
       ev.coalesce(1).write.mode("overwrite").parquet(in)
       ev.coalesce(1).write.mode("append").parquet(in)
-      val q = s.readStream.schema(ev.schema).parquet(in)
+      val rs = streamSession(s, Seq(in))
+      val q = rs.readStream.schema(ev.schema).parquet(in)
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -363,7 +422,8 @@ object StreamOps {
       val out = tmp("graft_sds_out_"); val ck = tmp("graft_sds_ck_")
       ev.coalesce(1).write.mode("overwrite").parquet(in)
       ev.coalesce(1).write.mode("append").parquet(in)
-      val q = s.readStream.schema(ev.schema).parquet(in)
+      val rs = streamSession(s, Seq(in))
+      val q = rs.readStream.schema(ev.schema).parquet(in)
         .withWatermark("ts", "10 minutes")
         .dropDuplicates("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -393,7 +453,8 @@ object StreamOps {
       import s.implicits._
       import org.apache.spark.sql.streaming.GroupStateTimeout
       val out = tmp("graft_scs_out_"); val ck = tmp("graft_scs_ck_")
-      val q = landAndStream(s, d)
+      val rs = streamSession(s, Seq(landedDir(s, d)))
+      val q = landAndStream(s, d, rs)
         .withColumn("cents",
           (col("value").cast("decimal(18,2)") * 100).cast("long"))
         .select("user_id", "cents").as[(Long, Long)]
@@ -480,7 +541,8 @@ object StreamOps {
   private[graft] def cdcFeedDrain(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       land: String, feed: String, out: String, ck: String): Unit = {
-    val q = s.readStream.schema(schema)
+    val rs = streamSession(s, Seq(land))
+    val q = rs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(land)
       .writeStream.outputMode("update")
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -642,7 +704,8 @@ object StreamOps {
         "b0.parquet", t0)                                        // recent half first
       landOne(ev.where(expr(s"ts < $cutoff")), land,
         "b1.parquet", t0 + 10000)                                // old half = late
-      val q = s.readStream.schema(ev.schema)
+      val rs = streamSession(s, Seq(land))
+      val q = rs.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(land)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"))
@@ -747,7 +810,8 @@ object StreamOps {
         .select(col("user_id"), col("n_events"),
           col("m.event_id").as("last_event_id"),
           col("m.event_type").as("last_type"), col("m.value").as("last_value"))
-    val q = s.readStream.schema(schema)
+    val rs = streamSession(s, Seq(in))
+    val q = rs.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
       .writeStream.option("checkpointLocation", ck)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -825,7 +889,8 @@ object StreamOps {
     "stream_chained_windows",
     (s, d) => {
       val out = tmp("graft_scw_out_"); val ck = tmp("graft_scw_ck_")
-      val q = landAndStream(s, d)
+      val rs = streamSession(s, Seq(landedDir(s, d)))
+      val q = landAndStream(s, d, rs)
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "5 minutes"))
         .agg(count(lit(1)).as("n5"))
@@ -865,7 +930,8 @@ object StreamOps {
       import org.apache.spark.sql.streaming.GroupStateTimeout
       val out = tmp("graft_ssm_out_"); val ck = tmp("graft_ssm_ck_")
       val none = Long.MinValue
-      val q = landAndStream(s, d)
+      val rs = streamSession(s, Seq(landedDir(s, d)))
+      val q = landAndStream(s, d, rs)
         .select(col("user_id"), col("event_type"),
           expr("unix_micros(ts)").as("us"), col("event_id"))
         .as[(Long, String, Long, Long)]
@@ -933,7 +999,8 @@ object StreamOps {
   private[graft] def manifestIngestDrain(s: SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       man: String, out: String, ck: String): Unit = {
-    val q = s.readStream.text(man)
+    val rs = streamSession(s, Seq(man))
+    val q = rs.readStream.text(man)
       .dropDuplicates("value")
       .writeStream.option("checkpointLocation", ck)
       .outputMode("append").trigger(Trigger.AvailableNow())
@@ -1010,7 +1077,7 @@ object StreamOps {
       landOne(ev.where(col("event_id") % 2 === 0), land, "b0.parquet", t0)
       landOne(ev.where(col("event_id") % 2 === 1), land, "b1.parquet",
         t0 + 10000)
-      withRocksDbProvider(s) { rs =>
+      withRocksDbProvider(s, Seq(land)) { rs =>
         val q = rs.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
           .select(col("user_id"),
@@ -1090,7 +1157,7 @@ object StreamOps {
       landOne(sentinel(maxMs + 3 * gapMs), land, "s1.parquet", t0 + 20000)
       landOne(sentinel(maxMs + 6 * gapMs), land, "s2.parquet", t0 + 30000)
       landOne(sentinel(maxMs + 9 * gapMs), land, "s3.parquet", t0 + 40000)
-      withRocksDbProvider(s) { rs =>
+      withRocksDbProvider(s, Seq(land)) { rs =>
         val q = rs.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
           .withWatermark("ts", "30 minutes")
@@ -1163,7 +1230,7 @@ object StreamOps {
       ev.where(col("event_id") % 2 === 1)
         .select("user_id", "cents").coalesce(1)
         .write.mode("overwrite").parquet(land)
-      withRocksDbProvider(s) { rs =>
+      withRocksDbProvider(s, Seq(land)) { rs =>
         val q = rs.readStream
           .schema("user_id BIGINT, cents BIGINT").parquet(land)
           .as[(Long, Long)]
@@ -1205,7 +1272,8 @@ object StreamOps {
     "scan_state_store",
     (s, d) => {
       val ck = tmp("graft_sss_ck_")
-      val q = landAndStream(s, d)
+      val rs = streamSession(s, Seq(landedDir(s, d)))
+      val q = landAndStream(s, d, rs)
         .withColumn("cents",
           (col("value").cast("decimal(18,2)") * 100).cast("long"))
         .groupBy("user_id")
@@ -1255,7 +1323,7 @@ object StreamOps {
       landOne(ev.where(col("event_id") % 2 === 0), land, "b0.parquet", t0)
       landOne(ev.where(col("event_id") % 2 === 1), land, "b1.parquet",
         t0 + 10000)
-      withRocksDbProvider(s) { rs =>
+      withRocksDbProvider(s, Seq(land)) { rs =>
         val q = rs.readStream
           .schema("user_id BIGINT, ms BIGINT, event_id BIGINT")
           .option("maxFilesPerTrigger", "1").parquet(land)
@@ -1302,7 +1370,7 @@ object StreamOps {
       import s.implicits._
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val ck = tmp("graft_sst_ck_")
-      withRocksDbProvider(s) { rs =>
+      withRocksDbProvider(s, Seq(landedDir(s, d))) { rs =>
         val q = landAndStream(s, d, rs)
           .select(col("user_id"),
             (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
