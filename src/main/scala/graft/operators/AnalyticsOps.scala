@@ -643,6 +643,11 @@ object AnalyticsOps {
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
+        // cache the nation-pair aggregate (≤ |nation|² rows): it feeds
+        // both the edge list and the out-weight sum below — without this
+        // the 4-table fact join ran TWICE per query (2 scans of each of
+        // customer/orders/lineitem/supplier in the r18 before-plan)
+        .cache()
       val e = edges
         .join(edges.groupBy(col("src").as("osrc"))
           .agg(sum("w").as("tw")), col("src") === col("osrc"))

@@ -950,24 +950,34 @@ object InferenceOps {
     "text_bigram_lm_score",
     (s, d) => {
       t(s, d, "documents").createOrReplaceTempView("documents_bl")
+      // materialize the tokenize→explode bigram relation once: Spark
+      // inlines CTEs, so bg0 (referenced via voc twice and bg three
+      // times) re-ran the whole tokenize pipeline 8× in the r18
+      // before-plan (8 scans of documents). One cached pass is the
+      // materialize-once discipline of guide §8; voc (≤500 rows) is
+      // cached too so its window aggregate runs once, not once per
+      // downstream reference.
       s.sql("""
         WITH tk AS (SELECT doc_id, source,
                            split(trim(regexp_replace(lower(text),
                              '\\s+', ' ')), ' ') AS w
-                    FROM documents_bl),
-             bg0 AS (SELECT doc_id, source,
-                            element_at(w, i) AS w1,
-                            element_at(w, i + 1) AS w2
-                     FROM tk
-                     LATERAL VIEW explode(sequence(1, size(w) - 1))
-                       t AS i
-                     WHERE size(w) >= 2),
-             voc AS (SELECT w1 AS w FROM (
-                       SELECT w1, COUNT(*) AS c,
-                              ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
-                                                 w1) AS rn
-                       FROM bg0 GROUP BY w1 HAVING COUNT(*) >= 5) v
-                     WHERE rn <= 500),
+                    FROM documents_bl)
+        SELECT doc_id, source,
+               element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+        FROM tk
+        LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+        WHERE size(w) >= 2""")
+        .localCheckpoint().createOrReplaceTempView("bg0_bl")
+      s.sql("""
+        SELECT w1 AS w FROM (
+          SELECT w1, COUNT(*) AS c,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1) AS rn
+          FROM bg0_bl GROUP BY w1 HAVING COUNT(*) >= 5) v
+        WHERE rn <= 500""")
+        .localCheckpoint().createOrReplaceTempView("voc_bl")
+      s.sql("""
+        WITH bg0 AS (SELECT doc_id, source, w1, w2 FROM bg0_bl),
+             voc AS (SELECT w FROM voc_bl),
              bg AS (SELECT doc_id, source,
                            CASE WHEN v1.w IS NULL THEN '<unk>'
                                 ELSE bg0.w1 END AS w1,

@@ -3172,6 +3172,10 @@ object LlmOps {
     "dedup_minhash_md5",
     (s, d) => {
       t(s, d, "documents").createOrReplaceTempView("docs_mh")
+      // materialize the per-doc signature array once (guide §2.4): arr is
+      // referenced by the band explode AND both sides of the verify join —
+      // the inline spelling re-ran the shingle+md5+min pipeline 4× in the
+      // r18 before-plan. One row of 8 strings per doc, tiny at any SF.
       s.sql("""
         WITH toks AS (SELECT doc_id,
                              split(lower(trim(text)), '\\s+') AS t
@@ -3193,10 +3197,12 @@ object LlmOps {
                             MIN(concat(substr(m, 21), substr(m, 1, 20))) AS h5,
                             MIN(concat(substr(m, 25), substr(m, 1, 24))) AS h6,
                             MIN(concat(substr(m, 29), substr(m, 1, 28))) AS h7
-                     FROM hm GROUP BY doc_id),
-             arr AS (SELECT doc_id,
-                            array(h0, h1, h2, h3, h4, h5, h6, h7) AS sig
-                     FROM sig),
+                     FROM hm GROUP BY doc_id)
+        SELECT doc_id, array(h0, h1, h2, h3, h4, h5, h6, h7) AS sig
+        FROM sig""")
+        .localCheckpoint().createOrReplaceTempView("arr_mh")
+      s.sql("""
+        WITH arr AS (SELECT doc_id, sig FROM arr_mh),
              bands AS (SELECT doc_id, b,
                               element_at(sig, 2 * b + 1) AS b1,
                               element_at(sig, 2 * b + 2) AS b2
@@ -3262,7 +3268,10 @@ object LlmOps {
     * xor spelling, tokenizer). The 64 bit-majority sums and 4 chunk
     * assemblies are generated, not hand-written, so Spark and DuckDB can
     * never drift structurally. */
-  private def simhashMd5Sql(spark: Boolean): String = {
+  private def simhashMd5Sql(
+      spark: Boolean,
+      sigView: Option[String] = None,
+      sigOnly: Boolean = false): String = {
     def hex4(j: Int) =
       if (spark) s"CAST(conv(substr(m, ${4 * j + 1}, 4), 16, 10) AS INT)"
       else s"CAST(('0x' || substr(m, ${4 * j + 1}, 4)) AS INT)"
@@ -3317,14 +3326,29 @@ object LlmOps {
            |h AS (SELECT doc_id, ${(0 until 4)
           .map(j => s"${hex4(j)} AS h$j").mkString(", ")} FROM hm),"""
           .stripMargin
-    s"""WITH $toks,
-       |$hashRel
-       |bits AS (SELECT doc_id, COUNT(*) AS n,
-       |       $sums
-       |       FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id,
-       |       $chunks
-       |       FROM bits),
+    // Spark's SQL engine INLINES every CTE reference, so `sig` — referenced
+    // by bands once and by the hamming verify twice — would re-run the
+    // whole tokenize→md5→64-sum pipeline three times (12 scans of
+    // documents in the r18 before-plan, guide §2.4/§3.3). The Spark path
+    // therefore materializes sig once (cache(), the production
+    // dedup_simhash idiom) and splices the view name in; DuckDB
+    // materializes CTEs on its own, so the oracle keeps the one-string
+    // spelling. Same rows either way — sig is a deterministic function of
+    // the corpus.
+    val sigCte = sigView match {
+      case Some(v) => s"sig AS (SELECT doc_id, c0, c1, c2, c3 FROM $v)"
+      case None =>
+        s"""$toks,
+           |$hashRel
+           |bits AS (SELECT doc_id, COUNT(*) AS n,
+           |       $sums
+           |       FROM h GROUP BY doc_id),
+           |sig AS (SELECT doc_id,
+           |       $chunks
+           |       FROM bits)""".stripMargin
+    }
+    if (sigOnly) return s"WITH $sigCte SELECT doc_id, c0, c1, c2, c3 FROM sig"
+    s"""WITH $sigCte,
        |bands AS (SELECT doc_id, j, $chunkAt AS chunk
        |          FROM sig $bandJ),
        |cold AS (SELECT j, chunk FROM bands
@@ -3360,7 +3384,11 @@ object LlmOps {
     "dedup_simhash_md5",
     (s, d) => {
       t(s, d, "documents").createOrReplaceTempView("docs_shm")
-      s.sql(simhashMd5Sql(spark = true))
+      // materialize the tiny per-doc signature once (see simhashMd5Sql):
+      // one row of 4 ints per doc, consumed three times downstream
+      val sig = s.sql(simhashMd5Sql(spark = true, sigOnly = true)).localCheckpoint()
+      sig.createOrReplaceTempView("sig_shm")
+      s.sql(simhashMd5Sql(spark = true, sigView = Some("sig_shm")))
     },
     Some(simhashMd5Sql(spark = false)))
 

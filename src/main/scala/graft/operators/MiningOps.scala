@@ -1035,11 +1035,18 @@ object MiningOps {
     "agg_abc_class",
     (s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_abc")
+      // materialize the per-part revenue once (guide §2.4): rev feeds
+      // tot, the bucketed cumsum AND the bucket totals — the CTE
+      // spelling re-scanned lineitem 3× in the r18 before-plan. The
+      // cache is part-bounded, never fact-bounded.
       s.sql("""
-        WITH rev AS (SELECT l_partkey AS pk,
-                            CAST(SUM(CAST(round(l_extendedprice * 100)
-                                          AS BIGINT)) AS BIGINT) AS r
-                     FROM lineitem_abc GROUP BY 1),
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM lineitem_abc GROUP BY 1""")
+        .cache().createOrReplaceTempView("rev_abc")
+      s.sql("""
+        WITH rev AS (SELECT pk, r FROM rev_abc),
              tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
              bkt AS (SELECT pk, r, (-r) div 10000000 AS bu FROM rev),
              win AS (SELECT pk, r, bu,
@@ -1801,20 +1808,28 @@ object MiningOps {
     "agg_abc_xyz",
     (s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_ax")
+      // ONE fact scan (guide §2.4): the weekly buckets carry BOTH the
+      // quantity and the revenue sums, and the per-part rollup is cached —
+      // the CTE spelling re-scanned lineitem 4× in the r18 before-plan
+      // (wk and rev inlined into every downstream reference). Revenue per
+      // part as a sum of exact per-week BIGINT cents is the same integer.
       s.sql("""
         WITH wk AS (SELECT l_partkey AS pk,
                            unix_timestamp(l_shipdate) div 604800 AS w,
                            CAST(SUM(CAST(round(l_quantity) AS BIGINT))
-                                AS BIGINT) AS q
-                    FROM lineitem_ax GROUP BY 1, 2),
-             vs AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS nw,
-                           CAST(SUM(q) AS BIGINT) AS sq,
-                           CAST(SUM(q * q) AS BIGINT) AS sqq
-                    FROM wk GROUP BY 1),
-             rev AS (SELECT l_partkey AS pk,
-                            CAST(SUM(CAST(round(l_extendedprice * 100)
-                                          AS BIGINT)) AS BIGINT) AS r
-                     FROM lineitem_ax GROUP BY 1),
+                                AS BIGINT) AS q,
+                           CAST(SUM(CAST(round(l_extendedprice * 100)
+                                         AS BIGINT)) AS BIGINT) AS rc
+                    FROM lineitem_ax GROUP BY 1, 2)
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(q * q) AS BIGINT) AS sqq,
+               CAST(SUM(rc) AS BIGINT) AS r
+        FROM wk GROUP BY 1""")
+        .localCheckpoint().createOrReplaceTempView("ps_ax")
+      s.sql("""
+        WITH vs AS (SELECT pk, nw, sq, sqq FROM ps_ax),
+             rev AS (SELECT pk, r FROM ps_ax),
              tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
              bkt AS (SELECT pk, r, (-r) div 10000000 AS bu FROM rev),
              win AS (SELECT pk, r, bu,

@@ -214,22 +214,35 @@ object RankStatsOps {
     "agg_jonckheere",
     (s, d) => {
       onEvents(s, d, "events_jt")
+      // materialize the domain-collapsed counts (vc — 4 downstream refs)
+      // and the zero-filled grid (self-joined) once: Spark inlines CTEs,
+      // so the r18 before-plan re-ran the fact aggregation 8×. Both
+      // relations are bounded by (groups × distinct cent values), never
+      // by data volume (guide §2.4).
       s.sql("""
         WITH b AS (SELECT event_type AS g,
                           CAST(round(value * 100) AS BIGINT) AS x
-                   FROM events_jt),
-             vc AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c
-                    FROM b GROUP BY g, x),
+                   FROM events_jt)
+        SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY g, x""")
+        .localCheckpoint().createOrReplaceTempView("vc_jt")
+      s.sql("""
+        WITH vc AS (SELECT g, x, c FROM vc_jt),
              dv AS (SELECT DISTINCT x FROM vc),
              gs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng
+                    FROM vc GROUP BY g)
+        SELECT gs.g, dv.x, gs.ng,
+               CAST(COALESCE(vc.c, 0L) AS BIGINT) AS c,
+               CAST(SUM(COALESCE(vc.c, 0L))
+                    OVER (PARTITION BY gs.g ORDER BY dv.x)
+                    AS BIGINT) AS cumle
+        FROM dv CROSS JOIN gs
+        LEFT JOIN vc ON vc.g = gs.g AND vc.x = dv.x""")
+        .localCheckpoint().createOrReplaceTempView("grid_jt")
+      s.sql("""
+        WITH vc AS (SELECT g, x, c FROM vc_jt),
+             gs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng
                     FROM vc GROUP BY g),
-             grid AS (SELECT gs.g, dv.x, gs.ng,
-                             CAST(COALESCE(vc.c, 0L) AS BIGINT) AS c,
-                             CAST(SUM(COALESCE(vc.c, 0L))
-                                  OVER (PARTITION BY gs.g ORDER BY dv.x)
-                                  AS BIGINT) AS cumle
-                      FROM dv CROSS JOIN gs
-                      LEFT JOIN vc ON vc.g = gs.g AND vc.x = dv.x),
+             grid AS (SELECT g, x, ng, c, cumle FROM grid_jt),
              jt AS (SELECT CAST(SUM(a.c * (2 * (bb.ng - bb.cumle) + bb.c))
                                 AS BIGINT) AS jt2
                     FROM grid a JOIN grid bb

@@ -1030,12 +1030,19 @@ object Relational {
     * must be constant per (g, metric). Returns (g, metric, pct). */
   private def interpPercentileByGroup(df: DataFrame): DataFrame = {
     val gm = Seq("g", "metric")
+    // cache the domain-collapsed counts: three consumers below (CDF
+    // window, per-bucket totals, per-(g,metric) n) would otherwise each
+    // re-run the fact scan + collapse shuffle (3 scans in the r18
+    // before-plan — guide §2.4). Cardinality is bounded by the VALUE
+    // DOMAIN (one row per distinct cent value per metric), not the data
+    // volume, so the cache is small at any scale.
     val g = df
       .select(col("g"), col("metric"), col("p"),
         round(col("v") * 100).cast("long").as("x"))
       .groupBy("g", "metric", "x")
       .agg(count(lit(1)).as("cnt"), first("p").as("p"))
       .withColumn("bucket", expr("x div 1000"))
+      .cache()
     val w = Window.partitionBy("g", "metric", "bucket").orderBy("x")
     val within = g.withColumn("cum_in", sum("cnt").over(w))
     val counts = g.groupBy("g", "metric", "bucket").agg(sum("cnt").as("bt"))

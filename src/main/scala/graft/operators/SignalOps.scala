@@ -2360,6 +2360,9 @@ object SignalOps {
     "agg_gage_rr",
     (s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_grr")
+      // materialize the 15-row cell table once (guide §2.4): cell feeds
+      // tot, the per-operator and the per-part moment CTEs — the inline
+      // spelling re-ran the fact window 3× in the r18 before-plan.
       s.sql("""
         WITH b AS (SELECT CAST(l_suppkey % 3 AS INT) AS op,
                           CAST(l_partkey % 5 AS INT) AS pt,
@@ -2370,11 +2373,14 @@ object SignalOps {
                             CAST(round(l_extendedprice * 100) AS BIGINT))
                             AS rn
                    FROM lineitem_grr),
-             k AS (SELECT op, pt, x FROM b WHERE rn <= 10),
-             cell AS (SELECT op, pt, CAST(SUM(x) AS BIGINT) AS t,
-                             CAST(SUM(x * x) AS BIGINT) AS sxx,
-                             CAST(COUNT(*) AS BIGINT) AS n
-                      FROM k GROUP BY op, pt),
+             k AS (SELECT op, pt, x FROM b WHERE rn <= 10)
+        SELECT op, pt, CAST(SUM(x) AS BIGINT) AS t,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM k GROUP BY op, pt""")
+        .localCheckpoint().createOrReplaceTempView("cell_grr")
+      s.sql("""
+        WITH cell AS (SELECT op, pt, t, sxx, n FROM cell_grr),
              tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,
                             CAST(150 * SUM(sxx) AS BIGINT) AS sxx150,
                             CAST(SUM(n) AS BIGINT) AS nn,

@@ -93,11 +93,17 @@ object StatsMlOps {
       // same integer values (2·cum − cnt + 1 ≡ 2·RANK + ties − 1), and
       // the moments are exact integer sums — order-independent.
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_sp")
+      // materialize the joint-count relation once: Spark inlines CTEs, so
+      // the three consumers (xs, ys, m) would each re-scan the fact and
+      // re-run the collapse shuffle (3 scans in the r18 before-plan,
+      // guide §2.4). Cardinality is domain-bounded (distinct (flag, qty,
+      // price) triples), so the cache is small at any SF.
+      s.sql("""SELECT l_returnflag AS g, l_quantity AS x,
+                      l_extendedprice AS y, CAST(COUNT(*) AS BIGINT) AS c
+               FROM lineitem_sp GROUP BY 1, 2, 3""")
+        .cache().createOrReplaceTempView("joint_sp")
       s.sql("""
-        WITH joint AS (SELECT l_returnflag AS g, l_quantity AS x,
-                              l_extendedprice AS y,
-                              CAST(COUNT(*) AS BIGINT) AS c
-                       FROM lineitem_sp GROUP BY 1, 2, 3),
+        WITH joint AS (SELECT g, x, y, c FROM joint_sp),
              xs AS (SELECT g, x, CAST(SUM(c) AS BIGINT) AS cx
                     FROM joint GROUP BY g, x),
              xr AS (SELECT g, x,

@@ -1448,22 +1448,31 @@ object TemporalSketchOps {
     "agg_kmv_difference",
     (s, d) => {
       t(s, d, "events").createOrReplaceTempView("events_kd")
+      // materialize the two multiply-referenced relations (guide §2.4 —
+      // Spark inlines CTEs): `el` (3 refs: sketch input + both sides of
+      // the exact check) and `topk` (4 refs) each re-ran the fact
+      // DISTINCT in the r18 before-plan (8 scans of events). el is the
+      // deduplicated sketch input; topk is ≤64 rows per event type.
+      s.sql("""SELECT DISTINCT event_type, user_id,
+                      CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS dd
+               FROM events_kd""")
+        .cache().createOrReplaceTempView("el_kd")
       s.sql("""
-        WITH el AS (SELECT DISTINCT event_type, user_id,
-                           CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS dd
-                    FROM events_kd),
-             h AS (SELECT event_type,
+        WITH h AS (SELECT event_type,
                           CAST(conv(substring(md5(concat(
                             CAST(user_id AS STRING), '_',
                             CAST(dd AS STRING))), 1, 15), 16, 10)
                                AS BIGINT) AS hv
-                   FROM el),
-             topk AS (SELECT event_type, hv
-                      FROM (SELECT event_type, hv,
-                                   row_number() OVER (
-                                     PARTITION BY event_type
-                                     ORDER BY hv) AS rn
-                            FROM h) r WHERE rn <= 64),
+                   FROM el_kd)
+        SELECT event_type, hv
+        FROM (SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn
+              FROM h) r WHERE rn <= 64""")
+        .cache().createOrReplaceTempView("topk_kd")
+      s.sql("""
+        WITH el AS (SELECT event_type, user_id, dd FROM el_kd),
+             topk AS (SELECT event_type, hv FROM topk_kd),
              card AS (SELECT event_type, MAX(hv) AS hk
                       FROM topk GROUP BY 1),
              tpairs AS (SELECT a.event_type AS type_a,
