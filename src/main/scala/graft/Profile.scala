@@ -45,14 +45,16 @@ object Profile {
         case None => System.err.println(s"PROFILE SKIP unknown key $k")
         case Some(fn) =>
           spark.sparkContext.setJobDescription(s"profile:$k")
+          val planOnly = sys.env.get("SPARK_GRAFT_PROFILE_PLANONLY")
+            .contains("1")
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
           val t1 = System.nanoTime()
           val planned = df.queryExecution.executedPlan // force planning
           val t2 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
+          if (!planOnly) df.write.format("noop").mode("overwrite").save()
           val t3 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
+          if (!planOnly) df.write.format("noop").mode("overwrite").save()
           val t4 = System.nanoTime()
           // formatted explain AFTER execution: with AQE the executedPlan
           // object above is pre-adaptive; the string form still records

@@ -525,6 +525,14 @@ object GraphOps {
         .agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
         .select("vid")
+        // lineage cut per round: each round references the previous
+        // round's survivor set TWICE (both join sides), so an uncut plan
+        // doubles per round — 2^4 copies of round 1 by the readout (374
+        // Exchange nodes in the r18 graph_core_decompose before-plan).
+        // Lazy localCheckpoint: the ~|V|-row set materializes once on
+        // first downstream use, one job per peel, and the plan stays
+        // O(rounds) (the connectedComponents loop discipline).
+        .localCheckpoint(false)
     }
     alive
   }
