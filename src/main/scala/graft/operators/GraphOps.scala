@@ -53,8 +53,14 @@ object GraphOps {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
-    und.select(col("u").as("src"), col("v").as("dst"))
-      .union(und.select(col("v").as("src"), col("u").as("dst")))
+    // both edge directions from ONE pass over und: the union spelling
+    // referenced und twice, and CTE-style inlining re-ran the whole
+    // 4-table fact join + distinct once per direction while the cache
+    // materialized (2 scans of each fact table in the r18 before-plans)
+    und.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
   }
 
@@ -267,8 +273,12 @@ object GraphOps {
       .groupBy(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .agg(expr("(min(w) div 7) % 10 + 1").as("wt"))
-    und.select(col("u").as("src"), col("v").as("dst"), col("wt"))
-      .union(und.select(col("v").as("src"), col("u").as("dst"), col("wt")))
+    // one pass for both directions (see supplyEdges): the union spelling
+    // re-ran the 4-table fact join once per direction
+    und.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst"), col("wt")),
+        struct(col("v").as("src"), col("u").as("dst"), col("wt")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.wt").as("wt"))
   }
 
   private val oracleWeightedEdgeCte =

@@ -586,22 +586,28 @@ object InferenceOps {
     "agg_cov_matrix",
     (s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_cv")
+      // materialize the ONE-row moment aggregate once (guide §2.4): each
+      // UNION ALL cell of the matrix referenced m separately, re-scanning
+      // lineitem 6x in the r18 before-plan.
       s.sql("""
         WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
                           CAST(round(l_extendedprice) AS BIGINT) AS x2,
                           CAST(round(l_discount * 100) AS BIGINT) AS x3
-                   FROM lineitem_cv),
-             m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                          CAST(SUM(x1) AS BIGINT) AS s1,
-                          CAST(SUM(x2) AS BIGINT) AS s2,
-                          CAST(SUM(x3) AS BIGINT) AS s3,
-                          CAST(SUM(x1 * x1) AS BIGINT) AS s11,
-                          CAST(SUM(x2 * x2) AS BIGINT) AS s22,
-                          CAST(SUM(x3 * x3) AS BIGINT) AS s33,
-                          CAST(SUM(x1 * x2) AS BIGINT) AS s12,
-                          CAST(SUM(x1 * x3) AS BIGINT) AS s13,
-                          CAST(SUM(x2 * x3) AS BIGINT) AS s23
-                   FROM b),
+                   FROM lineitem_cv)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS s1,
+               CAST(SUM(x2) AS BIGINT) AS s2,
+               CAST(SUM(x3) AS BIGINT) AS s3,
+               CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+               CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+               CAST(SUM(x3 * x3) AS BIGINT) AS s33,
+               CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+               CAST(SUM(x1 * x3) AS BIGINT) AS s13,
+               CAST(SUM(x2 * x3) AS BIGINT) AS s23
+        FROM b""")
+        .localCheckpoint().createOrReplaceTempView("m_cv")
+      s.sql("""
+        WITH m AS (SELECT * FROM m_cv),
              l AS (SELECT 'quantity' AS vi, 'quantity' AS vj,
                           (CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
                            / n) / (n - 1) AS cov,
@@ -1760,6 +1766,10 @@ object InferenceOps {
       for (n <- Seq("customer", "orders", "lineitem", "supplier",
         "nation"))
         t(s, d, n).createOrReplaceTempView(s"${n}_md")
+      // materialize the directed edge list once (guide §2.4): ed is
+      // referenced by the degree total AND the per-community counts, and
+      // each ed reference inlined und twice — 4 runs of the 4-table fact
+      // join in the r18 before-plan. The edge list is nation-bounded.
       s.sql("""
         WITH pairs AS (
                SELECT CAST(c_nationkey AS BIGINT) AS a,
@@ -1771,9 +1781,12 @@ object InferenceOps {
                GROUP BY 1, 2),
              und AS (SELECT DISTINCT least(a, b) AS u,
                             greatest(a, b) AS v
-                     FROM pairs WHERE w % 7 = 0 AND a <> b),
-             ed AS (SELECT u AS src, v AS dst FROM und
-                    UNION ALL SELECT v, u FROM und),
+                     FROM pairs WHERE w % 7 = 0 AND a <> b)
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL SELECT v, u FROM und""")
+        .localCheckpoint().createOrReplaceTempView("ed_md")
+      s.sql("""
+        WITH ed AS (SELECT src, dst FROM ed_md),
              cm AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
                            CAST(n_regionkey AS BIGINT) AS rk
                     FROM nation_md),
@@ -1848,20 +1861,27 @@ object InferenceOps {
     "agg_jackknife",
     (s, d) => {
       t(s, d, "events").createOrReplaceTempView("events_jk")
+      // materialize the per-day sums (g) and the leave-one-out estimates
+      // (lo) once (guide §2.4): lo feeds both the jackknife mean and the
+      // variance CTE — the inline spelling re-scanned events 6x in the
+      // r18 before-plan. Both relations are day-bounded.
+      s.sql("""SELECT unix_timestamp(ts) div 86400 AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS sx
+               FROM events_jk GROUP BY 1""")
+        .localCheckpoint().createOrReplaceTempView("g_jk")
       s.sql("""
-        WITH g AS (SELECT unix_timestamp(ts) div 86400 AS day,
-                          CAST(COUNT(*) AS BIGINT) AS n,
-                          CAST(SUM(CAST(round(value * 100) AS BIGINT))
-                               AS BIGINT) AS sx
-                   FROM events_jk GROUP BY 1),
-             tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gg,
+        WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gg,
                             CAST(SUM(n) AS BIGINT) AS nn,
-                            CAST(SUM(sx) AS BIGINT) AS ss FROM g),
-             lo AS (SELECT g.day,
-                           (CAST(tot.ss - g.sx AS DOUBLE))
-                             / (tot.nn - g.n) AS theta_i,
-                           tot.gg, tot.nn, tot.ss
-                    FROM g CROSS JOIN tot),
+                            CAST(SUM(sx) AS BIGINT) AS ss FROM g_jk)
+        SELECT g.day,
+               (CAST(tot.ss - g.sx AS DOUBLE)) / (tot.nn - g.n) AS theta_i,
+               tot.gg, tot.nn, tot.ss
+        FROM g_jk g CROSS JOIN tot""")
+        .localCheckpoint().createOrReplaceTempView("lo_jk")
+      s.sql("""
+        WITH lo AS (SELECT day, theta_i, gg, nn, ss FROM lo_jk),
              mj AS (SELECT MAX(gg) AS gg,
                            SUM(theta_i) / MAX(gg) AS tbar,
                            MAX(nn) AS nn, MAX(ss) AS ss
@@ -2770,11 +2790,17 @@ object InferenceOps {
     "agg_kruskal_wallis",
     (s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem_kw")
+      // materialize the domain-collapsed (group, value) counts once
+      // (guide §2.4): gv feeds the pooled tie counts AND the per-group
+      // rank sums, and gr feeds three readout CTEs — the inline spelling
+      // re-scanned lineitem 7x in the r18 before-plan.
+      s.sql("""SELECT l_returnflag AS g,
+                      CAST(round(l_quantity) AS BIGINT) AS v,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM lineitem_kw GROUP BY 1, 2""")
+        .localCheckpoint().createOrReplaceTempView("gv_kw")
       s.sql("""
-        WITH gv AS (SELECT l_returnflag AS g,
-                           CAST(round(l_quantity) AS BIGINT) AS v,
-                           CAST(COUNT(*) AS BIGINT) AS c
-                    FROM lineitem_kw GROUP BY 1, 2),
+        WITH gv AS (SELECT g, v, c FROM gv_kw),
              dv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS tc
                     FROM gv GROUP BY 1),
              ar AS (SELECT v, tc,

@@ -3620,6 +3620,9 @@ object LlmOps {
     "text_heaps_fit",
     (s, d) => {
       t(s, d, "documents").createOrReplaceTempView("docs_hp")
+      // materialize the 5-row prefix table once (guide §2.4): pt feeds
+      // the OLS aggregate AND the readout join — the inline spelling
+      // re-ran the vocabulary explode+min 8x in the r18 before-plan.
       s.sql("""
         WITH w AS (SELECT doc_id, w AS word
                    FROM docs_hp
@@ -3647,9 +3650,12 @@ object LlmOps {
                             CAST(SUM(CASE WHEN fw.fd <= th.cut
                                      THEN 1 ELSE 0 END) AS BIGINT)
                               AS vocab
-                     FROM th CROSS JOIN fw GROUP BY th.pct),
-             pt AS (SELECT pk.pct, pk.cut, pk.toks, pvv.vocab
-                    FROM pk JOIN pvv ON pk.pct = pvv.pct),
+                     FROM th CROSS JOIN fw GROUP BY th.pct)
+        SELECT pk.pct, pk.cut, pk.toks, pvv.vocab
+        FROM pk JOIN pvv ON pk.pct = pvv.pct""")
+        .localCheckpoint().createOrReplaceTempView("pt_hp")
+      s.sql("""
+        WITH pt AS (SELECT pct, cut, toks, vocab FROM pt_hp),
              ols AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
                             SUM(ln(CAST(toks AS DOUBLE))) AS sx,
                             SUM(ln(CAST(vocab AS DOUBLE))) AS sy,

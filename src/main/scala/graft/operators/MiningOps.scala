@@ -1643,7 +1643,12 @@ object MiningOps {
     (s, d) => {
       // prediction must match text_langid exactly — reuse its confusion
       // cells through the registered operator
+      // checkpoint the tiny confusion matrix: the view is referenced by
+      // three CTEs below, and an un-materialized reference re-ran the
+      // whole langid scoring pipeline per reference (6 document scans in
+      // the r18 before-plan, guide §2.4)
       val cells = graft.SparkEntry.queries("text_langid_confusion")(s, d)
+        .localCheckpoint()
       cells.createOrReplaceTempView("langid_cells_k")
       s.sql("""
         WITH m AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
@@ -1938,18 +1943,27 @@ object MiningOps {
     "event_churn_hazard",
     (s, d) => {
       t(s, d, "events").createOrReplaceTempView("events_ch")
+      // materialize the per-user lifespan (w — feeds the global max AND
+      // the offset rows) and the per-offset counts (dc — feeds tot, rc
+      // and rc's correlated at-risk subquery): the inline spelling
+      // re-ran the fact groupBy 10× in the r18 before-plan (guide §2.4).
+      // Both relations are bounded (users; distinct week offsets).
+      s.sql("""SELECT user_id,
+                      MIN(unix_timestamp(ts) div 604800) AS fw,
+                      MAX(unix_timestamp(ts) div 604800) AS lw
+               FROM events_ch GROUP BY 1""")
+        .localCheckpoint().createOrReplaceTempView("w_ch")
       s.sql("""
-        WITH w AS (SELECT user_id,
-                          MIN(unix_timestamp(ts) div 604800) AS fw,
-                          MAX(unix_timestamp(ts) div 604800) AS lw
-                   FROM events_ch GROUP BY 1),
-             gm AS (SELECT MAX(lw) AS gw FROM w),
+        WITH gm AS (SELECT MAX(lw) AS gw FROM w_ch),
              u AS (SELECT CAST(lw - fw AS BIGINT) AS off,
                           CASE WHEN lw = gw THEN 1 ELSE 0 END AS cens
-                   FROM w CROSS JOIN gm),
-             dc AS (SELECT off, CAST(SUM(1 - cens) AS BIGINT) AS ended,
-                           CAST(SUM(cens) AS BIGINT) AS censored
-                    FROM u GROUP BY 1),
+                   FROM w_ch CROSS JOIN gm)
+        SELECT off, CAST(SUM(1 - cens) AS BIGINT) AS ended,
+               CAST(SUM(cens) AS BIGINT) AS censored
+        FROM u GROUP BY 1""")
+        .localCheckpoint().createOrReplaceTempView("dc_ch")
+      s.sql("""
+        WITH dc AS (SELECT off, ended, censored FROM dc_ch),
              tot AS (SELECT CAST(SUM(ended + censored) AS BIGINT) AS n
                      FROM dc),
              rc AS (SELECT dc.off, dc.ended, dc.censored,

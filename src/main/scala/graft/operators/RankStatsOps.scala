@@ -1103,11 +1103,16 @@ object RankStatsOps {
     "agg_theil_u",
     (s, d) => {
       onLineitem(s, d, "lineitem_tu")
+      // materialize the domain-collapsed joint counts once (guide §2.4):
+      // g feeds nn and all three entropy CTEs — the inline spelling
+      // re-scanned lineitem 6x in the r18 before-plan.
+      s.sql("""SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+                      CAST(round(l_discount * 10000) AS BIGINT) AS y,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM lineitem_tu GROUP BY 1, 2""")
+        .localCheckpoint().createOrReplaceTempView("g_tu")
       s.sql("""
-        WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x,
-                          CAST(round(l_discount * 10000) AS BIGINT) AS y,
-                          CAST(COUNT(*) AS BIGINT) AS c
-                   FROM lineitem_tu GROUP BY 1, 2),
+        WITH g AS (SELECT x, y, c FROM g_tu),
              nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
              hxy AS (SELECT CAST(SUM(CAST(round(
                        -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
@@ -1359,23 +1364,36 @@ object RankStatsOps {
     "agg_kendall_w",
     (s, d) => {
       onEvents(s, d, "events_kw")
+      // materialize the per-(user, type) sums (pt — 3 downstream refs)
+      // and the joint-rank rows (jr — 2 refs): the inline spelling
+      // re-ran the fact groupBy 9× in the r18 before-plan (guide §2.4).
+      s.sql("""SELECT user_id, event_type AS g,
+                      CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS x
+               FROM events_kw GROUP BY user_id, event_type""")
+        .localCheckpoint().createOrReplaceTempView("pt_kw")
       s.sql("""
-        WITH pt AS (SELECT user_id, event_type AS g,
-                           CAST(SUM(CAST(round(value * 100) AS BIGINT))
-                                AS BIGINT) AS x
-                    FROM events_kw GROUP BY user_id, event_type),
-             kk AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k FROM pt),
-             cb AS (SELECT user_id FROM pt CROSS JOIN kk
+        WITH kk AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k
+                    FROM pt_kw),
+             cb AS (SELECT user_id FROM pt_kw CROSS JOIN kk
+                    GROUP BY user_id, kk.k
+                    HAVING COUNT(*) = MAX(kk.k))
+        SELECT p.user_id, p.g, p.x,
+               2 * CAST(RANK() OVER (PARTITION BY p.user_id
+                     ORDER BY p.x) AS BIGINT)
+                 + CAST(COUNT(*) OVER (PARTITION BY p.user_id,
+                     p.x) AS BIGINT) - 1 AS r2,
+               CAST(COUNT(*) OVER (PARTITION BY p.user_id,
+                     p.x) AS BIGINT) AS tsz
+        FROM pt_kw p JOIN cb ON p.user_id = cb.user_id""")
+        .localCheckpoint().createOrReplaceTempView("jr_kw")
+      s.sql("""
+        WITH kk AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k
+                    FROM pt_kw),
+             cb AS (SELECT user_id FROM pt_kw CROSS JOIN kk
                     GROUP BY user_id, kk.k
                     HAVING COUNT(*) = MAX(kk.k)),
-             jr AS (SELECT p.user_id, p.g, p.x,
-                           2 * CAST(RANK() OVER (PARTITION BY p.user_id
-                                 ORDER BY p.x) AS BIGINT)
-                             + CAST(COUNT(*) OVER (PARTITION BY p.user_id,
-                                 p.x) AS BIGINT) - 1 AS r2,
-                           CAST(COUNT(*) OVER (PARTITION BY p.user_id,
-                                 p.x) AS BIGINT) AS tsz
-                    FROM pt p JOIN cb ON p.user_id = cb.user_id),
+             jr AS (SELECT user_id, g, x, r2, tsz FROM jr_kw),
              rj AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS r2j
                     FROM jr GROUP BY g),
              tb AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
