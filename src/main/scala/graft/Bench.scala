@@ -43,7 +43,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: dozens of per-key WARN lines (WindowExec single-
+    // partition notes on domain-bounded readouts, state-store chatter)
+    // used to flood the gate's bounded stdout tail and push the per-query
+    // chunk lines out of it; failures still surface via our own BENCH
+    // FAIL prints and the failed[] field
+    spark.sparkContext.setLogLevel("ERROR")
     // JIT/codegen warm-up so the first timed query doesn't absorb session
     // startup (~3s of compiler work on a cold JVM)
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -83,7 +88,12 @@ object Bench {
         }
       // a crashed key records -1, never its time-to-exception — the gate
       // must be able to tell a broken key from a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // free this key's tracked materializations OUTSIDE its timed region
+      // (r19, VERDICT r18 #2: blocks pinned by earlier keys were squeezing
+      // storage/execution memory for every later key in the shared JVM)
+      Mats.release()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -197,6 +207,7 @@ object Bench {
               } catch { case _: Throwable => false }
               val ratio2 =
                 if (ok) (System.nanoTime() - t0) / 1e9 / base(k) else -1.0
+              Mats.release()
               k -> (ratio2, math.max(l0, loadAvg()))
           }.toMap
           val recheckErrored = recheck.exists { case (_, (r2, _)) => r2 < 0 }
@@ -237,10 +248,32 @@ object Bench {
       .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd},"quiet_wait":$quietWaitJson,"contended":$contended,"drift":$drift}"""
-    // stdout gets ONLY the compact summary (no per-query map): the gate
-    // keeps a bounded tail of stdout, and the full 422-key line blows past
-    // it — truncated JSON parsed as null. The complete record (with the
-    // per-query map) always lands in bench_result.json.
+    // The gate keeps only a bounded (~3 KB) tail of stdout, so the full
+    // 538-key map cannot ride the summary line (a truncated JSON line
+    // parses as null and would zero the whole bench). Instead (VERDICT r18
+    // #3): per-query times go out as SELF-CONTAINED chunked lines (ms
+    // ints, ≤ ~3 KB each) BEFORE the summary, so however much of the tail
+    // survives carries valid per-key JSON, and the summary line — the
+    // driver's parse target — stays last and small. The complete record
+    // always lands in bench_result.json / the tagged tools copy.
+    val chunkPairs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v >= 0) math.round(v * 1000) else -1L) }
+    val chunks = {
+      val buf = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.empty[String]; var len = 0
+      chunkPairs.foreach { p =>
+        if (len + p.length > 2800 && cur.nonEmpty) {
+          buf += cur.reverse; cur = Nil; len = 0 }
+        cur = p :: cur; len += p.length + 1
+      }
+      if (cur.nonEmpty) buf += cur.reverse
+      buf.toSeq
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"per_query_ms","part":${i + 1},""" +
+        s""""parts":${chunks.size},"sf":"$sfDir","queries":${
+          c.mkString("{", ",", "}")}}""")
+    }
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir","load":{"start":$loadStart,"end":$loadEnd},"quiet_wait":$quietWaitJson,"contended":$contended,"drift":$drift}""")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

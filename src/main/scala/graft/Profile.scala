@@ -70,6 +70,8 @@ object Profile {
             s""""plan_s":${s(t1, t2)},"exec1_s":${s(t2, t3)},""" +
             s""""exec2_s":${s(t3, t4)},"exchanges":$nEx,""" +
             s""""nodes":${planned.collectLeaves().size}}""")
+          // per-key materializations must not outlive the key
+          Mats.release()
       }
     }
     spark.stop()

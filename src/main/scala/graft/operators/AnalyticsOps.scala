@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -647,12 +648,12 @@ object AnalyticsOps {
         // both the edge list and the out-weight sum below — without this
         // the 4-table fact join ran TWICE per query (2 scans of each of
         // customer/orders/lineitem/supplier in the r18 before-plan)
-        .cache()
+        .trackedCache()
       val e = edges
         .join(edges.groupBy(col("src").as("osrc"))
           .agg(sum("w").as("tw")), col("src") === col("osrc"))
         .select("src", "dst", "w", "tw")
-        .cache() // reused by all three iterations — one edge build, not three
+        .trackedCache() // reused by all three iterations — one edge build, not three
       val nodes = t(s, d, "nation").select(col("n_nationkey").as("v"))
       var r = nodes.withColumn("r", lit(1000000L))
       for (_ <- 1 to 3) {
@@ -854,7 +855,7 @@ object AnalyticsOps {
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= 2)
         .select("u", "v")
-        .cache()
+        .trackedCache()
       val deg = edges.select(col("u").as("n")) // undirected degree per node
         .unionAll(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -874,7 +875,7 @@ object AnalyticsOps {
               struct(col("v").as("lo"), col("u").as("hi"), col("du").as("dhi")))
             .as("e"))
         .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.dhi").as("dhi"))
-        .cache()
+        .trackedCache()
       val wedges = or.as("e1").join(or.as("e2"),
           col("e1.lo") === col("e2.lo") &&
             struct(col("e1.dhi"), col("e1.hi")) <

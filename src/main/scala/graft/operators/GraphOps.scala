@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -125,7 +126,7 @@ object GraphOps {
       val e = supplyEdges(s, d)
       val n = nodes(s, d)
       var dist = n.where(col("vid") === 0).withColumn("hops", lit(0L))
-        .localCheckpoint(false)
+        .trackedCkpt()
       var prev = (-1L, -1L)
       var cur = (1L, 0L)
       var it = 0
@@ -139,7 +140,7 @@ object GraphOps {
           // lazy: the convergence aggregate right below is the
           // materializing action (eager would run a second, redundant
           // job per round — the connectedComponents discipline)
-          .localCheckpoint(false)
+          .trackedCkpt()
         prev = cur
         val r = dist.agg(count(lit(1)), sum("hops")).head()
         cur = (r.getLong(0), r.getLong(1))
@@ -214,7 +215,7 @@ object GraphOps {
     (s, d) => {
       import org.apache.spark.sql.functions.broadcast
       val el = supplyEdges(s, d).where(col("src") < col("dst"))
-        .select(col("src").as("u"), col("dst").as("v")).cache()
+        .select(col("src").as("u"), col("dst").as("v")).trackedCache()
       val tri = el.as("e1")
         .join(el.as("e2"), col("e1.v") === col("e2.u"))
         .join(el.as("e3"),
@@ -310,9 +311,9 @@ object GraphOps {
   private val graphSsspWeighted = Op(
     "graph_sssp_weighted",
     (s, d) => {
-      val e = weightedEdges(s, d).cache()
+      val e = weightedEdges(s, d).trackedCache()
       var dist = nodes(s, d).where(col("vid") === 0)
-        .withColumn("dist", lit(0L)).localCheckpoint(false)
+        .withColumn("dist", lit(0L)).trackedCkpt()
       var prev = (-1L, -1L)
       var cur = (1L, 0L)
       var it = 0
@@ -325,7 +326,7 @@ object GraphOps {
             least(coalesce(col("dist"), col("nd")),
               coalesce(col("nd"), col("dist"))).as("dist"))
           // lazy: materialized by the convergence aggregate below
-          .localCheckpoint(false)
+          .trackedCkpt()
         prev = cur
         val r = dist.agg(count(lit(1)), sum("dist")).head()
         cur = (r.getLong(0), r.getLong(1))
@@ -486,10 +487,14 @@ object GraphOps {
       // over the fact is the expensive part (4 full re-derivations cost
       // 42 s vs 10 s at sf10) — checkpoint cuts the loop's lineage to the
       // ~|V|-row cached edge relation, the graph_bfs_hops discipline
-      val edges = supplyEdges(s, d).localCheckpoint()
+      val edges = supplyEdges(s, d).trackedCkpt()
       val alive = peelSurvivors(edges, 2)
+      // the survivor set is ≤|V| rows but reaches this join as a stats-less
+      // LogicalRDD (lineage was cut per peel round), so auto-broadcast
+      // can't fire — hint it or the readout falls to SortMergeJoin
       nodes(s, d)
-        .join(alive.withColumn("in_core", lit(1)), Seq("vid"), "left")
+        .join(broadcast(alive.withColumn("in_core", lit(1))),
+          Seq("vid"), "left")
         .select(col("vid"),
           coalesce(col("in_core"), lit(0)).cast("int").as("in_core"))
         .orderBy("vid")
@@ -542,7 +547,7 @@ object GraphOps {
         // Lazy localCheckpoint: the ~|V|-row set materializes once on
         // first downstream use, one job per peel, and the plan stays
         // O(rounds) (the connectedComponents loop discipline).
-        .localCheckpoint(false)
+        .trackedCkpt()
     }
     alive
   }
@@ -571,10 +576,12 @@ object GraphOps {
   private val graphCoreDecompose = Op(
     "graph_core_decompose",
     (s, d) => {
-      val edges = supplyEdges(s, d).localCheckpoint()
-      val c1 = peelSurvivors(edges, 1).withColumn("k1", lit(1))
-      val c2 = peelSurvivors(edges, 2).withColumn("k2", lit(1))
-      val c3 = peelSurvivors(edges, 3).withColumn("k3", lit(1))
+      val edges = supplyEdges(s, d).trackedCkpt()
+      // stats-less survivor sets (see graph_kcore): broadcast each ≤|V|-row
+      // label relation explicitly so the assembly stays exchange-free
+      val c1 = broadcast(peelSurvivors(edges, 1).withColumn("k1", lit(1)))
+      val c2 = broadcast(peelSurvivors(edges, 2).withColumn("k2", lit(1)))
+      val c3 = broadcast(peelSurvivors(edges, 3).withColumn("k3", lit(1)))
       nodes(s, d)
         .join(c1, Seq("vid"), "left").join(c2, Seq("vid"), "left")
         .join(c3, Seq("vid"), "left")

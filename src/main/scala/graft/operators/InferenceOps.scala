@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.SparkSession
 
@@ -605,7 +606,7 @@ object InferenceOps {
                CAST(SUM(x1 * x3) AS BIGINT) AS s13,
                CAST(SUM(x2 * x3) AS BIGINT) AS s23
         FROM b""")
-        .localCheckpoint().createOrReplaceTempView("m_cv")
+        .matCkpt(s, d).createOrReplaceTempView("m_cv")
       s.sql("""
         WITH m AS (SELECT * FROM m_cv),
              l AS (SELECT 'quantity' AS vi, 'quantity' AS vj,
@@ -973,14 +974,14 @@ object InferenceOps {
         FROM tk
         LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
         WHERE size(w) >= 2""")
-        .localCheckpoint().createOrReplaceTempView("bg0_bl")
+        .matCkpt(s, d).createOrReplaceTempView("bg0_bl")
       s.sql("""
         SELECT w1 AS w FROM (
           SELECT w1, COUNT(*) AS c,
                  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w1) AS rn
           FROM bg0_bl GROUP BY w1 HAVING COUNT(*) >= 5) v
         WHERE rn <= 500""")
-        .localCheckpoint().createOrReplaceTempView("voc_bl")
+        .matCkpt(s, d).createOrReplaceTempView("voc_bl")
       s.sql("""
         WITH bg0 AS (SELECT doc_id, source, w1, w2 FROM bg0_bl),
              voc AS (SELECT w FROM voc_bl),
@@ -1784,7 +1785,7 @@ object InferenceOps {
                      FROM pairs WHERE w % 7 = 0 AND a <> b)
         SELECT u AS src, v AS dst FROM und
         UNION ALL SELECT v, u FROM und""")
-        .localCheckpoint().createOrReplaceTempView("ed_md")
+        .matCkpt(s, d).createOrReplaceTempView("ed_md")
       s.sql("""
         WITH ed AS (SELECT src, dst FROM ed_md),
              cm AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,
@@ -1870,7 +1871,7 @@ object InferenceOps {
                       CAST(SUM(CAST(round(value * 100) AS BIGINT))
                            AS BIGINT) AS sx
                FROM events_jk GROUP BY 1""")
-        .localCheckpoint().createOrReplaceTempView("g_jk")
+        .matCkpt(s, d).createOrReplaceTempView("g_jk")
       s.sql("""
         WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gg,
                             CAST(SUM(n) AS BIGINT) AS nn,
@@ -1879,7 +1880,7 @@ object InferenceOps {
                (CAST(tot.ss - g.sx AS DOUBLE)) / (tot.nn - g.n) AS theta_i,
                tot.gg, tot.nn, tot.ss
         FROM g_jk g CROSS JOIN tot""")
-        .localCheckpoint().createOrReplaceTempView("lo_jk")
+        .matCkpt(s, d).createOrReplaceTempView("lo_jk")
       s.sql("""
         WITH lo AS (SELECT day, theta_i, gg, nn, ss FROM lo_jk),
              mj AS (SELECT MAX(gg) AS gg,
@@ -2798,7 +2799,7 @@ object InferenceOps {
                       CAST(round(l_quantity) AS BIGINT) AS v,
                       CAST(COUNT(*) AS BIGINT) AS c
                FROM lineitem_kw GROUP BY 1, 2""")
-        .localCheckpoint().createOrReplaceTempView("gv_kw")
+        .matCkpt(s, d).createOrReplaceTempView("gv_kw")
       s.sql("""
         WITH gv AS (SELECT g, v, c FROM gv_kw),
              dv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS tc

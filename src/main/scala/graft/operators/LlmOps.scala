@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -617,6 +618,14 @@ object LlmOps {
         .unionByName(m.select(col("a"), col("m").as("b")))
         .distinct()
     }
+    // superseded rounds are freed as soon as the next round has been
+    // materialized by its sig() aggregate (r19: previously every round's
+    // checkpoint blocks stayed pinned for the whole session); the FINAL
+    // round's blocks stay — they back the memoized label relation
+    def freeCkpt(df: DataFrame): Unit =
+      df.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
     var s = sig(e)
     var converged = false
     var it = 0
@@ -624,6 +633,7 @@ object LlmOps {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val ns = sig(next)
       converged = ns == s
+      freeCkpt(e)
       e = next; s = ns; it += 1
     }
     if (!converged)
@@ -3200,7 +3210,7 @@ object LlmOps {
                      FROM hm GROUP BY doc_id)
         SELECT doc_id, array(h0, h1, h2, h3, h4, h5, h6, h7) AS sig
         FROM sig""")
-        .localCheckpoint().createOrReplaceTempView("arr_mh")
+        .matCkpt(s, d).createOrReplaceTempView("arr_mh")
       s.sql("""
         WITH arr AS (SELECT doc_id, sig FROM arr_mh),
              bands AS (SELECT doc_id, b,
@@ -3385,8 +3395,12 @@ object LlmOps {
     (s, d) => {
       t(s, d, "documents").createOrReplaceTempView("docs_shm")
       // materialize the tiny per-doc signature once (see simhashMd5Sql):
-      // one row of 4 ints per doc, consumed three times downstream
-      val sig = s.sql(simhashMd5Sql(spark = true, sigOnly = true)).localCheckpoint()
+      // one row of 4 ints per doc, consumed three times downstream.
+      // Unconditional (not scale-aware): the upstream is the per-distinct-
+      // token md5 pipeline, expensive at every SF. Lazy + tracked: the
+      // consuming query materializes it in one job; released at key end.
+      val sig = s.sql(simhashMd5Sql(spark = true, sigOnly = true))
+        .trackedCkpt()
       sig.createOrReplaceTempView("sig_shm")
       s.sql(simhashMd5Sql(spark = true, sigView = Some("sig_shm")))
     },
@@ -3653,7 +3667,7 @@ object LlmOps {
                      FROM th CROSS JOIN fw GROUP BY th.pct)
         SELECT pk.pct, pk.cut, pk.toks, pvv.vocab
         FROM pk JOIN pvv ON pk.pct = pvv.pct""")
-        .localCheckpoint().createOrReplaceTempView("pt_hp")
+        .matCkpt(s, d).createOrReplaceTempView("pt_hp")
       s.sql("""
         WITH pt AS (SELECT pct, cut, toks, vocab FROM pt_hp),
              ols AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.SparkSession
 
@@ -35,7 +36,7 @@ object MiningOps {
       val ba = t(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .cache()
+        .trackedCache()
       val n = ba.agg(count(lit(1)).cast("long").as("n_orders"))
       val ic = ba.select(explode(col("ps")).as("pk"))
         .groupBy("pk").agg(count(lit(1)).cast("long").as("c"))
@@ -58,11 +59,10 @@ object MiningOps {
                 JOIN ic_mb ib ON pr.pb = ib.pk
                 CROSS JOIN n_mb n
         ORDER BY pr.c_ab DESC, pr.pa, pr.pb LIMIT 20""")
-        // eager 20-row localCheckpoint so the basket cache can be released
-        // NOW — without it the 600 k-row relation stays pinned in executor
-        // memory for the rest of a long-lived session
-        .localCheckpoint(true)
-      ba.unpersist()
+      // the basket cache is tracked: Mats.release frees it at the key
+      // boundary, so no eager 20-row checkpoint job is needed to let it
+      // be unpersisted before the result is consumed (r18 paid an extra
+      // full materialization here just to unpersist early)
       out
     },
     Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
@@ -1044,7 +1044,7 @@ object MiningOps {
                CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                     AS BIGINT) AS r
         FROM lineitem_abc GROUP BY 1""")
-        .cache().createOrReplaceTempView("rev_abc")
+        .matCache(s, d).createOrReplaceTempView("rev_abc")
       s.sql("""
         WITH rev AS (SELECT pk, r FROM rev_abc),
              tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t FROM rev),
@@ -1647,8 +1647,11 @@ object MiningOps {
       // three CTEs below, and an un-materialized reference re-ran the
       // whole langid scoring pipeline per reference (6 document scans in
       // the r18 before-plan, guide §2.4)
+      // unconditionally checkpointed (lazy, tracked): the upstream here is
+      // the whole langid scoring pipeline, expensive at EVERY scale — the
+      // scale-aware skip only applies where the inlined upstream is cheap
       val cells = graft.SparkEntry.queries("text_langid_confusion")(s, d)
-        .localCheckpoint()
+        .trackedCkpt()
       cells.createOrReplaceTempView("langid_cells_k")
       s.sql("""
         WITH m AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
@@ -1831,7 +1834,7 @@ object MiningOps {
                CAST(SUM(q * q) AS BIGINT) AS sqq,
                CAST(SUM(rc) AS BIGINT) AS r
         FROM wk GROUP BY 1""")
-        .localCheckpoint().createOrReplaceTempView("ps_ax")
+        .matCkpt(s, d).createOrReplaceTempView("ps_ax")
       s.sql("""
         WITH vs AS (SELECT pk, nw, sq, sqq FROM ps_ax),
              rev AS (SELECT pk, r FROM ps_ax),
@@ -1952,7 +1955,7 @@ object MiningOps {
                       MIN(unix_timestamp(ts) div 604800) AS fw,
                       MAX(unix_timestamp(ts) div 604800) AS lw
                FROM events_ch GROUP BY 1""")
-        .localCheckpoint().createOrReplaceTempView("w_ch")
+        .matCkpt(s, d).createOrReplaceTempView("w_ch")
       s.sql("""
         WITH gm AS (SELECT MAX(lw) AS gw FROM w_ch),
              u AS (SELECT CAST(lw - fw AS BIGINT) AS off,
@@ -1961,7 +1964,7 @@ object MiningOps {
         SELECT off, CAST(SUM(1 - cens) AS BIGINT) AS ended,
                CAST(SUM(cens) AS BIGINT) AS censored
         FROM u GROUP BY 1""")
-        .localCheckpoint().createOrReplaceTempView("dc_ch")
+        .matCkpt(s, d).createOrReplaceTempView("dc_ch")
       s.sql("""
         WITH dc AS (SELECT off, ended, censored FROM dc_ch),
              tot AS (SELECT CAST(SUM(ended + censored) AS BIGINT) AS n

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.SparkSession
 
@@ -224,7 +225,7 @@ object RankStatsOps {
                           CAST(round(value * 100) AS BIGINT) AS x
                    FROM events_jt)
         SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY g, x""")
-        .localCheckpoint().createOrReplaceTempView("vc_jt")
+        .matCkpt(s, d).createOrReplaceTempView("vc_jt")
       s.sql("""
         WITH vc AS (SELECT g, x, c FROM vc_jt),
              dv AS (SELECT DISTINCT x FROM vc),
@@ -237,7 +238,7 @@ object RankStatsOps {
                     AS BIGINT) AS cumle
         FROM dv CROSS JOIN gs
         LEFT JOIN vc ON vc.g = gs.g AND vc.x = dv.x""")
-        .localCheckpoint().createOrReplaceTempView("grid_jt")
+        .matCkpt(s, d).createOrReplaceTempView("grid_jt")
       s.sql("""
         WITH vc AS (SELECT g, x, c FROM vc_jt),
              gs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng
@@ -1110,7 +1111,7 @@ object RankStatsOps {
                       CAST(round(l_discount * 10000) AS BIGINT) AS y,
                       CAST(COUNT(*) AS BIGINT) AS c
                FROM lineitem_tu GROUP BY 1, 2""")
-        .localCheckpoint().createOrReplaceTempView("g_tu")
+        .matCkpt(s, d).createOrReplaceTempView("g_tu")
       s.sql("""
         WITH g AS (SELECT x, y, c FROM g_tu),
              nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
@@ -1371,7 +1372,7 @@ object RankStatsOps {
                       CAST(SUM(CAST(round(value * 100) AS BIGINT))
                            AS BIGINT) AS x
                FROM events_kw GROUP BY user_id, event_type""")
-        .localCheckpoint().createOrReplaceTempView("pt_kw")
+        .matCkpt(s, d).createOrReplaceTempView("pt_kw")
       s.sql("""
         WITH kk AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k
                     FROM pt_kw),
@@ -1386,7 +1387,7 @@ object RankStatsOps {
                CAST(COUNT(*) OVER (PARTITION BY p.user_id,
                      p.x) AS BIGINT) AS tsz
         FROM pt_kw p JOIN cb ON p.user_id = cb.user_id""")
-        .localCheckpoint().createOrReplaceTempView("jr_kw")
+        .matCkpt(s, d).createOrReplaceTempView("jr_kw")
       s.sql("""
         WITH kk AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS k
                     FROM pt_kw),
@@ -1727,7 +1728,7 @@ object RankStatsOps {
                       CAST(SUM(CAST(round(value * 100) AS BIGINT))
                            AS BIGINT) AS x
                FROM events_lb GROUP BY 1""")
-        .cache().createOrReplaceTempView("lb_dy")
+        .matCache(s, d).createOrReplaceTempView("lb_dy")
       s.sql("""
         WITH dy AS (SELECT day_idx, x FROM lb_dy),
              st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,

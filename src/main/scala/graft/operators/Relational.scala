@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1042,7 +1043,7 @@ object Relational {
       .groupBy("g", "metric", "x")
       .agg(count(lit(1)).as("cnt"), first("p").as("p"))
       .withColumn("bucket", expr("x div 1000"))
-      .cache()
+      .trackedCache()
     val w = Window.partitionBy("g", "metric", "bucket").orderBy("x")
     val within = g.withColumn("cum_in", sum("cnt").over(w))
     val counts = g.groupBy("g", "metric", "bucket").agg(sum("cnt").as("bt"))

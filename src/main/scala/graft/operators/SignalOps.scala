@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1065,7 +1066,7 @@ object SignalOps {
         .groupBy(col("o_orderstatus").as("st"),
           col("o_orderpriority").as("pr"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .matCkpt(s, d)
         .createOrReplaceTempView("ipf_cells")
       s.sql("""
         WITH c AS (SELECT st, pr, n FROM ipf_cells),
@@ -2378,7 +2379,7 @@ object SignalOps {
                CAST(SUM(x * x) AS BIGINT) AS sxx,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM k GROUP BY op, pt""")
-        .localCheckpoint().createOrReplaceTempView("cell_grr")
+        .matCkpt(s, d).createOrReplaceTempView("cell_grr")
       s.sql("""
         WITH cell AS (SELECT op, pt, t, sxx, n FROM cell_grr),
              tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt,

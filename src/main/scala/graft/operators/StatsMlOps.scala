@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.spark.sql.SparkSession
 
@@ -101,7 +102,7 @@ object StatsMlOps {
       s.sql("""SELECT l_returnflag AS g, l_quantity AS x,
                       l_extendedprice AS y, CAST(COUNT(*) AS BIGINT) AS c
                FROM lineitem_sp GROUP BY 1, 2, 3""")
-        .cache().createOrReplaceTempView("joint_sp")
+        .matCache(s, d).createOrReplaceTempView("joint_sp")
       s.sql("""
         WITH joint AS (SELECT g, x, y, c FROM joint_sp),
              xs AS (SELECT g, x, CAST(SUM(c) AS BIGINT) AS cx
@@ -561,7 +562,7 @@ object StatsMlOps {
                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
                            AS BIGINT) AS rev
                FROM orders_lz GROUP BY 1""")
-        .localCheckpoint().createOrReplaceTempView("r_lz")
+        .matCkpt(s, d).createOrReplaceTempView("r_lz")
       s.sql("""
         WITH bkt AS (SELECT o_custkey, rev, rev div 10000000 AS bu
                      FROM r_lz),

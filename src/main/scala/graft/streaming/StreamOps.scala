@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Mats.MatOps
 import graft.{Op, Tables}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -586,7 +587,7 @@ object StreamOps {
             (coalesce(col("t.n"), lit(0L)) + col("dn")).as("after_n"),
             col("t.c").as("before_cents"),
             (coalesce(col("t.c"), lit(0L)) + col("dc")).as("after_cents"))
-          .localCheckpoint()
+          .trackedCkpt(eager = true)
         // one OVERWRITTEN dir per micro-batch id: a retried batch replaces
         // its own feed slice, never appends a duplicate (idempotent sink —
         // the trick Spark documents for exactly-once foreachBatch output)
