@@ -36,8 +36,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Conditional map-side widening for PER-ROW-HEAVY consumers (csv/xml/
+    * json parse, expression batteries): the test tables land as ONE
+    * single-row-group parquet file, so the whole map side (and the range-
+    * sampling pass an ORDER BY adds) otherwise runs on one core. When the
+    * scan yields fewer splits than half the scheduler's parallelism,
+    * spread rows with a deterministic hash on `key`; with real multi-file
+    * inputs this is a no-op — no exchange added (guide §2,
+    * scale-adaptive). Results are unaffected either way. */
+  def widen(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions * 2 < par)
+      df.repartition(par, df(key))
+    else df
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
+    if (name == "documents") {
+      // The corpus table is where every consumer does heavy PER-ROW work
+      // (normalization regex, shingle/token explode, md5 fingerprints) —
+      // and the test corpora land as ONE single-row-group parquet file,
+      // which caps the whole map side of every text/dedup key at one core
+      // no matter the session's parallelism (measured: the raw shingle
+      // explode alone was 2.7 s single-threaded at sf0.1). When the scan
+      // yields fewer splits than half the scheduler's parallelism, spread
+      // rows with a deterministic hash on doc_id; with a real multi-file
+      // corpus the condition is false and NO exchange is added (scale-
+      // adaptive, guide §2 — results are unaffected either way).
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val par = spark.sparkContext.defaultParallelism
+      if (df.queryExecution.toRdd.getNumPartitions * 2 < par)
+        df.repartition(par, col("doc_id"))
+      else df
+    } else if (name == "events") {
       // events.ts has shipped under two physical schemas: nanosecond int64
       // (which Spark 4 only reads with nanosAsLong) and timestamp[us] with
       // isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Branch on the loaded

@@ -77,7 +77,7 @@ object FnFamilies {
   // is exact and HALF_UP on both engines.
   private val fnMath = Op(
     "fn_math",
-    (s, d) => t(s, d, "lineitem").select(
+    (s, d) => Tables.widen(s, t(s, d, "lineitem"), "l_orderkey").select(
       col("l_orderkey"), col("l_linenumber"),
       round(col("l_extendedprice").cast("decimal(18,2)"), 1).cast("double").as("price_r1"),
       abs(col("l_extendedprice").cast("decimal(18,2)") - lit(100).cast("decimal(18,2)"))
@@ -138,7 +138,7 @@ object FnFamilies {
 
   private val fnJson = Op(
     "fn_json",
-    (s, d) => t(s, d, "events").select(
+    (s, d) => Tables.widen(s, t(s, d, "events"), "event_id").select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k_val"),
       get_json_object(col("props"), "$.missing").as("missing_val"))
@@ -386,7 +386,7 @@ object FnFamilies {
   // cross-engine string formats. Pure map-side.
   private val fnCsv = Op(
     "fn_csv",
-    (s, d) => t(s, d, "lineitem")
+    (s, d) => Tables.widen(s, t(s, d, "lineitem"), "l_orderkey")
       .withColumn("line", concat_ws(";", col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_returnflag")))
       .withColumn("p", from_csv(col("line"),
@@ -419,7 +419,7 @@ object FnFamilies {
   // bulk XML decode at scale goes through the `scan_xml_roundtrip` source.
   private val fnXml = Op(
     "fn_xml",
-    (s, d) => t(s, d, "supplier")
+    (s, d) => Tables.widen(s, t(s, d, "supplier"), "s_suppkey")
       .select(col("s_suppkey"),
         concat(lit("<s><k>"), col("s_suppkey"), lit("</k><n>"), col("s_name"),
           lit("</n><nk>"), col("s_nationkey"), lit("</nk></s>")).as("xml"))
@@ -456,7 +456,7 @@ object FnFamilies {
   // are the canary that try_* really intercepted the ANSI error path.
   private val fnTryArith = Op(
     "fn_try_arith",
-    (s, d) => t(s, d, "lineitem").select(
+    (s, d) => Tables.widen(s, t(s, d, "lineitem"), "l_orderkey").select(
       col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
       try_divide(col("l_extendedprice"), col("l_quantity") - 17).as("td"),
       // same rarity rule as tc below: overflow rows are 1-in-1000 (an

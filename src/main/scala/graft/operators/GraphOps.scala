@@ -41,7 +41,7 @@ object GraphOps {
     * dedupes the identical plan, so the join runs once per session and the
     * ~|V|-row edge set stays pinned (tiny at any scale: one row per
     * nation pair). */
-  private def supplyEdges(s: SparkSession, d: String): DataFrame = {
+  private[operators] def supplyEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = t(s, d, "customer")
       .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
       .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))

@@ -1767,25 +1767,13 @@ object InferenceOps {
       for (n <- Seq("customer", "orders", "lineitem", "supplier",
         "nation"))
         t(s, d, n).createOrReplaceTempView(s"${n}_md")
-      // materialize the directed edge list once (guide §2.4): ed is
-      // referenced by the degree total AND the per-community counts, and
-      // each ed reference inlined und twice — 4 runs of the 4-table fact
-      // join in the r18 before-plan. The edge list is nation-bounded.
-      s.sql("""
-        WITH pairs AS (
-               SELECT CAST(c_nationkey AS BIGINT) AS a,
-                      CAST(s_nationkey AS BIGINT) AS b, count(*) AS w
-               FROM customer_md
-               JOIN orders_md ON c_custkey = o_custkey
-               JOIN lineitem_md ON l_orderkey = o_orderkey
-               JOIN supplier_md ON l_suppkey = s_suppkey
-               GROUP BY 1, 2),
-             und AS (SELECT DISTINCT least(a, b) AS u,
-                            greatest(a, b) AS v
-                     FROM pairs WHERE w % 7 = 0 AND a <> b)
-        SELECT u AS src, v AS dst FROM und
-        UNION ALL SELECT v, u FROM und""")
-        .matCkpt(s, d).createOrReplaceTempView("ed_md")
+      // the edge list IS the shared supply-graph relation (identical
+      // algebra: sparsified undirected nation pairs, both directions) —
+      // ride GraphOps' session-pinned cross-key cache instead of
+      // re-deriving the 4-table fact join here (r19; the r18 spelling
+      // re-ran that join 4× per invocation, then a matCkpt skipped at
+      // test scale still re-ran it twice)
+      GraphOps.supplyEdges(s, d).createOrReplaceTempView("ed_md")
       s.sql("""
         WITH ed AS (SELECT src, dst FROM ed_md),
              cm AS (SELECT CAST(n_nationkey AS BIGINT) AS nk,

@@ -1834,7 +1834,9 @@ object MiningOps {
                CAST(SUM(q * q) AS BIGINT) AS sqq,
                CAST(SUM(rc) AS BIGINT) AS r
         FROM wk GROUP BY 1""")
-        .matCkpt(s, d).createOrReplaceTempView("ps_ax")
+        // unconditional (not scale-aware): ~5 inlined copies of a TWO-level
+        // fact aggregation — measured +0.6 s at sf0.1 when skipped (r19 m1)
+        .trackedCkpt().createOrReplaceTempView("ps_ax")
       s.sql("""
         WITH vs AS (SELECT pk, nw, sq, sqq FROM ps_ax),
              rev AS (SELECT pk, r FROM ps_ax),

@@ -219,7 +219,7 @@ object Relational {
   // ---------------------------------------------------- projection / filter
   private val projectExpr = Op(
     "project_expr",
-    (s, d) => t(s, d, "lineitem").select(
+    (s, d) => Tables.widen(s, t(s, d, "lineitem"), "l_orderkey").select(
       col("l_orderkey"), col("l_linenumber"),
       (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
         .cast("double").as("net_price"),

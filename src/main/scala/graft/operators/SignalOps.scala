@@ -1199,7 +1199,13 @@ object SignalOps {
       s.sql("""
         SELECT CAST(round(o_totalprice * 100) AS BIGINT) div 5000000 AS b,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM orders_scr GROUP BY 1""").createOrReplaceTempView("orders_hist")
+        FROM orders_scr GROUP BY 1""")
+        // materialized ONCE (unconditional, tracked): the scripting WHILE
+        // loop below evaluates a scalar SELECT over this view up to 20
+        // times, and an un-materialized view re-ran the fact scan +
+        // histogram aggregate per iteration (the bucket relation is
+        // ≤ ~200 rows at any scale)
+        .trackedCkpt().createOrReplaceTempView("orders_hist")
       s.sql("""
         BEGIN
           DECLARE t BIGINT DEFAULT -1;

@@ -1155,9 +1155,14 @@ object StreamOps {
         land, "b0.parquet", t0)
       landOne(ev.where(expr(s"unix_micros(ts) div 1000 >= ${midMs}L")),
         land, "b1.parquet", t0 + 10000)
+      // TWO sentinels, not three (r19): timers fire in the batch whose
+      // START watermark exceeds them, and the watermark entering the s2
+      // batch is already maxMs + 3·gap − gap = maxMs + 2·gap — past every
+      // live timer (≤ maxMs + gap) — so every session flushes during s2's
+      // batch and a third sentinel batch was a pure micro-batch cost
+      // (~0.6 s of state-store commit + sink write per run)
       landOne(sentinel(maxMs + 3 * gapMs), land, "s1.parquet", t0 + 20000)
       landOne(sentinel(maxMs + 6 * gapMs), land, "s2.parquet", t0 + 30000)
-      landOne(sentinel(maxMs + 9 * gapMs), land, "s3.parquet", t0 + 40000)
       withRocksDbProvider(s, Seq(land)) { rs =>
         val q = rs.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
